@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.{Adapter, JsonInference, PumpQueries, Tables}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates the oracle-checked batch form of every implemented
+  * operator: the reference surface (SURVEY §2, graft.engine.PumpQueries)
+  * and the LLM-pipeline extensions (SURVEY §2.8, graft.ops.*).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the Multi-Record Cascading Tile Adapter end-to-end on
+    * sf0.001 events — construct payload, parse, explode, flatten.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), PumpQueries.goodPayload(col("props")).as("payload"))
+    Adapter.adapt(ev, "payload", PumpQueries.payloadInf, Seq("event_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    PumpQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    PumpQueries.oracle
 }

@@ -1,0 +1,281 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.RandomId
+
+/** Oracle-checked batch forms of the reference's operator inventory
+  * (SURVEY §2). The `events` table stands in for the MQTT stream:
+  * `props` is the JSON-payload analog, `ts` the received-time analog
+  * (FIXTURES.md §2). Several adapter queries first *construct* the
+  * reference's multi-record payload shape from `props` — the same
+  * construction appears verbatim in the DuckDB oracle, so the JSON
+  * parse/explode/flatten semantics are what's actually being compared.
+  *
+  * Each entry is (name -> DataFrame builder) plus matching ANSI SQL in
+  * [[oracle]]; column names/aliases are kept identical on both sides
+  * (the driver sorts columns by name before hashing).
+  */
+object PumpQueries {
+
+  /** Canonical pipeline-stage order for the lag arithmetic (G4). */
+  val Stages: Seq[String] = Seq("view", "click", "signup", "purchase", "error")
+
+  /** The adapter inference used by the payload-construction queries:
+    * record r1 carries a scalar leaf `k`, record r2 nests it one level —
+    * deliberately heterogeneous records so A8 null-binding is exercised
+    * (r1 lacks `nested`, r2 lacks `k`).
+    */
+  val payloadSample = """{"r1": {"k": 1}, "r2": {"nested": {"k": 2}}}"""
+  lazy val payloadInf: JsonInference.Inferred = JsonInference.inferFromSample(payloadSample)
+
+  /** `{"r1": <props>, "r2": {"nested": <props>}}` */
+  def goodPayload(props: Column): Column =
+    concat(lit("{\"r1\": "), props, lit(", \"r2\": {\"nested\": "), props, lit("}}"))
+
+  private val goodPayloadSql =
+    """'{"r1": ' || props || ', "r2": {"nested": ' || props || '}}'"""
+
+  /** DuckDB-side A3 validity: parseable JSON, non-empty, all top-level
+    * values are objects (all-or-nothing per message).
+    */
+  private def validitySql(payloadExpr: String) =
+    s"""coalesce(len(json_keys(TRY_CAST($payloadExpr AS JSON))) > 0
+       | AND len(list_filter(json_keys(TRY_CAST($payloadExpr AS JSON)),
+       |   k -> json_type(TRY_CAST($payloadExpr AS JSON), '$$."' || k || '"') != 'OBJECT')) = 0,
+       | false)""".stripMargin.replaceAll("\n", " ")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1 — JSON scalar parse with the reference type lattice (numbers -> double)
+    "a1_json_parse" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("double").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // A2+A4+A5+A8 — map explode, cascading flatten, sorted columns, null binding
+    "a2_explode_flatten" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), goodPayload(col("props")).as("payload"))
+      Adapter.adapt(ev, "payload", payloadInf, Seq("event_id"))
+        .orderBy("event_id", "key_id")
+    }),
+
+    // A3 — all-or-nothing protocol assertion
+    "a3_protocol_reject" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val payload = when(col("event_id") % 7 === 0, lit("""{"r1": 42}"""))
+        .otherwise(goodPayload(col("props")))
+      ev.select(col("event_id"),
+          Adapter.isValidPayload(Adapter.parsePayload(payload, payloadInf)).as("valid"))
+        .orderBy("event_id")
+    }),
+
+    // A6/A7 — schema inference on the reference's golden sample; output is
+    // the inferred ClickHouse DDL fragment (golden transcript
+    // /root/reference/release_20120128/readme.txt:40)
+    "a6_schema_infer" -> ((s, _) => {
+      val inf = JsonInference.inferFromSample(PumpConfig.GoldenSample)
+      s.range(1).select(lit(JsonInference.ddlFragment(inf)).as("ddl"))
+    }),
+
+    // T5 — raw-table projection with derived collect_date
+    "t5_raw_projection" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Adapter.rawProjection(ev,
+          mid = lpad(col("event_id").cast("string"), 12, "0"),
+          topic = concat(lit("pump/data/"), (col("user_id") % 5).cast("string")),
+          payload = col("props"),
+          receivedTime = col("ts"))
+        .orderBy("mid")
+    }),
+
+    // T6 — error routing: corrupt payloads leave the adapter path
+    "t6_error_route" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val good = goodPayload(col("props"))
+      val payload = when(col("event_id") % 13 === 0, substring(good, 1, 10)).otherwise(good)
+      ev.select(when(Adapter.isValidPayload(Adapter.parsePayload(payload, payloadInf)),
+            lit("adapter")).otherwise(lit("error")).as("route"))
+        .groupBy("route").agg(count(lit(1)).as("n"))
+        .orderBy("route")
+    }),
+
+    // T2 — random message id: property check (count, length, alphabet);
+    // values are nondeterministic, the invariants are not
+    "t2_random_id" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(RandomId.random_id(8).as("mid"))
+        .agg(count(lit(1)).as("n"),
+          count_if(col("mid").rlike("^[0-9A-Z]{8}$")).as("n_valid"))
+    }),
+
+    // G1 — tumbling 5-minute window count + byte sum per stage
+    "g1_window_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Monitor.windowedStageAgg(ev, col("ts"), col("event_type"),
+          length(col("props")) + length(col("event_type")) + lit(4), "5 minutes")
+        .orderBy("window_start", "stage")
+    }),
+
+    // G2 — cumulative success/failure totals per stage
+    "g2_cumulative" -> ((s, dir) => {
+      Monitor.cumulativeTotals(Tables.events(s, dir), col("event_type"), col("value") >= 10)
+        .orderBy("stage")
+    }),
+
+    // G3 — average rate since start
+    "g3_avg_rate" -> ((s, dir) => {
+      Monitor.avgRates(Tables.events(s, dir), col("ts"), col("event_type"))
+        .orderBy("stage")
+    }),
+
+    // G4 — stage-lag derivation via pivot + column arithmetic
+    "g4_stage_lags" -> ((s, dir) => {
+      val t = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type").as("stage"))
+        .agg(count(lit(1)).as("total"))
+      Monitor.stageLags(t, Stages, Seq("user_id")).orderBy("user_id")
+    }),
+
+    // G5 — per-interval rate normalization (count / window seconds)
+    "g5_rate_norm" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Monitor.windowedStageAgg(ev, col("ts"), col("event_type"),
+        length(col("props")) + length(col("event_type")) + lit(4), "5 minutes")
+      Monitor.normalizeRates(w, 300).orderBy("window_start", "stage")
+    }),
+
+    // G6 — nested metrics JSON document assembly
+    "g6_metrics_doc" -> ((s, dir) => {
+      val agg = Tables.events(s, dir)
+        .groupBy(col("event_type").as("stage"))
+        .agg(count(lit(1)).as("total"), sum(length(col("props")) + lit(4)).as("bytes"))
+      Monitor.metricsDoc(agg, Seq("stage"), Seq("total", "bytes"))
+        .select(col("stage"), col("doc"))
+        .orderBy("stage")
+    }),
+
+    // Q1 — full scan + projection (check mode)
+    "q1_scan" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    // Q2 — count() aggregate (check mode)
+    "q2_count" -> ((s, dir) => {
+      Tables.events(s, dir).agg(count(lit(1)).as("total"))
+    })
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  def oracle: Map[String, String] = Map(
+    "a1_json_parse" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS DOUBLE) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "a2_explode_flatten" ->
+      s"""WITH p AS (SELECT event_id, $goodPayloadSql AS payload FROM events),
+         |e AS (SELECT event_id, payload, unnest(json_keys(payload::JSON)) AS key_id FROM p)
+         |SELECT event_id,
+         |  CAST(json_extract(payload, '$$."' || key_id || '".k') AS DOUBLE) AS k,
+         |  key_id,
+         |  CAST(json_extract(payload, '$$."' || key_id || '".nested.k') AS DOUBLE) AS nested_k
+         |FROM e ORDER BY event_id, key_id""".stripMargin,
+
+    "a3_protocol_reject" ->
+      s"""WITH p AS (SELECT event_id,
+         |  CASE WHEN event_id % 7 = 0 THEN '{"r1": 42}' ELSE $goodPayloadSql END AS payload
+         |  FROM events)
+         |SELECT event_id, ${validitySql("payload")} AS valid
+         |FROM p ORDER BY event_id""".stripMargin,
+
+    "a6_schema_infer" ->
+      """SELECT ', command String, key_id String, params_key String, params_thingKey String, params_ts String, params_value Float64' AS ddl""",
+
+    "t5_raw_projection" ->
+      """SELECT lpad(CAST(event_id AS VARCHAR), 12, '0') AS mid,
+        |  'pump/data/' || CAST(user_id % 5 AS VARCHAR) AS topic,
+        |  props AS payload,
+        |  CAST(ts AS TIMESTAMP) AS collect_datetime,
+        |  CAST(ts AS DATE) AS collect_date
+        |FROM events ORDER BY mid""".stripMargin,
+
+    "t6_error_route" ->
+      s"""WITH p AS (SELECT event_id,
+         |  CASE WHEN event_id % 13 = 0 THEN substring($goodPayloadSql, 1, 10)
+         |       ELSE $goodPayloadSql END AS payload FROM events),
+         |v AS (SELECT event_id, ${validitySql("payload")} AS valid FROM p)
+         |SELECT CASE WHEN valid THEN 'adapter' ELSE 'error' END AS route,
+         |  count(*) AS n
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t2_random_id" ->
+      """SELECT count(*) AS n, count(*) AS n_valid FROM events""",
+
+    "g1_window_agg" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type AS stage, count(*) AS events,
+        |  CAST(sum(length(props) + length(event_type) + 4) AS BIGINT) AS bytes
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g2_cumulative" ->
+      """SELECT event_type AS stage, count(*) AS total,
+        |  CAST(count(*) FILTER (WHERE value >= 10) AS BIGINT) AS succeed,
+        |  CAST(count(*) FILTER (WHERE NOT (value >= 10)) AS BIGINT) AS failed
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g3_avg_rate" ->
+      """WITH span AS (SELECT
+        |    CAST(floor(date_part('epoch', CAST(max(ts) AS TIMESTAMP))) AS BIGINT)
+        |  - CAST(floor(date_part('epoch', CAST(min(ts) AS TIMESTAMP))) AS BIGINT) AS runtime_secs
+        |  FROM events)
+        |SELECT event_type AS stage, count(*) AS total,
+        |  round(CAST(count(*) AS DOUBLE) / runtime_secs, 6) AS avg_mps
+        |FROM events, span GROUP BY 1, runtime_secs ORDER BY 1""".stripMargin,
+
+    "g4_stage_lags" -> {
+      val cols = Stages.map(st =>
+        s"coalesce(CAST(sum(total) FILTER (WHERE stage = '$st') AS BIGINT), 0) AS \"$st\"")
+      val lags = Stages.sliding(2).map { case Seq(a, b) =>
+        s"\"$a\" - \"$b\" AS lag_${a}_to_$b"
+      }
+      s"""WITH t AS (SELECT user_id, event_type AS stage, count(*) AS total
+         |  FROM events GROUP BY 1, 2),
+         |p AS (SELECT user_id, ${cols.mkString(", ")} FROM t GROUP BY user_id)
+         |SELECT user_id, ${Stages.map(s => s"\"$s\"").mkString(", ")}, ${lags.mkString(", ")}
+         |FROM p ORDER BY user_id""".stripMargin
+    },
+
+    "g5_rate_norm" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+        |    event_type AS stage, count(*) AS events,
+        |    CAST(sum(length(props) + length(event_type) + 4) AS BIGINT) AS bytes
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, stage, events, bytes,
+        |  round(CAST(events AS DOUBLE) / 300.0, 6) AS events_per_sec,
+        |  round(CAST(bytes AS DOUBLE) / 300.0, 6) AS bytes_per_sec
+        |FROM w ORDER BY window_start, stage""".stripMargin,
+
+    "g6_metrics_doc" ->
+      """SELECT event_type AS stage,
+        |  '{"Info":{"stage":"' || event_type || '"},"DataInfo":{"total":'
+        |    || CAST(count(*) AS VARCHAR) || ',"bytes":'
+        |    || CAST(CAST(sum(length(props) + 4) AS BIGINT) AS VARCHAR) || '}}' AS doc
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q1_scan" ->
+      """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""",
+
+    "q2_count" ->
+      """SELECT count(*) AS total FROM events"""
+  )
+}
