@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** S1/S2 — the MQTT subscribe source as a Spark DataSourceV2
+  * `MicroBatchStream`.
+  *
+  * Reference behavior re-expressed (`/root/reference/mqtt.go:69-137`,
+  * `main.go:110-121`, `pump_pipe.go:21-54`): subscribe to
+  * `topicroot/topicprefix/<n>` for each topic group (or the `/#` wildcard),
+  * stamp each delivery with the receive time, and feed the pipeline. The
+  * reference spawns one goroutine pipe per topic group; here each topic
+  * group becomes one [[InputPartition]] — the same fan-in parallelism,
+  * but scheduled by Spark, and with *checkpointed offsets*: on recovery
+  * the stream re-reads from the last committed offset, upgrading the
+  * reference's QoS-0 at-most-once to effectively exactly-once
+  * (deliberate deviation, SURVEY §4.2).
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("pump-mqtt")
+  *     .option("broker", "default")        // MemoryBroker registry key
+  *     .option("topics", "pump/data/0,pump/data/1")
+  *     .load()
+  * }}}
+  * Schema: `topic string, payload binary, received_time timestamp` —
+  * the reference's `Message` struct (`pump_pipe.go:15-19`).
+  *
+  * The in-memory broker serves local/test mode (single JVM). A production
+  * deployment swaps the [[MessageBroker]] seam for a network MQTT client
+  * per partition; the offset/partition plumbing here is unchanged.
+  */
+class PumpMqttProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "pump-mqtt"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PumpMqttSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PumpMqttTable(new CaseInsensitiveStringMap(properties))
+}
+
+object PumpMqttSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("received_time", TimestampType, nullable = false)))
+
+  def topicsOf(options: CaseInsensitiveStringMap): Seq[String] =
+    options.getOrDefault("topics", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+}
+
+class PumpMqttTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"pump-mqtt(${options.getOrDefault("topics", "")})"
+  override def schema(): StructType = PumpMqttSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new PumpMqttScan(
+      options.getOrDefault("broker", "default"),
+      PumpMqttSource.topicsOf(options))
+}
+
+class PumpMqttScan(brokerName: String, topics: Seq[String]) extends Scan {
+  override def readSchema(): StructType = PumpMqttSource.Schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PumpMqttMicroBatchStream(brokerName, topics)
+}
+
+/** Offset = per-topic message count, serialized as sorted-key JSON. */
+case class TopicOffsets(counts: Map[String, Long]) extends Offset {
+  override def json(): String =
+    counts.toSeq.sortBy(_._1)
+      .map { case (t, n) => s""""${t.replace("\"", "\\\"")}":$n""" }
+      .mkString("{", ",", "}")
+}
+
+object TopicOffsets {
+  private val Entry = """"((?:[^"\\]|\\.)*)":(\d+)""".r
+  def fromJson(s: String): TopicOffsets =
+    TopicOffsets(Entry.findAllMatchIn(s)
+      .map(m => m.group(1).replace("\\\"", "\"") -> m.group(2).toLong).toMap)
+}
+
+class PumpMqttMicroBatchStream(brokerName: String, topics: Seq[String])
+    extends MicroBatchStream {
+
+  private def broker: MemoryBroker = MemoryBroker.get(brokerName)
+
+  override def initialOffset(): Offset =
+    TopicOffsets(topics.map(_ -> 0L).toMap)
+
+  override def latestOffset(): Offset =
+    TopicOffsets(topics.map(t => t -> broker.endOffset(t)).toMap)
+
+  override def deserializeOffset(json: String): Offset = TopicOffsets.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TopicOffsets].counts
+    val e = end.asInstanceOf[TopicOffsets].counts
+    // one partition per topic group — the reference's per-pipe parallelism (S2)
+    topics.flatMap { t =>
+      val (from, until) = (s.getOrElse(t, 0L), e.getOrElse(t, 0L))
+      if (until > from) Some(PumpMqttPartition(brokerName, t, from, until)) else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PumpMqttReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class PumpMqttPartition(brokerName: String, topic: String, from: Long, until: Long)
+    extends InputPartition
+
+class PumpMqttReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PumpMqttPartition]
+    new PartitionReader[InternalRow] {
+      private val msgs = MemoryBroker.get(p.brokerName).read(p.topic, p.from, p.until).iterator
+      private var current: BrokerMessage = _
+      override def next(): Boolean = { if (msgs.hasNext) { current = msgs.next(); true } else false }
+      override def get(): InternalRow =
+        InternalRow(UTF8String.fromString(current.topic), current.payload,
+          current.receivedTimeMicros)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
+
+import graft.engine.{Adapter, JsonInference, PumpConfig}
+import graft.functions.RandomId
+
+/** The pump's streaming lifecycle — SURVEY §3.1 re-expressed Spark-first.
+  *
+  * Reference steady-state path (`/root/reference/data_processor.go:70-84`):
+  * every message gets a random mid (T2), then fans out to BOTH the raw-DB
+  * path and the adapter path (T3) — both paths must see exactly the same
+  * messages. Batches flush on a time-or-size policy (K3,
+  * `data_dbstore.go:430-452`).
+  *
+  * Spark translation: ONE streaming query; `foreachBatch` persists the
+  * micro-batch and writes raw before adapter — single-pass fan-out with
+  * the reference's dual-sink consistency guarantee (SURVEY §7.3). The
+  * trigger interval carries K3's time half; the size half is the source's
+  * per-trigger cap (rate limiting), which is the Spark-native equivalent.
+  *
+  * Scale: both sinks append date-partitioned parquet (MergeTree date key
+  * analog); the adapter branch's explode/flatten is narrow (no shuffle),
+  * so a 1000-executor cluster ingests partition-parallel with zero
+  * exchange — the only cluster-wide coordination is offset commit.
+  */
+object Pump {
+
+  final case class Sinks(rawPath: String, adapterPath: String, checkpoint: String)
+
+  /** Build the per-batch dual write. Exposed separately so batch tests and
+    * the streaming query share the exact same code path.
+    */
+  def writeBatch(cfg: PumpConfig, inf: JsonInference.Inferred, sinks: Sinks)(
+      batch: DataFrame, batchId: Long): Unit = {
+    // T3: both branches must observe the same rows of a nondeterministic
+    // mid column — persist before branching (SURVEY §7.3 dual-sink).
+    val withMid = batch
+      .withColumn("mid", RandomId.random_id(cfg.midLength, seed = batchId))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // K4 — raw path stores every message, parse failures included (T6
+      // routing happens after the fan-out, data_processor.go:78-79)
+      Adapter.rawProjection(withMid,
+          mid = col("mid"), topic = col("topic"), payload = col("payload"),
+          receivedTime = col("received_time"))
+        .write.mode("append").partitionBy("collect_date").parquet(sinks.rawPath)
+
+      // K5 — adapter path: A1 parse -> A3 reject -> A2 explode -> A4/A5 flatten
+      val adapted = Adapter.adapt(
+        withMid.select(col("mid"), col("payload"),
+          col("received_time").cast("timestamp").as("collect_datetime")),
+        "payload", inf, carry = Seq("mid", "collect_datetime"))
+      adapted
+        .withColumn("collect_date", to_date(col("collect_datetime")))
+        .write.mode("append").partitionBy("collect_date").parquet(sinks.adapterPath)
+    } finally withMid.unpersist()
+  }
+
+  /** Start the pump: source stream -> mid -> dual-sink foreachBatch with
+    * the reference's 5 s commit interval (K3, `data_dbstore.go:19`).
+    */
+  def start(spark: SparkSession, cfg: PumpConfig, sinks: Sinks,
+            brokerName: String = "default",
+            trigger: Trigger = null): StreamingQuery = {
+    val inf = JsonInference.inferFromSample(cfg.jsonSample)
+    val source = spark.readStream
+      .format("pump-mqtt")
+      .option("broker", brokerName)
+      .option("topics", cfg.sourceTopics.mkString(","))
+      .load()
+    val t = if (trigger != null) trigger
+            else Trigger.ProcessingTime(s"${cfg.db.commitIntervalSecs} seconds")
+    source.writeStream
+      .queryName("graft-pump")
+      .trigger(t)
+      .option("checkpointLocation", sinks.checkpoint)
+      .foreachBatch(writeBatch(cfg, inf, sinks) _)
+      .start()
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import graft.SparkSpec
+import graft.engine.PumpConfig
+import graft.sources.MemoryBroker
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end streaming: broker -> pump-mqtt source -> mid -> dual sink
+  * (SURVEY §3.1 steady-state path), plus the monitor query (G1-G6/K6).
+  */
+class PumpStreamingSpec extends SparkSpec {
+
+  private val cfg = PumpConfig()
+  private def publishGolden(brokerName: String, n: Int): Unit = {
+    val b = MemoryBroker.get(brokerName)
+    val topics = cfg.sourceTopics
+    (0 until n).foreach { i =>
+      b.publish(topics(i % topics.size),
+        PumpConfig.GoldenSample.getBytes(StandardCharsets.UTF_8),
+        receivedTimeMicros = 1704067200000000L + i * 1000000L)
+    }
+  }
+
+  test("pump dual-writes raw and adapter paths from the streaming source") {
+    val brokerName = "pump-e2e"
+    publishGolden(brokerName, 20)
+    // one corrupt + one protocol-violating message: raw keeps them, adapter drops
+    val b = MemoryBroker.get(brokerName)
+    b.publish(cfg.sourceTopics.head, """{"1": {"bad""".getBytes(StandardCharsets.UTF_8),
+      1704067300000000L)
+    b.publish(cfg.sourceTopics.head, """{"1": 42}""".getBytes(StandardCharsets.UTF_8),
+      1704067301000000L)
+
+    val out = tmpDir("pump-out")
+    val sinks = Pump.Sinks(s"$out/raw", s"$out/adapter", s"$out/ckpt")
+    val q = Pump.start(spark, cfg, sinks, brokerName, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val raw = spark.read.parquet(sinks.rawPath)
+    val adapter = spark.read.parquet(sinks.adapterPath)
+    assert(raw.count() === 22) // T3: raw path sees every message
+    assert(adapter.count() === 40) // 20 good msgs x 2 records each (A2)
+    assert(raw.columns.toSet === Set("mid", "topic", "payload", "collect_datetime", "collect_date"))
+    assert(adapter.columns.toSet === Set("mid", "collect_datetime", "collect_date",
+      "command", "key_id", "params_key", "params_thingKey", "params_ts", "params_value"))
+    // every message got a distinct mid (T2)
+    assert(raw.select("mid").distinct().count() === 22)
+    // adapter rows keep the reference type lattice (Float64 values)
+    val vals = adapter.select("params_value").distinct().collect().map(_.getDouble(0)).toSet
+    assert(vals === Set(564.0, 128.0))
+  }
+
+  test("exactly-once on restart: checkpointed offsets do not re-ingest") {
+    val brokerName = "pump-restart"
+    publishGolden(brokerName, 10)
+    val out = tmpDir("pump-restart")
+    val sinks = Pump.Sinks(s"$out/raw", s"$out/adapter", s"$out/ckpt")
+    Pump.start(spark, cfg, sinks, brokerName, Trigger.AvailableNow()).awaitTermination(120000)
+    assert(spark.read.parquet(sinks.rawPath).count() === 10)
+    // second run with 5 new messages: only the delta lands
+    publishGolden(brokerName, 5)
+    Pump.start(spark, cfg, sinks, brokerName, Trigger.AvailableNow()).awaitTermination(120000)
+    assert(spark.read.parquet(sinks.rawPath).count() === 15)
+  }
+
+  test("source partitions by topic group (S2 parallelism)") {
+    val brokerName = "pump-parts"
+    publishGolden(brokerName, 25)
+    val df = spark.readStream.format("pump-mqtt")
+      .option("broker", brokerName)
+      .option("topics", cfg.sourceTopics.mkString(","))
+      .load()
+    val out = tmpDir("parts-out")
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$out/data")
+    assert(got.count() === 25)
+    // all 5 topic groups present (begingroupnum=0..endgroupnum=4)
+    assert(got.select("topic").distinct().count() === 5)
+  }
+
+  test("monitor aggregates windows and publishes docs to the monitor topic (K6)") {
+    val brokerName = "pump-monitor"
+    publishGolden(brokerName, 30)
+    val out = tmpDir("mon-out")
+    val q = MonitorStream.start(spark, cfg, brokerName, s"$out/ckpt", Trigger.AvailableNow(),
+      watermarkDelay = "0 seconds")
+    q.awaitTermination(120000)
+    val b = MemoryBroker.get(brokerName)
+    val monTopics = b.topics.filter(_.startsWith(cfg.monitor.topicRoot))
+    // slashes sanitized to underscores (mqtt.go:93)
+    assert(monTopics.nonEmpty)
+    assert(monTopics.forall(t => t.startsWith(s"${cfg.monitor.topicRoot}/pump_data_")))
+    val doc = new String(b.read(monTopics.head, 0, 1).head.payload, StandardCharsets.UTF_8)
+    assert(doc.contains("\"Info\"") && doc.contains("\"DataInfo\""))
+    assert(doc.contains("events_per_sec"))
+  }
+}
