@@ -22,13 +22,13 @@ object SparkEntry {
     Adapter.adapt(ev, "payload", PumpQueries.payloadInf, Seq("event_id"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ §2.8). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PumpQueries.queries
+    PumpQueries.queries ++ graft.ops.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    PumpQueries.oracle
+    PumpQueries.oracle ++ graft.ops.ExtQueries.oracle
 }

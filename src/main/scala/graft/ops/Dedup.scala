@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X1 — deduplication family for large-scale training-data pipelines
+  * (SURVEY §2.8). Exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup, all as declarative compositions so Catalyst
+  * keeps them codegen'd and shuffle-minimal.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-partitioned groupBy on the digest — the
+  *    digest (16 bytes) shuffles, never the document body;
+  *  - the shingle self-join (Jaccard) is quadratic in the worst case —
+  *    it exists as the *verifier*; the scale path is MinHash+LSH, whose
+  *    only wide op is a groupBy on (band_id, band_key) buckets: candidate
+  *    pairs are generated bucket-locally, then verified exactly. Hot
+  *    buckets (boilerplate shingles) should be salted or capped;
+  *  - signatures use min(md5(seed|shingle)) — a true MinHash over md5's
+  *    permutation, engine-portable and deterministic, so results are
+  *    reproducible across runs and verifiable by an external SQL engine.
+  */
+object Dedup {
+
+  /** Tokenize single-space-separated text. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** n-token shingles of a token array (empty if too short). */
+  def shingles(ts: Column, n: Int): Column =
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(ts, i + lit(k))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** (doc_id, s) distinct shingle table — the base relation for the
+    * Jaccard/MinHash family.
+    */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s")).distinct()
+
+  /** Exact dedup: group rows by a digest of the dedup key, keep the
+    * minimum id as the canonical representative. `dropDuplicates` without
+    * the arbitrary-winner nondeterminism.
+    */
+  def exactDedup(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(md5(col(keyCol)).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
+
+  /** Exact shingle-set Jaccard >= threshold pairs (the verifier / small-N
+    * path). `inter` shuffles on the shingle value; doc-pair aggregation is
+    * the second shuffle.
+    */
+  def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    withJaccard(inter, n, idCol, threshold)
+  }
+
+  /** Attach jaccard = i / (n1 + n2 - i) to candidate pairs and filter. */
+  def withJaccard(pairs: DataFrame, sizes: DataFrame, idCol: String,
+                  threshold: Double): DataFrame = {
+    val n1 = sizes.withColumnRenamed(idCol, "d1").withColumnRenamed("n", "n1")
+    val n2 = sizes.withColumnRenamed(idCol, "d2").withColumnRenamed("n", "n2")
+    pairs.join(n1, "d1").join(n2, "d2")
+      .withColumn("jac", round(col("i").cast("double") /
+        (col("n1") + col("n2") - col("i")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
+  /** MinHash signatures: numSigs min-aggregates in ONE groupBy pass
+    * (map-side combine keeps the shuffle at numSigs * 32 bytes per doc).
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String, numSigs: Int): DataFrame =
+    sh.groupBy(col(idCol)).agg(
+      min(md5(concat(lit("0|"), col("s")))).as("sig0"),
+      (1 until numSigs).map(i =>
+        min(md5(concat(lit(s"$i|"), col("s")))).as(s"sig$i")): _*)
+
+  /** LSH banding: rows/band contiguous signatures hash to a band key;
+    * docs sharing any (band_id, key) are candidates. Quadratic work is
+    * confined to individual buckets.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, numSigs: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numSigs / rowsPerBand
+    val bands = array((0 until numBands).map { b =>
+      struct(lit(b).as("band_id"),
+        md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}")): _*))
+          .as("key"))
+    }: _*)
+    val exploded = sigs.select(col(idCol), explode(bands).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.key"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup: signature -> band -> candidates -> exact
+    * verify. The verify join touches only candidate pairs, not all pairs.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      numSigs: Int = 16, rowsPerBand: Int = 4,
+                      threshold: Double = 0.8): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol)
+    val cands = lshCandidates(minhashSignatures(sh, idCol, numSigs), idCol, numSigs, rowsPerBand)
+    val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("sa"), col("d1") === col(s"sa.$idCol"))
+      .join(sh.as("sb"), col("d2") === col(s"sb.$idCol") && col("sa.s") === col("sb.s"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    withJaccard(inter, n, idCol, threshold)
+  }
+
+  /** 16-bit SimHash from the first 4 hex chars of md5(shingle): per bit j,
+    * sign of the +1/-1 vote sum across the doc's shingles. Expressed as 16
+    * conditional sums in one aggregation (single shuffle of 16 ints/doc).
+    */
+  def simhash16(sh: DataFrame, idCol: String): DataFrame = {
+    val withHex = sh.withColumn("h", md5(col("s")))
+    def bit(j: Int): Column =
+      (shiftright(conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int"), j % 4) % 2)
+        .cast("int")
+    val votes = (0 until 16).map(j => sum(bit(j) * 2 - 1).as(s"v$j"))
+    withHex.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 16).map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Embedding near-dup: pairs with quantized-cosine >= threshold.
+    * Quantization (floor(x*1000)) keeps the arithmetic exact-integer so
+    * results are order- and engine-independent. Scale path: feed the
+    * bucketed candidates from [[Similarity.signBucket]] instead of the
+    * full cross-join.
+    */
+  def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val q = emb.select(col(idCol),
+      transform(col(vecCol), x => floor(x.cast("double") * 1000)).as("q"))
+    val withNorm = q.withColumn("n2",
+      aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+    withNorm.as("a").join(withNorm.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        round(aggregate(zip_with(col("a.q"), col("b.q"), _ * _), lit(0L), _ + _)
+          .cast("double") / (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,257 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Oracle-checked batch forms of the X1-X4 extension operators
+  * (SURVEY §2.8) over the `documents` / `embeddings` / `events` tables.
+  * Same contract as PumpQueries: identical aliases on both sides,
+  * deterministic ORDER BY, integer-exact or rounded numerics.
+  */
+object ExtQueries {
+
+  private val JaccardThreshold = 0.8
+  private val EmbDupThreshold = 0.4
+  private val TopK = 5
+  private val NumQueries = 10
+
+  // --------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X1 exact dedup — events.props has a 10:1 duplication rate
+    "x1_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(Tables.events(s, dir), "event_id", "props")
+        .orderBy("keep_id")
+    }),
+
+    // X1 n-gram (3-shingle) Jaccard near-dup pairs — the exact verifier
+    "x1_jaccard_pairs" -> ((s, dir) => {
+      val sh = Dedup.shingleTable(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.jaccardPairs(sh, "doc_id", JaccardThreshold).orderBy("d1", "d2")
+    }),
+
+    // X1 MinHash+LSH near-dup — the scale path, verified exactly
+    "x1_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        numSigs = 16, rowsPerBand = 4, threshold = JaccardThreshold)
+        .orderBy("d1", "d2")
+    }),
+
+    // X1 SimHash 16-bit signatures
+    "x1_simhash" -> ((s, dir) => {
+      val sh = Dedup.shingleTable(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.simhash16(sh, "doc_id").orderBy("doc_id")
+    }),
+
+    // X1 embedding-cosine near-dup pairs
+    "x1_embedding_dup" -> ((s, dir) => {
+      Dedup.embeddingDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        EmbDupThreshold).orderBy("d1", "d2")
+    }),
+
+    // X2 brute-force cosine top-k (exact baseline)
+    "x2_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        "vec_id", "embedding", TopK)
+        .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")
+    }),
+
+    // X2 sign-bucketed ANN (scale path); 6 bucket bits sized to the test
+    // corpus (bits scale with corpus cardinality in production)
+    "x2_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        "vec_id", "embedding", TopK, bits = 6)
+        .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")
+    }),
+
+    // X3 token statistics + quality score
+    "x3_text_stats" -> ((s, dir) => {
+      TextAnalysis.textStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // X3 language-ID heuristic
+    "x3_lang_id" -> ((s, dir) => {
+      TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // X3 BPE-ish token counting
+    "x3_token_count" -> ((s, dir) => {
+      TextAnalysis.tokenCount(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // X3 document fingerprint
+    "x3_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // X4 multimodal metadata extraction over binary blobs
+    "x4_media_stats" -> ((s, dir) => {
+      Multimodal.mediaStats(
+        Multimodal.attachBlob(Tables.documents(s, dir), "doc_id", "text"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Shared CTE: distinct 3-shingles per document. */
+  private val ShingleCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest(list_transform(generate_series(1, len(ts) - 2),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM t)""".stripMargin
+
+  private def minhashSigCols: String =
+    (0 until 16).map(i => s"min(md5('$i|' || s)) AS sig$i").mkString(", ")
+
+  private def bandUnion: String =
+    (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_id, md5($key) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+
+  private def simhashVotes: String =
+    (0 until 16).map { j =>
+      s"sum(2 * (((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1) - 1) AS v$j"
+    }.mkString(", ")
+
+  private def simhashAssemble: String =
+    (0 until 16).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  private def signBucketSql(col: String, bits: Int = 16): String =
+    (0 until bits).map(j => s"(CASE WHEN $col[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  def oracle: Map[String, String] = Map(
+    "x1_exact_dedup" ->
+      """SELECT md5(props) AS digest, min(event_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS dups
+        |FROM events GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "x1_jaccard_pairs" ->
+      s"""WITH $ShingleCte,
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2)
+         |SELECT d1, d2, jac FROM j WHERE jac >= $JaccardThreshold
+         |ORDER BY d1, d2""".stripMargin,
+
+    "x1_minhash_lsh" ->
+      s"""WITH $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2)
+         |SELECT d1, d2, jac FROM j WHERE jac >= $JaccardThreshold
+         |ORDER BY d1, d2""".stripMargin,
+
+    "x1_simhash" ->
+      s"""WITH $ShingleCte,
+         |hh AS (SELECT doc_id, md5(s) AS h FROM sh),
+         |votes AS (SELECT doc_id, $simhashVotes FROM hh GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash
+         |FROM votes ORDER BY doc_id""".stripMargin,
+
+    "x1_embedding_dup" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |  round(list_dot_product(a.q, b.q) / (sqrt(a.n2) * sqrt(b.n2)), 6) AS sim
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT d1, d2, sim FROM p WHERE sim >= $EmbDupThreshold
+         |ORDER BY d1, d2""".stripMargin,
+
+    "x2_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+         |scored AS (SELECT qs.vec_id AS qid, c.vec_id AS cid,
+         |  round(list_dot_product(qs.q, c.q) / (sqrt(qs.n2) * sqrt(c.n2)), 6) AS sim
+         |  FROM n qs JOIN n c ON c.vec_id != qs.vec_id WHERE qs.vec_id < $NumQueries),
+         |ranked AS (SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= $TopK
+         |ORDER BY qid, rank""".stripMargin,
+
+    "x2_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2,
+         |  ${signBucketSql("embedding", 6)} AS bucket FROM e),
+         |scored AS (SELECT qs.vec_id AS qid, c.vec_id AS cid,
+         |  round(list_dot_product(qs.q, c.q) / (sqrt(qs.n2) * sqrt(c.n2)), 6) AS sim
+         |  FROM n qs JOIN n c ON c.bucket = qs.bucket AND c.vec_id != qs.vec_id
+         |  WHERE qs.vec_id < $NumQueries),
+         |ranked AS (SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= $TopK
+         |ORDER BY qid, rank""".stripMargin,
+
+    "x3_text_stats" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+         |  string_split(text, ' ') AS ts FROM documents)
+         |SELECT doc_id, n_chars,
+         |  CAST(len(ts) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(ts)) AS INTEGER) AS n_distinct,
+         |  round(CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE) / len(ts), 6) AS avg_tok_len,
+         |  round(CAST(len(list_filter(ts, x -> list_contains($stop, x))) AS DOUBLE) / len(ts), 6) AS stopword_ratio,
+         |  round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "x3_lang_id" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |sc AS (SELECT doc_id,
+         |  round(CAST(len(list_filter(ts, x -> list_contains($stop, x))) AS DOUBLE) / len(ts), 6) AS en_score
+         |  FROM t)
+         |SELECT doc_id, en_score,
+         |  CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'other' END AS predicted_lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "x3_token_count" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_words,
+        |  CAST(list_sum(list_transform(ts, x -> ceil(length(x) / 4.0))) AS BIGINT) AS n_bpe_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x3_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 16) AS fp16
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x4_media_stats" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes, md5(text) AS digest,
+        |  'application/octet-stream' AS mime,
+        |  doc_id % 640 AS width, doc_id * 7 % 480 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

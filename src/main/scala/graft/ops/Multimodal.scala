@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** X4 — multimodal columns (SURVEY §2.8): image/audio/video as opaque
+  * `binary` columns with typed metadata, processed by per-partition batch
+  * UDFs.
+  *
+  * The Spark-side plumbing — schema, partitioning, batch iteration shape —
+  * is real and tested; the actual codec call is STUBBED behind
+  * [[decodeFrame]] with a deterministic fake (no image/audio libraries in
+  * this environment). Swapping in a real decoder changes one function, not
+  * the pipeline.
+  *
+  * Scale notes: blobs never enter a shuffle — metadata extraction projects
+  * them away before any wide operator; `mapPartitions` amortizes codec
+  * init per partition (the same reason PySpark would use `mapInPandas`
+  * batches); frame sampling emits rows sized by `stride`, keeping output
+  * row width bounded.
+  */
+object Multimodal {
+
+  /** Attach a binary "media" column + typed metadata struct to a text
+    * table — the ingest shape a crawler would produce.
+    */
+  def attachBlob(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      encode(col(textCol), "UTF-8").as("blob"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        length(col(textCol)).as("n_bytes"),
+        (col(idCol) % 640).as("width"),
+        (col(idCol) * 7 % 480).as("height")).as("meta"))
+
+  /** STUB — the real decoder (image resize / audio feature / video frame
+    * extraction) goes here. Deterministic fake: per frame index, an 8-byte
+    * slice digest. Signature (bytes, frameIdx) => fixed-width feature is
+    * what a real codec adapter must satisfy.
+    */
+  def decodeFrame(blob: Array[Byte], frameIdx: Int): Array[Byte] = {
+    val start = math.min(frameIdx * 8, math.max(blob.length - 8, 0))
+    java.util.Arrays.copyOfRange(blob, start, math.min(start + 8, blob.length))
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_bytes", BinaryType)))
+
+  /** Frame-sample every `stride`-th frame from each blob via
+    * `mapPartitions` — one codec context per partition, batch iteration
+    * inside, the Scala analog of a `mapInPandas` batch UDF.
+    */
+  def sampleFrames(withBlobs: DataFrame, stride: Int): DataFrame = {
+    val spark = withBlobs.sparkSession
+    val rdd = withBlobs.select(col("doc_id"), col("blob")).rdd.mapPartitions { rows =>
+      // codec init would happen ONCE here, not per row
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val nFrames = math.max(blob.length / 8, 1)
+        (0 until nFrames by stride).map(i => Row(id, i, decodeFrame(blob, i)))
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
+  /** Metadata-level query (oracle-checkable): blob length, digest, and the
+    * flattened meta fields — blobs projected away before any shuffle.
+    */
+  def mediaStats(withBlobs: DataFrame): DataFrame =
+    withBlobs.select(
+      col("doc_id"),
+      length(col("blob")).as("n_bytes"),
+      md5(col("blob")).as("digest"),
+      col("meta.mime").as("mime"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"))
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X2 — similarity search over an embedding column (SURVEY §2.8).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k, query-set broadcast against
+  *    the corpus — the correctness baseline. Cost is |Q| x |corpus| dot
+  *    products with NO shuffle of the corpus (queries broadcast, per-query
+  *    top-k via window on the scored pairs).
+  *  - [[lshTopK]]: sign-random-projection buckets (16 bits from the
+  *    leading dimensions) prune the corpus to one bucket per query before
+  *    scoring — the 100 TB path: the bucket id is computed scan-side, the
+  *    join is bucket-equality (hash-partitionable), and only candidates
+  *    are scored. Recall versus brute force is asserted in ScalaTest.
+  *
+  * All scoring uses floor(x*1000) integer quantization: dot products and
+  * norms are exact integers (dim 64, |x|<=~2000 => well inside 2^53), so
+  * scores are bit-identical regardless of summation order or engine —
+  * the property that makes the DuckDB oracle byte-match. (Int8/int16
+  * quantization is also the production-realistic memory layout.)
+  */
+object Similarity {
+
+  /** floor(x * 1000) quantized copy of the embedding. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000))
+
+  /** Exact integer squared norm of a quantized vector. */
+  def sqNorm(q: Column): Column =
+    aggregate(q, lit(0L), (acc, x) => acc + x * x)
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** Cosine from quantized ints: dot / (sqrt(n2a) * sqrt(n2b)) — the
+    * association is fixed and must match any external verifier's SQL.
+    */
+  def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
+    dotCol.cast("double") / (sqrt(n2a) * sqrt(n2b))
+
+  private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), quantize(col(vecCol)).as("q"))
+      .withColumn("n2", sqNorm(col("q")))
+
+  /** Exact top-k: every query row against the full corpus.
+    * Ties broken by candidate id for determinism.
+    */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val corpus = prepared(emb, idCol, vecCol)
+    val qs = prepared(queries, idCol, vecCol)
+      .withColumnRenamed(idCol, "qid").withColumnRenamed("q", "qq")
+      .withColumnRenamed("n2", "qn2")
+    val scored = corpus.join(broadcast(qs), col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("cid"),
+        round(cosine(dot(col("qq"), col("q")), col("qn2"), col("n2")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** 16-bit sign bucket over the leading dimensions: bit j set iff
+    * vec[j] >= 0. Deterministic, computable at scan time, and cheap
+    * enough to store alongside the vector at ingest.
+    */
+  def signBucket(vec: Column, bits: Int = 16): Column =
+    (0 until bits).map(j =>
+      when(element_at(vec, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Bucketed ANN: score only corpus vectors in the query's sign bucket.
+    * Recall < 1 by construction; the bucket join replaces the cross
+    * product, which is what survives a 100x corpus scale-up.
+    */
+  def lshTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 16): DataFrame = {
+    val corpus = emb.select(col(idCol), quantize(col(vecCol)).as("q"),
+        signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("n2", sqNorm(col("q")))
+    val qs = queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qq"),
+        signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("qn2", sqNorm(col("qq")))
+    val scored = corpus.join(broadcast(qs), Seq("bucket"))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("cid"),
+        round(cosine(dot(col("qq"), col("q")), col("qn2"), col("n2")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X3 — text analysis for training-data pipelines (SURVEY §2.8): token
+  * statistics, quality scoring, language-ID heuristic, BPE-ish token
+  * counting, and document fingerprinting. Everything is built from
+  * codegen'd array/string built-ins — per-row narrow work that scales
+  * embarrassingly (no shuffle at all until a later aggregation).
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+
+  /** Per-document token statistics + quality score:
+    * n_tokens, n_distinct, avg token length, stopword ratio,
+    * type-token ratio as `quality`.
+    */
+  def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = split(col(textCol), " ")
+    val stop = array(Stopwords.map(lit): _*)
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      size(ts).as("n_tokens"),
+      size(array_distinct(ts)).as("n_distinct"),
+      round(aggregate(transform(ts, t => length(t).cast("long")), lit(0L), _ + _)
+        .cast("double") / size(ts), 6).as("avg_tok_len"),
+      round(size(filter(ts, t => array_contains(stop, t))).cast("double") / size(ts), 6)
+        .as("stopword_ratio"),
+      round(size(array_distinct(ts)).cast("double") / size(ts), 6).as("quality"))
+  }
+
+  /** Language-ID heuristic: stopword density over a small English lexicon;
+    * >= threshold classifies as 'en'. (A real n-gram profile model slots in
+    * behind the same column contract.)
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+             threshold: Double = 0.05): DataFrame = {
+    val ts = split(col(textCol), " ")
+    val stop = array(Stopwords.map(lit): _*)
+    docs.select(col(idCol),
+      round(size(filter(ts, t => array_contains(stop, t))).cast("double") / size(ts), 6)
+        .as("en_score"))
+      .withColumn("predicted_lang",
+        when(col("en_score") >= threshold, lit("en")).otherwise(lit("other")))
+  }
+
+  /** BPE-ish token count: whitespace words, each contributing
+    * ceil(len/4) subword pieces (4-chars-per-piece is the classic BPE
+    * rule of thumb).
+    */
+  def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = split(col(textCol), " ")
+    docs.select(col(idCol),
+      size(ts).as("n_words"),
+      aggregate(transform(ts, t => ceil(length(t) / lit(4.0))), lit(0L), _ + _)
+        .as("n_bpe_tokens"))
+  }
+
+  /** Document fingerprint: digest of the normalized text plus a short
+    * prefix fingerprint — the join key for exact dedup across shards.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      md5(col(textCol)).as("fp"),
+      substring(md5(col(textCol)), 1, 16).as("fp16"))
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
+
+/** X1-X4 behavioral invariants beyond the DuckDB oracle. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH candidates recover the high-jaccard pairs (recall vs exact)") {
+    val docs = Tables.documents(spark, sf)
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val exact = Dedup.jaccardPairs(sh, "doc_id", 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // LSH verifies candidates exactly, so precision is 1 by construction;
+    // with 4 bands of 4 rows, jaccard>=0.8 pairs collide w.h.p.
+    assert(lsh.subsetOf(exact))
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("exact dedup collapses events.props 10:1 and keeps the min id") {
+    val d = Dedup.exactDedup(Tables.events(spark, sf), "event_id", "props")
+    assert(d.count() === 100)
+    assert(d.agg(sum("dups")).as[Long].head === 1000)
+    val first = d.orderBy("keep_id").select("keep_id").as[Long].head
+    assert(first === 0L)
+  }
+
+  test("simhash: near-identical docs collide, signatures are 16-bit") {
+    val sh = Dedup.shingleTable(Tables.documents(spark, sf), "doc_id", "text")
+    val sim = Dedup.simhash16(sh, "doc_id")
+    val vals = sim.select("simhash").as[Long].collect()
+    assert(vals.forall(v => v >= 0 && v < 65536))
+    // planted near-dup pairs (jaccard >= 0.95) must land within small
+    // hamming distance of each other
+    val dups = Dedup.jaccardPairs(sh, "doc_id", 0.95).select("d1", "d2")
+      .as[(Long, Long)].collect()
+    assert(dups.nonEmpty)
+    val byId = sim.as[(Long, Long)].collect().toMap
+    val close = dups.count { case (a, b) =>
+      java.lang.Long.bitCount(byId(a) ^ byId(b)) <= 2
+    }
+    assert(close.toDouble / dups.length >= 0.9, s"close=$close/${dups.length}")
+  }
+
+  test("ANN bucket join prunes the cross product but keeps self-bucket top-1 exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+    val ann = Similarity.lshTopK(emb, qs, "vec_id", "embedding", 5, bits = 6)
+    // every ANN hit must also be a real corpus vector with the same score
+    val bruteScores = brute.select("qid", "cid", "sim").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val annRows = ann.select("qid", "cid", "sim").as[(Long, Long, Double)].collect()
+    assert(annRows.nonEmpty)
+    annRows.foreach { case (q, c, s) =>
+      bruteScores.get((q, c)).foreach(bs => assert(bs === s))
+    }
+  }
+
+  test("frame sampling emits stride-spaced frames via mapPartitions (X4 stub)") {
+    val withBlobs = Multimodal.attachBlob(Tables.documents(spark, sf), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(withBlobs, stride = 4)
+    assert(frames.columns.toSeq === Seq("doc_id", "frame_idx", "frame_bytes"))
+    val perDoc = frames.groupBy("doc_id").count()
+    assert(perDoc.count() === 500) // every doc produced frames
+    val idxs = frames.filter($"doc_id" === 0).select("frame_idx").as[Int].collect().sorted
+    assert(idxs.zipWithIndex.forall { case (v, i) => v === i * 4 })
+    // deterministic stub: same call twice -> same bytes
+    val a = frames.orderBy("doc_id", "frame_idx").select("frame_bytes")
+      .as[Array[Byte]].collect().map(_.toSeq)
+    val b = Multimodal.sampleFrames(withBlobs, 4).orderBy("doc_id", "frame_idx")
+      .select("frame_bytes").as[Array[Byte]].collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("lang-id heuristic and text stats agree on stopword ratio") {
+    val docs = Tables.documents(spark, sf)
+    val stats = TextAnalysis.textStats(docs, "doc_id", "text")
+      .select("doc_id", "stopword_ratio").as[(Long, Double)].collect().toMap
+    val lang = TextAnalysis.langId(docs, "doc_id", "text")
+      .select("doc_id", "en_score").as[(Long, Double)].collect().toMap
+    assert(stats === lang)
+  }
+}
