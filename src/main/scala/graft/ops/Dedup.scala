@@ -25,12 +25,11 @@ object Dedup {
   /** Tokenize single-space-separated text. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** n-token shingles of a token array (empty if too short). */
+  /** n-token shingles of a token array (empty if too short) — native
+    * expression, see [[graft.functions.Shingles]] for why not HOFs.
+    */
   def shingles(ts: Column, n: Int): Column =
-    when(size(ts) >= n,
-      transform(sequence(lit(1), size(ts) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(ts, i + lit(k))): _*)))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.Shingles.shingles(ts, n)
 
   /** (doc_id, s) distinct shingle table — the base relation for the
     * Jaccard/MinHash family.
@@ -50,9 +49,14 @@ object Dedup {
     * path). `inter` shuffles on the shingle value; doc-pair aggregation is
     * the second shuffle.
     */
-  def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
+  def jaccardPairs(sh0: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    // sh feeds the size aggregate AND both self-join sides — persist so the
+    // tokenize/explode/distinct pipeline runs once, not three times
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // shuffle-hash beats sort-merge here: no point sorting 100k+ string
+    // shingle keys when the per-key groups are tiny
+    val inter = sh.as("a").hint("shuffle_hash").join(sh.as("b"),
         col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .agg(count(lit(1)).as("i"))
@@ -106,12 +110,15 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numSigs: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
+    // reused by signatures, sizes, and both verify-join sides
     val sh = shingleTable(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(minhashSignatures(sh, idCol, numSigs), idCol, numSigs, rowsPerBand)
     val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = cands
-      .join(sh.as("sa"), col("d1") === col(s"sa.$idCol"))
-      .join(sh.as("sb"), col("d2") === col(s"sb.$idCol") && col("sa.s") === col("sb.s"))
+      .join(sh.as("sa").hint("shuffle_hash"), col("d1") === col(s"sa.$idCol"))
+      .join(sh.as("sb").hint("shuffle_hash"),
+        col("d2") === col(s"sb.$idCol") && col("sa.s") === col("sb.s"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
     withJaccard(inter, n, idCol, threshold)
   }
@@ -141,14 +148,12 @@ object Dedup {
     */
   def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
-    val q = emb.select(col(idCol),
-      transform(col(vecCol), x => floor(x.cast("double") * 1000)).as("q"))
-    val withNorm = q.withColumn("n2",
-      aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+    val q = emb.select(col(idCol), Similarity.quantize(col(vecCol)).as("q"))
+    val withNorm = q.withColumn("n2", Similarity.sqNorm(col("q")))
     withNorm.as("a").join(withNorm.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
-        round(aggregate(zip_with(col("a.q"), col("b.q"), _ * _), lit(0L), _ + _)
-          .cast("double") / (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("sim"))
+        round(Similarity.cosine(Similarity.dot(col("a.q"), col("b.q")),
+          col("a.n2"), col("b.n2")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

@@ -29,13 +29,18 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000))
 
-  /** Exact integer squared norm of a quantized vector. */
+  /** Exact integer squared norm of a quantized vector (native codegen'd
+    * loop — computed once per row, not per pair).
+    */
   def sqNorm(q: Column): Column =
-    aggregate(q, lit(0L), (acc, x) => acc + x * x)
+    graft.functions.VectorOps.dot_long(q, q)
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the per-pair hot
+    * path, a native `DotLong` expression instead of interpreted
+    * `aggregate(zip_with(...))` (see graft.functions.DotLong).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    graft.functions.VectorOps.dot_long(a, b)
 
   /** Cosine from quantized ints: dot / (sqrt(n2a) * sqrt(n2b)) — the
     * association is fixed and must match any external verifier's SQL.
