@@ -161,6 +161,16 @@ object PumpQueries {
         .orderBy("stage")
     }),
 
+    // G7/G8 — liveness + error gauges (connect/disconnect/error events
+    // modeled on the event_type stream)
+    "g7_gauges" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Monitor.gauges(ev,
+        isConnect = col("event_type") === "signup",
+        isDisconnect = col("event_type") === "error",
+        isError = col("event_type") === "error")
+    }),
+
     // Q1 — full scan + projection (check mode)
     "q1_scan" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -271,6 +281,13 @@ object PumpQueries {
         |    || CAST(count(*) AS VARCHAR) || ',"bytes":'
         |    || CAST(CAST(sum(length(props) + 4) AS BIGINT) AS VARCHAR) || '}}' AS doc
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g7_gauges" ->
+      """SELECT
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+        |    - CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS pipe_num,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS db_store_err_num
+        |FROM events""".stripMargin,
 
     "q1_scan" ->
       """SELECT event_id, user_id, event_type, value FROM events ORDER BY event_id""",

@@ -34,7 +34,8 @@ object Pump {
   /** Build the per-batch dual write. Exposed separately so batch tests and
     * the streaming query share the exact same code path.
     */
-  def writeBatch(cfg: PumpConfig, inf: JsonInference.Inferred, sinks: Sinks)(
+  def writeBatch(cfg: PumpConfig, inf: JsonInference.Inferred, sinks: Sinks,
+                 rawOnly: Boolean = false)(
       batch: DataFrame, batchId: Long): Unit = {
     // T3: both branches must observe the same rows of a nondeterministic
     // mid column — persist before branching (SURVEY §7.3 dual-sink).
@@ -49,14 +50,18 @@ object Pump {
           receivedTime = col("received_time"))
         .write.mode("append").partitionBy("collect_date").parquet(sinks.rawPath)
 
-      // K5 — adapter path: A1 parse -> A3 reject -> A2 explode -> A4/A5 flatten
-      val adapted = Adapter.adapt(
-        withMid.select(col("mid"), col("payload"),
-          col("received_time").cast("timestamp").as("collect_datetime")),
-        "payload", inf, carry = Seq("mid", "collect_datetime"))
-      adapted
-        .withColumn("collect_date", to_date(col("collect_datetime")))
-        .write.mode("append").partitionBy("collect_date").parquet(sinks.adapterPath)
+      // T4 — raw-only mode skips the adapter branch entirely
+      // (data_processor.go:86-99 StartDataProcessTask)
+      if (!rawOnly) {
+        // K5 — adapter path: A1 parse -> A3 reject -> A2 explode -> A4/A5 flatten
+        val adapted = Adapter.adapt(
+          withMid.select(col("mid"), col("payload"),
+            col("received_time").cast("timestamp").as("collect_datetime")),
+          "payload", inf, carry = Seq("mid", "collect_datetime"))
+        adapted
+          .withColumn("collect_date", to_date(col("collect_datetime")))
+          .write.mode("append").partitionBy("collect_date").parquet(sinks.adapterPath)
+      }
     } finally withMid.unpersist()
   }
 
@@ -65,7 +70,8 @@ object Pump {
     */
   def start(spark: SparkSession, cfg: PumpConfig, sinks: Sinks,
             brokerName: String = "default",
-            trigger: Trigger = null): StreamingQuery = {
+            trigger: Trigger = null,
+            rawOnly: Boolean = false): StreamingQuery = {
     val inf = JsonInference.inferFromSample(cfg.jsonSample)
     val source = spark.readStream
       .format("pump-mqtt")
@@ -78,7 +84,7 @@ object Pump {
       .queryName("graft-pump")
       .trigger(t)
       .option("checkpointLocation", sinks.checkpoint)
-      .foreachBatch(writeBatch(cfg, inf, sinks) _)
+      .foreachBatch(writeBatch(cfg, inf, sinks, rawOnly) _)
       .start()
   }
 }

@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration of the native expressions. Uses the imperative
+  * path because the suite-shared session may already exist (getOrCreate
+  * ignores withExtensions on an active session — same reason the
+  * imperative path exists for users).
+  */
+class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
+
+  test("random_id / dot_long / shingles callable from SQL") {
+    GraftExtensions.register(spark)
+    val id = spark.sql("SELECT random_id(8) AS mid").collect().head.getString(0)
+    assert(id.matches("^[0-9A-Z]{8}$"))
+    val d = spark.sql("SELECT dot_long(array(1L,2L), array(3L,4L)) AS d")
+      .collect().head.getLong(0)
+    assert(d === 11L)
+    val sh = spark.sql("SELECT shingles(array('a','b','c'), 2) AS s")
+      .collect().head.getSeq[String](0)
+    assert(sh === Seq("a b", "b c"))
+  }
+
+  test("extensions hook injects the same function set") {
+    assert(GraftExtensions.functions.map(_._1.funcName).sorted ===
+      Seq("dot_long", "random_id", "shingles"))
+  }
+}

@@ -65,6 +65,17 @@ class PumpStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sinks.rawPath).count() === 15)
   }
 
+  test("raw-only mode skips the adapter branch (T4)") {
+    val brokerName = "pump-rawonly"
+    publishGolden(brokerName, 8)
+    val out = tmpDir("pump-rawonly")
+    val sinks = Pump.Sinks(s"$out/raw", s"$out/adapter", s"$out/ckpt")
+    Pump.start(spark, cfg, sinks, brokerName, Trigger.AvailableNow(), rawOnly = true)
+      .awaitTermination(120000)
+    assert(spark.read.parquet(sinks.rawPath).count() === 8)
+    assert(!new java.io.File(sinks.adapterPath).exists())
+  }
+
   test("source partitions by topic group (S2 parallelism)") {
     val brokerName = "pump-parts"
     publishGolden(brokerName, 25)
