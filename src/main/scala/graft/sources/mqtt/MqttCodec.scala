@@ -1,0 +1,112 @@
+package graft.sources.mqtt
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
+
+/** Minimal MQTT 3.1.1 wire codec (public spec: mqtt-v3.1.1-os) — only the
+  * packets the pump needs: CONNECT/CONNACK, SUBSCRIBE/SUBACK, PUBLISH
+  * (QoS 0, matching the reference's shipped config `source-mqtt.qos = 0`),
+  * PINGREQ/PINGRESP, DISCONNECT. Written against the JDK only — the
+  * environment has no MQTT library, and the pump needs just this subset
+  * (`/root/reference/mqtt.go` uses paho the same way).
+  */
+object MqttCodec {
+
+  object PacketType {
+    val CONNECT = 1; val CONNACK = 2; val PUBLISH = 3
+    val SUBSCRIBE = 8; val SUBACK = 9
+    val PINGREQ = 12; val PINGRESP = 13; val DISCONNECT = 14
+  }
+
+  final case class Packet(packetType: Int, flags: Int, payload: Array[Byte])
+
+  def writeRemainingLength(out: DataOutputStream, n0: Int): Unit = {
+    var n = n0
+    do {
+      var d = n % 128
+      n /= 128
+      if (n > 0) d |= 0x80
+      out.writeByte(d)
+    } while (n > 0)
+  }
+
+  def readRemainingLength(in: DataInputStream): Int = {
+    var mult = 1; var value = 0; var d = 0
+    do {
+      d = in.readUnsignedByte()
+      value += (d & 0x7f) * mult
+      mult *= 128
+      require(mult <= 128 * 128 * 128 * 128, "malformed remaining length")
+    } while ((d & 0x80) != 0)
+    value
+  }
+
+  def writePacket(out: DataOutputStream, packetType: Int, flags: Int,
+                  payload: Array[Byte]): Unit = out.synchronized {
+    out.writeByte((packetType << 4) | flags)
+    writeRemainingLength(out, payload.length)
+    out.write(payload)
+    out.flush()
+  }
+
+  def readPacket(in: DataInputStream): Packet = {
+    val h = in.readUnsignedByte()
+    val len = readRemainingLength(in)
+    val body = new Array[Byte](len)
+    in.readFully(body)
+    Packet(h >> 4, h & 0x0f, body)
+  }
+
+  def utf8(s: String): Array[Byte] = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    val out = new Array[Byte](b.length + 2)
+    out(0) = ((b.length >> 8) & 0xff).toByte
+    out(1) = (b.length & 0xff).toByte
+    System.arraycopy(b, 0, out, 2, b.length)
+    out
+  }
+
+  /** (string, bytesConsumed) at offset. */
+  def readUtf8(b: Array[Byte], off: Int): (String, Int) = {
+    val len = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    (new String(b, off + 2, len, StandardCharsets.UTF_8), len + 2)
+  }
+
+  def connectPacket(clientId: String): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(utf8("MQTT"))
+    b.write(4)            // protocol level 3.1.1
+    b.write(0x02)         // clean session
+    b.write(0); b.write(60) // keepalive 60s
+    b.write(utf8(clientId))
+    b.toByteArray
+  }
+
+  def subscribePacket(packetId: Int, topics: Seq[String]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write((packetId >> 8) & 0xff); b.write(packetId & 0xff)
+    topics.foreach { t => b.write(utf8(t)); b.write(0) } // requested QoS 0
+    b.toByteArray
+  }
+
+  def publishPacket(topic: String, payload: Array[Byte]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(utf8(topic))
+    b.write(payload)       // QoS 0: no packet id
+    b.toByteArray
+  }
+
+  /** MQTT topic filter match: exact levels, `+` single-level, `#` tail. */
+  def topicMatches(filter: String, topic: String): Boolean = {
+    val f = filter.split("/", -1)
+    val t = topic.split("/", -1)
+    var i = 0
+    while (i < f.length) {
+      if (f(i) == "#") return true
+      if (i >= t.length) return false
+      if (f(i) != "+" && f(i) != t(i)) return false
+      i += 1
+    }
+    f.length == t.length
+  }
+}

@@ -1,0 +1,94 @@
+package graft.sources.mqtt
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.jdk.CollectionConverters._
+
+import MqttCodec._
+
+/** In-process MQTT 3.1.1 broker — the test stand-in for EMQX/mosquitto
+  * (the reference's docker compose ships EMQX). QoS 0 only: CONNECT,
+  * SUBSCRIBE (with +/# wildcards), PUBLISH fan-out to matching
+  * subscribers, PING, DISCONNECT. One thread per connection; enough to
+  * exercise the real socket path end-to-end in tests.
+  */
+class MqttMiniServer(port0: Int = 0) {
+
+  private val server = new ServerSocket(port0)
+  private val running = new AtomicBoolean(true)
+  private val sessions = new ConcurrentHashMap[Socket, Session]()
+
+  def port: Int = server.getLocalPort
+
+  private class Session(val socket: Socket) {
+    val out = new DataOutputStream(socket.getOutputStream)
+    @volatile var subscriptions: List[String] = Nil
+  }
+
+  private val acceptThread = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        val sess = new Session(sock)
+        sessions.put(sock, sess)
+        new Thread(() => handle(sess), s"mqtt-conn-${sock.getPort}").start()
+      } catch { case _: Throwable if !running.get() => /* shutting down */ }
+    }
+  }, "mqtt-accept")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  private def handle(sess: Session): Unit = {
+    val in = new DataInputStream(sess.socket.getInputStream)
+    try {
+      while (running.get()) {
+        val pkt = readPacket(in)
+        pkt.packetType match {
+          case PacketType.CONNECT =>
+            writePacket(sess.out, PacketType.CONNACK, 0, Array(0, 0))
+          case PacketType.SUBSCRIBE =>
+            var off = 2 // packet id
+            val pid = ((pkt.payload(0) & 0xff) << 8) | (pkt.payload(1) & 0xff)
+            var granted = List.empty[Byte]
+            while (off < pkt.payload.length) {
+              val (filter, used) = readUtf8(pkt.payload, off)
+              off += used + 1 // + requested QoS byte
+              sess.subscriptions ::= filter
+              granted ::= 0
+            }
+            writePacket(sess.out, PacketType.SUBACK, 0,
+              Array(((pid >> 8) & 0xff).toByte, (pid & 0xff).toByte) ++ granted.reverse)
+          case PacketType.PUBLISH =>
+            val (topic, used) = readUtf8(pkt.payload, 0)
+            val body = java.util.Arrays.copyOfRange(pkt.payload, used, pkt.payload.length)
+            route(topic, body)
+          case PacketType.PINGREQ =>
+            writePacket(sess.out, PacketType.PINGRESP, 0, Array.emptyByteArray)
+          case PacketType.DISCONNECT =>
+            sess.socket.close(); return
+          case _ => // ignore (QoS>0 machinery not needed)
+        }
+      }
+    } catch {
+      case _: Throwable => // connection closed
+    } finally sessions.remove(sess.socket)
+  }
+
+  private def route(topic: String, payload: Array[Byte]): Unit = {
+    val pub = publishPacket(topic, payload)
+    sessions.values().asScala.foreach { s =>
+      if (s.subscriptions.exists(f => topicMatches(f, topic)))
+        try writePacket(s.out, PacketType.PUBLISH, 0, pub)
+        catch { case _: Throwable => }
+    }
+  }
+
+  def close(): Unit = {
+    running.set(false)
+    sessions.keys().asScala.foreach(s => try s.close() catch { case _: Throwable => })
+    server.close()
+  }
+}
