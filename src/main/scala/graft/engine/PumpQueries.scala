@@ -106,6 +106,42 @@ object PumpQueries {
         .orderBy("route")
     }),
 
+    // T3+K4/K5 — the pump's dual-sink write itself, batch form: construct
+    // source-shaped rows, run Pump.writeBatch (mid assignment, raw write,
+    // adapter parse/explode/flatten write, date partitioning), read the
+    // sinks back and report deterministic totals. This is the reference's
+    // steady-state path under the oracle gate, and its timing in Bench IS
+    // the pump-throughput measurement.
+    "t3_dual_sink" -> ((s, dir) => {
+      val good = goodPayload(col("props"))
+      val payload = when(col("event_id") % 13 === 0, substring(good, 1, 10)).otherwise(good)
+      val source = Tables.events(s, dir).select(
+        concat(lit("pump/data/"), (col("user_id") % 5).cast("string")).as("topic"),
+        payload.cast("binary").as("payload"),
+        col("ts").as("received_time"))
+      val out = java.nio.file.Files.createTempDirectory("dual-sink").toString
+      val sinks = graft.streaming.Pump.Sinks(s"$out/raw", s"$out/adapter", s"$out/ckpt")
+      graft.streaming.Pump.writeBatch(PumpConfig(jsonSample = payloadSample),
+        payloadInf, sinks)(source, 0L)
+      val raw = s.read.parquet(sinks.rawPath)
+      val adapter = s.read.parquet(sinks.adapterPath)
+      raw.agg(count(lit(1)).as("raw_rows"),
+          countDistinct(col("mid")).as("n_mids"))
+        .crossJoin(adapter.agg(count(lit(1)).as("adapter_rows")))
+        .select(col("raw_rows"), col("n_mids"), col("adapter_rows"))
+    }),
+
+    // K1 — DDL synthesis from the inferred schema (golden CREATE TABLE,
+    // release_20120128/readme.txt:57-73)
+    "k1_ddl" -> ((s, _) => {
+      val inf = JsonInference.inferFromSample(PumpConfig.GoldenSample)
+      s.range(1).select(
+        lit(graft.sinks.ClickHouseDdl.createRawTableClickHouse("pump", "raw_message"))
+          .as("raw_ddl"),
+        lit(graft.sinks.ClickHouseDdl.createAdapterTableClickHouse("pump", "json_message", inf))
+          .as("adapter_ddl"))
+    }),
+
     // T2 — random message id: property check (count, length, alphabet);
     // values are nondeterministic, the invariants are not
     "t2_random_id" -> ((s, dir) => {
@@ -229,6 +265,18 @@ object PumpQueries {
 
     "t2_random_id" ->
       """SELECT count(*) AS n, count(*) AS n_valid FROM events""",
+
+    "t3_dual_sink" ->
+      """SELECT count(*) AS raw_rows, count(*) AS n_mids,
+        |  2 * count(*) FILTER (WHERE event_id % 13 != 0) AS adapter_rows
+        |FROM events""".stripMargin,
+
+    "k1_ddl" -> {
+      val inf = JsonInference.inferFromSample(PumpConfig.GoldenSample)
+      def q(s: String) = "'" + s.replace("'", "''") + "'"
+      s"""SELECT ${q(graft.sinks.ClickHouseDdl.createRawTableClickHouse("pump", "raw_message"))} AS raw_ddl,
+         |${q(graft.sinks.ClickHouseDdl.createAdapterTableClickHouse("pump", "json_message", inf))} AS adapter_ddl""".stripMargin
+    },
 
     "g1_window_agg" ->
       """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
