@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -69,13 +69,15 @@ class PumpMqttTable(options: CaseInsensitiveStringMap) extends Table with Suppor
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     () => new PumpMqttScan(
       options.getOrDefault("broker", "default"),
-      PumpMqttSource.topicsOf(options))
+      PumpMqttSource.topicsOf(options),
+      Option(options.get("maxmsgspertrigger")).map(_.toLong))
 }
 
-class PumpMqttScan(brokerName: String, topics: Seq[String]) extends Scan {
+class PumpMqttScan(brokerName: String, topics: Seq[String],
+                   maxMsgsPerTrigger: Option[Long]) extends Scan {
   override def readSchema(): StructType = PumpMqttSource.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PumpMqttMicroBatchStream(brokerName, topics)
+    new PumpMqttMicroBatchStream(brokerName, topics, maxMsgsPerTrigger)
 }
 
 /** Offset = per-topic message count, serialized as sorted-key JSON. */
@@ -93,16 +95,68 @@ object TopicOffsets {
       .map(m => m.group(1).replace("\\\"", "\"") -> m.group(2).toLong).toMap)
 }
 
-class PumpMqttMicroBatchStream(brokerName: String, topics: Seq[String])
-    extends MicroBatchStream {
+/** @param maxMsgsPerTrigger the size-half of the reference's time-or-size
+  *   commit policy (K3, DBObjectItemsSize=64, `data_dbstore.go:18`): caps
+  *   messages admitted per micro-batch via Spark admission control; the
+  *   trigger interval carries the time-half. Doubles as the backpressure
+  *   bound the reference gets from its clamped channel buffers
+  *   (SURVEY §4.2).
+  */
+class PumpMqttMicroBatchStream(brokerName: String, topics: Seq[String],
+                               maxMsgsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def broker: MemoryBroker = MemoryBroker.get(brokerName)
+
+  /** End bound frozen at query start for Trigger.AvailableNow (drain up to
+    * here across however many rate-limited batches, then stop).
+    */
+  @volatile private var availableNowEnd: Option[Map[String, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(topics.map(t => t -> broker.endOffset(t)).toMap)
+
+  private def currentEnd: Map[String, Long] =
+    availableNowEnd.getOrElse(topics.map(t => t -> broker.endOffset(t)).toMap)
 
   override def initialOffset(): Offset =
     TopicOffsets(topics.map(_ -> 0L).toMap)
 
-  override def latestOffset(): Offset =
-    TopicOffsets(topics.map(t => t -> broker.endOffset(t)).toMap)
+  override def latestOffset(): Offset = TopicOffsets(currentEnd)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxMsgsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  private def maxRowsOf(limit: ReadLimit): Option[Long] = limit match {
+    case mr: ReadMaxRows => Some(mr.maxRows())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(maxRowsOf).reduceOption((a, b) => math.min(a, b))
+    case _ => None
+  }
+
+  /** Admission-controlled latest offset: admit up to the limit, spread
+    * across topics in sorted order (deterministic restart).
+    */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[TopicOffsets].counts
+    val end = currentEnd
+    maxRowsOf(limit) match {
+      case Some(max) =>
+        var budget = max
+        val admitted = scala.collection.mutable.Map(start.toSeq: _*)
+        topics.sorted.foreach { t =>
+          val from = start.getOrElse(t, 0L)
+          val take = math.min(end.getOrElse(t, 0L) - from, budget)
+          if (take > 0) { admitted(t) = from + take; budget -= take }
+          else admitted.getOrElseUpdate(t, from)
+        }
+        TopicOffsets(admitted.toMap)
+      case None => TopicOffsets(end)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = TopicOffsets.fromJson(json)
 

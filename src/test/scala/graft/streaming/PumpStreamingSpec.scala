@@ -65,6 +65,26 @@ class PumpStreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sinks.rawPath).count() === 15)
   }
 
+  test("size-cap admission control splits batches but delivers everything (K3)") {
+    val brokerName = "pump-sizecap"
+    publishGolden(brokerName, 30)
+    val df = spark.readStream.format("pump-mqtt")
+      .option("broker", brokerName)
+      .option("topics", cfg.sourceTopics.mkString(","))
+      .option("maxmsgspertrigger", "7")
+      .load()
+    val out = tmpDir("sizecap-out")
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(s"$out/data").count() === 30)
+    // 30 msgs at <=7 per micro-batch: at least 5 non-empty batches ran
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 5, s"batches=${batches.map(_.numInputRows).mkString(",")}")
+    assert(batches.forall(_.numInputRows <= 7))
+  }
+
   test("raw-only mode skips the adapter branch (T4)") {
     val brokerName = "pump-rawonly"
     publishGolden(brokerName, 8)
