@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** floor(x * 1000) quantized copy of the embedding. */
+  /** floor(x * 1000) quantized copy of the embedding, stored as
+    * `array<int>` — |x| <= ~2000 fits easily, and the narrower rows halve
+    * the bytes materialized per joined pair in all-pairs scoring.
+    */
   def quantize(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * 1000))
+    transform(vec, x => floor(x.cast("double") * 1000).cast("int"))
 
   /** Exact integer squared norm of a quantized vector (native codegen'd
     * loop — computed once per row, not per pair).
