@@ -68,16 +68,33 @@ object Pump {
   /** Start the pump: source stream -> mid -> dual-sink foreachBatch with
     * the reference's 5 s commit interval (K3, `data_dbstore.go:19`).
     */
+  /** @param dedupeWindow when set (e.g. "10 minutes"), drops duplicate
+    *   payloads arriving within the watermark window via stateful
+    *   `dropDuplicatesWithinWatermark` on the payload digest — the X1
+    *   exact-dedup operator in streaming form, and an idempotence guard
+    *   for at-least-once upstream redelivery (QoS 1 brokers). State is
+    *   bounded by the watermark; the digest (16 bytes), not the payload,
+    *   is what the dedup state stores and shuffles.
+    */
   def start(spark: SparkSession, cfg: PumpConfig, sinks: Sinks,
             brokerName: String = "default",
             trigger: Trigger = null,
-            rawOnly: Boolean = false): StreamingQuery = {
+            rawOnly: Boolean = false,
+            dedupeWindow: Option[String] = None): StreamingQuery = {
     val inf = JsonInference.inferFromSample(cfg.jsonSample)
-    val source = spark.readStream
+    val raw = spark.readStream
       .format("pump-mqtt")
       .option("broker", brokerName)
       .option("topics", cfg.sourceTopics.mkString(","))
       .load()
+    val source = dedupeWindow match {
+      case Some(w) =>
+        raw.withColumn("__digest", md5(col("payload")))
+          .withWatermark("received_time", w)
+          .dropDuplicatesWithinWatermark("__digest")
+          .drop("__digest")
+      case None => raw
+    }
     val t = if (trigger != null) trigger
             else Trigger.ProcessingTime(s"${cfg.db.commitIntervalSecs} seconds")
     source.writeStream

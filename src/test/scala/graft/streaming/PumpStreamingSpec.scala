@@ -85,6 +85,24 @@ class PumpStreamingSpec extends SparkSpec {
     assert(batches.forall(_.numInputRows <= 7))
   }
 
+  test("streaming dedup drops duplicate payloads within the watermark (X1 streaming form)") {
+    val brokerName = "pump-dedup"
+    val b = MemoryBroker.get(brokerName)
+    val topics = cfg.sourceTopics
+    // 10 distinct payloads, each published twice (broker redelivery)
+    (0 until 20).foreach { i =>
+      val payload = s"""{"r${i % 10}": {"k": ${i % 10}}}"""
+      b.publish(topics(i % topics.size),
+        payload.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        1704067200000000L + (i % 10) * 1000000L)
+    }
+    val out = tmpDir("pump-dedup")
+    val sinks = Pump.Sinks(s"$out/raw", s"$out/adapter", s"$out/ckpt")
+    Pump.start(spark, cfg, sinks, brokerName, Trigger.AvailableNow(),
+      dedupeWindow = Some("10 minutes")).awaitTermination(120000)
+    assert(spark.read.parquet(sinks.rawPath).count() === 10)
+  }
+
   test("raw-only mode skips the adapter branch (T4)") {
     val brokerName = "pump-rawonly"
     publishGolden(brokerName, 8)
@@ -112,6 +130,30 @@ class PumpStreamingSpec extends SparkSpec {
     assert(got.count() === 25)
     // all 5 topic groups present (begingroupnum=0..endgroupnum=4)
     assert(got.select("topic").distinct().count() === 5)
+  }
+
+  test("listener monitor publishes per-batch throughput docs (G1-G3 progress face)") {
+    val brokerName = "pump-listener"
+    publishGolden(brokerName, 20)
+    val listener = new MonitorListener(cfg, brokerName)
+    spark.streams.addListener(listener)
+    try {
+      val out = tmpDir("listener-out")
+      val sinks = Pump.Sinks(s"$out/raw", s"$out/adapter", s"$out/ckpt")
+      val q = Pump.start(spark, cfg, sinks, brokerName, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+      // listener events are async; give the bus a moment
+      val b = MemoryBroker.get(brokerName)
+      val deadline = System.currentTimeMillis() + 10000
+      def topic = b.topics.find(_ == s"${cfg.monitor.topicRoot}/graft-pump")
+      while (topic.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(topic.nonEmpty, s"monitor topics: ${b.topics.mkString(",")}")
+      val docs = b.read(topic.get, 0, b.endOffset(topic.get))
+        .map(m => new String(m.payload, java.nio.charset.StandardCharsets.UTF_8))
+      assert(docs.exists(_.contains("\"numInputRows\":20")))
+      assert(docs.forall(d => d.contains("batchDurationMs") &&
+        d.contains("processedRowsPerSecond") && d.contains("totalRows")))
+    } finally spark.streams.removeListener(listener)
   }
 
   test("monitor aggregates windows and publishes docs to the monitor topic (K6)") {
