@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.engine.{CheckMode, IniConfig, PumpConfig}
+import graft.sources.MqttBridge
+import graft.streaming.{MonitorListener, Pump}
+
+/** The pump CLI — the reference's three commands (`/root/reference/
+  * main.go:139-176`): `run`, `show`, `check`, each taking an INI config.
+  *
+  * {{{
+  *   sbt "runMain graft.Main show  <conf.ini>"
+  *   sbt "runMain graft.Main check <conf.ini>"
+  *   sbt "runMain graft.Main run   <conf.ini> <outDir> [--available-now]"
+  * }}}
+  *
+  * `run` connects the MQTT bridge to the configured broker, starts the
+  * dual-sink pump (parquet sinks under `<outDir>`) and the throughput
+  * monitor listener, then blocks. `--available-now` drains what's
+  * available and exits (used by tests; production runs continuously on
+  * the configured commit interval).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "show" :: ini :: Nil =>
+      println(CheckMode.show(loadCfg(ini)))
+
+    case "check" :: ini :: Nil =>
+      val cfg = loadCfg(ini)
+      val spark = session()
+      try {
+        val r = CheckMode.run(spark, cfg)
+        println(s"inferred DDL fragment:${r.ddlFragment}")
+        println(s"schema consistent: ${r.schemaConsistent}")
+        println(s"raw round-trip rows: ${r.rawCount}; adapter rows: ${r.adapterCount}")
+        println(s"adapter columns: ${r.adapterColumns.mkString(", ")}")
+        println("check passed")
+      } finally spark.stop()
+
+    case "run" :: ini :: outDir :: rest =>
+      val cfg = loadCfg(ini)
+      val availableNow = rest.contains("--available-now")
+      val spark = session()
+      val brokerName = "graft-run"
+      // broker URI tcp://host:port -> bridge subscription feeding the source
+      val uri = new java.net.URI(cfg.source.server)
+      val bridge = MqttBridge.start(uri.getHost, uri.getPort, cfg.sourceTopics, brokerName)
+      spark.streams.addListener(new MonitorListener(cfg, brokerName))
+      val sinks = Pump.Sinks(s"$outDir/raw", s"$outDir/adapter", s"$outDir/ckpt")
+      val trigger = if (availableNow) Trigger.AvailableNow() else null
+      val q = Pump.start(spark, cfg, sinks, brokerName, trigger)
+      try {
+        if (availableNow) q.awaitTermination(300000) else q.awaitTermination()
+      } finally { bridge.close(); spark.stop() }
+
+    case _ =>
+      System.err.println("usage: graft.Main (show|check) <conf.ini> | run <conf.ini> <outDir> [--available-now]")
+      sys.exit(2)
+  }
+
+  private def loadCfg(path: String): PumpConfig =
+    if (path == "-") PumpConfig() else IniConfig.fromFile(path)
+
+  private def session(): SparkSession = SparkSession.builder()
+    .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    .appName("graft-pump")
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
