@@ -69,6 +69,15 @@ object ExtQueries {
         .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")
     }),
 
+    // X2 IVF ANN (KMeans coarse quantizer; approximate — no SQL oracle,
+    // driver records rows-only; recall asserted in OpsSpec)
+    "x2_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        "vec_id", "embedding", TopK, nlist = 8, nprobe = 4)
+        .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")
+    }),
+
     // X3 token statistics + quality score
     "x3_text_stats" -> ((s, dir) => {
       TextAnalysis.textStats(Tables.documents(s, dir), "doc_id", "text")

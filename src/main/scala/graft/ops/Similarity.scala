@@ -80,6 +80,62 @@ object Similarity {
       when(element_at(vec, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** IVF-style ANN: a KMeans coarse quantizer (nlist centroids, fixed
+    * seed) partitions the corpus into inverted lists; each query probes
+    * its `nprobe` nearest centroids and scores only those lists.
+    *
+    * The scale shape: centroids are broadcast (nlist x dim doubles), the
+    * corpus is scanned once to attach its list id (a column you would
+    * persist at ingest), and the candidate join is an equi-join on list
+    * id — corpus rows shuffle at most once, and only 1/nlist-ish of the
+    * corpus is scored per query. Training is the only non-streaming step,
+    * run on a sample in production. Results are approximate (ScalaTest
+    * asserts recall vs brute force; no SQL oracle — KMeans is not
+    * expressible in the oracle engine).
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val asVec = (df: DataFrame) => df.withColumn("__features",
+      array_to_vector(transform(col(vecCol), _.cast("double"))))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("__features")
+      .fit(asVec(emb))
+
+    // corpus side: attach inverted-list id once
+    val corpus = model.transform(asVec(emb))
+      .select(col(idCol), col(vecCol), col("prediction").as("list_id"))
+      .select(col(idCol), quantize(col(vecCol)).as("q"), col("list_id"))
+      .withColumn("n2", sqNorm(col("q")))
+
+    // query side: nprobe nearest centroids via a tiny broadcast cross join
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("list_id", "centroid")
+    val qs = queries.select(col(idCol).as("qid"), col(vecCol))
+      .withColumn("qq", quantize(col(vecCol)))
+      .withColumn("qn2", sqNorm(col("qq")))
+    val qDist = qs.crossJoin(broadcast(centroids))
+      .withColumn("dist", aggregate(
+        zip_with(transform(col(vecCol), _.cast("double")), col("centroid"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _))
+    val w0 = Window.partitionBy(col("qid")).orderBy(col("dist"), col("list_id"))
+    val probes = qDist.withColumn("pr", row_number().over(w0))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qq"), col("qn2"), col("list_id"))
+
+    val scored = corpus.join(broadcast(probes), Seq("list_id"))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("cid"),
+        round(cosine(dot(col("qq"), col("q")), col("qn2"), col("n2")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN: score only corpus vectors in the query's sign bucket.
     * Recall < 1 by construction; the bucket join replaces the cross
     * product, which is what survives a 100x corpus scale-up.

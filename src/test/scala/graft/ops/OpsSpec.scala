@@ -65,6 +65,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF probe recovers most brute-force neighbors (recall@5)") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5, nlist = 8, nprobe = 4)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+    // scores on shared hits are the exact quantized cosine
+    val bs = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .select("qid", "cid", "sim").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5, 8, 4)
+      .select("qid", "cid", "sim").as[(Long, Long, Double)].collect()
+      .foreach { case (q, c, s) => bs.get((q, c)).foreach(b => assert(b === s)) }
+  }
+
   test("frame sampling emits stride-spaced frames via mapPartitions (X4 stub)") {
     val withBlobs = Multimodal.attachBlob(Tables.documents(spark, sf), "doc_id", "text")
     val frames = Multimodal.sampleFrames(withBlobs, stride = 4)
