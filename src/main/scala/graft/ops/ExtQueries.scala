@@ -107,6 +107,15 @@ object ExtQueries {
       Multimodal.mediaStats(
         Multimodal.attachBlob(Tables.documents(s, dir), "doc_id", "text"))
         .orderBy("doc_id")
+    }),
+
+    // X4 real binary decode: render deterministic P6 PPM images, parse the
+    // headers back via mapPartitions; the oracle recomputes the expected
+    // geometry from the construction rule
+    "x4_ppm_decode" -> ((s, dir) => {
+      Multimodal.decodeImages(
+        Multimodal.renderPpm(Tables.documents(s, dir), "doc_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -261,6 +270,14 @@ object ExtQueries {
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes, md5(text) AS digest,
         |  'application/octet-stream' AS mime,
         |  doc_id % 640 AS width, doc_id * 7 % 480 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x4_ppm_decode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 8 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 5 + 1 AS INTEGER) AS height,
+        |  CAST(255 AS INTEGER) AS maxval,
+        |  CAST((doc_id % 8 + 1) * (doc_id % 5 + 1) * 3 AS INTEGER) AS n_pixel_bytes
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -68,6 +68,58 @@ object Multimodal {
     spark.createDataFrame(rdd, frameSchema)
   }
 
+  /** Render a deterministic binary P6 PPM image per document: header
+    * `P6\n<w> <h>\n255\n` + w*h*3 payload bytes derived from the doc id.
+    * Gives the decode path a REAL binary format to parse (below) without
+    * any codec library.
+    */
+  def renderPpm(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol)).rdd.map { r =>
+      val id = r.getLong(0)
+      val w = (id % 8 + 1).toInt; val h = (id % 5 + 1).toInt
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
+      Row(id, header ++ px)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("image", BinaryType))))
+  }
+
+  /** REAL binary decode of the P6 PPM header: (width, height, maxval,
+    * n_pixel_bytes). This is the genuine decode seam — for jpeg/png/audio
+    * the parser body changes, the column contract does not.
+    */
+  def decodePpmHeader(blob: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (blob.length < 2 || blob(0) != 'P' || blob(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = { while (i < blob.length && blob(i).toChar.isWhitespace) i += 1 }
+    def readInt(): Int = {
+      skipWs(); var v = 0
+      while (i < blob.length && blob(i) >= '0' && blob(i) <= '9') { v = v * 10 + (blob(i) - '0'); i += 1 }
+      v
+    }
+    val w = readInt(); val h = readInt(); val mx = readInt()
+    i += 1 // single whitespace after maxval
+    if (w <= 0 || h <= 0) None else Some((w, h, mx, blob.length - i))
+  }
+
+  /** Decode PPM headers across a table of image blobs via mapPartitions. */
+  def decodeImages(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    val rdd = images.select(col("doc_id"), col("image")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodePpmHeader(r.getAs[Array[Byte]](1)).map { case (w, h, mx, n) =>
+          Row(r.getLong(0), w, h, mx, n)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("maxval", IntegerType),
+      StructField("n_pixel_bytes", IntegerType))))
+  }
+
   /** Metadata-level query (oracle-checkable): blob length, digest, and the
     * flattened meta fields — blobs projected away before any shuffle.
     */
