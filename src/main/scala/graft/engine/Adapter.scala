@@ -88,8 +88,12 @@ object Adapter {
     */
   def adapt(df: DataFrame, payloadCol: String, inf: JsonInference.Inferred,
             carry: Seq[String]): DataFrame = {
+    // once(...) pins the parse in its own Project: without the barrier,
+    // predicate pushdown duplicates from_json into every reference of the
+    // validity filter (5 interpreted parses per row — measured)
     val parsed = df
-      .withColumn("__parsed", parsePayload(col(payloadCol), inf))
+      .withColumn("__parsed",
+        graft.functions.Once.once(parsePayload(col(payloadCol), inf)))
       .filter(isValidPayload(col("__parsed")))
     val exploded = explodeRecords(parsed.select((carry :+ "__parsed").map(col): _*), "__parsed")
     flattenProjection(exploded, inf.recordType, carry)
@@ -100,7 +104,8 @@ object Adapter {
     * adapter path only (`data_adapter.go:166-173`).
     */
   def rejects(df: DataFrame, payloadCol: String, inf: JsonInference.Inferred): DataFrame =
-    df.withColumn("__parsed", parsePayload(col(payloadCol), inf))
+    df.withColumn("__parsed",
+        graft.functions.Once.once(parsePayload(col(payloadCol), inf)))
       .filter(!isValidPayload(col("__parsed")))
       .drop("__parsed")
 

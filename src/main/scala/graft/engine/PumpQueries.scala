@@ -71,8 +71,9 @@ object PumpQueries {
       val ev = Tables.events(s, dir)
       val payload = when(col("event_id") % 7 === 0, lit("""{"r1": 42}"""))
         .otherwise(goodPayload(col("props")))
-      ev.select(col("event_id"),
-          Adapter.isValidPayload(Adapter.parsePayload(payload, payloadInf)).as("valid"))
+      ev.withColumn("__p",
+          graft.functions.Once.once(Adapter.parsePayload(payload, payloadInf)))
+        .select(col("event_id"), Adapter.isValidPayload(col("__p")).as("valid"))
         .orderBy("event_id")
     }),
 
@@ -100,7 +101,9 @@ object PumpQueries {
       val ev = Tables.events(s, dir)
       val good = goodPayload(col("props"))
       val payload = when(col("event_id") % 13 === 0, substring(good, 1, 10)).otherwise(good)
-      ev.select(when(Adapter.isValidPayload(Adapter.parsePayload(payload, payloadInf)),
+      ev.withColumn("__p",
+          graft.functions.Once.once(Adapter.parsePayload(payload, payloadInf)))
+        .select(when(Adapter.isValidPayload(col("__p")),
             lit("adapter")).otherwise(lit("error")).as("route"))
         .groupBy("route").agg(count(lit(1)).as("n"))
         .orderBy("route")
