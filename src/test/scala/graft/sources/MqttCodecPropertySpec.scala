@@ -37,6 +37,14 @@ object MqttCodecPropertySpec extends Properties("MqttCodec") {
         pkt.packetType == ptype && java.util.Arrays.equals(pkt.payload, payload)
     }
 
+  property("TopicOffsets JSON round-trips, including quoted topic names") =
+    forAll(Gen.mapOf(Gen.zip(
+      Gen.oneOf(Gen.alphaNumStr.suchThat(_.nonEmpty),
+        Gen.const("""weird"topic"""), Gen.const("pump/data/0")),
+      Gen.choose(0L, Long.MaxValue)))) { m =>
+      TopicOffsets.fromJson(TopicOffsets(m).json()).counts == m
+    }
+
   private val levelGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(5))
   private val topicGen = Gen.nonEmptyListOf(levelGen).map(_.take(4).mkString("/"))
 
