@@ -63,6 +63,19 @@ object JsonInference {
     StructType(fields)
   }
 
+  /** Flatten a StructType to `path_joined_with_underscores -> leaf type` —
+    * the type-level twin of [[Adapter.flattenColumns]], used so leafTypes /
+    * ddlFragment always reflect what `from_json` actually produces.
+    */
+  def flattenStructLeaves(st: StructType, prefix: String = ""): Map[String, DataType] =
+    st.fields.flatMap { f =>
+      val name = if (prefix.isEmpty) f.name else s"${prefix}_${f.name}"
+      f.dataType match {
+        case s: StructType => flattenStructLeaves(s, name)
+        case dt            => Seq(name -> dt)
+      }
+    }.toMap
+
   private def mergeStructs(a: StructType, b: StructType): StructType = {
     val bMap = b.fields.map(f => f.name -> f).toMap
     val merged = a.fields.map { f =>
@@ -110,10 +123,11 @@ object JsonInference {
     val structs = records.map(e => recordStruct(e.getValue))
     val consistent = structs.distinct.size == 1
     val unioned = structs.reduce(mergeStructs)
-    val leaves = records
-      .flatMap(e => flattenLeaves(e.getValue))
-      .distinct
-      .toMap
+    // Leaf types come from the MERGED record type, not a per-record pass:
+    // mergeStructs resolves cross-record type conflicts to StringType, and
+    // from_json parses with `unioned` — so the DDL (K1) and the runtime
+    // schema must agree on the same resolution.
+    val leaves = flattenStructLeaves(unioned)
     // key_id carries the top-level record id (`data_adapter.go:98`
     // `mp["key_id"] = ik`) and participates in the sorted key list.
     val withKeyId = leaves + (Adapter.KeyIdCol -> StringType)

@@ -267,7 +267,7 @@ object ExtQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x4_media_stats" ->
-      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes, md5(text) AS digest,
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, md5(text) AS digest,
         |  'application/octet-stream' AS mime,
         |  doc_id % 640 AS width, doc_id * 7 % 480 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,

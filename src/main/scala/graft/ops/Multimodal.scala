@@ -31,7 +31,9 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("blob"),
       struct(
         lit("application/octet-stream").as("mime"),
-        length(col(textCol)).as("n_bytes"),
+        // octet_length = UTF-8 byte count, matching length(blob) below —
+        // char count would diverge on non-ASCII text
+        octet_length(col(textCol)).as("n_bytes"),
         (col(idCol) % 640).as("width"),
         (col(idCol) * 7 % 480).as("height")).as("meta"))
 

@@ -13,9 +13,10 @@ import scala.jdk.CollectionConverters._
   *
   * Contract: per topic, an append-only log with monotonically increasing
   * sequence numbers — that is what makes the Spark source *replayable*
-  * (checkpointed offsets + re-read = effectively exactly-once, a
-  * documented improvement over the reference's QoS-0 at-most-once,
-  * SURVEY §4.2).
+  * (checkpointed offsets + re-read = at-least-once delivery; combined
+  * with the pump's per-batchId idempotent sink writes it is effectively
+  * exactly-once end to end — a documented improvement over the
+  * reference's QoS-0 at-most-once, SURVEY §4.2).
   */
 trait MessageBroker {
   /** Current end offset (count of messages ever published) for a topic. */

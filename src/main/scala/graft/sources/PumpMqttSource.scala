@@ -25,8 +25,9 @@ import scala.jdk.CollectionConverters._
   * group becomes one [[InputPartition]] — the same fan-in parallelism,
   * but scheduled by Spark, and with *checkpointed offsets*: on recovery
   * the stream re-reads from the last committed offset, upgrading the
-  * reference's QoS-0 at-most-once to effectively exactly-once
-  * (deliberate deviation, SURVEY §4.2).
+  * reference's QoS-0 at-most-once to at-least-once replay — effectively
+  * exactly-once once paired with the pump's per-batchId idempotent sink
+  * writes (deliberate deviation, SURVEY §4.2).
   *
   * Usage:
   * {{{
@@ -80,11 +81,17 @@ class PumpMqttScan(brokerName: String, topics: Seq[String],
     new PumpMqttMicroBatchStream(brokerName, topics, maxMsgsPerTrigger)
 }
 
-/** Offset = per-topic message count, serialized as sorted-key JSON. */
+/** Offset = per-topic message count, serialized as sorted-key JSON.
+  * Backslashes are escaped BEFORE quotes (and unescaped in the reverse
+  * order) so topic names containing `\` or `"` round-trip as valid JSON.
+  */
 case class TopicOffsets(counts: Map[String, Long]) extends Offset {
   override def json(): String =
     counts.toSeq.sortBy(_._1)
-      .map { case (t, n) => s""""${t.replace("\"", "\\\"")}":$n""" }
+      .map { case (t, n) =>
+        val esc = t.replace("\\", "\\\\").replace("\"", "\\\"")
+        s""""$esc":$n"""
+      }
       .mkString("{", ",", "}")
 }
 
@@ -92,7 +99,8 @@ object TopicOffsets {
   private val Entry = """"((?:[^"\\]|\\.)*)":(\d+)""".r
   def fromJson(s: String): TopicOffsets =
     TopicOffsets(Entry.findAllMatchIn(s)
-      .map(m => m.group(1).replace("\\\"", "\"") -> m.group(2).toLong).toMap)
+      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+        -> m.group(2).toLong).toMap)
 }
 
 /** @param maxMsgsPerTrigger the size-half of the reference's time-or-size

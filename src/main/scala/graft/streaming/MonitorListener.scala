@@ -42,14 +42,19 @@ class MonitorListener(cfg: PumpConfig, brokerName: String)
          |"processedRowsPerSecond":${safe(p.processedRowsPerSecond)}},
          |"DataInfo":{"numInputRows":${p.numInputRows},
          |"totalRows":$total,
-         |"avgRowsPerSecondSinceStart":${"%.3f".format(total / runtimeSecs)}}}"""
+         |"avgRowsPerSecondSinceStart":${fmt(total / runtimeSecs)}}}"""
         .stripMargin.replaceAll("\n", "")
     val topic = cfg.monitorTopic(Option(p.name).getOrElse(p.id.toString))
     broker.publish(topic, doc.getBytes(StandardCharsets.UTF_8))
   }
 
+  // Locale.ROOT: default-locale formatting would emit "0,375" on
+  // comma-decimal locales — invalid JSON.
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
   private def safe(d: Double): String =
-    if (d.isNaN || d.isInfinite) "0.0" else "%.3f".format(d)
+    if (d.isNaN || d.isInfinite) "0.0" else fmt(d)
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
     startedAt.remove(event.id); totals.remove(event.id)

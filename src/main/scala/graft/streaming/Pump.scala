@@ -33,6 +33,17 @@ object Pump {
 
   /** Build the per-batch dual write. Exposed separately so batch tests and
     * the streaming query share the exact same code path.
+    *
+    * Idempotence: `foreachBatch` is at-least-once — after a failure between
+    * the raw and adapter writes (or after the raw commit), Spark replays the
+    * micro-batch with the same `batchId`. Both sinks therefore partition by
+    * `(collect_date, batch_id)` and use *dynamic partition overwrite*: a
+    * replay rewrites exactly its own `batch_id` partitions and never touches
+    * other batches', making the dual sink effectively exactly-once end to
+    * end (deterministic source offsets + idempotent writes). The mid column
+    * is also seeded by `batchId`, so a replay regenerates identical mids.
+    * At scale the per-batch directories are the usual streaming-ingest
+    * layout; a periodic compaction job folds them per date partition.
     */
   def writeBatch(cfg: PumpConfig, inf: JsonInference.Inferred, sinks: Sinks,
                  rawOnly: Boolean = false)(
@@ -48,7 +59,10 @@ object Pump {
       Adapter.rawProjection(withMid,
           mid = col("mid"), topic = col("topic"), payload = col("payload"),
           receivedTime = col("received_time"))
-        .write.mode("append").partitionBy("collect_date").parquet(sinks.rawPath)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("collect_date", "batch_id").parquet(sinks.rawPath)
 
       // T4 — raw-only mode skips the adapter branch entirely
       // (data_processor.go:86-99 StartDataProcessTask)
@@ -60,7 +74,10 @@ object Pump {
           "payload", inf, carry = Seq("mid", "collect_datetime"))
         adapted
           .withColumn("collect_date", to_date(col("collect_datetime")))
-          .write.mode("append").partitionBy("collect_date").parquet(sinks.adapterPath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("collect_date", "batch_id").parquet(sinks.adapterPath)
       }
     } finally withMid.unpersist()
   }

@@ -37,10 +37,12 @@ object MqttCodecPropertySpec extends Properties("MqttCodec") {
         pkt.packetType == ptype && java.util.Arrays.equals(pkt.payload, payload)
     }
 
-  property("TopicOffsets JSON round-trips, including quoted topic names") =
+  property("TopicOffsets JSON round-trips, including quoted/backslashed topic names") =
     forAll(Gen.mapOf(Gen.zip(
       Gen.oneOf(Gen.alphaNumStr.suchThat(_.nonEmpty),
-        Gen.const("""weird"topic"""), Gen.const("pump/data/0")),
+        Gen.const("""weird"topic"""), Gen.const("pump/data/0"),
+        Gen.const("""back\slash"""), Gen.const("""trailing\"""),
+        Gen.const("""mix\"both\\""")),
       Gen.choose(0L, Long.MaxValue)))) { m =>
       TopicOffsets.fromJson(TopicOffsets(m).json()).counts == m
     }

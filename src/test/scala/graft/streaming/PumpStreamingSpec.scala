@@ -42,8 +42,9 @@ class PumpStreamingSpec extends SparkSpec {
     val adapter = spark.read.parquet(sinks.adapterPath)
     assert(raw.count() === 22) // T3: raw path sees every message
     assert(adapter.count() === 40) // 20 good msgs x 2 records each (A2)
-    assert(raw.columns.toSet === Set("mid", "topic", "payload", "collect_datetime", "collect_date"))
-    assert(adapter.columns.toSet === Set("mid", "collect_datetime", "collect_date",
+    assert(raw.columns.toSet === Set("mid", "topic", "payload", "collect_datetime",
+      "collect_date", "batch_id"))
+    assert(adapter.columns.toSet === Set("mid", "collect_datetime", "collect_date", "batch_id",
       "command", "key_id", "params_key", "params_thingKey", "params_ts", "params_value"))
     // every message got a distinct mid (T2)
     assert(raw.select("mid").distinct().count() === 22)
@@ -63,6 +64,36 @@ class PumpStreamingSpec extends SparkSpec {
     publishGolden(brokerName, 5)
     Pump.start(spark, cfg, sinks, brokerName, Trigger.AvailableNow()).awaitTermination(120000)
     assert(spark.read.parquet(sinks.rawPath).count() === 15)
+  }
+
+  test("replayed micro-batch is idempotent: same batchId overwrites, new batchId appends") {
+    import graft.engine.{JsonInference, PumpQueries}
+    import org.apache.spark.sql.functions._
+    val inf = JsonInference.inferFromSample(PumpQueries.payloadSample)
+    val out = tmpDir("pump-replay")
+    val sinks = Pump.Sinks(s"$out/raw", s"$out/adapter", s"$out/ckpt")
+    def batchOf(n: Int, tsBase: Long) = {
+      import spark.implicits._
+      (0 until n).map(i => ("pump/data/0",
+          s"""{"r1": {"k": $i}, "r2": {"nested": {"k": $i}}}""".getBytes("UTF-8"),
+          new java.sql.Timestamp(tsBase + i * 1000L)))
+        .toDF("topic", "payload", "received_time")
+    }
+    val write = Pump.writeBatch(PumpConfig(jsonSample = PumpQueries.payloadSample), inf, sinks) _
+    write(batchOf(6, 1704067200000L), 0L)
+    val rawMids = spark.read.parquet(sinks.rawPath).select("mid").collect().map(_.getString(0)).sorted
+    // failure replay: same batchId runs again -> no duplicates, identical mids
+    write(batchOf(6, 1704067200000L), 0L)
+    assert(spark.read.parquet(sinks.rawPath).count() === 6)
+    assert(spark.read.parquet(sinks.adapterPath).count() === 12)
+    val replayMids = spark.read.parquet(sinks.rawPath).select("mid").collect().map(_.getString(0)).sorted
+    assert(replayMids.toSeq === rawMids.toSeq) // mid is batchId-seeded: replay-deterministic
+    // next batch (same collect_date) appends without touching batch 0
+    write(batchOf(4, 1704067300000L), 1L)
+    assert(spark.read.parquet(sinks.rawPath).count() === 10)
+    assert(spark.read.parquet(sinks.adapterPath).count() === 20)
+    assert(spark.read.parquet(sinks.rawPath)
+      .where(col("batch_id") === 0).count() === 6)
   }
 
   test("size-cap admission control splits batches but delivers everything (K3)") {
