@@ -33,9 +33,16 @@ object Dedup {
 
   /** (doc_id, s) distinct shingle table — the base relation for the
     * Jaccard/MinHash family.
+    *
+    * Distinctness is per-document by construction (doc_id is in the key),
+    * so it is enforced with `array_distinct` BEFORE the explode — a
+    * per-row operation — rather than a global `.distinct()`, which would
+    * shuffle every (doc_id, shingle) row across the cluster. The table
+    * comes out of the scan stage shuffle-free.
     */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("s")).distinct()
+    docs.select(col(idCol),
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("s"))
 
   /** Exact dedup: group rows by a digest of the dedup key, keep the
     * minimum id as the canonical representative. `dropDuplicates` without
@@ -63,12 +70,15 @@ object Dedup {
     withJaccard(inter, n, idCol, threshold)
   }
 
-  /** Attach jaccard = i / (n1 + n2 - i) to candidate pairs and filter. */
+  /** Attach jaccard = i / (n1 + n2 - i) to candidate pairs and filter.
+    * The per-doc size table is tiny (one long per doc) — broadcast both
+    * lookups so the pair stream never shuffles.
+    */
   def withJaccard(pairs: DataFrame, sizes: DataFrame, idCol: String,
                   threshold: Double): DataFrame = {
     val n1 = sizes.withColumnRenamed(idCol, "d1").withColumnRenamed("n", "n1")
     val n2 = sizes.withColumnRenamed(idCol, "d2").withColumnRenamed("n", "n2")
-    pairs.join(n1, "d1").join(n2, "d2")
+    pairs.join(broadcast(n1), "d1").join(broadcast(n2), "d2")
       .withColumn("jac", round(col("i").cast("double") /
         (col("n1") + col("n2") - col("i")), 6))
       .filter(col("jac") >= threshold)
@@ -76,13 +86,24 @@ object Dedup {
   }
 
   /** MinHash signatures: numSigs min-aggregates in ONE groupBy pass
-    * (map-side combine keeps the shuffle at numSigs * 32 bytes per doc).
+    * (map-side combine keeps the shuffle at numSigs * 8 bytes per doc).
+    *
+    * Hash family: each md5 of `seed|shingle` yields FOUR independent
+    * 32-bit lanes (8 hex chars each; fixed-width lowercase hex compares
+    * lexicographically = numerically), so numSigs signatures cost only
+    * ceil(numSigs/4) digests per shingle row — the md5s are the hot loop
+    * at scale. The lanes are projected before the aggregate so each
+    * digest is computed exactly once per row.
     */
-  def minhashSignatures(sh: DataFrame, idCol: String, numSigs: Int): DataFrame =
-    sh.groupBy(col(idCol)).agg(
-      min(md5(concat(lit("0|"), col("s")))).as("sig0"),
-      (1 until numSigs).map(i =>
-        min(md5(concat(lit(s"$i|"), col("s")))).as(s"sig$i")): _*)
+  def minhashSignatures(sh: DataFrame, idCol: String, numSigs: Int): DataFrame = {
+    val numSeeds = (numSigs + 3) / 4
+    val withH = sh.select(col(idCol) +:
+      (0 until numSeeds).map(g => md5(concat(lit(s"$g|"), col("s"))).as(s"h$g")): _*)
+    def lane(i: Int): Column = substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8)
+    withH.groupBy(col(idCol)).agg(
+      min(lane(0)).as("sig0"),
+      (1 until numSigs).map(i => min(lane(i)).as(s"sig$i")): _*)
+  }
 
   /** LSH banding: rows/band contiguous signatures hash to a band key;
     * docs sharing any (band_id, key) are candidates. Quadratic work is
@@ -115,10 +136,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(minhashSignatures(sh, idCol, numSigs), idCol, numSigs, rowsPerBand)
     val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.as("sa").hint("shuffle_hash"), col("d1") === col(s"sa.$idCol"))
-      .join(sh.as("sb").hint("shuffle_hash"),
-        col("d2") === col(s"sb.$idCol") && col("sa.s") === col("sb.s"))
+    // LSH's whole point is that surviving candidates are FEW — broadcast
+    // the candidate (then candidate-x-shingle) side so the big shingle
+    // table is never shuffled for verification. At band-collision-storm
+    // scale, drop the hints and let AQE pick shuffle-hash instead.
+    val inter = sh.as("sa")
+      .join(broadcast(cands), col("d1") === col(s"sa.$idCol"))
+      .select(col("d1"), col("d2"), col("sa.s").as("s1"))
+      .hint("broadcast")
+      .join(sh.as("sb"),
+        col("d2") === col(s"sb.$idCol") && col("s1") === col("sb.s"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
     withJaccard(inter, n, idCol, threshold)
   }
@@ -142,18 +169,60 @@ object Dedup {
 
   /** Embedding near-dup: pairs with quantized-cosine >= threshold.
     * Quantization (floor(x*1000)) keeps the arithmetic exact-integer so
-    * results are order- and engine-independent. Scale path: feed the
-    * bucketed candidates from [[Similarity.signBucket]] instead of the
-    * full cross-join.
+    * results are order- and engine-independent.
+    *
+    * All-pairs scoring is a compute kernel, not a relational op: a
+    * broadcast-nested-loop join materializes O(N^2) joined rows (copying
+    * both vectors into each) just so a projection can immediately reduce
+    * them to one double. Instead the quantized block is broadcast once
+    * (N x dim ints — the same memory contract as a broadcast hash join)
+    * and each partition scores its rows against the block in a primitive
+    * loop, emitting only near-threshold survivors. The final round/filter
+    * happens in Spark expressions so scores stay bit-identical to the
+    * declarative form. Scale path: this IS the per-block kernel — at
+    * 100 TB feed it LSH/sign buckets ([[Similarity.signBucket]]) instead
+    * of the whole corpus.
     */
   def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
-    val q = emb.select(col(idCol), Similarity.quantize(col(vecCol)).as("q"))
-    val withNorm = q.withColumn("n2", Similarity.sqNorm(col("q")))
-    withNorm.as("a").join(withNorm.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
-        round(Similarity.cosine(Similarity.dot(col("a.q"), col("b.q")),
-          col("a.n2"), col("b.n2")), 6).as("sim"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col(idCol).cast("long"), Similarity.quantize(col(vecCol)))
+      .as[(Long, Array[Int])]
+    val block = q.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(block)
+    // slack covers round(sim, 6): emit a slight superset, filter exactly below
+    val slack = threshold - 1e-6
+    val cands = q.mapPartitions { it =>
+      val cs = bc.value
+      val ids = cs.map(_._1)
+      val norms = cs.map(c => dotLocal(c._2, c._2))
+      it.flatMap { case (id, v) =>
+        val n2a = dotLocal(v, v)
+        val sqrtA = math.sqrt(n2a.toDouble)
+        // block is id-sorted: score only partners with larger id (d1 < d2)
+        var lo = java.util.Arrays.binarySearch(ids, id) match {
+          case i if i >= 0 => i + 1
+          case i           => -i - 1
+        }
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+        while (lo < cs.length) {
+          val d = dotLocal(v, cs(lo)._2)
+          if (d.toDouble / (sqrtA * math.sqrt(norms(lo).toDouble)) >= slack)
+            out += ((id, ids(lo), d, n2a, norms(lo)))
+          lo += 1
+        }
+        out.result()
+      }
+    }.toDF("d1", "d2", "dot", "n2a", "n2b")
+    cands.select(col("d1"), col("d2"),
+        round(Similarity.cosine(col("dot"), col("n2a"), col("n2b")), 6).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  private def dotLocal(a: Array[Int], b: Array[Int]): Long = {
+    var i = 0; var s = 0L
+    while (i < a.length) { s += a(i).toLong * b(i); i += 1 }
+    s
   }
 }

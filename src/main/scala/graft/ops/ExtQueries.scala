@@ -128,8 +128,13 @@ object ExtQueries {
       |  unnest(list_transform(generate_series(1, len(ts) - 2),
       |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM t)""".stripMargin
 
+  /** 4-lane md5 minhash (see [[Dedup.minhashSignatures]]): sig i is the
+    * min over the i%4-th 8-hex-char lane of md5((i/4)|shingle).
+    */
   private def minhashSigCols: String =
-    (0 until 16).map(i => s"min(md5('$i|' || s)) AS sig$i").mkString(", ")
+    (0 until 16).map(i =>
+      s"min(substring(md5('${i / 4}|' || s), ${(i % 4) * 8 + 1}, 8)) AS sig$i")
+      .mkString(", ")
 
   private def bandUnion: String =
     (0 until 4).map { b =>

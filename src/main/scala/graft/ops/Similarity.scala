@@ -100,9 +100,13 @@ object Similarity {
 
     val asVec = (df: DataFrame) => df.withColumn("__features",
       array_to_vector(transform(col(vecCol), _.cast("double"))))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(20)
+    // Coarse quantization needs rough Voronoi cells, not convergence:
+    // 10 Lloyd iterations is plenty, and the tiny training frame is
+    // coalesced so each iteration isn't dominated by task scheduling.
+    // (In production: train on a driver-sized sample, broadcast.)
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("__features")
-      .fit(asVec(emb))
+      .fit(asVec(emb).coalesce(8))
 
     // corpus side: attach inverted-list id once
     val corpus = model.transform(asVec(emb))

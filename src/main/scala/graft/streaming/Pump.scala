@@ -56,10 +56,15 @@ object Pump {
     try {
       // K4 — raw path stores every message, parse failures included (T6
       // routing happens after the fan-out, data_processor.go:78-79)
+      // Repartition on the partition key before a partitionBy write:
+      // without it every task opens a file per date it touches (tasks x
+      // dates tiny files — the classic partitioned-write mistake at
+      // scale). A small mid-derived salt caps per-date skew at 4 writers.
       Adapter.rawProjection(withMid,
           mid = col("mid"), topic = col("topic"), payload = col("payload"),
           receivedTime = col("received_time"))
         .withColumn("batch_id", lit(batchId))
+        .repartition(col("collect_date"), pmod(crc32(col("mid")), lit(4)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("collect_date", "batch_id").parquet(sinks.rawPath)
@@ -75,6 +80,7 @@ object Pump {
         adapted
           .withColumn("collect_date", to_date(col("collect_datetime")))
           .withColumn("batch_id", lit(batchId))
+          .repartition(col("collect_date"), pmod(crc32(col("mid")), lit(4)))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("collect_date", "batch_id").parquet(sinks.adapterPath)
