@@ -105,6 +105,23 @@ object Dedup {
       (1 until numSigs).map(i => min(lane(i)).as(s"sig$i")): _*)
   }
 
+  /** Doc-level MinHash signatures via the native one-pass expression
+    * ([[graft.functions.MinHashSigs]]) — same hash family as
+    * [[minhashSignatures]], but computed per document row straight off
+    * the scan (no explode, no 16-way aggregate, no shuffle). Docs too
+    * short to shingle produce no signature row, matching the exploded
+    * form where they simply have no shingle rows.
+    */
+  def docSignatures(docs: DataFrame, idCol: String, textCol: String,
+                    numSigs: Int, n: Int = 3): DataFrame = {
+    val sigArr = graft.functions.MinHashSigs.minhash_sigs(
+      array_distinct(shingles(tokens(col(textCol)), n)), numSigs)
+    docs.select(col(idCol), sigArr.as("sigs"))
+      .filter(col("sigs").isNotNull)
+      .select(col(idCol) +:
+        (0 until numSigs).map(i => element_at(col("sigs"), i + 1).as(s"sig$i")): _*)
+  }
+
   /** LSH banding: rows/band contiguous signatures hash to a band key;
     * docs sharing any (band_id, key) are candidates. Quadratic work is
     * confined to individual buckets.
@@ -134,7 +151,8 @@ object Dedup {
     // reused by signatures, sizes, and both verify-join sides
     val sh = shingleTable(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(minhashSignatures(sh, idCol, numSigs), idCol, numSigs, rowsPerBand)
+    val cands = lshCandidates(docSignatures(docs, idCol, textCol, numSigs),
+      idCol, numSigs, rowsPerBand)
     val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     // LSH's whole point is that surviving candidates are FEW — broadcast
     // the candidate (then candidate-x-shingle) side so the big shingle

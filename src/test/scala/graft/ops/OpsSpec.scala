@@ -25,6 +25,17 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("native one-pass MinHash signatures equal the declarative 16-aggregate form") {
+    val docs = Tables.documents(spark, sf)
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val viaAgg = Dedup.minhashSignatures(sh, "doc_id", 16)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val viaNative = Dedup.docSignatures(docs, "doc_id", "text", 16)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(viaNative.length === viaAgg.length)
+    viaNative.zip(viaAgg).foreach { case (n, a) => assert(n === a) }
+  }
+
   test("exact dedup collapses events.props 10:1 and keeps the min id") {
     val d = Dedup.exactDedup(Tables.events(spark, sf), "event_id", "props")
     assert(d.count() === 100)
