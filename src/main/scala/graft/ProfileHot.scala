@@ -41,10 +41,11 @@ object ProfileHot {
     val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("persist materialize")(shP.count())
     time("sizes agg")(noop(shP.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))))
-    val sigs = Dedup.minhashSignatures(shP, "doc_id", 16)
-    time("minhash sigs")(noop(sigs))
+    val sigs = Dedup.docSignatures(docs, "doc_id", "text", 16)
+    time("native doc sigs")(noop(sigs))
     val cands = Dedup.lshCandidates(sigs, "doc_id", 16, 4)
     time("sigs+bands+cands")(noop(cands))
+    time("cands collect (bc side)")(cands.count())
     time("full minhashLshPairs")(noop(
       Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.8)))
     time("full jaccardPairs")(noop(

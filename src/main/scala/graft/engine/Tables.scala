@@ -14,8 +14,28 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Redistribute a freshly-scanned frame when the scan produced fewer
+    * splits than the session's parallelism. The driver's tables are
+    * single-file / single-row-group parquet, and parquet only splits at
+    * row-group boundaries — so without this EVERY scan-side computation
+    * (JSON parse, shingling, hashing) runs on one core no matter how many
+    * the session has. One cheap round-robin exchange after the scan buys
+    * full-width compute; on a production table with many files/row groups
+    * the branch is a no-op. (The monolithic-input mitigation; the 100 TB
+    * fix is writing sources with sane row-group sizes in the first place.)
+    */
+  def balanced(spark: SparkSession, df: DataFrame): DataFrame = {
+    // Width follows the DATA, capped by the session: at ~128 KB of scan
+    // bytes per task the per-task scheduling cost stays amortized on tiny
+    // inputs while big inputs still fan out to every core.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bySize = (bytes / (128L * 1024)).min(BigInt(Int.MaxValue)).toInt
+    val target = math.max(4, math.min(bySize, spark.sparkContext.defaultParallelism))
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    balanced(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** events with `ts` normalized to a microsecond TimestampType column. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {

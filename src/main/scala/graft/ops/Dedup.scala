@@ -56,10 +56,13 @@ object Dedup {
     * path). `inter` shuffles on the shingle value; doc-pair aggregation is
     * the second shuffle.
     */
-  def jaccardPairs(sh0: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    // sh feeds the size aggregate AND both self-join sides — persist so the
-    // tokenize/explode/distinct pipeline runs once, not three times
-    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    // sh feeds the size aggregate AND both self-join sides. It is NOT
+    // persisted: since array_distinct made the pipeline shuffle-free,
+    // re-running the narrow scan+explode per consumer is cheaper than
+    // materializing the exploded table (measured 1.2 s persist vs 0.3 s
+    // per recompute at sf0.1) — and at 100 TB, persisting an exploded
+    // shingle table is exactly the memory blowup to avoid.
     val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     // shuffle-hash beats sort-merge here: no point sorting 100k+ string
     // shingle keys when the per-key groups are tiny
@@ -148,9 +151,9 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numSigs: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
-    // reused by signatures, sizes, and both verify-join sides
+    // shuffle-free and therefore cheaper to recompute per consumer than
+    // to materialize (see jaccardPairs note)
     val sh = shingleTable(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(docSignatures(docs, idCol, textCol, numSigs),
       idCol, numSigs, rowsPerBand)
     val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))

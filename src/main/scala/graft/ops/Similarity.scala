@@ -84,53 +84,50 @@ object Similarity {
     * seed) partitions the corpus into inverted lists; each query probes
     * its `nprobe` nearest centroids and scores only those lists.
     *
-    * The scale shape: centroids are broadcast (nlist x dim doubles), the
-    * corpus is scanned once to attach its list id (a column you would
-    * persist at ingest), and the candidate join is an equi-join on list
-    * id — corpus rows shuffle at most once, and only 1/nlist-ish of the
-    * corpus is scored per query. Training is the only non-streaming step,
-    * run on a sample in production. Results are approximate (ScalaTest
-    * asserts recall vs brute force; no SQL oracle — KMeans is not
-    * expressible in the oracle engine).
+    * The scale shape: the quantizer trains DRIVER-LOCALLY on a bounded
+    * sample (the standard IVF recipe — FAISS trains its coarse quantizer
+    * on a sample too) and the centroids broadcast as literals, so
+    * training costs zero cluster passes. The corpus is scanned once to
+    * attach its list id via a row-local argmin over the centroid array
+    * (a column you would persist at ingest); probe selection is likewise
+    * row-local (array_sort + slice, no window shuffle); the candidate
+    * join is an equi-join on list id — corpus rows shuffle at most once,
+    * and only nprobe/nlist-ish of the corpus is scored per query.
+    * Results are approximate (ScalaTest asserts recall vs brute force;
+    * no SQL oracle — KMeans is not expressible in the oracle engine).
     */
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              trainSample: Int = 65536): DataFrame = {
+    val train = emb.select(transform(col(vecCol), _.cast("double")))
+      .limit(trainSample).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centroids = localKMeans(train, nlist, iters = 10, seed = 42L)
 
-    val asVec = (df: DataFrame) => df.withColumn("__features",
-      array_to_vector(transform(col(vecCol), _.cast("double"))))
-    // Coarse quantization needs rough Voronoi cells, not convergence:
-    // 10 Lloyd iterations is plenty, and the tiny training frame is
-    // coalesced so each iteration isn't dominated by task scheduling.
-    // (In production: train on a driver-sized sample, broadcast.)
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("__features")
-      .fit(asVec(emb).coalesce(8))
+    // per-row struct(dist, list_id) against each broadcast centroid
+    def distStructs(vec: Column): Column = array(centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct(
+          aggregate(zip_with(transform(vec, _.cast("double")), typedLit(c.toSeq),
+            (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("dist"),
+          lit(i).as("list_id"))
+    }: _*)
 
-    // corpus side: attach inverted-list id once
-    val corpus = model.transform(asVec(emb))
-      .select(col(idCol), col(vecCol), col("prediction").as("list_id"))
-      .select(col(idCol), quantize(col(vecCol)).as("q"), col("list_id"))
+    // corpus side: attach inverted-list id once (row-local argmin)
+    val corpus = emb
+      .select(col(idCol), quantize(col(vecCol)).as("q"),
+        array_min(distStructs(col(vecCol))).getField("list_id").as("list_id"))
       .withColumn("n2", sqNorm(col("q")))
 
-    // query side: nprobe nearest centroids via a tiny broadcast cross join
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("list_id", "centroid")
+    // query side: nprobe nearest centroids, row-local (sorted by
+    // (dist, list_id), same ordering the old window form used)
     val qs = queries.select(col(idCol).as("qid"), col(vecCol))
       .withColumn("qq", quantize(col(vecCol)))
       .withColumn("qn2", sqNorm(col("qq")))
-    val qDist = qs.crossJoin(broadcast(centroids))
-      .withColumn("dist", aggregate(
-        zip_with(transform(col(vecCol), _.cast("double")), col("centroid"),
-          (a, b) => (a - b) * (a - b)),
-        lit(0.0), _ + _))
-    val w0 = Window.partitionBy(col("qid")).orderBy(col("dist"), col("list_id"))
-    val probes = qDist.withColumn("pr", row_number().over(w0))
-      .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("qq"), col("qn2"), col("list_id"))
+    val probes = qs
+      .select(col("qid"), col("qq"), col("qn2"),
+        explode(slice(array_sort(distStructs(col(vecCol))), 1, nprobe)).as("probe"))
+      .select(col("qid"), col("qq"), col("qn2"), col("probe.list_id").as("list_id"))
 
     val scored = corpus.join(broadcast(probes), Seq("list_id"))
       .filter(col("qid") =!= col(idCol))
@@ -138,6 +135,67 @@ object Similarity {
         round(cosine(dot(col("qq"), col("q")), col("qn2"), col("n2")), 6).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic driver-local Lloyd's with k-means++ seeding — the
+    * coarse-quantizer trainer for [[ivfTopK]]. O(sample x nlist x dim)
+    * per iteration on the driver; never touches the cluster.
+    */
+  private[ops] def localKMeans(vecs: Array[Array[Double]], k: Int, iters: Int,
+                               seed: Long): Array[Array[Double]] = {
+    require(vecs.nonEmpty && vecs.length >= k, s"need >= $k training vectors")
+    val dim = vecs(0).length
+    val rnd = new java.util.Random(seed)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val cents = Array.ofDim[Array[Double]](k)
+    cents(0) = vecs(rnd.nextInt(vecs.length)).clone()
+    val d2 = Array.fill(vecs.length)(Double.MaxValue)
+    for (c <- 1 until k) {
+      var i = 0
+      while (i < vecs.length) {
+        val d = sq(vecs(i), cents(c - 1)); if (d < d2(i)) d2(i) = d; i += 1
+      }
+      var r = rnd.nextDouble() * d2.sum
+      var idx = 0
+      while (idx < vecs.length - 1 && r > d2(idx)) { r -= d2(idx); idx += 1 }
+      cents(c) = vecs(idx).clone()
+    }
+    val assign = Array.fill(vecs.length)(0)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < vecs.length) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = sq(vecs(i), cents(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = Array.fill(k)(0)
+      i = 0
+      while (i < vecs.length) {
+        val c = assign(i); counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += vecs(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        // empty cluster keeps its previous centroid
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+    }
+    cents
   }
 
   /** Bucketed ANN: score only corpus vectors in the query's sign bucket.
