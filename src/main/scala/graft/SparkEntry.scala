@@ -24,11 +24,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2 (+ §2.8). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PumpQueries.queries ++ graft.ops.ExtQueries.queries
+    PumpQueries.queries ++ graft.ops.ExtQueries.queries ++
+      graft.engine.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    PumpQueries.oracle ++ graft.ops.ExtQueries.oracle
+    PumpQueries.oracle ++ graft.ops.ExtQueries.oracle ++
+      graft.engine.AnalyticsQueries.oracle
 }

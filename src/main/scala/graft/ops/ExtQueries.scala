@@ -116,6 +116,62 @@ object ExtQueries {
       Multimodal.decodeImages(
         Multimodal.renderPpm(Tables.documents(s, dir), "doc_id"))
         .orderBy("doc_id")
+    }),
+
+    // X5 gap-based sessionization (30-minute gap) over the event stream
+    "x5_sessionize" -> ((s, dir) => {
+      Sessionize.sessions(Tables.events(s, dir), "user_id", "ts", "event_id",
+        gapSecs = 1800)
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // X6 deterministic stratified sampling: 5% of English docs, 20% of rest
+    "x6_stratified_sample" -> ((s, dir) => {
+      Sample.stratified(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 0.05), default = 0.2)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // X7 normalization + PII/URL scrubbing (emails/URLs injected
+    // deterministically so the scrubber has real targets)
+    "x7_normalize_scrub" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val aug = concat(col("text"), lit(" contact user"), id,
+        lit("@example.com via http://ex.example/"), id, lit(" ok"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("normalized"),
+        TextAnalysis.scrub(aug).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // X8 corpus vocabulary: top-100 tokens by frequency
+    "x8_vocab_topk" -> ((s, dir) => {
+      TextAnalysis.vocabulary(Tables.documents(s, dir), "text", 100)
+        .orderBy(col("n").desc, col("token"))
+    }),
+
+    // X9 near-dup clustering: connected components over the MinHash-LSH
+    // pair list (min-label propagation; oracle = recursive closure)
+    "x9_components" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        numSigs = 16, rowsPerBand = 4, threshold = JaccardThreshold)
+      Cluster.components(pairs.select("d1", "d2"))
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
+    // X10 per-label embedding centroids: exact integer sums over the
+    // quantized vectors, position-exploded (one shuffle of (label, pos))
+    "x10_label_centroid" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          posexplode(Similarity.quantize(col("embedding"))).as(Seq("pos0", "v")))
+        .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .select(col("label"), col("pos"), col("n"), col("s"),
+          round(col("s").cast("double") / col("n"), 6).as("centroid"))
+        .orderBy("label", "pos")
     })
   )
 
@@ -283,6 +339,73 @@ object ExtQueries {
         |  CAST(doc_id % 5 + 1 AS INTEGER) AS height,
         |  CAST(255 AS INTEGER) AS maxval,
         |  CAST((doc_id % 8 + 1) * (doc_id % 5 + 1) * 3 AS INTEGER) AS n_pixel_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x5_sessionize" ->
+      """WITH s AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus
+        |  FROM s),
+        |q AS (SELECT *, sum(CASE WHEN pus IS NULL OR us - pus > 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+        |    AS session_seq FROM l)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events, min(t) AS start_ts, max(t) AS end_ts,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x6_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE WHEN lang = 'en' THEN '${Sample.threshold(0.05)}'
+         |       ELSE '${Sample.threshold(0.2)}' END
+         |ORDER BY doc_id""".stripMargin,
+
+    "x7_normalize_scrub" -> {
+      val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com via http://ex.example/' || CAST(doc_id AS VARCHAR) || ' ok'"
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         |    ' +', ' ', 'g')) AS normalized,
+         |  regexp_replace(regexp_replace($aug,
+         |    '${TextAnalysis.UrlPattern}', '<URL>', 'g'),
+         |    '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g') AS scrubbed
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "x8_vocab_topk" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS n FROM t
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "x9_components" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2),
+         |p AS (SELECT d1, d2 FROM j WHERE jac >= $JaccardThreshold),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION ALL SELECT d2 AS a, d1 AS b FROM p),
+         |nodes AS (SELECT DISTINCT a AS nd FROM e),
+         |r(nd, m) AS (SELECT nd, nd FROM nodes
+         |  UNION SELECT r.nd, e.b FROM r JOIN e ON r.m = e.a)
+         |SELECT nd AS doc_id, min(m) AS component FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x10_label_centroid" ->
+      """WITH e AS (SELECT label,
+        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings)
+        |SELECT label, i AS pos, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(q[i]) AS BIGINT) AS s,
+        |  round(CAST(sum(q[i]) AS DOUBLE) / count(*), 6) AS centroid
+        |FROM e, range(1, 65) t(i) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

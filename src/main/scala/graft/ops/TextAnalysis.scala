@@ -67,4 +67,30 @@ object TextAnalysis {
     docs.select(col(idCol),
       md5(col(textCol)).as("fp"),
       substring(md5(col(textCol)), 1, 16).as("fp16"))
+
+  // Conservative patterns valid in both Java regex (Spark) and RE2
+  // (DuckDB) so the oracle runs the identical expressions.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+
+  /** Canonical text normalization: lowercase, strip non-alphanumerics,
+    * collapse runs of spaces, trim — pure row-local string ops.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** PII/URL scrubbing: emails and URLs replaced with typed placeholder
+    * tokens (URLs first so mailto-ish text can't leak through partially).
+    */
+  def scrub(text: Column): Column =
+    regexp_replace(regexp_replace(text, UrlPattern, "<URL>"), EmailPattern, "<EMAIL>")
+
+  /** Corpus vocabulary: top-k tokens by frequency (count desc, token asc
+    * for determinism). One explode + one partial-aggregated count shuffle
+    * of (token, long) pairs; the top-k is a TakeOrdered, not a full sort.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.engine.Tables
+import org.apache.spark.sql.functions._
+
+/** X5-X10 behavioral invariants beyond the DuckDB oracle. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("sessionize: events are exhaustively partitioned into in-gap sessions") {
+    val ev = Tables.events(spark, sf)
+    val sess = Sessionize.sessions(ev, "user_id", "ts", "event_id", gapSecs = 1800)
+    // every event lands in exactly one session
+    assert(sess.agg(sum("n_events")).as[Long].head === ev.count())
+    // no session spans more than its events could allow; durations non-negative
+    assert(sess.filter($"duration_us" < 0).count() === 0)
+    // within a user, sessions are numbered 1..k densely
+    val bad = sess.groupBy("user_id")
+      .agg(max("session_seq").as("mx"), count(lit(1)).as("k"))
+      .filter($"mx" =!= $"k")
+    assert(bad.count() === 0)
+  }
+
+  test("sessionize: a gap strictly greater than gapSecs splits sessions") {
+    val df = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, 2L, java.sql.Timestamp.valueOf("2024-01-01 00:29:00")),
+      (1L, 3L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00")), // 31 min gap
+      (2L, 4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val s = Sessionize.sessions(df, "user_id", "ts", "event_id", gapSecs = 1800)
+      .orderBy("user_id", "session_seq")
+      .select("user_id", "session_seq", "n_events").as[(Long, Long, Long)].collect()
+    assert(s.toSeq === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("deterministic sample: stable across runs, fraction approximately honored") {
+    val docs = Tables.documents(spark, sf)
+    val a = Sample.uniform(docs, "doc_id", 0.2).select("doc_id").as[Long].collect().toSet
+    val b = Sample.uniform(docs, "doc_id", 0.2).select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    assert(math.abs(a.size - 100) < 40, s"got ${a.size} of 500 at f=0.2")
+    // seed changes the sample
+    val c = Sample.uniform(docs, "doc_id", 0.2, seed = "v2").select("doc_id").as[Long].collect().toSet
+    assert(c !== a)
+    // nested property: a smaller fraction is a subset of a larger one
+    val small = Sample.uniform(docs, "doc_id", 0.05).select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(a))
+  }
+
+  test("scrub replaces emails and urls; normalize is idempotent") {
+    val df = Seq(
+      (1L, "Write to bob.smith+x@corp.example.com or see https://a.example/b?q=1 now"),
+      (2L, "No pii here!")
+    ).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.scrub($"text").as("s"),
+        TextAnalysis.normalize($"text").as("n"))
+      .orderBy("id").as[(Long, String, String)].collect()
+    assert(out(0)._2 === "Write to <EMAIL> or see <URL> now")
+    assert(out(1)._3 === "no pii here")
+    // idempotence of normalize
+    val renorm = df.select(TextAnalysis.normalize(TextAnalysis.normalize($"text")).as("n2"),
+      TextAnalysis.normalize($"text").as("n1")).as[(String, String)].collect()
+    renorm.foreach { case (n2, n1) => assert(n2 === n1) }
+  }
+
+  test("connected components: labels equal min reachable id (vs brute force)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L))
+      .toDF("d1", "d2")
+    val got = Cluster.components(pairs).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("label centroids: centroid of a label matches a hand computation") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.select($"label", Similarity.quantize($"embedding").as("q"))
+      .filter($"label" === 0).as[(Int, Array[Int])].collect()
+    val n = q.length
+    val sum0 = q.map(_._2(0).toLong).sum
+    val row = graft.ops.ExtQueries.queries("x10_label_centroid")(spark, sf)
+      .filter($"label" === 0 && $"pos" === 1)
+      .select("n", "s").as[(Long, Long)].head()
+    assert(row === ((n.toLong, sum0)))
+  }
+}
