@@ -30,8 +30,10 @@ object Tables {
     // inputs while big inputs still fan out to every core.
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val bySize = (bytes / (128L * 1024)).min(BigInt(Int.MaxValue)).toInt
-    val target = math.max(4, math.min(bySize, spark.sparkContext.defaultParallelism))
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val target = math.min(bySize, spark.sparkContext.defaultParallelism)
+    // tiny frames (dimension tables) stay un-exchanged — they broadcast
+    if (target >= 2 && df.rdd.getNumPartitions < target) df.repartition(target)
+    else df
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
