@@ -161,6 +161,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // X11 salted two-phase aggregation (skew path): identical result to a
+    // plain GROUP BY — which is exactly what the oracle runs. Values are
+    // cast to decimal first so sums are order-exact.
+    "x11_salted_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v", col("value").cast("decimal(18,2)"))
+      Skew.saltedSum(ev, Seq("event_type"), "v", saltFactor = 8)
+        .orderBy("event_type")
+    }),
+
     // X10 per-label embedding centroids: exact integer sums over the
     // quantized vectors, position-exploded (one shuffle of (label, pos))
     "x10_label_centroid" -> ((s, dir) => {
@@ -398,6 +408,10 @@ object ExtQueries {
          |r(nd, m) AS (SELECT nd, nd FROM nodes
          |  UNION SELECT r.nd, e.b FROM r JOIN e ON r.m = e.a)
          |SELECT nd AS doc_id, min(m) AS component FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x11_salted_agg" ->
+      """SELECT event_type, sum(CAST(value AS DECIMAL(18,2))) AS sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x10_label_centroid" ->
       """WITH e AS (SELECT label,

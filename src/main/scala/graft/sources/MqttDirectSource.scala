@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.mqtt.MqttClient
+
+/** S1 alternate path — a DataSourceV2 streaming source that subscribes to
+  * a LIVE `tcp://` MQTT broker directly (no bridge, no log): the driver
+  * holds the QoS-0 subscription (exactly the reference's network
+  * position, `/root/reference/mqtt.go:69-126`), buffers deliveries, and
+  * each micro-batch drains a buffered slice to the executors.
+  *
+  * Delivery semantics are the REFERENCE'S OWN: QoS 0, at-most-once —
+  * a restart cannot replay what the wire never re-sends (same contract
+  * as Spark's built-in socket source, and why this source reports
+  * at-most-once rather than pretending otherwise). For durable,
+  * exactly-once ingestion, run [[MqttBridge]] into the broker log and
+  * read with `pump-mqtt` — the bridge is the production path; this
+  * source is the zero-infrastructure one.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("mqtt-direct")
+  *     .option("host", "127.0.0.1").option("port", "1883")
+  *     .option("topics", "pump/data/0,pump/data/1")
+  *     .load()
+  * }}}
+  * Schema matches `pump-mqtt`: topic string, payload binary,
+  * received_time timestamp (stamped on delivery, like the reference).
+  */
+class MqttDirectProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "mqtt-direct"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PumpMqttSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new MqttDirectTable(new CaseInsensitiveStringMap(properties))
+}
+
+class MqttDirectTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String =
+    s"mqtt-direct(${options.get("host")}:${options.get("port")})"
+  override def schema(): StructType = PumpMqttSource.Schema
+  override def capabilities(): util.Set[TableCapability] = {
+    val s = new util.HashSet[TableCapability]()
+    s.add(TableCapability.MICRO_BATCH_READ); s
+  }
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new MqttDirectScan(
+      options.getOrDefault("host", "127.0.0.1"),
+      options.getOrDefault("port", "1883").toInt,
+      PumpMqttSource.topicsOf(options))
+}
+
+class MqttDirectScan(host: String, port: Int, topics: Seq[String]) extends Scan {
+  override def readSchema(): StructType = PumpMqttSource.Schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MqttDirectMicroBatchStream(host, port, topics)
+}
+
+/** Count offset over the driver-side delivery buffer. */
+case class CountOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String])
+    extends MicroBatchStream {
+
+  // delivery buffer: (topic, payload, receivedTimeMicros), appended by the
+  // client's reader thread, sliced by micro-batches
+  private val buffer = new scala.collection.mutable.ArrayBuffer[(String, Array[Byte], Long)]()
+  private val client = new MqttClient(host, port,
+    s"graft-direct-${System.identityHashCode(this)}",
+    onMessage = (topic, payload) => buffer.synchronized {
+      buffer += ((topic, payload, System.currentTimeMillis() * 1000L))
+    })
+  client.subscribe(topics)
+
+  override def initialOffset(): Offset = CountOffset(0L)
+  override def latestOffset(): Offset =
+    CountOffset(buffer.synchronized(buffer.length.toLong))
+  override def deserializeOffset(json: String): Offset = CountOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[CountOffset].n, end.asInstanceOf[CountOffset].n)
+    val slice = buffer.synchronized(
+      buffer.slice(s.toInt, e.toInt).toArray)
+    // one partition per topic group — the reference's per-pipe shape (S2)
+    slice.groupBy(_._1).map { case (_, msgs) =>
+      MqttDirectPartition(msgs): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MqttDirectReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = client.close()
+}
+
+/** Rows ship inside the partition (driver-buffered source, like Spark's
+  * own socket source).
+  */
+case class MqttDirectPartition(msgs: Array[(String, Array[Byte], Long)])
+    extends InputPartition
+
+class MqttDirectReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MqttDirectPartition]
+    new PartitionReader[InternalRow] {
+      private val it = p.msgs.iterator
+      private var cur: (String, Array[Byte], Long) = _
+      override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
+      override def get(): InternalRow =
+        InternalRow(UTF8String.fromString(cur._1), cur._2, cur._3)
+      override def close(): Unit = ()
+    }
+  }
+}
