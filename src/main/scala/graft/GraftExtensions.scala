@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotLong, RandomId, Shingles}
+import graft.functions.{DotLong, MinHashSigs, RandomId, Shingles}
 
 /** SQL registration of the engine's native expressions.
   *
@@ -51,6 +51,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(ts, n) => Shingles(ts, intLit(n, "n"))
         case _ => throw new IllegalArgumentException("shingles(tokens, n)")
+      }),
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sh, n) => MinHashSigs(sh, intLit(n, "numSigs"))
+        case _ => throw new IllegalArgumentException("minhash_sigs(shingles, numSigs)")
       }))
 
   /** Imperative registration into a live session. */

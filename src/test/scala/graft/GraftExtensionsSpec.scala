@@ -19,10 +19,16 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     val sh = spark.sql("SELECT shingles(array('a','b','c'), 2) AS s")
       .collect().head.getSeq[String](0)
     assert(sh === Seq("a b", "b c"))
+    // minhash_sigs agrees with the declarative lane formula
+    val sig0 = spark.sql("SELECT minhash_sigs(array('a b c'), 16)[0] AS s0")
+      .collect().head.getString(0)
+    val expected = spark.sql("SELECT substring(md5('0|a b c'), 1, 8) AS e")
+      .collect().head.getString(0)
+    assert(sig0 === expected)
   }
 
   test("extensions hook injects the same function set") {
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ===
-      Seq("dot_long", "random_id", "shingles"))
+      Seq("dot_long", "minhash_sigs", "random_id", "shingles"))
   }
 }
