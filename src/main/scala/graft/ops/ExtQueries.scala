@@ -171,6 +171,20 @@ object ExtQueries {
         .orderBy("event_type")
     }),
 
+    // X12 per-stratum length quantiles — exact interpolated percentile,
+    // the oracle-checkable twin of the approx_percentile/t-digest sketch
+    // you would run at 100 TB (same column contract, bounded memory)
+    "x12_quantiles" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          round(expr("percentile(n_chars, 0.25)"), 6).as("p25"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.75)"), 6).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
     // X10 per-label embedding centroids: exact integer sums over the
     // quantized vectors, position-exploded (one shuffle of (label, pos))
     "x10_label_centroid" -> ((s, dir) => {
@@ -412,6 +426,14 @@ object ExtQueries {
     "x11_salted_agg" ->
       """SELECT event_type, sum(CAST(value AS DECIMAL(18,2))) AS sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x12_quantiles" ->
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x10_label_centroid" ->
       """WITH e AS (SELECT label,

@@ -37,6 +37,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s.toSeq === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("sessionize agrees with Spark's built-in session_window on bounds and counts") {
+    val ev = Tables.events(spark, sf)
+    val ours = Sessionize.sessions(ev, "user_id", "ts", "event_id", gapSecs = 1800)
+      .select($"user_id", $"start_ts", $"end_ts", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    val builtin = ev.groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min($"ts").as("start_ts"), max($"ts").as("end_ts"))
+      .select($"user_id", $"start_ts", $"end_ts", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(ours === builtin)
+  }
+
   test("deterministic sample: stable across runs, fraction approximately honored") {
     val docs = Tables.documents(spark, sf)
     val a = Sample.uniform(docs, "doc_id", 0.2).select("doc_id").as[Long].collect().toSet
