@@ -28,6 +28,10 @@ object Bench {
     // time — first execution includes one-off plan codegen + JIT
     // compilation that a long-running service pays once, not per query.
     // The cold (first-run) total is reported alongside for transparency.
+    // Warm re-runs stop once the wall budget is spent so large SFs still
+    // finish inside an external timeout (cold timing is then reported).
+    val wallBudgetNanos = 240e9
+    val benchStart = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -38,7 +42,8 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()
-      val warm = once()
+      val warm =
+        if (System.nanoTime() - benchStart < wallBudgetNanos) once() else cold
       (name, math.min(cold, warm), cold)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
