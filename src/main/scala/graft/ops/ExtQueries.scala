@@ -171,6 +171,27 @@ object ExtQueries {
         .orderBy("event_type")
     }),
 
+    // X13 decontamination: docs sharing any 8-token shingle with a
+    // (deterministically sampled) eval set are contamination suspects —
+    // the standard benchmark-overlap check in training pipelines. Shape:
+    // the eval shingle table is small by construction (sampled) and
+    // BROADCASTs against the corpus shingle stream; per-doc match counts
+    // aggregate with map-side combine. At 100 TB the eval side is a real
+    // benchmark suite — still tiny, still broadcast.
+    "x13_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingleTable(docs, "doc_id", "text", n = 8)
+      val evalSh = Dedup.shingleTable(
+        Sample.uniform(docs, "doc_id", 0.1, seed = "eval"), "doc_id", "text", n = 8)
+        .withColumnRenamed("doc_id", "eval_id")
+        .withColumnRenamed("s", "es")
+      sh.join(broadcast(evalSh), col("s") === col("es"))
+        .filter(col("doc_id") =!= col("eval_id"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("eval_id")).as("n_eval_matches"))
+        .orderBy("doc_id")
+    }),
+
     // X12 per-stratum length quantiles — exact interpolated percentile,
     // the oracle-checkable twin of the approx_percentile/t-digest sketch
     // you would run at 100 TB (same column contract, bounded memory)
@@ -426,6 +447,20 @@ object ExtQueries {
     "x11_salted_agg" ->
       """SELECT event_type, sum(CAST(value AS DECIMAL(18,2))) AS sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x13_contamination" -> {
+      val gram8 = (0 until 8).map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |sh8 AS (SELECT DISTINCT doc_id,
+         |  unnest(list_transform(generate_series(1, len(ts) - 7), i -> $gram8)) AS s
+         |  FROM t),
+         |ev AS (SELECT doc_id AS eval_id, s AS es FROM sh8
+         |  WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'eval'), 1, 8)
+         |    < '${Sample.threshold(0.1)}')
+         |SELECT doc_id, CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_matches
+         |FROM sh8 JOIN ev ON s = es AND doc_id != eval_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "x12_quantiles" ->
       """SELECT lang,
