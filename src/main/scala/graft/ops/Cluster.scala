@@ -8,19 +8,21 @@ import org.apache.spark.sql.functions._
   * the smallest doc id reachable through dup edges — the step that turns
   * pairwise near-dup hits into "keep one per cluster" decisions.
   *
-  * Algorithm: min-label propagation (the same fixpoint GraphX/GraphFrames
-  * connected components runs): every node starts labeled with itself;
-  * each round a node adopts the minimum label among itself and its
-  * neighbors; stop when a round changes nothing. Rounds = graph diameter,
-  * and near-dup clusters are shallow (pairs from banding are dense), so
-  * 2-4 rounds typically converge. Each round is one join + one aggregate
+  * Algorithm: min-label propagation with POINTER JUMPING (the
+  * large-star/small-star trick GraphX-style CC uses): every node starts
+  * labeled with itself; each round a node adopts the minimum label among
+  * itself and its neighbors, then labels hop once through themselves
+  * (label := label(label)), which doubles the propagation distance per
+  * round — convergence in O(log diameter) rounds rather than
+  * O(diameter), so even a path graph of 2^maxIters nodes converges.
+  * Stop when a round changes nothing. Each round is joins + aggregates
   * on the EDGE list only — the corpus itself is never touched, so the
   * cost scales with duplicate density, not data size. `localCheckpoint`
   * cuts the iterative lineage so plans stay flat.
   */
 object Cluster {
 
-  def components(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // undirected: propagate both ways
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
@@ -34,9 +36,14 @@ object Cluster {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("cand"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val viaNbr = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+      // pointer jump: label := min(label, label(label))
+      val hop = viaNbr.select(col("id").as("label"), col("label").as("ll"))
+      val next = viaNbr.join(hop, Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") < col("old")).count()

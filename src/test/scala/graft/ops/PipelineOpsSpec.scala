@@ -88,6 +88,15 @@ class PipelineOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components: a deep path graph converges (pointer jumping)") {
+    // 60-node chain: plain min-propagation needs 59 rounds; pointer
+    // jumping converges inside the default iteration budget
+    val chain = (0 until 59).map(i => (i.toLong + 100, i.toLong + 101)).toDF("d1", "d2")
+    val got = Cluster.components(chain).orderBy("id").as[(Long, Long)].collect()
+    assert(got.length === 60)
+    assert(got.forall(_._2 === 100L), got.filter(_._2 != 100L).take(5).mkString(","))
+  }
+
   test("label centroids: centroid of a label matches a hand computation") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.select($"label", Similarity.quantize($"embedding").as("q"))
