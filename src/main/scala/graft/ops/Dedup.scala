@@ -44,6 +44,16 @@ object Dedup {
     docs.select(col(idCol),
       explode(array_distinct(shingles(tokens(col(textCol)), n))).as("s"))
 
+  /** Per-doc distinct-shingle counts, computed ROW-LOCALLY from the doc —
+    * the groupBy-count over the exploded table gives the same numbers at
+    * the price of a full shuffle; this is a scan-side projection.
+    */
+  def shingleCounts(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      size(array_distinct(shingles(tokens(col(textCol)), n))).cast("long").as("n"))
+      .filter(col("n") > 0)
+
   /** Exact dedup: group rows by a digest of the dedup key, keep the
     * minimum id as the canonical representative. `dropDuplicates` without
     * the arbitrary-winner nondeterminism.
@@ -56,6 +66,19 @@ object Dedup {
     * path). `inter` shuffles on the shingle value; doc-pair aggregation is
     * the second shuffle.
     */
+  /** Exact Jaccard pairs with caller-supplied per-doc sizes (use
+    * [[shingleCounts]] when sizes can come row-locally off the docs —
+    * saves the groupBy shuffle this variant's sibling pays).
+    */
+  def jaccardPairs(sh: DataFrame, sizes: DataFrame, idCol: String,
+                   threshold: Double): DataFrame = {
+    val inter = sh.as("a").hint("shuffle_hash").join(sh.as("b"),
+        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    withJaccard(inter, sizes, idCol, threshold)
+  }
+
   def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
     // sh feeds the size aggregate AND both self-join sides. It is NOT
     // persisted: since array_distinct made the pipeline shuffle-free,
@@ -156,7 +179,8 @@ object Dedup {
     val sh = shingleTable(docs, idCol, textCol)
     val cands = lshCandidates(docSignatures(docs, idCol, textCol, numSigs),
       idCol, numSigs, rowsPerBand)
-    val n = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    // sizes row-locally off the docs — no groupBy over the exploded table
+    val n = shingleCounts(docs, idCol, textCol)
     // LSH's whole point is that surviving candidates are FEW — broadcast
     // the candidate (then candidate-x-shingle) side so the big shingle
     // table is never shuffled for verification. At band-collision-storm

@@ -27,10 +27,13 @@ object ExtQueries {
         .orderBy("keep_id")
     }),
 
-    // X1 n-gram (3-shingle) Jaccard near-dup pairs — the exact verifier
+    // X1 n-gram (3-shingle) Jaccard near-dup pairs — the exact verifier;
+    // per-doc sizes come row-locally off the docs (no groupBy shuffle)
     "x1_jaccard_pairs" -> ((s, dir) => {
-      val sh = Dedup.shingleTable(Tables.documents(s, dir), "doc_id", "text")
-      Dedup.jaccardPairs(sh, "doc_id", JaccardThreshold).orderBy("d1", "d2")
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingleTable(docs, "doc_id", "text")
+      Dedup.jaccardPairs(sh, Dedup.shingleCounts(docs, "doc_id", "text"),
+        "doc_id", JaccardThreshold).orderBy("d1", "d2")
     }),
 
     // X1 MinHash+LSH near-dup — the scale path, verified exactly
