@@ -64,12 +64,13 @@ object Pump {
       // Repartition on the partition key before a partitionBy write:
       // without it every task opens a file per date it touches (tasks x
       // dates tiny files — the classic partitioned-write mistake at
-      // scale). A small mid-derived salt caps per-date skew at 4 writers.
+      // scale). A small mid-derived salt caps per-date skew at 2 writers
+      // (salt trades writer parallelism against file count per date).
       Adapter.rawProjection(withMid,
           mid = col("mid"), topic = col("topic"), payload = col("payload"),
           receivedTime = col("received_time"))
         .withColumn("batch_id", lit(batchId))
-        .repartition(col("collect_date"), pmod(crc32(col("mid")), lit(4)))
+        .repartition(col("collect_date"), pmod(crc32(col("mid")), lit(2)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("collect_date", "batch_id").parquet(sinks.rawPath)
@@ -85,7 +86,7 @@ object Pump {
         adapted
           .withColumn("collect_date", to_date(col("collect_datetime")))
           .withColumn("batch_id", lit(batchId))
-          .repartition(col("collect_date"), pmod(crc32(col("mid")), lit(4)))
+          .repartition(col("collect_date"), pmod(crc32(col("mid")), lit(2)))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("collect_date", "batch_id").parquet(sinks.adapterPath)
