@@ -94,6 +94,51 @@ object Pump {
     } finally withMid.unpersist()
   }
 
+  /** The promised compaction: fold a sink's per-batch directories into
+    * consolidated per-date files. Streaming ingest accumulates one
+    * `batch_id=N` directory per micro-batch (the idempotence unit);
+    * once those batches are final — i.e. the stream has committed past
+    * them — the batch_id level is bookkeeping with no further value, and
+    * thousands of small files per date degrade every downstream scan.
+    *
+    * Dates to compact are listed driver-side (partition directory names,
+    * not data); each date's rows are rewritten in `filesPerDate` files
+    * via a single overwrite of that date partition. Run it for CLOSED
+    * dates only (e.g. yesterday and older) from a maintenance schedule;
+    * a replay of an already-compacted batch would re-append its
+    * partition, which is why closed dates are the contract.
+    *
+    * @return number of date partitions compacted
+    */
+  def compact(spark: SparkSession, sinkPath: String,
+              isClosed: String => Boolean = _ => true,
+              filesPerDate: Int = 1): Int = {
+    val root = new java.io.File(sinkPath)
+    val dates = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("collect_date="))
+      .map(_.getName.stripPrefix("collect_date="))
+      .filter(isClosed)
+      .sorted
+    dates.foreach { d =>
+      val part = s"$sinkPath/collect_date=$d"
+      val rows = spark.read.parquet(part) // batch_id=* dirs under one date
+        .drop("batch_id")
+      val tmp = s"$sinkPath/.compact_tmp_collect_date=$d"
+      rows.repartition(filesPerDate).write.mode("overwrite").parquet(tmp)
+      // atomic-enough swap on a filesystem with cheap rename; object
+      // stores would commit via their own atomic-rename layer
+      val dst = new java.io.File(part)
+      val bak = new java.io.File(s"$sinkPath/.compact_old_collect_date=$d")
+      require(dst.renameTo(bak), s"rename away $part failed")
+      require(new java.io.File(tmp).renameTo(dst), s"rename in $tmp failed")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(bak)
+    }
+    dates.length
+  }
+
   /** Start the pump: source stream -> mid -> dual-sink foreachBatch with
     * the reference's 5 s commit interval (K3, `data_dbstore.go:19`).
     */

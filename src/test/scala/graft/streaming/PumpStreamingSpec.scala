@@ -96,6 +96,39 @@ class PumpStreamingSpec extends SparkSpec {
       .where(col("batch_id") === 0).count() === 6)
   }
 
+  test("compaction folds per-batch dirs into per-date files, rows intact") {
+    import graft.engine.{JsonInference, PumpQueries}
+    import org.apache.spark.sql.functions._
+    val inf = JsonInference.inferFromSample(PumpQueries.payloadSample)
+    val out = tmpDir("pump-compact")
+    val sinks = Pump.Sinks(s"$out/raw", s"$out/adapter", s"$out/ckpt")
+    def batchOf(n: Int, tsBase: Long) = {
+      import spark.implicits._
+      (0 until n).map(i => ("pump/data/0",
+          s"""{"r1": {"k": $i}, "r2": {"nested": {"k": $i}}}""".getBytes("UTF-8"),
+          new java.sql.Timestamp(tsBase + i * 1000L)))
+        .toDF("topic", "payload", "received_time")
+    }
+    val write = Pump.writeBatch(PumpConfig(jsonSample = PumpQueries.payloadSample), inf, sinks) _
+    // 3 micro-batches on the same date
+    (0 until 3).foreach(b => write(batchOf(5, 1704067200000L + b * 60000L), b.toLong))
+    val before = spark.read.parquet(sinks.rawPath)
+      .select("mid", "topic", "collect_datetime").collect().toSet
+    def files(p: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = files(sinks.rawPath).size
+    assert(Pump.compact(spark, sinks.rawPath) === 1) // one date partition
+    val after = spark.read.parquet(sinks.rawPath)
+    assert(after.select("mid", "topic", "collect_datetime").collect().toSet === before)
+    assert(after.columns.toSet === Set("mid", "topic", "payload",
+      "collect_datetime", "collect_date")) // batch_id level folded away
+    assert(files(sinks.rawPath).size < filesBefore)
+  }
+
   test("size-cap admission control splits batches but delivers everything (K3)") {
     val brokerName = "pump-sizecap"
     publishGolden(brokerName, 30)
