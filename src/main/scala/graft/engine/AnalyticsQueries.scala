@@ -38,7 +38,12 @@ object AnalyticsQueries {
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+        // result type pinned explicitly: engines infer different SUM
+        // decimal widths (Spark decimal(38,4) vs DuckDB DECIMAL(38,4) only
+        // by accident of input width) — never leave it to inference in an
+        // oracle-gated query
+        .agg(sum(revenue).cast("decimal(38,4)").as("revenue"),
+          count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
 
@@ -62,7 +67,7 @@ object AnalyticsQueries {
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(sum(revenue).as("revenue"))
+        .agg(sum(revenue).cast("decimal(38,4)").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
     })
@@ -73,7 +78,7 @@ object AnalyticsQueries {
 
   def oracle: Map[String, String] = Map(
     "c1_revenue_by_nation" ->
-      s"""SELECT n_name, sum($RevenueSql) AS revenue,
+      s"""SELECT n_name, CAST(sum($RevenueSql) AS DECIMAL(38,4)) AS revenue,
          |  CAST(count(*) AS BIGINT) AS n_items
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
@@ -89,7 +94,7 @@ object AnalyticsQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "c3_top_customers" ->
-      s"""SELECT c_custkey, c_name, sum($RevenueSql) AS revenue
+      s"""SELECT c_custkey, c_name, CAST(sum($RevenueSql) AS DECIMAL(38,4)) AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey

@@ -166,11 +166,13 @@ object ExtQueries {
 
     // X11 salted two-phase aggregation (skew path): identical result to a
     // plain GROUP BY — which is exactly what the oracle runs. Values are
-    // cast to decimal first so sums are order-exact.
+    // cast to decimal first so sums are order-exact, and the final SUM
+    // type is pinned (engines infer different decimal widths for SUM).
     "x11_salted_agg" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .withColumn("v", col("value").cast("decimal(18,2)"))
       Skew.saltedSum(ev, Seq("event_type"), "v", saltFactor = 8)
+        .withColumn("sum", col("sum").cast("decimal(38,2)"))
         .orderBy("event_type")
     }),
 
@@ -215,7 +217,7 @@ object ExtQueries {
       Tables.embeddings(s, dir)
         .select(col("label"),
           posexplode(Similarity.quantize(col("embedding"))).as(Seq("pos0", "v")))
-        .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+        .groupBy(col("label"), (col("pos0") + 1).cast("bigint").as("pos"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
         .select(col("label"), col("pos"), col("n"), col("s"),
           round(col("s").cast("double") / col("n"), 6).as("centroid"))
@@ -448,7 +450,8 @@ object ExtQueries {
          |SELECT nd AS doc_id, min(m) AS component FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x11_salted_agg" ->
-      """SELECT event_type, sum(CAST(value AS DECIMAL(18,2))) AS sum
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x13_contamination" -> {

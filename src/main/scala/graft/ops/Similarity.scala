@@ -80,6 +80,15 @@ object Similarity {
       when(element_at(vec, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Quantized centroids of the most recently trained IVF coarse
+    * quantizer. Kept so the oracle SQL can inline them as literals:
+    * `graft.Verify` runs every query first and dumps `oracleSql`
+    * afterwards in the same JVM, so by dump time the centroids trained on
+    * the driver's own sfDir are available (they are data-dependent and
+    * cannot be baked in statically).
+    */
+  @volatile private[graft] var lastIvfCentroids: Option[Array[Array[Int]]] = None
+
   /** IVF-style ANN: a KMeans coarse quantizer (nlist centroids, fixed
     * seed) partitions the corpus into inverted lists; each query probes
     * its `nprobe` nearest centroids and scores only those lists.
@@ -93,8 +102,13 @@ object Similarity {
     * row-local (array_sort + slice, no window shuffle); the candidate
     * join is an equi-join on list id — corpus rows shuffle at most once,
     * and only nprobe/nlist-ish of the corpus is scored per query.
-    * Results are approximate (ScalaTest asserts recall vs brute force;
-    * no SQL oracle — KMeans is not expressible in the oracle engine).
+    *
+    * List ASSIGNMENT is integer-exact: centroids are quantized with the
+    * same floor(x*1000) rule as the vectors and the squared distance is
+    * computed as `n2 - 2*dot(q, qc) + |qc|^2` — all integer arithmetic,
+    * so the argmin (ties broken by list id) is bit-identical in any
+    * engine. That makes the whole IVF path oracle-checkable even though
+    * it is approximate w.r.t. brute force (recall asserted in ScalaTest).
     */
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
@@ -103,30 +117,35 @@ object Similarity {
       .limit(trainSample).collect()
       .map(_.getSeq[Double](0).toArray)
     val centroids = localKMeans(train, nlist, iters = 10, seed = 42L)
+    val qCents = centroids.map(_.map(x => math.floor(x * 1000).toInt))
+    lastIvfCentroids = Some(qCents)
 
-    // per-row struct(dist, list_id) against each broadcast centroid
-    def distStructs(vec: Column): Column = array(centroids.zipWithIndex.map {
-      case (c, i) =>
+    // per-row struct(dist, list_id) against each quantized centroid
+    // literal; dist is the exact integer |q - qc|^2 (expanded form — the
+    // n2/|qc|^2 terms are precomputed, dot is the native DotLong loop)
+    def distStructs(q: Column, n2: Column): Column =
+      array(qCents.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(v => v.toLong * v).sum
         struct(
-          aggregate(zip_with(transform(vec, _.cast("double")), typedLit(c.toSeq),
-            (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("dist"),
+          (n2 - lit(2L) * dot(q, typedLit(c.toSeq)) + lit(c2)).as("dist"),
           lit(i).as("list_id"))
-    }: _*)
+      }: _*)
 
-    // corpus side: attach inverted-list id once (row-local argmin)
-    val corpus = emb
-      .select(col(idCol), quantize(col(vecCol)).as("q"),
-        array_min(distStructs(col(vecCol))).getField("list_id").as("list_id"))
-      .withColumn("n2", sqNorm(col("q")))
+    // corpus side: attach inverted-list id once (row-local argmin;
+    // array_min on struct(dist, list_id) breaks ties by list id)
+    val corpus = prepared(emb, idCol, vecCol)
+      .withColumn("list_id",
+        array_min(distStructs(col("q"), col("n2"))).getField("list_id"))
 
     // query side: nprobe nearest centroids, row-local (sorted by
     // (dist, list_id), same ordering the old window form used)
-    val qs = queries.select(col(idCol).as("qid"), col(vecCol))
-      .withColumn("qq", quantize(col(vecCol)))
-      .withColumn("qn2", sqNorm(col("qq")))
+    val qs = prepared(queries, idCol, vecCol)
+      .withColumnRenamed(idCol, "qid").withColumnRenamed("q", "qq")
+      .withColumnRenamed("n2", "qn2")
     val probes = qs
       .select(col("qid"), col("qq"), col("qn2"),
-        explode(slice(array_sort(distStructs(col(vecCol))), 1, nprobe)).as("probe"))
+        explode(slice(array_sort(distStructs(col("qq"), col("qn2"))), 1, nprobe))
+          .as("probe"))
       .select(col("qid"), col("qq"), col("qn2"), col("probe.list_id").as("list_id"))
 
     val scored = corpus.join(broadcast(probes), Seq("list_id"))

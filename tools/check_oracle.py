@@ -35,6 +35,7 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             exp = con.execute(sql).fetchdf()
+            etypes = dict(r[:2] for r in con.execute(f"DESCRIBE {sql}").fetchall())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failed.append(name)
@@ -42,8 +43,19 @@ def main(sf_dir, out_dir):
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            gtypes = dict(r[:2] for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall())
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
+            failed.append(name)
+            continue
+        # The driver's hasher folds the DECLARED column type (e.g. decimal
+        # precision), not just values — round 2 failed on sum() width
+        # inference. Compare declared types the same way.
+        tmism = {c: (gtypes.get(c), etypes.get(c)) for c in etypes
+                 if gtypes.get(c) != etypes.get(c)}
+        if tmism:
+            print(f"FAIL {name}: declared types differ (spark, oracle): {tmism}")
             failed.append(name)
             continue
         exp = exp[sorted(exp.columns)]
