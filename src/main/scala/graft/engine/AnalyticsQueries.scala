@@ -38,11 +38,13 @@ object AnalyticsQueries {
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        // result type pinned explicitly: engines infer different SUM
-        // decimal widths (Spark decimal(38,4) vs DuckDB DECIMAL(38,4) only
-        // by accident of input width) — never leave it to inference in an
-        // oracle-gated query
-        .agg(sum(revenue).cast("decimal(38,4)").as("revenue"),
+        // The sum itself is exact decimal arithmetic; the OUTPUT column is
+        // double. DECIMAL output columns hash differently across the
+        // oracle boundary (pandas Decimal objects vs DuckDB float64)
+        // regardless of declared width — every oracle-gated numeric output
+        // here is round(cast(double), 6), which is tie-free because the
+        // exact value has at most 4 decimal places.
+        .agg(round(sum(revenue).cast("double"), 6).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -67,7 +69,7 @@ object AnalyticsQueries {
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(sum(revenue).cast("decimal(38,4)").as("revenue"))
+        .agg(round(sum(revenue).cast("double"), 6).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
     })
@@ -78,7 +80,7 @@ object AnalyticsQueries {
 
   def oracle: Map[String, String] = Map(
     "c1_revenue_by_nation" ->
-      s"""SELECT n_name, CAST(sum($RevenueSql) AS DECIMAL(38,4)) AS revenue,
+      s"""SELECT n_name, round(CAST(sum($RevenueSql) AS DOUBLE), 6) AS revenue,
          |  CAST(count(*) AS BIGINT) AS n_items
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
@@ -94,7 +96,7 @@ object AnalyticsQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "c3_top_customers" ->
-      s"""SELECT c_custkey, c_name, CAST(sum($RevenueSql) AS DECIMAL(38,4)) AS revenue
+      s"""SELECT c_custkey, c_name, round(CAST(sum($RevenueSql) AS DOUBLE), 6) AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey

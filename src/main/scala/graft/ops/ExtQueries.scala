@@ -72,8 +72,9 @@ object ExtQueries {
         .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")
     }),
 
-    // X2 IVF ANN (KMeans coarse quantizer; approximate — no SQL oracle,
-    // driver records rows-only; recall asserted in OpsSpec)
+    // X2 IVF ANN (KMeans coarse quantizer; approximate w.r.t. brute force
+    // but integer-exact per se, so fully oracle-checked — the trained
+    // centroids are inlined into the SQL as literals, see [[ivfOracle]])
     "x2_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < NumQueries),
@@ -166,13 +167,15 @@ object ExtQueries {
 
     // X11 salted two-phase aggregation (skew path): identical result to a
     // plain GROUP BY — which is exactly what the oracle runs. Values are
-    // cast to decimal first so sums are order-exact, and the final SUM
-    // type is pinned (engines infer different decimal widths for SUM).
+    // cast to decimal first so sums are order-exact; the OUTPUT column is
+    // double (round 6) because decimal-typed outputs hash differently
+    // across the oracle boundary regardless of declared width, and the
+    // exact value has only 2 decimal places so the rounding is tie-free.
     "x11_salted_agg" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .withColumn("v", col("value").cast("decimal(18,2)"))
       Skew.saltedSum(ev, Seq("event_type"), "v", saltFactor = 8)
-        .withColumn("sum", col("sum").cast("decimal(38,2)"))
+        .withColumn("sum", round(col("sum").cast("double"), 6))
         .orderBy("event_type")
     }),
 
@@ -261,7 +264,52 @@ object ExtQueries {
     (0 until bits).map(j => s"(CASE WHEN $col[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
 
-  def oracle: Map[String, String] = Map(
+  /** IVF oracle, rendered from the trained coarse quantizer. The centroids
+    * are data-dependent (seed-42 k-means on the corpus sample), so the SQL
+    * can only be generated after [[Similarity.ivfTopK]] has run — which is
+    * guaranteed by graft.Verify's run-queries-then-dump-oracle order. The
+    * whole path is integer-exact (see Similarity.ivfTopK doc), so DuckDB
+    * reproduces list assignment, probe selection, and scores bit-for-bit.
+    * Centroid elements are emitted as DOUBLE literals (integer-valued, so
+    * exact) to match DuckDB's floor()-is-DOUBLE quantized vectors.
+    */
+  private def ivfOracle: Map[String, String] =
+    Similarity.lastIvfCentroids.map { cents =>
+      val rows = cents.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(v => v.toLong * v).sum
+        s"($i, ${c.map(v => s"$v.0").mkString("[", ", ", "]")}, $c2.0)"
+      }.mkString(",\n  ")
+      "x2_ann_ivf" ->
+        s"""WITH cent(list_id, cv, c2) AS (VALUES
+           |  $rows),
+           |e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+           |ad AS (SELECT n.vec_id, cent.list_id,
+           |  n.n2 - 2 * list_dot_product(n.q, cent.cv) + cent.c2 AS dist
+           |  FROM n CROSS JOIN cent),
+           |corpus AS (SELECT vec_id, list_id FROM (
+           |  SELECT vec_id, list_id,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+           |  FROM ad) WHERE rn = 1),
+           |probes AS (SELECT vec_id AS qid, list_id FROM (
+           |  SELECT vec_id, list_id,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+           |  FROM ad WHERE vec_id < $NumQueries) WHERE rn <= 4),
+           |scored AS (SELECT p.qid, c.vec_id AS cid,
+           |  round(list_dot_product(qn.q, cn.q) / (sqrt(qn.n2) * sqrt(cn.n2)), 6) AS sim
+           |  FROM probes p JOIN corpus c ON c.list_id = p.list_id AND c.vec_id != p.qid
+           |  JOIN n qn ON qn.vec_id = p.qid
+           |  JOIN n cn ON cn.vec_id = c.vec_id),
+           |ranked AS (SELECT qid, cid, sim,
+           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+           |  FROM scored)
+           |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= $TopK
+           |ORDER BY qid, rank""".stripMargin
+    }.toMap
+
+  def oracle: Map[String, String] = ivfOracle ++ Map(
     "x1_exact_dedup" ->
       """SELECT md5(props) AS digest, min(event_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dups
@@ -451,7 +499,7 @@ object ExtQueries {
 
     "x11_salted_agg" ->
       """SELECT event_type,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x13_contamination" -> {
