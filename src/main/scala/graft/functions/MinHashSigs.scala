@@ -35,11 +35,18 @@ case class MinHashSigs(child: Expression, numSigs: Int)
 
   private val numSeeds = (numSigs + 3) / 4
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // MessageDigest is stateful and NOT thread-safe; one expression instance
+  // can be evaluated from several threads (reused plan fragments,
+  // driver-side eval), so the digest lives in a ThreadLocal — same
+  // discipline as Spark's own hash expressions.
+  @transient private lazy val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
   @transient private lazy val seedPrefixes: Array[Array[Byte]] =
     (0 until numSeeds).map(g => s"$g|".getBytes("UTF-8")).toArray
 
   override protected def nullSafeEval(v: Any): Any = {
+    val md = this.md.get()
     val arr = v.asInstanceOf[ArrayData]
     val len = arr.numElements()
     if (len == 0) return null // no shingles -> no signature (doc too short)

@@ -97,14 +97,16 @@ object Dedup {
   }
 
   /** Attach jaccard = i / (n1 + n2 - i) to candidate pairs and filter.
-    * The per-doc size table is tiny (one long per doc) — broadcast both
-    * lookups so the pair stream never shuffles.
+    * The per-doc size table is one long per DOCUMENT — it grows linearly
+    * with the corpus, so the join strategy is left to AQE: small corpora
+    * get runtime broadcast, 100 TB corpora fall back to a shuffle join
+    * instead of forcing a corpus-sized broadcast build.
     */
   def withJaccard(pairs: DataFrame, sizes: DataFrame, idCol: String,
                   threshold: Double): DataFrame = {
     val n1 = sizes.withColumnRenamed(idCol, "d1").withColumnRenamed("n", "n1")
     val n2 = sizes.withColumnRenamed(idCol, "d2").withColumnRenamed("n", "n2")
-    pairs.join(broadcast(n1), "d1").join(broadcast(n2), "d2")
+    pairs.join(n1, "d1").join(n2, "d2")
       .withColumn("jac", round(col("i").cast("double") /
         (col("n1") + col("n2") - col("i")), 6))
       .filter(col("jac") >= threshold)
@@ -151,8 +153,20 @@ object Dedup {
   /** LSH banding: rows/band contiguous signatures hash to a band key;
     * docs sharing any (band_id, key) are candidates. Quadratic work is
     * confined to individual buckets.
+    *
+    * `maxBucket` is the boilerplate-storm guard: a band key shared by B
+    * documents yields B*(B-1)/2 candidate pairs, so one template shared
+    * by a million docs is half a trillion pairs out of a single bucket.
+    * Buckets larger than the cap are document-frequency-capped the same
+    * way [[Skew.capDocumentFrequency]] treats stopword shingles: dropped
+    * whole (their members are near-identical boilerplate that exact
+    * dedup/fingerprinting already catches; genuinely similar pairs still
+    * collide in their other numBands-1 bands). The cap costs one extra
+    * aggregation over (band_id, key) and keeps the bucket self-join's
+    * per-bucket work bounded by cap^2.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String, numSigs: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, idCol: String, numSigs: Int, rowsPerBand: Int,
+                    maxBucket: Option[Int] = None): DataFrame = {
     val numBands = numSigs / rowsPerBand
     val bands = array((0 until numBands).map { b =>
       struct(lit(b).as("band_id"),
@@ -161,7 +175,15 @@ object Dedup {
     }: _*)
     val exploded = sigs.select(col(idCol), explode(bands).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.key"))
-    exploded.as("a").join(exploded.as("b"),
+    val capped = maxBucket match {
+      case Some(cap) =>
+        val hot = exploded.groupBy(col("band_id"), col("key"))
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") > cap)
+          .select(col("band_id"), col("key"))
+        exploded.join(hot, Seq("band_id", "key"), "left_anti")
+      case None => exploded
+    }
+    capped.as("a").join(capped.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
@@ -173,22 +195,24 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numSigs: Int = 16, rowsPerBand: Int = 4,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      maxBucket: Option[Int] = None): DataFrame = {
     // shuffle-free and therefore cheaper to recompute per consumer than
     // to materialize (see jaccardPairs note)
     val sh = shingleTable(docs, idCol, textCol)
     val cands = lshCandidates(docSignatures(docs, idCol, textCol, numSigs),
-      idCol, numSigs, rowsPerBand)
+      idCol, numSigs, rowsPerBand, maxBucket)
     // sizes row-locally off the docs — no groupBy over the exploded table
     val n = shingleCounts(docs, idCol, textCol)
-    // LSH's whole point is that surviving candidates are FEW — broadcast
-    // the candidate (then candidate-x-shingle) side so the big shingle
-    // table is never shuffled for verification. At band-collision-storm
-    // scale, drop the hints and let AQE pick shuffle-hash instead.
+    // LSH's whole point is that surviving candidates are FEW, so AQE's
+    // runtime statistics pick a broadcast for the candidate (then
+    // candidate-x-shingle) side when that holds — and degrade to a
+    // shuffle join in a band-collision storm instead of OOMing a forced
+    // broadcast build. No manual hints: the storm case must not require
+    // an operator intervention (that is maxBucket's job, above).
     val inter = sh.as("sa")
-      .join(broadcast(cands), col("d1") === col(s"sa.$idCol"))
+      .join(cands, col("d1") === col(s"sa.$idCol"))
       .select(col("d1"), col("d2"), col("sa.s").as("s1"))
-      .hint("broadcast")
       .join(sh.as("sb"),
         col("d2") === col(s"sb.$idCol") && col("s1") === col("sb.s"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
@@ -228,13 +252,33 @@ object Dedup {
     * 100 TB feed it LSH/sign buckets ([[Similarity.signBucket]]) instead
     * of the whole corpus.
     */
+  /** @param maxBlockRows hard cap on the collected block: this function
+    *   IS the per-block kernel, and the driver holding more than ~a
+    *   million quantized vectors means the caller forgot to bucket.
+    *   Failing loudly here beats an opaque driver OOM three stages later.
+    */
   def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double): DataFrame = {
+                        threshold: Double, maxBlockRows: Int = 1 << 20): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val q = emb.select(col(idCol).cast("long"), Similarity.quantize(col(vecCol)))
       .as[(Long, Array[Int])]
-    val block = q.collect().sortBy(_._1)
+    // limit(max+1) bounds what the driver pulls even when the input is
+    // over the cap; null ids (uncastable idCol values) fail with a
+    // message instead of an encoder NPE mid-kernel
+    val raw = emb.select(col(idCol).cast("long").as("id"),
+        Similarity.quantize(col(vecCol)).as("qv"))
+      .limit(maxBlockRows + 1).collect()
+    require(raw.length <= maxBlockRows,
+      s"embeddingDupPairs block exceeds $maxBlockRows rows — partition the corpus " +
+        "(e.g. by Similarity.signBucket) and run this kernel per bucket")
+    val block = raw.map { r =>
+      require(!r.isNullAt(0), s"embeddingDupPairs: '$idCol' has values not castable to long")
+      (r.getLong(0), r.getSeq[Int](1).toArray)
+    }.sortBy(_._1)
+    for (i <- 1 until block.length)
+      require(block(i)._1 != block(i - 1)._1,
+        s"embeddingDupPairs: duplicate $idCol=${block(i)._1} — ids must be unique")
     val bc = spark.sparkContext.broadcast(block)
     // slack covers round(sim, 6): emit a slight superset, filter exactly below
     val slack = threshold - 1e-6

@@ -73,28 +73,75 @@ case class CountOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
+/** The driver-side delivery buffer behind [[MqttDirectMicroBatchStream]],
+  * addressed by MONOTONIC ABSOLUTE offsets (total messages ever delivered)
+  * while physically holding only the undelivered suffix:
+  *
+  *  - `trimTo(committed)` drops the delivered prefix, so a long-running
+  *    stream's driver memory is bounded by (latest - last committed), not
+  *    by stream lifetime;
+  *  - `rebaseTo(restored)` maps a checkpointed offset from a PREVIOUS
+  *    process life onto this (empty) buffer: those messages are gone —
+  *    QoS 0 never re-sends — so the restored position becomes the new
+  *    base and the replayed batch drains empty instead of silently
+  *    re-labeling the first N fresh messages as old ones;
+  *  - slicing clamps to the held window and never narrows a Long offset
+  *    to Int before the clamp.
+  */
+private[sources] final class DeliveryBuffer {
+  type Msg = (String, Array[Byte], Long)
+  private val buf = new scala.collection.mutable.ArrayBuffer[Msg]()
+  private var base = 0L
+
+  def append(m: Msg): Unit = synchronized { buf += m }
+  def end: Long = synchronized(base + buf.length)
+
+  /** Adopt a restored checkpoint offset that lies beyond anything this
+    * instance has buffered (restart case). No-op during steady state.
+    */
+  def rebaseTo(n: Long): Unit = synchronized {
+    if (n > base + buf.length) { base = n; buf.clear() }
+  }
+
+  def slice(s: Long, e: Long): Array[Msg] = synchronized {
+    val lo = math.min(math.max(0L, s - base), buf.length.toLong)
+    val hi = math.max(lo, math.min(buf.length.toLong, e - base))
+    buf.slice(lo.toInt, hi.toInt).toArray
+  }
+
+  /** Drop the delivered prefix up to absolute offset `n`. */
+  def trimTo(n: Long): Unit = synchronized {
+    val drop = math.min(math.max(0L, n - base), buf.length.toLong).toInt
+    if (drop > 0) { buf.remove(0, drop); base += drop }
+  }
+}
+
 class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String])
     extends MicroBatchStream {
 
   // delivery buffer: (topic, payload, receivedTimeMicros), appended by the
-  // client's reader thread, sliced by micro-batches
-  private val buffer = new scala.collection.mutable.ArrayBuffer[(String, Array[Byte], Long)]()
+  // client's reader thread, drained by micro-batches, trimmed on commit
+  private val buffer = new DeliveryBuffer
   private val client = new MqttClient(host, port,
     s"graft-direct-${System.identityHashCode(this)}",
-    onMessage = (topic, payload) => buffer.synchronized {
-      buffer += ((topic, payload, System.currentTimeMillis() * 1000L))
-    })
+    onMessage = (topic, payload) =>
+      buffer.append((topic, payload, System.currentTimeMillis() * 1000L)))
   client.subscribe(topics)
 
   override def initialOffset(): Offset = CountOffset(0L)
-  override def latestOffset(): Offset =
-    CountOffset(buffer.synchronized(buffer.length.toLong))
-  override def deserializeOffset(json: String): Offset = CountOffset(json.toLong)
+  override def latestOffset(): Offset = CountOffset(buffer.end)
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    // a checkpointed offset ahead of everything we hold can only come
+    // from a previous process life — rebase so fresh deliveries are not
+    // mistaken for the (unrecoverable, QoS-0) pre-restart ones
+    buffer.rebaseTo(n)
+    CountOffset(n)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[CountOffset].n, end.asInstanceOf[CountOffset].n)
-    val slice = buffer.synchronized(
-      buffer.slice(s.toInt, e.toInt).toArray)
+    val slice = buffer.slice(
+      start.asInstanceOf[CountOffset].n, end.asInstanceOf[CountOffset].n)
     // one partition per topic group — the reference's per-pipe shape (S2)
     slice.groupBy(_._1).map { case (_, msgs) =>
       MqttDirectPartition(msgs): InputPartition
@@ -104,7 +151,8 @@ class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String])
   override def createReaderFactory(): PartitionReaderFactory =
     new MqttDirectReaderFactory
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    buffer.trimTo(end.asInstanceOf[CountOffset].n)
   override def stop(): Unit = client.close()
 }
 

@@ -104,9 +104,18 @@ object Pump {
     * Dates to compact are listed driver-side (partition directory names,
     * not data); each date's rows are rewritten in `filesPerDate` files
     * via a single overwrite of that date partition. Run it for CLOSED
-    * dates only (e.g. yesterday and older) from a maintenance schedule;
-    * a replay of an already-compacted batch would re-append its
-    * partition, which is why closed dates are the contract.
+    * dates only (e.g. yesterday and older) from a maintenance schedule.
+    *
+    * The compacted rows land under a `batch_id=-1` SENTINEL partition,
+    * not directly under the date directory: Spark partition discovery
+    * requires every leaf file at the same depth, so dropping the
+    * batch_id level for some dates while the stream keeps writing
+    * `batch_id=N` for open dates would make the whole sink unreadable
+    * ("Conflicting directory structures"). The sentinel keeps the depth
+    * uniform, keeps reads working mid-compaction-rollout, and means a
+    * late replay of batch N re-appends `batch_id=N` at the same depth —
+    * degraded (that batch's rows are duplicated until the next compact
+    * run re-folds the date) but never structurally broken.
     *
     * @return number of date partitions compacted
     */
@@ -130,7 +139,9 @@ object Pump {
       val dst = new java.io.File(part)
       val bak = new java.io.File(s"$sinkPath/.compact_old_collect_date=$d")
       require(dst.renameTo(bak), s"rename away $part failed")
-      require(new java.io.File(tmp).renameTo(dst), s"rename in $tmp failed")
+      require(dst.mkdirs(), s"recreate $part failed")
+      require(new java.io.File(tmp).renameTo(new java.io.File(dst, "batch_id=-1")),
+        s"rename in $tmp failed")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
       }

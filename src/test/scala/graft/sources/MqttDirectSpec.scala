@@ -44,4 +44,34 @@ class MqttDirectSpec extends SparkSpec {
       } finally q.stop()
     } finally server.close()
   }
+
+  test("delivery buffer: commit trims the delivered prefix (bounded driver memory)") {
+    val b = new DeliveryBuffer
+    def msg(i: Int) = (s"t", Array[Byte](i.toByte), i.toLong)
+    (0 until 10).foreach(i => b.append(msg(i)))
+    assert(b.end === 10)
+    assert(b.slice(0, 4).map(_._3).toSeq === Seq(0L, 1L, 2L, 3L))
+    b.trimTo(4) // batch [0,4) committed: prefix physically dropped...
+    assert(b.end === 10) // ...but absolute offsets keep counting
+    assert(b.slice(4, 10).map(_._3).toSeq === (4L until 10L))
+    assert(b.slice(0, 10).map(_._3).toSeq === (4L until 10L)) // clamped, no wrap
+    b.trimTo(2) // stale commit: never un-trims
+    assert(b.slice(4, 10).length === 6)
+  }
+
+  test("delivery buffer: restored offset from a previous life rebases, not mislabels") {
+    val b = new DeliveryBuffer
+    // restart: checkpoint says 100 messages were consumed pre-restart;
+    // this buffer is fresh. QoS 0 cannot replay them.
+    b.rebaseTo(100)
+    assert(b.end === 100)
+    assert(b.slice(90, 100).isEmpty) // replayed last batch drains empty
+    // fresh deliveries take offsets >= 100 instead of masquerading as 0..N
+    b.append(("t", Array[Byte](1), 1L))
+    b.append(("t", Array[Byte](2), 2L))
+    assert(b.end === 102)
+    assert(b.slice(100, 102).map(_._3).toSeq === Seq(1L, 2L))
+    b.rebaseTo(50) // steady-state deserialize of an old offset: no-op
+    assert(b.end === 102)
+  }
 }

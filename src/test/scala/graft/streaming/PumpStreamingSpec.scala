@@ -110,8 +110,10 @@ class PumpStreamingSpec extends SparkSpec {
         .toDF("topic", "payload", "received_time")
     }
     val write = Pump.writeBatch(PumpConfig(jsonSample = PumpQueries.payloadSample), inf, sinks) _
-    // 3 micro-batches on the same date
+    // 3 micro-batches on a closed date + 1 on a still-open date
+    val day = 86400000L
     (0 until 3).foreach(b => write(batchOf(5, 1704067200000L + b * 60000L), b.toLong))
+    write(batchOf(4, 1704067200000L + day), 3L)
     val before = spark.read.parquet(sinks.rawPath)
       .select("mid", "topic", "collect_datetime").collect().toSet
     def files(p: String) = {
@@ -121,12 +123,32 @@ class PumpStreamingSpec extends SparkSpec {
       walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
     }
     val filesBefore = files(sinks.rawPath).size
-    assert(Pump.compact(spark, sinks.rawPath) === 1) // one date partition
+    // compact ONLY the closed date: the open date keeps its batch_id=N
+    // dirs, so this is the mixed compacted/uncompacted layout the sink
+    // lives in permanently once the stream outruns the maintenance job
+    assert(Pump.compact(spark, sinks.rawPath, isClosed = _ == "2024-01-01") === 1)
     val after = spark.read.parquet(sinks.rawPath)
     assert(after.select("mid", "topic", "collect_datetime").collect().toSet === before)
+    // batch_id level SURVIVES as the -1 sentinel (uniform partition depth)
     assert(after.columns.toSet === Set("mid", "topic", "payload",
-      "collect_datetime", "collect_date")) // batch_id level folded away
+      "collect_datetime", "collect_date", "batch_id"))
+    assert(after.where(col("collect_date") === "2024-01-01")
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(-1L))
+    assert(after.where(col("collect_date") =!= "2024-01-01")
+      .select("batch_id").distinct().count() === 1) // open date untouched
     assert(files(sinks.rawPath).size < filesBefore)
+    // late replay of an already-compacted batch: re-appends batch_id=1 at
+    // the same depth — duplicated rows until the next compact, never a
+    // structurally unreadable sink
+    write(batchOf(5, 1704067200000L + 60000L), 1L)
+    val replayed = spark.read.parquet(sinks.rawPath)
+    assert(replayed.count() === before.size + 5)
+    assert(Pump.compact(spark, sinks.rawPath, isClosed = _ == "2024-01-01") === 1)
+    // note: re-compaction folds the duplicates IN (they are real rows with
+    // distinct mids from the sentinel's perspective); dedup across a
+    // replay-after-compact is the raw path's md5-digest dedup's job
+    assert(spark.read.parquet(sinks.rawPath).count() === before.size + 5)
   }
 
   test("size-cap admission control splits batches but delivers everything (K3)") {
