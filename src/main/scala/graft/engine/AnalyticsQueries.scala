@@ -42,9 +42,12 @@ object AnalyticsQueries {
         // double. DECIMAL output columns hash differently across the
         // oracle boundary (pandas Decimal objects vs DuckDB float64)
         // regardless of declared width — every oracle-gated numeric output
-        // here is round(cast(double), 6), which is tie-free because the
-        // exact value has at most 4 decimal places.
-        .agg(round(sum(revenue).cast("double"), 6).as("revenue"),
+        // here is round(cast(double), 4). Four places, not more: the exact
+        // value has at most 4 decimal places (2 dp price x 2 dp discount
+        // factor), so rounding at exactly that width is tie-free while
+        // |sum| x 10^4 stays inside 2^53 — safe to ~9e11 per group, i.e.
+        // through sf100, where rounding at 6 dp was only safe to ~9e9.
+        .agg(round(sum(revenue).cast("double"), 4).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -69,7 +72,7 @@ object AnalyticsQueries {
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(round(sum(revenue).cast("double"), 6).as("revenue"))
+        .agg(round(sum(revenue).cast("double"), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
     })
@@ -80,7 +83,7 @@ object AnalyticsQueries {
 
   def oracle: Map[String, String] = Map(
     "c1_revenue_by_nation" ->
-      s"""SELECT n_name, round(CAST(sum($RevenueSql) AS DOUBLE), 6) AS revenue,
+      s"""SELECT n_name, round(CAST(sum($RevenueSql) AS DOUBLE), 4) AS revenue,
          |  CAST(count(*) AS BIGINT) AS n_items
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
@@ -96,7 +99,7 @@ object AnalyticsQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "c3_top_customers" ->
-      s"""SELECT c_custkey, c_name, round(CAST(sum($RevenueSql) AS DOUBLE), 6) AS revenue
+      s"""SELECT c_custkey, c_name, round(CAST(sum($RevenueSql) AS DOUBLE), 4) AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey

@@ -63,12 +63,10 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
 
   /** Exact shingle-set Jaccard >= threshold pairs (the verifier / small-N
-    * path). `inter` shuffles on the shingle value; doc-pair aggregation is
-    * the second shuffle.
-    */
-  /** Exact Jaccard pairs with caller-supplied per-doc sizes (use
-    * [[shingleCounts]] when sizes can come row-locally off the docs —
-    * saves the groupBy shuffle this variant's sibling pays).
+    * path) with caller-supplied per-doc sizes — use [[shingleCounts]] when
+    * sizes can come row-locally off the docs, which saves the groupBy
+    * shuffle the no-sizes overload pays. `inter` shuffles on the shingle
+    * value; doc-pair aggregation is the second shuffle.
     */
   def jaccardPairs(sh: DataFrame, sizes: DataFrame, idCol: String,
                    threshold: Double): DataFrame = {
@@ -251,8 +249,15 @@ object Dedup {
     * declarative form. Scale path: this IS the per-block kernel — at
     * 100 TB feed it LSH/sign buckets ([[Similarity.signBucket]]) instead
     * of the whole corpus.
-    */
-  /** @param maxBlockRows hard cap on the collected block: this function
+    *
+    * The quantized projection is materialized ONCE (`localCheckpoint`) and
+    * both consumers — the driver-collected block and the executor-side
+    * mapPartitions scan — read that same materialization, so the
+    * null-id/duplicate-id/cap guards validated on the block hold for
+    * exactly the rows the kernel scores (two independent executions of a
+    * nondeterministic input could diverge between validation and scan).
+    *
+    * @param maxBlockRows hard cap on the collected block: this function
     *   IS the per-block kernel, and the driver holding more than ~a
     *   million quantized vectors means the caller forgot to bucket.
     *   Failing loudly here beats an opaque driver OOM three stages later.
@@ -261,14 +266,17 @@ object Dedup {
                         threshold: Double, maxBlockRows: Int = 1 << 20): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val q = emb.select(col(idCol).cast("long"), Similarity.quantize(col(vecCol)))
-      .as[(Long, Array[Int])]
+    // one materialized projection feeds the collect AND the kernel scan
+    // (block-sized by contract, so checkpointing it is cheap); truncates
+    // lineage too, so the kernel re-reads materialized rows, not the scan
+    val proj = emb.select(col(idCol).cast("long").as("id"),
+        Similarity.quantize(col(vecCol)).as("qv"))
+      .localCheckpoint()
+    val q = proj.as[(Long, Array[Int])]
     // limit(max+1) bounds what the driver pulls even when the input is
     // over the cap; null ids (uncastable idCol values) fail with a
     // message instead of an encoder NPE mid-kernel
-    val raw = emb.select(col(idCol).cast("long").as("id"),
-        Similarity.quantize(col(vecCol)).as("qv"))
-      .limit(maxBlockRows + 1).collect()
+    val raw = proj.limit(maxBlockRows + 1).collect()
     require(raw.length <= maxBlockRows,
       s"embeddingDupPairs block exceeds $maxBlockRows rows — partition the corpus " +
         "(e.g. by Similarity.signBucket) and run this kernel per bucket")

@@ -16,6 +16,11 @@ object ExtQueries {
   private val EmbDupThreshold = 0.4
   private val TopK = 5
   private val NumQueries = 10
+  // IVF knobs shared by the Scala call AND the oracle SQL — interpolated
+  // into both so changing one cannot silently desync the other (a desync
+  // surfaces only as an opaque hash mismatch)
+  private val IvfNlist = 8
+  private val IvfNprobe = 4
 
   // --------------------------------------------------------------- queries
 
@@ -78,7 +83,7 @@ object ExtQueries {
     "x2_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < NumQueries),
-        "vec_id", "embedding", TopK, nlist = 8, nprobe = 4)
+        "vec_id", "embedding", TopK, nlist = IvfNlist, nprobe = IvfNprobe)
         .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")
     }),
 
@@ -168,14 +173,15 @@ object ExtQueries {
     // X11 salted two-phase aggregation (skew path): identical result to a
     // plain GROUP BY — which is exactly what the oracle runs. Values are
     // cast to decimal first so sums are order-exact; the OUTPUT column is
-    // double (round 6) because decimal-typed outputs hash differently
-    // across the oracle boundary regardless of declared width, and the
-    // exact value has only 2 decimal places so the rounding is tie-free.
+    // double (round 2) because decimal-typed outputs hash differently
+    // across the oracle boundary regardless of declared width; rounding at
+    // exactly the value's 2 decimal places is tie-free while |sum| x 10^2
+    // stays inside 2^53 (~9e13 — far past any realistic group sum).
     "x11_salted_agg" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .withColumn("v", col("value").cast("decimal(18,2)"))
       Skew.saltedSum(ev, Seq("event_type"), "v", saltFactor = 8)
-        .withColumn("sum", round(col("sum").cast("double"), 6))
+        .withColumn("sum", round(col("sum").cast("double"), 2))
         .orderBy("event_type")
     }),
 
@@ -273,7 +279,15 @@ object ExtQueries {
     * Centroid elements are emitted as DOUBLE literals (integer-valued, so
     * exact) to match DuckDB's floor()-is-DOUBLE quantized vectors.
     */
-  private def ivfOracle: Map[String, String] =
+  private def ivfOracle: Map[String, String] = {
+    if (Similarity.lastIvfCentroids.isEmpty)
+      // fail loudly, not silently: an oracle dump without a prior ivfTopK
+      // run in this JVM would otherwise just omit x2_ann_ivf and the
+      // driver would record a weaker rows-only check with no explanation
+      System.err.println(
+        "[graft] WARNING: x2_ann_ivf oracle OMITTED — Similarity.ivfTopK has " +
+          "not run in this JVM, so there are no trained centroids to inline. " +
+          "Run the queries before dumping oracleSql (graft.Verify's order).")
     Similarity.lastIvfCentroids.map { cents =>
       val rows = cents.zipWithIndex.map { case (c, i) =>
         val c2 = c.map(v => v.toLong * v).sum
@@ -296,7 +310,7 @@ object ExtQueries {
            |probes AS (SELECT vec_id AS qid, list_id FROM (
            |  SELECT vec_id, list_id,
            |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
-           |  FROM ad WHERE vec_id < $NumQueries) WHERE rn <= 4),
+           |  FROM ad WHERE vec_id < $NumQueries) WHERE rn <= $IvfNprobe),
            |scored AS (SELECT p.qid, c.vec_id AS cid,
            |  round(list_dot_product(qn.q, cn.q) / (sqrt(qn.n2) * sqrt(cn.n2)), 6) AS sim
            |  FROM probes p JOIN corpus c ON c.list_id = p.list_id AND c.vec_id != p.qid
@@ -308,6 +322,7 @@ object ExtQueries {
            |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= $TopK
            |ORDER BY qid, rank""".stripMargin
     }.toMap
+  }
 
   def oracle: Map[String, String] = ivfOracle ++ Map(
     "x1_exact_dedup" ->
@@ -499,7 +514,7 @@ object ExtQueries {
 
     "x11_salted_agg" ->
       """SELECT event_type,
-        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x13_contamination" -> {

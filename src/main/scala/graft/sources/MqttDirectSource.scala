@@ -81,10 +81,14 @@ case class CountOffset(n: Long) extends Offset {
   *    stream's driver memory is bounded by (latest - last committed), not
   *    by stream lifetime;
   *  - `rebaseTo(restored)` maps a checkpointed offset from a PREVIOUS
-  *    process life onto this (empty) buffer: those messages are gone —
+  *    process life onto this buffer: the pre-restart messages are gone —
   *    QoS 0 never re-sends — so the restored position becomes the new
   *    base and the replayed batch drains empty instead of silently
-  *    re-labeling the first N fresh messages as old ones;
+  *    re-labeling fresh messages as old ones. Messages the reconnected
+  *    client buffered BEFORE the checkpoint was restored are fresh
+  *    deliveries of this process life, so they are KEPT and relabeled to
+  *    offsets >= restored — clearing them would lose data beyond what
+  *    QoS-0 semantics already concede;
   *  - slicing clamps to the held window and never narrows a Long offset
   *    to Int before the clamp.
   */
@@ -98,9 +102,13 @@ private[sources] final class DeliveryBuffer {
 
   /** Adopt a restored checkpoint offset that lies beyond anything this
     * instance has buffered (restart case). No-op during steady state.
+    * Already-buffered messages are fresh deliveries of THIS process life
+    * (the pre-restart ones are unrecoverable over QoS 0), so they stay
+    * buffered and simply take offsets >= `n`; the replayed span
+    * [start, n) still drains empty via the slice clamp.
     */
   def rebaseTo(n: Long): Unit = synchronized {
-    if (n > base + buf.length) { base = n; buf.clear() }
+    if (n > base + buf.length) base = n
   }
 
   def slice(s: Long, e: Long): Array[Msg] = synchronized {

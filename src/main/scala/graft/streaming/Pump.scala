@@ -40,9 +40,14 @@ object Pump {
     * replay rewrites exactly its own `batch_id` partitions and never touches
     * other batches', making the dual sink effectively exactly-once end to
     * end (deterministic source offsets + idempotent writes). The mid column
-    * is also seeded by `batchId`, so a replay regenerates identical mids.
+    * is also seeded by `batchId`, so a replay regenerates identical mids —
+    * which is also what keeps the guarantee across compaction: a replay of
+    * an already-compacted batch re-appends rows bit-identical to the folded
+    * ones, and [[compact]]'s fold dedups full rows, restoring exactly-once
+    * at the next maintenance run (between replay and re-compaction the
+    * duplicated batch is visible — the one bounded at-least-once window).
     * At scale the per-batch directories are the usual streaming-ingest
-    * layout; a periodic compaction job folds them per date partition.
+    * layout; the periodic [[compact]] job folds them per date partition.
     */
   def writeBatch(cfg: PumpConfig, inf: JsonInference.Inferred, sinks: Sinks,
                  rawOnly: Boolean = false)(
@@ -117,6 +122,14 @@ object Pump {
     * degraded (that batch's rows are duplicated until the next compact
     * run re-folds the date) but never structurally broken.
     *
+    * Folding DEDUPS full rows: replayed rows are bit-identical to the
+    * already-folded ones (mids are batchId-seeded, so a replay regenerates
+    * them exactly), while legitimate distinct rows always differ (random
+    * mid per message; unique key_id per record within a message). Without
+    * the dedup a replay-after-compact would bake its duplicates in
+    * permanently — the dedup is what scopes writeBatch's exactly-once
+    * claim across compaction instead of voiding it.
+    *
     * @return number of date partitions compacted
     */
   def compact(spark: SparkSession, sinkPath: String,
@@ -132,6 +145,7 @@ object Pump {
       val part = s"$sinkPath/collect_date=$d"
       val rows = spark.read.parquet(part) // batch_id=* dirs under one date
         .drop("batch_id")
+        .dropDuplicates() // folds a replayed batch's (bit-identical) rows
       val tmp = s"$sinkPath/.compact_tmp_collect_date=$d"
       rows.repartition(filesPerDate).write.mode("overwrite").parquet(tmp)
       // atomic-enough swap on a filesystem with cheap rename; object

@@ -74,4 +74,16 @@ class MqttDirectSpec extends SparkSpec {
     b.rebaseTo(50) // steady-state deserialize of an old offset: no-op
     assert(b.end === 102)
   }
+
+  test("delivery buffer: rebase keeps fresh deliveries buffered before restore") {
+    val b = new DeliveryBuffer
+    // the reconnected client delivered 3 messages BEFORE the checkpointed
+    // offset was restored — they are fresh (this process life), not the
+    // unrecoverable pre-restart ones, and must not be dropped
+    (1 to 3).foreach(i => b.append(("t", Array[Byte](i.toByte), i.toLong)))
+    b.rebaseTo(100)
+    assert(b.end === 103) // relabeled to offsets 100..102, not cleared
+    assert(b.slice(97, 100).isEmpty) // replayed pre-restart span still empty
+    assert(b.slice(100, 103).map(_._3).toSeq === Seq(1L, 2L, 3L))
+  }
 }
