@@ -100,6 +100,99 @@ object Monitor {
       struct(infoCols.map(col): _*).as("Info"),
       struct(dataCols.map(col): _*).as("DataInfo"))))
 
+  /** The reference's 8 pipeline-stage counter families, in pipeline order
+    * (`monitor.go:21-62`): subscribe, data-process, adapter, adapter
+    * process-data-object, then the dbstore receive/commit pairs for the
+    * raw and adapter paths.
+    */
+  val RefStages: Seq[String] =
+    Seq("sub", "dp", "da", "da_pdo", "rdo_rev", "rdo_com", "ado_rev", "ado_com")
+
+  /** G6 FULL — the reference's complete 4-section document
+    * (`monitor.go:130-176`): `Info`, `PerformanceMetrics{QueueWaitInfo (7
+    * stage lags), GapBetweenRawAndAdapterInfo}`, `DataInfo` (4 stage
+    * sections), `DataDBStoreInfo{CheckErrors + 4 receive/commit sections}`.
+    *
+    * The reference renders this payload with `fmt.Sprintf` format strings,
+    * so the faithful re-expression builds the SAME byte layout from
+    * columns: `%d` fields are long casts, `%.1f` fields are
+    * `format_string("%.1f", round(x, 1))` (the pre-round pins midpoint
+    * behavior to HALF_UP on both Spark and any external verifier — Java's
+    * Formatter and C's printf disagree at representable midpoints like
+    * 2.25, `round` resolves them identically before formatting). The lag
+    * and gap arithmetic is `monitor.go:120-136` verbatim: pairwise
+    * differences of the cumulative succeed counters.
+    *
+    * Expected input columns, one row per document:
+    *  - per stage `s` in [[RefStages]]: `<s>_succeed`, `<s>_failed`
+    *    (cumulative totals) and `<s>_win` (last-interval count);
+    *  - `sub_size_win` / `dp_size_win` / `da_size_win` (last-interval byte
+    *    counts — only those three stages carry sizes, `monitor.go:151-160`);
+    *  - `runtime_secs`, `pipe_num`, `pub_succeed`, `pub_failed`,
+    *    `check_errors`.
+    */
+  def fullMetricsDoc(df: DataFrame, intervalSecs: Int): DataFrame = {
+    // %.1f with engine-agnostic midpoint handling (see scaladoc)
+    def fd(x: Column): Column = format_string("%.1f", round(x.cast("double"), 1))
+    def rate(c: Column): Column = fd(c.cast("double") / lit(intervalSecs.toDouble))
+    def avg(s: String): Column =
+      fd((col(s + "_succeed") + col(s + "_failed")).cast("double") / col("runtime_secs"))
+    def d(c: Column): Column = c.cast("long").cast("string")
+    def obj(fields: (String, Column)*): Column =
+      concat(lit("{") +: fields.zipWithIndex.flatMap { case ((k, v), i) =>
+        (if (i == 0) Seq.empty[Column] else Seq(lit(","))) ++
+          Seq(lit("\"" + k + "\":"), v)
+      } :+ lit("}"): _*)
+
+    val info = obj(
+      "RunTime(s)" -> fd(col("runtime_secs")),
+      "PipeNum" -> d(col("pipe_num")),
+      "MonPubSucceed" -> d(col("pub_succeed")),
+      "MonPubFailed" -> d(col("pub_failed")))
+    // monitor.go:120-128 — 7 queue lags from cumulative succeed deltas
+    val waits = obj(
+      "WaitForProcess" -> d(col("sub_succeed") - col("dp_succeed")),
+      "WaitForRawDataObjectToDB" -> d(col("dp_succeed") - col("rdo_rev_succeed")),
+      "WaitForRawDataObjectToDBCommit" -> d(col("rdo_rev_succeed") - col("rdo_com_succeed")),
+      "WaitForAdapter" -> d(col("dp_succeed") - col("da_succeed")),
+      "WaitForProcessDataObject" -> d(col("da_succeed") - col("da_pdo_succeed")),
+      "WaitForAdapterDataObjectToDB" -> d(col("da_pdo_succeed") - col("ado_rev_succeed")),
+      "WaitForAdapterDataObjectToDBCommit" -> d(col("ado_rev_succeed") - col("ado_com_succeed")))
+    // monitor.go:133-136 — raw-vs-adapter path gaps (signed)
+    val gaps = obj(
+      "GapToDB" -> d(col("rdo_rev_succeed") - col("ado_rev_succeed")),
+      "GapToDBCommit" -> d(col("rdo_com_succeed") - col("ado_com_succeed")))
+    def stageSection(prefix: String, stage: String, withSize: Boolean,
+                     avgKey: String): Column = {
+      val base = Seq(
+        s"${prefix}PerSec" -> rate(col(s"${stage}_win"))) ++
+        (if (withSize) Seq(s"${prefix}SizePerSec" -> rate(col(s"${stage}_size_win")))
+         else Seq.empty) ++ Seq(
+        s"${prefix}Succeed" -> d(col(s"${stage}_succeed")),
+        s"${prefix}Failed" -> d(col(s"${stage}_failed")),
+        avgKey -> avg(stage))
+      obj(base: _*)
+    }
+    val dataInfo = obj(
+      "SubscribeMsgInfo" -> stageSection("SubMsg", "sub", withSize = true, "AvgPeriodSubMsgPerSec"),
+      "DataProcessMsgInfo" -> stageSection("DpMsg", "dp", withSize = true, "AvgPeriodDpMsgPerSec"),
+      "DataAdapterInfo" -> stageSection("DaMsg", "da", withSize = true, "AvgPeriodDaMsgPerSec"),
+      "DataProcessDataObjectInfo" -> stageSection("DaPdoMsg", "da_pdo", withSize = false, "AvgPeriodDaPdoMsgPerSec"))
+    val dbStore = obj(
+      "CheckErrors" -> d(col("check_errors")),
+      "RawDataObjectReceiveInfo" -> stageSection("DbsRDOReceive", "rdo_rev", withSize = false, "AvgPeriodDbsRdoRevPerSec"),
+      "RawDataObjectCommitInfo" -> stageSection("DbsRDOCommit", "rdo_com", withSize = false, "AvgPeriodDbsRdoComPerSec"),
+      "AdapterDataObjectReceiveInfo" -> stageSection("DbsADOReceive", "ado_rev", withSize = false, "AvgPeriodDbsAdoRevPerSec"),
+      "AdapterDataObjectCommitInfo" -> stageSection("DbsADOCommit", "ado_com", withSize = false, "AvgPeriodDbsAdoComPerSec"))
+    df.withColumn("doc", obj(
+      "Info" -> info,
+      "PerformanceMetrics" -> obj(
+        "QueueWaitInfo" -> waits,
+        "GapBetweenRawAndAdapterInfo" -> gaps),
+      "DataInfo" -> dataInfo,
+      "DataDBStoreInfo" -> dbStore))
+  }
+
   /** G7/G8 — liveness / error gauges (`monitor.go:250-259`): plain
     * conditional counts over the event stream.
     */

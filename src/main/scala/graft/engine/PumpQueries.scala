@@ -205,6 +205,62 @@ object PumpQueries {
         .orderBy("stage")
     }),
 
+    // G6 FULL — the reference's complete 4-section document over a
+    // deterministic 8-stage funnel model of the event stream: an event
+    // "reaches" stage s iff it reached s's upstream stage and clears a
+    // per-stage modulus gate on event_id (monotone by construction, so
+    // every queue lag is nonnegative like the reference's counters).
+    // Cumulative succeed/failed per stage, last-5-minute interval
+    // counters, byte sizes for the three size-carrying stages, and the
+    // Info/gauge scalars all come out of ONE aggregation pass; the
+    // document itself is byte-exact fmt.Sprintf layout
+    // (Monitor.fullMetricsDoc, monitor.go:130-176).
+    "g6_full_doc" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val id = col("event_id")
+      val pSub = id % 101 =!= 0
+      val pDp = pSub && id % 97 =!= 0
+      val pDa = pDp && id % 89 =!= 0
+      val pPdo = pDa && id % 83 =!= 0
+      val pRdoRev = pDp && id % 79 =!= 0
+      val pRdoCom = pRdoRev && id % 73 =!= 0
+      val pAdoRev = pPdo && id % 71 =!= 0
+      val pAdoCom = pAdoRev && id % 67 =!= 0
+      // (arrival predicate, success predicate) per stage: failed = arrived
+      // upstream but did not clear this stage's gate
+      val preds: Map[String, (Column, Column)] = Map(
+        "sub" -> (lit(true), pSub), "dp" -> (pSub, pDp), "da" -> (pDp, pDa),
+        "da_pdo" -> (pDa, pPdo), "rdo_rev" -> (pDp, pRdoRev),
+        "rdo_com" -> (pRdoRev, pRdoCom), "ado_rev" -> (pPdo, pAdoRev),
+        "ado_com" -> (pAdoRev, pAdoCom))
+      val span = ev.agg(
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("runtime_secs"),
+        max(col("ts")).as("max_ts"))
+      // "last tick" = the final 5 minutes of the stream — the publish
+      // interval's batch twin (the streaming form resets per trigger)
+      val win = col("ts") > col("max_ts") - expr("INTERVAL 5 MINUTES")
+      val bytes = length(col("props")) + lit(4)
+      val aggCols = Monitor.RefStages.flatMap { st =>
+        val (arrived, ok) = preds(st)
+        Seq(count_if(ok).as(s"${st}_succeed"),
+          count_if(arrived && !ok).as(s"${st}_failed"),
+          count_if(ok && win).as(s"${st}_win"))
+      } ++ Seq("sub", "dp", "da").map { st =>
+        sum(when(preds(st)._2 && win, bytes).otherwise(0)).as(s"${st}_size_win")
+      } ++ Seq(
+        (count_if(col("event_type") === "signup") -
+          count_if(col("event_type") === "error")).as("pipe_num"),
+        // one publish per elapsed tick window
+        countDistinct(expr("unix_timestamp(ts) div 300")).as("pub_succeed"),
+        count_if(col("event_type") === "error").as("check_errors"),
+        first(col("runtime_secs")).as("runtime_secs"))
+      val counters = ev.crossJoin(broadcast(span))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("pub_failed", lit(0L))
+      Monitor.fullMetricsDoc(counters, intervalSecs = 300).select(col("doc"))
+    }),
+
     // G7/G8 — liveness + error gauges (connect/disconnect/error events
     // modeled on the event_type stream)
     "g7_gauges" -> ((s, dir) => {
@@ -338,6 +394,8 @@ object PumpQueries {
         |    || CAST(CAST(sum(length(props) + 4) AS BIGINT) AS VARCHAR) || '}}' AS doc
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "g6_full_doc" -> g6FullOracle,
+
     "g7_gauges" ->
       """SELECT
         |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
@@ -351,4 +409,101 @@ object PumpQueries {
     "q2_count" ->
       """SELECT count(*) AS total FROM events"""
   )
+
+  /** DuckDB twin of `g6_full_doc`: the same funnel predicates, the same
+    * one-pass counter aggregation, and the same fmt.Sprintf byte layout
+    * (`printf('%.1f', round(x, 1))` mirrors Spark's
+    * `format_string("%.1f", round(x, 1))` — the pre-round pins midpoint
+    * behavior identically on both engines, see Monitor.fullMetricsDoc).
+    */
+  private def g6FullOracle: String = {
+    val pSub = "(event_id % 101 != 0)"
+    val pDp = s"($pSub AND event_id % 97 != 0)"
+    val pDa = s"($pDp AND event_id % 89 != 0)"
+    val pPdo = s"($pDa AND event_id % 83 != 0)"
+    val pRdoRev = s"($pDp AND event_id % 79 != 0)"
+    val pRdoCom = s"($pRdoRev AND event_id % 73 != 0)"
+    val pAdoRev = s"($pPdo AND event_id % 71 != 0)"
+    val pAdoCom = s"($pAdoRev AND event_id % 67 != 0)"
+    val preds: Seq[(String, (String, String))] = Seq(
+      "sub" -> ("true", pSub), "dp" -> (pSub, pDp), "da" -> (pDp, pDa),
+      "da_pdo" -> (pDa, pPdo), "rdo_rev" -> (pDp, pRdoRev),
+      "rdo_com" -> (pRdoRev, pRdoCom), "ado_rev" -> (pPdo, pAdoRev),
+      "ado_com" -> (pAdoRev, pAdoCom))
+    val win = "CAST(ts AS TIMESTAMP) > max_ts - INTERVAL 5 MINUTE"
+    val stageItems = preds.flatMap { case (st, (arr, ok)) => Seq(
+      s"count(*) FILTER (WHERE $ok) AS ${st}_succeed",
+      s"count(*) FILTER (WHERE $arr AND NOT $ok) AS ${st}_failed",
+      s"count(*) FILTER (WHERE $ok AND $win) AS ${st}_win")
+    }
+    val okOf = preds.toMap
+    val sizeItems = Seq("sub", "dp", "da").map { st =>
+      s"COALESCE(CAST(sum(length(props) + 4) FILTER (WHERE ${okOf(st)._2} AND $win) AS BIGINT), 0) AS ${st}_size_win"
+    }
+    val scalarItems = Seq(
+      "count(*) FILTER (WHERE event_type = 'signup') - count(*) FILTER (WHERE event_type = 'error') AS pipe_num",
+      "count(DISTINCT CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP))) AS BIGINT) // 300) AS pub_succeed",
+      "0 AS pub_failed",
+      "count(*) FILTER (WHERE event_type = 'error') AS check_errors",
+      "runtime_secs")
+
+    def fd(x: String) = s"printf('%.1f', round(CAST($x AS DOUBLE), 1))"
+    def rate(c: String) = fd(s"CAST($c AS DOUBLE) / 300.0")
+    def avg(st: String) = fd(s"CAST(${st}_succeed + ${st}_failed AS DOUBLE) / runtime_secs")
+    def d(c: String) = s"CAST(CAST($c AS BIGINT) AS VARCHAR)"
+    // variadic concat, not || chains: DuckDB binds || left-nested and the
+    // full document exceeds its 128-deep expression recursion limit
+    def obj(fields: (String, String)*): String = {
+      val inner = fields.zipWithIndex.flatMap { case ((k, v), i) =>
+        Seq((if (i == 0) "'{\"" else "',\"") + k + "\":'", v)
+      } :+ "'}'"
+      s"concat(${inner.mkString(", ")})"
+    }
+    def section(prefix: String, st: String, withSize: Boolean, avgKey: String) =
+      obj(Seq(s"${prefix}PerSec" -> rate(s"${st}_win")) ++
+        (if (withSize) Seq(s"${prefix}SizePerSec" -> rate(s"${st}_size_win")) else Seq.empty) ++ Seq(
+        s"${prefix}Succeed" -> d(s"${st}_succeed"),
+        s"${prefix}Failed" -> d(s"${st}_failed"),
+        avgKey -> avg(st)): _*)
+
+    val doc = obj(
+      "Info" -> obj(
+        "RunTime(s)" -> fd("runtime_secs"),
+        "PipeNum" -> d("pipe_num"),
+        "MonPubSucceed" -> d("pub_succeed"),
+        "MonPubFailed" -> d("pub_failed")),
+      "PerformanceMetrics" -> obj(
+        "QueueWaitInfo" -> obj(
+          "WaitForProcess" -> d("sub_succeed - dp_succeed"),
+          "WaitForRawDataObjectToDB" -> d("dp_succeed - rdo_rev_succeed"),
+          "WaitForRawDataObjectToDBCommit" -> d("rdo_rev_succeed - rdo_com_succeed"),
+          "WaitForAdapter" -> d("dp_succeed - da_succeed"),
+          "WaitForProcessDataObject" -> d("da_succeed - da_pdo_succeed"),
+          "WaitForAdapterDataObjectToDB" -> d("da_pdo_succeed - ado_rev_succeed"),
+          "WaitForAdapterDataObjectToDBCommit" -> d("ado_rev_succeed - ado_com_succeed")),
+        "GapBetweenRawAndAdapterInfo" -> obj(
+          "GapToDB" -> d("rdo_rev_succeed - ado_rev_succeed"),
+          "GapToDBCommit" -> d("rdo_com_succeed - ado_com_succeed"))),
+      "DataInfo" -> obj(
+        "SubscribeMsgInfo" -> section("SubMsg", "sub", withSize = true, "AvgPeriodSubMsgPerSec"),
+        "DataProcessMsgInfo" -> section("DpMsg", "dp", withSize = true, "AvgPeriodDpMsgPerSec"),
+        "DataAdapterInfo" -> section("DaMsg", "da", withSize = true, "AvgPeriodDaMsgPerSec"),
+        "DataProcessDataObjectInfo" -> section("DaPdoMsg", "da_pdo", withSize = false, "AvgPeriodDaPdoMsgPerSec")),
+      "DataDBStoreInfo" -> obj(
+        "CheckErrors" -> d("check_errors"),
+        "RawDataObjectReceiveInfo" -> section("DbsRDOReceive", "rdo_rev", withSize = false, "AvgPeriodDbsRdoRevPerSec"),
+        "RawDataObjectCommitInfo" -> section("DbsRDOCommit", "rdo_com", withSize = false, "AvgPeriodDbsRdoComPerSec"),
+        "AdapterDataObjectReceiveInfo" -> section("DbsADOReceive", "ado_rev", withSize = false, "AvgPeriodDbsAdoRevPerSec"),
+        "AdapterDataObjectCommitInfo" -> section("DbsADOCommit", "ado_com", withSize = false, "AvgPeriodDbsAdoComPerSec")))
+
+    s"""WITH span AS (
+       |  SELECT CAST(floor(date_part('epoch', CAST(max(ts) AS TIMESTAMP))) AS BIGINT)
+       |       - CAST(floor(date_part('epoch', CAST(min(ts) AS TIMESTAMP))) AS BIGINT) AS runtime_secs,
+       |       CAST(max(ts) AS TIMESTAMP) AS max_ts
+       |  FROM events),
+       |c AS (
+       |  SELECT ${(stageItems ++ sizeItems ++ scalarItems).mkString(",\n    ")}
+       |  FROM events, span GROUP BY runtime_secs)
+       |SELECT $doc AS doc FROM c""".stripMargin
+  }
 }

@@ -52,6 +52,18 @@ class MemoryBroker {
   }
 
   def topics: Seq[String] = logs.keys().asScala.toSeq
+
+  /** Resolve a subscription filter to concrete topic logs: MQTT wildcard
+    * filters (`+` single-level, `#` tail — the reference's non-grouped
+    * `root/prefix/#` mode, `mqtt.go:73-77`) match against the current
+    * topic set via the same matcher the network broker path uses
+    * ([[graft.sources.mqtt.MqttCodec.topicMatches]]); a literal filter is
+    * itself. Sorted for deterministic partition planning.
+    */
+  def expand(filter: String): Seq[String] =
+    if (filter.contains('#') || filter.contains('+'))
+      topics.filter(t => graft.sources.mqtt.MqttCodec.topicMatches(filter, t)).sorted
+    else Seq(filter)
 }
 
 /** Named-broker registry so executors (same JVM in local mode) and the

@@ -117,19 +117,30 @@ class PumpMqttMicroBatchStream(brokerName: String, topics: Seq[String],
 
   private def broker: MemoryBroker = MemoryBroker.get(brokerName)
 
+  /** Concrete topics behind the subscription list: wildcard filters (`+`
+    * single-level, `#` tail — the reference's non-grouped `root/prefix/#`
+    * mode, `mqtt.go:73-77`) expand against the broker's CURRENT topic set,
+    * re-resolved at every offset poll so topics that first publish after
+    * the stream starts are picked up at the next trigger — the local-mode
+    * equivalent of a live broker's server-side subscription matching.
+    * Offsets checkpoint per CONCRETE topic, so admission control, replay,
+    * and partition planning are identical in wildcard and literal modes.
+    */
+  private def resolvedTopics: Seq[String] = topics.flatMap(broker.expand).distinct
+
   /** End bound frozen at query start for Trigger.AvailableNow (drain up to
     * here across however many rate-limited batches, then stop).
     */
   @volatile private var availableNowEnd: Option[Map[String, Long]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowEnd = Some(topics.map(t => t -> broker.endOffset(t)).toMap)
+    availableNowEnd = Some(resolvedTopics.map(t => t -> broker.endOffset(t)).toMap)
 
   private def currentEnd: Map[String, Long] =
-    availableNowEnd.getOrElse(topics.map(t => t -> broker.endOffset(t)).toMap)
+    availableNowEnd.getOrElse(resolvedTopics.map(t => t -> broker.endOffset(t)).toMap)
 
   override def initialOffset(): Offset =
-    TopicOffsets(topics.map(_ -> 0L).toMap)
+    TopicOffsets(resolvedTopics.map(_ -> 0L).toMap)
 
   override def latestOffset(): Offset = TopicOffsets(currentEnd)
 
@@ -155,7 +166,7 @@ class PumpMqttMicroBatchStream(brokerName: String, topics: Seq[String],
       case Some(max) =>
         var budget = max
         val admitted = scala.collection.mutable.Map(start.toSeq: _*)
-        topics.sorted.foreach { t =>
+        end.keys.toSeq.sorted.foreach { t =>
           val from = start.getOrElse(t, 0L)
           val take = math.min(end.getOrElse(t, 0L) - from, budget)
           if (take > 0) { admitted(t) = from + take; budget -= take }
@@ -171,8 +182,10 @@ class PumpMqttMicroBatchStream(brokerName: String, topics: Seq[String],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TopicOffsets].counts
     val e = end.asInstanceOf[TopicOffsets].counts
-    // one partition per topic group — the reference's per-pipe parallelism (S2)
-    topics.flatMap { t =>
+    // one partition per (concrete) topic group — the reference's per-pipe
+    // parallelism (S2); the end offset's key set carries the wildcard
+    // expansion, so planning needs no re-resolution
+    e.keys.toSeq.sorted.flatMap { t =>
       val (from, until) = (s.getOrElse(t, 0L), e.getOrElse(t, 0L))
       if (until > from) Some(PumpMqttPartition(brokerName, t, from, until)) else None
     }.toArray

@@ -48,7 +48,22 @@ object MonitorStream {
         round(col("events").cast("double") / windowSecs, 6).as("events_per_sec"),
         round(col("bytes").cast("double") / windowSecs, 6).as("bytes_per_sec"))
 
-  /** G6 document + K6 publish to `monitorRoot/<topic with / -> _>`. */
+  /** G6 document + K6 publish to `monitorRoot/<topic with / -> _>`.
+    *
+    * Publishes the reference's FULL 4-section document
+    * (`monitor.go:130-176`, assembled by [[Monitor.fullMetricsDoc]]), not
+    * just Info/DataInfo. Cumulative counters live on the DRIVER across
+    * micro-batches — exactly the reference's position, whose monitor is
+    * one goroutine of atomic counters; state is a few longs per topic.
+    *
+    * Semantic mapping (documented deviation, SURVEY §2.5): a Spark
+    * micro-batch commits atomically, so every pipeline stage of the
+    * reference sees the same count — the 7 QueueWaitInfo lags and both
+    * gaps are structurally ZERO here (there are no inter-stage queues to
+    * lag), and per-stage Failed stays 0 (a failed batch retries rather
+    * than half-completing). A dashboard built against the reference's
+    * document shape reads this build's monitor unchanged.
+    */
   def start(spark: SparkSession, cfg: PumpConfig, brokerName: String,
             checkpoint: String, trigger: Trigger = null,
             watermarkDelay: String = "30 seconds"): StreamingQuery = {
@@ -57,29 +72,59 @@ object MonitorStream {
       .option("broker", brokerName)
       .option("topics", cfg.sourceTopics.mkString(","))
       .load()
-    val agg = metricsAgg(source, cfg.monitor.publishIntervalSecs, watermarkDelay)
-    val doc = agg.withColumn("doc", to_json(struct(
-      struct(col("topic"), col("window_start")).as("Info"),
-      struct(col("events"), col("bytes"), col("events_per_sec"),
-        col("bytes_per_sec")).as("DataInfo"))))
+    val intervalSecs = cfg.monitor.publishIntervalSecs
+    val agg = metricsAgg(source, intervalSecs, watermarkDelay)
     val t = if (trigger != null) trigger
-            else Trigger.ProcessingTime(s"${cfg.monitor.publishIntervalSecs} seconds")
+            else Trigger.ProcessingTime(s"$intervalSecs seconds")
+    // reference counter state (monitor.go:21-66), Spark-side: cumulative
+    // (events, bytes) per topic plus the publish counter
+    val cum = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val pubs = new java.util.concurrent.atomic.AtomicLong()
+    val startedAtMs = System.currentTimeMillis()
     // Update mode mirrors the reference's ticker: each trigger publishes the
     // windows touched this interval (partial counts included), rather than
     // waiting for the watermark to close them — `monitor.go:178-189`
     // publishes-then-resets every tick. The watermark still bounds state.
-    doc.writeStream
+    agg.writeStream
       .queryName("graft-monitor")
       .outputMode("update")
       .trigger(t)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val broker = MemoryBroker.get(brokerName)
-        // K6: per-row publish via the broker client (driver-side per batch;
-        // use foreachPartition for a network client at scale)
-        batch.select(col("topic"), col("doc")).collect().foreach { r =>
-          broker.publish(cfg.monitorTopic(r.getString(0)),
-            r.getString(1).getBytes(StandardCharsets.UTF_8))
+        val rows = batch.select(col("topic"), col("events"), col("bytes"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        if (rows.nonEmpty) {
+          rows.foreach { case (topic, n, b) =>
+            cum.merge(topic, (n, b),
+              (old, add) => (old._1 + add._1, old._2 + add._2))
+          }
+          val runtimeSecs =
+            math.max(1L, (System.currentTimeMillis() - startedAtMs) / 1000)
+          import spark.implicits._
+          val base = rows.toSeq.map { case (topic, n, b) =>
+            (topic, cum.get(topic)._1, n, b, runtimeSecs,
+              cum.size().toLong, pubs.get(), 0L, 0L)
+          }.toDF("topic", "cum", "win", "bytes_win", "runtime_secs",
+            "pipe_num", "pub_succeed", "pub_failed", "check_errors")
+          // every stage carries the same committed count (atomic batch)
+          val stageCols = graft.engine.Monitor.RefStages.flatMap { st =>
+            Seq(col("cum").as(s"${st}_succeed"), lit(0L).as(s"${st}_failed"),
+              col("win").as(s"${st}_win"))
+          } ++ Seq("sub", "dp", "da").map(st => col("bytes_win").as(s"${st}_size_win"))
+          val counters = base.select((col("topic") +: col("runtime_secs") +:
+            col("pipe_num") +: col("pub_succeed") +: col("pub_failed") +:
+            col("check_errors") +: stageCols): _*)
+          val docs = Monitor.fullMetricsDoc(counters, intervalSecs)
+            .select(col("topic"), col("doc")).collect()
+          val broker = MemoryBroker.get(brokerName)
+          // K6: per-row publish via the broker client (driver-side per
+          // batch; use foreachPartition for a network client at scale)
+          docs.foreach { r =>
+            broker.publish(cfg.monitorTopic(r.getString(0)),
+              r.getString(1).getBytes(StandardCharsets.UTF_8))
+            pubs.incrementAndGet()
+          }
         }
       }
       .start()

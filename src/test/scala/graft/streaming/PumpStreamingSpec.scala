@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.charset.StandardCharsets
 
 import graft.SparkSpec
-import graft.engine.PumpConfig
+import graft.engine.{PumpConfig, SourceMqtt}
 import graft.sources.MemoryBroker
 import org.apache.spark.sql.streaming.Trigger
 
@@ -51,6 +51,36 @@ class PumpStreamingSpec extends SparkSpec {
     // adapter rows keep the reference type lattice (Float64 values)
     val vals = adapter.select("params_value").distinct().collect().map(_.getDouble(0)).toSet
     assert(vals === Set(564.0, 128.0))
+  }
+
+  test("wildcard /# subscription ingests every matching topic (non-grouped mode)") {
+    // the shipped reference config's enablegroupnum=false mode subscribes
+    // `pump/data/#` (mqtt.go:73-77) — the local broker must honor MQTT
+    // wildcard matching, not treat the filter as a literal log key
+    val wcfg = PumpConfig(source = SourceMqtt(enableGroupNum = false))
+    assert(wcfg.sourceTopics === Seq("pump/data/#"))
+    val brokerName = "pump-wildcard"
+    val b = MemoryBroker.get(brokerName)
+    // messages across several concrete topics, including a nested level
+    // ('#' matches any depth) and one non-matching sibling root
+    (0 until 12).foreach { i =>
+      b.publish(s"pump/data/${i % 3}",
+        PumpConfig.GoldenSample.getBytes(StandardCharsets.UTF_8),
+        receivedTimeMicros = 1704067200000000L + i * 1000000L)
+    }
+    b.publish("pump/data/9/nested",
+      PumpConfig.GoldenSample.getBytes(StandardCharsets.UTF_8), 1704067300000000L)
+    b.publish("other/data/0",
+      PumpConfig.GoldenSample.getBytes(StandardCharsets.UTF_8), 1704067301000000L)
+
+    val out = tmpDir("pump-wildcard")
+    val sinks = Pump.Sinks(s"$out/raw", s"$out/adapter", s"$out/ckpt")
+    val q = Pump.start(spark, wcfg, sinks, brokerName, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val raw = spark.read.parquet(sinks.rawPath)
+    assert(raw.count() === 13) // 12 grouped + 1 nested; sibling root excluded
+    assert(raw.select("topic").distinct().collect().map(_.getString(0)).toSet ===
+      Set("pump/data/0", "pump/data/1", "pump/data/2", "pump/data/9/nested"))
   }
 
   test("exactly-once on restart: checkpointed offsets do not re-ingest") {
@@ -258,7 +288,35 @@ class PumpStreamingSpec extends SparkSpec {
     assert(monTopics.nonEmpty)
     assert(monTopics.forall(t => t.startsWith(s"${cfg.monitor.topicRoot}/pump_data_")))
     val doc = new String(b.read(monTopics.head, 0, 1).head.payload, StandardCharsets.UTF_8)
-    assert(doc.contains("\"Info\"") && doc.contains("\"DataInfo\""))
-    assert(doc.contains("events_per_sec"))
+    // the FULL reference document shape (monitor.go:130-176): all 4
+    // sections with their exact key inventory
+    for (section <- Seq("Info", "PerformanceMetrics", "QueueWaitInfo",
+        "GapBetweenRawAndAdapterInfo", "DataInfo", "DataDBStoreInfo",
+        "SubscribeMsgInfo", "DataProcessMsgInfo", "DataAdapterInfo",
+        "DataProcessDataObjectInfo", "RawDataObjectReceiveInfo",
+        "RawDataObjectCommitInfo", "AdapterDataObjectReceiveInfo",
+        "AdapterDataObjectCommitInfo"))
+      assert(doc.contains("\"" + section + "\":"), s"missing $section in $doc")
+    for (key <- Seq("RunTime(s)", "PipeNum", "MonPubSucceed", "MonPubFailed",
+        "WaitForProcess", "WaitForRawDataObjectToDB",
+        "WaitForRawDataObjectToDBCommit", "WaitForAdapter",
+        "WaitForProcessDataObject", "WaitForAdapterDataObjectToDB",
+        "WaitForAdapterDataObjectToDBCommit", "GapToDB", "GapToDBCommit",
+        "SubMsgPerSec", "SubMsgSizePerSec", "SubMsgSucceed", "SubMsgFailed",
+        "AvgPeriodSubMsgPerSec", "DpMsgPerSec", "DaMsgPerSec",
+        "DaPdoMsgPerSec", "CheckErrors", "DbsRDOReceivePerSec",
+        "DbsRDOCommitPerSec", "DbsADOReceivePerSec", "DbsADOCommitPerSec"))
+      assert(doc.contains("\"" + key + "\":"), s"missing $key in $doc")
+    // atomic micro-batch commit: every stage saw the same count, so queue
+    // lags and raw-vs-adapter gaps are structurally zero (documented
+    // deviation in MonitorStream.start)
+    assert(doc.contains("\"WaitForProcess\":0"))
+    assert(doc.contains("\"GapToDB\":0"))
+    // the document is valid JSON (parse via Spark's JSON reader)
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(doc).toDS)
+    assert(!parsed.columns.contains("_corrupt_record"))
+    assert(parsed.columns.sorted === Array("DataDBStoreInfo", "DataInfo",
+      "Info", "PerformanceMetrics"))
   }
 }
