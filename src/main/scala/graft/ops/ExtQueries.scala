@@ -22,6 +22,25 @@ object ExtQueries {
   private val IvfNlist = 8
   private val IvfNprobe = 4
 
+  /** The MinHash-LSH near-dup pair stage, MATERIALIZED once per
+    * (session, table dir) and shared by `x1_minhash_lsh` and
+    * `x9_components`: the pair list is the expensive part (signatures,
+    * banding, bucket self-join, exact verify) and the survivors are tiny
+    * (near-dup pairs — a sliver of the corpus), so `localCheckpoint`
+    * costs one extra materialization of a handful of rows and saves the
+    * clustering query a full recomputation of the pipeline. At 100 TB
+    * this is the same pattern writ large: persist the verified pair list
+    * (it is the natural intermediate table of a dedup pipeline) and run
+    * clustering from it, never inline.
+    */
+  private val lshPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        numSigs = 16, rowsPerBand = 4, threshold = JaccardThreshold)
+        .localCheckpoint())
+
   // --------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -42,11 +61,7 @@ object ExtQueries {
     }),
 
     // X1 MinHash+LSH near-dup — the scale path, verified exactly
-    "x1_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        numSigs = 16, rowsPerBand = 4, threshold = JaccardThreshold)
-        .orderBy("d1", "d2")
-    }),
+    "x1_minhash_lsh" -> ((s, dir) => lshPairs(s, dir).orderBy("d1", "d2")),
 
     // X1 SimHash 16-bit signatures
     "x1_simhash" -> ((s, dir) => {
@@ -161,11 +176,11 @@ object ExtQueries {
     }),
 
     // X9 near-dup clustering: connected components over the MinHash-LSH
-    // pair list (min-label propagation; oracle = recursive closure)
+    // pair list (min-label propagation; oracle = recursive closure).
+    // Reuses the materialized pair stage from x1_minhash_lsh when both run
+    // in one session, so x9's cost is the CC iteration alone.
     "x9_components" -> ((s, dir) => {
-      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        numSigs = 16, rowsPerBand = 4, threshold = JaccardThreshold)
-      Cluster.components(pairs.select("d1", "d2"))
+      Cluster.components(lshPairs(s, dir).select("d1", "d2"))
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
     }),
