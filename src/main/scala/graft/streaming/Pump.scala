@@ -71,19 +71,18 @@ object Pump {
       // dates tiny files — the classic partitioned-write mistake at
       // scale). A small mid-derived salt caps per-date skew at 2 writers
       // (salt trades writer parallelism against file count per date).
-      Adapter.rawProjection(withMid,
-          mid = col("mid"), topic = col("topic"), payload = col("payload"),
-          receivedTime = col("received_time"))
-        .withColumn("batch_id", lit(batchId))
-        .repartition(col("collect_date"), pmod(crc32(col("mid")), lit(2)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("collect_date", "batch_id").parquet(sinks.rawPath)
+      def writeRaw(): Unit =
+        Adapter.rawProjection(withMid,
+            mid = col("mid"), topic = col("topic"), payload = col("payload"),
+            receivedTime = col("received_time"))
+          .withColumn("batch_id", lit(batchId))
+          .repartition(col("collect_date"), pmod(crc32(col("mid")), lit(2)))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("collect_date", "batch_id").parquet(sinks.rawPath)
 
-      // T4 — raw-only mode skips the adapter branch entirely
-      // (data_processor.go:86-99 StartDataProcessTask)
-      if (!rawOnly) {
-        // K5 — adapter path: A1 parse -> A3 reject -> A2 explode -> A4/A5 flatten
+      // K5 — adapter path: A1 parse -> A3 reject -> A2 explode -> A4/A5 flatten
+      def writeAdapter(): Unit = {
         val adapted = Adapter.adapt(
           withMid.select(col("mid"), col("payload"),
             col("received_time").cast("timestamp").as("collect_datetime")),
@@ -95,6 +94,27 @@ object Pump {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("collect_date", "batch_id").parquet(sinks.adapterPath)
+      }
+
+      // T4 — raw-only mode skips the adapter branch entirely
+      // (data_processor.go:86-99 StartDataProcessTask)
+      if (rawOnly) writeRaw()
+      else {
+        // The two sink writes run CONCURRENTLY — the reference's dual-path
+        // fan-out is two goroutine consumers of one producer
+        // (data_processor.go:78-79), and here both jobs read the same
+        // persisted micro-batch (Spark's block manager computes each
+        // cached partition once under lock, whichever job asks first).
+        // Failure semantics are unchanged from sequential: any failure
+        // fails the batch and the replay overwrites BOTH sinks' batch_id
+        // partitions idempotently.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val raw = Future(writeRaw())
+        val adapter = Future(writeAdapter())
+        Await.result(raw, Duration.Inf)
+        Await.result(adapter, Duration.Inf)
       }
     } finally withMid.unpersist()
   }
