@@ -322,4 +322,34 @@ object Dedup {
     while (i < a.length) { s += a(i).toLong * b(i); i += 1 }
     s
   }
+
+  /** Embedding near-dup, 100 TB form: bucket each vector by its sign
+    * pattern ([[Similarity.signBucket]], computable at scan/ingest time)
+    * and score pairs ONLY within buckets via a bucket-equality self-join —
+    * fully distributed, nothing ever collected to the driver, shuffle
+    * keyed on the bucket id. The quadratic work is confined to individual
+    * buckets exactly like the LSH band join confines shingle pairs.
+    *
+    * Recall contract (same as [[Similarity.lshTopK]]): a pair whose
+    * members land in different sign buckets is missed — near-identical
+    * vectors agree on nearly every coordinate's sign, so high-threshold
+    * duplicates co-bucket with high probability; multi-probe or
+    * fewer bits raise recall at more per-bucket cost. [[embeddingDupPairs]]
+    * is the exact all-pairs twin for one bucket/block; this operator is
+    * what replaces it when the corpus no longer fits a block.
+    */
+  def embeddingDupPairsBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, bits: Int = 16): DataFrame = {
+    val q = emb.select(col(idCol).cast("long").as("id"),
+        Similarity.quantize(col(vecCol)).as("qv"),
+        Similarity.signBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("n2", Similarity.sqNorm(col("qv")))
+    q.as("a").join(q.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        round(Similarity.cosine(
+          Similarity.dot(col("a.qv"), col("b.qv")),
+          col("a.n2"), col("b.n2")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }

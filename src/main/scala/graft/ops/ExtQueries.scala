@@ -69,10 +69,19 @@ object ExtQueries {
       Dedup.simhash16(sh, "doc_id").orderBy("doc_id")
     }),
 
-    // X1 embedding-cosine near-dup pairs
+    // X1 embedding-cosine near-dup pairs (block kernel: exact all-pairs
+    // within a driver-bounded block)
     "x1_embedding_dup" -> ((s, dir) => {
       Dedup.embeddingDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         EmbDupThreshold).orderBy("d1", "d2")
+    }),
+
+    // X1 embedding near-dup, bucketed form — the 100 TB path: sign-bucket
+    // equi-join, no driver collect at any corpus size; 6 bucket bits
+    // sized to the test corpus like x2_ann_lsh
+    "x1_embedding_dup_bucket" -> ((s, dir) => {
+      Dedup.embeddingDupPairsBucketed(Tables.embeddings(s, dir), "vec_id",
+        "embedding", EmbDupThreshold, bits = 6).orderBy("d1", "d2")
     }),
 
     // X2 brute-force cosine top-k (exact baseline)
@@ -388,6 +397,18 @@ object ExtQueries {
          |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
          |  round(list_dot_product(a.q, b.q) / (sqrt(a.n2) * sqrt(b.n2)), 6) AS sim
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT d1, d2, sim FROM p WHERE sim >= $EmbDupThreshold
+         |ORDER BY d1, d2""".stripMargin,
+
+    "x1_embedding_dup_bucket" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2,
+         |  ${signBucketSql("embedding", 6)} AS bucket FROM e),
+         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |  round(list_dot_product(a.q, b.q) / (sqrt(a.n2) * sqrt(b.n2)), 6) AS sim
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT d1, d2, sim FROM p WHERE sim >= $EmbDupThreshold
          |ORDER BY d1, d2""".stripMargin,
 

@@ -76,6 +76,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bucketed embedding dedup is the exact kernel restricted to co-bucketed pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("d1", "d2", "sim").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val bucketed = Dedup.embeddingDupPairsBucketed(emb, "vec_id", "embedding",
+        0.4, bits = 6)
+      .select("d1", "d2", "sim").as[(Long, Long, Double)].collect()
+    assert(bucketed.nonEmpty)
+    // no collect() anywhere in the bucketed plan: subset of the exact
+    // pairs, scores bit-identical where both report
+    bucketed.foreach { case (a, b, s) =>
+      assert(exact.get((a, b)).contains(s), s"pair ($a,$b) sim $s not in exact set")
+    }
+    // and the restriction is exactly bucket membership: every exact pair
+    // whose members co-bucket must be reported
+    val bucketOf = emb.select($"vec_id",
+        Similarity.signBucket($"embedding", 6).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val bucketedSet = bucketed.map(t => (t._1, t._2)).toSet
+    exact.keys.foreach { case (a, b) =>
+      if (bucketOf(a) == bucketOf(b))
+        assert(bucketedSet.contains((a, b)), s"co-bucketed pair ($a,$b) missed")
+    }
+  }
+
   test("IVF probe recovers most brute-force neighbors (recall@5)") {
     val emb = Tables.embeddings(spark, sf)
     val qs = emb.filter($"vec_id" < 10)
