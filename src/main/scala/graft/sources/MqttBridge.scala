@@ -24,14 +24,17 @@ object MqttBridge {
 
   /** Subscribe `topics` at `host:port` and append deliveries into
     * `MemoryBroker.get(brokerName)` stamped with receive time
-    * (`mqtt.go:123` time.Now().Unix()).
+    * (`mqtt.go:123` time.Now().Unix()). Credentials mirror the
+    * reference's broker options (`mqtt.go:46-52`).
     */
   def start(host: String, port: Int, topics: Seq[String], brokerName: String,
-            clientId: String = s"graft-pump-${System.nanoTime()}"): Bridge = {
+            clientId: String = s"graft-pump-${System.nanoTime()}",
+            username: String = "", password: String = ""): Bridge = {
     val log = MemoryBroker.get(brokerName)
     val client = new MqttClient(host, port, clientId,
       onMessage = (topic, payload) =>
-        log.publish(topic, payload, System.currentTimeMillis() * 1000L))
+        log.publish(topic, payload, System.currentTimeMillis() * 1000L),
+      username = username, password = password)
     client.subscribe(topics)
     new Bridge(client)
   }

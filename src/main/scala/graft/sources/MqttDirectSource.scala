@@ -59,13 +59,16 @@ class MqttDirectTable(options: CaseInsensitiveStringMap) extends Table with Supp
     () => new MqttDirectScan(
       options.getOrDefault("host", "127.0.0.1"),
       options.getOrDefault("port", "1883").toInt,
-      PumpMqttSource.topicsOf(options))
+      PumpMqttSource.topicsOf(options),
+      options.getOrDefault("username", ""),
+      options.getOrDefault("password", ""))
 }
 
-class MqttDirectScan(host: String, port: Int, topics: Seq[String]) extends Scan {
+class MqttDirectScan(host: String, port: Int, topics: Seq[String],
+                     username: String = "", password: String = "") extends Scan {
   override def readSchema(): StructType = PumpMqttSource.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MqttDirectMicroBatchStream(host, port, topics)
+    new MqttDirectMicroBatchStream(host, port, topics, username, password)
 }
 
 /** Count offset over the driver-side delivery buffer. */
@@ -124,7 +127,8 @@ private[sources] final class DeliveryBuffer {
   }
 }
 
-class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String])
+class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String],
+                                 username: String = "", password: String = "")
     extends MicroBatchStream {
 
   // delivery buffer: (topic, payload, receivedTimeMicros), appended by the
@@ -133,7 +137,8 @@ class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String])
   private val client = new MqttClient(host, port,
     s"graft-direct-${System.identityHashCode(this)}",
     onMessage = (topic, payload) =>
-      buffer.append((topic, payload, System.currentTimeMillis() * 1000L)))
+      buffer.append((topic, payload, System.currentTimeMillis() * 1000L)),
+    username = username, password = password)
   client.subscribe(topics)
 
   override def initialOffset(): Offset = CountOffset(0L)

@@ -17,13 +17,15 @@ import MqttCodec._
   * [[graft.sources.MqttBridge]].
   */
 class MqttClient(host: String, port: Int, clientId: String,
-                 onMessage: (String, Array[Byte]) => Unit = (_, _) => ()) {
+                 onMessage: (String, Array[Byte]) => Unit = (_, _) => (),
+                 username: String = "", password: String = "") {
 
   private val socket = new Socket(host, port)
   private val out = new DataOutputStream(socket.getOutputStream)
   private val in = new DataInputStream(socket.getInputStream)
   private val packetIds = new AtomicInteger(1)
   private val connected = new CountDownLatch(1)
+  @volatile private var connackRc: Int = -1
   @volatile private var subAcked = new CountDownLatch(0)
 
   private val reader = new Thread(() => {
@@ -32,7 +34,10 @@ class MqttClient(host: String, port: Int, clientId: String,
         val pkt = readPacket(in)
         pkt.packetType match {
           case PacketType.CONNACK =>
-            require(pkt.payload(1) == 0, s"CONNACK rc=${pkt.payload(1)}")
+            // record the return code and release the connect latch either
+            // way — the constructor turns a refusal into a loud failure
+            // instead of a 10 s timeout
+            connackRc = pkt.payload(1) & 0xff
             connected.countDown()
           case PacketType.SUBACK => subAcked.countDown()
           case PacketType.PUBLISH =>
@@ -48,8 +53,9 @@ class MqttClient(host: String, port: Int, clientId: String,
   reader.setDaemon(true)
   reader.start()
 
-  writePacket(out, PacketType.CONNECT, 0, connectPacket(clientId))
+  writePacket(out, PacketType.CONNECT, 0, connectPacket(clientId, username, password))
   require(connected.await(10, java.util.concurrent.TimeUnit.SECONDS), "CONNACK timeout")
+  require(connackRc == 0, s"CONNECT refused: CONNACK rc=$connackRc")
 
   def subscribe(topics: Seq[String]): Unit = {
     subAcked = new CountDownLatch(1)

@@ -72,13 +72,29 @@ object MqttCodec {
     (new String(b, off + 2, len, StandardCharsets.UTF_8), len + 2)
   }
 
-  def connectPacket(clientId: String): Array[Byte] = {
+  /** CONNECT with optional credentials — the reference sets username and
+    * password on its client options when configured (`mqtt.go:46-52`);
+    * per the 3.1.1 spec the password flag is only valid with the username
+    * flag, so a password without a username is ignored (matching the
+    * reference's `if username != ""` gate).
+    */
+  def connectPacket(clientId: String, username: String = "",
+                    password: String = ""): Array[Byte] = {
     val b = new java.io.ByteArrayOutputStream()
     b.write(utf8("MQTT"))
     b.write(4)            // protocol level 3.1.1
-    b.write(0x02)         // clean session
+    var flags = 0x02      // clean session
+    if (username.nonEmpty) {
+      flags |= 0x80
+      if (password.nonEmpty) flags |= 0x40
+    }
+    b.write(flags)
     b.write(0); b.write(60) // keepalive 60s
     b.write(utf8(clientId))
+    if (username.nonEmpty) {
+      b.write(utf8(username))
+      if (password.nonEmpty) b.write(utf8(password))
+    }
     b.toByteArray
   }
 

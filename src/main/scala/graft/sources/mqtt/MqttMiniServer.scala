@@ -10,12 +10,18 @@ import scala.jdk.CollectionConverters._
 import MqttCodec._
 
 /** In-process MQTT 3.1.1 broker — the test stand-in for EMQX/mosquitto
-  * (the reference's docker compose ships EMQX). QoS 0 only: CONNECT,
-  * SUBSCRIBE (with +/# wildcards), PUBLISH fan-out to matching
-  * subscribers, PING, DISCONNECT. One thread per connection; enough to
-  * exercise the real socket path end-to-end in tests.
+  * (the reference's docker compose ships EMQX). QoS 0 only: CONNECT
+  * (with optional username/password auth like the reference's broker
+  * config, `conf.go`/`mqtt.go:46-52`), SUBSCRIBE (with +/# wildcards),
+  * PUBLISH fan-out to matching subscribers, PING, DISCONNECT. One thread
+  * per connection; enough to exercise the real socket path end-to-end in
+  * tests.
+  *
+  * @param auth when set, CONNECTs must carry exactly these
+  *   (username, password) credentials; mismatches are refused with
+  *   CONNACK rc=4 (bad user name or password) and the connection closed.
   */
-class MqttMiniServer(port0: Int = 0) {
+class MqttMiniServer(port0: Int = 0, auth: Option[(String, String)] = None) {
 
   private val server = new ServerSocket(port0)
   private val running = new AtomicBoolean(true)
@@ -48,7 +54,29 @@ class MqttMiniServer(port0: Int = 0) {
         val pkt = readPacket(in)
         pkt.packetType match {
           case PacketType.CONNECT =>
-            writePacket(sess.out, PacketType.CONNACK, 0, Array(0, 0))
+            // variable header: protocol name, level, connect flags,
+            // keepalive; payload: clientId [will topic/msg] [user] [pass]
+            val (_, protoUsed) = readUtf8(pkt.payload, 0)
+            val flags = pkt.payload(protoUsed + 1) & 0xff
+            var off = protoUsed + 4
+            val (_, cidUsed) = readUtf8(pkt.payload, off); off += cidUsed
+            if ((flags & 0x04) != 0) { // will flag: skip will topic + message
+              val (_, wt) = readUtf8(pkt.payload, off); off += wt
+              val (_, wm) = readUtf8(pkt.payload, off); off += wm
+            }
+            val user = if ((flags & 0x80) != 0) {
+              val (u, used) = readUtf8(pkt.payload, off); off += used; Some(u)
+            } else None
+            val pass = if ((flags & 0x40) != 0) {
+              val (p, used) = readUtf8(pkt.payload, off); off += used; Some(p)
+            } else None
+            val rc: Byte = auth match {
+              case Some((eu, ep)) if !(user.contains(eu) && pass.contains(ep)) =>
+                4 // bad user name or password (mqtt-v3.1.1-os table 3.1)
+              case _ => 0
+            }
+            writePacket(sess.out, PacketType.CONNACK, 0, Array(0, rc))
+            if (rc != 0) { sess.socket.close(); return }
           case PacketType.SUBSCRIBE =>
             var off = 2 // packet id
             val pid = ((pkt.payload(0) & 0xff) << 8) | (pkt.payload(1) & 0xff)

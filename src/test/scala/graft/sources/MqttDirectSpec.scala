@@ -75,6 +75,34 @@ class MqttDirectSpec extends SparkSpec {
     assert(b.end === 102)
   }
 
+  test("broker auth: wrong credentials refused with CONNACK rc=4, right ones accepted") {
+    val server = new MqttMiniServer(auth = Some(("pump", "secret")))
+    try {
+      // missing credentials
+      val e1 = intercept[IllegalArgumentException] {
+        new MqttClient("127.0.0.1", server.port, "anon")
+      }
+      assert(e1.getMessage.contains("rc=4"))
+      // wrong password
+      val e2 = intercept[IllegalArgumentException] {
+        new MqttClient("127.0.0.1", server.port, "bad",
+          username = "pump", password = "nope")
+      }
+      assert(e2.getMessage.contains("rc=4"))
+      // correct credentials: full pub/sub roundtrip
+      val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val sub = new MqttClient("127.0.0.1", server.port, "authed-sub",
+        onMessage = (_, p) => got.put(new String(p, StandardCharsets.UTF_8)),
+        username = "pump", password = "secret")
+      sub.subscribe(Seq("pump/data/0"))
+      val pub = new MqttClient("127.0.0.1", server.port, "authed-pub",
+        username = "pump", password = "secret")
+      pub.publish("pump/data/0", "hello".getBytes(StandardCharsets.UTF_8))
+      assert(got.poll(10, java.util.concurrent.TimeUnit.SECONDS) === "hello")
+      pub.close(); sub.close()
+    } finally server.close()
+  }
+
   test("delivery buffer: rebase keeps fresh deliveries buffered before restore") {
     val b = new DeliveryBuffer
     // the reconnected client delivered 3 messages BEFORE the checkpointed
