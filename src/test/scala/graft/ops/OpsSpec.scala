@@ -25,6 +25,31 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("maxBucket guard degrades a band-collision storm instead of exploding") {
+    // 200 copies of one boilerplate template: every band bucket has 200
+    // members -> 200*199/2 candidate pairs per band without a guard. Two
+    // genuinely-similar docs (ids 1000/1001) share their own small
+    // buckets and must survive the cap.
+    val template = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val pairText = (1 to 39).map(i => s"alt$i").mkString(" ")
+    val docs = ((0 until 200).map(i => (i.toLong, template)) ++
+      Seq((1000L, pairText + " tailA"), (1001L, pairText + " tailB")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.docSignatures(docs, "doc_id", "text", 16)
+    val unguarded = Dedup.lshCandidates(sigs, "doc_id", 16, 4)
+    assert(unguarded.count() >= 200L * 199 / 2) // the storm, quantified
+    val guarded = Dedup.lshCandidates(sigs, "doc_id", 16, 4, maxBucket = Some(50))
+      .as[(Long, Long)].collect().toSet
+    // storm buckets dropped whole (their members are exact-dup territory,
+    // which digest dedup catches); the small genuine bucket survives
+    assert(guarded === Set((1000L, 1001L)))
+    // and the full pipeline still verifies the surviving pair exactly
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4,
+        threshold = 0.8, maxBucket = Some(50))
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1000L, 1001L)))
+  }
+
   test("native one-pass MinHash signatures equal the declarative 16-aggregate form") {
     val docs = Tables.documents(spark, sf)
     val sh = Dedup.shingleTable(docs, "doc_id", "text")
