@@ -135,6 +135,13 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // X3 Gopher-style repetition gate: top-bigram share + duplicate-bigram
+    // share, computed row-locally (the oracle recomputes relationally)
+    "x3_repetition" -> ((s, dir) => {
+      TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // X4 multimodal metadata extraction over binary blobs
     "x4_media_stats" -> ((s, dir) => {
       Multimodal.mediaStats(
@@ -475,6 +482,22 @@ object ExtQueries {
     "x3_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 16) AS fp16
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // relational twin of the row-local fold: count per (doc, bigram), then
+    // max/sum/count per doc — same numbers, explode+shuffle price
+    "x3_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+        |  i -> ts[i] || ' ' || ts[i+1])) AS s FROM t),
+        |c AS (SELECT doc_id, s, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(max(cnt) AS BIGINT) AS top_ngram_count
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_ngrams, n_distinct, top_ngram_count,
+        |  round(CAST(top_ngram_count AS DOUBLE) / n_ngrams, 6) AS top_ngram_ratio,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6) AS dup_ngram_ratio
+        |FROM a WHERE n_ngrams > 0 ORDER BY doc_id""".stripMargin,
 
     "x4_media_stats" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, md5(text) AS digest,

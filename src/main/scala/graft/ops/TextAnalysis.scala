@@ -93,4 +93,44 @@ object TextAnalysis {
     docs.select(explode(split(col(textCol), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
+
+  /** Repetition quality gate (the Gopher/MassiveText-style filter): per
+    * document, the share of its n-grams taken by the single most repeated
+    * one (`top_ngram_ratio`) and the duplicate-n-gram share
+    * (`dup_ngram_ratio`) — the two classic knobs for dropping
+    * boilerplate/spam before training.
+    *
+    * Computed ROW-LOCALLY: the n-gram array is sorted so equal n-grams
+    * are adjacent, and one `aggregate` fold finds the longest run — no
+    * explode, no (doc, ngram) shuffle, which is what makes this a
+    * scan-side projection at 100 TB (the relational
+    * explode+groupBy(doc, ngram) twin computes the same numbers at the
+    * price of shuffling every n-gram occurrence; the DuckDB oracle runs
+    * that form, so the equivalence is checked per row).
+    * Docs too short for an n-gram are excluded (no n-gram population to
+    * measure).
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 2): DataFrame = {
+    val sh = graft.functions.Shingles.shingles(split(col(textCol), " "), n)
+    val sorted = array_sort(sh)
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val maxRun = aggregate(sorted, zero,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.select(col(idCol),
+        size(sh).cast("long").as("n_ngrams"),
+        size(array_distinct(sh)).cast("long").as("n_distinct"),
+        maxRun.as("top_ngram_count"))
+      .filter(col("n_ngrams") > 0)
+      .withColumn("top_ngram_ratio",
+        round(col("top_ngram_count").cast("double") / col("n_ngrams"), 6))
+      .withColumn("dup_ngram_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 6))
+  }
 }
