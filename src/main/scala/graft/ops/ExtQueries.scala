@@ -201,6 +201,27 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // X9 canonical selection — the dedup pipeline's final step: per
+    // near-dup cluster keep the highest-quality member (type-token ratio,
+    // ties to the lowest doc_id) and count what gets dropped. The window
+    // partitions by component — clusters are tiny by construction, so the
+    // ranking shuffles only cluster members, never the corpus.
+    "x9_canonical" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val comps = Cluster.components(lshPairs(s, dir).select("d1", "d2"))
+        .select(col("id").as("doc_id"), col("component"))
+      val quality = TextAnalysis.textStats(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      val ranked = comps.join(quality, "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("component")
+            .orderBy(col("quality").desc, col("doc_id"))))
+      val keep = ranked.filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("keep_id"))
+      val sizes = comps.groupBy("component").agg(count(lit(1)).as("n_members"))
+      keep.join(sizes, "component").orderBy("component")
+    }),
+
     // X11 salted two-phase aggregation (skew path): identical result to a
     // plain GROUP BY — which is exactly what the oracle runs. Values are
     // cast to decimal first so sums are order-exact; the OUTPUT column is
@@ -570,6 +591,40 @@ object ExtQueries {
          |r(nd, m) AS (SELECT nd, nd FROM nodes
          |  UNION SELECT r.nd, e.b FROM r JOIN e ON r.m = e.a)
          |SELECT nd AS doc_id, min(m) AS component FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same recursive closure as x9_components, extended with the quality
+    // ranking (quality = the x3_text_stats type-token ratio)
+    "x9_canonical" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2),
+         |p AS (SELECT d1, d2 FROM j WHERE jac >= $JaccardThreshold),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION ALL SELECT d2 AS a, d1 AS b FROM p),
+         |nodes AS (SELECT DISTINCT a AS nd FROM e),
+         |r(nd, m) AS (SELECT nd, nd FROM nodes
+         |  UNION SELECT r.nd, e.b FROM r JOIN e ON r.m = e.a),
+         |comp AS (SELECT nd AS doc_id, min(m) AS component FROM r GROUP BY 1),
+         |qual AS (SELECT doc_id,
+         |  round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6) AS quality FROM t),
+         |ranked AS (SELECT c.component, c.doc_id,
+         |  row_number() OVER (PARTITION BY c.component
+         |    ORDER BY q.quality DESC, c.doc_id) AS rn
+         |  FROM comp c JOIN qual q ON q.doc_id = c.doc_id)
+         |SELECT k.component, k.doc_id AS keep_id, s.n_members
+         |FROM (SELECT component, doc_id FROM ranked WHERE rn = 1) k
+         |JOIN (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM comp GROUP BY 1) s ON s.component = k.component
+         |ORDER BY k.component""".stripMargin,
 
     "x11_salted_agg" ->
       """SELECT event_type,

@@ -57,6 +57,22 @@ class MqttClient(host: String, port: Int, clientId: String,
   require(connected.await(10, java.util.concurrent.TimeUnit.SECONDS), "CONNACK timeout")
   require(connackRc == 0, s"CONNECT refused: CONNACK rc=$connackRc")
 
+  // keepalive: CONNECT advertises 60 s, and a spec-compliant broker drops
+  // a client silent for 1.5x that — an idle subscriber (no inbound
+  // traffic to ack, QoS 0) would be disconnected without this. The
+  // reference gets the same loop from paho's SetKeepAlive/SetPingTimeout
+  // options (`mqtt.go:53-56`).
+  private val pinger = new Thread(() => {
+    try {
+      while (!socket.isClosed) {
+        Thread.sleep(30000)
+        if (!socket.isClosed) ping()
+      }
+    } catch { case _: Throwable => /* closed */ }
+  }, s"mqtt-ping-$clientId")
+  pinger.setDaemon(true)
+  pinger.start()
+
   def subscribe(topics: Seq[String]): Unit = {
     subAcked = new CountDownLatch(1)
     writePacket(out, PacketType.SUBSCRIBE, 0x2,
