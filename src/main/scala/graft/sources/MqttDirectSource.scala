@@ -61,14 +61,16 @@ class MqttDirectTable(options: CaseInsensitiveStringMap) extends Table with Supp
       options.getOrDefault("port", "1883").toInt,
       PumpMqttSource.topicsOf(options),
       options.getOrDefault("username", ""),
-      options.getOrDefault("password", ""))
+      options.getOrDefault("password", ""),
+      options.getOrDefault("qos", "0").toInt)
 }
 
 class MqttDirectScan(host: String, port: Int, topics: Seq[String],
-                     username: String = "", password: String = "") extends Scan {
+                     username: String = "", password: String = "",
+                     qos: Int = 0) extends Scan {
   override def readSchema(): StructType = PumpMqttSource.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MqttDirectMicroBatchStream(host, port, topics, username, password)
+    new MqttDirectMicroBatchStream(host, port, topics, username, password, qos)
 }
 
 /** Count offset over the driver-side delivery buffer. */
@@ -128,7 +130,8 @@ private[sources] final class DeliveryBuffer {
 }
 
 class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String],
-                                 username: String = "", password: String = "")
+                                 username: String = "", password: String = "",
+                                 qos: Int = 0)
     extends MicroBatchStream {
 
   // delivery buffer: (topic, payload, receivedTimeMicros), appended by the
@@ -139,7 +142,7 @@ class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String],
     onMessage = (topic, payload) =>
       buffer.append((topic, payload, System.currentTimeMillis() * 1000L)),
     username = username, password = password)
-  client.subscribe(topics)
+  client.subscribe(topics, qos)
 
   override def initialOffset(): Offset = CountOffset(0L)
   override def latestOffset(): Offset = CountOffset(buffer.end)

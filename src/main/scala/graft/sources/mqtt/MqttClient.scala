@@ -7,9 +7,13 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import MqttCodec._
 
-/** Minimal MQTT 3.1.1 client (QoS 0) over a plain socket — the production
-  * transport for S1/K6, replacing the reference's paho dependency
-  * (`/root/reference/mqtt.go:69-126`) with ~100 lines of JDK-only code.
+/** Minimal MQTT 3.1.1 client (QoS 0/1) over a plain socket — the
+  * production transport for S1/K6, replacing the reference's paho
+  * dependency (`/root/reference/mqtt.go:69-126`) with JDK-only code. The
+  * reference passes its configured QoS to subscribe and publish
+  * (`mqtt.go:97-103,131`); QoS 1 here means a publish blocks until the
+  * broker's PUBACK (one DUP retransmit on timeout — at-least-once), and
+  * inbound QoS-1 deliveries are PUBACK'd after the callback returns.
   *
   * `onMessage` runs on the reader thread, mirroring paho's callback
   * delivery (`mqtt.go:117-126` onMessageReceived); the subscriber side
@@ -27,6 +31,8 @@ class MqttClient(host: String, port: Int, clientId: String,
   private val connected = new CountDownLatch(1)
   @volatile private var connackRc: Int = -1
   @volatile private var subAcked = new CountDownLatch(0)
+  private val pendingAcks =
+    new java.util.concurrent.ConcurrentHashMap[Int, CountDownLatch]()
 
   private val reader = new Thread(() => {
     try {
@@ -41,9 +47,14 @@ class MqttClient(host: String, port: Int, clientId: String,
             connected.countDown()
           case PacketType.SUBACK => subAcked.countDown()
           case PacketType.PUBLISH =>
-            val (topic, used) = readUtf8(pkt.payload, 0)
-            onMessage(topic,
-              java.util.Arrays.copyOfRange(pkt.payload, used, pkt.payload.length))
+            val (topic, pid, body) = parsePublish(pkt.flags, pkt.payload)
+            onMessage(topic, body)
+            // ack AFTER delivery: a crash between receipt and callback is
+            // redelivered by the broker (at-least-once)
+            pid.foreach(id => writePacket(out, PacketType.PUBACK, 0, pubackPacket(id)))
+          case PacketType.PUBACK =>
+            val id = ((pkt.payload(0) & 0xff) << 8) | (pkt.payload(1) & 0xff)
+            Option(pendingAcks.remove(id)).foreach(_.countDown())
           case PacketType.PINGRESP => ()
           case _ => ()
         }
@@ -73,15 +84,33 @@ class MqttClient(host: String, port: Int, clientId: String,
   pinger.setDaemon(true)
   pinger.start()
 
-  def subscribe(topics: Seq[String]): Unit = {
+  def subscribe(topics: Seq[String], qos: Int = 0): Unit = {
     subAcked = new CountDownLatch(1)
     writePacket(out, PacketType.SUBSCRIBE, 0x2,
-      subscribePacket(packetIds.getAndIncrement() & 0xffff, topics))
+      subscribePacket(packetIds.getAndIncrement() & 0xffff, topics, qos))
     require(subAcked.await(10, java.util.concurrent.TimeUnit.SECONDS), "SUBACK timeout")
   }
 
-  def publish(topic: String, payload: Array[Byte]): Unit =
-    writePacket(out, PacketType.PUBLISH, 0, publishPacket(topic, payload))
+  def publish(topic: String, payload: Array[Byte], qos: Int = 0): Unit =
+    if (qos == 0)
+      writePacket(out, PacketType.PUBLISH, 0, publishPacket(topic, payload))
+    else {
+      // QoS 1: block until PUBACK; one DUP retransmit, then fail loudly
+      val id = { // avoid 0 — a zero packet id is a protocol error
+        var n = packetIds.getAndIncrement() & 0xffff
+        if (n == 0) n = packetIds.getAndIncrement() & 0xffff
+        n
+      }
+      val acked = new CountDownLatch(1)
+      pendingAcks.put(id, acked)
+      val body = publishPacket(topic, payload, Some(id))
+      writePacket(out, PacketType.PUBLISH, 0x2, body) // QoS-1 flags
+      if (!acked.await(5, java.util.concurrent.TimeUnit.SECONDS)) {
+        writePacket(out, PacketType.PUBLISH, 0x2 | 0x8, body) // DUP set
+        require(acked.await(5, java.util.concurrent.TimeUnit.SECONDS),
+          s"PUBACK timeout for packet $id after retransmit")
+      }
+    }
 
   def ping(): Unit = writePacket(out, PacketType.PINGREQ, 0, Array.emptyByteArray)
 

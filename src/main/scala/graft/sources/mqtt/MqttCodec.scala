@@ -13,7 +13,7 @@ import java.nio.charset.StandardCharsets
 object MqttCodec {
 
   object PacketType {
-    val CONNECT = 1; val CONNACK = 2; val PUBLISH = 3
+    val CONNECT = 1; val CONNACK = 2; val PUBLISH = 3; val PUBACK = 4
     val SUBSCRIBE = 8; val SUBACK = 9
     val PINGREQ = 12; val PINGRESP = 13; val DISCONNECT = 14
   }
@@ -98,19 +98,38 @@ object MqttCodec {
     b.toByteArray
   }
 
-  def subscribePacket(packetId: Int, topics: Seq[String]): Array[Byte] = {
+  def subscribePacket(packetId: Int, topics: Seq[String], qos: Int = 0): Array[Byte] = {
     val b = new java.io.ByteArrayOutputStream()
     b.write((packetId >> 8) & 0xff); b.write(packetId & 0xff)
-    topics.foreach { t => b.write(utf8(t)); b.write(0) } // requested QoS 0
+    topics.foreach { t => b.write(utf8(t)); b.write(qos) }
     b.toByteArray
   }
 
-  def publishPacket(topic: String, payload: Array[Byte]): Array[Byte] = {
+  /** PUBLISH body; `packetId` present iff QoS > 0 (spec §3.3.2.2). */
+  def publishPacket(topic: String, payload: Array[Byte],
+                    packetId: Option[Int] = None): Array[Byte] = {
     val b = new java.io.ByteArrayOutputStream()
     b.write(utf8(topic))
-    b.write(payload)       // QoS 0: no packet id
+    packetId.foreach { id => b.write((id >> 8) & 0xff); b.write(id & 0xff) }
+    b.write(payload)
     b.toByteArray
   }
+
+  /** Decode a PUBLISH: (topic, packetId iff QoS>0, body). QoS comes from
+    * the fixed-header flags bits 1-2.
+    */
+  def parsePublish(flags: Int, payload: Array[Byte]): (String, Option[Int], Array[Byte]) = {
+    val qos = (flags >> 1) & 0x3
+    val (topic, used) = readUtf8(payload, 0)
+    val (pid, off) =
+      if (qos > 0)
+        (Some(((payload(used) & 0xff) << 8) | (payload(used + 1) & 0xff)), used + 2)
+      else (None, used)
+    (topic, pid, java.util.Arrays.copyOfRange(payload, off, payload.length))
+  }
+
+  def pubackPacket(packetId: Int): Array[Byte] =
+    Array(((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte)
 
   /** MQTT topic filter match: exact levels, `+` single-level, `#` tail. */
   def topicMatches(filter: String, topic: String): Boolean = {

@@ -10,12 +10,13 @@ import scala.jdk.CollectionConverters._
 import MqttCodec._
 
 /** In-process MQTT 3.1.1 broker — the test stand-in for EMQX/mosquitto
-  * (the reference's docker compose ships EMQX). QoS 0 only: CONNECT
+  * (the reference's docker compose ships EMQX). QoS 0 and 1: CONNECT
   * (with optional username/password auth like the reference's broker
-  * config, `conf.go`/`mqtt.go:46-52`), SUBSCRIBE (with +/# wildcards),
-  * PUBLISH fan-out to matching subscribers, PING, DISCONNECT. One thread
-  * per connection; enough to exercise the real socket path end-to-end in
-  * tests.
+  * config, `conf.go`/`mqtt.go:46-52`), SUBSCRIBE (with +/# wildcards and
+  * per-subscription granted QoS), PUBLISH fan-out at
+  * min(publish, granted) QoS with PUBACK both directions, PING,
+  * DISCONNECT. One thread per connection; enough to exercise the real
+  * socket path end-to-end in tests.
   *
   * @param auth when set, CONNECTs must carry exactly these
   *   (username, password) credentials; mismatches are refused with
@@ -31,7 +32,8 @@ class MqttMiniServer(port0: Int = 0, auth: Option[(String, String)] = None) {
 
   private class Session(val socket: Socket) {
     val out = new DataOutputStream(socket.getOutputStream)
-    @volatile var subscriptions: List[String] = Nil
+    @volatile var subscriptions: List[(String, Int)] = Nil // (filter, granted QoS)
+    val packetIds = new java.util.concurrent.atomic.AtomicInteger(1)
   }
 
   private val acceptThread = new Thread(() => {
@@ -83,16 +85,21 @@ class MqttMiniServer(port0: Int = 0, auth: Option[(String, String)] = None) {
             var granted = List.empty[Byte]
             while (off < pkt.payload.length) {
               val (filter, used) = readUtf8(pkt.payload, off)
-              off += used + 1 // + requested QoS byte
-              sess.subscriptions ::= filter
-              granted ::= 0
+              val requested = pkt.payload(off + used) & 0x3
+              off += used + 1
+              val qos = math.min(requested, 1) // QoS 2 not supported: cap at 1
+              sess.subscriptions ::= (filter, qos)
+              granted ::= qos.toByte
             }
             writePacket(sess.out, PacketType.SUBACK, 0,
               Array(((pid >> 8) & 0xff).toByte, (pid & 0xff).toByte) ++ granted.reverse)
           case PacketType.PUBLISH =>
-            val (topic, used) = readUtf8(pkt.payload, 0)
-            val body = java.util.Arrays.copyOfRange(pkt.payload, used, pkt.payload.length)
-            route(topic, body)
+            val (topic, pid, body) = parsePublish(pkt.flags, pkt.payload)
+            // QoS 1 inbound: ack the publisher (a DUP retransmit routes
+            // again — at-least-once is the broker's contract too)
+            pid.foreach(id =>
+              writePacket(sess.out, PacketType.PUBACK, 0, pubackPacket(id)))
+            route(topic, body, (pkt.flags >> 1) & 0x3)
           case PacketType.PINGREQ =>
             writePacket(sess.out, PacketType.PINGRESP, 0, Array.emptyByteArray)
           case PacketType.DISCONNECT =>
@@ -105,12 +112,27 @@ class MqttMiniServer(port0: Int = 0, auth: Option[(String, String)] = None) {
     } finally sessions.remove(sess.socket)
   }
 
-  private def route(topic: String, payload: Array[Byte]): Unit = {
-    val pub = publishPacket(topic, payload)
+  /** Fan out to matching subscribers at min(publish QoS, granted QoS)
+    * (spec §3.8.4). QoS-1 deliveries carry a fresh per-session packet id;
+    * subscriber PUBACKs are accepted (ignored — no retransmission state,
+    * the test broker holds no session queue).
+    */
+  private def route(topic: String, payload: Array[Byte], pubQos: Int = 0): Unit = {
     sessions.values().asScala.foreach { s =>
-      if (s.subscriptions.exists(f => topicMatches(f, topic)))
-        try writePacket(s.out, PacketType.PUBLISH, 0, pub)
-        catch { case _: Throwable => }
+      val granted = s.subscriptions.collect {
+        case (f, q) if topicMatches(f, topic) => q
+      }
+      if (granted.nonEmpty) {
+        val qos = math.min(pubQos, granted.max)
+        try {
+          if (qos == 0)
+            writePacket(s.out, PacketType.PUBLISH, 0, publishPacket(topic, payload))
+          else
+            writePacket(s.out, PacketType.PUBLISH, 0x2,
+              publishPacket(topic, payload,
+                Some(s.packetIds.getAndIncrement() & 0xffff)))
+        } catch { case _: Throwable => }
+      }
     }
   }
 

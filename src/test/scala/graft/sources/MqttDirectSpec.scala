@@ -103,6 +103,29 @@ class MqttDirectSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("QoS 1 publish blocks on PUBACK and deliveries are acked end-to-end") {
+    val server = new MqttMiniServer()
+    try {
+      val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val sub = new MqttClient("127.0.0.1", server.port, "qos1-sub",
+        onMessage = (_, p) => got.put(new String(p, StandardCharsets.UTF_8)))
+      sub.subscribe(Seq("pump/data/+"), qos = 1)
+      val pub = new MqttClient("127.0.0.1", server.port, "qos1-pub")
+      // publish() at QoS 1 returns only after the broker's PUBACK — if
+      // the ack path were broken this would throw after the DUP retry
+      (0 until 5).foreach { i =>
+        pub.publish("pump/data/7", s"q$i".getBytes(StandardCharsets.UTF_8), qos = 1)
+      }
+      val seen = (0 until 5).map(_ =>
+        got.poll(10, java.util.concurrent.TimeUnit.SECONDS)).toSet
+      assert(seen === (0 until 5).map(i => s"q$i").toSet)
+      // a QoS-0 publish to a QoS-1 subscription downgrades, still delivers
+      pub.publish("pump/data/7", "zero".getBytes(StandardCharsets.UTF_8))
+      assert(got.poll(10, java.util.concurrent.TimeUnit.SECONDS) === "zero")
+      pub.close(); sub.close()
+    } finally server.close()
+  }
+
   test("delivery buffer: rebase keeps fresh deliveries buffered before restore") {
     val b = new DeliveryBuffer
     // the reconnected client delivered 3 messages BEFORE the checkpointed
