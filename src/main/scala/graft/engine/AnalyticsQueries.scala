@@ -75,6 +75,41 @@ object AnalyticsQueries {
         .agg(round(sum(revenue).cast("double"), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
+    }),
+
+    // C4 — revenue ROLLUP: per-nation rows plus the grand total in one
+    // pass (grouping sets — Spark plans a single Expand + aggregate, so
+    // the fact side is scanned and shuffled once for both grains)
+    "c4_rollup_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.load(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"))
+        .agg(round(sum(revenue).cast("double"), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
+          col("revenue"), col("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // C5 — churned customers (no orders on/after the cutoff), by nation:
+    // left-anti existence join — the set-difference complement of C2's
+    // left-semi. The recent-orders side is filtered BEFORE the join, so
+    // the anti probe touches only the reduced set.
+    "c5_inactive_customers" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      val c = Tables.customer(s, dir)
+      val n = Tables.load(s, dir, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_inactive"))
+        .orderBy("n_name")
     })
   )
 
@@ -104,6 +139,25 @@ object AnalyticsQueries {
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_custkey, c_name
-         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin
+         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "c4_rollup_revenue" ->
+      s"""SELECT coalesce(n_name, 'ALL') AS n_name,
+         |  round(CAST(sum($RevenueSql) AS DOUBLE), 4) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP(n_name) ORDER BY n_name""".stripMargin,
+
+    "c5_inactive_customers" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_inactive
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }

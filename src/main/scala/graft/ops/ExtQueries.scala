@@ -165,6 +165,18 @@ object ExtQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // X14 as-of join: each purchase gets the user's most recent view at
+    // or before it — one exchange + sort, no join operator (see
+    // Sessionize.asofLast)
+    "x14_asof_join" -> ((s, dir) => {
+      Sessionize.asofLast(Tables.events(s, dir), "user_id", "ts", "event_id",
+        probePred = col("event_type") === "purchase",
+        refPred = col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts"), col("asof_lag_us"))
+        .orderBy("event_id")
+    }),
+
     // X6 deterministic stratified sampling: 5% of English docs, 20% of rest
     "x6_stratified_sample" -> ((s, dir) => {
       Sample.stratified(Tables.documents(s, dir), "doc_id", "lang",
@@ -625,6 +637,17 @@ object ExtQueries {
          |JOIN (SELECT component, CAST(count(*) AS BIGINT) AS n_members
          |  FROM comp GROUP BY 1) s ON s.component = k.component
          |ORDER BY k.component""".stripMargin,
+
+    "x14_asof_join" ->
+      """WITH w AS (SELECT event_id, user_id, event_type,
+        |  CAST(ts AS TIMESTAMP) AS ts,
+        |  max(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+        |    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |          ROWS UNBOUNDED PRECEDING) AS asof_ts
+        |  FROM events)
+        |SELECT event_id, user_id, ts, asof_ts,
+        |  CAST(date_diff('microseconds', asof_ts, ts) AS BIGINT) AS asof_lag_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "x11_salted_agg" ->
       """SELECT event_type,

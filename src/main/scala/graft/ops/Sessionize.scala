@@ -46,4 +46,27 @@ object Sessionize {
         min(col(tsCol)).as("start_ts"),
         max(col(tsCol)).as("end_ts"),
         (max(col("__us")) - min(col("__us"))).as("duration_us"))
+
+  /** As-of join within one table: each row where `probePred` holds gets
+    * the latest at-or-before `tsCol` (ties broken by `tieCol`) of the
+    * rows where `refPred` holds, per key — e.g. "each purchase joined to
+    * the user's most recent view". Spark has no ASOF JOIN operator; the
+    * Spark-first expression is a running conditional max over the SAME
+    * (key, ts) window sessionization uses, so the whole operator costs
+    * one exchange + sort and no join at all. (The general two-table
+    * form is the same shape after a union-tag of both inputs.)
+    */
+  def asofLast(ev: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+               probePred: Column, refPred: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__ref_us", max(when(refPred, col("__us"))).over(w))
+      .filter(probePred)
+      .withColumn("asof_ts", timestamp_micros(col("__ref_us")))
+      .withColumn("asof_lag_us",
+        when(col("__ref_us").isNotNull, col("__us") - col("__ref_us")))
+      .drop("__us", "__ref_us")
+  }
 }
