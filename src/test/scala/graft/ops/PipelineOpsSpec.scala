@@ -49,6 +49,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ours === builtin)
   }
 
+  test("as-of join: latest at-or-before reference, null when none precedes") {
+    val us = 1704067200000000L
+    def ts(off: Long) = new java.sql.Timestamp((us + off * 1000000L) / 1000L)
+    val ev = Seq(
+      (1L, 10L, "purchase", ts(0)),  // before any view -> null
+      (2L, 10L, "view", ts(5)),
+      (3L, 10L, "purchase", ts(9)),  // -> view@5
+      (4L, 10L, "view", ts(9)),      // same ts, HIGHER event_id than 3
+      (5L, 10L, "purchase", ts(9)),  // same ts, after 4 in tie order -> view@9
+      (6L, 20L, "purchase", ts(50)), // other user: own timeline -> null
+      (7L, 20L, "view", ts(60))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Sessionize.asofLast(ev, "user_id", "ts", "event_id",
+        probePred = col("event_type") === "purchase",
+        refPred = col("event_type") === "view")
+      .select($"event_id", $"asof_lag_us")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === None)            // nothing precedes
+    assert(got(3L) === Some(4000000L))  // view@5 -> lag 4 s
+    assert(got(5L) === Some(0L))        // tie at same ts: event 4 <= event 5
+    assert(got(6L) === None)            // later view does not leak backward
+  }
+
+  test("repetition gate: all-identical bigrams score 1.0, all-distinct score near 0") {
+    val docs = Seq(
+      (1L, Seq.fill(11)("spam").mkString(" ")),       // 10 identical bigrams
+      (2L, (1 to 11).map(i => s"w$i").mkString(" ")), // 10 distinct bigrams
+      (3L, "solo")                                    // too short: excluded
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(docs, "doc_id", "text")
+      .select($"doc_id", $"top_ngram_ratio", $"dup_ngram_ratio")
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r.keySet === Set(1L, 2L))
+    assert(r(1L) === ((1.0, 0.9)))  // one bigram repeated 10x: 1 distinct of 10
+    assert(r(2L) === ((0.1, 0.0)))  // max count 1 of 10; all distinct
+  }
+
   test("deterministic sample: stable across runs, fraction approximately honored") {
     val docs = Tables.documents(spark, sf)
     val a = Sample.uniform(docs, "doc_id", 0.2).select("doc_id").as[Long].collect().toSet
