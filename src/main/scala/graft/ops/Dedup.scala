@@ -266,6 +266,15 @@ object Dedup {
                         threshold: Double, maxBlockRows: Int = 1 << 20): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // cap check FIRST, on a limit-bounded count of the bare id column —
+    // a cheap scan that fails loudly BEFORE any heavy work. Checking
+    // after the eager checkpoint below would quantize and cache the
+    // entire over-cap corpus just to throw, defeating the guard. (Row
+    // cardinality is stable across executions, unlike row values, so the
+    // separate counting pass cannot disagree with the materialization.)
+    require(emb.select(col(idCol)).limit(maxBlockRows + 1).count() <= maxBlockRows,
+      s"embeddingDupPairs block exceeds $maxBlockRows rows — partition the corpus " +
+        "(e.g. by Similarity.signBucket) and run this kernel per bucket")
     // one materialized projection feeds the collect AND the kernel scan
     // (block-sized by contract, so checkpointing it is cheap); truncates
     // lineage too, so the kernel re-reads materialized rows, not the scan
@@ -273,13 +282,9 @@ object Dedup {
         Similarity.quantize(col(vecCol)).as("qv"))
       .localCheckpoint()
     val q = proj.as[(Long, Array[Int])]
-    // limit(max+1) bounds what the driver pulls even when the input is
-    // over the cap; null ids (uncastable idCol values) fail with a
-    // message instead of an encoder NPE mid-kernel
-    val raw = proj.limit(maxBlockRows + 1).collect()
-    require(raw.length <= maxBlockRows,
-      s"embeddingDupPairs block exceeds $maxBlockRows rows — partition the corpus " +
-        "(e.g. by Similarity.signBucket) and run this kernel per bucket")
+    // null ids (uncastable idCol values) fail with a message instead of
+    // an encoder NPE mid-kernel
+    val raw = proj.collect()
     val block = raw.map { r =>
       require(!r.isNullAt(0), s"embeddingDupPairs: '$idCol' has values not castable to long")
       (r.getLong(0), r.getSeq[Int](1).toArray)

@@ -33,13 +33,24 @@ object ExtQueries {
     * (it is the natural intermediate table of a dedup pipeline) and run
     * clustering from it, never inline.
     */
+  // weak-keyed on the session OBJECT: identity while the session lives
+  // (an identity HASH can be reused by the JVM after GC, which would hand
+  // a new session a DataFrame bound to a stopped one), and the entry —
+  // with its checkpointed DataFrame — drops out when the session is
+  // collected instead of pinning it for the JVM's life
   private val lshPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    lshPairsCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        numSigs = 16, rowsPerBand = 4, threshold = JaccardThreshold)
-        .localCheckpoint())
+    lshPairsCache.synchronized {
+      val perSession = Option(lshPairsCache.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, DataFrame]
+        lshPairsCache.put(s, m); m
+      }
+      perSession.getOrElseUpdate(dir,
+        Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          numSigs = 16, rowsPerBand = 4, threshold = JaccardThreshold)
+          .localCheckpoint())
+    }
 
   // --------------------------------------------------------------- queries
 

@@ -64,9 +64,18 @@ class MqttClient(host: String, port: Int, clientId: String,
   reader.setDaemon(true)
   reader.start()
 
-  writePacket(out, PacketType.CONNECT, 0, connectPacket(clientId, username, password))
-  require(connected.await(10, java.util.concurrent.TimeUnit.SECONDS), "CONNACK timeout")
-  require(connackRc == 0, s"CONNECT refused: CONNACK rc=$connackRc")
+  // a failed handshake must not leak the socket (and with it the reader
+  // thread, parked in readPacket forever) — a reconnect loop retrying
+  // this constructor would otherwise leak one of each per attempt
+  try {
+    writePacket(out, PacketType.CONNECT, 0, connectPacket(clientId, username, password))
+    require(connected.await(10, java.util.concurrent.TimeUnit.SECONDS), "CONNACK timeout")
+    require(connackRc == 0, s"CONNECT refused: CONNACK rc=$connackRc")
+  } catch {
+    case e: Throwable =>
+      try socket.close() catch { case _: Throwable => }
+      throw e
+  }
 
   // keepalive: CONNECT advertises 60 s, and a spec-compliant broker drops
   // a client silent for 1.5x that — an idle subscriber (no inbound
@@ -103,13 +112,18 @@ class MqttClient(host: String, port: Int, clientId: String,
       }
       val acked = new CountDownLatch(1)
       pendingAcks.put(id, acked)
-      val body = publishPacket(topic, payload, Some(id))
-      writePacket(out, PacketType.PUBLISH, 0x2, body) // QoS-1 flags
-      if (!acked.await(5, java.util.concurrent.TimeUnit.SECONDS)) {
-        writePacket(out, PacketType.PUBLISH, 0x2 | 0x8, body) // DUP set
-        require(acked.await(5, java.util.concurrent.TimeUnit.SECONDS),
-          s"PUBACK timeout for packet $id after retransmit")
-      }
+      // always clear the pending entry: a leaked one both accumulates on
+      // a broken broker and — after the 16-bit id wraps — lets a stale
+      // late PUBACK for the OLD publish falsely complete a NEW one
+      try {
+        val body = publishPacket(topic, payload, Some(id))
+        writePacket(out, PacketType.PUBLISH, 0x2, body) // QoS-1 flags
+        if (!acked.await(5, java.util.concurrent.TimeUnit.SECONDS)) {
+          writePacket(out, PacketType.PUBLISH, 0x2 | 0x8, body) // DUP set
+          require(acked.await(5, java.util.concurrent.TimeUnit.SECONDS),
+            s"PUBACK timeout for packet $id after retransmit")
+        }
+      } finally pendingAcks.remove(id)
     }
 
   def ping(): Unit = writePacket(out, PacketType.PINGREQ, 0, Array.emptyByteArray)

@@ -33,6 +33,9 @@ class MqttMiniServer(port0: Int = 0, auth: Option[(String, String)] = None) {
   private class Session(val socket: Socket) {
     val out = new DataOutputStream(socket.getOutputStream)
     @volatile var subscriptions: List[(String, Int)] = Nil // (filter, granted QoS)
+    // auth is enforced, not advisory: a session that skipped CONNECT (or
+    // was refused) gets no service and receives no routed traffic
+    @volatile var authenticated: Boolean = auth.isEmpty
     val packetIds = new java.util.concurrent.atomic.AtomicInteger(1)
   }
 
@@ -79,6 +82,11 @@ class MqttMiniServer(port0: Int = 0, auth: Option[(String, String)] = None) {
             }
             writePacket(sess.out, PacketType.CONNACK, 0, Array(0, rc))
             if (rc != 0) { sess.socket.close(); return }
+            sess.authenticated = true
+          case PacketType.SUBSCRIBE if !sess.authenticated =>
+            sess.socket.close(); return // no service before a valid CONNECT
+          case PacketType.PUBLISH if !sess.authenticated =>
+            sess.socket.close(); return
           case PacketType.SUBSCRIBE =>
             var off = 2 // packet id
             val pid = ((pkt.payload(0) & 0xff) << 8) | (pkt.payload(1) & 0xff)
@@ -118,7 +126,7 @@ class MqttMiniServer(port0: Int = 0, auth: Option[(String, String)] = None) {
     * the test broker holds no session queue).
     */
   private def route(topic: String, payload: Array[Byte], pubQos: Int = 0): Unit = {
-    sessions.values().asScala.foreach { s =>
+    sessions.values().asScala.filter(_.authenticated).foreach { s =>
       val granted = s.subscriptions.collect {
         case (f, q) if topicMatches(f, topic) => q
       }

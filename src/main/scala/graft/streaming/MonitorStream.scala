@@ -77,8 +77,15 @@ object MonitorStream {
     val t = if (trigger != null) trigger
             else Trigger.ProcessingTime(s"$intervalSecs seconds")
     // reference counter state (monitor.go:21-66), Spark-side: cumulative
-    // (events, bytes) per topic plus the publish counter
+    // (events, bytes) per topic plus the publish counter. Update-mode
+    // re-emits a window's NEW TOTAL every trigger that touches it (and an
+    // at-least-once replay re-emits it verbatim), so counters must absorb
+    // per-(window, topic) DELTAS, not raw emissions — `lastSeen` remembers
+    // each window's previously-absorbed total; watermark-expired windows
+    // are pruned so driver state stays bounded.
     val cum = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val lastSeen = new java.util.concurrent.ConcurrentHashMap[
+      (java.sql.Timestamp, String), (Long, Long)]()
     val pubs = new java.util.concurrent.atomic.AtomicLong()
     val startedAtMs = System.currentTimeMillis()
     // Update mode mirrors the reference's ticker: each trigger publishes the
@@ -91,14 +98,28 @@ object MonitorStream {
       .trigger(t)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.select(col("topic"), col("events"), col("bytes"))
+        val emitted = batch
+          .select(col("window_start"), col("topic"), col("events"), col("bytes"))
           .collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-        if (rows.nonEmpty) {
-          rows.foreach { case (topic, n, b) =>
-            cum.merge(topic, (n, b),
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        if (emitted.nonEmpty) {
+          // per-emission delta vs what that window already contributed
+          val deltas = emitted.map { case (w, topic, n, b) =>
+            val prev = Option(lastSeen.put((w, topic), (n, b))).getOrElse((0L, 0L))
+            (topic, n - prev._1, b - prev._2)
+          }
+          deltas.foreach { case (topic, dn, db) =>
+            cum.merge(topic, (dn, db),
               (old, add) => (old._1 + add._1, old._2 + add._2))
           }
+          // prune windows that can no longer be updated (well past the
+          // newest emitted window) so lastSeen stays bounded
+          val newest = emitted.map(_._1.getTime).max
+          lastSeen.keySet.removeIf(k => k._1.getTime < newest - 3600000L)
+          // this tick's interval counters = the deltas absorbed this batch
+          val rows = deltas.groupBy(_._1).map { case (topic, ds) =>
+            (topic, ds.map(_._2).sum, ds.map(_._3).sum)
+          }.toSeq
           val runtimeSecs =
             math.max(1L, (System.currentTimeMillis() - startedAtMs) / 1000)
           import spark.implicits._

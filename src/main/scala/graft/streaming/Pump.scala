@@ -107,14 +107,20 @@ object Pump {
         // cached partition once under lock, whichever job asks first).
         // Failure semantics are unchanged from sequential: any failure
         // fails the batch and the replay overwrites BOTH sinks' batch_id
-        // partitions idempotently.
+        // partitions idempotently. BOTH futures are awaited before any
+        // rethrow — returning with a write still running would let the
+        // replayed batch race the orphaned job on the same sink path
+        // (two concurrent dynamic-overwrite commits of one partition).
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
+        import scala.util.Try
         val raw = Future(writeRaw())
         val adapter = Future(writeAdapter())
-        Await.result(raw, Duration.Inf)
-        Await.result(adapter, Duration.Inf)
+        val rawDone = Try(Await.result(raw, Duration.Inf))
+        val adapterDone = Try(Await.result(adapter, Duration.Inf))
+        rawDone.get
+        adapterDone.get
       }
     } finally withMid.unpersist()
   }
