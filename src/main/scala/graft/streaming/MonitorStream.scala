@@ -48,6 +48,48 @@ object MonitorStream {
         round(col("events").cast("double") / windowSecs, 6).as("events_per_sec"),
         round(col("bytes").cast("double") / windowSecs, 6).as("bytes_per_sec"))
 
+  /** Driver-side counter state for the monitor query — the Spark
+    * counterpart of the reference's atomic counter block
+    * (`monitor.go:21-66`). Update-mode re-emits a (window, topic) group's
+    * NEW TOTAL on every trigger that touches it (and an at-least-once
+    * foreachBatch replay re-emits it verbatim), so cumulative counters
+    * must absorb per-group DELTAS, not raw emissions — `lastSeen`
+    * remembers each group's previously-absorbed total, and groups far
+    * behind the newest emitted window (which the watermark has closed)
+    * are pruned so driver state stays bounded.
+    */
+  private[streaming] final class CounterState {
+    private val cum = scala.collection.mutable.Map[String, (Long, Long)]()
+    private val lastSeen =
+      scala.collection.mutable.Map[(java.sql.Timestamp, String), (Long, Long)]()
+
+    /** Absorb one batch of (windowStart, topic, events, bytes) emissions;
+      * returns this tick's per-topic deltas (the interval counters).
+      */
+    def absorb(emitted: Seq[(java.sql.Timestamp, String, Long, Long)]):
+        Seq[(String, Long, Long)] = synchronized {
+      val deltas = emitted.map { case (w, topic, n, b) =>
+        val prev = lastSeen.put((w, topic), (n, b)).getOrElse((0L, 0L))
+        (topic, n - prev._1, b - prev._2)
+      }
+      deltas.foreach { case (topic, dn, db) =>
+        val old = cum.getOrElse(topic, (0L, 0L))
+        cum(topic) = (old._1 + dn, old._2 + db)
+      }
+      if (emitted.nonEmpty) {
+        val newest = emitted.map(_._1.getTime).max
+        lastSeen.filterInPlace { case ((w, _), _) => w.getTime >= newest - 3600000L }
+      }
+      deltas.groupBy(_._1).map { case (topic, ds) =>
+        (topic, ds.map(_._2).sum, ds.map(_._3).sum)
+      }.toSeq
+    }
+
+    def cumulative(topic: String): (Long, Long) =
+      synchronized(cum.getOrElse(topic, (0L, 0L)))
+    def topicCount: Int = synchronized(cum.size)
+  }
+
   /** G6 document + K6 publish to `monitorRoot/<topic with / -> _>`.
     *
     * Publishes the reference's FULL 4-section document
@@ -76,16 +118,7 @@ object MonitorStream {
     val agg = metricsAgg(source, intervalSecs, watermarkDelay)
     val t = if (trigger != null) trigger
             else Trigger.ProcessingTime(s"$intervalSecs seconds")
-    // reference counter state (monitor.go:21-66), Spark-side: cumulative
-    // (events, bytes) per topic plus the publish counter. Update-mode
-    // re-emits a window's NEW TOTAL every trigger that touches it (and an
-    // at-least-once replay re-emits it verbatim), so counters must absorb
-    // per-(window, topic) DELTAS, not raw emissions — `lastSeen` remembers
-    // each window's previously-absorbed total; watermark-expired windows
-    // are pruned so driver state stays bounded.
-    val cum = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
-    val lastSeen = new java.util.concurrent.ConcurrentHashMap[
-      (java.sql.Timestamp, String), (Long, Long)]()
+    val counters = new CounterState
     val pubs = new java.util.concurrent.atomic.AtomicLong()
     val startedAtMs = System.currentTimeMillis()
     // Update mode mirrors the reference's ticker: each trigger publishes the
@@ -103,29 +136,14 @@ object MonitorStream {
           .collect()
           .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
         if (emitted.nonEmpty) {
-          // per-emission delta vs what that window already contributed
-          val deltas = emitted.map { case (w, topic, n, b) =>
-            val prev = Option(lastSeen.put((w, topic), (n, b))).getOrElse((0L, 0L))
-            (topic, n - prev._1, b - prev._2)
-          }
-          deltas.foreach { case (topic, dn, db) =>
-            cum.merge(topic, (dn, db),
-              (old, add) => (old._1 + add._1, old._2 + add._2))
-          }
-          // prune windows that can no longer be updated (well past the
-          // newest emitted window) so lastSeen stays bounded
-          val newest = emitted.map(_._1.getTime).max
-          lastSeen.keySet.removeIf(k => k._1.getTime < newest - 3600000L)
           // this tick's interval counters = the deltas absorbed this batch
-          val rows = deltas.groupBy(_._1).map { case (topic, ds) =>
-            (topic, ds.map(_._2).sum, ds.map(_._3).sum)
-          }.toSeq
+          val rows = counters.absorb(emitted.toSeq)
           val runtimeSecs =
             math.max(1L, (System.currentTimeMillis() - startedAtMs) / 1000)
           import spark.implicits._
-          val base = rows.toSeq.map { case (topic, n, b) =>
-            (topic, cum.get(topic)._1, n, b, runtimeSecs,
-              cum.size().toLong, pubs.get(), 0L, 0L)
+          val base = rows.map { case (topic, n, b) =>
+            (topic, counters.cumulative(topic)._1, n, b, runtimeSecs,
+              counters.topicCount.toLong, pubs.get(), 0L, 0L)
           }.toDF("topic", "cum", "win", "bytes_win", "runtime_secs",
             "pipe_num", "pub_succeed", "pub_failed", "check_errors")
           // every stage carries the same committed count (atomic batch)
@@ -133,10 +151,10 @@ object MonitorStream {
             Seq(col("cum").as(s"${st}_succeed"), lit(0L).as(s"${st}_failed"),
               col("win").as(s"${st}_win"))
           } ++ Seq("sub", "dp", "da").map(st => col("bytes_win").as(s"${st}_size_win"))
-          val counters = base.select((col("topic") +: col("runtime_secs") +:
+          val counterCols = base.select((col("topic") +: col("runtime_secs") +:
             col("pipe_num") +: col("pub_succeed") +: col("pub_failed") +:
             col("check_errors") +: stageCols): _*)
-          val docs = Monitor.fullMetricsDoc(counters, intervalSecs)
+          val docs = Monitor.fullMetricsDoc(counterCols, intervalSecs)
             .select(col("topic"), col("doc")).collect()
           val broker = MemoryBroker.get(brokerName)
           // K6: per-row publish via the broker client (driver-side per

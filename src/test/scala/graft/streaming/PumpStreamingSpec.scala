@@ -275,6 +275,27 @@ class PumpStreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("monitor counter state absorbs window re-emissions as deltas, not totals") {
+    val cs = new MonitorStream.CounterState
+    def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    // trigger 1: window W0 emits total 100 events / 1000 bytes
+    assert(cs.absorb(Seq((ts(0), "t", 100L, 1000L))) === Seq(("t", 100L, 1000L)))
+    assert(cs.cumulative("t") === ((100L, 1000L)))
+    // trigger 2: late data within the watermark — W0 re-emits its NEW
+    // TOTAL 150; only the 50-event delta may count
+    assert(cs.absorb(Seq((ts(0), "t", 150L, 1500L))) === Seq(("t", 50L, 500L)))
+    assert(cs.cumulative("t") === ((150L, 1500L)))
+    // trigger 3: a foreachBatch replay re-emits the same totals verbatim —
+    // zero delta, cumulative unchanged (no double count)
+    assert(cs.absorb(Seq((ts(0), "t", 150L, 1500L))) === Seq(("t", 0L, 0L)))
+    assert(cs.cumulative("t") === ((150L, 1500L)))
+    // a new window adds normally, per topic
+    cs.absorb(Seq((ts(5), "t", 30L, 300L), (ts(5), "u", 7L, 70L)))
+    assert(cs.cumulative("t") === ((180L, 1800L)))
+    assert(cs.cumulative("u") === ((7L, 70L)))
+    assert(cs.topicCount === 2)
+  }
+
   test("monitor aggregates windows and publishes docs to the monitor topic (K6)") {
     val brokerName = "pump-monitor"
     publishGolden(brokerName, 30)
