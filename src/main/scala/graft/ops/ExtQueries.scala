@@ -169,6 +169,14 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // X4 real audio decode: deterministic PCM WAVs, RIFF chunk-walk header
+    // parse via mapPartitions; oracle recomputes from the construction rule
+    "x4_wav_decode" -> ((s, dir) => {
+      Multimodal.decodeAudio(
+        Multimodal.renderWav(Tables.documents(s, dir), "doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // X5 gap-based sessionization (30-minute gap) over the event stream
     "x5_sessionize" -> ((s, dir) => {
       Sessionize.sessions(Tables.events(s, dir), "user_id", "ts", "event_id",
@@ -556,6 +564,18 @@ object ExtQueries {
         |  CAST(255 AS INTEGER) AS maxval,
         |  CAST((doc_id % 8 + 1) * (doc_id % 5 + 1) * 3 AS INTEGER) AS n_pixel_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x4_wav_decode" ->
+      """WITH w AS (SELECT doc_id,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       ELSE 44100 END AS INTEGER) AS sample_rate,
+        |  CAST(16 AS INTEGER) AS bits,
+        |  CAST(doc_id % 50 + 1 AS BIGINT) AS n_samples
+        |  FROM documents)
+        |SELECT doc_id, channels, sample_rate, bits, n_samples,
+        |  CAST(n_samples * 1000000 // sample_rate AS BIGINT) AS duration_us
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "x5_sessionize" ->
       """WITH s AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,

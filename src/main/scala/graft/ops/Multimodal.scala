@@ -122,6 +122,88 @@ object Multimodal {
       StructField("n_pixel_bytes", IntegerType))))
   }
 
+  /** Render a deterministic PCM WAV blob per document: the standard
+    * 44-byte RIFF/WAVE/fmt/data header plus payload samples derived from
+    * the doc id — the audio counterpart of [[renderPpm]], again a REAL
+    * binary format with no codec library needed.
+    */
+  def renderWav(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col(idCol)).rdd.map { r =>
+      val id = r.getLong(0)
+      val channels = (id % 2 + 1).toInt
+      val sampleRate = Seq(8000, 16000, 44100)((id % 3).toInt)
+      val bits = 16
+      val nSamples = (id % 50 + 1).toInt // per channel
+      val blockAlign = channels * bits / 8
+      val dataLen = nSamples * blockAlign
+      val byteRate = sampleRate * blockAlign
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1) // PCM
+      b.putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+      b.putShort(blockAlign.toShort).putShort(bits.toShort)
+      b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      (0 until dataLen / 2).foreach(i => b.putShort(((id * 131 + i * 17) % 65536 - 32768).toShort))
+      Row(id, b.array())
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("audio", BinaryType))))
+  }
+
+  /** REAL RIFF/WAVE header decode: (channels, sample_rate,
+    * bits_per_sample, n_samples, duration_us). Walks the chunk list (fmt
+    * then data) rather than assuming fixed offsets, so WAVs with extra
+    * chunks parse too. Duration is exact integer µs when byteRate divides
+    * evenly (our PCM construction always does).
+    */
+  def decodeWavHeader(blob: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    if (blob.length < 12) return None
+    val b = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(blob, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var channels = 0; var sampleRate = 0; var bits = 0; var blockAlign = 0
+    var dataLen = -1L
+    while (off + 8 <= blob.length && (channels == 0 || dataLen < 0)) {
+      val id = tag(off); val len = b.getInt(off + 4)
+      if (id == "fmt " && off + 24 <= blob.length) {
+        channels = b.getShort(off + 10)
+        sampleRate = b.getInt(off + 12)
+        blockAlign = b.getShort(off + 20)
+        bits = b.getShort(off + 22)
+      } else if (id == "data") dataLen = len.toLong
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || sampleRate <= 0 || blockAlign <= 0 || dataLen < 0) None
+    else {
+      val nSamples = dataLen / blockAlign
+      Some((channels, sampleRate, bits, nSamples,
+        nSamples * 1000000L / sampleRate))
+    }
+  }
+
+  /** Decode WAV headers across a table of audio blobs via mapPartitions —
+    * same batch shape as [[decodeImages]].
+    */
+  def decodeAudio(audio: DataFrame): DataFrame = {
+    val spark = audio.sparkSession
+    val rdd = audio.select(col("doc_id"), col("audio")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWavHeader(r.getAs[Array[Byte]](1)).map { case (c, sr, bits, n, us) =>
+          Row(r.getLong(0), c, sr, bits, n, us)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType), StructField("bits", IntegerType),
+      StructField("n_samples", LongType), StructField("duration_us", LongType))))
+  }
+
   /** Metadata-level query (oracle-checkable): blob length, digest, and the
     * flattened meta fields — blobs projected away before any shuffle.
     */

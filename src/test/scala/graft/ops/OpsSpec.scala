@@ -146,6 +146,26 @@ class OpsSpec extends SparkSpec {
       .foreach { case (q, c, s) => bs.get((q, c)).foreach(b => assert(b === s)) }
   }
 
+  test("WAV decode walks chunks: extra chunk before fmt/data still parses") {
+    // hand-build a WAV with a junk "LIST" chunk ahead of fmt — fixed-offset
+    // parsers break here, the chunk walk must not
+    val dataLen = 4 * 4 // 4 stereo 16-bit samples
+    val b = java.nio.ByteBuffer.allocate(12 + 12 + 24 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(4 + 12 + 24 + 8 + dataLen).put("WAVE".getBytes)
+    b.put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+    b.putShort(1).putShort(2).putInt(16000).putInt(16000 * 4)
+    b.putShort(4).putShort(16)
+    b.put("data".getBytes).putInt(dataLen)
+    (0 until dataLen / 2).foreach(i => b.putShort(i.toShort))
+    assert(Multimodal.decodeWavHeader(b.array()) ===
+      Some((2, 16000, 16, 4L, 250L))) // 4 samples @16 kHz = 250 µs
+    // garbage rejects cleanly
+    assert(Multimodal.decodeWavHeader("not a wav at all".getBytes) === None)
+    assert(Multimodal.decodeWavHeader(Array[Byte](1, 2, 3)) === None)
+  }
+
   test("frame sampling emits stride-spaced frames via mapPartitions (X4 stub)") {
     val withBlobs = Multimodal.attachBlob(Tables.documents(spark, sf), "doc_id", "text")
     val frames = Multimodal.sampleFrames(withBlobs, stride = 4)
