@@ -167,6 +167,20 @@ object PumpQueries {
         .orderBy("window_start", "stage")
     }),
 
+    // G1s — SLIDING window variant (10-minute windows every 5): the
+    // reference only has tumbling ticks (SURVEY §2.7), but rate dashboards
+    // want overlap; Spark's window() emits each event into len/slide
+    // windows natively, one shuffle on (window, stage) after partial agg
+    "g1s_sliding_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(
+          window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type").as("stage"))
+        .agg(count(lit(1)).as("events"))
+        .select(col("w.start").as("window_start"), col("stage"), col("events"))
+        .orderBy("window_start", "stage")
+    }),
+
     // G2 — cumulative success/failure totals per stage
     "g2_cumulative" -> ((s, dir) => {
       Monitor.cumulativeTotals(Tables.events(s, dir), col("event_type"), col("value") >= 10)
@@ -347,6 +361,17 @@ object PumpQueries {
         |  event_type AS stage, count(*) AS events,
         |  CAST(sum(length(props) + length(event_type) + 4) AS BIGINT) AS bytes
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // a 10-min window sliding by 5 = each event lands in exactly the two
+    // 5-min-aligned windows starting at tb and tb - 5min
+    "g1s_sliding_window" ->
+      """WITH e AS (SELECT event_type,
+        |  time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS tb
+        |  FROM events),
+        |w AS (SELECT event_type,
+        |  unnest([tb, tb - INTERVAL '5 minutes']) AS window_start FROM e)
+        |SELECT window_start, event_type AS stage, count(*) AS events
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "g2_cumulative" ->
       """SELECT event_type AS stage, count(*) AS total,
