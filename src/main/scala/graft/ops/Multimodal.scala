@@ -157,28 +157,42 @@ object Multimodal {
   /** REAL RIFF/WAVE header decode: (channels, sample_rate,
     * bits_per_sample, n_samples, duration_us). Walks the chunk list (fmt
     * then data) rather than assuming fixed offsets, so WAVs with extra
-    * chunks parse too. Duration is exact integer µs when byteRate divides
-    * evenly (our PCM construction always does).
+    * chunks parse too. Only PCM (format tag 1) is accepted — other
+    * encodings would make the blockAlign sample math wrong. Duration is
+    * TRUNCATING integer µs (floor of n_samples * 1e6 / rate — 44.1 kHz
+    * rarely divides evenly); any external verifier must floor-divide the
+    * same way. Chunk lengths are untrusted input: negative or
+    * past-the-end lengths reject cleanly instead of looping or throwing,
+    * and the declared data length is clamped to the bytes actually
+    * present (a truncated file reports what it holds, not what the
+    * header claims).
     */
   def decodeWavHeader(blob: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
     if (blob.length < 12) return None
     val b = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(off: Int) = new String(blob, off, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
-    var channels = 0; var sampleRate = 0; var bits = 0; var blockAlign = 0
+    var off = 12L // Long: a hostile 32-bit length must not overflow the cursor
+    var fmtCode = 0; var channels = 0; var sampleRate = 0
+    var bits = 0; var blockAlign = 0
     var dataLen = -1L
     while (off + 8 <= blob.length && (channels == 0 || dataLen < 0)) {
-      val id = tag(off); val len = b.getInt(off + 4)
-      if (id == "fmt " && off + 24 <= blob.length) {
-        channels = b.getShort(off + 10)
-        sampleRate = b.getInt(off + 12)
-        blockAlign = b.getShort(off + 20)
-        bits = b.getShort(off + 22)
-      } else if (id == "data") dataLen = len.toLong
-      off += 8 + len + (len & 1) // chunks are word-aligned
+      val o = off.toInt
+      val id = tag(o); val len = b.getInt(o + 4)
+      if (len < 0) return None // corrupt length: reject, don't spin
+      if (id == "fmt " && o + 24 <= blob.length) {
+        fmtCode = b.getShort(o + 8)
+        channels = b.getShort(o + 10)
+        sampleRate = b.getInt(o + 12)
+        blockAlign = b.getShort(o + 20)
+        bits = b.getShort(o + 22)
+      } else if (id == "data")
+        // clamp to bytes actually present — truncated files report content
+        dataLen = math.min(len.toLong, math.max(0L, blob.length - (o + 8L)))
+      off += 8L + len + (len & 1) // chunks are word-aligned
     }
-    if (channels <= 0 || sampleRate <= 0 || blockAlign <= 0 || dataLen < 0) None
+    if (fmtCode != 1 || channels <= 0 || sampleRate <= 0 || blockAlign <= 0 ||
+        bits <= 0 || dataLen < 0) None
     else {
       val nSamples = dataLen / blockAlign
       Some((channels, sampleRate, bits, nSamples,

@@ -54,11 +54,14 @@ object MonitorStream {
     * NEW TOTAL on every trigger that touches it (and an at-least-once
     * foreachBatch replay re-emits it verbatim), so cumulative counters
     * must absorb per-group DELTAS, not raw emissions — `lastSeen`
-    * remembers each group's previously-absorbed total, and groups far
-    * behind the newest emitted window (which the watermark has closed)
-    * are pruned so driver state stays bounded.
+    * remembers each group's previously-absorbed total, and groups farther
+    * behind the newest emitted window than `pruneHorizonMs` are pruned so
+    * driver state stays bounded. The horizon must comfortably exceed the
+    * watermark delay (the caller derives it from the configured delay) —
+    * pruning a window the watermark still allows to update would make its
+    * next re-emission double-count.
     */
-  private[streaming] final class CounterState {
+  private[streaming] final class CounterState(pruneHorizonMs: Long = 3600000L) {
     private val cum = scala.collection.mutable.Map[String, (Long, Long)]()
     private val lastSeen =
       scala.collection.mutable.Map[(java.sql.Timestamp, String), (Long, Long)]()
@@ -78,7 +81,8 @@ object MonitorStream {
       }
       if (emitted.nonEmpty) {
         val newest = emitted.map(_._1.getTime).max
-        lastSeen.filterInPlace { case ((w, _), _) => w.getTime >= newest - 3600000L }
+        lastSeen.filterInPlace { case ((w, _), _) =>
+          w.getTime >= newest - pruneHorizonMs }
       }
       deltas.groupBy(_._1).map { case (topic, ds) =>
         (topic, ds.map(_._2).sum, ds.map(_._3).sum)
@@ -88,6 +92,23 @@ object MonitorStream {
     def cumulative(topic: String): (Long, Long) =
       synchronized(cum.getOrElse(topic, (0L, 0L)))
     def topicCount: Int = synchronized(cum.size)
+  }
+
+  /** Parse the simple duration strings used for watermark delays
+    * ("30 seconds", "2 hours") to milliseconds.
+    */
+  private[streaming] def durationMs(s: String): Long = {
+    val parts = s.trim.split("\\s+", 2)
+    require(parts.length == 2, s"cannot parse duration '$s'")
+    val v = parts(0).toLong
+    parts(1).toLowerCase(java.util.Locale.ROOT) match {
+      case u if u.startsWith("milli") => v
+      case u if u.startsWith("sec")   => v * 1000L
+      case u if u.startsWith("min")   => v * 60000L
+      case u if u.startsWith("hour")  => v * 3600000L
+      case u if u.startsWith("day")   => v * 86400000L
+      case u => throw new IllegalArgumentException(s"unknown duration unit '$u'")
+    }
   }
 
   /** G6 document + K6 publish to `monitorRoot/<topic with / -> _>`.
@@ -118,7 +139,11 @@ object MonitorStream {
     val agg = metricsAgg(source, intervalSecs, watermarkDelay)
     val t = if (trigger != null) trigger
             else Trigger.ProcessingTime(s"$intervalSecs seconds")
-    val counters = new CounterState
+    // prune horizon: well past the configured watermark (plus window
+    // slack), never under 10 minutes — a 1 h constant here would
+    // double-count under a watermarkDelay longer than an hour
+    val counters = new CounterState(math.max(600000L,
+      2 * durationMs(watermarkDelay) + 2000L * intervalSecs))
     val pubs = new java.util.concurrent.atomic.AtomicLong()
     val startedAtMs = System.currentTimeMillis()
     // Update mode mirrors the reference's ticker: each trigger publishes the

@@ -166,6 +166,33 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeWavHeader(Array[Byte](1, 2, 3)) === None)
   }
 
+  test("WAV decode hardening: hostile lengths and malformed fmt reject cleanly") {
+    def wav(fmtCode: Short = 1, bits: Short = 16, junkLen: Option[Int] = None,
+            dataLenOverride: Option[Int] = None, payload: Int = 16): Array[Byte] = {
+      val junk = junkLen.map(_ => 12).getOrElse(0)
+      val b = java.nio.ByteBuffer.allocate(12 + junk + 24 + 8 + payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(0).put("WAVE".getBytes)
+      junkLen.foreach { jl => b.put("JUNK".getBytes).putInt(jl).putInt(0) }
+      b.put("fmt ".getBytes).putInt(16)
+      b.putShort(fmtCode).putShort(2).putInt(16000).putInt(64000)
+      b.putShort(4).putShort(bits)
+      b.put("data".getBytes).putInt(dataLenOverride.getOrElse(payload))
+      (0 until payload).foreach(_ => b.put(0.toByte))
+      b.array()
+    }
+    // negative chunk length: must reject, not spin forever
+    assert(Multimodal.decodeWavHeader(wav(junkLen = Some(-8))) === None)
+    // huge chunk length: must reject, not overflow into an exception
+    assert(Multimodal.decodeWavHeader(wav(junkLen = Some(0x7ffffff0))) === None)
+    // declared data length past the blob: clamp to what is present
+    assert(Multimodal.decodeWavHeader(wav(dataLenOverride = Some(200000)))
+      .map(_._4) === Some(4L)) // 16 present bytes / blockAlign 4
+    // non-PCM format tag and zero bits reject
+    assert(Multimodal.decodeWavHeader(wav(fmtCode = 3)) === None)
+    assert(Multimodal.decodeWavHeader(wav(bits = 0)) === None)
+  }
+
   test("frame sampling emits stride-spaced frames via mapPartitions (X4 stub)") {
     val withBlobs = Multimodal.attachBlob(Tables.documents(spark, sf), "doc_id", "text")
     val frames = Multimodal.sampleFrames(withBlobs, stride = 4)

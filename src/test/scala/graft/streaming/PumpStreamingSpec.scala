@@ -294,6 +294,14 @@ class PumpStreamingSpec extends SparkSpec {
     assert(cs.cumulative("t") === ((180L, 1800L)))
     assert(cs.cumulative("u") === ((7L, 70L)))
     assert(cs.topicCount === 2)
+    // the prune horizon honors its parameter: a window inside the horizon
+    // keeps its lastSeen entry, so a re-emission stays a delta
+    val wide = new MonitorStream.CounterState(pruneHorizonMs = 10L * 3600000L)
+    wide.absorb(Seq((ts(0), "t", 100L, 0L)))
+    wide.absorb(Seq((new java.sql.Timestamp(ts(0).getTime + 2 * 3600000L), "t", 1L, 0L)))
+    assert(wide.absorb(Seq((ts(0), "t", 120L, 0L))) === Seq(("t", 20L, 0L)))
+    assert(MonitorStream.durationMs("30 seconds") === 30000L)
+    assert(MonitorStream.durationMs("2 hours") === 7200000L)
   }
 
   test("monitor aggregates windows and publishes docs to the monitor topic (K6)") {
