@@ -55,4 +55,47 @@ class MonitorSpec extends SparkSpec {
       .orderBy("stage").collect().head.getAs[String]("doc")
     assert(doc === """{"Info":{"stage":"proc"},"DataInfo":{"total":3}}""")
   }
+
+  test("G6 FULL document renders the reference's exact byte layout (golden)") {
+    // one counter row with uniform stage values: succeed=100, failed=1,
+    // win=5; sizes win=10; interval 5 s -> PerSec 1.0, SizePerSec 2.0,
+    // AvgPeriod (100+1)/100 = 1.01 -> rounds to 1.0 at one place
+    val stageVals = Monitor.RefStages.flatMap { st =>
+      Seq(lit(100L).as(s"${st}_succeed"), lit(1L).as(s"${st}_failed"),
+        lit(5L).as(s"${st}_win"))
+    } ++ Seq("sub", "dp", "da").map(st => lit(10L).as(s"${st}_size_win"))
+    val counters = spark.range(1).select(
+      (lit(100L).as("runtime_secs") +: lit(5L).as("pipe_num") +:
+        lit(3L).as("pub_succeed") +: lit(0L).as("pub_failed") +:
+        lit(2L).as("check_errors") +: stageVals): _*)
+    val doc = Monitor.fullMetricsDoc(counters, intervalSecs = 5)
+      .select("doc").collect().head.getString(0)
+    // hand-written against monitor.go:130-176's plFmt/section format
+    // strings — key names, key order, nesting, %d vs %.1f all pinned
+    val expected =
+      """{"Info":{"RunTime(s)":100.0,"PipeNum":5,"MonPubSucceed":3,"MonPubFailed":0},""" +
+      """"PerformanceMetrics":{"QueueWaitInfo":{"WaitForProcess":0,""" +
+      """"WaitForRawDataObjectToDB":0,"WaitForRawDataObjectToDBCommit":0,""" +
+      """"WaitForAdapter":0,"WaitForProcessDataObject":0,""" +
+      """"WaitForAdapterDataObjectToDB":0,"WaitForAdapterDataObjectToDBCommit":0},""" +
+      """"GapBetweenRawAndAdapterInfo":{"GapToDB":0,"GapToDBCommit":0}},""" +
+      """"DataInfo":{"SubscribeMsgInfo":{"SubMsgPerSec":1.0,"SubMsgSizePerSec":2.0,""" +
+      """"SubMsgSucceed":100,"SubMsgFailed":1,"AvgPeriodSubMsgPerSec":1.0},""" +
+      """"DataProcessMsgInfo":{"DpMsgPerSec":1.0,"DpMsgSizePerSec":2.0,""" +
+      """"DpMsgSucceed":100,"DpMsgFailed":1,"AvgPeriodDpMsgPerSec":1.0},""" +
+      """"DataAdapterInfo":{"DaMsgPerSec":1.0,"DaMsgSizePerSec":2.0,""" +
+      """"DaMsgSucceed":100,"DaMsgFailed":1,"AvgPeriodDaMsgPerSec":1.0},""" +
+      """"DataProcessDataObjectInfo":{"DaPdoMsgPerSec":1.0,""" +
+      """"DaPdoMsgSucceed":100,"DaPdoMsgFailed":1,"AvgPeriodDaPdoMsgPerSec":1.0}},""" +
+      """"DataDBStoreInfo":{"CheckErrors":2,""" +
+      """"RawDataObjectReceiveInfo":{"DbsRDOReceivePerSec":1.0,""" +
+      """"DbsRDOReceiveSucceed":100,"DbsRDOReceiveFailed":1,"AvgPeriodDbsRdoRevPerSec":1.0},""" +
+      """"RawDataObjectCommitInfo":{"DbsRDOCommitPerSec":1.0,""" +
+      """"DbsRDOCommitSucceed":100,"DbsRDOCommitFailed":1,"AvgPeriodDbsRdoComPerSec":1.0},""" +
+      """"AdapterDataObjectReceiveInfo":{"DbsADOReceivePerSec":1.0,""" +
+      """"DbsADOReceiveSucceed":100,"DbsADOReceiveFailed":1,"AvgPeriodDbsAdoRevPerSec":1.0},""" +
+      """"AdapterDataObjectCommitInfo":{"DbsADOCommitPerSec":1.0,""" +
+      """"DbsADOCommitSucceed":100,"DbsADOCommitFailed":1,"AvgPeriodDbsAdoComPerSec":1.0}}}"""
+    assert(doc === expected)
+  }
 }

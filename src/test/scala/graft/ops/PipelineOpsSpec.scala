@@ -86,6 +86,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(2L) === ((0.1, 0.0)))  // max count 1 of 10; all distinct
   }
 
+  test("as-of join matches brute force on randomized data with ts collisions") {
+    val rnd = new scala.util.Random(42)
+    val base = 1704067200000000L
+    // small ts range forces collisions, exercising the (ts, id) tie order
+    val rows = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(20).toLong,
+        if (rnd.nextInt(3) == 0) "view" else if (rnd.nextInt(2) == 0) "purchase" else "other",
+        base + rnd.nextInt(40) * 1000000L)
+    }
+    val df = rows.map { case (id, u, t, us) =>
+      (id, u, t, new java.sql.Timestamp(us / 1000L))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val got = Sessionize.asofLast(df, "user_id", "ts", "event_id",
+        probePred = col("event_type") === "purchase",
+        refPred = col("event_type") === "view")
+      .select($"event_id", $"asof_lag_us")
+      .as[(Long, Option[Long])].collect().toMap
+    // brute force: max view ts among same-user rows at-or-before in
+    // (ts, event_id) order
+    val expected = rows.filter(_._3 == "purchase").map { case (id, u, _, us) =>
+      val refs = rows.filter { case (rid, ru, rt, rus) =>
+        ru == u && rt == "view" && (rus < us || (rus == us && rid <= id))
+      }
+      id -> (if (refs.isEmpty) None else Some(us - refs.map(_._4).max))
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("row-local repetition fold matches the relational explode+groupBy twin") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val local = TextAnalysis.repetition(docs, "doc_id", "text")
+      .select($"doc_id", $"n_ngrams", $"n_distinct", $"top_ngram_count")
+      .as[(Long, Long, Long, Long)].collect().map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    // relational twin: shuffle every bigram occurrence (what the DuckDB
+    // oracle does — here recomputed in Spark itself)
+    val relational = docs
+      .select($"doc_id", explode(graft.functions.Shingles.shingles(
+        split($"text", " "), 2)).as("s"))
+      .groupBy($"doc_id", $"s").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_ngrams"), count(lit(1)).as("n_distinct"),
+        max($"cnt").as("top_ngram_count"))
+      .as[(Long, Long, Long, Long)].collect().map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(local === relational)
+  }
+
   test("deterministic sample: stable across runs, fraction approximately honored") {
     val docs = Tables.documents(spark, sf)
     val a = Sample.uniform(docs, "doc_id", 0.2).select("doc_id").as[Long].collect().toSet
