@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotLong, MinHashSigs, RandomId, Shingles}
+import graft.functions.{DotLong, MinHashSigs, MisraGries, RandomId, Shingles}
 
 /** SQL registration of the engine's native expressions.
   *
@@ -57,6 +57,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(sh, n) => MinHashSigs(sh, intLit(n, "numSigs"))
         case _ => throw new IllegalArgumentException("minhash_sigs(shingles, numSigs)")
+      }),
+    (FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, kExpr) =>
+          MisraGries(c, intLit(kExpr, "k")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("misra_gries(col, k)")
       }))
 
   /** Imperative registration into a live session. */

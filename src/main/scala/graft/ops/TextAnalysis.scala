@@ -94,6 +94,20 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
 
+  /** Approximate corpus heavy hitters — the bounded-memory twin of
+    * [[vocabulary]] via the native Misra-Gries aggregate
+    * ([[graft.functions.MisraGries]]): at most k counters per partial
+    * buffer regardless of distinct-token cardinality, so the shuffle
+    * carries k entries per map task instead of one per distinct token.
+    * Contract: every token with frequency > N/(k+1) appears; counts may
+    * underestimate by at most N/(k+1).
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("token"))
+      .agg(graft.functions.MisraGries.misra_gries(col("token"), k).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.token").as("token"), col("h.count").as("est_count"))
+
   /** Repetition quality gate (the Gopher/MassiveText-style filter): per
     * document, the share of its n-grams taken by the single most repeated
     * one (`top_ngram_ratio`) and the duplicate-n-gram share

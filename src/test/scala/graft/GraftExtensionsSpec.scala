@@ -25,10 +25,15 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     val expected = spark.sql("SELECT substring(md5('0|a b c'), 1, 8) AS e")
       .collect().head.getString(0)
     assert(sig0 === expected)
+    // misra_gries aggregates from SQL: dominant value reported first
+    val hh = spark.sql(
+      "SELECT misra_gries(t, 2) AS hh FROM VALUES ('a'),('a'),('a'),('b'),('c') AS v(t)")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.head.getString(0) === "a")
   }
 
   test("extensions hook injects the same function set") {
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ===
-      Seq("dot_long", "minhash_sigs", "random_id", "shingles"))
+      Seq("dot_long", "minhash_sigs", "misra_gries", "random_id", "shingles"))
   }
 }
