@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.engine.{CheckMode, IniConfig, PumpConfig}
 import graft.sources.MqttBridge
-import graft.streaming.{MonitorListener, Pump}
+import graft.streaming.{MonitorListener, MonitorStream, Pump}
 
 /** The pump CLI — the reference's three commands (`/root/reference/
   * main.go:139-176`): `run`, `show`, `check`, each taking an INI config.
@@ -47,14 +47,21 @@ object Main {
       val brokerName = "graft-run"
       // broker URI tcp://host:port -> bridge subscription feeding the source
       val uri = new java.net.URI(cfg.source.server)
-      val bridge = MqttBridge.start(uri.getHost, uri.getPort, cfg.sourceTopics, brokerName)
+      // credentials come from the INI's source-mqtt section (conf.go),
+      // same as the reference's client options (mqtt.go:46-52)
+      val bridge = MqttBridge.start(uri.getHost, uri.getPort, cfg.sourceTopics,
+        brokerName, username = cfg.source.username, password = cfg.source.password)
       spark.streams.addListener(new MonitorListener(cfg, brokerName))
       val sinks = Pump.Sinks(s"$outDir/raw", s"$outDir/adapter", s"$outDir/ckpt")
       val trigger = if (availableNow) Trigger.AvailableNow() else null
       val q = Pump.start(spark, cfg, sinks, brokerName, trigger)
+      // the reference's run also starts its monitor goroutine
+      // (main.go:81): publish the full 4-section metrics document
+      val mon = MonitorStream.start(spark, cfg, brokerName, s"$outDir/mon-ckpt", trigger)
       try {
-        if (availableNow) q.awaitTermination(300000) else q.awaitTermination()
-      } finally { bridge.close(); spark.stop() }
+        if (availableNow) { q.awaitTermination(300000); mon.awaitTermination(60000) }
+        else q.awaitTermination()
+      } finally { mon.stop(); bridge.close(); spark.stop() }
 
     case _ =>
       System.err.println("usage: graft.Main (show|check) <conf.ini> | run <conf.ini> <outDir> [--available-now]")
