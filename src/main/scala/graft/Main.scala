@@ -55,13 +55,17 @@ object Main {
       val sinks = Pump.Sinks(s"$outDir/raw", s"$outDir/adapter", s"$outDir/ckpt")
       val trigger = if (availableNow) Trigger.AvailableNow() else null
       val q = Pump.start(spark, cfg, sinks, brokerName, trigger)
-      // the reference's run also starts its monitor goroutine
-      // (main.go:81): publish the full 4-section metrics document
-      val mon = MonitorStream.start(spark, cfg, brokerName, s"$outDir/mon-ckpt", trigger)
+      var mon: org.apache.spark.sql.streaming.StreamingQuery = null
       try {
+        // the reference's run also starts its monitor goroutine
+        // (main.go:81): publish the full 4-section metrics document
+        mon = MonitorStream.start(spark, cfg, brokerName, s"$outDir/mon-ckpt", trigger)
         if (availableNow) { q.awaitTermination(300000); mon.awaitTermination(60000) }
-        else q.awaitTermination()
-      } finally { mon.stop(); bridge.close(); spark.stop() }
+        else spark.streams.awaitAnyTermination() // surfaces monitor death too
+      } finally {
+        if (mon != null) mon.stop()
+        q.stop(); bridge.close(); spark.stop()
+      }
 
     case _ =>
       System.err.println("usage: graft.Main (show|check) <conf.ini> | run <conf.ini> <outDir> [--available-now]")

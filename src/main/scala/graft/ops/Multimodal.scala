@@ -180,7 +180,10 @@ object Multimodal {
       val o = off.toInt
       val id = tag(o); val len = b.getInt(o + 4)
       if (len < 0) return None // corrupt length: reject, don't spin
-      if (id == "fmt " && o + 24 <= blob.length) {
+      // a fmt chunk must DECLARE >= 16 bytes: a shorter declared length
+      // would make the field reads below spill into the next chunk's
+      // bytes and parse garbage as format fields
+      if (id == "fmt " && len >= 16 && o + 24 <= blob.length) {
         fmtCode = b.getShort(o + 8)
         channels = b.getShort(o + 10)
         sampleRate = b.getInt(o + 12)

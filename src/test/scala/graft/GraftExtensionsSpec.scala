@@ -30,6 +30,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       "SELECT misra_gries(t, 2) AS hh FROM VALUES ('a'),('a'),('a'),('b'),('c') AS v(t)")
       .collect().head.getSeq[org.apache.spark.sql.Row](0)
     assert(hh.head.getString(0) === "a")
+    // non-string input fails at analysis time, not as a per-task
+    // ClassCastException mid-job
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT misra_gries(t, 2) FROM VALUES (1L),(2L) AS v(t)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string"))
   }
 
   test("extensions hook injects the same function set") {

@@ -191,6 +191,16 @@ class OpsSpec extends SparkSpec {
     // non-PCM format tag and zero bits reject
     assert(Multimodal.decodeWavHeader(wav(fmtCode = 3)) === None)
     assert(Multimodal.decodeWavHeader(wav(bits = 0)) === None)
+    // fmt chunk DECLARING < 16 bytes must reject, not parse the next
+    // chunk's header bytes as format fields
+    val short = java.nio.ByteBuffer.allocate(12 + 8 + 6 + 8 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    short.put("RIFF".getBytes).putInt(0).put("WAVE".getBytes)
+    short.put("fmt ".getBytes).putInt(6)
+    short.putShort(1).putShort(2).putShort(1) // truncated field block
+    short.put("data".getBytes).putInt(8)
+    (0 until 8).foreach(_ => short.put(0.toByte))
+    assert(Multimodal.decodeWavHeader(short.array()) === None)
   }
 
   test("frame sampling emits stride-spaced frames via mapPartitions (X4 stub)") {
