@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators: deterministic split assignment,
+  * per-domain quota capping, and sequence packing — the steps between a
+  * cleaned/deduplicated corpus and actual training shards. All three are
+  * built on the same reproducibility primitive as [[Sample]]: an md5 hash
+  * bucket of the row key, identically computable by any engine, stable
+  * under retries and across shards with no coordination.
+  */
+object Curate {
+
+  /** First 8 hex chars of md5(key ++ seed) — fixed-width lowercase hex
+    * compares lexicographically = numerically (see [[Sample]]).
+    */
+  private def hashBucket(keyCol: Column, seed: String): Column =
+    substring(md5(concat(keyCol.cast("string"), lit(seed))), 1, 8)
+
+  /** X15 — deterministic train/valid/test split assignment.
+    *
+    * Each row gets exactly one label: the named splits claim cumulative
+    * hash ranges `[0, f1), [f1, f1+f2), ...` and `rest` takes the
+    * remainder. A pure row-local CASE over the hash bucket — zero
+    * shuffle, zero coordination, and adding data to the corpus never
+    * moves an existing row between splits (the property `rand()` or
+    * round-robin splitting cannot give you at 100 TB).
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  fractions: Seq[(String, Double)], rest: String,
+                  seed: String = ""): DataFrame = {
+    val cums = fractions.scanLeft(0.0) { case (c, (_, f)) => c + f }.tail
+    require(cums.last < 1.0, "named fractions must sum below 1")
+    val b = hashBucket(col(keyCol), seed)
+    // fold from the LAST threshold outward so the built CASE checks the
+    // smallest range first: when(b < thr1, s1).when(b < thr2, s2)...
+    val assign = fractions.map(_._1).zip(cums).reverse
+      .foldLeft(lit(rest): Column) { case (acc, (name, cum)) =>
+        when(b < lit(Sample.threshold(cum)), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assign)
+  }
+
+  /** X16 — per-domain quota cap: keep at most `quota` rows per domain,
+    * chosen by deterministic hash order (so the kept set is reproducible
+    * and unbiased within the domain).
+    *
+    * The naive form — `row_number() OVER (PARTITION BY domain ORDER BY
+    * hash)` then filter — shuffles EVERY row of a hot domain to one
+    * partition; at 100 TB a single crawl domain can be billions of rows.
+    * This is the two-phase exact form:
+    *
+    *   1. per-domain counts (map-side-combined agg; result is one row per
+    *      domain — tiny — and broadcast back);
+    *   2. hash prefilter: keep rows whose bucket falls in the lowest
+    *      `prefilterFactor * quota / n` fraction — the expected survivor
+    *      count per domain is `prefilterFactor * quota`, independent of
+    *      domain size, so the ranking window now shuffles O(quota) rows
+    *      per domain instead of O(n);
+    *   3. exactness guard: the prefilter keeps a PREFIX of the hash
+    *      order, so the result equals the naive form iff every domain
+    *      retains >= min(quota, n) survivors. That is re-counted (another
+    *      tiny agg) and any short domain — possible only under extreme
+    *      hash clustering — falls back to ranking its full row set. The
+    *      guard makes the operator exact always, not just with high
+    *      probability;
+    *   4. row_number over the surviving sliver.
+    */
+  def domainQuota(df: DataFrame, keyCol: String, domainCol: String,
+                  quota: Int, seed: String = "",
+                  prefilterFactor: Int = 4): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1: $quota")
+    val hv = conv(hashBucket(col(keyCol), seed), 16, 10).cast("bigint")
+    val withH = df.withColumn("__hv", hv)
+    val counts = withH.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val expect = lit(prefilterFactor.toDouble * quota)
+    // whole-domain passthrough when the quota sliver would not shrink it
+    val thr = when(expect >= col("__n"), lit(4294967296L))
+      .otherwise((expect / col("__n") * lit(4294967296.0)).cast("bigint"))
+    val joined = withH.join(broadcast(counts), Seq(domainCol))
+    val survivors = joined.filter(col("__hv") < thr)
+    val kept = survivors.groupBy(col(domainCol)).agg(count(lit(1)).as("__kept"))
+    val short = counts.join(kept, Seq(domainCol), "left")
+      .filter(coalesce(col("__kept"), lit(0L)) < least(lit(quota.toLong), col("__n")))
+      .select(col(domainCol), lit(true).as("__full"))
+    val candidates = joined
+      .join(broadcast(short), Seq(domainCol), "left")
+      .filter(col("__hv") < thr || col("__full").isNotNull)
+    val w = Window.partitionBy(col(domainCol)).orderBy(col("__hv"), col(keyCol))
+    candidates
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= quota)
+      .drop("__hv", "__n", "__full")
+  }
+
+  /** X17 — sequence packing, concat-and-chunk style: documents are
+    * concatenated in deterministic order and the token stream is cut into
+    * fixed `chunkTokens` windows (documents may straddle a cut — exactly
+    * what GPT-style pretraining does; packing-without-splitting is a bin
+    * packing problem that doesn't parallelize exactly).
+    *
+    * A single global order would be one giant window partition; instead
+    * the corpus is sharded by `id mod shards` and packed per shard, so
+    * the running sum parallelizes across `shards` independent window
+    * partitions (at 100 TB, shards ~ number of output training files).
+    * Emits per document: its shard, token span `[tok_start, tok_end)`
+    * within the shard's stream, and the chunk range it lands in.
+    */
+  def seqPack(docs: DataFrame, idCol: String, textCol: String,
+              shards: Int, chunkTokens: Int): DataFrame = {
+    require(shards >= 1 && chunkTokens >= 1)
+    val nTok = size(split(col(textCol), " ")).cast("bigint")
+    val base = docs.select(col(idCol),
+      pmod(col(idCol), lit(shards.toLong)).as("shard"), nTok.as("n_tokens"))
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+      // integer `div`, not `/`: epoch-style long division must truncate
+      .withColumn("chunk_first", expr(s"tok_start div $chunkTokens"))
+      .withColumn("chunk_last", expr(s"(tok_end - 1) div $chunkTokens"))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + lit(1L))
+      .select(col(idCol), col("shard"), col("n_tokens"), col("tok_start"),
+        col("chunk_first"), col("chunk_last"), col("n_chunks"))
+  }
+}

@@ -21,6 +21,15 @@ object ExtQueries {
   // surfaces only as an opaque hash mismatch)
   private val IvfNlist = 8
   private val IvfNprobe = 4
+  // curation knobs — same shared-constant discipline
+  private val SplitSeed = "split"
+  private val SplitTrain = 0.8
+  private val SplitValid = 0.1 // cumulative train+valid = 0.9
+  private val QuotaSeed = "q"
+  private val QuotaPerDomain = 5
+  private val PackShards = 8
+  private val PackChunkTokens = 512
+  private val RangeJoinWindowUs = 7L * 86400L * 1000000L // 7 days
 
   /** The MinHash-LSH near-dup pair stage, MATERIALIZED once per
     * (session, table dir) and shared by `x1_minhash_lsh` and
@@ -314,6 +323,61 @@ object ExtQueries {
         .select(col("label"), col("pos"), col("n"), col("s"),
           round(col("s").cast("double") / col("n"), 6).as("centroid"))
         .orderBy("label", "pos")
+    }),
+
+    // X15 deterministic train/valid/test split — row-local CASE over the
+    // hash bucket, zero shuffle
+    "x15_split_assign" -> ((s, dir) => {
+      Curate.splitAssign(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
+        seed = SplitSeed)
+        .select("doc_id", "lang", "split").orderBy("doc_id")
+    }),
+
+    // X16 per-domain quota cap — two-phase exact form (hash prefilter +
+    // guard + rank); result identical to the naive full-shuffle window,
+    // which is exactly what the oracle runs
+    "x16_domain_quota" -> ((s, dir) => {
+      Curate.domainQuota(Tables.documents(s, dir), "doc_id", "source",
+        quota = QuotaPerDomain, seed = QuotaSeed)
+        .select("doc_id", "source", "rnk").orderBy("source", "rnk")
+    }),
+
+    // X17 sequence packing (concat-and-chunk): per-shard running token
+    // sum -> fixed-size chunk spans; one window shuffle, `shards`-way
+    // parallel
+    "x17_seq_pack" -> ((s, dir) => {
+      Curate.seqPack(Tables.documents(s, dir), "doc_id", "text",
+        shards = PackShards, chunkTokens = PackChunkTokens)
+        .orderBy("doc_id")
+    }),
+
+    // X18 banded range join: purchases within 7 days after a view by the
+    // same user — equi-join on (user, time-bucket) + exact band predicate
+    // instead of a per-user cross product
+    "x18_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      RangeJoin.banded(views, purchases, "user_id", "view_ts", "purchase_ts",
+        RangeJoinWindowUs)
+        .select("user_id", "view_id", "purchase_id", "lag_us")
+        .orderBy("view_id", "purchase_id")
+    }),
+
+    // X19 exact per-language distinct token counts — the oracle-checkable
+    // twin of the HLL sketch path (approx_count_distinct, spec-verified)
+    "x19_distinct_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("token")).as("n_distinct"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("lang")
     })
   )
 
@@ -714,6 +778,60 @@ object ExtQueries {
         |SELECT label, i AS pos, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(q[i]) AS BIGINT) AS s,
         |  round(CAST(sum(q[i]) AS DOUBLE) / count(*), 6) AS centroid
-        |FROM e, range(1, 65) t(i) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM e, range(1, 65) t(i) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x15_split_assign" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
+         |         < '${Sample.threshold(SplitTrain)}' THEN 'train'
+         |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
+         |         < '${Sample.threshold(SplitTrain + SplitValid)}' THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the oracle runs the NAIVE one-phase form — the two-phase Spark
+    // operator is exact by construction (prefilter keeps a prefix of the
+    // hash order; the guard re-ranks any short domain in full)
+    "x16_domain_quota" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |  substring(md5(CAST(doc_id AS VARCHAR) || '$QuotaSeed'), 1, 8) AS hh
+         |  FROM documents),
+         |r AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY hh, doc_id)
+         |    AS BIGINT) AS rnk FROM h)
+         |SELECT doc_id, source, rnk FROM r WHERE rnk <= $QuotaPerDomain
+         |ORDER BY source, rnk""".stripMargin,
+
+    "x17_seq_pack" ->
+      s"""WITH b AS (SELECT doc_id, doc_id % $PackShards AS shard,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+         |  FROM b)
+         |SELECT doc_id, shard, n_tokens, tok_end - n_tokens AS tok_start,
+         |  (tok_end - n_tokens) // $PackChunkTokens AS chunk_first,
+         |  (tok_end - 1) // $PackChunkTokens AS chunk_last,
+         |  ((tok_end - 1) // $PackChunkTokens)
+         |    - ((tok_end - n_tokens) // $PackChunkTokens) + 1 AS n_chunks
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x18_range_join" ->
+      s"""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+         |  CAST(date_diff('microseconds', CAST(v.ts AS TIMESTAMP),
+         |    CAST(p.ts AS TIMESTAMP)) AS BIGINT) AS lag_us
+         |FROM events v JOIN events p ON v.user_id = p.user_id
+         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+         |  AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+         |  AND date_diff('microseconds', CAST(v.ts AS TIMESTAMP),
+         |    CAST(p.ts AS TIMESTAMP)) <= $RangeJoinWindowUs
+         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    "x19_distinct_tokens" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents)
+        |SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

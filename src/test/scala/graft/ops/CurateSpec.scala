@@ -1,0 +1,173 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.engine.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X15-X19 curation/range-join invariants beyond the DuckDB oracle. */
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("splitAssign: exhaustive, deterministic, roughly proportional") {
+    val docs = Tables.documents(spark, sf)
+    val s = Curate.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1), rest = "test", seed = "s")
+    // every row gets exactly one label from the declared set
+    assert(s.count() === docs.count())
+    val byLabel = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLabel.keySet.subsetOf(Set("train", "valid", "test")))
+    // deterministic: a second run assigns identically
+    val again = Curate.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1), rest = "test", seed = "s")
+    assert(s.select("doc_id", "split").except(again.select("doc_id", "split")).count() === 0)
+    // proportions within loose tolerance at n=50 (hash-uniformity sanity,
+    // not a statistical test)
+    val n = docs.count().toDouble
+    assert(byLabel.getOrElse("train", 0L) / n > 0.6)
+    // a different seed re-deals the hands
+    val other = Curate.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1), rest = "test", seed = "t")
+    assert(s.select("doc_id", "split").except(other.select("doc_id", "split")).count() > 0)
+  }
+
+  test("splitAssign: growing the corpus never moves an existing row") {
+    val docs = Tables.documents(spark, sf)
+    val half = docs.filter($"doc_id" < 25)
+    val fromHalf = Curate.splitAssign(half, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1), "test", "s").select("doc_id", "split")
+    val fromFull = Curate.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1), "test", "s")
+      .filter($"doc_id" < 25).select("doc_id", "split")
+    assert(fromHalf.except(fromFull).count() === 0)
+    assert(fromFull.except(fromHalf).count() === 0)
+  }
+
+  test("domainQuota: two-phase form equals the naive one-phase window") {
+    val docs = Tables.documents(spark, sf)
+    def naive(quota: Int): Seq[(Long, String, Long)] = {
+      val hh = substring(md5(concat($"doc_id".cast("string"), lit("q"))), 1, 8)
+      docs.withColumn("hh", hh)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("source").orderBy($"hh", $"doc_id")).cast("bigint"))
+        .filter($"rnk" <= quota)
+        .select($"doc_id", $"source", $"rnk").as[(Long, String, Long)]
+        .collect().sortBy(r => (r._2, r._3)).toSeq
+    }
+    for (quota <- Seq(1, 2, 5, 100)) {
+      val two = Curate.domainQuota(docs, "doc_id", "source", quota, seed = "q")
+        .select($"doc_id", $"source", $"rnk").as[(Long, String, Long)]
+        .collect().sortBy(r => (r._2, r._3)).toSeq
+      assert(two === naive(quota), s"quota=$quota")
+    }
+  }
+
+  test("domainQuota: exactness guard covers a degenerate prefilter") {
+    val docs = Tables.documents(spark, sf)
+    // prefilterFactor = 1 keeps ~quota expected survivors — domains
+    // routinely come up short and must fall back to full ranking
+    val tight = Curate.domainQuota(docs, "doc_id", "source", 3,
+      seed = "q", prefilterFactor = 1)
+      .select($"doc_id", $"source", $"rnk").as[(Long, String, Long)]
+      .collect().sortBy(r => (r._2, r._3)).toSeq
+    val loose = Curate.domainQuota(docs, "doc_id", "source", 3,
+      seed = "q", prefilterFactor = 1000)
+      .select($"doc_id", $"source", $"rnk").as[(Long, String, Long)]
+      .collect().sortBy(r => (r._2, r._3)).toSeq
+    assert(tight === loose)
+  }
+
+  test("seqPack: spans tile each shard's token stream; chunks consistent") {
+    val docs = Tables.documents(spark, sf)
+    val p = Curate.seqPack(docs, "doc_id", "text", shards = 4, chunkTokens = 64)
+      .orderBy("shard", "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    // (doc_id, shard, n_tokens, tok_start, chunk_first, chunk_last, n_chunks)
+    p.groupBy(_._2).foreach { case (_, rows) =>
+      // spans are contiguous: each doc starts where the previous ended
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._3 === b._4, s"gap after doc ${a._1}")
+        case _ =>
+      }
+      assert(rows.head._4 === 0L)
+    }
+    p.foreach { r =>
+      assert(r._5 === r._4 / 64, s"chunk_first of doc ${r._1}")
+      assert(r._6 === (r._4 + r._3 - 1) / 64, s"chunk_last of doc ${r._1}")
+      assert(r._7 === r._6 - r._5 + 1)
+      assert(r._3 > 0L)
+    }
+    // every doc present exactly once
+    assert(p.length.toLong === docs.count())
+  }
+
+  test("banded range join equals naive join+filter, including boundaries") {
+    // hand-built: pairs exactly at lag 0, at the window edge, just past
+    // it, and across a bucket boundary
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val views = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (1L, 11L, ts("2024-01-03 23:59:59")), // bucket boundary straddle
+      (2L, 12L, ts("2024-01-01 12:00:00"))
+    ).toDF("user_id", "view_id", "view_ts")
+    val purchases = Seq(
+      (1L, 20L, ts("2024-01-01 00:00:00")), // lag 0 (inclusive)
+      (1L, 21L, ts("2024-01-08 00:00:00")), // exactly 7d after view 10
+      (1L, 22L, ts("2024-01-08 00:00:01")), // 7d + 1s after view 10
+      (1L, 23L, ts("2024-01-04 00:00:01")), // next bucket, in band of 11
+      (2L, 24L, ts("2024-01-01 11:59:59")), // before the view: excluded
+      (3L, 25L, ts("2024-01-01 00:00:00"))  // other user
+    ).toDF("user_id", "purchase_id", "purchase_ts")
+    val w = 7L * 86400L * 1000000L
+    val got = RangeJoin.banded(views, purchases, "user_id",
+      "view_ts", "purchase_ts", w)
+      .select("view_id", "purchase_id").as[(Long, Long)].collect().toSet
+    val naive = views.join(purchases, "user_id")
+      .filter(unix_micros($"purchase_ts") >= unix_micros($"view_ts") &&
+        unix_micros($"purchase_ts") <= unix_micros($"view_ts") + w)
+      .select("view_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got.contains((10L, 20L)) && got.contains((10L, 21L)))
+    assert(!got.contains((10L, 22L)))
+    assert(got.contains((11L, 23L)))
+    assert(!got.exists(_._2 == 24L) && !got.exists(_._2 == 25L))
+  }
+
+  test("banded range join on events equals naive form at sf0.001") {
+    val ev = Tables.events(spark, sf)
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+    val w = 7L * 86400L * 1000000L
+    val banded = RangeJoin.banded(views, purchases, "user_id",
+      "view_ts", "purchase_ts", w)
+      .select("view_id", "purchase_id", "lag_us")
+      .as[(Long, Long, Long)].collect().toSet
+    val naive = views.join(purchases, "user_id")
+      .filter(unix_micros($"purchase_ts") >= unix_micros($"view_ts") &&
+        unix_micros($"purchase_ts") <= unix_micros($"view_ts") + w)
+      .select($"view_id", $"purchase_id",
+        (unix_micros($"purchase_ts") - unix_micros($"view_ts")).as("lag_us"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded === naive)
+    assert(banded.nonEmpty)
+    assert(banded.forall { case (_, _, lag) => lag >= 0 && lag <= w })
+  }
+
+  test("distinct tokens: HLL sketch lands within rsd of the exact count") {
+    val docs = Tables.documents(spark, sf)
+    val tok = docs.select($"lang", explode(split($"text", " ")).as("token"))
+    val exact = tok.groupBy("lang").agg(countDistinct($"token").as("n"))
+      .as[(String, Long)].collect().toMap
+    val approx = tok.groupBy("lang")
+      .agg(approx_count_distinct($"token", rsd = 0.02).as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (lang, n) =>
+      val a = approx(lang).toDouble
+      assert(math.abs(a - n) / n < 0.1, s"$lang: exact=$n approx=$a")
+    }
+  }
+}

@@ -68,4 +68,39 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
     }
   }
+
+  test("split assignment is a pure scan-side projection: zero exchanges") {
+    val plan = physical(Curate.splitAssign(Tables.documents(spark, sf),
+      "doc_id", Seq("train" -> 0.8, "valid" -> 0.1), "test", "s"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("banded range join plans as an equi hash join, never a nested loop") {
+    val ev = Tables.events(spark, sf)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val plan = physical(RangeJoin.banded(views, purchases, "user_id",
+      "view_ts", "purchase_ts", 7L * 86400L * 1000000L))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a cross product in:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi join operator in:\n$plan")
+  }
+
+  test("domain quota ranks through a domain-partitioned window with rank pushdown") {
+    // the counts/short-domain sides are broadcast by design (tiny, and
+    // counts appears in two branches so it broadcasts more than once);
+    // what matters for 100 TB is that the DATA rows reach the ranking
+    // window via hash partitioning on the domain and that Spark pushes
+    // the rank limit below the window (WindowGroupLimit), so each task
+    // keeps quota rows instead of sorting its full partition
+    val plan = physical(Curate.domainQuota(Tables.documents(spark, sf),
+      "doc_id", "source", 5, seed = "q"))
+    assert(plan.contains("Exchange hashpartitioning(source"),
+      s"data path not hash-partitioned by domain in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank limit not pushed below the window in:\n$plan")
+  }
 }
