@@ -21,6 +21,11 @@ object ExtQueries {
   // surfaces only as an opaque hash mismatch)
   private val IvfNlist = 8
   private val IvfNprobe = 4
+  // PQ knobs — shared by the Scala call and the oracle generator.
+  // 16 subspaces x 64 codes = 96 bits/vector (~21x compression at dim 64)
+  // measured at recall@5 ~ 0.6 vs brute force on the test corpora
+  private val PqNumSub = 16
+  private val PqCodes = 64
   // curation knobs — same shared-constant discipline
   private val SplitSeed = "split"
   private val SplitTrain = 0.8
@@ -129,6 +134,16 @@ object ExtQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < NumQueries),
         "vec_id", "embedding", TopK, nlist = IvfNlist, nprobe = IvfNprobe)
         .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")
+    }),
+
+    // X2 product-quantization ANN (compressed-domain exhaustive scan;
+    // integer-exact codes + ADC table lookups, so fully oracle-checked —
+    // the trained codebook is inlined as literals, see [[pqOracle]])
+    "x20_pq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        "vec_id", "embedding", TopK, numSub = PqNumSub, codes = PqCodes)
+        .select("qid", "cid", "rank", "adc").orderBy("qid", "rank")
     }),
 
     // X3 token statistics + quality score
@@ -471,7 +486,63 @@ object ExtQueries {
     }.toMap
   }
 
-  def oracle: Map[String, String] = ivfOracle ++ Map(
+  /** PQ oracle, rendered from the trained codebook — same
+    * run-queries-then-dump contract as [[ivfOracle]]. Code assignment,
+    * ADC table lookup, and ranking are integer-exact (see
+    * [[Similarity.pqTopK]]), so DuckDB reproduces them bit-for-bit: the
+    * codebook is unpivoted into a (m, code, cv, c2) VALUES table, corpus
+    * sub-vectors join it for the argmin, query sub-vectors join it for
+    * the inner-product table, and each (query, corpus, subspace) triple
+    * contributes exactly one lookup to the ADC sum.
+    */
+  private def pqOracle: Map[String, String] = {
+    if (Similarity.lastPqCodebook.isEmpty)
+      System.err.println(
+        "[graft] WARNING: x20_pq_ann oracle OMITTED — Similarity.pqTopK has " +
+          "not run in this JVM, so there is no trained codebook to inline. " +
+          "Run the queries before dumping oracleSql (graft.Verify's order).")
+    Similarity.lastPqCodebook.map { cb =>
+      val sub = cb(0)(0).length
+      val rows = cb.zipWithIndex.flatMap { case (cents, m) =>
+        cents.zipWithIndex.map { case (c, j) =>
+          val c2 = c.map(v => v.toLong * v).sum
+          s"($m, $j, ${c.map(v => s"$v.0").mkString("[", ", ", "]")}, $c2.0)"
+        }
+      }.mkString(",\n  ")
+      val svUnion = (0 until PqNumSub).map { m =>
+        s"SELECT vec_id, $m AS m, q[${m * sub + 1}:${(m + 1) * sub}] AS sv FROM e"
+      }.mkString(" UNION ALL ")
+      "x20_pq_ann" ->
+        s"""WITH cb(m, code, cv, c2) AS (VALUES
+           |  $rows),
+           |e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+           |  FROM embeddings),
+           |sv AS ($svUnion),
+           |ad AS (SELECT sv.vec_id, sv.m, cb.code,
+           |  list_dot_product(sv.sv, sv.sv) - 2 * list_dot_product(sv.sv, cb.cv)
+           |    + cb.c2 AS dist,
+           |  list_dot_product(sv.sv, cb.cv) AS ip
+           |  FROM sv JOIN cb ON cb.m = sv.m),
+           |codes AS (SELECT vec_id, m, code FROM (
+           |  SELECT vec_id, m, code,
+           |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+           |  FROM ad) WHERE rn = 1),
+           |qtab AS (SELECT vec_id AS qid, m, code, ip FROM ad
+           |  WHERE vec_id < $NumQueries),
+           |scored AS (SELECT t.qid, c.vec_id AS cid, CAST(sum(t.ip) AS BIGINT) AS adc
+           |  FROM codes c JOIN qtab t ON t.m = c.m AND t.code = c.code
+           |    AND t.qid != c.vec_id
+           |  GROUP BY 1, 2),
+           |ranked AS (SELECT qid, cid, adc,
+           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS INTEGER) AS rank
+           |  FROM scored)
+           |SELECT qid, cid, rank, adc FROM ranked WHERE rank <= $TopK
+           |ORDER BY qid, rank""".stripMargin
+    }.toMap
+  }
+
+  def oracle: Map[String, String] = ivfOracle ++ pqOracle ++ Map(
     "x1_exact_dedup" ->
       """SELECT md5(props) AS digest, min(event_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dups

@@ -156,6 +156,88 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Sub-quantizer codebooks of the most recently trained PQ encoder —
+    * same oracle-inlining contract as [[lastIvfCentroids]]:
+    * `lastPqCodebook.get(m)(j)` = quantized centroid `j` of subspace `m`.
+    */
+  @volatile private[graft] var lastPqCodebook: Option[Array[Array[Array[Int]]]] = None
+
+  /** Product-quantization ANN (compressed-domain exhaustive search): the
+    * vector is split into `numSub` subspaces, each sub-vector is replaced
+    * by the id of its nearest sub-centroid (`codes` per subspace, trained
+    * driver-locally on a bounded sample like [[ivfTopK]]'s quantizer), and
+    * a query scores a corpus row by table lookup — `adc = sum_m
+    * qtab_m[code_m]` where `qtab_m[j] = <q_sub_m, centroid_mj>` is
+    * precomputed once per query.
+    *
+    * The scale story is COMPRESSION, not pruning: corpus rows carry
+    * `numSub` small ints (4 codes here ~ 4 bytes) instead of the full
+    * vector (64 x 4 bytes), so the exhaustive scan touches 64x less data
+    * and the per-pair cost is `numSub` array lookups instead of a
+    * dim-wide dot product. Queries broadcast with their lookup tables;
+    * the corpus never shuffles (the deliberate BroadcastNestedLoopJoin is
+    * the scan); per-query top-k goes through the same rank window as the
+    * other ANN paths (WindowGroupLimit keeps k rows per task). Compose
+    * with [[ivfTopK]]'s inverted lists for IVF-PQ when pruning is also
+    * wanted.
+    *
+    * Everything after training is integer-exact: code ASSIGNMENT is the
+    * same expanded-|x-c|^2 argmin as IVF (ties to the lower code id) and
+    * ADC scores are integer sums, so assignment, scoring, and ranking
+    * (ties by candidate id) are bit-identical in any engine — fully
+    * oracle-checkable even though ADC is approximate w.r.t. true cosine
+    * (recall asserted in ScalaTest).
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, numSub: Int = 4, codes: Int = 16,
+             trainSample: Int = 65536): DataFrame = {
+    val train = emb.select(transform(col(vecCol), _.cast("double")))
+      .limit(trainSample).collect().map(_.getSeq[Double](0).toArray)
+    val dim = train(0).length
+    require(dim % numSub == 0, s"dim $dim not divisible by $numSub subspaces")
+    val sub = dim / numSub
+    val codebook = Array.tabulate(numSub) { mi =>
+      localKMeans(train.map(_.slice(mi * sub, (mi + 1) * sub)), codes,
+        iters = 10, seed = 42L + mi)
+        .map(_.map(x => math.floor(x * 1000).toInt))
+    }
+    lastPqCodebook = Some(codebook)
+
+    def subvec(q: Column, mi: Int): Column = slice(q, mi * sub + 1, sub)
+    def codeCol(q: Column, mi: Int): Column = {
+      val sv = subvec(q, mi)
+      val n2s = dot(sv, sv)
+      array_min(array(codebook(mi).zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(v => v.toLong * v).sum
+        struct((n2s - lit(2L) * dot(sv, typedLit(c.toSeq)) + lit(c2)).as("dist"),
+          lit(j).as("code"))
+      }: _*)).getField("code")
+    }
+
+    // corpus: encode once, keep ONLY the codes (the compressed layout you
+    // would persist at ingest)
+    val coded = (0 until numSub).foldLeft(
+      emb.select(col(idCol), quantize(col(vecCol)).as("q"))) { (df, mi) =>
+      df.withColumn(s"code$mi", codeCol(col("q"), mi))
+    }.drop("q")
+
+    // queries: per-subspace inner-product lookup tables, row-local
+    val qtabs = (0 until numSub).foldLeft(
+      queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qq"))) {
+      (df, mi) =>
+        df.withColumn(s"qtab$mi", array(codebook(mi).map(c =>
+          dot(subvec(col("qq"), mi), typedLit(c.toSeq))): _*))
+    }.drop("qq")
+
+    val scored = coded.crossJoin(broadcast(qtabs))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("cid"),
+        (0 until numSub).map(mi =>
+          element_at(col(s"qtab$mi"), col(s"code$mi") + 1)).reduce(_ + _).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic driver-local Lloyd's with k-means++ seeding — the
     * coarse-quantizer trainer for [[ivfTopK]]. O(sample x nlist x dim)
     * per iteration on the driver; never touches the cluster.
