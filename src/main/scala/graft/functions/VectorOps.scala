@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native integer dot product over two `array<long>` or `array<int>`
   * columns (element type read from the child schema; int inputs accumulate
@@ -71,8 +71,133 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
     copy(left = newLeft, right = newRight)
 }
 
+/** Native PQ encoder: maps a quantized vector (`array<int>`) to its
+  * per-subspace nearest-centroid codes (`array<int>`, one per subspace).
+  *
+  * The declarative form — numSub `array_min`s over `codes`-element
+  * struct arrays, each struct holding a [[DotLong]] — is semantically
+  * identical but allocates a struct per (row, subspace, code) and blows
+  * the expression tree up to thousands of nodes (measured ~6 s for a 5k
+  * corpus). This expression is the same argmin as one tight primitive
+  * loop: for each subspace, `dist = |c|^2 - 2<sv,c>` (the row's own
+  * `|sv|^2` term is constant within a subspace and cannot change the
+  * argmin, so it is dropped), ties to the lower code id — matching the
+  * oracle's `ORDER BY dist, code` exactly.
+  *
+  * The codebook rides along as a reference object (driver-trained, a few
+  * KB); generated code makes one virtual call per row and stays inside
+  * WholeStageCodegen.
+  */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Int]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val numSub = codebook.length
+  @transient private lazy val subDim = codebook(0)(0).length
+  // |c|^2 per (subspace, code), precomputed once
+  @transient private lazy val c2: Array[Array[Long]] =
+    codebook.map(_.map(c => c.map(v => v.toLong * v).sum))
+
+  def encode(q: ArrayData): ArrayData = {
+    val out = new Array[Int](numSub)
+    var m = 0
+    while (m < numSub) {
+      val cents = codebook(m)
+      val off = m * subDim
+      var best = 0
+      var bestDist = Long.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var dot = 0L
+        var i = 0
+        while (i < subDim) { dot += q.getInt(off + i).toLong * c(i); i += 1 }
+        val dist = c2(m)(j) - 2L * dot
+        // strict < keeps the FIRST minimum: ties go to the lower code id
+        if (dist < bestDist) { bestDist = dist; best = j }
+        j += 1
+      }
+      out(m) = best
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.encode($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native ADC table builder: maps a quantized QUERY vector to its flat
+  * per-subspace inner-product lookup table — entry `m * codes + j` is
+  * `<sv_m, centroid_mj>`. The declarative twin (numSub `array(...)`
+  * columns of `codes` [[DotLong]]s each) is a 1000+-node expression tree
+  * whose analysis/codegen time dwarfs the actual work; this is the same
+  * arithmetic as one loop and one flat `array<long>` per query row.
+  */
+case class PqTable(child: Expression, codebook: Array[Array[Array[Int]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_table"
+
+  @transient private lazy val numSub = codebook.length
+  @transient private lazy val codes = codebook(0).length
+  @transient private lazy val subDim = codebook(0)(0).length
+
+  def table(q: ArrayData): ArrayData = {
+    val out = new Array[Long](numSub * codes)
+    var m = 0
+    while (m < numSub) {
+      val cents = codebook(m)
+      val off = m * subDim
+      var j = 0
+      while (j < codes) {
+        val c = cents(j)
+        var dot = 0L
+        var i = 0
+        while (i < subDim) { dot += q.getInt(off + i).toLong * c(i); i += 1 }
+        out(m * codes + j) = dot
+        j += 1
+      }
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    table(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqTable", this, classOf[PqTable].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.table($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** dot_long(a, b): exact integer dot product of quantized vectors. */
   def dot_long(a: Column, b: Column): Column =
     GraftBridge.column(DotLong(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** pq_encode(q, codebook): per-subspace nearest-centroid codes. */
+  def pq_encode(q: Column, codebook: Array[Array[Array[Int]]]): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(q), codebook))
+
+  /** pq_table(q, codebook): flat ADC inner-product lookup table. */
+  def pq_table(q: Column, codebook: Array[Array[Array[Int]]]): Column =
+    GraftBridge.column(PqTable(GraftBridge.expression(q), codebook))
 }

@@ -54,6 +54,25 @@ object ExtQueries {
   // collected instead of pinning it for the JVM's life
   private val lshPairsCache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+
+  /** The trained PQ codebook, cached per (session, table dir) with the
+    * same weak-key discipline as [[lshPairsCache]]: training is a
+    * deterministic driver-local pass over a bounded sample — in a real
+    * pipeline a persisted artifact trained once per corpus version, so
+    * repeated queries must not re-collect the sample and re-run k-means.
+    */
+  private val pqCodebookCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[Array[Array[Int]]]]]()
+  private def pqCodebook(s: SparkSession, dir: String): Array[Array[Array[Int]]] =
+    pqCodebookCache.synchronized {
+      val perSession = Option(pqCodebookCache.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, Array[Array[Array[Int]]]]
+        pqCodebookCache.put(s, m); m
+      }
+      perSession.getOrElseUpdate(dir,
+        Similarity.trainPqCodebook(Tables.embeddings(s, dir), "embedding",
+          PqNumSub, PqCodes))
+    }
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsCache.synchronized {
       val perSession = Option(lshPairsCache.get(s)).getOrElse {
@@ -142,7 +161,8 @@ object ExtQueries {
     "x20_pq_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < NumQueries),
-        "vec_id", "embedding", TopK, numSub = PqNumSub, codes = PqCodes)
+        "vec_id", "embedding", TopK, numSub = PqNumSub, codes = PqCodes,
+        codebook = Some(pqCodebook(s, dir)))
         .select("qid", "cid", "rank", "adc").orderBy("qid", "rank")
     }),
 

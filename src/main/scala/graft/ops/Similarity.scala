@@ -188,52 +188,55 @@ object Similarity {
     * oracle-checkable even though ADC is approximate w.r.t. true cosine
     * (recall asserted in ScalaTest).
     */
-  def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, numSub: Int = 4, codes: Int = 16,
-             trainSample: Int = 65536): DataFrame = {
+  /** Train the PQ sub-quantizer codebooks driver-locally on a bounded
+    * sample (deterministic: fixed seeds per subspace). In a real pipeline
+    * this is a persisted artifact trained once per corpus version —
+    * callers that run several PQ queries should train once and pass the
+    * codebook in (see [[pqTopK]]'s `codebook` parameter).
+    */
+  def trainPqCodebook(emb: DataFrame, vecCol: String, numSub: Int, codes: Int,
+                      trainSample: Int = 65536): Array[Array[Array[Int]]] = {
     val train = emb.select(transform(col(vecCol), _.cast("double")))
       .limit(trainSample).collect().map(_.getSeq[Double](0).toArray)
     val dim = train(0).length
     require(dim % numSub == 0, s"dim $dim not divisible by $numSub subspaces")
     val sub = dim / numSub
-    val codebook = Array.tabulate(numSub) { mi =>
+    Array.tabulate(numSub) { mi =>
       localKMeans(train.map(_.slice(mi * sub, (mi + 1) * sub)), codes,
         iters = 10, seed = 42L + mi)
         .map(_.map(x => math.floor(x * 1000).toInt))
     }
-    lastPqCodebook = Some(codebook)
+  }
 
-    def subvec(q: Column, mi: Int): Column = slice(q, mi * sub + 1, sub)
-    def codeCol(q: Column, mi: Int): Column = {
-      val sv = subvec(q, mi)
-      val n2s = dot(sv, sv)
-      array_min(array(codebook(mi).zipWithIndex.map { case (c, j) =>
-        val c2 = c.map(v => v.toLong * v).sum
-        struct((n2s - lit(2L) * dot(sv, typedLit(c.toSeq)) + lit(c2)).as("dist"),
-          lit(j).as("code"))
-      }: _*)).getField("code")
-    }
+  def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, numSub: Int = 4, codes: Int = 16,
+             trainSample: Int = 65536,
+             codebook: Option[Array[Array[Array[Int]]]] = None): DataFrame = {
+    val cb = codebook.getOrElse(
+      trainPqCodebook(emb, vecCol, numSub, codes, trainSample))
+    require(cb.length == numSub && cb.forall(_.length == codes),
+      s"codebook shape ${cb.length}x${cb.headOption.fold(0)(_.length)} != ${numSub}x$codes")
+    lastPqCodebook = Some(cb)
 
-    // corpus: encode once, keep ONLY the codes (the compressed layout you
-    // would persist at ingest)
-    val coded = (0 until numSub).foldLeft(
-      emb.select(col(idCol), quantize(col(vecCol)).as("q"))) { (df, mi) =>
-      df.withColumn(s"code$mi", codeCol(col("q"), mi))
-    }.drop("q")
+    // corpus: encode once via the native PqEncode argmin, keep ONLY the
+    // codes (the compressed layout you would persist at ingest)
+    val coded = emb.select(col(idCol),
+      graft.functions.VectorOps.pq_encode(
+        quantize(col(vecCol)), cb).as("codes"))
 
-    // queries: per-subspace inner-product lookup tables, row-local
-    val qtabs = (0 until numSub).foldLeft(
-      queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qq"))) {
-      (df, mi) =>
-        df.withColumn(s"qtab$mi", array(codebook(mi).map(c =>
-          dot(subvec(col("qq"), mi), typedLit(c.toSeq))): _*))
-    }.drop("qq")
+    // queries: flat ADC lookup table per query row (native PqTable —
+    // entry m*codes+j is <sv_m, centroid_mj>)
+    val qtabs = queries.select(col(idCol).as("qid"),
+      graft.functions.VectorOps.pq_table(
+        quantize(col(vecCol)), cb).as("qtab"))
 
     val scored = coded.crossJoin(broadcast(qtabs))
       .filter(col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol).as("cid"),
         (0 until numSub).map(mi =>
-          element_at(col(s"qtab$mi"), col(s"code$mi") + 1)).reduce(_ + _).as("adc"))
+          element_at(col("qtab"),
+            lit(mi * codes) + element_at(col("codes"), mi + 1) + 1))
+          .reduce(_ + _).as("adc"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
