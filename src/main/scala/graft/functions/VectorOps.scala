@@ -188,10 +188,50 @@ case class PqTable(child: Expression, codebook: Array[Array[Array[Int]]])
     copy(child = newChild)
 }
 
+/** Native residual: `q - cents(listId)` over quantized ints — the
+  * IVF-PQ encoding step. The centroid index arrives as a COLUMN (each
+  * row subtracts its own list's centroid), which a static literal
+  * expression cannot express; the centroid table rides along as a
+  * reference object like [[PqEncode]]'s codebook.
+  */
+case class VecSubCentroid(left: Expression, right: Expression,
+                          cents: Array[Array[Int]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "vec_sub_centroid"
+
+  def residual(q: ArrayData, listId: Int): ArrayData = {
+    val c = cents(listId)
+    val out = new Array[Int](c.length)
+    var i = 0
+    while (i < c.length) { out(i) = q.getInt(i) - c(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    residual(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecSub", this, classOf[VecSubCentroid].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ref.residual($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   /** dot_long(a, b): exact integer dot product of quantized vectors. */
   def dot_long(a: Column, b: Column): Column =
     GraftBridge.column(DotLong(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** vec_sub_centroid(q, listId): q minus the listId-th centroid. */
+  def vec_sub_centroid(q: Column, listId: Column, cents: Array[Array[Int]]): Column =
+    GraftBridge.column(VecSubCentroid(GraftBridge.expression(q),
+      GraftBridge.expression(listId), cents))
 
   /** pq_encode(q, codebook): per-subspace nearest-centroid codes. */
   def pq_encode(q: Column, codebook: Array[Array[Array[Int]]]): Column =

