@@ -35,6 +35,10 @@ object ExtQueries {
   private val SplitValid = 0.1 // cumulative train+valid = 0.9
   private val QuotaSeed = "q"
   private val QuotaPerDomain = 5
+  // curation-pipeline gates (x22): thresholds sit mid-distribution so
+  // each stage really filters (quality median ~0.46, dup p75 ~0.047)
+  private val CurateQualityMin = 0.35
+  private val CurateDupMax = 0.05
   private val PackShards = 8
   private val PackChunkTokens = 512
   private val RangeJoinWindowUs = 7L * 86400L * 1000000L // 7 days
@@ -436,6 +440,35 @@ object ExtQueries {
         RangeJoinWindowUs)
         .select("user_id", "view_id", "purchase_id", "lag_us")
         .orderBy("view_id", "purchase_id")
+    }),
+
+    // X22 end-to-end curation pipeline — the engine's purpose in one
+    // query: quality gate + repetition gate (both row-local, computed in
+    // ONE scan-side projection so the filters push to the scan), exact
+    // dedup on the normalized-text fingerprint (window over fp — dup
+    // groups only), then deterministic split assignment. The only
+    // shuffle in the whole pipeline is the dedup window.
+    "x22_curation_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val ts = split(col("text"), " ")
+      val sh = graft.functions.Shingles.shingles(ts, 2)
+      val sig = docs.select(col("doc_id"), col("lang"),
+        round(size(array_distinct(ts)).cast("double") / size(ts), 6)
+          .as("quality"),
+        size(sh).cast("long").as("n_ngrams"),
+        round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6)
+          .as("dup_ngram_ratio"),
+        md5(TextAnalysis.normalize(col("text"))).as("norm_fp"))
+      val gated = sig.filter(col("n_ngrams") > 0 &&
+        col("quality") >= CurateQualityMin &&
+        col("dup_ngram_ratio") <= CurateDupMax)
+      val w = Window.partitionBy("norm_fp").orderBy("doc_id")
+      val deduped = gated.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      Curate.splitAssign(deduped, "doc_id",
+          Seq("train" -> SplitTrain, "valid" -> SplitValid), "test", SplitSeed)
+        .select("doc_id", "lang", "quality", "split").orderBy("doc_id")
     }),
 
     // X19 exact per-language distinct token counts — the oracle-checkable
@@ -1045,6 +1078,32 @@ object ExtQueries {
         |  FROM documents)
         |SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
         |  CAST(count(*) AS BIGINT) AS n_tokens
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x22_curation_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ts) - 1),
+         |  i -> ts[i] || ' ' || ts[i+1]) AS g FROM t),
+         |sig AS (SELECT t.doc_id, t.lang,
+         |  round(CAST(len(list_distinct(t.ts)) AS DOUBLE) / len(t.ts), 6) AS quality,
+         |  len(sh.g) AS n_ngrams,
+         |  round(1.0 - CAST(len(list_distinct(sh.g)) AS DOUBLE) / len(sh.g), 6)
+         |    AS dup_ngram_ratio,
+         |  md5(trim(regexp_replace(regexp_replace(lower(t.text),
+         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
+         |  FROM t JOIN sh ON sh.doc_id = t.doc_id),
+         |gated AS (SELECT * FROM sig WHERE n_ngrams > 0
+         |  AND quality >= $CurateQualityMin AND dup_ngram_ratio <= $CurateDupMax),
+         |dedup AS (SELECT * FROM (SELECT *,
+         |  row_number() OVER (PARTITION BY norm_fp ORDER BY doc_id) AS rn
+         |  FROM gated) WHERE rn = 1)
+         |SELECT doc_id, lang, quality,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
+         |         < '${Sample.threshold(SplitTrain)}' THEN 'train'
+         |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
+         |         < '${Sample.threshold(SplitTrain + SplitValid)}' THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM dedup ORDER BY doc_id""".stripMargin
   )
 }

@@ -89,6 +89,20 @@ class PlanShapeSpec extends SparkSpec {
       s"no equi join operator in:\n$plan")
   }
 
+  test("curation pipeline costs exactly one exchange (the dedup window)") {
+    // both gates and the fingerprint are scan-side; only the
+    // dedup-by-fingerprint window may shuffle
+    val plan = physical(graft.ops.ExtQueries
+      .queries("x22_curation_pipeline")(spark, sf))
+    val shuffles = countOccurrences(plan, "Exchange") -
+      countOccurrences(plan, "BroadcastExchange")
+    // the trailing orderBy adds a range exchange; the pipeline itself
+    // must contribute only the window's hash exchange
+    assert(shuffles <= 2, s"extra shuffle in:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(norm_fp"),
+      s"dedup window not partitioned by fingerprint in:\n$plan")
+  }
+
   test("domain quota ranks through a domain-partitioned window with rank pushdown") {
     // the counts/short-domain sides are broadcast by design (tiny, and
     // counts appears in two branches so it broadcasts more than once);
