@@ -35,24 +35,21 @@ object AnalyticsQueries {
     * per query; revenue stays DECIMAL here so downstream sums remain
     * exact.
     */
-  private val enrichedCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private val enrichedCache = new SessionCache[DataFrame]
   private def enrichedFact(s: SparkSession, dir: String): DataFrame =
-    enrichedCache.synchronized {
-      val perSession = Option(enrichedCache.get(s)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[String, DataFrame]
-        enrichedCache.put(s, m); m
-      }
-      perSession.getOrElseUpdate(dir, {
-        val li = Tables.lineitem(s, dir)
-        val o = Tables.orders(s, dir)
-        val c = Tables.customer(s, dir)
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(c, col("o_custkey") === col("c_custkey"))
-          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-            revenue.as("rev"))
-          .localCheckpoint()
-      })
+    enrichedCache.getOrCompute(s, dir) {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          revenue.as("rev"))
+        // LAZY checkpoint: constructing the plan (explain, tests) stays
+        // free; the first ACTION materializes. localCheckpoint blocks are
+        // executor-local (not fault-tolerant) — the single-JVM trade; a
+        // real cluster would persist this as a reliable table instead.
+        .localCheckpoint(eager = false)
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

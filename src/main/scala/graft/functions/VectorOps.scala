@@ -101,6 +101,11 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Int]]])
     codebook.map(_.map(c => c.map(v => v.toLong * v).sum))
 
   def encode(q: ArrayData): ArrayData = {
+    // UnsafeArrayData does NOT bounds-check getInt: a vector shorter than
+    // the codebook's dimensionality would silently read adjacent buffer
+    // bytes as components — fail loudly instead
+    require(q.numElements() == numSub * subDim,
+      s"vector dim ${q.numElements()} != codebook dim ${numSub * subDim}")
     val out = new Array[Int](numSub)
     var m = 0
     while (m < numSub) {
@@ -156,6 +161,8 @@ case class PqTable(child: Expression, codebook: Array[Array[Array[Int]]])
   @transient private lazy val subDim = codebook(0)(0).length
 
   def table(q: ArrayData): ArrayData = {
+    require(q.numElements() == numSub * subDim,
+      s"vector dim ${q.numElements()} != codebook dim ${numSub * subDim}")
     val out = new Array[Long](numSub * codes)
     var m = 0
     while (m < numSub) {
@@ -203,6 +210,8 @@ case class VecSubCentroid(left: Expression, right: Expression,
 
   def residual(q: ArrayData, listId: Int): ArrayData = {
     val c = cents(listId)
+    require(q.numElements() == c.length,
+      s"vector dim ${q.numElements()} != centroid dim ${c.length}")
     val out = new Array[Int](c.length)
     var i = 0
     while (i < c.length) { out(i) = q.getInt(i) - c(i); i += 1 }

@@ -13,11 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  /** First 8 hex chars of md5(key ++ seed) — fixed-width lowercase hex
-    * compares lexicographically = numerically (see [[Sample]]).
+  /** The one hash-bucket expression, shared with [[Sample]] so the two
+    * can never diverge.
     */
   private def hashBucket(keyCol: Column, seed: String): Column =
-    substring(md5(concat(keyCol.cast("string"), lit(seed))), 1, 8)
+    Sample.bucket(keyCol, seed)
 
   /** X15 — deterministic train/valid/test split assignment.
     *
@@ -31,6 +31,7 @@ object Curate {
   def splitAssign(df: DataFrame, keyCol: String,
                   fractions: Seq[(String, Double)], rest: String,
                   seed: String = ""): DataFrame = {
+    require(fractions.nonEmpty, "need at least one named split fraction")
     val cums = fractions.scanLeft(0.0) { case (c, (_, f)) => c + f }.tail
     require(cums.last < 1.0, "named fractions must sum below 1")
     val b = hashBucket(col(keyCol), seed)

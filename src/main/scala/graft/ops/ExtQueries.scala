@@ -54,61 +54,42 @@ object ExtQueries {
     * (it is the natural intermediate table of a dedup pipeline) and run
     * clustering from it, never inline.
     */
-  // weak-keyed on the session OBJECT: identity while the session lives
-  // (an identity HASH can be reused by the JVM after GC, which would hand
-  // a new session a DataFrame bound to a stopped one), and the entry —
-  // with its checkpointed DataFrame — drops out when the session is
-  // collected instead of pinning it for the JVM's life
-  private val lshPairsCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  // per-(session, dir) memo — see graft.engine.SessionCache for why the
+  // value side is softly referenced (a cached DataFrame strongly
+  // references its own session)
+  private val lshPairsCache = new graft.engine.SessionCache[DataFrame]
 
-  /** The trained PQ codebook, cached per (session, table dir) with the
-    * same weak-key discipline as [[lshPairsCache]]: training is a
-    * deterministic driver-local pass over a bounded sample — in a real
-    * pipeline a persisted artifact trained once per corpus version, so
-    * repeated queries must not re-collect the sample and re-run k-means.
+  /** The trained PQ codebook, cached per (session, table dir): training
+    * is a deterministic driver-local pass over a bounded sample — in a
+    * real pipeline a persisted artifact trained once per corpus version,
+    * so repeated queries must not re-collect the sample and re-run
+    * k-means.
     */
-  private val pqCodebookCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Array[Array[Array[Int]]]]]()
+  private val pqCodebookCache = new graft.engine.SessionCache[Array[Array[Array[Int]]]]
   private def pqCodebook(s: SparkSession, dir: String): Array[Array[Array[Int]]] =
-    pqCodebookCache.synchronized {
-      val perSession = Option(pqCodebookCache.get(s)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[String, Array[Array[Array[Int]]]]
-        pqCodebookCache.put(s, m); m
-      }
-      perSession.getOrElseUpdate(dir,
-        Similarity.trainPqCodebook(Tables.embeddings(s, dir), "embedding",
-          PqNumSub, PqCodes))
+    pqCodebookCache.getOrCompute(s, dir) {
+      Similarity.trainPqCodebook(Tables.embeddings(s, dir), "embedding",
+        PqNumSub, PqCodes)
     }
 
   /** Trained (coarse, residual codebook) for IVF-PQ, cached like
-    * [[pqCodebookCache]].
+    * [[pqCodebookCache]]; ONE training-sample collect feeds both
+    * trainers.
     */
   private val ivfPqCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, (Array[Array[Int]], Array[Array[Array[Int]]])]]()
+    new graft.engine.SessionCache[(Array[Array[Int]], Array[Array[Array[Int]]])]
   private def ivfPqTrained(s: SparkSession, dir: String): (Array[Array[Int]], Array[Array[Array[Int]]]) =
-    ivfPqCache.synchronized {
-      val perSession = Option(ivfPqCache.get(s)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[String, (Array[Array[Int]], Array[Array[Array[Int]]])]
-        ivfPqCache.put(s, m); m
-      }
-      perSession.getOrElseUpdate(dir, {
-        val emb = Tables.embeddings(s, dir)
-        val coarse = Similarity.trainCoarseCentroids(emb, "embedding", IvfPqNlist)
-        (coarse, Similarity.trainResidualCodebook(emb, "embedding", coarse,
-          PqNumSub, PqCodes))
-      })
+    ivfPqCache.getOrCompute(s, dir) {
+      val sample = Similarity.collectTrainingSample(
+        Tables.embeddings(s, dir), "embedding")
+      val coarse = Similarity.trainCoarseCentroids(sample, IvfPqNlist)
+      (coarse, Similarity.trainResidualCodebook(sample, coarse, PqNumSub, PqCodes))
     }
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    lshPairsCache.synchronized {
-      val perSession = Option(lshPairsCache.get(s)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[String, DataFrame]
-        lshPairsCache.put(s, m); m
-      }
-      perSession.getOrElseUpdate(dir,
-        Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-          numSigs = 16, rowsPerBand = 4, threshold = JaccardThreshold)
-          .localCheckpoint())
+    lshPairsCache.getOrCompute(s, dir) {
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        numSigs = 16, rowsPerBand = 4, threshold = JaccardThreshold)
+        .localCheckpoint()
     }
 
   // --------------------------------------------------------------- queries

@@ -22,7 +22,12 @@ object Sample {
     f"${math.floor(fraction * 4294967296.0).toLong}%08x"
   }
 
-  private def bucket(keyCol: Column, seed: String): Column =
+  /** The shared reproducibility primitive: first 8 hex chars of
+    * md5(key ++ seed). Non-private so [[Curate]] assigns splits/quotas
+    * off the IDENTICAL expression (the oracles and the split-stability
+    * guarantee both depend on the two never diverging).
+    */
+  private[ops] def bucket(keyCol: Column, seed: String): Column =
     substring(md5(concat(keyCol.cast("string"), lit(seed))), 1, 8)
 
   /** Uniform deterministic sample. */

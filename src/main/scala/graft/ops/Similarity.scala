@@ -110,22 +110,28 @@ object Similarity {
     * engine. That makes the whole IVF path oracle-checkable even though
     * it is approximate w.r.t. brute force (recall asserted in ScalaTest).
     */
-  /** Train the IVF coarse quantizer (driver-local, deterministic) and
-    * return its quantized centroids — extracted so IVF-PQ can share it.
+  /** One driver-local collect of the bounded training sample — shared by
+    * every trainer so a session training several quantizers over the same
+    * corpus scans and transfers it once.
     */
-  def trainCoarseCentroids(emb: DataFrame, vecCol: String, nlist: Int,
-                           trainSample: Int = 65536): Array[Array[Int]] = {
-    val train = emb.select(transform(col(vecCol), _.cast("double")))
+  def collectTrainingSample(emb: DataFrame, vecCol: String,
+                            trainSample: Int = 65536): Array[Array[Double]] =
+    emb.select(transform(col(vecCol), _.cast("double")))
       .limit(trainSample).collect()
       .map(_.getSeq[Double](0).toArray)
-    localKMeans(train, nlist, iters = 10, seed = 42L)
+
+  /** Train the IVF coarse quantizer (driver-local, deterministic) on a
+    * collected sample and return its quantized centroids.
+    */
+  def trainCoarseCentroids(sample: Array[Array[Double]], nlist: Int): Array[Array[Int]] =
+    localKMeans(sample, nlist, iters = 10, seed = 42L)
       .map(_.map(x => math.floor(x * 1000).toInt))
-  }
 
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
               trainSample: Int = 65536): DataFrame = {
-    val qCents = trainCoarseCentroids(emb, vecCol, nlist, trainSample)
+    val qCents = trainCoarseCentroids(
+      collectTrainingSample(emb, vecCol, trainSample), nlist)
     lastIvfCentroids = Some(qCents)
 
     // per-row struct(dist, list_id) against each quantized centroid
@@ -204,8 +210,7 @@ object Similarity {
     */
   def trainPqCodebook(emb: DataFrame, vecCol: String, numSub: Int, codes: Int,
                       trainSample: Int = 65536): Array[Array[Array[Int]]] = {
-    val train = emb.select(transform(col(vecCol), _.cast("double")))
-      .limit(trainSample).collect().map(_.getSeq[Double](0).toArray)
+    val train = collectTrainingSample(emb, vecCol, trainSample)
     val dim = train(0).length
     require(dim % numSub == 0, s"dim $dim not divisible by $numSub subspaces")
     val sub = dim / numSub
@@ -259,11 +264,10 @@ object Similarity {
     * the list centroid, and k-means each residual subspace. Deterministic
     * like the other trainers.
     */
-  def trainResidualCodebook(emb: DataFrame, vecCol: String,
-                            coarse: Array[Array[Int]], numSub: Int, codes: Int,
-                            trainSample: Int = 65536): Array[Array[Array[Int]]] = {
-    val train = emb.select(transform(col(vecCol), _.cast("double")))
-      .limit(trainSample).collect().map(_.getSeq[Double](0).toArray)
+  def trainResidualCodebook(sample: Array[Array[Double]],
+                            coarse: Array[Array[Int]], numSub: Int,
+                            codes: Int): Array[Array[Array[Int]]] = {
+    val train = sample
     val dim = train(0).length
     require(dim % numSub == 0, s"dim $dim not divisible by $numSub subspaces")
     val sub = dim / numSub
@@ -314,8 +318,9 @@ object Similarity {
                 trained: Option[(Array[Array[Int]], Array[Array[Array[Int]]])] = None)
       : DataFrame = {
     val (coarse, cb) = trained.getOrElse {
-      val cc = trainCoarseCentroids(emb, vecCol, nlist, trainSample)
-      (cc, trainResidualCodebook(emb, vecCol, cc, numSub, codes, trainSample))
+      val sample = collectTrainingSample(emb, vecCol, trainSample)
+      val cc = trainCoarseCentroids(sample, nlist)
+      (cc, trainResidualCodebook(sample, cc, numSub, codes))
     }
     lastIvfPq = Some((coarse, cb))
     val vo = graft.functions.VectorOps

@@ -30,6 +30,10 @@ object IntervalJoinStream {
              right: DataFrame, rightIdCol: String,
              keyCol: String, tsCol: String,
              windowSecs: Long, delaySecs: Long = 0L): DataFrame = {
+    // fail fast like the batch twin: an empty/inverted band would start
+    // a query that silently emits nothing
+    require(windowSecs >= 1, s"windowSecs must be >= 1: $windowSecs")
+    require(delaySecs >= 0, s"delaySecs must be >= 0: $delaySecs")
     val l = left.select(
         col(keyCol).cast("string").as("k"),
         col(leftIdCol).as("l_id"),

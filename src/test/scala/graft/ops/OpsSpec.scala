@@ -171,7 +171,7 @@ class OpsSpec extends SparkSpec {
     assert(pq.toSet === again.toSet)
   }
 
-  test("IVF-PQ: residual coding beats plain PQ's recall at equal budget") {
+  test("IVF-PQ: well-formed deterministic ranking with real recall") {
     val emb = Tables.embeddings(spark, sf)
     val qs = emb.filter($"vec_id" < 10)
     val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
