@@ -259,6 +259,15 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // X23 length-weighted deterministic sampling: keep probability
+    // proportional to n_chars (exact integer comparison — see
+    // Sample.weighted)
+    "x23_weighted_sample" -> ((s, dir) => {
+      Sample.weighted(Tables.documents(s, dir), "doc_id", "n_chars",
+        fraction = 0.3, maxWeight = 600, seed = "w")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
     // X6 deterministic stratified sampling: 5% of English docs, 20% of rest
     "x6_stratified_sample" -> ((s, dir) => {
       Sample.stratified(Tables.documents(s, dir), "doc_id", "lang",
@@ -887,6 +896,14 @@ object ExtQueries {
          |  CASE WHEN lang = 'en' THEN '${Sample.threshold(0.05)}'
          |       ELSE '${Sample.threshold(0.2)}' END
          |ORDER BY doc_id""".stripMargin,
+
+    "x23_weighted_sample" -> {
+      val frac = math.floor(0.3 * 4294967296.0).toLong
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'w'), 1, 8))::BIGINT
+         |    * 600 < $frac * least(n_chars, 600)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "x7_normalize_scrub" -> {
       val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +

@@ -35,6 +35,29 @@ object Sample {
               seed: String = ""): DataFrame =
     df.filter(bucket(col(keyCol), seed) < lit(threshold(fraction)))
 
+  /** Weighted deterministic Bernoulli sample: row kept with probability
+    * `fraction * weight / maxWeight` — documents weighted by length,
+    * domains by trust score, etc. The comparison is EXACT integer
+    * arithmetic (`hash * maxWeight < fraction * 2^32 * weight`, both
+    * sides bigint), so unlike the float `u^(1/w)` reservoir-key trick it
+    * is bit-reproducible in any engine. Still a pure scan-side filter:
+    * rejected rows never leave the scan.
+    *
+    * `maxWeight` is a corpus constant the caller supplies (at 100 TB you
+    * know your weight cap; deriving it would cost an extra aggregate
+    * pass). Weights above it keep the row always — clamped, not an error.
+    */
+  def weighted(df: DataFrame, keyCol: String, weightCol: String,
+               fraction: Double, maxWeight: Long,
+               seed: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction < 1, s"fraction must be in [0,1): $fraction")
+    require(maxWeight >= 1, s"maxWeight must be >= 1: $maxWeight")
+    val hv = conv(bucket(col(keyCol), seed), 16, 10).cast("bigint")
+    val bound = lit(math.floor(fraction * 4294967296.0).toLong) *
+      least(col(weightCol).cast("bigint"), lit(maxWeight))
+    df.filter(hv * lit(maxWeight) < bound)
+  }
+
   /** Stratified deterministic sample: per-stratum fractions with a default
     * for unlisted strata. The threshold is a row-local CASE — still a pure
     * scan-side filter.

@@ -157,6 +157,27 @@ class CurateSpec extends SparkSpec {
     assert(banded.forall { case (_, _, lag) => lag >= 0 && lag <= w })
   }
 
+  test("weighted sampling: exact integer decision, monotone in weight") {
+    val docs = Tables.documents(spark, sf)
+    val got = Sample.weighted(docs, "doc_id", "n_chars", 0.3, 600, seed = "w")
+      .select("doc_id").as[Long].collect().toSet
+    // brute-force the decision on the driver with the same arithmetic
+    val all = docs.select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    val frac = math.floor(0.3 * 4294967296.0).toLong
+    val expected = all.filter { case (id, w) =>
+      val hv = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id + "w").take(8), 16)
+      hv * 600L < frac * math.min(w, 600L)
+    }.map(_._1).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < all.length)
+    // monotone: doubling every weight (clamped) can only ADD rows
+    val heavier = Sample.weighted(
+      docs.withColumn("n_chars", $"n_chars" * 2), "doc_id", "n_chars",
+      0.3, 600, seed = "w").select("doc_id").as[Long].collect().toSet
+    assert(got.subsetOf(heavier))
+  }
+
   test("distinct tokens: HLL sketch lands within rsd of the exact count") {
     val docs = Tables.documents(spark, sf)
     val tok = docs.select($"lang", explode(split($"text", " ")).as("token"))
