@@ -42,6 +42,11 @@ object ExtQueries {
   private val PackShards = 8
   private val PackChunkTokens = 512
   private val RangeJoinWindowUs = 7L * 86400L * 1000000L // 7 days
+  // retrieval / LM / graph knobs (round 6) — shared-constant discipline
+  private val TfIdfTopK = 3
+  private val Bm25Terms = Seq("spark", "join", "vector")
+  private val Bm25TopK = 20
+  private val PageRankIters = 3
 
   /** The MinHash-LSH near-dup pair stage, MATERIALIZED once per
     * (session, table dir) and shared by `x1_minhash_lsh` and
@@ -470,6 +475,54 @@ object ExtQueries {
         .agg(countDistinct(col("token")).as("n_distinct"),
           count(lit(1)).as("n_tokens"))
         .orderBy("lang")
+    }),
+
+    // X24 TF-IDF top terms per document (idf rounded at the ln seam —
+    // see Retrieval class doc for the cross-engine ulp argument)
+    "x24_tfidf" -> ((s, dir) => {
+      Retrieval.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text",
+        TfIdfTopK).orderBy("doc_id", "rnk")
+    }),
+
+    // X25 BM25 ranked retrieval for a fixed term query — corpus never
+    // shuffled: row-local tf/dl, one scalar-row stats broadcast,
+    // TakeOrdered top-k
+    "x25_bm25" -> ((s, dir) => {
+      Retrieval.bm25(Tables.documents(s, dir), "doc_id", "text",
+        Bm25Terms, Bm25TopK).orderBy("rank")
+    }),
+
+    // X26 bigram-LM document scoring (CCNet-style quality filter): model
+    // trained on the deterministic train split, every document scored in
+    // exact fixed-point — composes X15 split + LM counts
+    "x26_bigram_lm" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ref = Curate.splitAssign(docs, "doc_id",
+        Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
+        seed = SplitSeed).filter(col("split") === "train")
+      LangModel.bigramScore(docs, ref, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // X27 SCD2 dimension history: order-priority runs per customer with
+    // valid_from/valid_to intervals — one key-partitioned exchange
+    "x27_scd2" -> ((s, dir) => {
+      Cdc.scd2(Tables.orders(s, dir), "o_custkey", "o_orderpriority",
+        "o_orderdate", "o_orderkey").orderBy("o_custkey", "version")
+    }),
+
+    // X28 fixed-point PageRank over the bipartite customer<->supplier
+    // graph (distinct trade edges, both directions) — exact BIGINT
+    // iterations, oracle = the same 3 rounds unrolled in SQL
+    "x28_pagerank" -> ((s, dir) => {
+      val oc = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val pair = li.join(oc, li("l_orderkey") === oc("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pair.select(col("c").as("src"), col("s").as("dst"))
+        .union(pair.select(col("s").as("src"), col("c").as("dst")))
+      Graph.pageRank(edges, PageRankIters)
+        .orderBy(col("rank").desc, col("node")).limit(100)
     })
   )
 
@@ -1102,6 +1155,128 @@ object ExtQueries {
          |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
          |         < '${Sample.threshold(SplitTrain + SplitValid)}' THEN 'valid'
          |       ELSE 'test' END AS split
-         |FROM dedup ORDER BY doc_id""".stripMargin
+         |FROM dedup ORDER BY doc_id""".stripMargin,
+
+    // idf rounded at the ln seam on both sides (see Retrieval doc);
+    // tf * idf and the final round are IEEE-core, hence bit-exact
+    "x24_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS token FROM t),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2),
+         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |  round(tf.tf * round(ln(CAST(n.n AS DOUBLE) / df.df), 6), 6) AS tfidf
+         |  FROM tf JOIN df USING (token) CROSS JOIN n),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY tfidf DESC, token) AS INTEGER) AS rnk FROM s)
+         |SELECT doc_id, token, tf, df, tfidf, rnk FROM r WHERE rnk <= $TfIdfTopK
+         |ORDER BY doc_id, rnk""".stripMargin,
+
+    "x25_bm25" -> {
+      val dfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(", ")
+      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n  ")
+      // identical operator tree to Retrieval.bm25: ((1.0-b) + ((b*dl)/avgdl))
+      // etc., so every float op sees the same operand bits
+      val termSum = Bm25Terms.indices.map { i =>
+        s"""CASE WHEN tf$i > 0.0 THEN
+           |  round(ln((CAST(n AS DOUBLE) - df$i + 0.5) / (df$i + 0.5) + 1.0), 6)
+           |    * (tf$i * (1.2 + 1.0))
+           |    / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n)))
+           |  ELSE 0.0 END""".stripMargin
+      }.mkString("\n + ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |stats AS (SELECT count(*) AS n,
+         |  CAST(sum(len(ts)) AS BIGINT) AS total_tokens, $dfCols FROM t),
+         |d AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+         |  $tfCols FROM t),
+         |s AS (SELECT doc_id, round($termSum, 6) AS score
+         |  FROM d CROSS JOIN stats),
+         |r AS (SELECT doc_id, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+         |  FROM s WHERE score > 0.0)
+         |SELECT doc_id, score, rank FROM r WHERE rank <= $Bm25TopK
+         |ORDER BY rank""".stripMargin
+    },
+
+    // exact fixed-point Laplace bigram LM — every value is BIGINT
+    // arithmetic, so the oracle reproduces sums bit-for-bit
+    "x26_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |ref AS (SELECT * FROM t
+         |  WHERE substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
+         |    < '${Sample.threshold(SplitTrain)}'),
+         |rbg AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+         |  i -> ts[i] || ' ' || ts[i+1])) AS bg FROM ref),
+         |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM rbg GROUP BY 1),
+         |rtok AS (SELECT unnest(ts) AS w1 FROM ref),
+         |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM rtok GROUP BY 1),
+         |v AS (SELECT count(*) AS v FROM c1),
+         |dbg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+         |  i -> ts[i] || ' ' || ts[i+1])) AS bg FROM t),
+         |j AS (SELECT d.doc_id, coalesce(c2.c2, 0) AS c2n,
+         |  coalesce(c1.c1, 0) + v.v AS den
+         |  FROM dbg d LEFT JOIN c2 USING (bg)
+         |  LEFT JOIN c1 ON c1.w1 = split_part(d.bg, ' ', 1)
+         |  CROSS JOIN v),
+         |p AS (SELECT doc_id, c2n,
+         |  (c2n + 1) * ${LangModel.Scale} // den AS p_fix FROM j)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN c2n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+         |  CAST(sum(p_fix) AS BIGINT) AS sum_p_fix,
+         |  CAST(sum(p_fix) // count(*) AS BIGINT) AS avg_p_fix
+         |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "x27_scd2" ->
+      """WITH o AS (SELECT o_custkey, o_orderpriority,
+        |  CAST(o_orderdate AS TIMESTAMP) AS ts, o_orderkey FROM orders),
+        |l AS (SELECT *, lag(o_orderpriority) OVER
+        |  (PARTITION BY o_custkey ORDER BY ts, o_orderkey) AS prev FROM o),
+        |v AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL
+        |    OR prev != o_orderpriority THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY o_custkey ORDER BY ts, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version FROM l),
+        |runs AS (SELECT o_custkey, version,
+        |  min(o_orderpriority) AS o_orderpriority,
+        |  min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM v GROUP BY 1, 2),
+        |c AS (SELECT *, lead(valid_from) OVER
+        |  (PARTITION BY o_custkey ORDER BY version) AS valid_to FROM runs)
+        |SELECT o_custkey, version, o_orderpriority, valid_from, valid_to,
+        |  n_rows,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER)
+        |    AS is_current
+        |FROM c ORDER BY o_custkey, version""".stripMargin,
+
+    // the same 3 fixed-point rounds unrolled — all BIGINT, bit-exact
+    "x28_pagerank" -> {
+      val iter = (k: Int) =>
+        s"""i$k AS (SELECT e.dst AS node,
+           |  sum(r.rank * 85 // (od.outdeg * 100)) AS inflow
+           |  FROM e JOIN r${k - 1} r ON r.node = e.src
+           |  JOIN od ON od.src = e.src GROUP BY 1),
+           |r$k AS (SELECT nodes.node, b.b + coalesce(i$k.inflow, 0) AS rank
+           |  FROM nodes LEFT JOIN i$k USING (node) CROSS JOIN base b)""".stripMargin
+      s"""WITH pair AS (SELECT DISTINCT o.o_custkey * 2 AS c,
+         |  l.l_suppkey * 2 + 1 AS s
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM pair
+         |  UNION ALL SELECT s AS src, c AS dst FROM pair),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+         |n AS (SELECT count(*) AS n FROM nodes),
+         |base AS (SELECT 15 * ${Graph.Scale} // (100 * n) AS b FROM n),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, ${Graph.Scale} // n.n AS rank
+         |  FROM nodes CROSS JOIN n),
+         |${(1 to PageRankIters).map(iter).mkString(",\n")}
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$PageRankIters
+         |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+    }
   )
 }

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X24/X25 — relevance scoring for corpus curation and retrieval:
+  * per-document TF-IDF top terms and BM25 ranked retrieval.
+  *
+  * Both are standard IR formulas (Robertson & Spärck Jones; the BM25
+  * form is the Okapi variant used by Lucene), expressed as declarative
+  * plans so Catalyst keeps every per-document step inside the scan
+  * projection.
+  *
+  * Determinism note (oracle contract): `ln` is NOT an IEEE-core op —
+  * glibc and the JVM disagree by 1 ulp on ~1/3600 inputs (measured),
+  * so every `ln` result is rounded to 6 dp immediately on BOTH engine
+  * sides; all downstream arithmetic is IEEE-core (+,*,/) on identical
+  * bits and therefore exact.
+  */
+object Retrieval {
+
+  /** Top-k terms per document by TF-IDF (idf = ln(N/df), rounded — see
+    * class doc).
+    *
+    * Shape at 100 TB: term frequencies aggregate with map-side combine,
+    * so the (doc, token) shuffle carries distinct pairs, not token
+    * occurrences; document frequencies derive from the tf table (no
+    * second corpus scan); the tf⨝df join shuffles on token — AQE
+    * broadcasts the df side automatically when the vocabulary is small,
+    * and falls back to a shuffle join when it is not (no manual hint to
+    * outgrow). The per-doc top-k is a bounded window over doc_id.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df_, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * round(log(col("n").cast("double") / col("df")), 6), 6))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("tfidf").desc, col("token"))).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rnk"))
+  }
+
+  /** BM25 ranked retrieval for a fixed term query (k1/b are the Okapi
+    * defaults). Returns the `topK` documents by score (ties to the
+    * lower id).
+    *
+    * Shape at 100 TB: the corpus is NEVER shuffled — per-document term
+    * frequencies and length come row-locally off the token array
+    * (query terms are a static list, so `tf_t` is a fixed set of
+    * `size(filter(...))` projections), the corpus statistics (N, total
+    * tokens, per-term df) reduce to ONE scalar row that cross-joins
+    * back as a broadcast, and the top-k is a TakeOrdered, not a sort.
+    * The per-term score sum is a FIXED-ORDER expression fold (not an
+    * aggregation), so float addition order is identical on both oracle
+    * sides.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], topK: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = split(col(textCol), " ")
+    val dfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(ts, t), 1L).otherwise(0L)).as(s"df$i")
+    }
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(size(ts).cast("long")).as("total_tokens") +: dfCols: _*)
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(ts, x => x === lit(t))).cast("double").as(s"tf$i")
+    }
+    val withStats = docs
+      .select(col(idCol) +: size(ts).cast("double").as("dl") +: tfCols: _*)
+      .crossJoin(broadcast(stats))
+    val avgdl = col("total_tokens").cast("double") / col("n")
+    // operator tree mirrors the oracle SQL exactly: ((1.0-b) + ((b*dl)/avgdl))
+    val lenNorm = lit(1.0 - b) + lit(b) * col("dl") / avgdl
+    val termScores = queryTerms.indices.map { i =>
+      val tf = col(s"tf$i")
+      val idf = round(log((col("n").cast("double") - col(s"df$i") + 0.5) /
+        (col(s"df$i") + 0.5) + 1.0), 6)
+      when(tf > 0.0,
+        idf * (tf * (k1 + 1.0)) / (tf + lit(k1) * lenNorm))
+        .otherwise(lit(0.0))
+    }
+    val score = round(termScores.reduceLeft(_ + _), 6)
+    val top = withStats.select(col(idCol), score.as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+    // ranking the already-limited top-k: a single tiny partition by
+    // construction, not a corpus-wide global window
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("score").desc, col(idCol))).cast("int"))
+  }
+}
