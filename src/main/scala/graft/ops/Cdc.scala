@@ -41,8 +41,11 @@ object Cdc {
     val versioned = df.select(col(keyCol), col(attrCol), col(tsCol), col(tieCol))
       .withColumn("version",
         sum(changed).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+    // min, not first: attr is constant within a (key, version) run by
+    // construction, but min is order-deterministic and mirrors the
+    // oracle's aggregate exactly — no reliance on aggregation order
     val runs = versioned.groupBy(col(keyCol), col("version"))
-      .agg(first(col(attrCol)).as(attrCol),
+      .agg(min(col(attrCol)).as(attrCol),
         min(col(tsCol)).as("valid_from"),
         count(lit(1)).as("n_rows"))
     val byVersion = Window.partitionBy(col(keyCol)).orderBy(col("version"))
@@ -52,5 +55,34 @@ object Cdc {
         when(col("valid_to").isNull, 1).otherwise(0))
       .select(col(keyCol), col("version"), col(attrCol),
         col("valid_from"), col("valid_to"), col("n_rows"), col("is_current"))
+  }
+
+  /** X29 — the APPLY half of CDC: merge a change batch (upserts and
+    * deletes) into a dimension snapshot, materializing the
+    * latest-row-per-key state. The snapshot rows participate as the
+    * oldest upsert per key, so keys untouched by the batch survive
+    * unchanged, upserted keys take the newest change's attributes, and
+    * keys whose newest change is a delete disappear.
+    *
+    * `snapshot` and `changes` must share the schema
+    * (key, attrs..., tsCol, tieCol, opCol); `opCol` is 'U' (upsert) or
+    * 'D' (delete). Output drops `opCol`.
+    *
+    * Shape at 100 TB: one shuffle on the key. The latest-row window is
+    * a rank-1 filter, which Spark rewrites into WindowGroupLimit — a
+    * per-partition top-1 BEFORE the exchange (map-side), so the shuffle
+    * carries one candidate row per (input partition, key), not the full
+    * change history. That is the MERGE kernel every warehouse implements.
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+                   keyCol: String, tsCol: String, tieCol: String,
+                   opCol: String): DataFrame = {
+    val merged = snapshot.unionByName(changes)
+    val latest = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    merged
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1 && col(opCol) === "U")
+      .drop("rn", opCol)
   }
 }

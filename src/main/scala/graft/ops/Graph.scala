@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** X28 — PageRank centrality over an edge list, the graph-quality
   * signal web-scale curation pipelines attach to documents (rank the
@@ -17,47 +18,92 @@ import org.apache.spark.sql.functions._
   * differ in the last ulp. Fixed-point is how you make an iterative
   * graph kernel oracle-checkable.)
   *
+  * Dangling nodes (out-degree 0) are handled the standard way: their
+  * rank mass is summed each round and redistributed uniformly —
+  * `floor(dangling_mass * 85 / (100*N))` added to every node. The
+  * dangling branch is only planned when the graph actually has dangling
+  * nodes (one cheap anti-join count at setup), so bidirectional graphs
+  * pay nothing for it.
+  *
   * Shape at 100 TB: the classic iterative join — each round shuffles
   * the current rank vector (one BIGINT per node) into the
   * edge-partitioned join and re-aggregates per destination with
-  * map-side combine. The edge⨝outdeg side is joined ONCE, materialized
-  * (`localCheckpoint`), and reused every round, so per-round work is
-  * rank-vector-sized, not edge-list-rebuild-sized; lineage stays flat
-  * across iterations. Convergence work bounds: fixed iteration count
+  * map-side combine. The edge⨝outdeg side is joined ONCE, persisted,
+  * and reused every round, so per-round work is rank-vector-sized, not
+  * edge-list-rebuild-sized. Ranks are pinned via `persist` (NOT
+  * `localCheckpoint`): blocks are released as rounds supersede each
+  * other, lineage survives eviction (an evicted block recomputes
+  * instead of failing — the right durability trade for a long iterative
+  * job on preemptible executors), and only every 2nd round materializes
+  * (lineage between pins is two joins deep — flat enough). On exit
+  * every intermediate, the node set, and the edge topology are
+  * unpersisted; the ONLY retained blocks are the returned rank vector
+  * itself (one BIGINT per node — callers done with it may
+  * `.unpersist()`). Convergence work bounds: fixed iteration count
   * (curation pipelines run PageRank for a fixed budget, not to
   * convergence).
   */
 object Graph {
 
-  val Scale = 1000000000000L // 10^12 fixed-point rank mass
+  val Scale: Long = FixedPoint.Scale // 10^12 fixed-point rank mass
 
   /** Fixed-point PageRank over directed `edges` (columns src, dst),
-    * `iters` rounds, damping 0.85. Every node must have out-degree >= 1
-    * (make undirected graphs bidirectional first — no dangling-mass
-    * redistribution is performed). Returns (node, rank).
+    * `iters` rounds, damping 0.85. Dangling-node mass is redistributed
+    * uniformly; an empty edge list yields an empty result. Returns
+    * (node, rank) — eagerly materialized and persisted (rank-vector
+    * sized); callers done with the result may `.unpersist()` it.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
+    if (n == 0L) {
+      nodes.unpersist(false)
+      import spark.implicits._
+      return spark.emptyDataset[(Long, Long)].toDF("node", "rank")
+    }
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // edge topology joined to out-degrees once, reused every round
-    val eo = edges.join(outdeg, "src").localCheckpoint(true)
+    val eo = edges.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    eo.count()
+    // nodes with no out-edges; their mass is redistributed uniformly
+    val dangling = nodes
+      .join(eo.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDangling = dangling.count()
     val base = (15L * Scale) / (100L * n)
     var ranks = nodes.withColumn("rank", lit(Scale / n))
-    for (_ <- 1 to iters) {
+    var pinned: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val contribs = eo
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
-          expr(s"rank * 85L div (outdeg * 100L)").as("contrib"))
+          expr("rank * 85L div (outdeg * 100L)").as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("inflow"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      var next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank"))
-        .localCheckpoint(true)
+      if (nDangling > 0L) {
+        val dmass = ranks.join(dangling, "node")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
+        next = next.crossJoin(broadcast(dmass))
+          .select(col("node"),
+            (col("rank") + expr(s"dmass * 85L div ${100L * n}L")).as("rank"))
+      }
+      if (i % 2 == 0 || i == iters) {
+        next = next.persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the superseded pin
+        pinned.foreach(_.unpersist(false))
+        pinned = Some(next)
+      }
+      ranks = next
     }
+    dangling.unpersist(false)
+    eo.unpersist(false)
+    nodes.unpersist(false)
     ranks
   }
 }

@@ -144,7 +144,10 @@ object MonitorStream {
     // double-count under a watermarkDelay longer than an hour
     val counters = new CounterState(math.max(600000L,
       2 * durationMs(watermarkDelay) + 2000L * intervalSecs))
-    val pubs = new java.util.concurrent.atomic.AtomicLong()
+    // publish successes counted where the publishes happen (executors) —
+    // an accumulator, not a driver AtomicLong
+    val pubs = spark.sparkContext.longAccumulator("monitor-publishes")
+    val monRoot = cfg.monitor.topicRoot
     val startedAtMs = System.currentTimeMillis()
     // Update mode mirrors the reference's ticker: each trigger publishes the
     // windows touched this interval (partial counts included), rather than
@@ -156,6 +159,12 @@ object MonitorStream {
       .trigger(t)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the ONE driver seam: the cumulative counters ARE driver state
+        // (the reference's monitor goroutine), so the per-tick emissions
+        // — bounded by windows×topics, never event volume — cross to the
+        // driver to be delta-absorbed. (A chained stateful operator after
+        // an update-mode aggregation, the executor-side alternative, is
+        // unsupported by Structured Streaming.)
         val emitted = batch
           .select(col("window_start"), col("topic"), col("events"), col("bytes"))
           .collect()
@@ -168,7 +177,7 @@ object MonitorStream {
           import spark.implicits._
           val base = rows.map { case (topic, n, b) =>
             (topic, counters.cumulative(topic)._1, n, b, runtimeSecs,
-              counters.topicCount.toLong, pubs.get(), 0L, 0L)
+              counters.topicCount.toLong, pubs.value.longValue(), 0L, 0L)
           }.toDF("topic", "cum", "win", "bytes_win", "runtime_secs",
             "pipe_num", "pub_succeed", "pub_failed", "check_errors")
           // every stage carries the same committed count (atomic batch)
@@ -179,16 +188,26 @@ object MonitorStream {
           val counterCols = base.select((col("topic") +: col("runtime_secs") +:
             col("pipe_num") +: col("pub_succeed") +: col("pub_failed") +:
             col("check_errors") +: stageCols): _*)
-          val docs = Monitor.fullMetricsDoc(counterCols, intervalSecs)
-            .select(col("topic"), col("doc")).collect()
-          val broker = MemoryBroker.get(brokerName)
-          // K6: per-row publish via the broker client (driver-side per
-          // batch; use foreachPartition for a network client at scale)
-          docs.foreach { r =>
-            broker.publish(cfg.monitorTopic(r.getString(0)),
-              r.getString(1).getBytes(StandardCharsets.UTF_8))
-            pubs.incrementAndGet()
-          }
+          // K6: publish WHERE THE DOCS ARE — each partition resolves its
+          // own broker client and publishes its rows (swap
+          // MemoryBroker.get for a pooled network client on a cluster);
+          // the publish target is a column, so no config object rides
+          // the closure
+          val name = brokerName
+          val acc = pubs
+          Monitor.fullMetricsDoc(counterCols, intervalSecs)
+            .select(
+              concat(lit(s"$monRoot/"), translate(col("topic"), "/", "_"))
+                .as("target"),
+              col("doc"))
+            .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+              val broker = MemoryBroker.get(name)
+              it.foreach { r =>
+                broker.publish(r.getString(0),
+                  r.getString(1).getBytes(StandardCharsets.UTF_8))
+                acc.add(1L)
+              }
+            }
         }
       }
       .start()

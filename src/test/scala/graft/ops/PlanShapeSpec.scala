@@ -117,4 +117,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"rank limit not pushed below the window in:\n$plan")
   }
+
+  test("bm25 never shuffles the corpus: no hash exchange on the data path") {
+    // the corpus side is row-local tf/dl projections; the only exchanges
+    // allowed are the single-row stats aggregation (SinglePartition) and
+    // its broadcast back — a hashpartitioning exchange would mean the
+    // corpus itself got shuffled
+    val plan = physical(Retrieval.bm25(Tables.documents(spark, sf),
+      "doc_id", "text", Seq("spark", "join"), topK = 10))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus shuffled in bm25:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not a TakeOrdered in:\n$plan")
+  }
+
+  test("cdc apply keeps one key exchange with map-side rank-1 pushdown") {
+    val snap = Tables.customer(spark, sf).select(
+      col("c_custkey").as("k"), col("c_mktsegment").as("attr"),
+      to_timestamp(lit("1990-01-01 00:00:00")).as("ts"),
+      lit(0L).as("tie"), lit("U").as("op"))
+    val chg = Tables.orders(spark, sf).select(
+      col("o_custkey").as("k"), col("o_orderpriority").as("attr"),
+      col("o_orderdate").as("ts"), col("o_orderkey").as("tie"),
+      when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"))
+    val plan = physical(Cdc.applyChanges(snap, chg, "k", "ts", "tie", "op"))
+    assert(countOccurrences(plan, "Exchange hashpartitioning(k") === 1,
+      s"merge must cost exactly one key exchange:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-1 not pushed below the exchange in:\n$plan")
+  }
 }
