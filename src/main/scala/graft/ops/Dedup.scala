@@ -163,16 +163,26 @@ object Dedup {
     * aggregation over (band_id, key) and keeps the bucket self-join's
     * per-bucket work bounded by cap^2.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String, numSigs: Int, rowsPerBand: Int,
-                    maxBucket: Option[Int] = None): DataFrame = {
+  /** One (id, band_id, key) row per document per band — the LSH index
+    * rows. At scale this IS the persisted dedup index: build it once per
+    * corpus version, probe it with every delta batch
+    * ([[incrementalLshPairs]]).
+    */
+  def bandRows(sigs: DataFrame, idCol: String, numSigs: Int,
+               rowsPerBand: Int): DataFrame = {
     val numBands = numSigs / rowsPerBand
     val bands = array((0 until numBands).map { b =>
       struct(lit(b).as("band_id"),
         md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}")): _*))
           .as("key"))
     }: _*)
-    val exploded = sigs.select(col(idCol), explode(bands).as("band"))
+    sigs.select(col(idCol), explode(bands).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.key"))
+  }
+
+  def lshCandidates(sigs: DataFrame, idCol: String, numSigs: Int, rowsPerBand: Int,
+                    maxBucket: Option[Int] = None): DataFrame = {
+    val exploded = bandRows(sigs, idCol, numSigs, rowsPerBand)
     val capped = maxBucket match {
       case Some(cap) =>
         val hot = exploded.groupBy(col("band_id"), col("key"))
@@ -208,6 +218,63 @@ object Dedup {
     // shuffle join in a band-collision storm instead of OOMing a forced
     // broadcast build. No manual hints: the storm case must not require
     // an operator intervention (that is maxBucket's job, above).
+    val inter = sh.as("sa")
+      .join(cands, col("d1") === col(s"sa.$idCol"))
+      .select(col("d1"), col("d2"), col("sa.s").as("s1"))
+      .join(sh.as("sb"),
+        col("d2") === col(s"sb.$idCol") && col("s1") === col("sb.s"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    withJaccard(inter, n, idCol, threshold)
+  }
+
+  /** X30 — INCREMENTAL near-dup: the pairs involving at least one
+    * document from `delta` (delta×delta and delta×corpus). The
+    * corpus×corpus pairs are NEVER recomputed — this is how a production
+    * pipeline actually runs dedup: the corpus's band rows
+    * ([[bandRows]]) are a persisted index built once per corpus version,
+    * and each incoming batch only hashes itself and probes that index,
+    * so per-batch cost scales with the delta, not the corpus.
+    *
+    * Shape at 100 TB: the probe side (delta bands) is small by
+    * construction, so AQE broadcasts it into the band-key join against
+    * the corpus index; corpus buckets with no delta member contribute
+    * ZERO join work (a probe-side hash/broadcast join skips them), which
+    * is the whole point. `maxBucket` caps boilerplate-storm buckets over
+    * the COMBINED population, mirroring [[lshCandidates]]. Verification
+    * touches only candidate members' shingles.
+    *
+    * Same result contract as [[minhashLshPairs]] over delta ∪ corpus
+    * restricted to pairs with a delta member (spec-verified equivalence).
+    */
+  def incrementalLshPairs(delta: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          numSigs: Int = 16, rowsPerBand: Int = 4,
+                          threshold: Double = 0.8,
+                          maxBucket: Option[Int] = None): DataFrame = {
+    val dBands = bandRows(docSignatures(delta, idCol, textCol, numSigs),
+      idCol, numSigs, rowsPerBand)
+    val cBands = bandRows(docSignatures(corpus, idCol, textCol, numSigs),
+      idCol, numSigs, rowsPerBand)
+    val all = dBands.unionByName(cBands)
+    val (probe, build) = maxBucket match {
+      case Some(cap) =>
+        val hot = all.groupBy(col("band_id"), col("key"))
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") > cap)
+          .select(col("band_id"), col("key"))
+        (dBands.join(hot, Seq("band_id", "key"), "left_anti"),
+          all.join(hot, Seq("band_id", "key"), "left_anti"))
+      case None => (dBands, all)
+    }
+    val cands = probe.as("a").join(build.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("d1"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("d2"))
+      .distinct()
+    val docsAll = delta.select(col(idCol), col(textCol))
+      .unionByName(corpus.select(col(idCol), col(textCol)))
+    val sh = shingleTable(docsAll, idCol, textCol)
+    val n = shingleCounts(docsAll, idCol, textCol)
     val inter = sh.as("sa")
       .join(cands, col("d1") === col(s"sa.$idCol"))
       .select(col("d1"), col("d2"), col("sa.s").as("s1"))

@@ -560,6 +560,20 @@ object ExtQueries {
         when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"))
       Cdc.applyChanges(snap, chg, "cust_key", "ts", "tie", "op")
         .orderBy("cust_key")
+    }),
+
+    // X30 incremental near-dup — dedup the way a production pipeline
+    // actually runs it: the delta batch (doc_id % 7 = 0) probes the
+    // corpus's persisted band index; corpus×corpus pairs are never
+    // recomputed, per-batch cost scales with the delta
+    "x30_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalLshPairs(
+        docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", numSigs = 16, rowsPerBand = 4,
+        threshold = JaccardThreshold)
+        .orderBy("d1", "d2")
     })
   )
 
@@ -1333,6 +1347,26 @@ object ExtQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY cust_key
         |  ORDER BY ts DESC, tie DESC) AS rn FROM m)
         |SELECT cust_key, attr, ts, tie FROM r WHERE rn = 1 AND op = 'U'
-        |ORDER BY cust_key""".stripMargin
+        |ORDER BY cust_key""".stripMargin,
+
+    // the full-corpus LSH pipeline restricted to pairs with a delta
+    // member — band-candidate semantics identical to x1_minhash_lsh
+    "x30_incremental_dedup" ->
+      s"""WITH $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 7 = 0 OR b.doc_id % 7 = 0),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2)
+         |SELECT d1, d2, jac FROM j WHERE jac >= $JaccardThreshold
+         |ORDER BY d1, d2""".stripMargin
   )
 }

@@ -54,6 +54,28 @@ class CdcSpec extends SparkSpec {
       (2L, "B", 5, None, 1)))
   }
 
+  test("applyChanges over the full change stream equals scd2's current rows") {
+    // the two halves of CDC must agree: materializing the latest row per
+    // key (apply) gives exactly the open (is_current) version of the
+    // history build, for any change stream
+    val changes = Seq(
+      ("k1", 1, 1, "A"), ("k1", 3, 3, "B"), ("k1", 2, 2, "A"),
+      ("k2", 5, 1, "X"),
+      ("k3", 4, 1, "P"), ("k3", 4, 2, "Q")) // tie on ts
+    val df = changes.toDF("k", "ts", "tie", "attr")
+    val current = Cdc.scd2(df, "k", "attr", "ts", "tie")
+      .filter($"is_current" === 1)
+      .select("k", "attr").as[(String, String)].collect().toSet
+    val emptySnap = Seq.empty[(String, Int, Int, String, String)]
+      .toDF("k", "ts", "tie", "attr", "op")
+    val applied = Cdc.applyChanges(emptySnap,
+      df.withColumn("op", org.apache.spark.sql.functions.lit("U")),
+      "k", "ts", "tie", "op")
+      .select("k", "attr").as[(String, String)].collect().toSet
+    assert(applied === current)
+    assert(applied === Set("k1" -> "B", "k2" -> "X", "k3" -> "Q"))
+  }
+
   test("the whole history build costs exactly one exchange") {
     val plan = Cdc.scd2(
       Seq(("k1", 1, 1, "A"), ("k1", 2, 2, "B"), ("k2", 1, 1, "C"))

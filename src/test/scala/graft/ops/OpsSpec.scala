@@ -25,6 +25,21 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("incremental near-dup equals the full pipeline restricted to delta pairs") {
+    val docs = Tables.documents(spark, sf)
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.8)
+      .select("d1", "d2", "jac").as[(Long, Long, Double)].collect().toSet
+    val expected = full.filter { case (d1, d2, _) => d1 % 7 == 0 || d2 % 7 == 0 }
+    val incremental = Dedup.incrementalLshPairs(
+      docs.filter($"doc_id" % 7 === 0), docs.filter($"doc_id" % 7 =!= 0),
+      "doc_id", "text", 16, 4, 0.8)
+      .select("d1", "d2", "jac").as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "fixture should contain delta-side near-dups")
+    assert(incremental === expected)
+    // and it must NOT recompute (or emit) any corpus-only pair
+    assert(incremental.forall { case (d1, d2, _) => d1 % 7 == 0 || d2 % 7 == 0 })
+  }
+
   test("maxBucket guard degrades a band-collision storm instead of exploding") {
     // 200 copies of one boilerplate template: every band bucket has 200
     // members -> 200*199/2 candidate pairs per band without a guard. Two
