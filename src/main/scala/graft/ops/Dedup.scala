@@ -250,12 +250,28 @@ object Dedup {
                           idCol: String, textCol: String,
                           numSigs: Int = 16, rowsPerBand: Int = 4,
                           threshold: Double = 0.8,
-                          maxBucket: Option[Int] = None): DataFrame = {
+                          maxBucket: Option[Int] = None): DataFrame =
+    incrementalLshPairsIndexed(delta, corpus,
+      bandRows(docSignatures(corpus, idCol, textCol, numSigs),
+        idCol, numSigs, rowsPerBand),
+      idCol, textCol, numSigs, rowsPerBand, threshold, maxBucket)
+
+  /** [[incrementalLshPairs]] against an ALREADY-BUILT corpus band index
+    * (`corpusBands`: id, band_id, key) — the form a pipeline actually
+    * runs once the index is persisted: the corpus is never re-hashed,
+    * only probed ([[graft.streaming.DedupStream]] maintains exactly this
+    * index across micro-batches). `corpus` itself is still needed for
+    * exact verification of candidate members' shingles.
+    */
+  def incrementalLshPairsIndexed(delta: DataFrame, corpus: DataFrame,
+                                 corpusBands: DataFrame,
+                                 idCol: String, textCol: String,
+                                 numSigs: Int, rowsPerBand: Int,
+                                 threshold: Double,
+                                 maxBucket: Option[Int] = None): DataFrame = {
     val dBands = bandRows(docSignatures(delta, idCol, textCol, numSigs),
       idCol, numSigs, rowsPerBand)
-    val cBands = bandRows(docSignatures(corpus, idCol, textCol, numSigs),
-      idCol, numSigs, rowsPerBand)
-    val all = dBands.unionByName(cBands)
+    val all = dBands.unionByName(corpusBands)
     val (probe, build) = maxBucket match {
       case Some(cap) =>
         val hot = all.groupBy(col("band_id"), col("key"))

@@ -47,6 +47,10 @@ object ExtQueries {
   private val Bm25Terms = Seq("spark", "join", "vector")
   private val Bm25TopK = 20
   private val PageRankIters = 3
+  // X31 target mixture (parts-per-million) over three sources + its seed
+  private val MixtureWeightsPpm =
+    Map("src0" -> 500000L, "src1" -> 300000L, "src2" -> 200000L)
+  private val MixtureSeed = "m"
 
   /** The MinHash-LSH near-dup pair stage, MATERIALIZED once per
     * (session, table dir) and shared by `x1_minhash_lsh` and
@@ -560,6 +564,14 @@ object ExtQueries {
         when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"))
       Cdc.applyChanges(snap, chg, "cust_key", "ts", "tie", "op")
         .orderBy("cust_key")
+    }),
+
+    // X31 deterministic mixture sampling — keep a 50/30/20 blend of
+    // three sources, scarcest source kept whole, exact-integer cuts
+    "x31_mixture_sample" -> ((s, dir) => {
+      Sample.mixture(Tables.documents(s, dir), "doc_id", "source",
+        MixtureWeightsPpm, seed = MixtureSeed)
+        .select("doc_id", "source").orderBy("doc_id")
     }),
 
     // X30 incremental near-dup — dedup the way a production pipeline
@@ -1348,6 +1360,27 @@ object ExtQueries {
         |  ORDER BY ts DESC, tie DESC) AS rn FROM m)
         |SELECT cust_key, attr, ts, tie FROM r WHERE rn = 1 AND op = 'U'
         |ORDER BY cust_key""".stripMargin,
+
+    // same exact-integer cut derivation in HUGEINT: T maximizes the
+    // kept total, cut_d = floor(2^32 * w_d * T / (10^6 * n_d))
+    "x31_mixture_sample" -> {
+      val vals = MixtureWeightsPpm.toSeq.sortBy(_._1)
+        .map { case (d, w) => s"('$d', $w)" }.mkString(", ")
+      s"""WITH w(source, w) AS (VALUES $vals),
+         |cnt AS (SELECT source, count(*) AS n FROM documents
+         |  WHERE source IN (SELECT source FROM w) GROUP BY 1),
+         |t AS (SELECT min((CAST(n AS HUGEINT) * 1000000) // w) AS t
+         |  FROM cnt JOIN w USING (source)),
+         |cut AS (SELECT source,
+         |  (CAST(4294967296 AS HUGEINT) * w * t.t)
+         |    // (CAST(1000000 AS HUGEINT) * n) AS cut
+         |  FROM cnt JOIN w USING (source) CROSS JOIN t)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN cut c ON c.source = d.source
+         |WHERE c.cut >= 4294967296 OR
+         |  ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '$MixtureSeed'), 1, 8))::BIGINT < c.cut
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // the full-corpus LSH pipeline restricted to pairs with a delta
     // member — band-candidate semantics identical to x1_minhash_lsh

@@ -58,6 +58,49 @@ object Sample {
     df.filter(hv * lit(maxWeight) < bound)
   }
 
+  /** X31 — deterministic MIXTURE sampling: downsample each listed domain
+    * so the kept corpus matches target mixture proportions (the
+    * source-mixing step of every multi-corpus training set). Target
+    * weights are integer PARTS-PER-MILLION; the achievable total is
+    * maximized (T = min_d floor(n_d·10^6 / w_d) — the scarcest domain is
+    * kept whole and every other domain Bernoulli-downsamples toward its
+    * share). Unlisted domains are dropped.
+    *
+    * Determinism: per-domain keep-cuts are computed ONCE in exact BigInt
+    * arithmetic — cut_d = floor(2^32·w_d·T / (10^6·n_d)) — and compared
+    * against the 32-bit md5 bucket as plain BIGINTs, so any engine
+    * reproduces the row set bit-for-bit (the DuckDB oracle re-derives the
+    * same cuts in HUGEINT). Proportions are Bernoulli-approximate, counts
+    * are not coordinated — which is exactly what makes the filter a pure
+    * scan-side predicate with no shuffle at 100 TB.
+    *
+    * The per-domain count aggregate is domain-cardinality-sized (a dim
+    * table, collected once — same bounded-driver contract as the IVF
+    * trainer); at scale you run it once per corpus version and reuse.
+    */
+  def mixture(df: DataFrame, keyCol: String, domainCol: String,
+              weightsPpm: Map[String, Long], seed: String = ""): DataFrame = {
+    require(weightsPpm.nonEmpty, "need at least one domain weight")
+    require(weightsPpm.values.forall(_ > 0), s"weights must be > 0: $weightsPpm")
+    val domains = weightsPpm.keys.toSeq.sorted
+    val counts = df.filter(col(domainCol).isin(domains: _*))
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = domains.filter(d => counts.getOrElse(d, 0L) > 0L)
+    require(present.nonEmpty, s"no listed domain present in $domainCol")
+    val t = present.map(d => BigInt(counts(d)) * 1000000L / weightsPpm(d)).min
+    val cuts = present.map { d =>
+      d -> (BigInt(4294967296L) * weightsPpm(d) * t /
+        (BigInt(1000000L) * counts(d))).toLong
+    }.toMap
+    val hv = conv(bucket(col(keyCol), seed), 16, 10).cast("bigint")
+    val pred = present.map { d =>
+      col(domainCol) === d &&
+        (if (cuts(d) >= 4294967296L) lit(true) else hv < lit(cuts(d)))
+    }.reduce(_ || _)
+    df.filter(pred)
+  }
+
   /** Stratified deterministic sample: per-stratum fractions with a default
     * for unlisted strata. The threshold is a row-local CASE — still a pure
     * scan-side filter.

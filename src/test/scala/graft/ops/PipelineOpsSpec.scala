@@ -10,6 +10,33 @@ class PipelineOpsSpec extends SparkSpec {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("mixture sampling: scarcest domain kept whole, blend tracks targets, deterministic") {
+    // a:1000, b:1000, c:100 at 45/45/10 — c binds (T=1000): c keeps all
+    // 100, a and b Bernoulli-keep at 45% (expected 450 each)
+    val rows = (1 to 1000).map(i => (i.toLong, "a")) ++
+      (1 to 1000).map(i => (1000L + i, "b")) ++
+      (1 to 100).map(i => (2000L + i, "c")) ++
+      (1 to 50).map(i => (3000L + i, "unlisted"))
+    val df = rows.toDF("doc_id", "source")
+    val w = Map("a" -> 450000L, "b" -> 450000L, "c" -> 100000L)
+    val kept = Sample.mixture(df, "doc_id", "source", w, seed = "t")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("c", 0) === 100) // binding domain: kept whole
+    assert(!bySrc.contains("unlisted")) // unlisted domains dropped
+    // binomial(1000, 0.45): mean 450, sd ~15.7 — 5 sd tolerance
+    assert(math.abs(bySrc("a") - 450) < 80, s"a kept ${bySrc("a")}")
+    assert(math.abs(bySrc("b") - 450) < 80, s"b kept ${bySrc("b")}")
+    // bit-reproducible: a second run selects the identical rows
+    val again = Sample.mixture(df, "doc_id", "source", w, seed = "t")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(again.toSet === kept.toSet)
+    // a different seed selects a different (but same-sized-ish) subset
+    val other = Sample.mixture(df, "doc_id", "source", w, seed = "u")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other !== kept.map(_._1).toSet)
+  }
+
   test("sessionize: events are exhaustively partitioned into in-gap sessions") {
     val ev = Tables.events(spark, sf)
     val sess = Sessionize.sessions(ev, "user_id", "ts", "event_id", gapSecs = 1800)
