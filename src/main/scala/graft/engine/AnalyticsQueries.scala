@@ -75,13 +75,20 @@ object AnalyticsQueries {
         .orderBy("n_name")
     }),
 
-    // C2 — late-shipment order counts by priority: left-semi existence join
+    // C2 — late-shipment order counts by priority. The EXISTS-with-
+    // inequality is rewritten as a pre-aggregation: an order has SOME
+    // late lineitem iff its LATEST shipment is late, and max(l_shipdate)
+    // combines map-side — the shuffle carries one row per order instead
+    // of every lineitem (~4x less exchange volume at TPC-H fan-out, more
+    // under skew; the semi-join condition becomes equi + residual filter)
     "c2_late_ship_priority" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
-      val li = Tables.lineitem(s, dir)
-      o.join(li,
+      val lastShip = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+      o.join(lastShip,
           col("o_orderkey") === col("l_orderkey") &&
-            col("l_shipdate") > col("o_orderdate"), "left_semi")
+            col("last_ship") > col("o_orderdate"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy("o_orderpriority")
