@@ -227,6 +227,30 @@ object Dedup {
     withJaccard(inter, n, idCol, threshold)
   }
 
+  /** X32 — corpus-level MinHash sketch comparison: pairwise signature
+    * agreement between GROUP sketches estimates the shingle-set Jaccard
+    * between groups (sources, corpus versions, shards) without ever
+    * joining their shingle sets. Group signatures come from
+    * [[minhashSignatures]] keyed by the group column — min-aggregates,
+    * so the sketches are MERGEABLE: the sketch of A∪B is the
+    * element-wise min of the sketches of A and B (spec-verified), which
+    * is what lets a 100 TB pipeline sketch each shard independently,
+    * fold the sketches upward, and diff corpus versions from
+    * kilobyte-sized artifacts. The pair join here is group×group —
+    * dim-table-sized by definition.
+    */
+  def sketchOverlap(sigs: DataFrame, groupCol: String,
+                    numSigs: Int): DataFrame = {
+    val agree = (0 until numSigs)
+      .map(i => when(col(s"a.sig$i") === col(s"b.sig$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    sigs.as("a").join(sigs.as("b"), col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .select(col(s"a.$groupCol").as("g1"), col(s"b.$groupCol").as("g2"),
+        agree.as("n_agree"))
+      .withColumn("est_jaccard",
+        round(col("n_agree").cast("double") / numSigs, 6))
+  }
+
   /** X30 — INCREMENTAL near-dup: the pairs involving at least one
     * document from `delta` (delta×delta and delta×corpus). The
     * corpus×corpus pairs are NEVER recomputed — this is how a production

@@ -574,6 +574,17 @@ object ExtQueries {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // X32 corpus-overlap sketches — per-source MinHash signatures
+    // (mergeable min-aggregates), pairwise agreement estimates
+    // cross-source shingle Jaccard from kilobyte sketches
+    "x32_corpus_overlap" -> ((s, dir) => {
+      val sh = Dedup.shingleTable(
+        Tables.documents(s, dir).select(col("source"), col("text")),
+        "source", "text")
+      Dedup.sketchOverlap(Dedup.minhashSignatures(sh, "source", 16),
+        "source", 16).orderBy("g1", "g2")
+    }),
+
     // X30 incremental near-dup — dedup the way a production pipeline
     // actually runs it: the delta batch (doc_id % 7 = 0) probes the
     // corpus's persisted band index; corpus×corpus pairs are never
@@ -1360,6 +1371,24 @@ object ExtQueries {
         |  ORDER BY ts DESC, tie DESC) AS rn FROM m)
         |SELECT cust_key, attr, ts, tie FROM r WHERE rn = 1 AND op = 'U'
         |ORDER BY cust_key""".stripMargin,
+
+    // per-source sketches with the same md5-lane hash family, agreement
+    // counted over the 16 signature slots
+    "x32_corpus_overlap" -> {
+      val agreeSql = (0 until 16)
+        .map(i => s"(CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT DISTINCT source,
+         |  unnest(list_transform(generate_series(1, len(ts) - 2),
+         |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM t),
+         |sig AS (SELECT source, $minhashSigCols FROM sh GROUP BY source)
+         |SELECT a.source AS g1, b.source AS g2,
+         |  CAST($agreeSql AS BIGINT) AS n_agree,
+         |  round(CAST($agreeSql AS DOUBLE) / 16, 6) AS est_jaccard
+         |FROM sig a JOIN sig b ON a.source < b.source
+         |ORDER BY g1, g2""".stripMargin
+    },
 
     // same exact-integer cut derivation in HUGEINT: T maximizes the
     // kept total, cut_d = floor(2^32 * w_d * T / (10^6 * n_d))

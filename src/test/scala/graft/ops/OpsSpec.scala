@@ -25,6 +25,42 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("group minhash sketches are mergeable: sketch(A∪B) = min(sketch(A), sketch(B))") {
+    val a = (1 to 50).map(i => (s"w$i x$i y$i z$i", "A"))
+    val b = (30 to 80).map(i => (s"w$i x$i y$i z$i", "B"))
+    val docs = (a ++ b).toDF("text", "grp")
+    def sig(df: org.apache.spark.sql.DataFrame, key: String) =
+      Dedup.minhashSignatures(
+        Dedup.shingleTable(df, "grp", "text"), "grp", 16)
+        .filter($"grp" === key).drop("grp").collect().head
+    val sa = sig(docs.filter($"grp" === "A"), "A")
+    val sb = sig(docs.filter($"grp" === "B"), "B")
+    // union sketch computed from scratch over A∪B's rows relabeled
+    val union = sig(docs.withColumn("grp", lit("A")), "A")
+    for (i <- 0 until 16) {
+      val expected = Seq(sa.getString(i), sb.getString(i)).min
+      assert(union.getString(i) === expected, s"slot $i not the elementwise min")
+    }
+  }
+
+  test("sketch overlap estimates cross-group shingle jaccard") {
+    // two groups engineered to share half their 4-token lines; distinct
+    // 3-shingles overlap ~ 1/3 (each line yields 2 shingles, half the
+    // lines shared). 64 signature slots -> sd ~ 0.06
+    val a = (1 to 200).map(i => (s"w$i x$i y$i z$i", "A"))
+    val b = (101 to 300).map(i => (s"w$i x$i y$i z$i", "B"))
+    val docs = (a ++ b).toDF("text", "grp")
+    val sh = Dedup.shingleTable(docs, "grp", "text")
+    val est = Dedup.sketchOverlap(
+      Dedup.minhashSignatures(sh, "grp", 64), "grp", 64)
+      .select("est_jaccard").as[Double].head
+    // exact jaccard of the two shingle sets, from the same shingle table
+    val setA = sh.filter($"grp" === "A").select("s").as[String].collect().toSet
+    val setB = sh.filter($"grp" === "B").select("s").as[String].collect().toSet
+    val exact = (setA & setB).size.toDouble / (setA | setB).size
+    assert(math.abs(est - exact) < 0.25, s"estimate $est vs exact $exact")
+  }
+
   test("incremental near-dup equals the full pipeline restricted to delta pairs") {
     val docs = Tables.documents(spark, sf)
     val full = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.8)
