@@ -205,26 +205,16 @@ object Dedup {
                       numSigs: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.8,
                       maxBucket: Option[Int] = None): DataFrame = {
-    // shuffle-free and therefore cheaper to recompute per consumer than
-    // to materialize (see jaccardPairs note)
-    val sh = shingleTable(docs, idCol, textCol)
     val cands = lshCandidates(docSignatures(docs, idCol, textCol, numSigs),
       idCol, numSigs, rowsPerBand, maxBucket)
-    // sizes row-locally off the docs — no groupBy over the exploded table
-    val n = shingleCounts(docs, idCol, textCol)
     // LSH's whole point is that surviving candidates are FEW, so AQE's
     // runtime statistics pick a broadcast for the candidate (then
     // candidate-x-shingle) side when that holds — and degrade to a
     // shuffle join in a band-collision storm instead of OOMing a forced
     // broadcast build. No manual hints: the storm case must not require
     // an operator intervention (that is maxBucket's job, above).
-    val inter = sh.as("sa")
-      .join(cands, col("d1") === col(s"sa.$idCol"))
-      .select(col("d1"), col("d2"), col("sa.s").as("s1"))
-      .join(sh.as("sb"),
-        col("d2") === col(s"sb.$idCol") && col("s1") === col("sb.s"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
-    withJaccard(inter, n, idCol, threshold)
+    verifyCandidates(docs.select(col(idCol), col(textCol)), cands,
+      idCol, textCol, threshold)
   }
 
   /** X32 — corpus-level MinHash sketch comparison: pairwise signature
@@ -275,35 +265,37 @@ object Dedup {
                           numSigs: Int = 16, rowsPerBand: Int = 4,
                           threshold: Double = 0.8,
                           maxBucket: Option[Int] = None): DataFrame =
-    incrementalLshPairsIndexed(delta, corpus,
+    incrementalLshPairsIndexed(delta,
+      bandRows(docSignatures(delta, idCol, textCol, numSigs),
+        idCol, numSigs, rowsPerBand),
+      corpus,
       bandRows(docSignatures(corpus, idCol, textCol, numSigs),
         idCol, numSigs, rowsPerBand),
-      idCol, textCol, numSigs, rowsPerBand, threshold, maxBucket)
+      idCol, textCol, threshold, maxBucket)
 
-  /** [[incrementalLshPairs]] against an ALREADY-BUILT corpus band index
-    * (`corpusBands`: id, band_id, key) — the form a pipeline actually
-    * runs once the index is persisted: the corpus is never re-hashed,
-    * only probed ([[graft.streaming.DedupStream]] maintains exactly this
-    * index across micro-batches). `corpus` itself is still needed for
-    * exact verification of candidate members' shingles.
+  /** [[incrementalLshPairs]] against ALREADY-BUILT band rows for both
+    * sides (`deltaBands`/`corpusBands`: id, band_id, key) — the form a
+    * pipeline actually runs once the index is persisted: the corpus is
+    * never re-hashed, only probed, and the caller can reuse the delta's
+    * bands for its own index append without hashing twice
+    * ([[graft.streaming.DedupStream]] does both). `corpus` itself is
+    * still needed for exact verification, but only candidate members'
+    * documents are ever shingled (semi-join pruned).
     */
-  def incrementalLshPairsIndexed(delta: DataFrame, corpus: DataFrame,
-                                 corpusBands: DataFrame,
+  def incrementalLshPairsIndexed(delta: DataFrame, deltaBands: DataFrame,
+                                 corpus: DataFrame, corpusBands: DataFrame,
                                  idCol: String, textCol: String,
-                                 numSigs: Int, rowsPerBand: Int,
                                  threshold: Double,
                                  maxBucket: Option[Int] = None): DataFrame = {
-    val dBands = bandRows(docSignatures(delta, idCol, textCol, numSigs),
-      idCol, numSigs, rowsPerBand)
-    val all = dBands.unionByName(corpusBands)
+    val all = deltaBands.unionByName(corpusBands)
     val (probe, build) = maxBucket match {
       case Some(cap) =>
         val hot = all.groupBy(col("band_id"), col("key"))
           .agg(count(lit(1)).as("cnt")).filter(col("cnt") > cap)
           .select(col("band_id"), col("key"))
-        (dBands.join(hot, Seq("band_id", "key"), "left_anti"),
+        (deltaBands.join(hot, Seq("band_id", "key"), "left_anti"),
           all.join(hot, Seq("band_id", "key"), "left_anti"))
-      case None => (dBands, all)
+      case None => (deltaBands, all)
     }
     val cands = probe.as("a").join(build.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.key") === col("b.key") &&
@@ -311,10 +303,28 @@ object Dedup {
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("d1"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("d2"))
       .distinct()
-    val docsAll = delta.select(col(idCol), col(textCol))
+    // verification only ever shingles candidate MEMBERS: the member-id
+    // semi-join prunes the corpus before the explode, so this stage is
+    // candidate-sized even when the corpus is 100 TB
+    val memberIds = cands.select(col("d1").as(idCol))
+      .union(cands.select(col("d2").as(idCol)))
+      .distinct()
+    val members = delta.select(col(idCol), col(textCol))
       .unionByName(corpus.select(col(idCol), col(textCol)))
-    val sh = shingleTable(docsAll, idCol, textCol)
-    val n = shingleCounts(docsAll, idCol, textCol)
+      .join(memberIds, Seq(idCol), "left_semi")
+    verifyCandidates(members, cands, idCol, textCol, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against their
+    * members' shingle sets — the shared tail of [[minhashLshPairs]] and
+    * [[incrementalLshPairsIndexed]] (one copy, so the spec-pinned
+    * equivalence between the two cannot drift).
+    */
+  private def verifyCandidates(members: DataFrame, cands: DataFrame,
+                               idCol: String, textCol: String,
+                               threshold: Double): DataFrame = {
+    val sh = shingleTable(members, idCol, textCol)
+    val n = shingleCounts(members, idCol, textCol)
     val inter = sh.as("sa")
       .join(cands, col("d1") === col(s"sa.$idCol"))
       .select(col("d1"), col("d2"), col("sa.s").as("s1"))

@@ -54,16 +54,17 @@ object Graph {
     * sized); callers done with the result may `.unpersist()` it.
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val spark = edges.sparkSession
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     if (n == 0L) {
+      // derive the empty frame from the input plan so the node column
+      // keeps its actual type (int/string ids work, not just bigint)
+      val empty = nodes.withColumn("rank", lit(0L)).limit(0)
       nodes.unpersist(false)
-      import spark.implicits._
-      return spark.emptyDataset[(Long, Long)].toDF("node", "rank")
+      return empty
     }
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // edge topology joined to out-degrees once, reused every round

@@ -71,7 +71,13 @@ object CdcApplyStream {
       else prev.withColumn(opCol, org.apache.spark.sql.functions.lit("U"))
     Cdc.applyChanges(prevTagged, batch, keyCol, tsCol, tieCol, opCol)
       .write.mode("overwrite").parquet(s"$statePath/v=$batchId")
-    Files.writeString(Paths.get(statePath, "_LATEST"), batchId.toString)
+    // atomic pointer swap: a concurrent snapshot() reader must never see
+    // a truncated/half-written _LATEST
+    val tmp = Paths.get(statePath, "_LATEST.tmp")
+    Files.writeString(tmp, batchId.toString)
+    Files.move(tmp, Paths.get(statePath, "_LATEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val all = versions(statePath)
     all.dropRight(keepVersions).foreach { v =>
       deleteRecursively(Paths.get(statePath, s"v=$v"))

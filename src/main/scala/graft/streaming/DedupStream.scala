@@ -54,18 +54,17 @@ object DedupStream {
     val delta = batch.select(col(idCol), col(textCol))
     val corpus = readState(spark, s"$statePath/docs", delta,
       Seq(idCol, textCol), batchId)
-    val bandLike = Dedup.bandRows(
-      Dedup.docSignatures(delta.limit(0), idCol, textCol, numSigs),
-      idCol, numSigs, rowsPerBand)
-    val corpusBands = readState(spark, s"$statePath/bands", bandLike,
-      Seq(idCol, "band_id", "key"), batchId)
-    val pairs = Dedup.incrementalLshPairsIndexed(delta, corpus, corpusBands,
-      idCol, textCol, numSigs, rowsPerBand, threshold)
-    pairs.write.mode("overwrite")
-      .parquet(s"$statePath/pairs/batch_id=$batchId")
+    // the batch is hashed exactly once: these bands feed BOTH the probe
+    // and the index append
     val deltaBands = Dedup.bandRows(
       Dedup.docSignatures(delta, idCol, textCol, numSigs),
       idCol, numSigs, rowsPerBand)
+    val corpusBands = readState(spark, s"$statePath/bands", deltaBands,
+      Seq(idCol, "band_id", "key"), batchId)
+    val pairs = Dedup.incrementalLshPairsIndexed(delta, deltaBands,
+      corpus, corpusBands, idCol, textCol, threshold)
+    pairs.write.mode("overwrite")
+      .parquet(s"$statePath/pairs/batch_id=$batchId")
     delta.write.mode("overwrite").parquet(s"$statePath/docs/batch_id=$batchId")
     deltaBands.write.mode("overwrite")
       .parquet(s"$statePath/bands/batch_id=$batchId")

@@ -126,10 +126,22 @@ object MonitorStream {
     * lag), and per-stage Failed stays 0 (a failed batch retries rather
     * than half-completing). A dashboard built against the reference's
     * document shape reads this build's monitor unchanged.
+    *
+    * Publishing runs in `foreachPartition` on the EXECUTORS and is
+    * at-least-once under task retries (a retried partition re-publishes
+    * its rows — acceptable for idempotent metrics documents). The
+    * default publisher resolves [[MemoryBroker]] by name, which is
+    * per-JVM: correct on `local[n]` (the only mode this sandbox runs);
+    * on a real cluster pass `publisherFactory` building a NETWORK client
+    * per partition (e.g. the tcp:// client behind
+    * [[graft.sources.MqttDirectSource]]) — the factory is invoked on the
+    * executor, once per partition.
     */
   def start(spark: SparkSession, cfg: PumpConfig, brokerName: String,
             checkpoint: String, trigger: Trigger = null,
-            watermarkDelay: String = "30 seconds"): StreamingQuery = {
+            watermarkDelay: String = "30 seconds",
+            publisherFactory: () => (String, Array[Byte]) => Unit = null)
+      : StreamingQuery = {
     val source = spark.readStream
       .format("pump-mqtt")
       .option("broker", brokerName)
@@ -195,15 +207,25 @@ object MonitorStream {
           // the closure
           val name = brokerName
           val acc = pubs
+          val factory = publisherFactory
+          // the target column applies the same sanitization rule as
+          // PumpConfig.monitorTopic (slash -> underscore under the
+          // monitor root); PumpStreamingSpec pins the published names
+          // against the config form
           Monitor.fullMetricsDoc(counterCols, intervalSecs)
             .select(
               concat(lit(s"$monRoot/"), translate(col("topic"), "/", "_"))
                 .as("target"),
               col("doc"))
             .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-              val broker = MemoryBroker.get(name)
+              val publish: (String, Array[Byte]) => Unit =
+                if (factory != null) factory()
+                else {
+                  val broker = MemoryBroker.get(name)
+                  (t, p) => broker.publish(t, p)
+                }
               it.foreach { r =>
-                broker.publish(r.getString(0),
+                publish(r.getString(0),
                   r.getString(1).getBytes(StandardCharsets.UTF_8))
                 acc.add(1L)
               }

@@ -53,7 +53,7 @@ class OpsSpec extends SparkSpec {
     val sh = Dedup.shingleTable(docs, "grp", "text")
     val est = Dedup.sketchOverlap(
       Dedup.minhashSignatures(sh, "grp", 64), "grp", 64)
-      .select("est_jaccard").as[Double].head
+      .select("est_jaccard").as[Double].head()
     // exact jaccard of the two shingle sets, from the same shingle table
     val setA = sh.filter($"grp" === "A").select("s").as[String].collect().toSet
     val setB = sh.filter($"grp" === "B").select("s").as[String].collect().toSet
