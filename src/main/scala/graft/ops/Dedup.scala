@@ -303,6 +303,11 @@ object Dedup {
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("d1"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("d2"))
       .distinct()
+      // the candidate list feeds THREE branches (both member-id arms and
+      // the verify join); lazy-checkpoint it so the band join runs once,
+      // not three times. Near-dup candidates are a sliver of the corpus —
+      // the same tiny-pin trade as the session-cached LSH pair stage
+      .localCheckpoint(false)
     // verification only ever shingles candidate MEMBERS: the member-id
     // semi-join prunes the corpus before the explode, so this stage is
     // candidate-sized even when the corpus is 100 TB
@@ -312,6 +317,9 @@ object Dedup {
     val members = delta.select(col(idCol), col(textCol))
       .unionByName(corpus.select(col(idCol), col(textCol)))
       .join(memberIds, Seq(idCol), "left_semi")
+      // three consumers (both shingle sides, the size projection) —
+      // candidate-sized, so pin it rather than re-scan the corpus thrice
+      .localCheckpoint(false)
     verifyCandidates(members, cands, idCol, textCol, threshold)
   }
 
