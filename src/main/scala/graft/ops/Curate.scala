@@ -96,6 +96,40 @@ object Curate {
       .drop("__hv", "__n", "__full")
   }
 
+  /** X33 — overlapping token-window chunking: cut each document into
+    * fixed-size token windows with a fixed stride (stride < size gives
+    * the overlapping context windows retrieval/embedding pipelines feed
+    * their encoders; stride = size gives disjoint blocks). Emits per
+    * chunk: its index, 0-based token offset, actual token count (the
+    * tail window may be short), and the chunk text.
+    *
+    * Chunk boundaries depend only on the document's own token count —
+    * unlike [[seqPack]] there is no cross-document stream — so the whole
+    * operator is one generator projection on the scan: `sequence(0, n-1,
+    * stride)` posexploded, then a row-local `slice`. Zero shuffle, zero
+    * state, embarrassingly parallel at any scale; output order within a
+    * document is the chunk index, reproducible by construction.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1, s"size/stride must be >= 1: $size/$stride")
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol), toks.as("__ts"))
+      .select(col(idCol),
+        posexplode(sequence(lit(0L),
+          (org.apache.spark.sql.functions.size(col("__ts")) - 1).cast("bigint"),
+          lit(stride.toLong))),
+        col("__ts"))
+      .select(col(idCol),
+        col("pos").cast("bigint").as("chunk_idx"),
+        col("col").as("start_tok"),
+        slice(col("__ts"), (col("col") + 1).cast("int"), lit(size)).as("__ck"))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        org.apache.spark.sql.functions.size(col("__ck")).cast("bigint").as("n_tok"),
+        array_join(col("__ck"), " ").as("chunk_text"))
+  }
+
   /** X17 — sequence packing, concat-and-chunk style: documents are
     * concatenated in deterministic order and the token stream is cut into
     * fixed `chunkTokens` windows (documents may straddle a cut — exactly

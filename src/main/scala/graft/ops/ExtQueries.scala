@@ -51,6 +51,18 @@ object ExtQueries {
   private val MixtureWeightsPpm =
     Map("src0" -> 500000L, "src1" -> 300000L, "src2" -> 200000L)
   private val MixtureSeed = "m"
+  // X33 token-window chunking (stride < size: overlapping windows)
+  private val ChunkSize = 16
+  private val ChunkStride = 8
+  // X34 common-ngram gate: common iff df * 10^6 > CommonNgramPpm * n_docs
+  // (relative to corpus size — 2000 ppm sits at the df median of both
+  // test SFs, so the gate genuinely splits)
+  private val CommonNgramPpm = 2000L
+  // X35 phrase query (safe lowercase tokens; present at both test SFs)
+  private val PhraseTerms = Seq("value", "table", "part")
+  // X36 SemDeDup cosine threshold (permille); nlist reuses IvfPqNlist so
+  // the session-cached coarse centroids serve both operators
+  private val SemDedupTauPermille = 400L
 
   /** The MinHash-LSH near-dup pair stage, MATERIALIZED once per
     * (session, table dir) and shared by `x1_minhash_lsh` and
@@ -597,6 +609,36 @@ object ExtQueries {
         "doc_id", "text", numSigs = 16, rowsPerBand = 4,
         threshold = JaccardThreshold)
         .orderBy("d1", "d2")
+    }),
+
+    // X33 overlapping token-window chunking — one zero-shuffle generator
+    // projection (sequence + posexplode + slice)
+    "x33_chunking" -> ((s, dir) => {
+      Curate.chunk(Tables.documents(s, dir), "doc_id", "text",
+        ChunkSize, ChunkStride).orderBy("doc_id", "chunk_idx")
+    }),
+
+    // X34 corpus-common n-gram share — the cross-document boilerplate
+    // gate; df from distinct (doc, ngram) pairs, relative-ppm cutoff
+    "x34_common_ngrams" -> ((s, dir) => {
+      TextAnalysis.commonNgramShare(Tables.documents(s, dir), "doc_id",
+        "text", n = 3, commonPpm = CommonNgramPpm).orderBy("doc_id")
+    }),
+
+    // X35 positional phrase search — postings adjacency equi-join chain,
+    // term filters pushed to the postings scan
+    "x35_phrase_search" -> ((s, dir) => {
+      Retrieval.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+        PhraseTerms).orderBy("doc_id")
+    }),
+
+    // X36 SemDeDup — semantic near-dup drop within coarse k-means
+    // clusters; reuses the session-cached IVF-PQ coarse centroids (same
+    // nlist), so clustering costs no additional training pass
+    "x36_semdedup" -> ((s, dir) => {
+      SemDedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = IvfPqNlist, tauPermille = SemDedupTauPermille,
+        centroids = Some(ivfPqTrained(s, dir)._1)).orderBy("vec_id")
     })
   )
 
@@ -834,7 +876,57 @@ object ExtQueries {
     }.toMap
   }
 
-  def oracle: Map[String, String] = ivfOracle ++ pqOracle ++ ivfPqOracle ++ Map(
+  /** SemDeDup oracle, rendered from the centroids of the most recent
+    * [[SemDedup.semDedup]] run — same run-queries-then-dump contract as
+    * [[ivfOracle]]. List assignment is the identical integer argmin; the
+    * cosine gate is the identical no-sqrt integer comparison in HUGEINT
+    * (dot^2 * 10^6 overflows BIGINT at dim 64).
+    */
+  private def semDedupOracle: Map[String, String] = {
+    if (SemDedup.lastCentroids.isEmpty)
+      System.err.println(
+        "[graft] WARNING: x36_semdedup oracle OMITTED — SemDedup.semDedup " +
+          "has not run in this JVM, so there are no centroids to inline. " +
+          "Run the queries before dumping oracleSql (graft.Verify's order).")
+    SemDedup.lastCentroids.map { cents =>
+      val rows = cents.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(v => v.toLong * v).sum
+        s"($i, ${c.map(v => s"$v.0").mkString("[", ", ", "]")}, $c2.0)"
+      }.mkString(",\n  ")
+      val tau2 = SemDedupTauPermille * SemDedupTauPermille
+      "x36_semdedup" ->
+        s"""WITH cent(list_id, cv, c2) AS (VALUES
+           |  $rows),
+           |e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+           |ad AS (SELECT n.vec_id, cent.list_id,
+           |  n.n2 - 2 * list_dot_product(n.q, cent.cv) + cent.c2 AS dist
+           |  FROM n CROSS JOIN cent),
+           |asg AS (SELECT vec_id, list_id FROM (
+           |  SELECT vec_id, list_id,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+           |  FROM ad) WHERE rn = 1),
+           |pair AS (SELECT a.vec_id AS ia, count(*) AS n_dup_lower
+           |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+           |  JOIN n na ON na.vec_id = a.vec_id
+           |  JOIN n nb ON nb.vec_id = b.vec_id
+           |  WHERE list_dot_product(na.q, nb.q) > 0
+           |    AND CAST(list_dot_product(na.q, nb.q) AS HUGEINT)
+           |      * CAST(list_dot_product(na.q, nb.q) AS HUGEINT) * 1000000
+           |      > $tau2 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
+           |  GROUP BY 1)
+           |SELECT asg.vec_id, CAST(asg.list_id AS INTEGER) AS list_id,
+           |  CAST(coalesce(p.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
+           |  CAST(CASE WHEN p.ia IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+           |FROM asg LEFT JOIN pair p ON p.ia = asg.vec_id
+           |ORDER BY asg.vec_id""".stripMargin
+    }.toMap
+  }
+
+  def oracle: Map[String, String] =
+    ivfOracle ++ pqOracle ++ ivfPqOracle ++ semDedupOracle ++ Map(
     "x1_exact_dedup" ->
       """SELECT md5(props) AS digest, min(event_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dups
@@ -1429,6 +1521,53 @@ object ExtQueries {
          |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
          |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2)
          |SELECT d1, d2, jac FROM j WHERE jac >= $JaccardThreshold
-         |ORDER BY d1, d2""".stripMargin
+         |ORDER BY d1, d2""".stripMargin,
+
+    // same generate_series walk: starts 0, stride, ... < n_tokens; the
+    // tail window clamps to the document end
+    "x33_chunking" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |c AS (SELECT doc_id, ts,
+         |  unnest(generate_series(0, len(ts) - 1, $ChunkStride)) AS start_tok
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(start_tok // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(least($ChunkSize, len(ts) - start_tok) AS BIGINT) AS n_tok,
+         |  array_to_string(ts[start_tok + 1 : start_tok + $ChunkSize], ' ')
+         |    AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // df over distinct (doc, ngram); the SAME relative-ppm integer cutoff
+    "x34_common_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |occ AS (SELECT doc_id,
+         |  unnest(list_transform(generate_series(1, len(ts) - 2),
+         |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS ng FROM t),
+         |df AS (SELECT ng, count(DISTINCT doc_id) AS df FROM occ GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |g AS (SELECT o.doc_id, count(*) AS n_ngrams,
+         |  CAST(sum(CASE WHEN f.df * 1000000 > $CommonNgramPpm * nd.n_docs
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+         |  FROM occ o JOIN df f USING (ng) CROSS JOIN nd GROUP BY 1)
+         |SELECT doc_id, n_ngrams, n_common,
+         |  CAST(n_common * 1000000 // n_ngrams AS BIGINT) AS common_ppm
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // 1-based positional match: ts[pos + i] must equal phrase term i
+    // (a position past the document end is NULL, never equal)
+    "x35_phrase_search" -> {
+      val conds = PhraseTerms.zipWithIndex.map { case (t, i) =>
+        val esc = t.replace("'", "''")
+        if (i == 0) s"ts[pos] = '$esc'" else s"ts[pos + $i] = '$esc'"
+      }.mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |p AS (SELECT doc_id, ts,
+         |  unnest(generate_series(1, len(ts))) AS pos FROM t),
+         |m AS (SELECT doc_id, pos FROM p WHERE $conds)
+         |SELECT doc_id, count(*) AS n_matches,
+         |  CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
+    }
   )
 }

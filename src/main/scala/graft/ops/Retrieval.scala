@@ -51,6 +51,45 @@ object Retrieval {
         col("tfidf"), col("rnk"))
   }
 
+  /** X35 — exact phrase search over a positional inverted index: find
+    * every document containing `phrase` as consecutive tokens, with the
+    * match count and first match position (1-based).
+    *
+    * The engine-side plan is the classic positional-postings
+    * intersection: posexplode yields (doc, pos, term) postings; the
+    * postings of phrase term 0 anchor the match, and each later term i
+    * joins on `(doc, anchor_pos + i)` — a chain of hash EQUI-joins (the
+    * position offset folds into the join key), never a nested-loop or a
+    * LIKE scan.
+    *
+    * Shape at 100 TB: each join input is one term's posting list — a
+    * `term = const` filter pushed to the postings scan, so rare terms
+    * broadcast and only common terms shuffle, on (doc, pos) keys that
+    * are unique per posting (no skew: a document contributes at most
+    * one row per position). In a persisted-index pipeline the postings
+    * table is the natural bucketed artifact (bucket by doc) and every
+    * join below is co-located.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val postings = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .select(col(idCol), col("pos").cast("bigint").as("pos"),
+        col("col").as("term"))
+    val anchor = postings.filter(col("term") === phrase.head)
+      .select(col(idCol), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        val next = postings.filter(col("term") === t)
+          .select(col(idCol), (col("pos") - i).as("pos"))
+        acc.join(next, Seq(idCol, "pos"))
+    }
+    matched.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("pos")) + 1L).as("first_pos"))
+  }
+
   /** BM25 ranked retrieval for a fixed term query (k1/b are the Okapi
     * defaults). Returns the `topK` documents by score (ties to the
     * lower id).

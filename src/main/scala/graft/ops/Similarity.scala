@@ -127,29 +127,43 @@ object Similarity {
     localKMeans(sample, nlist, iters = 10, seed = 42L)
       .map(_.map(x => math.floor(x * 1000).toInt))
 
+  /** Per-row array of struct(dist, list_id) against each quantized
+    * centroid literal; dist is the exact integer |q - qc|^2 (expanded
+    * form — the n2/|qc|^2 terms are precomputed, dot is the native
+    * DotLong loop).
+    */
+  private def centroidDistStructs(cents: Array[Array[Int]])(
+      q: Column, n2: Column): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(v => v.toLong * v).sum
+      struct(
+        (n2 - lit(2L) * dot(q, typedLit(c.toSeq)) + lit(c2)).as("dist"),
+        lit(i).as("list_id"))
+    }: _*)
+
+  /** Quantized corpus with its inverted-list id attached:
+    * `(idCol, q, n2, list_id)` — the row-local integer-exact argmin
+    * against the centroid literals (ties to the lower list id), shared
+    * by [[ivfTopK]]'s corpus side and [[SemDedup.semDedup]]'s clustering
+    * stage. A column you would persist at ingest in a real pipeline.
+    */
+  def assignLists(emb: DataFrame, idCol: String, vecCol: String,
+                  cents: Array[Array[Int]]): DataFrame =
+    prepared(emb, idCol, vecCol)
+      .withColumn("list_id",
+        array_min(centroidDistStructs(cents)(col("q"), col("n2")))
+          .getField("list_id"))
+
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
               trainSample: Int = 65536): DataFrame = {
     val qCents = trainCoarseCentroids(
       collectTrainingSample(emb, vecCol, trainSample), nlist)
     lastIvfCentroids = Some(qCents)
+    val distStructs = centroidDistStructs(qCents) _
 
-    // per-row struct(dist, list_id) against each quantized centroid
-    // literal; dist is the exact integer |q - qc|^2 (expanded form — the
-    // n2/|qc|^2 terms are precomputed, dot is the native DotLong loop)
-    def distStructs(q: Column, n2: Column): Column =
-      array(qCents.zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(v => v.toLong * v).sum
-        struct(
-          (n2 - lit(2L) * dot(q, typedLit(c.toSeq)) + lit(c2)).as("dist"),
-          lit(i).as("list_id"))
-      }: _*)
-
-    // corpus side: attach inverted-list id once (row-local argmin;
-    // array_min on struct(dist, list_id) breaks ties by list id)
-    val corpus = prepared(emb, idCol, vecCol)
-      .withColumn("list_id",
-        array_min(distStructs(col("q"), col("n2"))).getField("list_id"))
+    // corpus side: attach inverted-list id once
+    val corpus = assignLists(emb, idCol, vecCol, qCents)
 
     // query side: nprobe nearest centroids, row-local (sorted by
     // (dist, list_id), same ordering the old window form used)

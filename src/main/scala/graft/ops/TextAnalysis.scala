@@ -108,6 +108,43 @@ object TextAnalysis {
       .select(explode(col("hh")).as("h"))
       .select(col("h.token").as("token"), col("h.count").as("est_count"))
 
+  /** X34 — corpus-common n-gram share (the cross-document complement of
+    * [[repetition]]'s within-document gate): per document, what fraction
+    * of its n-gram occurrences are n-grams shared widely ACROSS the
+    * corpus. A high share marks template/boilerplate text (navigation
+    * chrome, license headers, scraped mirror content) that within-doc
+    * repetition cannot see because each document contains it only once.
+    *
+    * "Common" is relative — an n-gram is common when its document
+    * frequency exceeds `commonPpm` parts-per-million of the corpus doc
+    * count (`df * 1_000_000 > commonPpm * N`, exact integer comparison) —
+    * so the gate keeps its meaning as the corpus grows; an absolute df
+    * cutoff would go vacuous at 100× the data.
+    *
+    * Shape at 100 TB: document frequencies aggregate from DISTINCT
+    * (doc, n-gram) pairs (map-side-combined; the heavy duplicate
+    * occurrences never shuffle); the occurrence⨝df join keys on the
+    * n-gram — AQE broadcasts the df side while it is small and falls
+    * back to a shuffle join when the n-gram table outgrows that; the
+    * per-document roll-up aggregates (doc, 3×long) rows. The share is
+    * fixed-point ppm — exact integers end to end, no float seam.
+    */
+  def commonNgramShare(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, commonPpm: Long = 2000L): DataFrame = {
+    val sh = graft.functions.Shingles.shingles(split(col(textCol), " "), n)
+    val occ = docs.select(col(idCol), explode(sh).as("ng"))
+    val dfTab = occ.distinct()
+      .groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    occ.join(dfTab, "ng")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") * lit(1000000L) > lit(commonPpm) * col("n_docs"), 1L)
+          .otherwise(0L)).as("n_common"))
+      .withColumn("common_ppm", expr("n_common * 1000000 div n_ngrams"))
+  }
+
   /** Repetition quality gate (the Gopher/MassiveText-style filter): per
     * document, the share of its n-grams taken by the single most repeated
     * one (`top_ngram_ratio`) and the duplicate-n-gram share

@@ -191,4 +191,41 @@ class CurateSpec extends SparkSpec {
       assert(math.abs(a - n) / n < 0.1, s"$lang: exact=$n approx=$a")
     }
   }
+
+  test("chunk: overlapping windows tile the token stream, tail clamps") {
+    val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curate.chunk(docs, "doc_id", "text", size = 4, stride = 2)
+      .orderBy("chunk_idx")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 2L, 4L, "t2 t3 t4 t5"),
+      (2L, 4L, 4L, "t4 t5 t6 t7"),
+      (3L, 6L, 4L, "t6 t7 t8 t9"),
+      (4L, 8L, 2L, "t8 t9"))) // tail window is short, never empty
+  }
+
+  test("chunk: a doc shorter than one window yields exactly one chunk") {
+    val docs = Seq((1L, "only two")).toDF("doc_id", "text")
+    val got = Curate.chunk(docs, "doc_id", "text", size = 16, stride = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq === Seq((0L, 0L, 2L, "only two")))
+  }
+
+  test("chunk: stride == size gives a disjoint exact cover of every doc") {
+    val docs = Tables.documents(spark, sf)
+    val chunks = Curate.chunk(docs, "doc_id", "text", size = 8, stride = 8)
+    // disjoint cover: per doc, chunk token counts sum to the doc's count
+    // and consecutive starts differ by exactly the stride
+    val bad = chunks.groupBy("doc_id")
+      .agg(sum("n_tok").as("covered"), count(lit(1)).as("n_chunks"),
+        max("start_tok").as("last_start"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
+      .filter(col("covered") =!= col("n_tokens") ||
+        col("last_start") =!= (col("n_chunks") - 1) * 8)
+    assert(bad.count() === 0L)
+  }
 }

@@ -330,4 +330,48 @@ class OpsSpec extends SparkSpec {
       .select("doc_id", "en_score").as[(Long, Double)].collect().toMap
     assert(stats === lang)
   }
+
+  test("commonNgramShare: relative-df gate on a hand-checkable corpus") {
+    // 'x y z' appears in 3 of 4 docs (750000 ppm of the corpus); every
+    // other 3-gram is unique to its doc (250000 ppm)
+    val docs = Seq(
+      (1L, "x y z a b"), // 3-grams: 'x y z' (common), 'y z a', 'z a b'
+      (2L, "x y z"),     // 'x y z' only
+      (3L, "c x y z"),   // 'c x y', 'x y z'
+      (4L, "p q r s")    // 'p q r', 'q r s'
+    ).toDF("doc_id", "text")
+    // threshold 500000 ppm: common iff df*1e6 > 500000*4 ⟺ df > 2
+    val got = TextAnalysis.commonNgramShare(docs, "doc_id", "text",
+        n = 3, commonPpm = 500000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 1L, 333333L),
+      (2L, 1L, 1L, 1000000L),
+      (3L, 2L, 1L, 500000L),
+      (4L, 2L, 0L, 0L)))
+  }
+
+  test("commonNgramShare: repeated occurrences count once toward df " +
+      "but every occurrence counts toward the share") {
+    val docs = Seq(
+      (1L, "a b c a b c"), // 'a b c' twice in ONE doc
+      (2L, "a b c")
+    ).toDF("doc_id", "text")
+    // df('a b c') = 2 (distinct docs), not 3; threshold df > 1
+    val got = TextAnalysis.commonNgramShare(docs, "doc_id", "text",
+        n = 3, commonPpm = 500000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 has 4 3-grams ('a b c', 'b c a', 'c a b', 'a b c'): the two
+    // 'a b c' occurrences are both common
+    assert(got.toSeq === Seq((1L, 4L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("commonNgramShare: docs below n tokens produce no row") {
+    val docs = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.commonNgramShare(docs, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect()
+    assert(got.toSeq === Seq(2L))
+  }
 }

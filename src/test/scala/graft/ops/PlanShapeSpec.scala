@@ -146,4 +146,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"rank-1 not pushed below the exchange in:\n$plan")
   }
+
+  test("chunking is a pure scan-side generator: zero exchanges") {
+    val plan = physical(Curate.chunk(Tables.documents(spark, sf),
+      "doc_id", "text", size = 16, stride = 8))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert(plan.contains("Generate"), s"no generator in:\n$plan")
+  }
+
+  test("phrase search intersects postings via hash equi-joins, no nested loop") {
+    val plan = physical(Retrieval.phraseSearch(Tables.documents(spark, sf),
+      "doc_id", "text", Seq("value", "table", "part")))
+    assert(!plan.contains("NestedLoop"),
+      s"postings intersection degraded to a nested loop in:\n$plan")
+    assert(plan.contains("HashJoin"), s"no hash join in:\n$plan")
+  }
 }

@@ -50,6 +50,32 @@ class RetrievalSpec extends SparkSpec {
     assert(got.count() === 0L)
   }
 
+  test("phraseSearch finds all matches including overlapping ones") {
+    val docs = Seq(
+      (1L, "a a a a"),   // 'a a' matches at positions 1, 2, 3 (overlapping)
+      (2L, "b a a b"),   // one match at position 2
+      (3L, "a b a b")    // no 'a a'
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a", "a"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 3L, 1L), (2L, 1L, 2L)))
+  }
+
+  test("phraseSearch: a phrase straddling the document end never matches") {
+    val docs = Seq((1L, "x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("x", "y", "z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((2L, 1L, 1L))) // doc 1's 'x y' has no 'z' after
+  }
+
+  test("phraseSearch: single-term phrase degenerates to term lookup") {
+    val docs = Seq((1L, "q w q"), (2L, "w w")).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1L)))
+  }
+
   test("tf-idf ties within a document break by token, deterministically") {
     val docs = Seq((1L, "b c"), (2L, "b c")).toDF("doc_id", "text")
     // b and c both have df=2 → idf=0 → tfidf ties at 0.0 for both terms
