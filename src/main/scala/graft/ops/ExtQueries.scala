@@ -63,6 +63,10 @@ object ExtQueries {
   // X36 SemDeDup cosine threshold (permille); nlist reuses IvfPqNlist so
   // the session-cached coarse centroids serve both operators
   private val SemDedupTauPermille = 400L
+  // X37 distributed k-means rounds (iters assignment rounds, one
+  // centroid update between consecutive rounds — oracle unrolls them)
+  private val KMeansK = 8
+  private val KMeansIters = 2
 
   /** The MinHash-LSH near-dup pair stage, MATERIALIZED once per
     * (session, table dir) and shared by `x1_minhash_lsh` and
@@ -639,6 +643,28 @@ object ExtQueries {
       SemDedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
         nlist = IvfPqNlist, tauPermille = SemDedupTauPermille,
         centroids = Some(ivfPqTrained(s, dir)._1)).orderBy("vec_id")
+    }),
+
+    // X37 distributed Lloyd k-means — fixed-point exact, deterministic
+    // lowest-id init, so the oracle replays the rounds from data alone
+    "x37_kmeans" -> ((s, dir) => {
+      KMeansOp.fit(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = KMeansK, iters = KMeansIters).orderBy("vec_id")
+    }),
+
+    // X38 split-leakage audit — near-dup pairs (the session-cached LSH
+    // stage) that straddle a train/valid/test boundary: contamination a
+    // split-then-dedup pipeline would ship into evaluation
+    "x38_split_leakage" -> ((s, dir) => {
+      val splits = Curate.splitAssign(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
+        seed = SplitSeed).select(col("doc_id"), col("split"))
+      lshPairs(s, dir)
+        .join(splits.select(col("doc_id").as("d1"), col("split").as("split1")), "d1")
+        .join(splits.select(col("doc_id").as("d2"), col("split").as("split2")), "d2")
+        .filter(col("split1") =!= col("split2"))
+        .select("d1", "d2", "jac", "split1", "split2")
+        .orderBy("d1", "d2")
     })
   )
 
@@ -1553,6 +1579,72 @@ object ExtQueries {
          |SELECT doc_id, n_ngrams, n_common,
          |  CAST(n_common * 1000000 // n_ngrams AS BIGINT) AS common_ppm
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // the full Lloyd replay: lowest-id init, per-round argmin assignment
+    // (ties to the lower cluster), element-wise floor-div centroid
+    // update (empty cluster keeps its centroid via the LEFT JOIN), all
+    // in integer-exact arithmetic — no inlined literals at all
+    "x37_kmeans" -> {
+      def assignCte(centsCte: String, out: String, keepDist: Boolean) = {
+        val distCols = if (keepDist) ", dist" else ""
+        s"""d$out AS (SELECT e.vec_id, e.q, $centsCte.cl,
+           |  list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, $centsCte.cq)
+           |    + list_dot_product($centsCte.cq, $centsCte.cq) AS dist
+           |  FROM e CROSS JOIN $centsCte),
+           |a$out AS (SELECT vec_id, q, cl$distCols FROM (
+           |  SELECT vec_id, q, cl, dist,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+           |  FROM d$out) WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, q AS cq
+         |  FROM e ORDER BY vec_id LIMIT $KMeansK),
+         |${assignCte("c0", "1", keepDist = false)},
+         |u1 AS (SELECT cl, unnest(generate_series(1, len(q))) AS d, q FROM a1),
+         |s1 AS (SELECT cl, d, sum(q[d]) AS sv, count(*) AS n
+         |  FROM u1 GROUP BY 1, 2),
+         |m1 AS (SELECT cl, list(floor(sv / n) ORDER BY d) AS cq
+         |  FROM s1 GROUP BY cl),
+         |c1 AS (SELECT c0.cl, coalesce(m1.cq, c0.cq) AS cq
+         |  FROM c0 LEFT JOIN m1 ON m1.cl = c0.cl),
+         |${assignCte("c1", "2", keepDist = true)}
+         |SELECT vec_id, CAST(cl AS INTEGER) AS cluster,
+         |  CAST(dist AS BIGINT) AS dist
+         |FROM a2 ORDER BY vec_id""".stripMargin
+    },
+
+    // the LSH pair stage (identical CTEs to x1_minhash_lsh) joined to
+    // the split CASE on both endpoints; only boundary-crossing pairs out
+    "x38_split_leakage" -> {
+      val splitCase =
+        s"""CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
+           |         < '${Sample.threshold(SplitTrain)}' THEN 'train'
+           |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
+           |         < '${Sample.threshold(SplitTrain + SplitValid)}' THEN 'valid'
+           |       ELSE 'test' END""".stripMargin
+      s"""WITH $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2),
+         |p AS (SELECT d1, d2, jac FROM j WHERE jac >= $JaccardThreshold),
+         |sp AS (SELECT doc_id, $splitCase AS split FROM documents)
+         |SELECT p.d1, p.d2, p.jac, s1.split AS split1, s2.split AS split2
+         |FROM p JOIN sp s1 ON s1.doc_id = p.d1
+         |JOIN sp s2 ON s2.doc_id = p.d2
+         |WHERE s1.split <> s2.split
+         |ORDER BY d1, d2""".stripMargin
+    },
 
     // 1-based positional match: ts[pos + i] must equal phrase term i
     // (a position past the document end is NULL, never equal)

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X37 — DISTRIBUTED Lloyd k-means over an embedding column: the
+  * cluster-scale complement of [[Similarity.trainCoarseCentroids]]'
+  * driver-local trainer. The driver trainer is the right tool while a
+  * bounded sample represents the corpus; this is the right tool when it
+  * doesn't — every Lloyd round is a full corpus pass expressed as ONE
+  * map-side-combined aggregation (k×dim running sums), so the only data
+  * crossing the wire per round is k partial-sum rows per map task, and
+  * the only driver state is the k×dim centroid matrix itself.
+  *
+  * EXACT FIXED-POINT formulation (the [[Graph.pageRank]] discipline):
+  * vectors are floor(x*1000) ints, squared distances are exact integer
+  * arithmetic, and centroid updates are `floorDiv(Σ component, n)` —
+  * integer sums are addition-order-insensitive, so every round's
+  * centroids, every assignment (ties to the lower cluster id), and the
+  * final output are bit-identical in any engine. The DuckDB oracle
+  * replays the same rounds from the same deterministic init (the k
+  * lowest-id vectors) with NO inlined literals — the entire algorithm
+  * is reproducible from the data alone.
+  *
+  * Semantics: `iters` assignment rounds with a centroid update between
+  * consecutive rounds (`iters = 1` is pure nearest-seed assignment); a
+  * cluster that loses all members keeps its previous centroid. Returns
+  * (id, cluster, dist) of the final round, `dist` the exact integer
+  * |q - c|^2.
+  *
+  * Shape at 100 TB: per round, one scan + one k-group aggregation —
+  * no shuffle of the corpus itself, no window, no join; assignment is a
+  * row-local argmin against broadcast centroid literals exactly like
+  * [[Similarity.assignLists]]. Rounds are sequential by nature; the
+  * per-round driver collect is k rows.
+  */
+object KMeansOp {
+
+  def fit(emb: DataFrame, idCol: String, vecCol: String,
+          k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k/iters must be >= 1: $k/$iters")
+    val q = emb.select(col(idCol), Similarity.quantize(col(vecCol)).as("q"))
+    // deterministic init: the k lowest-id vectors (tiny bounded collect —
+    // the oracle reproduces it with ORDER BY id LIMIT k)
+    var cents: Array[Array[Int]] = q.orderBy(col(idCol)).limit(k).collect()
+      .map(_.getSeq[Int](1).toArray)
+    require(cents.length == k, s"corpus has fewer than k=$k rows")
+    val dim = cents(0).length
+
+    def assigned: DataFrame =
+      Similarity.assignLists(emb, idCol, vecCol, cents)
+
+    for (_ <- 1 until iters) {
+      // one map-side-combined aggregation: k rows of (count, dim sums)
+      val sums = assigned.groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(d =>
+            sum(element_at(col("q"), d + 1).cast("long")).as(s"s$d")): _*)
+        .collect()
+      val next = cents.map(_.clone()) // empty cluster keeps its centroid
+      sums.foreach { r =>
+        val cl = r.getInt(0)
+        val n = r.getLong(1)
+        next(cl) = Array.tabulate(dim)(d =>
+          Math.floorDiv(r.getLong(2 + d), n).toInt)
+      }
+      cents = next
+    }
+    assigned.select(col(idCol), col("list_id").as("cluster"),
+      // exact integer |q - c|^2 of the winning centroid, recomputed
+      // row-locally from the same argmin structs would re-plan the
+      // array; cheaper to take the min dist directly
+      array_min(distArray(cents)).getField("dist").as("dist"))
+  }
+
+  /** The same struct(dist, list_id) array [[Similarity.assignLists]]
+    * evaluates, rebuilt here so the final projection can also surface
+    * the winning distance (assignLists only keeps the id).
+    */
+  private def distArray(cents: Array[Array[Int]]) = {
+    val q = col("q")
+    val n2 = graft.functions.VectorOps.dot_long(q, q)
+    array(cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(v => v.toLong * v).sum
+      struct(
+        (n2 - lit(2L) * graft.functions.VectorOps.dot_long(q, typedLit(c.toSeq))
+          + lit(c2)).as("dist"),
+        lit(i).as("list_id"))
+    }: _*)
+  }
+}

@@ -214,6 +214,28 @@ class CurateSpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 0L, 2L, "only two")))
   }
 
+  test("split leakage audit flags exactly the boundary-crossing near-dup pairs") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numSigs = 16, rowsPerBand = 4, threshold = 0.8)
+    val splits = Curate.splitAssign(docs, "doc_id",
+        Seq("train" -> 0.8, "valid" -> 0.1), rest = "test", seed = "split")
+      .select(col("doc_id"), col("split"))
+    val leaked = pairs
+      .join(splits.select(col("doc_id").as("d1"), col("split").as("split1")), "d1")
+      .join(splits.select(col("doc_id").as("d2"), col("split").as("split2")), "d2")
+      .filter(col("split1") =!= col("split2"))
+    val all = pairs.count()
+    val crossing = leaked.count()
+    val same = pairs
+      .join(splits.select(col("doc_id").as("d1"), col("split").as("split1")), "d1")
+      .join(splits.select(col("doc_id").as("d2"), col("split").as("split2")), "d2")
+      .filter(col("split1") === col("split2")).count()
+    assert(crossing + same === all) // partition of the pair set
+    // flagged pairs really cross (re-checked row-wise)
+    assert(leaked.filter(col("split1") === col("split2")).count() === 0L)
+  }
+
   test("chunk: stride == size gives a disjoint exact cover of every doc") {
     val docs = Tables.documents(spark, sf)
     val chunks = Curate.chunk(docs, "doc_id", "text", size = 8, stride = 8)

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** X37 distributed k-means invariants beyond the DuckDB oracle:
+  * hand-computed Lloyd rounds, pure-assignment iters=1, empty-cluster
+  * centroid retention, and argmin tie-breaking to the lower cluster.
+  */
+class KMeansOpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(vecs: Seq[(Long, Seq[Float])], k: Int, iters: Int) =
+    KMeansOp.fit(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k, iters)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+  // quantized: 0.0 -> 0, 0.25 -> 250, 1.0 -> 1000, 1.25 -> 1250 (exact floats)
+  private val fourPoints = Seq(
+    0L -> Seq(0.0f, 0.0f),
+    1L -> Seq(1.0f, 0.0f),
+    2L -> Seq(0.25f, 0.0f),
+    3L -> Seq(1.25f, 0.0f))
+
+  test("two Lloyd rounds move the centroids to the hand-computed means") {
+    // init c0=(0,0), c1=(1000,0); round 1 assigns {0,2} / {1,3};
+    // update: c0=(125,0) (floor of 250/2), c1=(1125,0); round 2 keeps
+    // the partition with every point at dist 125^2 from its centroid
+    assert(run(fourPoints, k = 2, iters = 2) === Seq(
+      (0L, 0, 15625L), (1L, 1, 15625L), (2L, 0, 15625L), (3L, 1, 15625L)))
+  }
+
+  test("iters = 1 is pure nearest-seed assignment, no centroid update") {
+    assert(run(fourPoints, k = 2, iters = 1) === Seq(
+      (0L, 0, 0L), (1L, 1, 0L), (2L, 0, 62500L), (3L, 1, 62500L)))
+  }
+
+  test("an emptied cluster keeps its centroid; dist ties go to the lower cluster") {
+    // ids 0 and 1 coincide, so both init centroids are (0,0): every
+    // round-1 distance ties and cluster 0 takes everything; cluster 1
+    // keeps centroid (0,0) while c0 moves to floor(1000/3) = 333 —
+    // round 2 then reassigns the two origin points to cluster 1
+    val got = run(Seq(
+      0L -> Seq(0.0f, 0.0f),
+      1L -> Seq(0.0f, 0.0f),
+      2L -> Seq(1.0f, 0.0f)), k = 2, iters = 2)
+    assert(got === Seq((0L, 1, 0L), (1L, 1, 0L), (2L, 0, 444889L)))
+  }
+
+  test("fewer corpus rows than k fails loudly") {
+    intercept[IllegalArgumentException] {
+      run(Seq(0L -> Seq(0.0f, 0.0f)), k = 2, iters = 1)
+    }
+  }
+}
