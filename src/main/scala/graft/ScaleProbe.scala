@@ -50,6 +50,65 @@ object ScaleProbe {
       graft.ops.Dedup.exactDedup(ev10, "event_id", "props")
         .write.format("noop").mode("overwrite").save()
     }
+
+    // 10x documents (~50k docs) and embeddings (~20k vectors): the
+    // corpus-pass operators whose cost is NOT bounded by a dim table —
+    // watching for the nonlinear cliffs (n-gram join blow-up, cluster
+    // self-join skew, per-round k-means overhead)
+    val docs1 = Tables.documents(spark, "/root/testdata/sf0.1")
+    val docs10 = (0 until 10).map { k =>
+      docs1.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+    }.reduce(_ union _)
+    println("DOCS=" + t("docs-materialize")(docs10.count()))
+    t("common-ngrams-50k") {
+      graft.ops.TextAnalysis.commonNgramShare(docs10, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("chunking-50k") {
+      graft.ops.Curate.chunk(docs10, "doc_id", "text", 16, 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("phrase-search-50k") {
+      graft.ops.Retrieval.phraseSearch(docs10, "doc_id", "text",
+        Seq("value", "table", "part"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val emb1 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val emb10 = (0 until 10).map { k =>
+      emb1.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+    }.reduce(_ union _)
+    println("VECS=" + t("emb-materialize")(emb10.count()))
+    // nlist scales WITH the corpus (fixed target cluster size) — the
+    // published algorithm's own knob: holding nlist at the sf0.1 value
+    // while the corpus grows 10x grows per-cluster pair counts 100x.
+    // Training is timed apart (a once-per-corpus-version artifact).
+    val sample = t("semdedup-train-sample") {
+      graft.ops.Similarity.collectTrainingSample(emb10, "embedding")
+    }
+    val c64 = t("semdedup-train-64") {
+      graft.ops.Similarity.trainCoarseCentroids(sample, 64)
+    }
+    val c8 = t("semdedup-train-8") {
+      graft.ops.Similarity.trainCoarseCentroids(sample, 8)
+    }
+    t("semdedup-assign-only-64") {
+      graft.ops.Similarity.assignLists(emb10, "vec_id", "embedding", c64)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("semdedup-20k-nlist64") {
+      graft.ops.SemDedup.semDedup(emb10, "vec_id", "embedding",
+        nlist = 64, tauPermille = 400L, centroids = Some(c64))
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("semdedup-20k-nlist8-quadratic") {
+      graft.ops.SemDedup.semDedup(emb10, "vec_id", "embedding",
+        nlist = 8, tauPermille = 400L, centroids = Some(c8))
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("kmeans-20k-2rounds") {
+      graft.ops.KMeansOp.fit(emb10, "vec_id", "embedding", k = 8, iters = 2)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

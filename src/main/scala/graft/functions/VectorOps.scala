@@ -195,6 +195,71 @@ case class PqTable(child: Expression, codebook: Array[Array[Array[Int]]])
     copy(child = newChild)
 }
 
+/** Native inverted-list assignment: nearest centroid of a quantized
+  * vector as `struct(list_id int, dist long)`, dist the exact integer
+  * |q - c|^2, ties to the lower list id.
+  *
+  * The declarative twin — `array_min` over an `array(...)` of nlist
+  * struct builds each holding a [[DotLong]] — is semantically identical
+  * but its expression tree grows linearly with nlist: at nlist = 64 the
+  * generated method blows past JIT budgets and the per-row cost goes
+  * catastrophic (measured 3.8 s to assign 20k rows; this expression does
+  * the same work in one fused loop at a small fraction of that). The
+  * assignment step is the scan-side hot path of IVF, SemDeDup, and
+  * distributed k-means, and it runs once per corpus row — at 100 TB it
+  * must be a tight loop, not a tree.
+  *
+  * The centroid matrix rides along as a reference object (driver-held,
+  * a few KB) like [[PqEncode]]'s codebook; |c|^2 terms are precomputed.
+  */
+case class CentroidArgmin(child: Expression, cents: Array[Array[Int]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("list_id", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("dist", LongType, nullable = false)))
+  override def prettyName: String = "centroid_argmin"
+
+  @transient private lazy val c2: Array[Long] =
+    cents.map(_.map(v => v.toLong * v).sum)
+
+  def argmin(q: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = cents(0).length
+    require(q.numElements() == dim,
+      s"vector dim ${q.numElements()} != centroid dim $dim")
+    var n2 = 0L
+    var i = 0
+    while (i < dim) { val v = q.getInt(i).toLong; n2 += v * v; i += 1 }
+    var best = 0
+    var bestDist = Long.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var dot = 0L
+      var k = 0
+      while (k < dim) { dot += q.getInt(k).toLong * c(k); k += 1 }
+      val dist = n2 - 2L * dot + c2(j)
+      // strict < keeps the FIRST minimum: ties go to the lower list id
+      if (dist < bestDist) { bestDist = dist; best = j }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestDist)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    argmin(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidArgmin", this,
+      classOf[CentroidArgmin].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.argmin($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native residual: `q - cents(listId)` over quantized ints — the
   * IVF-PQ encoding step. The centroid index arrives as a COLUMN (each
   * row subtracts its own list's centroid), which a static literal
@@ -249,4 +314,10 @@ object VectorOps {
   /** pq_table(q, codebook): flat ADC inner-product lookup table. */
   def pq_table(q: Column, codebook: Array[Array[Array[Int]]]): Column =
     GraftBridge.column(PqTable(GraftBridge.expression(q), codebook))
+
+  /** centroid_argmin(q, cents): struct(list_id, dist) of the nearest
+    * centroid — one fused loop instead of an nlist-wide struct array.
+    */
+  def centroid_argmin(q: Column, cents: Array[Array[Int]]): Column =
+    GraftBridge.column(CentroidArgmin(GraftBridge.expression(q), cents))
 }

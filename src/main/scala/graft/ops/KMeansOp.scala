@@ -66,26 +66,10 @@ object KMeansOp {
       }
       cents = next
     }
+    // the final projection surfaces the winning distance too: one fused
+    // native argmin evaluation yields both fields
+    val am = graft.functions.VectorOps.centroid_argmin(col("q"), cents)
     assigned.select(col(idCol), col("list_id").as("cluster"),
-      // exact integer |q - c|^2 of the winning centroid, recomputed
-      // row-locally from the same argmin structs would re-plan the
-      // array; cheaper to take the min dist directly
-      array_min(distArray(cents)).getField("dist").as("dist"))
-  }
-
-  /** The same struct(dist, list_id) array [[Similarity.assignLists]]
-    * evaluates, rebuilt here so the final projection can also surface
-    * the winning distance (assignLists only keeps the id).
-    */
-  private def distArray(cents: Array[Array[Int]]) = {
-    val q = col("q")
-    val n2 = graft.functions.VectorOps.dot_long(q, q)
-    array(cents.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(v => v.toLong * v).sum
-      struct(
-        (n2 - lit(2L) * graft.functions.VectorOps.dot_long(q, typedLit(c.toSeq))
-          + lit(c2)).as("dist"),
-        lit(i).as("list_id"))
-    }: _*)
+      am.getField("dist").as("dist"))
   }
 }

@@ -23,10 +23,16 @@ import org.apache.spark.sql.types.DecimalType
   * Everything after centroid training is integer-exact and therefore
   * oracle-checkable: list assignment is the same expanded |q-c|^2 argmin
   * as [[Similarity.ivfTopK]], and the cosine gate `cos(a,b) > tau` is
-  * evaluated as `dot > 0 AND dot^2 * 10^6 > tau_pm^2 * n2a * n2b` in
-  * DECIMAL(38) arithmetic — no sqrt, no float seam (dot^2 * 10^6
-  * overflows BIGINT at embedding dim 64, hence decimal; DuckDB mirrors
-  * with HUGEINT).
+  * evaluated as `dot > 0 AND dot^2 * 10^6 > tau_pm^2 * n2a * n2b` —
+  * no sqrt, no float seam. The ratio tau_pm^2/10^6 is gcd-reduced and
+  * the gate runs in pure LONG arithmetic whenever both row norms sit
+  * under a precomputed cap (Cauchy-Schwarz bounds dot^2 by n2a*n2b, so
+  * the cap rules out overflow); DECIMAL(38) is the exact fallback for
+  * extreme-norm rows only. Per-pair cost matters more here than
+  * anywhere — the pair count IS the operator's cost center — and
+  * decimal ops are ~20x a long compare (BigDecimal objects inside
+  * codegen). DuckDB mirrors the unreduced comparison in HUGEINT
+  * (equivalent: both sides scale by the same positive gcd).
   *
   * Output: every input id with its cluster, the number of more-canonical
   * in-cluster duplicates, and the keep flag — the SemDeDup keep-set is
@@ -54,13 +60,29 @@ object SemDedup {
 
     val dec = DecimalType(38, 0)
     val a = assigned.select(col("list_id"), col(idCol).as("id_a"),
-      col("q").as("qa"), col("n2").cast(dec).as("n2a"))
+      col("q").as("qa"), col("n2").as("n2a"))
     val b = assigned.select(col("list_id"), col(idCol).as("id_b"),
-      col("q").as("qb"), col("n2").cast(dec).as("n2b"))
+      col("q").as("qb"), col("n2").as("n2b"))
     val d = Similarity.dot(col("qa"), col("qb"))
+    // gcd-reduce tau_pm^2 / 10^6 so the gate usually runs in pure LONG
+    // arithmetic: with num/den reduced, Cauchy-Schwarz gives
+    // dot^2 <= n2a*n2b, so whenever n2a, n2b <= L with
+    // L = sqrt(Long.Max / max(num, den)) every product below fits a
+    // long. Decimal (exact but ~20x slower per pair — BigDecimal objects
+    // inside codegen) is only the fallback for extreme-norm vectors; on
+    // unit-ish embeddings quantized at 10^3 the fast path always takes.
+    val g = BigInt(tauPermille * tauPermille).gcd(BigInt(1000000L)).toLong
+    val num = tauPermille * tauPermille / g
+    val den = 1000000L / g
+    val normCap = math.sqrt(Long.MaxValue.toDouble / math.max(num, den)).toLong - 1
+    val longGate =
+      d * d * lit(den) > lit(num) * col("n2a") * col("n2b")
+    val decGate =
+      d.cast(dec) * d.cast(dec) * lit(den).cast(dec) >
+        lit(num).cast(dec) * col("n2a").cast(dec) * col("n2b").cast(dec)
     val overTau = d > lit(0L) &&
-      d.cast(dec) * d.cast(dec) * lit(1000000L).cast(dec) >
-        lit(tauPermille * tauPermille).cast(dec) * col("n2a") * col("n2b")
+      when(col("n2a") <= normCap && col("n2b") <= normCap, longGate)
+        .otherwise(decGate)
     val dups = a.join(b, Seq("list_id"))
       .filter(col("id_b") < col("id_a") && overTau)
       .groupBy(col("id_a").as(idCol))

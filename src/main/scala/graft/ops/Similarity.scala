@@ -143,15 +143,18 @@ object Similarity {
 
   /** Quantized corpus with its inverted-list id attached:
     * `(idCol, q, n2, list_id)` — the row-local integer-exact argmin
-    * against the centroid literals (ties to the lower list id), shared
-    * by [[ivfTopK]]'s corpus side and [[SemDedup.semDedup]]'s clustering
-    * stage. A column you would persist at ingest in a real pipeline.
+    * against the centroids (ties to the lower list id), shared by
+    * [[ivfTopK]]'s corpus side, [[SemDedup.semDedup]]'s clustering
+    * stage, and [[KMeansOp]]'s rounds. A column you would persist at
+    * ingest in a real pipeline. Runs the native fused-loop
+    * [[graft.functions.CentroidArgmin]] — the struct-array twin goes
+    * quadratic in codegen size with nlist.
     */
   def assignLists(emb: DataFrame, idCol: String, vecCol: String,
                   cents: Array[Array[Int]]): DataFrame =
     prepared(emb, idCol, vecCol)
       .withColumn("list_id",
-        array_min(centroidDistStructs(cents)(col("q"), col("n2")))
+        graft.functions.VectorOps.centroid_argmin(col("q"), cents)
           .getField("list_id"))
 
   def ivfTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
