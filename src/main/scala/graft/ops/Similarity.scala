@@ -342,8 +342,9 @@ object Similarity {
     lastIvfPq = Some((coarse, cb))
     val vo = graft.functions.VectorOps
 
-    // coarse distance structs (same declarative argmin as ivfTopK —
-    // nlist is small, the tree stays tiny)
+    // coarse distance structs for the PROBE side (nprobe sorted slice
+    // needs the whole array; the query set is tiny so the declarative
+    // tree is fine there)
     def distStructs(q: Column, n2: Column): Column =
       array(coarse.zipWithIndex.map { case (c, i) =>
         val c2 = c.map(v => v.toLong * v).sum
@@ -357,9 +358,8 @@ object Similarity {
 
     // corpus: one list id + numSub residual codes per row — the
     // compressed inverted-file layout you would persist at ingest
-    val corpus = prepared(emb, idCol, vecCol)
-      .withColumn("list_id",
-        array_min(distStructs(col("q"), col("n2"))).getField("list_id"))
+    // (native fused-loop assignment: this runs once per corpus row)
+    val corpus = assignLists(emb, idCol, vecCol, coarse)
       .withColumn("codes",
         vo.pq_encode(vo.vec_sub_centroid(col("q"), col("list_id"), coarse), cb))
       .select(col(idCol), col("list_id"), col("codes"))
