@@ -56,4 +56,54 @@ class VectorOpsSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Seq[String])].collect()
     assert(hof.toSeq === native.toSeq)
   }
+
+  test("centroid_argmin matches the declarative struct-array argmin on real data") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents: Array[Array[Int]] = emb.orderBy("vec_id").limit(7).collect()
+      .map(_.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toInt).toArray)
+    val q = transform($"embedding", x => floor(x.cast("double") * 1000).cast("int"))
+    val base = emb.select($"vec_id", q.as("q"))
+      .withColumn("n2", VectorOps.dot_long($"q", $"q"))
+    // declarative twin: array_min over struct(dist, list_id) literals
+    val structs = array(cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(v => v.toLong * v).sum
+      struct(
+        ($"n2" - lit(2L) * VectorOps.dot_long($"q", typedLit(c.toSeq)) + lit(c2))
+          .as("dist"),
+        lit(i).as("list_id"))
+    }: _*)
+    val declarative = base.select($"vec_id",
+        array_min(structs).getField("list_id").as("cl"),
+        array_min(structs).getField("dist").as("dist"))
+      .orderBy("vec_id").as[(Long, Int, Long)].collect()
+    val native = base.select($"vec_id",
+        VectorOps.centroid_argmin($"q", cents).getField("list_id").as("cl"),
+        VectorOps.centroid_argmin($"q", cents).getField("dist").as("dist"))
+      .orderBy("vec_id").as[(Long, Int, Long)].collect()
+    assert(declarative.toSeq === native.toSeq)
+  }
+
+  test("centroid_argmin breaks distance ties toward the lower list id") {
+    val df = Seq((1L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = transform($"embedding", x => floor(x.cast("double") * 1000).cast("int"))
+    // duplicate centroids: identical distances, first index must win
+    val cents = Array(Array(0, 0), Array(0, 0), Array(1000, 1000))
+    val got = df.select(
+        VectorOps.centroid_argmin(q, cents).getField("list_id")).head().getInt(0)
+    assert(got === 2) // exact match beats the duplicates...
+    val tied = Array(Array(500, 500), Array(500, 500))
+    val got2 = df.select(
+        VectorOps.centroid_argmin(q, tied).getField("list_id")).head().getInt(0)
+    assert(got2 === 0) // ...and a true tie resolves to the lower id
+  }
+
+  test("centroid_argmin rejects a dimension mismatch loudly") {
+    val df = Seq((1L, Seq(1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = transform($"embedding", x => floor(x.cast("double") * 1000).cast("int"))
+    val ex = intercept[Exception] {
+      df.select(VectorOps.centroid_argmin(q, Array(Array(0, 0)))).collect()
+    }
+    assert(ex.getMessage.contains("centroid dim") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("centroid dim"))
+  }
 }
