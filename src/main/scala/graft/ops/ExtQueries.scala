@@ -67,6 +67,9 @@ object ExtQueries {
   // centroid update between consecutive rounds — oracle unrolls them)
   private val KMeansK = 8
   private val KMeansIters = 2
+  // X39 feature-hashing dimension + seed (shared with the oracle SQL)
+  private val FeatureHashDim = 64
+  private val FeatureHashSeed = "fh"
 
   /** The MinHash-LSH near-dup pair stage, MATERIALIZED once per
     * (session, table dir) and shared by `x1_minhash_lsh` and
@@ -650,6 +653,14 @@ object ExtQueries {
     "x37_kmeans" -> ((s, dir) => {
       KMeansOp.fit(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = KMeansK, iters = KMeansIters).orderBy("vec_id")
+    }),
+
+    // X39 feature hashing — sparse fixed-dim document vectors with no
+    // vocabulary pass; one explode + one (doc, bucket) aggregation
+    "x39_feature_hash" -> ((s, dir) => {
+      TextAnalysis.featureHash(Tables.documents(s, dir), "doc_id", "text",
+        dim = FeatureHashDim, seed = FeatureHashSeed)
+        .orderBy("doc_id", "bucket")
     }),
 
     // X38 split-leakage audit — near-dup pairs (the session-cached LSH
@@ -1645,6 +1656,22 @@ object ExtQueries {
          |WHERE s1.split <> s2.split
          |ORDER BY d1, d2""".stripMargin
     },
+
+    // identical md5-prefix bucket/sign hashes; HAVING drops cancelled
+    // buckets like the Spark-side filter
+    "x39_feature_hash" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ('0x' || substring(md5('$FeatureHashSeed|' || token), 1, 8))::BIGINT
+         |    % $FeatureHashDim AS bucket,
+         |  CAST(sum(CASE WHEN
+         |    ('0x' || substring(md5('${FeatureHashSeed}s|' || token), 1, 1))::INTEGER
+         |      % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+         |FROM t GROUP BY 1, 2 HAVING sum(CASE WHEN
+         |    ('0x' || substring(md5('${FeatureHashSeed}s|' || token), 1, 1))::INTEGER
+         |      % 2 = 0 THEN 1 ELSE -1 END) != 0
+         |ORDER BY doc_id, bucket""".stripMargin,
 
     // 1-based positional match: ts[pos + i] must equal phrase term i
     // (a position past the document end is NULL, never equal)

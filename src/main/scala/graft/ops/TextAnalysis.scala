@@ -145,6 +145,43 @@ object TextAnalysis {
       .withColumn("common_ppm", expr("n_common * 1000000 div n_ngrams"))
   }
 
+  /** X39 — feature hashing (the hashing trick; Weinberger et al. 2009):
+    * sparse document vectors of fixed dimension with NO vocabulary pass —
+    * each token hashes to a bucket, a second hash picks ±1, and the
+    * bucket weight is the signed occurrence sum. The featurizer behind
+    * scalable linear quality classifiers: stateless, so train- and
+    * inference-time features can never drift, and new tokens need no
+    * vocabulary rebuild.
+    *
+    * Output is the SPARSE long form (id, bucket, weight), weight-0
+    * buckets (sign cancellations) dropped — the layout you persist and
+    * feed to a sparse learner; densify with a pivot when needed.
+    *
+    * Shape at 100 TB: one narrow explode, then ONE map-side-combined
+    * aggregation on (doc, bucket) — at most min(n_tokens, dim) rows per
+    * document reach the shuffle. Hashes are md5 prefixes, bit-identical
+    * in any engine (the [[Sample]] discipline), so the whole matrix is
+    * oracle-checkable.
+    */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+                  dim: Int, seed: String = "fh"): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+    // bucket: first 8 md5 hex chars of (seed|token) mod dim (non-negative)
+    val bucket = pmod(
+      conv(substring(md5(concat(lit(s"$seed|"), col("token"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(dim.toLong))
+    // sign: parity of the first hex digit of a second hash (seed's|token)
+    val sign = when(
+      conv(substring(md5(concat(lit(s"${seed}s|"), col("token"))), 1, 1), 16, 10)
+        .cast("int") % 2 === 0, 1L).otherwise(-1L)
+    tok.select(col(idCol), bucket.as("bucket"), sign.as("w"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("w")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
+
   /** Repetition quality gate (the Gopher/MassiveText-style filter): per
     * document, the share of its n-grams taken by the single most repeated
     * one (`top_ngram_ratio`) and the duplicate-n-gram share

@@ -368,6 +368,30 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 4L, 2L), (2L, 1L, 1L)))
   }
 
+  test("featureHash: stateless (per-doc features independent of corpus), " +
+      "buckets bounded, repeated tokens accumulate") {
+    val docs = Seq((1L, "a b c a"), (2L, "x y")).toDF("doc_id", "text")
+    val together = TextAnalysis.featureHash(docs, "doc_id", "text", dim = 16)
+      .orderBy("doc_id", "bucket")
+      .as[(Long, Long, Long)].collect().toSeq
+    // the no-drift property: hashing doc 1 alone yields identical features
+    val alone = TextAnalysis.featureHash(
+        docs.filter($"doc_id" === 1L), "doc_id", "text", dim = 16)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
+    assert(together.filter(_._1 == 1L) === alone)
+    assert(together.forall(r => r._2 >= 0 && r._2 < 16))
+    assert(together.forall(_._3 != 0L))
+    // 'a' occurs twice: some bucket of doc 1 carries |weight| = 2 (unless
+    // b or c shares its bucket with an opposite sign — dim 16 on three
+    // distinct tokens makes same-bucket collision possible but the total
+    // signed mass is always conserved)
+    assert(together.filter(_._1 == 1L).map(_._3.abs).sum <= 4L)
+    val singleTok = TextAnalysis.featureHash(
+        Seq((9L, "z z z")).toDF("doc_id", "text"), "doc_id", "text", dim = 16)
+      .as[(Long, Long, Long)].collect()
+    assert(singleTok.length === 1 && singleTok.head._3.abs === 3L)
+  }
+
   test("commonNgramShare: docs below n tokens produce no row") {
     val docs = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
     val got = TextAnalysis.commonNgramShare(docs, "doc_id", "text", n = 3)
