@@ -113,6 +113,11 @@ object Curate {
   def chunk(docs: DataFrame, idCol: String, textCol: String,
             size: Int, stride: Int): DataFrame = {
     require(size >= 1 && stride >= 1, s"size/stride must be >= 1: $size/$stride")
+    // stride > size would leave every (stride - size)-token gap in NO
+    // chunk — silent corpus loss for the documented encoder-feeding use,
+    // and the classic symptom of transposed positional arguments
+    require(stride <= size,
+      s"stride $stride > size $size would drop tokens between windows")
     val toks = split(col(textCol), " ")
     docs
       .select(col(idCol), toks.as("__ts"))

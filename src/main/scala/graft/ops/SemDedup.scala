@@ -52,11 +52,32 @@ object SemDedup {
                trainSample: Int = 65536): DataFrame = {
     require(tauPermille >= 0 && tauPermille <= 1000,
       s"tauPermille must be in [0, 1000]: $tauPermille")
+    require(centroids.forall(_.length == nlist),
+      s"centroids.length ${centroids.map(_.length).getOrElse(-1)} != nlist " +
+        s"$nlist — the supplied quantizer must match the requested cluster " +
+        "count (cluster size bounds the quadratic pair stage)")
     val cents = centroids.getOrElse(
       Similarity.trainCoarseCentroids(
         Similarity.collectTrainingSample(emb, vecCol, trainSample), nlist))
     lastCentroids = Some(cents)
-    val assigned = Similarity.assignLists(emb, idCol, vecCol, cents)
+    // loud validity gate on the integer domain: DotLong accumulates in
+    // LONG, so a row whose components could overflow the n2 sum would
+    // poison every comparison downstream SILENTLY (a wrapped n2 can look
+    // small and take the fast path). max|q_i|^2 * dim <= Long.Max rules
+    // that out, and Cauchy-Schwarz then bounds every pair dot by the row
+    // norms. Rows beyond the bound fail the query with a message, never
+    // misclassify — |quantized| up to ~1.2e8 (raw |x| ~ 120k) passes.
+    val maxAbs = array_max(transform(col("q"), x => abs(x.cast("long"))))
+    val compOk = maxAbs * maxAbs <=
+      expr(s"${Long.MaxValue}L div size(q)")
+    val checked = Similarity.assignLists(emb, idCol, vecCol, cents)
+      .withColumn("n2",
+        when(assert_true(compOk,
+          concat(lit(s"semDedup: |quantized component| too large for exact " +
+            s"long arithmetic in $vecCol of row "),
+            col(idCol).cast("string"))).isNull,
+          col("n2")))
+    val assigned = checked
 
     val dec = DecimalType(38, 0)
     val a = assigned.select(col("list_id"), col(idCol).as("id_a"),
@@ -69,12 +90,19 @@ object SemDedup {
     // dot^2 <= n2a*n2b, so whenever n2a, n2b <= L with
     // L = sqrt(Long.Max / max(num, den)) every product below fits a
     // long. Decimal (exact but ~20x slower per pair — BigDecimal objects
-    // inside codegen) is only the fallback for extreme-norm vectors; on
+    // inside codegen) is the fallback for extreme-norm vectors; on
     // unit-ish embeddings quantized at 10^3 the fast path always takes.
+    // The decimal triple products themselves fit DECIMAL(38) only below
+    // decCap ~ 1e16 — beyond THAT the row errors out loudly (a decimal
+    // overflow would return null and silently drop the pair instead).
     val g = BigInt(tauPermille * tauPermille).gcd(BigInt(1000000L)).toLong
     val num = tauPermille * tauPermille / g
     val den = 1000000L / g
     val normCap = math.sqrt(Long.MaxValue.toDouble / math.max(num, den)).toLong - 1
+    // num*n2a*n2b and d^2*den must stay under 10^38 (Decimal(38,0)):
+    // with n2a, n2b <= decCap both are <= max(num, den) * decCap^2
+    val decCap =
+      (math.sqrt(1e38 / math.max(num, den).toDouble) * 0.999999).toLong
     val longGate =
       d * d * lit(den) > lit(num) * col("n2a") * col("n2b")
     val decGate =
@@ -82,7 +110,10 @@ object SemDedup {
         lit(num).cast(dec) * col("n2a").cast(dec) * col("n2b").cast(dec)
     val overTau = d > lit(0L) &&
       when(col("n2a") <= normCap && col("n2b") <= normCap, longGate)
-        .otherwise(decGate)
+        .when(assert_true(col("n2a") <= decCap && col("n2b") <= decCap,
+          lit(s"semDedup: row norm exceeds the exact DECIMAL(38) range " +
+            s"($decCap); quantized norms this large are not supported"))
+          .isNull, decGate)
     val dups = a.join(b, Seq("list_id"))
       .filter(col("id_b") < col("id_a") && overTau)
       .groupBy(col("id_a").as(idCol))

@@ -207,6 +207,13 @@ class CurateSpec extends SparkSpec {
       (4L, 8L, 2L, "t8 t9"))) // tail window is short, never empty
   }
 
+  test("chunk: stride > size is rejected (silent token gaps)") {
+    intercept[IllegalArgumentException] {
+      Curate.chunk(Seq((1L, "a b c")).toDF("doc_id", "text"),
+        "doc_id", "text", size = 8, stride = 16)
+    }
+  }
+
   test("chunk: a doc shorter than one window yields exactly one chunk") {
     val docs = Seq((1L, "only two")).toDF("doc_id", "text")
     val got = Curate.chunk(docs, "doc_id", "text", size = 16, stride = 8)

@@ -46,6 +46,16 @@ class SemDedupSpec extends SparkSpec {
     assert(got === Seq((1L, 0, 0L, 1), (2L, 1, 0L, 1), (3L, 0, 1L, 0)))
   }
 
+  test("supplied centroids must match nlist") {
+    intercept[IllegalArgumentException] {
+      run(Seq(1L -> Seq(1.0f, 0.0f)),
+        cents = Array(Array(0, 0)), tauPermille = 0L) // ok: nlist 1 == 1
+      SemDedup.semDedup(Seq(1L -> Seq(1.0f, 0.0f)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nlist = 64, tauPermille = 0L,
+        centroids = Some(Array(Array(0, 0))))
+    }
+  }
+
   test("single-cluster semDedup equals a BigInt brute-force reference") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dim = emb.select("embedding").head().getSeq[Float](0).length
