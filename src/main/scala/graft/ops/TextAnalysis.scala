@@ -121,27 +121,30 @@ object TextAnalysis {
     * so the gate keeps its meaning as the corpus grows; an absolute df
     * cutoff would go vacuous at 100× the data.
     *
-    * Shape at 100 TB: document frequencies aggregate from DISTINCT
-    * (doc, n-gram) pairs (map-side-combined; the heavy duplicate
-    * occurrences never shuffle); the occurrence⨝df join keys on the
-    * n-gram — AQE broadcasts the df side while it is small and falls
-    * back to a shuffle join when the n-gram table outgrows that; the
+    * Shape at 100 TB: ONE corpus scan — per-(doc, n-gram) occurrence
+    * counts aggregate with map-side combine, document frequencies
+    * DERIVE from that table (the [[Retrieval.tfIdfTopTerms]] trick: df
+    * is a second aggregation of tf, not a second scan), and the
+    * count⨝df join carries one row per DISTINCT (doc, n-gram) pair —
+    * the duplicate-heavy occurrence stream never shuffles and never
+    * joins. AQE broadcasts the df side while it is small and falls back
+    * to a shuffle join when the n-gram table outgrows that; the
     * per-document roll-up aggregates (doc, 3×long) rows. The share is
     * fixed-point ppm — exact integers end to end, no float seam.
     */
   def commonNgramShare(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, commonPpm: Long = 2000L): DataFrame = {
     val sh = graft.functions.Shingles.shingles(split(col(textCol), " "), n)
-    val occ = docs.select(col(idCol), explode(sh).as("ng"))
-    val dfTab = occ.distinct()
-      .groupBy(col("ng")).agg(count(lit(1)).as("df"))
+    val pairCounts = docs.select(col(idCol), explode(sh).as("ng"))
+      .groupBy(col(idCol), col("ng")).agg(count(lit(1)).as("c"))
+    val dfTab = pairCounts.groupBy(col("ng")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    occ.join(dfTab, "ng")
+    pairCounts.join(dfTab, "ng")
       .crossJoin(broadcast(nDocs))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_ngrams"),
-        sum(when(col("df") * lit(1000000L) > lit(commonPpm) * col("n_docs"), 1L)
-          .otherwise(0L)).as("n_common"))
+      .agg(sum(col("c")).as("n_ngrams"),
+        sum(when(col("df") * lit(1000000L) > lit(commonPpm) * col("n_docs"),
+          col("c")).otherwise(0L)).as("n_common"))
       .withColumn("common_ppm", expr("n_common * 1000000 div n_ngrams"))
   }
 
