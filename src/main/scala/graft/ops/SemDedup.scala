@@ -46,12 +46,29 @@ object SemDedup {
     */
   @volatile private[graft] var lastCentroids: Option[Array[Array[Int]]] = None
 
+  /** `maxClusterRows`: when set, clusters above the cap run their
+    * self-join BLOCKED — members split into m = ceil(size/cap)
+    * sub-shards by an id hash, every row replicates to the m shard
+    * pairs containing its shard, and the join keys on (cluster, shard
+    * pair). A row carries every key containing its shard, so a raw key
+    * match alone would count same-shard pairs m times; the post-join
+    * `{sa, sb} == {lo, hi}` filter keeps exactly the one key that IS
+    * the pair's own shard set, making every pair count once — the
+    * equality-with-unblocked property is spec-pinned (and the spec
+    * caught precisely this double-count in review). Cost: m-fold
+    * replication of oversized-cluster rows buys join partitions bounded
+    * by ~2·cap rows — the standard triangle-block trade when a skewed
+    * cluster would otherwise be one giant task.
+    */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                nlist: Int, tauPermille: Long,
                centroids: Option[Array[Array[Int]]] = None,
-               trainSample: Int = 65536): DataFrame = {
+               trainSample: Int = 65536,
+               maxClusterRows: Option[Int] = None): DataFrame = {
     require(tauPermille >= 0 && tauPermille <= 1000,
       s"tauPermille must be in [0, 1000]: $tauPermille")
+    require(maxClusterRows.forall(_ >= 1),
+      s"maxClusterRows must be >= 1: $maxClusterRows")
     require(centroids.forall(_.length == nlist),
       s"centroids.length ${centroids.map(_.length).getOrElse(-1)} != nlist " +
         s"$nlist — the supplied quantizer must match the requested cluster " +
@@ -80,10 +97,30 @@ object SemDedup {
     val assigned = checked
 
     val dec = DecimalType(38, 0)
-    val a = assigned.select(col("list_id"), col(idCol).as("id_a"),
-      col("q").as("qa"), col("n2").as("n2a"))
-    val b = assigned.select(col("list_id"), col(idCol).as("id_b"),
-      col("q").as("qb"), col("n2").as("n2b"))
+    val (aSide, bSide, pairKeys) = maxClusterRows match {
+      case None =>
+        (assigned.select(col("list_id"), col(idCol).as("id_a"),
+           col("q").as("qa"), col("n2").as("n2a")),
+         assigned.select(col("list_id"), col(idCol).as("id_b"),
+           col("q").as("qb"), col("n2").as("n2b")),
+         Seq("list_id"))
+      case Some(cap) =>
+        val sizes = assigned.groupBy(col("list_id"))
+          .agg(count(lit(1)).as("__n"))
+        val sharded = assigned.join(broadcast(sizes), "list_id")
+          .withColumn("__m", expr(s"cast((__n + ${cap - 1}) div $cap as int)"))
+          .withColumn("__s", pmod(xxhash64(col(idCol)), col("__m")).cast("int"))
+          .withColumn("__t", explode(sequence(lit(0), col("__m") - 1)))
+          .withColumn("__lo", least(col("__s"), col("__t")))
+          .withColumn("__hi", greatest(col("__s"), col("__t")))
+        (sharded.select(col("list_id"), col("__lo"), col("__hi"),
+           col("__s").as("__sa"),
+           col(idCol).as("id_a"), col("q").as("qa"), col("n2").as("n2a")),
+         sharded.select(col("list_id"), col("__lo"), col("__hi"),
+           col("__s").as("__sb"),
+           col(idCol).as("id_b"), col("q").as("qb"), col("n2").as("n2b")),
+         Seq("list_id", "__lo", "__hi"))
+    }
     val d = Similarity.dot(col("qa"), col("qb"))
     // gcd-reduce tau_pm^2 / 10^6 so the gate usually runs in pure LONG
     // arithmetic: with num/den reduced, Cauchy-Schwarz gives
@@ -114,8 +151,15 @@ object SemDedup {
           lit(s"semDedup: row norm exceeds the exact DECIMAL(38) range " +
             s"($decCap); quantized norms this large are not supported"))
           .isNull, decGate)
-    val dups = a.join(b, Seq("list_id"))
-      .filter(col("id_b") < col("id_a") && overTau)
+    // blocked mode: a row carries EVERY key containing its shard, so two
+    // same-shard rows would meet under all m of them — the key must be
+    // exactly the pair's own shard set for the match to count once
+    val exactlyOnce =
+      if (maxClusterRows.isEmpty) lit(true)
+      else least(col("__sa"), col("__sb")) === col("__lo") &&
+        greatest(col("__sa"), col("__sb")) === col("__hi")
+    val dups = aSide.join(bSide, pairKeys)
+      .filter(col("id_b") < col("id_a") && exactlyOnce && overTau)
       .groupBy(col("id_a").as(idCol))
       .agg(count(lit(1)).as("n_dup_lower"))
 

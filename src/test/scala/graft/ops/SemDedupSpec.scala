@@ -56,6 +56,21 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("blocked (sub-sharded) self-join equals the unblocked form exactly") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val one = Array(Array.fill(dim)(0)) // single cluster: worst-case skew
+    def result(cap: Option[Int]) =
+      SemDedup.semDedup(emb, "vec_id", "embedding", nlist = 1,
+          tauPermille = 400L, centroids = Some(one), maxClusterRows = cap)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    val unblocked = result(None)
+    // cap 7 forces many sub-shards; cap 1 is the degenerate extreme
+    assert(result(Some(7)) === unblocked)
+    assert(result(Some(1)) === unblocked)
+  }
+
   test("single-cluster semDedup equals a BigInt brute-force reference") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val dim = emb.select("embedding").head().getSeq[Float](0).length
