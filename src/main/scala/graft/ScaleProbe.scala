@@ -105,6 +105,16 @@ object ScaleProbe {
         nlist = 8, tauPermille = 400L, centroids = Some(c8))
         .write.format("noop").mode("overwrite").save()
     }
+    // blocking doesn't shrink total pair work — it bounds per-task size.
+    // Expect this SLOWER here (~2x: m=4 replication, and 2.5k-row tasks
+    // were never the bottleneck on 32 cores); the knob pays off only
+    // when one skewed cluster would otherwise be a single giant task
+    t("semdedup-20k-nlist8-blocked800") {
+      graft.ops.SemDedup.semDedup(emb10, "vec_id", "embedding",
+        nlist = 8, tauPermille = 400L, centroids = Some(c8),
+        maxClusterRows = Some(800))
+        .write.format("noop").mode("overwrite").save()
+    }
     t("kmeans-20k-2rounds") {
       graft.ops.KMeansOp.fit(emb10, "vec_id", "embedding", k = 8, iters = 2)
         .write.format("noop").mode("overwrite").save()
