@@ -16,9 +16,9 @@ import org.apache.spark.sql.types.DecimalType
   * blow-up is bounded by the largest cluster, not the corpus. That is
   * the published algorithm's design point, and it maps 1:1 onto Spark:
   * one shuffle on `list_id`, then a per-cluster self-join whose
-  * partitions are cluster-sized. (An oversized cluster would sub-shard
-  * by a secondary hash of the id — same pattern [[Skew]] uses — before
-  * the self-join; at the test corpus scale no cluster needs it.)
+  * partitions are cluster-sized. A cluster that outgrows the target
+  * anyway can run its self-join blocked via `maxClusterRows` (see
+  * [[semDedup]]'s parameter doc).
   *
   * Everything after centroid training is integer-exact and therefore
   * oracle-checkable: list assignment is the same expanded |q-c|^2 argmin

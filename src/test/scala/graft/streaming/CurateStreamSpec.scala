@@ -34,7 +34,7 @@ class CurateStreamSpec extends SparkSpec {
         ()
       }
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "streaming query did not terminate")
     // doc 1: 6 tokens, stride 2 -> starts 0,2,4 = 3 chunks; doc 2: 1 chunk
     assert(out.get(1L)._1 === 3L)
     assert(out.get(2L)._1 === 1L)
