@@ -161,4 +161,24 @@ class PlanShapeSpec extends SparkSpec {
       s"postings intersection degraded to a nested loop in:\n$plan")
     assert(plan.contains("HashJoin"), s"no hash join in:\n$plan")
   }
+
+  test("k-means output is a pure scan projection: the corpus never shuffles") {
+    // assignment is a row-local native argmin against centroid literals;
+    // only the (driver-collected) per-round update aggregations shuffle,
+    // and those are not part of the returned plan
+    val emb = Tables.embeddings(spark, sf)
+    val plan = physical(KMeansOp.fit(emb, "vec_id", "embedding",
+      k = 4, iters = 2))
+    assert(!plan.contains("Exchange"), s"corpus shuffled in:\n$plan")
+  }
+
+  test("feature hashing costs exactly one data exchange with partial aggregation") {
+    val plan = physical(TextAnalysis.featureHash(
+      Tables.documents(spark, sf), "doc_id", "text", dim = 64))
+    assert(countOccurrences(plan, "Exchange hashpartitioning") === 1,
+      s"expected one (doc, bucket) exchange in:\n$plan")
+    // map-side combine: a partial HashAggregate must sit below the exchange
+    assert(countOccurrences(plan, "HashAggregate") >= 2,
+      s"no partial aggregation below the shuffle in:\n$plan")
+  }
 }
