@@ -70,6 +70,12 @@ object ExtQueries {
   // X39 feature-hashing dimension + seed (shared with the oracle SQL)
   private val FeatureHashDim = 64
   private val FeatureHashSeed = "fh"
+  // X40 temperature flattening (permille exponent) + seed; the derived
+  // integer weights inline into the oracle (driver pow — see
+  // Sample.temperatureWeightsPpm)
+  private val TempAlphaPermille = 300L
+  private val TempMixSeed = "tm"
+  @volatile private var lastTempWeights: Option[Map[String, Long]] = None
 
   /** The MinHash-LSH near-dup pair stage, MATERIALIZED once per
     * (session, table dir) and shared by `x1_minhash_lsh` and
@@ -655,6 +661,25 @@ object ExtQueries {
         k = KMeansK, iters = KMeansIters).orderBy("vec_id")
     }),
 
+    // X40 temperature-flattened mixture — weights ∝ count^0.3 derived
+    // driver-side from the domain-count dim table, then the same exact
+    // scan-side keep-cut machinery as x31. The test corpus's sources are
+    // deliberately uniform, so the demo derives a 70/20/10-skewed domain
+    // from the id (mirrored in the oracle) — flattening visibly
+    // downsamples the head domain toward the tail
+    "x40_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("domain",
+        concat(lit("d"), when(col("doc_id") % 10 < 7, 0)
+          .when(col("doc_id") % 10 < 9, 1).otherwise(2)))
+      val counts = docs.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val w = Sample.temperatureWeightsPpm(counts, TempAlphaPermille)
+      lastTempWeights = Some(w)
+      Sample.mixture(docs, "doc_id", "domain", w, seed = TempMixSeed)
+        .select("doc_id", "domain").orderBy("doc_id")
+    }),
+
     // X39 feature hashing — sparse fixed-dim document vectors with no
     // vocabulary pass; one explode + one (doc, bucket) aggregation
     "x39_feature_hash" -> ((s, dir) => {
@@ -962,8 +987,47 @@ object ExtQueries {
     }.toMap
   }
 
+  /** Temperature-mix oracle: the derived weights inline as literals
+    * (driver `pow` is not cross-libm reproducible — see
+    * [[Sample.temperatureWeightsPpm]]); cuts re-derive in HUGEINT from
+    * those weights exactly like the x31 oracle. Same
+    * run-queries-then-dump contract as [[ivfOracle]].
+    */
+  private def tempMixOracle: Map[String, String] = {
+    if (lastTempWeights.isEmpty)
+      System.err.println(
+        "[graft] WARNING: x40_temperature_mix oracle OMITTED — the query " +
+          "has not run in this JVM, so there are no derived weights to " +
+          "inline. Run the queries before dumping oracleSql.")
+    lastTempWeights.map { w =>
+      val vals = w.toSeq.sortBy(_._1)
+        .map { case (d, v) => s"('${d.replace("'", "''")}', $v)" }
+        .mkString(", ")
+      "x40_temperature_mix" ->
+        s"""WITH docs AS (SELECT doc_id,
+           |  'd' || CASE WHEN doc_id % 10 < 7 THEN 0
+           |              WHEN doc_id % 10 < 9 THEN 1 ELSE 2 END AS domain
+           |  FROM documents),
+           |w(domain, w) AS (VALUES $vals),
+           |cnt AS (SELECT domain, count(*) AS n FROM docs
+           |  WHERE domain IN (SELECT domain FROM w) GROUP BY 1),
+           |t AS (SELECT min((CAST(n AS HUGEINT) * 1000000) // w) AS t
+           |  FROM cnt JOIN w USING (domain)),
+           |cut AS (SELECT domain,
+           |  (CAST(4294967296 AS HUGEINT) * w * t.t)
+           |    // (CAST(1000000 AS HUGEINT) * n) AS cut
+           |  FROM cnt JOIN w USING (domain) CROSS JOIN t)
+           |SELECT d.doc_id, d.domain
+           |FROM docs d JOIN cut c ON c.domain = d.domain
+           |WHERE c.cut >= 4294967296 OR
+           |  ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '$TempMixSeed'), 1, 8))::BIGINT < c.cut
+           |ORDER BY d.doc_id""".stripMargin
+    }.toMap
+  }
+
   def oracle: Map[String, String] =
-    ivfOracle ++ pqOracle ++ ivfPqOracle ++ semDedupOracle ++ Map(
+    ivfOracle ++ pqOracle ++ ivfPqOracle ++ semDedupOracle ++
+      tempMixOracle ++ Map(
     "x1_exact_dedup" ->
       """SELECT md5(props) AS digest, min(event_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dups

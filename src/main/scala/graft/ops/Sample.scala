@@ -101,6 +101,38 @@ object Sample {
     df.filter(pred)
   }
 
+  /** X40 — temperature-flattened mixture weights: target share of domain
+    * d ∝ n_d^alpha (alpha in permille; 1000 = natural proportions, 0 =
+    * uniform, ~300 = the multilingual-balancing flattening XLM-R made
+    * standard). Feed the result to [[mixture]]: high-resource domains
+    * downsample toward the flattened share, the scarcest binding domain
+    * stays whole.
+    *
+    * DRIVER-SIDE derivation on the domain-count dim table — deliberately
+    * not SQL: `pow` is not an IEEE-core op (libm implementations differ
+    * in the last ulp), so deriving weights inside two engines could
+    * disagree. Derived once, the integer ppm weights are engine-neutral
+    * and inline into the oracle like the IVF centroids do. alpha = 1000
+    * returns weights exactly proportional to counts, making every domain
+    * binding in [[mixture]] (the whole corpus is kept) — spec-pinned.
+    */
+  def temperatureWeightsPpm(counts: Map[String, Long],
+                            alphaPermille: Long): Map[String, Long] = {
+    require(alphaPermille >= 0 && alphaPermille <= 1000,
+      s"alphaPermille must be in [0, 1000]: $alphaPermille")
+    require(counts.nonEmpty && counts.values.forall(_ > 0),
+      s"counts must be non-empty and positive: $counts")
+    if (alphaPermille == 1000L) counts // exact: weights ∝ counts, so every
+    else {                             // domain binds and nothing is dropped
+      val a = alphaPermille / 1000.0
+      val pows = counts.map { case (d, n) => d -> math.pow(n.toDouble, a) }
+      val mx = pows.values.max
+      pows.map { case (d, p) =>
+        d -> math.max(1L, math.round(p / mx * 1000000.0))
+      }
+    }
+  }
+
   /** Stratified deterministic sample: per-stratum fractions with a default
     * for unlisted strata. The threshold is a row-local CASE — still a pure
     * scan-side filter.

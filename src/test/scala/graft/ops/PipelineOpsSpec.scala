@@ -37,6 +37,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(other !== kept.map(_._1).toSet)
   }
 
+  test("temperature weights: alpha=1 keeps the whole corpus, alpha=0 is " +
+      "uniform, flattening raises the scarcest share") {
+    val counts = Map("big" -> 1000L, "mid" -> 250L, "small" -> 10L)
+    // alpha = 1000: weights ARE the counts — every domain binds in
+    // mixture (t = 10^6 for all), so cut >= 2^32 keeps everything
+    assert(Sample.temperatureWeightsPpm(counts, 1000L) === counts)
+    val rows = (1 to 1000).map(i => (i.toLong, "big")) ++
+      (1 to 250).map(i => (2000L + i, "mid")) ++
+      (1 to 10).map(i => (3000L + i, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val keptAll = Sample.mixture(df, "doc_id", "source",
+      Sample.temperatureWeightsPpm(counts, 1000L), seed = "t")
+    assert(keptAll.count() === rows.length.toLong)
+    // alpha = 0: every weight identical (uniform target shares)
+    assert(Sample.temperatureWeightsPpm(counts, 0L).values.toSet.size === 1)
+    // flattening: the scarce domain's kept SHARE rises monotonically as
+    // alpha drops (it stays whole while big/mid downsample harder)
+    def share(alphaPm: Long): Double = {
+      val kept = Sample.mixture(df, "doc_id", "source",
+        Sample.temperatureWeightsPpm(counts, alphaPm), seed = "t")
+        .select("source").as[String].collect()
+      kept.count(_ == "small").toDouble / kept.length
+    }
+    val shares = Seq(1000L, 500L, 0L).map(share)
+    assert(shares === shares.sorted, s"not monotone: $shares")
+    assert(shares.last > 3 * shares.head, s"no real flattening: $shares")
+  }
+
   test("sessionize: events are exhaustively partitioned into in-gap sessions") {
     val ev = Tables.events(spark, sf)
     val sess = Sessionize.sessions(ev, "user_id", "ts", "event_id", gapSecs = 1800)
