@@ -67,8 +67,15 @@ object Graph {
       return empty
     }
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // edge topology joined to out-degrees once, reused every round
-    val eo = edges.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    // edge topology joined to out-degrees once, reused every round;
+    // explicitly re-partitioned on src BEFORE the pin so the cached
+    // blocks advertise clean hashpartitioning(src) — AQE-coalesced join
+    // output would read back as unknown partitioning and every round's
+    // rank join would re-shuffle the (large) edge side as well as the
+    // (small) rank vector
+    val eo = edges.join(outdeg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     eo.count()
     // nodes with no out-edges; their mass is redistributed uniformly
     val dangling = nodes
