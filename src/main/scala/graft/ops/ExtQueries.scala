@@ -1678,9 +1678,11 @@ object ExtQueries {
          |  FROM e ORDER BY vec_id LIMIT $KMeansK),
          |${assignCte("c0", "1", keepDist = false)},
          |u1 AS (SELECT cl, unnest(generate_series(1, len(q))) AS d, q FROM a1),
-         |s1 AS (SELECT cl, d, sum(q[d]) AS sv, count(*) AS n
+         |s1 AS (SELECT cl, d, sum(CAST(q[d] AS BIGINT)) AS sv, count(*) AS n
          |  FROM u1 GROUP BY 1, 2),
-         |m1 AS (SELECT cl, list(floor(sv / n) ORDER BY d) AS cq
+         |m1 AS (SELECT cl, list(CAST(
+         |    (sv // n) - CASE WHEN sv < 0 AND sv % n <> 0 THEN 1 ELSE 0 END
+         |    AS DOUBLE) ORDER BY d) AS cq
          |  FROM s1 GROUP BY cl),
          |c1 AS (SELECT c0.cl, coalesce(m1.cq, c0.cq) AS cq
          |  FROM c0 LEFT JOIN m1 ON m1.cl = c0.cl),

@@ -36,6 +36,41 @@ import org.apache.spark.sql.functions._
   */
 object KMeansOp {
 
+  /** Past this dim the scalar `sum(q[d])`-per-column update grows a
+    * dim-wide aggregate expression tree — the linear-codegen JIT cliff
+    * CentroidArgmin exists to avoid — so wide vectors switch to a
+    * posexplode form keyed on (list_id, d): k×dim groups, still map-side
+    * combined, still only k×dim longs across the wire per round.
+    */
+  private val ExplodeDimThreshold = 64
+
+  /** One Lloyd-round component-sum pass: (cluster, n, Σ component[d]).
+    * Both forms are exact LONG sums; the explode form trades one row
+    * expansion for a bounded expression tree at embedding-scale dims.
+    */
+  private[ops] def componentSums(assigned: DataFrame, dim: Int,
+                                 explode: Boolean): Array[(Int, Long, Array[Long])] =
+    if (!explode) {
+      assigned.groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(d =>
+            sum(element_at(col("q"), d + 1).cast("long")).as(s"s$d")): _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          Array.tabulate(dim)(d => r.getLong(2 + d))))
+    } else {
+      assigned.select(col("list_id"), posexplode(col("q")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0)).map { case (cl, rs) =>
+          val sums = new Array[Long](dim)
+          var n = 0L
+          rs.foreach { r => sums(r.getInt(1)) = r.getLong(2); n = r.getLong(3) }
+          (cl, n, sums)
+        }.toArray
+    }
+
   def fit(emb: DataFrame, idCol: String, vecCol: String,
           k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1, s"k/iters must be >= 1: $k/$iters")
@@ -52,24 +87,20 @@ object KMeansOp {
 
     for (_ <- 1 until iters) {
       // one map-side-combined aggregation: k rows of (count, dim sums)
-      val sums = assigned.groupBy(col("list_id"))
-        .agg(count(lit(1)).as("n"),
-          (0 until dim).map(d =>
-            sum(element_at(col("q"), d + 1).cast("long")).as(s"s$d")): _*)
-        .collect()
+      val sums = componentSums(assigned, dim, dim > ExplodeDimThreshold)
       val next = cents.map(_.clone()) // empty cluster keeps its centroid
-      sums.foreach { r =>
-        val cl = r.getInt(0)
-        val n = r.getLong(1)
-        next(cl) = Array.tabulate(dim)(d =>
-          Math.floorDiv(r.getLong(2 + d), n).toInt)
+      sums.foreach { case (cl, n, s) =>
+        next(cl) = Array.tabulate(dim)(d => Math.floorDiv(s(d), n).toInt)
       }
       cents = next
     }
-    // the final projection surfaces the winning distance too: one fused
-    // native argmin evaluation yields both fields
+    // Final pass: ONE fused argmin evaluation yields both fields. The
+    // struct lands in its own projection step; CollapseProject refuses to
+    // inline a non-cheap expression into two use-sites, so the plan keeps
+    // exactly one CentroidArgmin (PlanShapeSpec pins this).
     val am = graft.functions.VectorOps.centroid_argmin(col("q"), cents)
-    assigned.select(col(idCol), col("list_id").as("cluster"),
-      am.getField("dist").as("dist"))
+    q.select(col(idCol), am.as("am"))
+      .select(col(idCol), col("am").getField("list_id").as("cluster"),
+        col("am").getField("dist").as("dist"))
   }
 }

@@ -77,10 +77,25 @@ object Sample {
     * The per-domain count aggregate is domain-cardinality-sized (a dim
     * table, collected once — same bounded-driver contract as the IVF
     * trainer); at scale you run it once per corpus version and reuse.
+    *
+    * LOUD CARDINALITY GUARD: the per-domain keep-cuts compile into an
+    * OR-chain predicate over every listed domain — the intended use is
+    * dozens-to-hundreds of curated sources. Web-domain cardinality
+    * (millions of hosts) would blow up the driver map AND walk off the
+    * same linear-codegen JIT cliff the centroid-literal work documented,
+    * so past [[MaxDomains]] the call fails with a message instead of
+    * degrading silently (bucket the long tail into a catch-all source,
+    * or pre-aggregate domains upstream).
     */
+  val MaxDomains = 10000
+
   def mixture(df: DataFrame, keyCol: String, domainCol: String,
               weightsPpm: Map[String, Long], seed: String = ""): DataFrame = {
     require(weightsPpm.nonEmpty, "need at least one domain weight")
+    require(weightsPpm.size <= MaxDomains,
+      s"mixture() compiles a per-domain predicate: ${weightsPpm.size} domains " +
+        s"exceeds the $MaxDomains cap — bucket the long tail into a catch-all " +
+        "source or pre-aggregate domains upstream")
     require(weightsPpm.values.forall(_ > 0), s"weights must be > 0: $weightsPpm")
     val domains = weightsPpm.keys.toSeq.sorted
     val counts = df.filter(col(domainCol).isin(domains: _*))
@@ -122,6 +137,9 @@ object Sample {
       s"alphaPermille must be in [0, 1000]: $alphaPermille")
     require(counts.nonEmpty && counts.values.forall(_ > 0),
       s"counts must be non-empty and positive: $counts")
+    require(counts.size <= MaxDomains,
+      s"temperatureWeightsPpm feeds mixture()'s per-domain predicate: " +
+        s"${counts.size} domains exceeds the $MaxDomains cap")
     if (alphaPermille == 1000L) counts // exact: weights ∝ counts, so every
     else {                             // domain binds and nothing is dropped
       val a = alphaPermille / 1000.0

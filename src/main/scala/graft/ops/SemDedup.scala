@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -87,14 +87,14 @@ object SemDedup {
     val maxAbs = array_max(transform(col("q"), x => abs(x.cast("long"))))
     val compOk = maxAbs * maxAbs <=
       expr(s"${Long.MaxValue}L div size(q)")
-    val checked = Similarity.assignLists(emb, idCol, vecCol, cents)
-      .withColumn("n2",
-        when(assert_true(compOk,
-          concat(lit(s"semDedup: |quantized component| too large for exact " +
-            s"long arithmetic in $vecCol of row "),
-            col(idCol).cast("string"))).isNull,
-          col("n2")))
-    val assigned = checked
+    def guarded(c: Column): Column =
+      when(assert_true(compOk,
+        concat(lit(s"semDedup: |quantized component| too large for exact " +
+          s"long arithmetic in $vecCol of row "),
+          col(idCol).cast("string"))).isNull,
+        c)
+    val assigned = Similarity.assignLists(emb, idCol, vecCol, cents)
+      .withColumn("n2", guarded(col("n2")))
 
     val dec = DecimalType(38, 0)
     val (aSide, bSide, pairKeys) = maxClusterRows match {
@@ -163,7 +163,12 @@ object SemDedup {
       .groupBy(col("id_a").as(idCol))
       .agg(count(lit(1)).as("n_dup_lower"))
 
-    assigned.select(col(idCol), col("list_id"))
+    // gate list_id ITSELF on the assignment path: the final projection
+    // prunes n2, and a singleton-cluster row never reaches the pair
+    // stage, so without this the overflow assert could be optimized away
+    // for exactly the rows whose misassignment it exists to prevent —
+    // every output row now forces the check
+    assigned.select(col(idCol), guarded(col("list_id")).as("list_id"))
       .join(dups, Seq(idCol), "left")
       .select(col(idCol), col("list_id"),
         coalesce(col("n_dup_lower"), lit(0L)).as("n_dup_lower"),

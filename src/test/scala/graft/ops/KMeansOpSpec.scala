@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** X37 distributed k-means invariants beyond the DuckDB oracle:
   * hand-computed Lloyd rounds, pure-assignment iters=1, empty-cluster
@@ -51,5 +52,20 @@ class KMeansOpSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       run(Seq(0L -> Seq(0.0f, 0.0f)), k = 2, iters = 1)
     }
+  }
+
+  test("explode-form component sums equal the scalar-column form exactly") {
+    // wide dims switch the per-round update to a posexplode aggregation
+    // (the dim-wide scalar expression tree is the JIT-cliff shape); both
+    // forms must produce identical exact LONG sums
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val cents = emb.select(Similarity.quantize(col("embedding")))
+      .limit(3).collect().map(_.getSeq[Int](0).toArray)
+    val assigned = Similarity.assignLists(emb, "vec_id", "embedding", cents)
+    def canon(a: Array[(Int, Long, Array[Long])]) =
+      a.map { case (cl, n, s) => (cl, n, s.toSeq) }.sortBy(_._1).toSeq
+    assert(canon(KMeansOp.componentSums(assigned, dim, explode = true)) ===
+      canon(KMeansOp.componentSums(assigned, dim, explode = false)))
   }
 }

@@ -65,6 +65,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(shares.last > 3 * shares.head, s"no real flattening: $shares")
   }
 
+  test("mixture/temperature fail loudly past the domain-cardinality cap") {
+    // web-domain cardinality would blow up the driver map and the
+    // OR-chain codegen; the guard turns that into a message
+    val tooMany = (1 to Sample.MaxDomains + 1)
+      .map(i => s"d$i" -> 1000L).toMap
+    val df = Seq((1L, "d1")).toDF("doc_id", "source")
+    val e1 = intercept[IllegalArgumentException] {
+      Sample.mixture(df, "doc_id", "source", tooMany)
+    }
+    assert(e1.getMessage.contains("cap"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sample.temperatureWeightsPpm(tooMany, 500L)
+    }
+    assert(e2.getMessage.contains("cap"))
+  }
+
   test("sessionize: events are exhaustively partitioned into in-gap sessions") {
     val ev = Tables.events(spark, sf)
     val sess = Sessionize.sessions(ev, "user_id", "ts", "event_id", gapSecs = 1800)

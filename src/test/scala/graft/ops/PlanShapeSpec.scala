@@ -172,6 +172,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"corpus shuffled in:\n$plan")
   }
 
+  test("k-means final pass evaluates the k×dim argmin exactly once per row") {
+    // cluster AND dist both come off one CentroidArgmin struct; the
+    // struct lands in its own projection step and CollapseProject refuses
+    // to inline a non-cheap expression into two use-sites, so a regression
+    // back to two evaluations doubles the final-pass cost silently
+    val emb = Tables.embeddings(spark, sf)
+    val plan = physical(KMeansOp.fit(emb, "vec_id", "embedding",
+      k = 4, iters = 2))
+    assert(countOccurrences(plan, "centroid_argmin") === 1,
+      s"expected exactly one argmin evaluation in:\n$plan")
+  }
+
   test("feature hashing costs exactly one data exchange with partial aggregation") {
     val plan = physical(TextAnalysis.featureHash(
       Tables.documents(spark, sf), "doc_id", "text", dim = 64))

@@ -47,9 +47,12 @@ class SemDedupSpec extends SparkSpec {
   }
 
   test("supplied centroids must match nlist") {
+    // the matching-nlist call must succeed OUTSIDE the intercept — were it
+    // inside, an unrelated IllegalArgumentException from it would satisfy
+    // the intercept without ever exercising the mismatch require
+    run(Seq(1L -> Seq(1.0f, 0.0f)),
+      cents = Array(Array(0, 0)), tauPermille = 0L) // ok: nlist 1 == 1
     intercept[IllegalArgumentException] {
-      run(Seq(1L -> Seq(1.0f, 0.0f)),
-        cents = Array(Array(0, 0)), tauPermille = 0L) // ok: nlist 1 == 1
       SemDedup.semDedup(Seq(1L -> Seq(1.0f, 0.0f)).toDF("vec_id", "embedding"),
         "vec_id", "embedding", nlist = 64, tauPermille = 0L,
         centroids = Some(Array(Array(0, 0))))
