@@ -342,6 +342,81 @@ object Dedup {
     withJaccard(inter, n, idCol, threshold)
   }
 
+  /** Positional k-token window fingerprints: one (doc_id, p, h) row per
+    * start position p (0-based), h = md5 of the window's space-joined
+    * tokens. The positional sibling of [[shingleTable]] (which
+    * deliberately discards positions and duplicates for set semantics) —
+    * substring-run detection needs BOTH kept. Scan-side: a posexplode
+    * projection, zero shuffle.
+    */
+  def windowTable(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int): DataFrame =
+    docs.select(col(idCol),
+        posexplode(shingles(tokens(col(textCol)), k)).as(Seq("p", "w")))
+      .select(col(idCol), col("p"), md5(col("w")).as("h"))
+
+  /** X41 — sequence-level exact substring dedup: maximal shared token
+    * runs across document pairs, the "Deduplicating Training Data"
+    * (Lee et al. 2022, arXiv:2107.06499) problem re-expressed
+    * relationally. Their suffix array is a single-machine index; the
+    * same spans fall out of a window-fingerprint join that Spark can
+    * shard: two documents share an L-token span iff they share all
+    * L-k+1 of its k-token windows at consecutive positions, so matched
+    * window positions lie on a diagonal (pa - pb constant) and maximal
+    * runs are the gaps-and-islands of each diagonal.
+    *
+    * Stages: [[windowTable]] (scan-side) → self-join on the window hash
+    * (the ONE corpus-sized shuffle) → per-(pair, diagonal) islands via
+    * `pa - row_number()` → one aggregate per island. The island window
+    * function and the island aggregate both cluster on (d1, d2, diag),
+    * so the aggregate reuses the window's exchange — run detection adds
+    * no shuffle of its own (PlanShapeSpec-pinned).
+    *
+    * Output: (d1, d2, a_start, b_start, span_len) per maximal shared
+    * run of span_len >= minSpan tokens; a whole-document duplicate
+    * yields exactly one run covering the document (agrees with
+    * [[exactDedup]] — spec-pinned), and a paragraph shared twice yields
+    * one run per alignment (two diagonals).
+    *
+    * `maxWindowFreq` is the boilerplate-storm guard, same contract as
+    * [[lshCandidates]]' maxBucket: a k-gram appearing in B documents
+    * contributes O(B^2) matched pairs, so ubiquitous template windows
+    * (the X34 common-ngram population) are dropped whole before the
+    * join at the cost of one (h)-keyed aggregation. Runs they anchor
+    * are boilerplate by definition; genuinely rare shared spans keep
+    * their other windows. At 100 TB this cap is what bounds the join.
+    */
+  def substringRuns(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 6, minSpan: Int = 8,
+                    maxWindowFreq: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"window size must be >= 1: $k")
+    require(minSpan >= k, s"minSpan $minSpan below window size $k — every " +
+      "single matched window would qualify; raise minSpan or shrink k")
+    val w = windowTable(docs, idCol, textCol, k)
+    val capped = maxWindowFreq match {
+      case Some(cap) =>
+        val hot = w.groupBy(col("h"))
+          .agg(countDistinct(col(idCol)).as("df")).filter(col("df") > cap)
+          .select(col("h"))
+        w.join(hot, Seq("h"), "left_anti")
+      case None => w
+    }
+    val m = capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("pa"))
+    m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("island", col("pa") - row_number().over(byDiag))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("island"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (count(lit(1)) + lit(k - 1).cast("long")).as("span_len"))
+      .filter(col("span_len") >= minSpan)
+      .select(col("d1"), col("d2"), col("a_start"), col("b_start"),
+        col("span_len"))
+  }
+
   /** 16-bit SimHash from the first 4 hex chars of md5(shingle): per bit j,
     * sign of the +1/-1 vote sum across the doc's shingles. Expressed as 16
     * conditional sums in one aggregation (single shuffle of 16 ints/doc).

@@ -76,6 +76,11 @@ object ExtQueries {
   private val TempAlphaPermille = 300L
   private val TempMixSeed = "tm"
   @volatile private var lastTempWeights: Option[Map[String, Long]] = None
+  // X41 substring-run window size and minimum shared span, in tokens;
+  // k=6 makes random small-vocab collisions rare while the generator's
+  // planted shared paragraphs (runs up to ~93 tokens) all survive
+  private val SubstrK = 6
+  private val SubstrMinSpan = 8
 
   /** The MinHash-LSH near-dup pair stage, MATERIALIZED once per
     * (session, table dir) and shared by `x1_minhash_lsh` and
@@ -686,6 +691,15 @@ object ExtQueries {
       TextAnalysis.featureHash(Tables.documents(s, dir), "doc_id", "text",
         dim = FeatureHashDim, seed = FeatureHashSeed)
         .orderBy("doc_id", "bucket")
+    }),
+
+    // X41 sequence-level exact substring dedup — maximal shared token
+    // runs via window-fingerprint diagonals: one corpus-sized shuffle
+    // (the hash join), run detection reuses its own exchange
+    "x41_substring_dedup" -> ((s, dir) => {
+      Dedup.substringRuns(Tables.documents(s, dir), "doc_id", "text",
+        k = SubstrK, minSpan = SubstrMinSpan)
+        .orderBy("d1", "d2", "a_start", "b_start")
     }),
 
     // X38 split-leakage audit — near-dup pairs (the session-cached LSH
@@ -1691,6 +1705,27 @@ object ExtQueries {
          |  CAST(dist AS BIGINT) AS dist
          |FROM a2 ORDER BY vec_id""".stripMargin
     },
+
+    // positional window fingerprints -> hash-matched (pa, pb) pairs ->
+    // gaps-and-islands per (pair, diagonal); mirrors Dedup.substringRuns
+    "x41_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |w AS (SELECT doc_id, p - 1 AS p,
+         |    md5(array_to_string(ts[p : p + $SubstrK - 1], ' ')) AS h
+         |  FROM t, LATERAL unnest(generate_series(1, len(ts) - $SubstrK + 1)) AS u(p)),
+         |m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.p AS pa, b.p AS pb
+         |  FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |r AS (SELECT d1, d2, pa - pb AS diag, pa, pb,
+         |    pa - row_number() OVER (PARTITION BY d1, d2, pa - pb ORDER BY pa)
+         |      AS island
+         |  FROM m),
+         |g AS (SELECT d1, d2, CAST(min(pa) AS INTEGER) AS a_start,
+         |    CAST(min(pb) AS INTEGER) AS b_start,
+         |    CAST(count(*) + $SubstrK - 1 AS BIGINT) AS span_len
+         |  FROM r GROUP BY d1, d2, diag, island)
+         |SELECT d1, d2, a_start, b_start, span_len FROM g
+         |WHERE span_len >= $SubstrMinSpan
+         |ORDER BY d1, d2, a_start, b_start""".stripMargin,
 
     // the LSH pair stage (identical CTEs to x1_minhash_lsh) joined to
     // the split CASE on both endpoints; only boundary-crossing pairs out

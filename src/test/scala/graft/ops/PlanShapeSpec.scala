@@ -184,6 +184,17 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly one argmin evaluation in:\n$plan")
   }
 
+  test("substring runs: island aggregate reuses the diagonal window's exchange") {
+    // window table is scan-side, the join strategy is AQE's choice
+    // (broadcast at this SF, shuffle at scale) — the pinned property is
+    // run detection: exactly ONE hash exchange keyed on (d1, d2, diag),
+    // and the island groupBy (a superset clustering) must NOT add its own
+    val plan = physical(Dedup.substringRuns(
+      Tables.documents(spark, sf), "doc_id", "text", k = 6, minSpan = 8))
+    assert(countOccurrences(plan, "Exchange hashpartitioning(d1") === 1,
+      s"plan:\n$plan")
+  }
+
   test("feature hashing costs exactly one data exchange with partial aggregation") {
     val plan = physical(TextAnalysis.featureHash(
       Tables.documents(spark, sf), "doc_id", "text", dim = 64))
