@@ -693,6 +693,18 @@ object ExtQueries {
         .orderBy("doc_id", "bucket")
     }),
 
+    // X42 trained NB classifier — integer micro-nat scores, argmax with
+    // lex tie-break; trains on the deterministic train split, classes
+    // from the corpus's lang labels (the labeled column the data ships)
+    "x42_nb_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ref = Curate.splitAssign(docs, "doc_id",
+        Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
+        seed = SplitSeed).filter(col("split") === "train")
+      NaiveBayes.classify(docs, ref, "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+
     // X41 sequence-level exact substring dedup — maximal shared token
     // runs via window-fingerprint diagonals: one corpus-sized shuffle
     // (the hash join), run detection reuses its own exchange
@@ -1705,6 +1717,43 @@ object ExtQueries {
          |  CAST(dist AS BIGINT) AS dist
          |FROM a2 ORDER BY vec_id""".stripMargin
     },
+
+    // Laplace NB replayed from the data alone: per-(token, class)
+    // counts over the train split, micro-nat ln seam per token, exact
+    // BIGINT sums, argmax by (score DESC, lang ASC)
+    "x42_nb_quality" ->
+      s"""WITH sp AS (SELECT doc_id,
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
+         |           < '${Sample.threshold(SplitTrain)}' THEN 'train'
+         |         WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
+         |           < '${Sample.threshold(SplitTrain + SplitValid)}' THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |tr AS (SELECT d.doc_id, d.text, d.lang FROM documents d
+         |  JOIN sp ON sp.doc_id = d.doc_id WHERE sp.split = 'train'),
+         |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM tr),
+         |cw AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         |tl AS (SELECT lang, count(*) AS t FROM tok GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM tok),
+         |pr AS (SELECT lang, count(*) AS d FROM tr GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM tr),
+         |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |s AS (SELECT dt.doc_id, tl.lang,
+         |    CAST(round(ln((coalesce(cw.c, 0) + 1)
+         |      / CAST(tl.t + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lnp
+         |  FROM dt CROSS JOIN tl CROSS JOIN v
+         |  LEFT JOIN cw ON cw.lang = tl.lang AND cw.w = dt.w),
+         |agg AS (SELECT doc_id, lang, sum(lnp) AS sl FROM s GROUP BY 1, 2),
+         |sc AS (SELECT agg.doc_id, agg.lang,
+         |    CAST(agg.sl + CAST(round(ln(pr.d / CAST(n.n AS DOUBLE)) * 1000000)
+         |      AS BIGINT) AS BIGINT) AS score
+         |  FROM agg JOIN pr ON pr.lang = agg.lang CROSS JOIN n),
+         |r AS (SELECT doc_id, lang, score, row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+         |  FROM sc)
+         |SELECT doc_id, lang AS pred, score AS score_micro FROM r
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // positional window fingerprints -> hash-matched (pa, pb) pairs ->
     // gaps-and-islands per (pair, diagonal); mirrors Dedup.substringRuns
