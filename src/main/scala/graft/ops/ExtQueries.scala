@@ -693,6 +693,29 @@ object ExtQueries {
         .orderBy("doc_id", "bucket")
     }),
 
+    // X43 ANN recall audit — recall@k of every approximate tier against
+    // the exact top-k on the same corpus/queries; the exact list is
+    // pinned once, intersections are semi joins of audit-sized lists
+    "x43_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < NumQueries)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+        TopK).select("qid", "cid").localCheckpoint(false)
+      Similarity.recallAudit(Seq(
+        "ann_ivf" -> Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+          TopK, nlist = IvfNlist, nprobe = IvfNprobe),
+        "ann_lsh" -> Similarity.lshTopK(emb, qs, "vec_id", "embedding",
+          TopK, bits = 6),
+        "ivf_pq" -> Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding",
+          TopK, nlist = IvfPqNlist, nprobe = IvfPqNprobe,
+          numSub = PqNumSub, codes = PqCodes,
+          trained = Some(ivfPqTrained(s, dir))),
+        "pq_ann" -> Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+          TopK, numSub = PqNumSub, codes = PqCodes,
+          codebook = Some(pqCodebook(s, dir)))), exact)
+        .orderBy("method")
+    }),
+
     // X42 trained NB classifier — integer micro-nat scores, argmax with
     // lex tie-break; trains on the deterministic train split, classes
     // from the corpus's lang labels (the labeled column the data ships)
@@ -1051,9 +1074,69 @@ object ExtQueries {
     }.toMap
   }
 
+  /** Exact brute-force and sign-bucket ANN SQL — named so the x43 recall
+    * oracle can embed the identical pipelines as subqueries.
+    */
+  private def cosineTopkSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+       |scored AS (SELECT qs.vec_id AS qid, c.vec_id AS cid,
+       |  round(list_dot_product(qs.q, c.q) / (sqrt(qs.n2) * sqrt(c.n2)), 6) AS sim
+       |  FROM n qs JOIN n c ON c.vec_id != qs.vec_id WHERE qs.vec_id < $NumQueries),
+       |ranked AS (SELECT qid, cid, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
+  private def annLshSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2,
+       |  ${signBucketSql("embedding", 6)} AS bucket FROM e),
+       |scored AS (SELECT qs.vec_id AS qid, c.vec_id AS cid,
+       |  round(list_dot_product(qs.q, c.q) / (sqrt(qs.n2) * sqrt(c.n2)), 6) AS sim
+       |  FROM n qs JOIN n c ON c.bucket = qs.bucket AND c.vec_id != qs.vec_id
+       |  WHERE qs.vec_id < $NumQueries),
+       |ranked AS (SELECT qid, cid, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** x43 recall audit oracle: each ANN method's full oracle pipeline
+    * (trained artifacts inlined) embedded as a subquery and intersected
+    * with the exact top-k — emitted only when every trained oracle is
+    * available (same run-queries-then-dump contract as [[ivfOracle]]).
+    */
+  private def annRecallOracle: Map[String, String] = (for {
+    ivf <- ivfOracle.get("x2_ann_ivf")
+    pq <- pqOracle.get("x20_pq_ann")
+    ivfpq <- ivfPqOracle.get("x21_ivf_pq")
+  } yield "x43_ann_recall" ->
+    s"""WITH ex AS (SELECT qid, cid FROM ($cosineTopkSql)),
+       |lshm AS (SELECT qid, cid FROM ($annLshSql)),
+       |ivfm AS (SELECT qid, cid FROM ($ivf)),
+       |pqm AS (SELECT qid, cid FROM ($pq)),
+       |ivfpqm AS (SELECT qid, cid FROM ($ivfpq)),
+       |t AS (SELECT count(*) AS n_truth FROM ex),
+       |u AS (
+       |  SELECT 'ann_ivf' AS method, count(*) AS n_hits
+       |    FROM ivfm JOIN ex USING (qid, cid)
+       |  UNION ALL SELECT 'ann_lsh', count(*) FROM lshm JOIN ex USING (qid, cid)
+       |  UNION ALL SELECT 'ivf_pq', count(*) FROM ivfpqm JOIN ex USING (qid, cid)
+       |  UNION ALL SELECT 'pq_ann', count(*) FROM pqm JOIN ex USING (qid, cid))
+       |SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(t.n_truth AS BIGINT) AS n_truth,
+       |  CAST(n_hits * 1000000 // t.n_truth AS BIGINT) AS recall_ppm
+       |FROM u CROSS JOIN t ORDER BY method""".stripMargin).toMap
+
   def oracle: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfPqOracle ++ semDedupOracle ++
-      tempMixOracle ++ Map(
+      tempMixOracle ++ annRecallOracle ++ Map(
     "x1_exact_dedup" ->
       """SELECT md5(props) AS digest, min(event_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dups
@@ -1117,35 +1200,9 @@ object ExtQueries {
          |SELECT d1, d2, sim FROM p WHERE sim >= $EmbDupThreshold
          |ORDER BY d1, d2""".stripMargin,
 
-    "x2_cosine_topk" ->
-      s"""WITH e AS (SELECT vec_id,
-         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
-         |scored AS (SELECT qs.vec_id AS qid, c.vec_id AS cid,
-         |  round(list_dot_product(qs.q, c.q) / (sqrt(qs.n2) * sqrt(c.n2)), 6) AS sim
-         |  FROM n qs JOIN n c ON c.vec_id != qs.vec_id WHERE qs.vec_id < $NumQueries),
-         |ranked AS (SELECT qid, cid, sim,
-         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
-         |  FROM scored)
-         |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= $TopK
-         |ORDER BY qid, rank""".stripMargin,
+    "x2_cosine_topk" -> cosineTopkSql,
 
-    "x2_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2,
-         |  ${signBucketSql("embedding", 6)} AS bucket FROM e),
-         |scored AS (SELECT qs.vec_id AS qid, c.vec_id AS cid,
-         |  round(list_dot_product(qs.q, c.q) / (sqrt(qs.n2) * sqrt(c.n2)), 6) AS sim
-         |  FROM n qs JOIN n c ON c.bucket = qs.bucket AND c.vec_id != qs.vec_id
-         |  WHERE qs.vec_id < $NumQueries),
-         |ranked AS (SELECT qid, cid, sim,
-         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
-         |  FROM scored)
-         |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= $TopK
-         |ORDER BY qid, rank""".stripMargin,
+    "x2_ann_lsh" -> annLshSql,
 
     "x3_text_stats" -> {
       val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")

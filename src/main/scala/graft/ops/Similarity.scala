@@ -475,4 +475,34 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** X43 — ANN recall audit: measure each approximate method's recall@k
+    * against the exact top-k on the SAME corpus and queries, turning the
+    * recall trade the ANN docstrings describe into a tracked number.
+    * Inputs are (method name, top-k result) pairs and the exact top-k —
+    * each carrying (qid, cid) rows. Per method: hits = |approx ∩ exact|
+    * via a left-semi join; recall_ppm = hits · 10^6 div |exact| — exact
+    * integer arithmetic, no float seam, so the audit itself is
+    * oracle-checkable end to end.
+    *
+    * Shape at 100 TB: each intersection is a semi join of two top-k
+    * lists (queries × k rows — audit-sized, not corpus-sized; AQE
+    * broadcasts them); the method pipelines behind the inputs keep their
+    * own plans. Callers should pin (localCheckpoint) the exact list so
+    * the brute-force pass runs once, not once per method.
+    */
+  def recallAudit(methods: Seq[(String, DataFrame)],
+                  exact: DataFrame): DataFrame = {
+    require(methods.nonEmpty, "need at least one method to audit")
+    val truth = exact.select(col("qid"), col("cid"))
+    val hits = methods.map { case (name, df) =>
+      df.select(col("qid"), col("cid"))
+        .join(truth, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("method"), col("n_hits"))
+    }.reduce(_ unionByName _)
+    hits.crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("method"), col("n_hits"), col("n_truth"),
+        expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
+  }
 }

@@ -398,4 +398,20 @@ class OpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     assert(got.toSeq === Seq(2L))
   }
+
+  test("recallAudit: identity, disjoint, and partial overlap in exact ppm") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("qid", "cid")
+    val half = Seq((1L, 10L), (1L, 99L), (2L, 12L), (2L, 98L))
+      .toDF("qid", "cid")
+    val none = Seq((1L, 99L)).toDF("qid", "cid")
+    val got = Similarity.recallAudit(Seq(
+        "same" -> exact, "half" -> half, "none" -> none), exact)
+      .orderBy("method")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("half", 2L, 4L, 500000L),
+      ("none", 0L, 4L, 0L),
+      ("same", 4L, 4L, 1000000L)))
+  }
 }
