@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X44 — BPE merge training (Sennrich et al. 2016, arXiv:1508.07909):
+  * `iters` rounds of merge-the-most-frequent-adjacent-symbol-pair over
+  * the corpus, the missing *training* half of `x3_token_count`'s
+  * "BPE-ish" heuristic. Ties break to the lexicographically lower
+  * (a, b) pair, merges apply greedily left-to-right and
+  * non-overlapping — both deterministic, so the whole training replays
+  * from the data alone (the x37 replay-from-data oracle discipline).
+  *
+  * THE SCALE DESIGN IS THE WORD-TYPE TABLE: like the reference BPE
+  * implementation, training operates on (word, freq) — vocabulary-sized,
+  * not corpus-sized. The corpus is scanned ONCE to build it; every round
+  * after that is (a) one map-side-combined pair-count aggregation over
+  * word types, (b) a 1-row driver argmax, (c) a row-local rewrite of the
+  * symbol arrays. At 100 TB the corpus contributes one token explode;
+  * the loop's cost is bounded by vocabulary cardinality (~10^6), and the
+  * trained merge table is the kilobyte artifact you persist.
+  *
+  * The rewrite is a left fold (`aggregate` HOF): append each symbol,
+  * but when the accumulator ends with `a` and the next symbol is `b`,
+  * replace that tail with the merged symbol. Because merged(a,b) != a
+  * (b is nonempty), a freshly merged tail can never re-merge with the
+  * following symbol in the same round — exactly greedy non-overlapping
+  * left-to-right semantics. The DuckDB oracle runs the IDENTICAL fold
+  * as a `list_reduce` over a separator-encoded string; `BpeSpec` pins
+  * the overlap cases ("aaa" -> [aa, a]) by hand.
+  */
+object Bpe {
+
+  final case class Merge(r: Int, a: String, b: String, cnt: Long)
+
+  /** (word, freq, syms) base table: corpus word types with occurrence
+    * counts and initial single-character symbol arrays. Empty tokens
+    * (double spaces) are dropped on both the engine and oracle sides.
+    */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** Train `iters` merges; returns the merge table and the final
+    * (word, freq, syms) table. Fails loudly if the corpus runs out of
+    * adjacent pairs before `iters` rounds (the unrolled oracle cannot
+    * express an early stop, so neither may the engine).
+    */
+  def train(docs: DataFrame, textCol: String,
+            iters: Int): (Seq[Merge], DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    var words = wordTable(docs, textCol).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    for (r <- 1 to iters) {
+      val top = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"corpus has no adjacent pairs left at round $r — lower iters")
+      val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2))
+      merges += Merge(r, a, b, cnt)
+      val (ea, eb, eab) = (sqlLit(a), sqlLit(b), sqlLit(a + b))
+      val prev = words
+      words = words.withColumn("syms", expr(
+        s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+           |  IF(size(acc) > 0 AND element_at(acc, -1) = '$ea' AND x = '$eb',
+           |     concat(slice(acc, 1, size(acc) - 1), array('$eab')),
+           |     concat(acc, array(x))))""".stripMargin))
+        .localCheckpoint()
+      prev.unpersist() // superseded pin — only the latest round stays
+    }
+    (merges.result(), words)
+  }
+
+  def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("r", "a", "b", "cnt")
+  }
+
+  /** Per-document token count under the trained segmentation: one token
+    * explode joined to the vocabulary-sized (word -> symbol count) map
+    * (AQE broadcasts it), one per-doc sum.
+    */
+  def docTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     words: DataFrame): DataFrame = {
+    val n = words.select(col("word"), size(col("syms")).cast("long").as("n_sym"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(n, Seq("word"))
+      .groupBy(col(idCol)).agg(sum(col("n_sym")).as("n_bpe"))
+  }
+}

@@ -76,6 +76,19 @@ object ExtQueries {
   private val TempAlphaPermille = 300L
   private val TempMixSeed = "tm"
   @volatile private var lastTempWeights: Option[Map[String, Long]] = None
+  // X44 BPE merge-training rounds (oracle unrolls them, x37-style)
+  private val BpeIters = 4
+  /** Trained (merges, final word table), cached per (session, dir): one
+    * training pass feeds both x44 queries — the artifact contract of
+    * [[pqCodebookCache]].
+    */
+  private val bpeCache =
+    new graft.engine.SessionCache[(Seq[Bpe.Merge], DataFrame)]
+  private def bpeTrained(s: SparkSession, dir: String): (Seq[Bpe.Merge], DataFrame) =
+    bpeCache.getOrCompute(s, dir) {
+      Bpe.train(Tables.documents(s, dir), "text", BpeIters)
+    }
+
   // X41 substring-run window size and minimum shared span, in tokens;
   // k=6 makes random small-vocab collisions rare while the generator's
   // planted shared paragraphs (runs up to ~93 tokens) all survive
@@ -693,6 +706,18 @@ object ExtQueries {
         .orderBy("doc_id", "bucket")
     }),
 
+    // X44 BPE merge training — iters rounds of most-frequent-adjacent-
+    // pair merge over the VOCABULARY-sized word-type table; merges and
+    // per-doc token counts both replay from the data alone
+    "x44_bpe_merges" -> ((s, dir) => {
+      Bpe.mergeTable(s, bpeTrained(s, dir)._1).orderBy("r")
+    }),
+
+    "x44_bpe_tokens" -> ((s, dir) => {
+      Bpe.docTokenCounts(Tables.documents(s, dir), "doc_id", "text",
+        bpeTrained(s, dir)._2).orderBy("doc_id")
+    }),
+
     // X43 ANN recall audit — recall@k of every approximate tier against
     // the exact top-k on the same corpus/queries; the exact list is
     // pinned once, intersections are semi joins of audit-sized lists
@@ -1134,9 +1159,61 @@ object ExtQueries {
        |  CAST(n_hits * 1000000 // t.n_truth AS BIGINT) AS recall_ppm
        |FROM u CROSS JOIN t ORDER BY method""".stripMargin).toMap
 
+  /** x44 oracle building blocks: the full BPE training unrolled round by
+    * round, x37-style — w0 is the word-type table; each round counts
+    * adjacent pairs, picks the (count DESC, a, b) argmax, and re-folds
+    * every word's separator-encoded symbol string with the IDENTICAL
+    * greedy left fold the engine runs on symbol arrays.
+    */
+  private def bpeW0Cte: String =
+    s"""w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |  chr(31) || array_to_string(
+       |    list_transform(generate_series(1, length(word)), i -> word[i:i]),
+       |    chr(31)) AS s
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word)""".stripMargin
+
+  private def bpeRoundCtes(r: Int): String =
+    s"""wp$r AS (SELECT freq, string_split(s[2:], chr(31)) AS ps FROM w${r - 1}),
+       |pc$r AS (SELECT ps[i] AS a, ps[i+1] AS b, sum(freq) AS c
+       |  FROM wp$r, LATERAL unnest(generate_series(1, len(ps) - 1)) AS u$r(i)
+       |  GROUP BY 1, 2),
+       |best$r AS (SELECT a, b, CAST(c AS BIGINT) AS c FROM pc$r
+       |  ORDER BY c DESC, a, b LIMIT 1),
+       |w$r AS (SELECT word, freq,
+       |  list_reduce(list_prepend('', string_split(s[2:], chr(31))),
+       |    (acc, x) -> CASE
+       |      WHEN ends_with(acc, chr(31) || best$r.a) AND x = best$r.b
+       |      THEN concat(left(acc, length(acc) - length(best$r.a) - 1),
+       |        chr(31), best$r.a, best$r.b)
+       |      ELSE acc || chr(31) || x END) AS s
+       |  FROM w${r - 1} CROSS JOIN best$r)""".stripMargin
+
+  private def bpeAllRounds: String =
+    (bpeW0Cte +: (1 to BpeIters).map(bpeRoundCtes)).mkString(",\n")
+
   def oracle: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfPqOracle ++ semDedupOracle ++
       tempMixOracle ++ annRecallOracle ++ Map(
+
+    "x44_bpe_merges" ->
+      s"""WITH $bpeAllRounds
+         |SELECT * FROM (
+         |  ${(1 to BpeIters).map(r =>
+              s"SELECT $r AS r, a, b, c AS cnt FROM best$r")
+              .mkString("\n  UNION ALL ")}
+         |) ORDER BY r""".stripMargin,
+
+    "x44_bpe_tokens" ->
+      s"""WITH $bpeAllRounds,
+         |n AS (SELECT word,
+         |  CAST(len(string_split(s[2:], chr(31))) AS BIGINT) AS n_sym
+         |  FROM w$BpeIters),
+         |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents)
+         |SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_bpe
+         |FROM dt JOIN n USING (word) WHERE length(word) > 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x1_exact_dedup" ->
       """SELECT md5(props) AS digest, min(event_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dups

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** X44 BPE training invariants beyond the DuckDB oracle: a corpus whose
+  * merge sequence is traced by hand below, greedy-overlap semantics,
+  * tie-breaking, frequency weighting, and the exhaustion guard.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def train(texts: Seq[String], iters: Int) = {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (merges, words) = Bpe.train(docs, "text", iters)
+    (merges, words, docs)
+  }
+
+  test("hand-traced merge sequence on a two-word corpus") {
+    // corpus: "abab abab abc" -> word types: abab freq 2, abc freq 1.
+    // round 1 pairs: (a,b) 2*2+1=5, (b,a) 2, (b,c) 1 -> merge (a,b), 5
+    //   abab -> [ab, ab], abc -> [ab, c]
+    // round 2 pairs: (ab,ab) 2, (ab,c) 1 -> merge (ab,ab), 2
+    //   abab -> [abab], abc unchanged
+    // round 3 pairs: (ab,c) 1 -> merge (ab,c), 1
+    val (merges, words, _) = train(Seq("abab abab abc"), iters = 3)
+    assert(merges === Seq(
+      Bpe.Merge(1, "a", "b", 5L),
+      Bpe.Merge(2, "ab", "ab", 2L),
+      Bpe.Merge(3, "ab", "c", 1L)))
+    val syms = words.orderBy("word").select("word", "syms")
+      .as[(String, Seq[String])].collect().toSeq
+    assert(syms === Seq("abab" -> Seq("abab"), "abc" -> Seq("abc")))
+  }
+
+  test("greedy left-to-right non-overlapping merge: aaa -> [aa, a]") {
+    // round 1: (a,a) counted per adjacent slot = 2 in 'aaa'; the merge
+    // is non-overlapping greedy, so ONE merge happens, leaving [aa, a]
+    val (merges, words, _) = train(Seq("aaa"), iters = 1)
+    assert(merges === Seq(Bpe.Merge(1, "a", "a", 2L)))
+    val syms = words.select("syms").as[Seq[String]].head()
+    assert(syms === Seq("aa", "a"))
+  }
+
+  test("count ties break to the lexicographically lower pair") {
+    // "ba" and "ac": pairs (b,a) 1 and (a,c) 1 tie -> (a,c) wins
+    val (merges, _, _) = train(Seq("ba ac"), iters = 1)
+    assert(merges === Seq(Bpe.Merge(1, "a", "c", 1L)))
+  }
+
+  test("pair counts weight by word frequency, and doc token counts follow") {
+    // "xy" appears 3 times, "yz" once: (x,y) 3 beats (y,z) 1
+    val (merges, words, docs) = train(Seq("xy xy yz", "xy"), iters = 1)
+    assert(merges === Seq(Bpe.Merge(1, "x", "y", 3L)))
+    // doc 0 = [xy][xy][y z] -> 1+1+2 = 4 tokens; doc 1 = [xy] -> 1
+    val counts = Bpe.docTokenCounts(docs, "doc_id", "text", words)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(counts === Seq((0L, 4L), (1L, 1L)))
+  }
+
+  test("running out of pairs before iters fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      train(Seq("ab"), iters = 2) // round 1 merges the only pair
+    }
+    assert(e.getMessage.contains("no adjacent pairs"))
+  }
+}
