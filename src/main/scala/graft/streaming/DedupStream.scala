@@ -28,8 +28,9 @@ import graft.ops.Dedup
   */
 object DedupStream {
 
-  private def readState(spark: SparkSession, dir: String, like: DataFrame,
-                        cols: Seq[String], batchId: Long): DataFrame = {
+  private[streaming] def readState(spark: SparkSession, dir: String,
+                                   like: DataFrame, cols: Seq[String],
+                                   batchId: Long): DataFrame = {
     val hasData = {
       val p = Paths.get(dir)
       Files.isDirectory(p) && {
