@@ -119,6 +119,32 @@ object ScaleProbe {
       graft.ops.KMeansOp.fit(emb10, "vec_id", "embedding", k = 8, iters = 2)
         .write.format("noop").mode("overwrite").save()
     }
+    // round-8 operators. substring runs: the 10x union plants each doc
+    // 10 times, so every planted r7 shared span recurs in 45 extra pair
+    // alignments — a deliberate worst-ish case for the diagonal join;
+    // the window-freq cap is the production answer and is probed too
+    t("substring-runs-50k") {
+      graft.ops.Dedup.substringRuns(docs10, "doc_id", "text",
+        k = 6, minSpan = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // cap 16 actually bites here: the 10x union gives every planted
+    // shared window occurrence frequency ~20, so the guard prunes the
+    // alignment blow-up it exists for
+    t("substring-runs-50k-capped16") {
+      graft.ops.Dedup.substringRuns(docs10, "doc_id", "text",
+        k = 6, minSpan = 8, maxWindowFreq = Some(16))
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("nb-train-score-50k") {
+      graft.ops.NaiveBayes.classify(docs10, docs10, "doc_id", "text", "lang")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("bpe-train-50k-4rounds") {
+      val (_, words) = graft.ops.Bpe.train(docs10, "text", 4)
+      graft.ops.Bpe.docTokenCounts(docs10, "doc_id", "text", words)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

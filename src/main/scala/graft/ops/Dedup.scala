@@ -379,12 +379,17 @@ object Dedup {
     * one run per alignment (two diagonals).
     *
     * `maxWindowFreq` is the boilerplate-storm guard, same contract as
-    * [[lshCandidates]]' maxBucket: a k-gram appearing in B documents
+    * [[lshCandidates]]' maxBucket: a k-gram occurring B times corpus-wide
     * contributes O(B^2) matched pairs, so ubiquitous template windows
     * (the X34 common-ngram population) are dropped whole before the
-    * join at the cost of one (h)-keyed aggregation. Runs they anchor
-    * are boilerplate by definition; genuinely rare shared spans keep
-    * their other windows. At 100 TB this cap is what bounds the join.
+    * join. The threshold counts OCCURRENCES, not distinct documents —
+    * cheaper (map-side combine, no per-(h, doc) dedup shuffle) and
+    * strictly safer as a storm guard (a window repeated within one
+    * document is the same join blow-up). The hot-hash list is tiny by
+    * construction, so it broadcasts into anti-joins on both sides. Runs
+    * the dropped windows anchor are boilerplate by definition; genuinely
+    * rare shared spans keep their other windows. At 100 TB this cap is
+    * what bounds the join.
     */
   def substringRuns(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 6, minSpan: Int = 8,
@@ -396,9 +401,9 @@ object Dedup {
     val capped = maxWindowFreq match {
       case Some(cap) =>
         val hot = w.groupBy(col("h"))
-          .agg(countDistinct(col(idCol)).as("df")).filter(col("df") > cap)
+          .agg(count(lit(1)).as("occ")).filter(col("occ") > cap)
           .select(col("h"))
-        w.join(hot, Seq("h"), "left_anti")
+        w.join(broadcast(hot), Seq("h"), "left_anti")
       case None => w
     }
     val m = capped.as("a").join(capped.as("b"),
