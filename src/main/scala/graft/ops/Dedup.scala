@@ -422,6 +422,52 @@ object Dedup {
         col("span_len"))
   }
 
+  /** X45 — substring-run REMOVAL, the actionable half of
+    * [[substringRuns]] and the practice the suffix-array paper
+    * prescribes: for every shared run, the LESS-canonical document
+    * (higher id, the runs' d2 side) drops the duplicated tokens; the
+    * canonical copy survives verbatim. Overlapping spans from different
+    * partners union per document. Output: one row per input document —
+    * (id, clean_text, n_removed), untouched documents pass through
+    * bit-identical (they are never re-tokenized, so odd whitespace
+    * survives; only affected documents rebuild).
+    *
+    * Shape at 100 TB: [[substringRuns]] dominates; removal itself is
+    * interval-explode (bounded by removed-token mass, a sliver of the
+    * corpus), a semi-join prune of the corpus to affected documents
+    * (the [[incrementalLshPairsIndexed]] member-prune discipline), one
+    * posexplode + anti-ish marker join over affected docs only, and a
+    * per-doc ordered rebuild. Unaffected documents cost one semi-join
+    * probe and are never exploded.
+    */
+  def removeRuns(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 6, minSpan: Int = 8,
+                 maxWindowFreq: Option[Int] = None): DataFrame = {
+    val runs = substringRuns(docs, idCol, textCol, k, minSpan, maxWindowFreq)
+    val removed = runs.select(col("d2").as(idCol),
+        explode(sequence(col("b_start").cast("long"),
+          col("b_start").cast("long") + col("span_len") - 1)).as("p"))
+      .distinct() // overlapping spans from different partners union
+    val affected = docs.select(col(idCol), col(textCol))
+      .join(removed.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    val rebuilt = affected
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("p", "w")))
+      .join(removed.withColumn("rm", lit(true)),
+        Seq(idCol, "p"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(IF(rm IS NULL, struct(p, w), NULL))), x -> x.w)"))
+          .as("clean_text"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"))
+    docs.select(col(idCol), col(textCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), col(textCol)).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** 16-bit SimHash from the first 4 hex chars of md5(shingle): per bit j,
     * sign of the +1/-1 vote sum across the doc's shingles. Expressed as 16
     * conditional sums in one aggregation (single shuffle of 16 ints/doc).

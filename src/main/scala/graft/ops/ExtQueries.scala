@@ -762,6 +762,15 @@ object ExtQueries {
         .orderBy("d1", "d2", "a_start", "b_start")
     }),
 
+    // X45 substring-run removal — the actionable half of x41: later
+    // docs drop spans a more-canonical doc already carries; untouched
+    // docs pass through bit-identical (semi-join pruned, never exploded)
+    "x45_remove_spans" -> ((s, dir) => {
+      Dedup.removeRuns(Tables.documents(s, dir), "doc_id", "text",
+        k = SubstrK, minSpan = SubstrMinSpan)
+        .orderBy("doc_id")
+    }),
+
     // X38 split-leakage audit — near-dup pairs (the session-cached LSH
     // stage) that straddle a train/valid/test boundary: contamination a
     // split-then-dedup pipeline would ship into evaluation
@@ -1191,6 +1200,26 @@ object ExtQueries {
 
   private def bpeAllRounds: String =
     (bpeW0Cte +: (1 to BpeIters).map(bpeRoundCtes)).mkString(",\n")
+
+  /** Shared x41/x45 CTE chain: window fingerprints -> matched positions
+    * -> diagonal islands -> maximal runs (g). Mirrors
+    * [[Dedup.substringRuns]] stage for stage.
+    */
+  private def substrRunCtes: String =
+    s"""t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+       |w AS (SELECT doc_id, p - 1 AS p,
+       |    md5(array_to_string(ts[p : p + $SubstrK - 1], ' ')) AS h
+       |  FROM t, LATERAL unnest(generate_series(1, len(ts) - $SubstrK + 1)) AS u(p)),
+       |m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.p AS pa, b.p AS pb
+       |  FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |r AS (SELECT d1, d2, pa - pb AS diag, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY d1, d2, pa - pb ORDER BY pa)
+       |      AS island
+       |  FROM m),
+       |g AS (SELECT d1, d2, CAST(min(pa) AS INTEGER) AS a_start,
+       |    CAST(min(pb) AS INTEGER) AS b_start,
+       |    CAST(count(*) + $SubstrK - 1 AS BIGINT) AS span_len
+       |  FROM r GROUP BY d1, d2, diag, island)""".stripMargin
 
   def oracle: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfPqOracle ++ semDedupOracle ++
@@ -1892,23 +1921,34 @@ object ExtQueries {
     // positional window fingerprints -> hash-matched (pa, pb) pairs ->
     // gaps-and-islands per (pair, diagonal); mirrors Dedup.substringRuns
     "x41_substring_dedup" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |w AS (SELECT doc_id, p - 1 AS p,
-         |    md5(array_to_string(ts[p : p + $SubstrK - 1], ' ')) AS h
-         |  FROM t, LATERAL unnest(generate_series(1, len(ts) - $SubstrK + 1)) AS u(p)),
-         |m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.p AS pa, b.p AS pb
-         |  FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id),
-         |r AS (SELECT d1, d2, pa - pb AS diag, pa, pb,
-         |    pa - row_number() OVER (PARTITION BY d1, d2, pa - pb ORDER BY pa)
-         |      AS island
-         |  FROM m),
-         |g AS (SELECT d1, d2, CAST(min(pa) AS INTEGER) AS a_start,
-         |    CAST(min(pb) AS INTEGER) AS b_start,
-         |    CAST(count(*) + $SubstrK - 1 AS BIGINT) AS span_len
-         |  FROM r GROUP BY d1, d2, diag, island)
+      s"""WITH $substrRunCtes
          |SELECT d1, d2, a_start, b_start, span_len FROM g
          |WHERE span_len >= $SubstrMinSpan
          |ORDER BY d1, d2, a_start, b_start""".stripMargin,
+
+    // the runs' d2 side drops its duplicated token positions (interval
+    // union per doc); only affected docs rebuild, others pass through
+    "x45_remove_spans" ->
+      s"""WITH $substrRunCtes,
+         |rm AS (SELECT DISTINCT doc_id, p FROM (
+         |  SELECT d2 AS doc_id,
+         |    unnest(generate_series(b_start, b_start + span_len - 1)) AS p
+         |  FROM g WHERE span_len >= $SubstrMinSpan)),
+         |aff AS (SELECT DISTINCT doc_id FROM rm),
+         |tk AS (SELECT t.doc_id, p - 1 AS p, ts[p] AS w
+         |  FROM t JOIN aff ON aff.doc_id = t.doc_id,
+         |  LATERAL unnest(generate_series(1, len(ts))) AS uu(p)),
+         |rb AS (SELECT tk.doc_id,
+         |    coalesce(array_to_string(list(tk.w ORDER BY tk.p)
+         |      FILTER (WHERE rm.p IS NULL), ' '), '') AS clean_text,
+         |    CAST(count(*) FILTER (WHERE rm.p IS NOT NULL) AS BIGINT)
+         |      AS n_removed
+         |  FROM tk LEFT JOIN rm ON rm.doc_id = tk.doc_id AND rm.p = tk.p
+         |  GROUP BY tk.doc_id)
+         |SELECT d.doc_id, coalesce(rb.clean_text, d.text) AS clean_text,
+         |  CAST(coalesce(rb.n_removed, 0) AS BIGINT) AS n_removed
+         |FROM documents d LEFT JOIN rb ON rb.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the LSH pair stage (identical CTEs to x1_minhash_lsh) joined to
     // the split CASE on both endpoints; only boundary-crossing pairs out

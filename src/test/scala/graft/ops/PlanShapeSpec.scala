@@ -195,6 +195,19 @@ class PlanShapeSpec extends SparkSpec {
       s"plan:\n$plan")
   }
 
+  test("NB scoring shuffles the corpus tokens exactly once (the per-doc agg)") {
+    // the k-wide pivoted vocabulary joins in (AQE broadcast at this SF,
+    // model-sized at any scale); the corpus token stream itself must hit
+    // exactly one hash exchange — the doc_id aggregation. A (token x
+    // class) cross-join regression would multiply the corpus k-fold
+    // before that exchange; the training-side aggregations are keyed on
+    // w/label, never doc_id
+    val docs = Tables.documents(spark, sf)
+    val plan = physical(NaiveBayes.classify(docs, docs, "doc_id", "text", "lang"))
+    assert(countOccurrences(plan, "Exchange hashpartitioning(doc_id") === 1,
+      s"plan:\n$plan")
+  }
+
   test("feature hashing costs exactly one data exchange with partial aggregation") {
     val plan = physical(TextAnalysis.featureHash(
       Tables.documents(spark, sf), "doc_id", "text", dim = 64))

@@ -69,6 +69,38 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  private def removed(docs: Seq[(Long, String)], k: Int,
+                      minSpan: Int): Seq[(Long, String, Long)] =
+    Dedup.removeRuns(docs.toDF("doc_id", "text"), "doc_id", "text", k, minSpan)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("removeRuns: the later doc drops the shared span, the canonical survives") {
+    val got = removed(Seq(
+      1L -> s"u0 u1 u2 $P v0 v1",
+      2L -> s"w0 w1 $P x0"), k = 3, minSpan = 5)
+    assert(got === Seq(
+      (1L, s"u0 u1 u2 $P v0 v1", 0L), // canonical: untouched, verbatim
+      (2L, "w0 w1 x0", 10L)))
+  }
+
+  test("removeRuns: overlapping spans from different partners union per doc") {
+    // doc 3 shares p0..p9 with doc 1 and p5..p9 q0..q4 with doc 2: the
+    // removed intervals [1,10] and [6,15] overlap -> 15 tokens removed
+    val Q = (0 until 5).map(i => s"q$i").mkString(" ")
+    val got = removed(Seq(
+      1L -> s"a0 $P a1",
+      2L -> s"b0 ${P.split(" ").drop(5).mkString(" ")} $Q b1",
+      3L -> s"c0 $P $Q c1"), k = 3, minSpan = 5)
+    assert(got(2) === ((3L, "c0 c1", 15L)))
+  }
+
+  test("removeRuns: a whole-document duplicate empties the later copy") {
+    val text = (0 until 12).map(i => s"q$i").mkString(" ")
+    val got = removed(Seq(5L -> text, 6L -> text), k = 3, minSpan = 5)
+    assert(got === Seq((5L, text, 0L), (6L, "", 12L)))
+  }
+
   test("maxWindowFreq drops boilerplate-anchored runs, keeps rare ones") {
     // P is boilerplate (in all 5 docs); the 10-token R span is shared by
     // only two docs and must survive the cap
