@@ -136,6 +136,11 @@ object ScaleProbe {
         k = 6, minSpan = 8, maxWindowFreq = Some(16))
         .write.format("noop").mode("overwrite").save()
     }
+    t("remove-spans-50k") {
+      graft.ops.Dedup.removeRuns(docs10, "doc_id", "text",
+        k = 6, minSpan = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
     t("nb-train-score-50k") {
       graft.ops.NaiveBayes.classify(docs10, docs10, "doc_id", "text", "lang")
         .write.format("noop").mode("overwrite").save()
