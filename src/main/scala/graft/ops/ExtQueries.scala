@@ -89,6 +89,20 @@ object ExtQueries {
       Bpe.train(Tables.documents(s, dir), "text", BpeIters)
     }
 
+  /** The x42 classifier result, cached per (session, dir): model
+    * training (the driver-side collects inside classify) runs once and
+    * both x42 and the x46 mismatch audit read the same plan.
+    */
+  private val nbCache = new graft.engine.SessionCache[DataFrame]
+  private def nbClassified(s: SparkSession, dir: String): DataFrame =
+    nbCache.getOrCompute(s, dir) {
+      val docs = Tables.documents(s, dir)
+      val ref = Curate.splitAssign(docs, "doc_id",
+        Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
+        seed = SplitSeed).filter(col("split") === "train")
+      NaiveBayes.classify(docs, ref, "doc_id", "text", "lang")
+    }
+
   // X41 substring-run window size and minimum shared span, in tokens;
   // k=6 makes random small-vocab collisions rare while the generator's
   // planted shared paragraphs (runs up to ~93 tokens) all survive
@@ -744,12 +758,19 @@ object ExtQueries {
     // X42 trained NB classifier — integer micro-nat scores, argmax with
     // lex tie-break; trains on the deterministic train split, classes
     // from the corpus's lang labels (the labeled column the data ships)
-    "x42_nb_quality" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val ref = Curate.splitAssign(docs, "doc_id",
-        Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
-        seed = SplitSeed).filter(col("split") === "train")
-      NaiveBayes.classify(docs, ref, "doc_id", "text", "lang")
+    "x42_nb_quality" -> ((s, dir) =>
+      nbClassified(s, dir).orderBy("doc_id")),
+
+    // X46 language-mismatch audit — the NB gate composed: docs whose
+    // predicted language disagrees with the declared label (mislabeled
+    // or mixed-language rows a cleaning pipeline quarantines); shares
+    // the session-cached classifier with x42
+    "x46_lang_mismatch" -> ((s, dir) => {
+      val declared = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      nbClassified(s, dir)
+        .join(declared, Seq("doc_id"))
+        .filter(col("pred") =!= col("lang"))
+        .select(col("doc_id"), col("lang"), col("pred"), col("score_micro"))
         .orderBy("doc_id")
     }),
 
@@ -1200,6 +1221,43 @@ object ExtQueries {
 
   private def bpeAllRounds: String =
     (bpeW0Cte +: (1 to BpeIters).map(bpeRoundCtes)).mkString(",\n")
+
+  /** x42 NB pipeline SQL — named so the x46 mismatch audit can embed the
+    * identical pipeline as a subquery (the x43 composition pattern).
+    */
+  private def nbQualitySql: String =
+    s"""WITH sp AS (SELECT doc_id,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
+       |           < '${Sample.threshold(SplitTrain)}' THEN 'train'
+       |         WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
+       |           < '${Sample.threshold(SplitTrain + SplitValid)}' THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |tr AS (SELECT d.doc_id, d.text, d.lang FROM documents d
+       |  JOIN sp ON sp.doc_id = d.doc_id WHERE sp.split = 'train'),
+       |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM tr),
+       |cw AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+       |tl AS (SELECT lang, count(*) AS t FROM tok GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w) AS v FROM tok),
+       |pr AS (SELECT lang, count(*) AS d FROM tr GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM tr),
+       |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |s AS (SELECT dt.doc_id, tl.lang,
+       |    CAST(round(ln((coalesce(cw.c, 0) + 1)
+       |      / CAST(tl.t + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lnp
+       |  FROM dt CROSS JOIN tl CROSS JOIN v
+       |  LEFT JOIN cw ON cw.lang = tl.lang AND cw.w = dt.w),
+       |agg AS (SELECT doc_id, lang, sum(lnp) AS sl FROM s GROUP BY 1, 2),
+       |sc AS (SELECT agg.doc_id, agg.lang,
+       |    CAST(agg.sl + CAST(round(ln(pr.d / CAST(n.n AS DOUBLE)) * 1000000)
+       |      AS BIGINT) AS BIGINT) AS score
+       |  FROM agg JOIN pr ON pr.lang = agg.lang CROSS JOIN n),
+       |r AS (SELECT doc_id, lang, score, row_number()
+       |    OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+       |  FROM sc)
+       |SELECT doc_id, lang AS pred, score AS score_micro FROM r
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** Shared x41/x45 CTE chain: window fingerprints -> matched positions
     * -> diagonal islands -> maximal runs (g). Mirrors
@@ -1884,39 +1942,16 @@ object ExtQueries {
     // Laplace NB replayed from the data alone: per-(token, class)
     // counts over the train split, micro-nat ln seam per token, exact
     // BIGINT sums, argmax by (score DESC, lang ASC)
-    "x42_nb_quality" ->
-      s"""WITH sp AS (SELECT doc_id,
-         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
-         |           < '${Sample.threshold(SplitTrain)}' THEN 'train'
-         |         WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
-         |           < '${Sample.threshold(SplitTrain + SplitValid)}' THEN 'valid'
-         |         ELSE 'test' END AS split
-         |  FROM documents),
-         |tr AS (SELECT d.doc_id, d.text, d.lang FROM documents d
-         |  JOIN sp ON sp.doc_id = d.doc_id WHERE sp.split = 'train'),
-         |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM tr),
-         |cw AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
-         |tl AS (SELECT lang, count(*) AS t FROM tok GROUP BY 1),
-         |v AS (SELECT count(DISTINCT w) AS v FROM tok),
-         |pr AS (SELECT lang, count(*) AS d FROM tr GROUP BY 1),
-         |n AS (SELECT count(*) AS n FROM tr),
-         |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |  FROM documents),
-         |s AS (SELECT dt.doc_id, tl.lang,
-         |    CAST(round(ln((coalesce(cw.c, 0) + 1)
-         |      / CAST(tl.t + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lnp
-         |  FROM dt CROSS JOIN tl CROSS JOIN v
-         |  LEFT JOIN cw ON cw.lang = tl.lang AND cw.w = dt.w),
-         |agg AS (SELECT doc_id, lang, sum(lnp) AS sl FROM s GROUP BY 1, 2),
-         |sc AS (SELECT agg.doc_id, agg.lang,
-         |    CAST(agg.sl + CAST(round(ln(pr.d / CAST(n.n AS DOUBLE)) * 1000000)
-         |      AS BIGINT) AS BIGINT) AS score
-         |  FROM agg JOIN pr ON pr.lang = agg.lang CROSS JOIN n),
-         |r AS (SELECT doc_id, lang, score, row_number()
-         |    OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
-         |  FROM sc)
-         |SELECT doc_id, lang AS pred, score AS score_micro FROM r
-         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "x42_nb_quality" -> nbQualitySql,
+
+    // the NB prediction disagreeing with the declared label — the
+    // language-mismatch audit; embeds the full x42 pipeline
+    "x46_lang_mismatch" ->
+      s"""WITH nb AS (SELECT doc_id, pred, score_micro FROM ($nbQualitySql))
+         |SELECT d.doc_id, d.lang, nb.pred, nb.score_micro
+         |FROM nb JOIN documents d ON d.doc_id = nb.doc_id
+         |WHERE nb.pred <> d.lang
+         |ORDER BY d.doc_id""".stripMargin,
 
     // positional window fingerprints -> hash-matched (pa, pb) pairs ->
     // gaps-and-islands per (pair, diagonal); mirrors Dedup.substringRuns
