@@ -108,7 +108,8 @@ object Similarity {
     * computed as `n2 - 2*dot(q, qc) + |qc|^2` — all integer arithmetic,
     * so the argmin (ties broken by list id) is bit-identical in any
     * engine. That makes the whole IVF path oracle-checkable even though
-    * it is approximate w.r.t. brute force (recall asserted in ScalaTest).
+    * it is approximate w.r.t. brute force (recall asserted in ScalaTest;
+    * measured by the x43 audit: recall@5 ~0.74 at sf0.01, nprobe 4/8).
     */
   /** One driver-local collect of the bounded training sample — shared by
     * every trainer so a session training several quantizers over the same
@@ -217,7 +218,8 @@ object Similarity {
     * ADC scores are integer sums, so assignment, scoring, and ranking
     * (ties by candidate id) are bit-identical in any engine — fully
     * oracle-checkable even though ADC is approximate w.r.t. true cosine
-    * (recall asserted in ScalaTest).
+    * (recall asserted in ScalaTest; measured by the x43 audit: recall@5
+    * ~0.66 at sf0.01, 16x64 codebook).
     */
   /** Train the PQ sub-quantizer codebooks driver-locally on a bounded
     * sample (deterministic: fixed seeds per subspace). In a real pipeline
@@ -327,7 +329,9 @@ object Similarity {
     * residual AGAINST THE PROBED LIST (computed per (query, probe) by the
     * native [[graft.functions.VecSubCentroid]]). All terms are exact
     * integers, ties break to the lower candidate id — fully
-    * oracle-checkable, recall asserted in ScalaTest.
+    * oracle-checkable, recall asserted in ScalaTest (measured by the
+    * x43 audit: recall@5 ~0.52 at sf0.01 — the compounded coarse-prune
+    * + residual-ADC trade).
     */
   def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                 k: Int, nlist: Int = 8, nprobe: Int = 4,
@@ -458,7 +462,11 @@ object Similarity {
 
   /** Bucketed ANN: score only corpus vectors in the query's sign bucket.
     * Recall < 1 by construction; the bucket join replaces the cross
-    * product, which is what survives a 100x corpus scale-up.
+    * product, which is what survives a 100x corpus scale-up. The x43
+    * audit measures recall@5 ~0.08 at sf0.01 with 6 bits on random
+    * embeddings — sign-bucketing is the cheapest and the most
+    * aggressive tier; add multi-probe or drop bits when recall matters
+    * more than cost.
     */
   def lshTopK(emb: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 16): DataFrame = {
