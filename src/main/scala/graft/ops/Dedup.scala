@@ -422,6 +422,48 @@ object Dedup {
         col("span_len"))
   }
 
+  /** X47 — WINNOWING fingerprint selection (Schleimer, Wilkerson &
+    * Aiken 2003 — the MOSS algorithm): slide a width-`w` window over
+    * each document's positional k-gram hashes ([[windowTable]]) and
+    * keep each window's minimum hash, ties to the RIGHTMOST position.
+    * The selected (id, p, h) rows are the document's fingerprint
+    * sketch: expected density 2/(w+1) of the full window table, with
+    * the winnowing GUARANTEE that any shared token run of length >=
+    * w + k - 1 still shares at least one selected fingerprint
+    * (spec-pinned). This is the index-size dial for the substring-dedup
+    * family: a [[substringRuns]]-style probe or the
+    * [[graft.streaming.SubstringStream]] index can store only
+    * fingerprints and still catch every long-enough span.
+    *
+    * The rightmost-tie argmin is expressed as a plain `min` over an
+    * ENCODED string — h (fixed-width hex) concatenated with the
+    * zero-padded DESCENDING position (10^9 - p) — so lexicographic min
+    * = (smallest hash, then largest position), identical in any engine;
+    * no struct-typed window aggregate needed. One exchange on the doc
+    * id serves both window passes; partial trailing windows (which the
+    * published algorithm does not emit) are dropped via the per-doc max
+    * position.
+    */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 6, w: Int = 4): DataFrame = {
+    require(w >= 1, s"winnow width must be >= 1: $w")
+    import org.apache.spark.sql.expressions.Window
+    val wt = windowTable(docs, idCol, textCol, k)
+    val byDoc = Window.partitionBy(col(idCol))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    wt.withColumn("enc", concat(col("h"), lit("|"),
+        lpad((lit(1000000000L) - col("p")).cast("string"), 10, "0")))
+      .withColumn("mw", min(col("enc")).over(frame))
+      .withColumn("maxp", max(col("p")).over(byDoc))
+      .filter(col("p") <= col("maxp") - (w - 1))
+      .select(col(idCol), col("mw")).distinct()
+      .select(col(idCol),
+        (lit(1000000000L) - expr("cast(substring(mw, 34, 10) as bigint)"))
+          .cast("int").as("p"),
+        expr("substring(mw, 1, 32)").as("h"))
+  }
+
   /** X45 — substring-run REMOVAL, the actionable half of
     * [[substringRuns]] and the practice the suffix-array paper
     * prescribes: for every shared run, the LESS-canonical document

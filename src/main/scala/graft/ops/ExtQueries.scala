@@ -108,6 +108,8 @@ object ExtQueries {
   // planted shared paragraphs (runs up to ~93 tokens) all survive
   private val SubstrK = 6
   private val SubstrMinSpan = 8
+  // X47 winnowing window width (expected density 2/(w+1) of windows)
+  private val WinnowW = 4
 
   /** The MinHash-LSH near-dup pair stage, MATERIALIZED once per
     * (session, table dir) and shared by `x1_minhash_lsh` and
@@ -781,6 +783,15 @@ object ExtQueries {
       Dedup.substringRuns(Tables.documents(s, dir), "doc_id", "text",
         k = SubstrK, minSpan = SubstrMinSpan)
         .orderBy("d1", "d2", "a_start", "b_start")
+    }),
+
+    // X47 winnowing fingerprints — the MOSS selection: per-doc minimum
+    // window hash per width-w frame (ties rightmost), the index-size
+    // dial for the substring family
+    "x47_winnow" -> ((s, dir) => {
+      Dedup.winnow(Tables.documents(s, dir), "doc_id", "text",
+        k = SubstrK, w = WinnowW)
+        .orderBy("doc_id", "p")
     }),
 
     // X45 substring-run removal — the actionable half of x41: later
@@ -1960,6 +1971,25 @@ object ExtQueries {
          |SELECT d1, d2, a_start, b_start, span_len FROM g
          |WHERE span_len >= $SubstrMinSpan
          |ORDER BY d1, d2, a_start, b_start""".stripMargin,
+
+    // same t/w CTEs as x41; the rightmost-tie argmin is the identical
+    // encoded-string min, decoded back to (p, h)
+    "x47_winnow" ->
+      s"""WITH $substrRunCtes,
+         |e AS (SELECT doc_id, p,
+         |    h || '|' || lpad(CAST(1000000000 - p AS VARCHAR), 10, '0') AS enc,
+         |    max(p) OVER (PARTITION BY doc_id) AS maxp
+         |  FROM w),
+         |f AS (SELECT doc_id, p, maxp,
+         |    min(enc) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mw
+         |  FROM e),
+         |sel AS (SELECT DISTINCT doc_id, mw FROM f
+         |  WHERE p <= maxp - ${WinnowW - 1})
+         |SELECT doc_id,
+         |  CAST(1000000000 - CAST(substring(mw, 34, 10) AS BIGINT) AS INTEGER) AS p,
+         |  substring(mw, 1, 32) AS h
+         |FROM sel ORDER BY doc_id, p""".stripMargin,
 
     // the runs' d2 side drops its duplicated token positions (interval
     // union per doc); only affected docs rebuild, others pass through

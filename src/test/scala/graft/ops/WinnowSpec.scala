@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.engine.Tables
+
+/** X47 winnowing invariants beyond the DuckDB oracle: exact equivalence
+  * with a driver-side reference implementation of the published
+  * algorithm, the shared-run guarantee, and the density reduction.
+  */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 3
+  private val W = 4
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The published algorithm, straight off the paper: every width-W
+    * window of k-gram hashes keeps its minimum, ties rightmost.
+    */
+  private def reference(text: String): Set[(Int, String)] = {
+    val hashes = text.split(" ").sliding(K).map(_.mkString(" "))
+      .map(md5hex).toVector
+    (0 to hashes.length - W).flatMap { s =>
+      val (h, i) = (s until s + W).map(i => (hashes(i), i))
+        .minBy { case (h, i) => (h, -i) }
+      Some((i, h))
+    }.toSet
+  }
+
+  private def winnowed(docs: Seq[(Long, String)]): Map[Long, Set[(Int, String)]] =
+    Dedup.winnow(docs.toDF("doc_id", "text"), "doc_id", "text", K, W)
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+
+  test("matches the reference implementation on real corpus documents") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().take(25).toSeq
+    val got = winnowed(docs)
+    docs.foreach { case (id, text) =>
+      assert(got.getOrElse(id, Set.empty) === reference(text),
+        s"doc $id diverges from the published algorithm")
+    }
+  }
+
+  test("the winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    // P is 10 tokens >= W+K-1 = 6; all other tokens unique per doc
+    val P = (0 until 10).map(i => s"p$i").mkString(" ")
+    val got = winnowed(Seq(
+      1L -> s"u0 u1 u2 u3 $P u4 u5",
+      2L -> s"v0 $P v1 v2 v3"))
+    val h1 = got(1L).map(_._2)
+    val h2 = got(2L).map(_._2)
+    assert((h1 intersect h2).nonEmpty)
+  }
+
+  test("density: selection is a strict subsample at roughly 2/(w+1)") {
+    val text = (0 until 200).map(i => s"t${i % 97}").mkString(" ")
+    val sel = winnowed(Seq(1L -> text))(1L).size
+    val windows = 200 - K + 1
+    assert(sel < windows / 2, s"selected $sel of $windows")
+    assert(sel > windows / 8, s"selected $sel of $windows")
+  }
+}
