@@ -464,6 +464,39 @@ object Dedup {
         expr("substring(mw, 1, 32)").as("h"))
   }
 
+  /** X48 — TWO-TIER substring dedup, the 100 TB form the winnowing
+    * guarantee buys: candidate doc pairs come from a self-join of the
+    * 2/(w+1)-density [[winnow]] fingerprints (the only corpus-sized
+    * shuffle touches the SKETCH, not the window table), then full
+    * window verification runs restricted to candidate members only
+    * (semi-join pruned, the [[incrementalLshPairsIndexed]] discipline).
+    *
+    * EXACTNESS, not approximation: the winnowing guarantee says any
+    * shared run of >= w + k - 1 tokens shares a selected fingerprint,
+    * so with `minSpan >= w + k - 1` (enforced loudly) every qualifying
+    * pair is a candidate and the output EQUALS [[substringRuns]] row
+    * for row — the driver's DuckDB gate checks this operator against
+    * the exhaustive oracle, and the spec pins the equality directly.
+    */
+  def substringRunsPruned(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 6, minSpan: Int = 9, w: Int = 4,
+                          maxWindowFreq: Option[Int] = None): DataFrame = {
+    require(minSpan >= w + k - 1,
+      s"minSpan $minSpan below the winnowing guarantee w + k - 1 = " +
+        s"${w + k - 1} — a shorter shared span can miss the fingerprint " +
+        "index; raise minSpan or shrink w")
+    val fp = winnow(docs, idCol, textCol, k, w)
+    // candidate MEMBERS are what matters: any two members sharing a
+    // qualifying span are fingerprint-collided by the guarantee, so
+    // verifying all member pairs loses nothing and skips a pair filter
+    val memberIds = fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol")).distinct()
+    val members = docs.select(col(idCol), col(textCol))
+      .join(memberIds, Seq(idCol), "left_semi")
+    substringRuns(members, idCol, textCol, k, minSpan, maxWindowFreq)
+  }
+
   /** X45 — substring-run REMOVAL, the actionable half of
     * [[substringRuns]] and the practice the suffix-array paper
     * prescribes: for every shared run, the LESS-canonical document

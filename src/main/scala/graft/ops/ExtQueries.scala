@@ -794,6 +794,15 @@ object ExtQueries {
         .orderBy("doc_id", "p")
     }),
 
+    // X48 two-tier substring dedup — fingerprint-index candidates +
+    // member-pruned full verification; EQUALS the exhaustive x41 form
+    // above the guarantee threshold, so the oracle IS the exhaustive SQL
+    "x48_substring_pruned" -> ((s, dir) => {
+      Dedup.substringRunsPruned(Tables.documents(s, dir), "doc_id", "text",
+        k = SubstrK, minSpan = SubstrK + WinnowW - 1, w = WinnowW)
+        .orderBy("d1", "d2", "a_start", "b_start")
+    }),
+
     // X45 substring-run removal — the actionable half of x41: later
     // docs drop spans a more-canonical doc already carries; untouched
     // docs pass through bit-identical (semi-join pruned, never exploded)
@@ -1990,6 +1999,15 @@ object ExtQueries {
          |  CAST(1000000000 - CAST(substring(mw, 34, 10) AS BIGINT) AS INTEGER) AS p,
          |  substring(mw, 1, 32) AS h
          |FROM sel ORDER BY doc_id, p""".stripMargin,
+
+    // the pruned two-tier form produces IDENTICAL rows to the
+    // exhaustive pipeline above the guarantee threshold — the oracle is
+    // the exhaustive SQL itself, which is exactly the claim being gated
+    "x48_substring_pruned" ->
+      s"""WITH $substrRunCtes
+         |SELECT d1, d2, a_start, b_start, span_len FROM g
+         |WHERE span_len >= ${SubstrK + WinnowW - 1}
+         |ORDER BY d1, d2, a_start, b_start""".stripMargin,
 
     // the runs' d2 side drops its duplicated token positions (interval
     // union per doc); only affected docs rebuild, others pass through

@@ -56,6 +56,24 @@ class WinnowSpec extends SparkSpec {
     assert((h1 intersect h2).nonEmpty)
   }
 
+  test("two-tier pruned runs equal the exhaustive operator above the guarantee") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val minSpan = K + W - 1 // = w + k - 1: the guarantee threshold
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2", "a_start", "b_start", "span_len")
+        .as[(Long, Long, Int, Int, Long)].collect().toSet
+    val full = canon(Dedup.substringRuns(docs, "doc_id", "text", K, minSpan))
+    val pruned = canon(Dedup.substringRunsPruned(docs, "doc_id", "text",
+      K, minSpan, W))
+    assert(full.nonEmpty)
+    assert(pruned === full)
+    // below the guarantee threshold the operator refuses loudly
+    intercept[IllegalArgumentException] {
+      Dedup.substringRunsPruned(docs, "doc_id", "text", K, minSpan - 1, W)
+    }
+  }
+
   test("density: selection is a strict subsample at roughly 2/(w+1)") {
     val text = (0 until 200).map(i => s"t${i % 97}").mkString(" ")
     val sel = winnowed(Seq(1L -> text))(1L).size
