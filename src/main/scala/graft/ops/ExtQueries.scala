@@ -110,6 +110,9 @@ object ExtQueries {
   private val SubstrMinSpan = 8
   // X47 winnowing window width (expected density 2/(w+1) of windows)
   private val WinnowW = 4
+  // X49 content-defined chunking: window bytes + boundary rate 16^-zeros
+  private val CdcKb = 8
+  private val CdcHexZeros = 1
 
   /** The MinHash-LSH near-dup pair stage, MATERIALIZED once per
     * (session, table dir) and shared by `x1_minhash_lsh` and
@@ -803,6 +806,27 @@ object ExtQueries {
         .orderBy("d1", "d2", "a_start", "b_start")
     }),
 
+    // X49 content-defined chunking over the binary blob column — the
+    // LBFS/gear-CDC boundary rule with the engine-portable md5 window
+    "x49_cdc_chunks" -> ((s, dir) => {
+      Multimodal.cdcChunks(
+        Multimodal.attachBlob(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id", "blob", kb = CdcKb, hexZeros = CdcHexZeros)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // X50 chunk-level dedup ledger — identical chunk hashes across the
+    // corpus (shared spans dedup at the storage layer even at
+    // different byte offsets: the point of content-defined boundaries)
+    "x50_chunk_dedup" -> ((s, dir) => {
+      Multimodal.chunkDedup(
+        Multimodal.cdcChunks(
+          Multimodal.attachBlob(Tables.documents(s, dir), "doc_id", "text"),
+          "doc_id", "blob", kb = CdcKb, hexZeros = CdcHexZeros),
+        "doc_id")
+        .orderBy("chunk_md5")
+    }),
+
     // X45 substring-run removal — the actionable half of x41: later
     // docs drop spans a more-canonical doc already carries; untouched
     // docs pass through bit-identical (semi-join pruned, never exploded)
@@ -1278,6 +1302,34 @@ object ExtQueries {
        |  FROM sc)
        |SELECT doc_id, lang AS pred, score AS score_micro FROM r
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** x49/x50 shared CTE chain, ending in `ck` (doc_id, chunk_idx, start,
+    * clen, chunk_md5). The engine hashes BINARY slices of the blob; the
+    * oracle hashes text slices — identical md5s because the test corpus
+    * is ASCII and the blob is its UTF-8 encoding (the engine form is the
+    * general one; the oracle seam is single-byte-text only).
+    */
+  private def cdcChunkCtes: String =
+    s"""cm AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       |cb AS (SELECT doc_id, i + ${CdcKb - 1} AS e
+       |  FROM cm, LATERAL unnest(generate_series(1, len - ${CdcKb - 1})) AS u(i)
+       |  WHERE substring(md5(substring(text, i, $CdcKb)), 1, $CdcHexZeros)
+       |    = '${"0" * CdcHexZeros}'),
+       |cc AS (SELECT DISTINCT doc_id, e FROM (
+       |  SELECT doc_id, e FROM cb
+       |  UNION ALL SELECT doc_id, len FROM cm WHERE len >= 1)),
+       |cs AS (SELECT doc_id, e,
+       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e) + 1, 1)
+       |      AS cstart,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1
+       |      AS chunk_idx
+       |  FROM cc),
+       |ck AS (SELECT cs.doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       |    CAST(cstart AS INTEGER) AS start,
+       |    CAST(e - cstart + 1 AS INTEGER) AS clen,
+       |    md5(substring(cm.text, CAST(cstart AS INTEGER),
+       |      CAST(e - cstart + 1 AS INTEGER))) AS chunk_md5
+       |  FROM cs JOIN cm ON cm.doc_id = cs.doc_id)""".stripMargin
 
   /** Shared x41/x45 CTE chain: window fingerprints -> matched positions
     * -> diagonal islands -> maximal runs (g). Mirrors
@@ -1999,6 +2051,18 @@ object ExtQueries {
          |  CAST(1000000000 - CAST(substring(mw, 34, 10) AS BIGINT) AS INTEGER) AS p,
          |  substring(mw, 1, 32) AS h
          |FROM sel ORDER BY doc_id, p""".stripMargin,
+
+    "x49_cdc_chunks" ->
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, chunk_idx, start, clen, chunk_md5 FROM ck
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "x50_chunk_dedup" ->
+      s"""WITH $cdcChunkCtes
+         |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM ck GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY chunk_md5""".stripMargin,
 
     // the pruned two-tier form produces IDENTICAL rows to the
     // exhaustive pipeline above the guarantee threshold — the oracle is

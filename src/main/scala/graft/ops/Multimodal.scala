@@ -37,6 +37,76 @@ object Multimodal {
         (col(idCol) % 640).as("width"),
         (col(idCol) * 7 % 480).as("height")).as("meta"))
 
+  /** X49 — CONTENT-DEFINED CHUNKING over a binary column: boundaries
+    * fall where the hash of a kb-byte sliding window lands in a target
+    * set (first `hexZeros` hex chars of md5 all '0' — rate 16^-hexZeros,
+    * so expected chunk size ~ 16^hexZeros + kb bytes), the
+    * Rabin/gear-CDC family's defining property re-expressed with the
+    * repo's engine-portable md5 primitive: an insertion shifts every
+    * downstream byte, but boundaries re-align within one chunk because
+    * they depend only on local window content — the basis of
+    * binary-level dedup for media/blob corpora (LBFS, Muthitacharoen
+    * et al. 2001). Deliberately NO min/max chunk clamps: those make the
+    * cut sequence stateful (each cut depends on the previous one) and
+    * are exactly what this declarative form trades away to stay one
+    * scan + one window pass.
+    *
+    * Output: (id, chunk_idx, start, clen, chunk_md5) — 1-based byte
+    * offsets; identical chunk_md5 across rows IS the dedup signal
+    * (see the x50 summary query). The final position is always a cut,
+    * so chunks tile the blob exactly (spec-pinned).
+    *
+    * Shape at 100 TB: the window-hash explode is the cost center
+    * (len-kb+1 md5s per blob) and happens in the scan stage; only
+    * (id, boundary) pairs — content-boundary density × corpus — reach
+    * the one window exchange, and the blob is joined back once for the
+    * chunk-slice hashes. Blobs never enter a shuffle.
+    */
+  def cdcChunks(media: DataFrame, idCol: String, blobCol: String,
+                kb: Int = 8, hexZeros: Int = 1): DataFrame = {
+    require(kb >= 1, s"window bytes must be >= 1: $kb")
+    require(hexZeros >= 1 && hexZeros <= 8, s"hexZeros in [1,8]: $hexZeros")
+    import org.apache.spark.sql.expressions.Window
+    val zeros = "0" * hexZeros
+    val m = media.select(col(idCol), col(blobCol).as("blob"))
+      .withColumn("len", length(col("blob")))
+    // content boundaries: window [i, i+kb-1] hashing into the target set
+    // cuts AFTER its last byte; short blobs contribute no window (their
+    // single whole-blob chunk comes from the unconditional final cut)
+    val bounds = m.filter(col("len") >= kb)
+      .select(col(idCol),
+        explode(sequence(lit(1), col("len") - (kb - 1))).as("i"),
+        col("blob"))
+      .filter(substring(md5(expr(s"substring(blob, i, $kb)")), 1, hexZeros)
+        === zeros)
+      .select(col(idCol), (col("i") + (kb - 1)).as("e"))
+    val cuts = bounds
+      .unionByName(m.filter(col("len") >= 1)
+        .select(col(idCol), col("len").as("e")))
+      .distinct()
+    val w = Window.partitionBy(col(idCol)).orderBy(col("e"))
+    val spans = cuts
+      .withColumn("start", coalesce(lag(col("e"), 1).over(w) + 1, lit(1)))
+      .withColumn("chunk_idx", row_number().over(w) - 1)
+      .select(col(idCol), col("chunk_idx"), col("start"),
+        (col("e") - col("start") + 1).as("clen"))
+    spans.join(m.select(col(idCol), col("blob")), Seq(idCol))
+      .select(col(idCol), col("chunk_idx"), col("start"), col("clen"),
+        expr("md5(substring(blob, start, clen))").as("chunk_md5"))
+  }
+
+  /** X50 — chunk-level dedup summary over [[cdcChunks]]: content hashes
+    * appearing more than once, with copy and document counts — the
+    * storage-dedup ledger (shared boilerplate spans across documents
+    * produce identical chunks even at different offsets, which is the
+    * whole point of content-defined boundaries).
+    */
+  def chunkDedup(chunks: DataFrame, idCol: String): DataFrame =
+    chunks.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_copies") > 1)
+
   /** STUB — the real decoder (image resize / audio feature / video frame
     * extraction) goes here. Deterministic fake: per frame index, an 8-byte
     * slice digest. Signature (bytes, frameIdx) => fixed-width feature is
