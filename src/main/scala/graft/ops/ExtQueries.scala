@@ -113,6 +113,18 @@ object ExtQueries {
   // X49 content-defined chunking: window bytes + boundary rate 16^-zeros
   private val CdcKb = 8
   private val CdcHexZeros = 1
+  /** The chunk table, materialized once per (session, dir) and shared by
+    * x49 and the x50 ledger — the window-hash explode is the cost
+    * center and the surviving chunk rows are small (the lshPairs trade).
+    */
+  private val cdcCache = new graft.engine.SessionCache[DataFrame]
+  private def cdcChunked(s: SparkSession, dir: String): DataFrame =
+    cdcCache.getOrCompute(s, dir) {
+      Multimodal.cdcChunks(
+        Multimodal.attachBlob(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id", "blob", kb = CdcKb, hexZeros = CdcHexZeros)
+        .localCheckpoint(false)
+    }
 
   /** The MinHash-LSH near-dup pair stage, MATERIALIZED once per
     * (session, table dir) and shared by `x1_minhash_lsh` and
@@ -808,24 +820,16 @@ object ExtQueries {
 
     // X49 content-defined chunking over the binary blob column — the
     // LBFS/gear-CDC boundary rule with the engine-portable md5 window
-    "x49_cdc_chunks" -> ((s, dir) => {
-      Multimodal.cdcChunks(
-        Multimodal.attachBlob(Tables.documents(s, dir), "doc_id", "text"),
-        "doc_id", "blob", kb = CdcKb, hexZeros = CdcHexZeros)
-        .orderBy("doc_id", "chunk_idx")
-    }),
+    "x49_cdc_chunks" -> ((s, dir) =>
+      cdcChunked(s, dir).orderBy("doc_id", "chunk_idx")),
 
     // X50 chunk-level dedup ledger — identical chunk hashes across the
     // corpus (shared spans dedup at the storage layer even at
-    // different byte offsets: the point of content-defined boundaries)
-    "x50_chunk_dedup" -> ((s, dir) => {
-      Multimodal.chunkDedup(
-        Multimodal.cdcChunks(
-          Multimodal.attachBlob(Tables.documents(s, dir), "doc_id", "text"),
-          "doc_id", "blob", kb = CdcKb, hexZeros = CdcHexZeros),
-        "doc_id")
-        .orderBy("chunk_md5")
-    }),
+    // different byte offsets: the point of content-defined boundaries);
+    // reads the session-cached chunk table, not a recompute
+    "x50_chunk_dedup" -> ((s, dir) =>
+      Multimodal.chunkDedup(cdcChunked(s, dir), "doc_id")
+        .orderBy("chunk_md5")),
 
     // X45 substring-run removal — the actionable half of x41: later
     // docs drop spans a more-canonical doc already carries; untouched
