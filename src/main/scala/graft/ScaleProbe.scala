@@ -136,13 +136,23 @@ object ScaleProbe {
         k = 6, minSpan = 8, maxWindowFreq = Some(16))
         .write.format("noop").mode("overwrite").save()
     }
-    t("remove-spans-50k") {
+    // worst case BY CONSTRUCTION: the 10x union makes every doc a
+    // 10-way whole-doc duplicate, so "affected docs" = the entire
+    // corpus and removal rebuilds everything — real corpora remove
+    // from a sliver (the operator's cost is bounded by removed mass)
+    t("remove-spans-50k-all-dup-worst-case") {
       graft.ops.Dedup.removeRuns(docs10, "doc_id", "text",
         k = 6, minSpan = 8)
         .write.format("noop").mode("overwrite").save()
     }
     t("nb-train-score-50k") {
       graft.ops.NaiveBayes.classify(docs10, docs10, "doc_id", "text", "lang")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("cdc-chunks-50k") {
+      graft.ops.Multimodal.cdcChunks(
+        graft.ops.Multimodal.attachBlob(docs10, "doc_id", "text"),
+        "doc_id", "blob")
         .write.format("noop").mode("overwrite").save()
     }
     t("bpe-train-50k-4rounds") {
