@@ -397,8 +397,23 @@ object Dedup {
     require(k >= 1, s"window size must be >= 1: $k")
     require(minSpan >= k, s"minSpan $minSpan below window size $k — every " +
       "single matched window would qualify; raise minSpan or shrink k")
+    runsFromWindows(
+      cappedWindowTable(docs, idCol, textCol, k, maxWindowFreq),
+      idCol, k, minSpan)
+  }
+
+  /** [[windowTable]] with the corpus-wide `maxWindowFreq` hot-window cap
+    * already applied — the shared front of [[substringRuns]] and
+    * [[substringRunsPruned]], so both operators (and the winnowing
+    * fingerprint index the latter builds) see the SAME capped window
+    * population and capped pruned output stays row-identical to the
+    * exhaustive capped operator.
+    */
+  private def cappedWindowTable(docs: DataFrame, idCol: String,
+                                textCol: String, k: Int,
+                                maxWindowFreq: Option[Int]): DataFrame = {
     val w = windowTable(docs, idCol, textCol, k)
-    val capped = maxWindowFreq match {
+    maxWindowFreq match {
       case Some(cap) =>
         val hot = w.groupBy(col("h"))
           .agg(count(lit(1)).as("occ")).filter(col("occ") > cap)
@@ -406,6 +421,13 @@ object Dedup {
         w.join(broadcast(hot), Seq("h"), "left_anti")
       case None => w
     }
+  }
+
+  /** Matched positions → diagonal islands → maximal runs, over an
+    * already-capped window table (the back half of [[substringRuns]]).
+    */
+  private def runsFromWindows(capped: DataFrame, idCol: String, k: Int,
+                              minSpan: Int): DataFrame = {
     val m = capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
@@ -445,10 +467,21 @@ object Dedup {
     * position.
     */
   def winnow(docs: DataFrame, idCol: String, textCol: String,
-             k: Int = 6, w: Int = 4): DataFrame = {
+             k: Int = 6, w: Int = 4): DataFrame =
+    winnowFromWindows(windowTable(docs, idCol, textCol, k), idCol, w)
+
+  /** Winnowing over a prepared (id, p, h) window table — split out so
+    * [[substringRunsPruned]] can fingerprint the CAPPED window table.
+    * With hot windows removed, w consecutive SURVIVING windows are w
+    * consecutive rows of the per-doc frame, so the selection guarantee
+    * transfers: any capped run of >= w surviving windows still shares a
+    * selected fingerprint (the frame anchored at the run's first row
+    * covers exactly its first w windows, and its min lies in the run).
+    */
+  private def winnowFromWindows(wt: DataFrame, idCol: String,
+                                w: Int): DataFrame = {
     require(w >= 1, s"winnow width must be >= 1: $w")
     import org.apache.spark.sql.expressions.Window
-    val wt = windowTable(docs, idCol, textCol, k)
     val byDoc = Window.partitionBy(col(idCol))
     val frame = Window.partitionBy(col(idCol)).orderBy(col("p"))
       .rowsBetween(Window.currentRow, w - 1)
@@ -485,16 +518,22 @@ object Dedup {
       s"minSpan $minSpan below the winnowing guarantee w + k - 1 = " +
         s"${w + k - 1} — a shorter shared span can miss the fingerprint " +
         "index; raise minSpan or shrink w")
-    val fp = winnow(docs, idCol, textCol, k, w)
+    // the hot-window cap applies CORPUS-WIDE and BEFORE winnowing: the
+    // fingerprint self-join below never sees a boilerplate-storm hash
+    // (a hot window's fingerprint selected in B docs would be an O(B^2)
+    // candidate blow-up — the very storm the cap exists for), and the
+    // capped output stays row-identical to substringRuns(docs, cap)
+    // because both stages read the same capped window population
+    val wt = cappedWindowTable(docs, idCol, textCol, k, maxWindowFreq)
+    val fp = winnowFromWindows(wt, idCol, w)
     // candidate MEMBERS are what matters: any two members sharing a
     // qualifying span are fingerprint-collided by the guarantee, so
     // verifying all member pairs loses nothing and skips a pair filter
     val memberIds = fp.as("a").join(fp.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") =!= col(s"b.$idCol"))
       .select(col(s"a.$idCol")).distinct()
-    val members = docs.select(col(idCol), col(textCol))
-      .join(memberIds, Seq(idCol), "left_semi")
-    substringRuns(members, idCol, textCol, k, minSpan, maxWindowFreq)
+    runsFromWindows(wt.join(memberIds, Seq(idCol), "left_semi"),
+      idCol, k, minSpan)
   }
 
   /** X45 — substring-run REMOVAL, the actionable half of

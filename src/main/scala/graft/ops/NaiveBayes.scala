@@ -44,20 +44,24 @@ object NaiveBayes {
     */
   def classify(docs: DataFrame, ref: DataFrame, idCol: String,
                textCol: String, labelCol: String): DataFrame = {
-    val labels = ref.select(col(labelCol).cast("string"))
-      .filter(col(labelCol).isNotNull)
+    // every model statistic (priors, token counts, vocab) comes from the
+    // same LABELED population: a null-labeled ref row belongs to no class,
+    // and letting it into nDocs/vocab would skew every prior (and NPE the
+    // sorted label map)
+    val labeled = ref.filter(col(labelCol).isNotNull)
+    val labels = labeled.select(col(labelCol).cast("string"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     require(labels.nonEmpty, s"no labels in $labelCol")
     require(labels.size <= MaxClasses,
       s"${labels.size} classes exceeds the $MaxClasses cap — the pivoted " +
         "k-wide score layout is built for dozens of classes, not thousands")
 
-    val tok = ref.select(col(labelCol).cast("string").as("label"),
+    val tok = labeled.select(col(labelCol).cast("string").as("label"),
       explode(split(col(textCol), " ")).as("w"))
     // per-class token totals, doc counts, vocab size: k+2 driver numbers
     val totals = tok.groupBy(col("label")).agg(count(lit(1)).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val docCounts = ref.groupBy(col(labelCol).cast("string").as("label"))
+    val docCounts = labeled.groupBy(col(labelCol).cast("string").as("label"))
       .agg(count(lit(1)).as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nDocs = docCounts.values.sum

@@ -502,6 +502,11 @@ object Similarity {
   def recallAudit(methods: Seq[(String, DataFrame)],
                   exact: DataFrame): DataFrame = {
     require(methods.nonEmpty, "need at least one method to audit")
+    // an empty exact list makes recall undefined — Spark's integer div
+    // would yield NULL where DuckDB's // raises, so refuse loudly instead
+    // of letting the engines diverge on a degenerate audit
+    require(!exact.isEmpty,
+      "recallAudit: exact top-k list is empty — nothing to measure against")
     val truth = exact.select(col("qid"), col("cid"))
     val hits = methods.map { case (name, df) =>
       df.select(col("qid"), col("cid"))

@@ -29,8 +29,20 @@ import graft.ops.Dedup
   * State is APPEND-ONLY and batchId-partitioned
   * (`state/{windows,runs}/batch_id=N`) with the strict `batch_id < N`
   * read rule: at-least-once replay collapses to exactly-once runs with
-  * no pointer file. `maxWindowFreq` caps boilerplate-storm hashes over
-  * the COMBINED population, mirroring [[Dedup.substringRuns]].
+  * no pointer file.
+  *
+  * `maxWindowFreq` is POINT-IN-TIME: each batch recomputes the hot set
+  * over corpus-so-far + delta, so a hash is suppressed from the batch in
+  * which it first crosses the cap and every batch after — but runs it
+  * anchored in EARLIER batches were legitimate detections at their
+  * emission time and are never retracted (emitted runs are append-only
+  * facts, the K6 monitor-sink contract). Accumulated [[runs]] output can
+  * therefore be a SUPERSET of batch-mode `substringRuns(cap)` over the
+  * same final corpus; batch-equivalence holds per batch, and exactly
+  * when no hash crosses the cap mid-stream (both spec-pinned in
+  * `SubstringStreamSpec`). Replay stays idempotent: a replayed batch
+  * sees the identical `batch_id < N` corpus, hence the identical hot
+  * set.
   */
 object SubstringStream {
 

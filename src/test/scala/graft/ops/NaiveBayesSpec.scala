@@ -50,6 +50,22 @@ class NaiveBayesSpec extends SparkSpec {
     assert(got.head._2 === "b")
   }
 
+  test("null-labeled ref rows are excluded from every model statistic") {
+    // a null-labeled row would otherwise inflate nDocs (skewing priors)
+    // and leak its tokens into the vocabulary — model must equal the one
+    // trained on the labeled subset alone
+    val labeled = Seq((1L, "x x y", "a"), (2L, "z z y", "b"))
+    val withNull = labeled.map { case (i, t, l) => (i, t, Option(l)) } :+
+      ((3L, "q q q q", Option.empty[String]))
+    val got = NaiveBayes.classify(
+      Seq(10L -> "x y").toDF("doc_id", "text"),
+      withNull.toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === classify(labeled, Seq(10L -> "x y")))
+  }
+
   test("class-cardinality guard fails loudly past MaxClasses") {
     val train = (0 to NaiveBayes.MaxClasses)
       .map(i => (i.toLong, "x", s"c$i"))

@@ -74,6 +74,32 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("capped pruned runs equal the exhaustive capped operator (corpus-wide hot set)") {
+    import org.apache.spark.sql.functions.col
+    // boilerplate B repeats in 5 docs (every B-window hash occurs 5 > cap
+    // 4 -> dropped corpus-wide); the rare span P is shared by just two
+    // docs and must survive pruning + capping with identical offsets
+    val B = (0 until 8).map(i => s"b$i").mkString(" ")
+    val P = (0 until 10).map(i => s"p$i").mkString(" ")
+    val docs = (Seq(
+      1L -> s"u0 $B u1 $P",
+      2L -> s"$P v0 $B") ++
+      (3 to 5).map(i => i.toLong -> s"w${i}0 $B w${i}1")).toDF("doc_id", "text")
+    val minSpan = K + W - 1
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2", "a_start", "b_start", "span_len")
+        .as[(Long, Long, Int, Int, Long)].collect().toSet
+    val cap = Some(4)
+    val full = canon(Dedup.substringRuns(docs, "doc_id", "text", K, minSpan,
+      maxWindowFreq = cap))
+    val pruned = canon(Dedup.substringRunsPruned(docs, "doc_id", "text",
+      K, minSpan, W, maxWindowFreq = cap))
+    // the B-anchored runs are capped away; the P run survives both forms
+    assert(full.nonEmpty)
+    assert(full.forall { case (_, _, _, _, len) => len === 10L })
+    assert(pruned === full)
+  }
+
   test("density: selection is a strict subsample at roughly 2/(w+1)") {
     val text = (0 until 200).map(i => s"t${i % 97}").mkString(" ")
     val sel = winnowed(Seq(1L -> text))(1L).size

@@ -53,6 +53,32 @@ class SubstringStreamSpec extends SparkSpec {
     assert(allRuns(statePath) === batch)
   }
 
+  test("maxWindowFreq is point-in-time: crossing the cap mid-stream " +
+    "suppresses new runs but never retracts emitted ones") {
+    val statePath = tmpDir("substr-stream-cap")
+    val apply = SubstringStream.applyBatch(
+      statePath, "doc_id", "text", 3, 5, Some(3)) _
+
+    // batch 0: P occurs twice corpus-wide (<= cap 3) -> run emitted
+    apply(df(1L -> s"u0 u1 u2 $P v0 v1", 2L -> s"w0 w1 $P x0"), 0L)
+    assert(allRuns(statePath) === Set((1L, 2L, 3, 2, 10L)))
+
+    // batch 1: two more copies push every P-window hash to 4 > cap ->
+    // hot at THIS batch, so no new runs on P; the batch-0 run stays
+    apply(df(6L -> s"a0 $P", 7L -> s"b0 b1 b2 $P"), 1L)
+    assert(allRuns(statePath) === Set((1L, 2L, 3, 2, 10L)))
+
+    // batch-mode over the same FINAL corpus sees P as hot from the start
+    // and emits nothing: the accumulated stream output is a deliberate
+    // SUPERSET (point-in-time cap — see the SubstringStream docstring)
+    val batch = graft.ops.Dedup.substringRuns(
+      df(1L -> s"u0 u1 u2 $P v0 v1", 2L -> s"w0 w1 $P x0",
+        6L -> s"a0 $P", 7L -> s"b0 b1 b2 $P"),
+      "doc_id", "text", k = 3, minSpan = 5, maxWindowFreq = Some(3))
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    assert(batch === Set.empty)
+  }
+
   test("end-to-end through a streaming query over MemoryStream") {
     val statePath = tmpDir("substr-stream-e2e")
     val ckpt = tmpDir("substr-stream-ckpt")
