@@ -24,13 +24,16 @@ object Bench {
     // JVM/session warm-up outside the timed region (parquet footer reads,
     // codegen compiler init); real per-query cost is what's measured.
     graft.engine.Tables.events(spark, sfDir).limit(1).collect()
-    // Each query runs twice; reported value is the steady-state (min)
-    // time — first execution includes one-off plan codegen + JIT
-    // compilation that a long-running service pays once, not per query.
-    // The cold (first-run) total is reported alongside for transparency.
-    // Warm re-runs stop once the wall budget is spent so large SFs still
-    // finish inside an external timeout (cold timing is then reported).
-    val wallBudgetNanos = 240e9
+    // Each query runs up to three times; the reported value is the MEDIAN
+    // of its runs — the first execution includes one-off plan codegen +
+    // JIT compilation that a long-running service pays once, not per
+    // query, and the median damps the documented ±50% single-run bounce
+    // better than a min-of-two. The cold (first-run) total is reported
+    // alongside for transparency. Re-runs stop once the wall budget is
+    // spent so large SFs still finish inside an external timeout (the
+    // median then covers however many runs completed).
+    val runsPerQuery = 3
+    val wallBudgetNanos = 300e9
     val benchStart = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
@@ -42,15 +45,28 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()
-      val warm =
-        if (System.nanoTime() - benchStart < wallBudgetNanos) once() else cold
-      (name, math.min(cold, warm), cold)
+      val reruns = Iterator.continually(())
+        .takeWhile(_ => System.nanoTime() - benchStart < wallBudgetNanos)
+        .take(runsPerQuery - 1).map(_ => once()).toSeq
+      val sorted = (cold +: reruns).sorted
+      (name, sorted((sorted.size - 1) / 2), cold)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"runs_per_query":$runsPerQuery,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver's round artifact stores only a truncated stdout tail, so
+    // the per-query map's head is unrecoverable from it. Persist the full
+    // line next to the build so every round-over-round comparison can read
+    // all queries (the file is committed with the round's work).
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    System.err.println(s"[bench] full JSON written to $out")
     spark.stop()
   }
 }
