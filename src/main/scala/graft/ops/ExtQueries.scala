@@ -29,6 +29,15 @@ object ExtQueries {
   // IVF-PQ knobs (coarse pruning + residual compression)
   private val IvfPqNlist = 8
   private val IvfPqNprobe = 4
+  // X51 refine tier: exact re-rank of the top-R ADC candidates from a
+  // wider probe (the FAISS refine recipe — recall ceiling becomes the
+  // candidate lists' coverage of the true top-k)
+  private val RefineNprobe = 6
+  private val RefineR = 50
+  // X51 multi-probe sign-LSH: probe all buckets within Hamming distance
+  // ProbeDist of the query's own (6 bucket bits, as the x2_ann_lsh tier)
+  private val LshBits = 6
+  private val LshProbeDist = 2
   // curation knobs — same shared-constant discipline
   private val SplitSeed = "split"
   private val SplitTrain = 0.8
@@ -168,6 +177,22 @@ object ExtQueries {
       val coarse = Similarity.trainCoarseCentroids(sample, IvfPqNlist)
       (coarse, Similarity.trainResidualCodebook(sample, coarse, PqNumSub, PqCodes))
     }
+  /** The x51 refined top-k plan (wider-probe IVF-PQ candidates, exact
+    * re-rank), shared by `x51_ann_refine` and the x43 audit row so the
+    * candidate pipeline is built once per (session, dir).
+    */
+  private val refineCache = new graft.engine.SessionCache[DataFrame]
+  private def ivfPqRefined(s: SparkSession, dir: String): DataFrame =
+    refineCache.getOrCompute(s, dir) {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < NumQueries)
+      val cands = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding",
+        RefineR, nlist = IvfPqNlist, nprobe = RefineNprobe,
+        numSub = PqNumSub, codes = PqCodes,
+        trained = Some(ivfPqTrained(s, dir)))
+      Similarity.refineExact(emb, qs, "vec_id", "embedding", TopK, cands)
+    }
+
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsCache.getOrCompute(s, dir) {
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -250,7 +275,7 @@ object ExtQueries {
     "x2_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < NumQueries),
-        "vec_id", "embedding", TopK, bits = 6)
+        "vec_id", "embedding", TopK, bits = LshBits)
         .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")
     }),
 
@@ -761,15 +786,34 @@ object ExtQueries {
         "ann_ivf" -> Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
           TopK, nlist = IvfNlist, nprobe = IvfNprobe),
         "ann_lsh" -> Similarity.lshTopK(emb, qs, "vec_id", "embedding",
-          TopK, bits = 6),
+          TopK, bits = LshBits),
         "ivf_pq" -> Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding",
           TopK, nlist = IvfPqNlist, nprobe = IvfPqNprobe,
           numSub = PqNumSub, codes = PqCodes,
           trained = Some(ivfPqTrained(s, dir))),
+        "ivf_pq_refine" -> ivfPqRefined(s, dir),
+        "lsh_multiprobe" -> Similarity.lshMultiProbeTopK(emb, qs, "vec_id",
+          "embedding", TopK, bits = LshBits, probeDist = LshProbeDist),
         "pq_ann" -> Similarity.pqTopK(emb, qs, "vec_id", "embedding",
           TopK, numSub = PqNumSub, codes = PqCodes,
           codebook = Some(pqCodebook(s, dir)))), exact)
         .orderBy("method")
+    }),
+
+    // X51 exact re-rank: top-R ADC candidates from a wider IVF-PQ probe,
+    // re-scored with the exact quantized cosine — the FAISS refine
+    // recipe; x43 measures its recall against the raw ADC ranking
+    "x51_ann_refine" -> ((s, dir) =>
+      ivfPqRefined(s, dir)
+        .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")),
+
+    // X51 multi-probe sign-LSH: queries probe every bucket within
+    // Hamming distance 2 — the recall recovery path for the cheapest tier
+    "x51_lsh_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshMultiProbeTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        "vec_id", "embedding", TopK, bits = LshBits, probeDist = LshProbeDist)
+        .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")
     }),
 
     // X42 trained NB classifier — integer micro-nat scores, argmax with
@@ -1014,6 +1058,14 @@ object ExtQueries {
       System.err.println(
         "[graft] WARNING: x21_ivf_pq oracle OMITTED — Similarity.ivfPqTopK " +
           "has not run in this JVM. Run the queries before dumping oracleSql.")
+    ivfPqPipelineSql(IvfPqNprobe, TopK).map("x21_ivf_pq" -> _).toMap
+  }
+
+  /** The full IVF-PQ pipeline SQL at a given (nprobe, rank limit) —
+    * factored out so the x51 refine oracle can embed the identical
+    * candidate-generation pipeline at its own wider settings.
+    */
+  private def ivfPqPipelineSql(nprobe: Int, limit: Int): Option[String] = {
     Similarity.lastIvfPq.map { case (coarse, cb) =>
       val dim = coarse(0).length
       val sub = cb(0)(0).length
@@ -1033,8 +1085,7 @@ object ExtQueries {
       val qsvUnion = (0 until PqNumSub).map { m =>
         s"SELECT qid, list_id, $m AS m, qr[${m * sub + 1}:${(m + 1) * sub}] AS sv FROM qres"
       }.mkString(" UNION ALL ")
-      "x21_ivf_pq" ->
-        s"""WITH cent(list_id, cv, cc2) AS (VALUES
+      s"""WITH cent(list_id, cv, cc2) AS (VALUES
            |  $centRows),
            |cb(m, code, cv, c2) AS (VALUES
            |  $cbRows),
@@ -1063,7 +1114,7 @@ object ExtQueries {
            |probes AS (SELECT vec_id AS qid, list_id FROM (
            |  SELECT vec_id, list_id,
            |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
-           |  FROM ad WHERE vec_id < $NumQueries) WHERE rn <= $IvfPqNprobe),
+           |  FROM ad WHERE vec_id < $NumQueries) WHERE rn <= $nprobe),
            |qres AS (SELECT p.qid, p.list_id,
            |  list_transform(generate_series(1, $dim), i -> n.q[i] - cent.cv[i]) AS qr
            |  FROM probes p JOIN n ON n.vec_id = p.qid
@@ -1085,9 +1136,9 @@ object ExtQueries {
            |ranked AS (SELECT qid, cid, dist,
            |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, cid) AS INTEGER) AS rank
            |  FROM scored)
-           |SELECT qid, cid, rank, dist FROM ranked WHERE rank <= $TopK
+           |SELECT qid, cid, rank, dist FROM ranked WHERE rank <= $limit
            |ORDER BY qid, rank""".stripMargin
-    }.toMap
+    }
   }
 
   /** SemDeDup oracle, rendered from the centroids of the most recent
@@ -1199,7 +1250,7 @@ object ExtQueries {
        |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
        |  FROM embeddings),
        |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2,
-       |  ${signBucketSql("embedding", 6)} AS bucket FROM e),
+       |  ${signBucketSql("embedding", LshBits)} AS bucket FROM e),
        |scored AS (SELECT qs.vec_id AS qid, c.vec_id AS cid,
        |  round(list_dot_product(qs.q, c.q) / (sqrt(qs.n2) * sqrt(c.n2)), 6) AS sim
        |  FROM n qs JOIN n c ON c.bucket = qs.bucket AND c.vec_id != qs.vec_id
@@ -1210,6 +1261,56 @@ object ExtQueries {
        |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
 
+  /** Multi-probe sign-LSH SQL (x51): the [[annLshSql]] pipeline with the
+    * query side exploded over every XOR mask of Hamming weight <=
+    * [[LshProbeDist]] — identical masks to the engine's enumeration.
+    */
+  private def lshProbeMasks: Seq[Long] =
+    (0L until (1L << LshBits))
+      .filter(m => java.lang.Long.bitCount(m) <= LshProbeDist)
+
+  private def lshMultiProbeSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2,
+       |  ${signBucketSql("embedding", LshBits)} AS bucket FROM e),
+       |probes AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2,
+       |  xor(bucket, m) AS bucket
+       |  FROM n, LATERAL unnest([${lshProbeMasks.mkString(", ")}]) AS mk(m)
+       |  WHERE vec_id < $NumQueries),
+       |scored AS (SELECT p.qid, c.vec_id AS cid,
+       |  round(list_dot_product(p.qq, c.q) / (sqrt(p.qn2) * sqrt(c.n2)), 6) AS sim
+       |  FROM probes p JOIN n c ON c.bucket = p.bucket AND c.vec_id != p.qid),
+       |ranked AS (SELECT qid, cid, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
+  /** x51 refine oracle: the IVF-PQ pipeline at (RefineNprobe, RefineR)
+    * as the candidate subquery, exact-rescored and re-ranked — same
+    * run-queries-then-dump contract as [[ivfOracle]].
+    */
+  private def annRefineOracle: Map[String, String] =
+    ivfPqPipelineSql(RefineNprobe, RefineR).map { cand =>
+      "x51_ann_refine" ->
+        s"""WITH cand AS (SELECT qid, cid FROM ($cand)),
+           |e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+           |scored AS (SELECT cand.qid, cand.cid,
+           |  round(list_dot_product(qn.q, cn.q) / (sqrt(qn.n2) * sqrt(cn.n2)), 6) AS sim
+           |  FROM cand JOIN n qn ON qn.vec_id = cand.qid
+           |  JOIN n cn ON cn.vec_id = cand.cid),
+           |ranked AS (SELECT qid, cid, sim,
+           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+           |  FROM scored)
+           |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= $TopK
+           |ORDER BY qid, rank""".stripMargin
+    }.toMap
+
   /** x43 recall audit oracle: each ANN method's full oracle pipeline
     * (trained artifacts inlined) embedded as a subquery and intersected
     * with the exact top-k — emitted only when every trained oracle is
@@ -1219,18 +1320,23 @@ object ExtQueries {
     ivf <- ivfOracle.get("x2_ann_ivf")
     pq <- pqOracle.get("x20_pq_ann")
     ivfpq <- ivfPqOracle.get("x21_ivf_pq")
+    refine <- annRefineOracle.get("x51_ann_refine")
   } yield "x43_ann_recall" ->
     s"""WITH ex AS (SELECT qid, cid FROM ($cosineTopkSql)),
        |lshm AS (SELECT qid, cid FROM ($annLshSql)),
+       |mpm AS (SELECT qid, cid FROM ($lshMultiProbeSql)),
        |ivfm AS (SELECT qid, cid FROM ($ivf)),
        |pqm AS (SELECT qid, cid FROM ($pq)),
        |ivfpqm AS (SELECT qid, cid FROM ($ivfpq)),
+       |refm AS (SELECT qid, cid FROM ($refine)),
        |t AS (SELECT count(*) AS n_truth FROM ex),
        |u AS (
        |  SELECT 'ann_ivf' AS method, count(*) AS n_hits
        |    FROM ivfm JOIN ex USING (qid, cid)
        |  UNION ALL SELECT 'ann_lsh', count(*) FROM lshm JOIN ex USING (qid, cid)
        |  UNION ALL SELECT 'ivf_pq', count(*) FROM ivfpqm JOIN ex USING (qid, cid)
+       |  UNION ALL SELECT 'ivf_pq_refine', count(*) FROM refm JOIN ex USING (qid, cid)
+       |  UNION ALL SELECT 'lsh_multiprobe', count(*) FROM mpm JOIN ex USING (qid, cid)
        |  UNION ALL SELECT 'pq_ann', count(*) FROM pqm JOIN ex USING (qid, cid))
        |SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
        |  CAST(t.n_truth AS BIGINT) AS n_truth,
@@ -1357,7 +1463,9 @@ object ExtQueries {
 
   def oracle: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfPqOracle ++ semDedupOracle ++
-      tempMixOracle ++ annRecallOracle ++ Map(
+      tempMixOracle ++ annRecallOracle ++ annRefineOracle ++ Map(
+
+    "x51_lsh_multiprobe" -> lshMultiProbeSql,
 
     "x44_bpe_merges" ->
       s"""WITH $bpeAllRounds
