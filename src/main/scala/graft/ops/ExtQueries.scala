@@ -673,6 +673,18 @@ object ExtQueries {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // X55 join-based mixture — identical exact-integer cuts to x31, but
+    // weights arrive as a broadcast dim table and the cuts derive
+    // distributed in DECIMAL(38,0): the no-cap path for web-domain
+    // cardinality (same oracle SQL as x31 proves cut-for-cut equality)
+    "x55_mixture_joined" -> ((s, dir) => {
+      import s.implicits._
+      Sample.mixtureJoined(Tables.documents(s, dir), "doc_id", "source",
+        MixtureWeightsPpm.toSeq.sortBy(_._1).toDF("source", "w_ppm"),
+        seed = MixtureSeed)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // X32 corpus-overlap sketches — per-source MinHash signatures
     // (mergeable min-aggregates), pairwise agreement estimates
     // cross-source shingle Jaccard from kilobyte sketches
@@ -1260,6 +1272,29 @@ object ExtQueries {
        |  FROM scored)
        |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
+
+  /** Mixture-sampling SQL, shared verbatim by x31 (compiled-predicate
+    * engine form) and x55 (join-based engine form): ONE oracle proving
+    * the two execution shapes produce the identical row set.
+    */
+  private def mixtureSql: String = {
+    val vals = MixtureWeightsPpm.toSeq.sortBy(_._1)
+      .map { case (d, w) => s"('$d', $w)" }.mkString(", ")
+    s"""WITH w(source, w) AS (VALUES $vals),
+       |cnt AS (SELECT source, count(*) AS n FROM documents
+       |  WHERE source IN (SELECT source FROM w) GROUP BY 1),
+       |t AS (SELECT min((CAST(n AS HUGEINT) * 1000000) // w) AS t
+       |  FROM cnt JOIN w USING (source)),
+       |cut AS (SELECT source,
+       |  (CAST(4294967296 AS HUGEINT) * w * t.t)
+       |    // (CAST(1000000 AS HUGEINT) * n) AS cut
+       |  FROM cnt JOIN w USING (source) CROSS JOIN t)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN cut c ON c.source = d.source
+       |WHERE c.cut >= 4294967296 OR
+       |  ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '$MixtureSeed'), 1, 8))::BIGINT < c.cut
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Multi-probe sign-LSH SQL (x51): the [[annLshSql]] pipeline with the
     * query side exploded over every XOR mask of Hamming weight <=
@@ -2016,24 +2051,11 @@ object ExtQueries {
 
     // same exact-integer cut derivation in HUGEINT: T maximizes the
     // kept total, cut_d = floor(2^32 * w_d * T / (10^6 * n_d))
-    "x31_mixture_sample" -> {
-      val vals = MixtureWeightsPpm.toSeq.sortBy(_._1)
-        .map { case (d, w) => s"('$d', $w)" }.mkString(", ")
-      s"""WITH w(source, w) AS (VALUES $vals),
-         |cnt AS (SELECT source, count(*) AS n FROM documents
-         |  WHERE source IN (SELECT source FROM w) GROUP BY 1),
-         |t AS (SELECT min((CAST(n AS HUGEINT) * 1000000) // w) AS t
-         |  FROM cnt JOIN w USING (source)),
-         |cut AS (SELECT source,
-         |  (CAST(4294967296 AS HUGEINT) * w * t.t)
-         |    // (CAST(1000000 AS HUGEINT) * n) AS cut
-         |  FROM cnt JOIN w USING (source) CROSS JOIN t)
-         |SELECT d.doc_id, d.source
-         |FROM documents d JOIN cut c ON c.source = d.source
-         |WHERE c.cut >= 4294967296 OR
-         |  ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '$MixtureSeed'), 1, 8))::BIGINT < c.cut
-         |ORDER BY d.doc_id""".stripMargin
-    },
+    "x31_mixture_sample" -> mixtureSql,
+
+    // x55 runs the identical derivation through the join path — the
+    // shared SQL makes the hash gate prove the two engine forms equal
+    "x55_mixture_joined" -> mixtureSql,
 
     // the full-corpus LSH pipeline restricted to pairs with a delta
     // member — band-candidate semantics identical to x1_minhash_lsh

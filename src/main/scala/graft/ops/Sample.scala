@@ -94,8 +94,9 @@ object Sample {
     require(weightsPpm.nonEmpty, "need at least one domain weight")
     require(weightsPpm.size <= MaxDomains,
       s"mixture() compiles a per-domain predicate: ${weightsPpm.size} domains " +
-        s"exceeds the $MaxDomains cap — bucket the long tail into a catch-all " +
-        "source or pre-aggregate domains upstream")
+        s"exceeds the $MaxDomains cap — use mixtureJoined() (weights as a " +
+        "broadcast dim table, identical cuts) or bucket the long tail into " +
+        "a catch-all source upstream")
     require(weightsPpm.values.forall(_ > 0), s"weights must be > 0: $weightsPpm")
     val domains = weightsPpm.keys.toSeq.sorted
     val counts = df.filter(col(domainCol).isin(domains: _*))
@@ -114,6 +115,49 @@ object Sample {
         (if (cuts(d) >= 4294967296L) lit(true) else hv < lit(cuts(d)))
     }.reduce(_ || _)
     df.filter(pred)
+  }
+
+  /** X55 — the JOIN-BASED mixture form, [[mixture]]'s scalable sibling
+    * for web-domain cardinality: target weights arrive as a DIM TABLE
+    * (`weights`: one row per listed domain with an integer `w_ppm`
+    * column) instead of a driver map, the keep-cuts derive fully
+    * DISTRIBUTED in DECIMAL(38,0) arithmetic (the HUGEINT twin of the
+    * driver's BigInt — T = min_d floor(n_d·10^6 / w_d), cut_d =
+    * floor(2^32·w_d·T / (10^6·n_d)); every intermediate is <= ~4·10^33,
+    * well inside 38 digits), and rows keep via a BROADCAST equi-join on
+    * the domain-cardinality cut table. No OR-chain predicate, no driver
+    * map, no [[MaxDomains]] cap — the corpus still never shuffles (the
+    * cut table broadcasts; at cardinality where even that table won't
+    * broadcast, bucket the long tail upstream as [[mixture]]'s guard
+    * message says).
+    *
+    * Bit-identical to [[mixture]] on the same weights/seed (spec-pinned
+    * and oracle-checked against the identical HUGEINT SQL), with two
+    * deliberate contract differences: unlisted domains drop via the
+    * inner join rather than a compiled predicate, and a corpus with NO
+    * listed domain present yields an empty result instead of a driver
+    * `require` (there is no driver-side count map to inspect).
+    */
+  def mixtureJoined(df: DataFrame, keyCol: String, domainCol: String,
+                    weights: DataFrame, seed: String = ""): DataFrame = {
+    val w = weights.select(col(domainCol),
+      col("w_ppm").cast("decimal(38,0)").as("w"))
+    val counts = df.join(w.select(col(domainCol)), Seq(domainCol), "left_semi")
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+    val cw = counts.join(w, Seq(domainCol))
+    // T is one row; `div` on decimals is Spark's exact integral quotient
+    val t = cw.agg(min(expr(
+      "CAST(n * 1000000 AS DECIMAL(38,0)) div w")).as("t"))
+    val cuts = cw.crossJoin(broadcast(t))
+      .select(col(domainCol), expr(
+        """CAST(CAST(4294967296 AS DECIMAL(38,0)) * w
+          |  * CAST(t AS DECIMAL(38,0)) AS DECIMAL(38,0))
+          |div CAST(1000000 * n AS DECIMAL(38,0))""".stripMargin).as("cut"))
+    val hv = conv(bucket(col(keyCol), seed), 16, 10).cast("bigint")
+    df.join(broadcast(cuts), Seq(domainCol))
+      .filter(col("cut") >= lit(4294967296L) || hv < col("cut"))
+      .drop("cut")
   }
 
   /** X40 — temperature-flattened mixture weights: target share of domain

@@ -37,6 +37,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(other !== kept.map(_._1).toSet)
   }
 
+  test("mixtureJoined selects the identical row set through the dim-table join") {
+    // same corpus shape as the mixture test, plus a domain the corpus
+    // lacks (listed-but-absent must not poison the decimal T derivation)
+    val rows = (1 to 1000).map(i => (i.toLong, "a")) ++
+      (1 to 1000).map(i => (1000L + i, "b")) ++
+      (1 to 100).map(i => (2000L + i, "c")) ++
+      (1 to 50).map(i => (3000L + i, "unlisted"))
+    val df = rows.toDF("doc_id", "source")
+    val w = Map("a" -> 450000L, "b" -> 450000L, "c" -> 100000L,
+      "absent" -> 5000L)
+    val viaMap = Sample.mixture(df, "doc_id", "source", w, seed = "t")
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    val viaJoin = Sample.mixtureJoined(df, "doc_id", "source",
+      w.toSeq.sortBy(_._1).toDF("source", "w_ppm"), seed = "t")
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(viaMap.nonEmpty)
+    assert(viaJoin === viaMap)
+    // no listed domain present: empty result, not a failure (documented
+    // contract difference from mixture's driver require)
+    val none = Sample.mixtureJoined(df, "doc_id", "source",
+      Seq(("ghost", 1000000L)).toDF("source", "w_ppm"), seed = "t")
+    assert(none.count() === 0L)
+  }
+
   test("temperature weights: alpha=1 keeps the whole corpus, alpha=0 is " +
       "uniform, flattening raises the scarcest share") {
     val counts = Map("big" -> 1000L, "mid" -> 250L, "small" -> 10L)
