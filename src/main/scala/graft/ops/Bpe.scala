@@ -90,6 +90,48 @@ object Bpe {
     merges.toDF("r", "a", "b", "cnt")
   }
 
+  /** X54 — ENCODE text under a trained merge table, the downstream use
+    * of [[train]]'s artifact: every word starts as single characters and
+    * the R merges apply IN RANK ORDER, each with the same greedy
+    * left-to-right non-overlapping fold training used — so a word seen
+    * at train time reproduces its training segmentation exactly, and an
+    * UNSEEN word still segments deterministically from its characters
+    * (the property that makes a trained tokenizer portable to new text).
+    *
+    * Shape at 100 TB: the R-round fold chain runs over the input's
+    * DISTINCT word types (vocabulary-sized — each round is one row-local
+    * array rewrite, R bounded by the trained vocabulary budget); the
+    * corpus itself pays one token posexplode and ONE equi-join against
+    * the encoded vocabulary (AQE broadcasts it) plus the per-doc
+    * reassembly aggregation. Output per document: token count and the
+    * space-joined token stream in original word order.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    require(merges.nonEmpty, "need at least one trained merge")
+    val base = docs.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("p", "word")))
+      .filter(length(col("word")) > 0)
+    val words = base.select(col("word")).distinct()
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    val enc = merges.sortBy(_.r).foldLeft(words) { (acc, m) =>
+      val (ea, eb, eab) = (sqlLit(m.a), sqlLit(m.b), sqlLit(m.a + m.b))
+      acc.withColumn("syms", expr(
+        s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+           |  IF(size(acc) > 0 AND element_at(acc, -1) = '$ea' AND x = '$eb',
+           |     concat(slice(acc, 1, size(acc) - 1), array('$eab')),
+           |     concat(acc, array(x))))""".stripMargin))
+    }
+    base.join(enc, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(size(col("syms"))).as("n_tokens"),
+        concat_ws(" ", flatten(expr(
+          "transform(array_sort(collect_list(struct(p, syms))), x -> x.syms)")))
+          .as("encoded"))
+  }
+
   /** Per-document token count under the trained segmentation: one token
     * explode joined to the vocabulary-sized (word -> symbol count) map
     * (AQE broadcasts it), one per-doc sum.

@@ -786,6 +786,15 @@ object ExtQueries {
         bpeTrained(s, dir)._2).orderBy("doc_id")
     }),
 
+    // X54 BPE encode-at-scale — the trained merges applied in rank order
+    // over the input's distinct word types, corpus joined once; the
+    // oracle replays the identical training fold and reassembles the
+    // token stream in word order
+    "x54_bpe_encode" -> ((s, dir) => {
+      Bpe.encode(Tables.documents(s, dir), "doc_id", "text",
+        bpeTrained(s, dir)._1).orderBy("doc_id")
+    }),
+
     // X43 ANN recall audit — recall@k of every approximate tier against
     // the exact top-k on the same corpus/queries; the exact list is
     // pinned once, intersections are semi joins of audit-sized lists
@@ -1520,6 +1529,19 @@ object ExtQueries {
          |SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_bpe
          |FROM dt JOIN n USING (word) WHERE length(word) > 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x54_bpe_encode" ->
+      s"""WITH $bpeAllRounds,
+         |enc AS (SELECT word, string_split(s[2:], chr(31)) AS toks
+         |  FROM w$BpeIters),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |dt AS (SELECT doc_id, i AS p, ts[i] AS word
+         |  FROM t, LATERAL unnest(generate_series(1, len(ts))) AS u(i)
+         |  WHERE length(ts[i]) > 0),
+         |j AS (SELECT dt.doc_id, dt.p, enc.toks FROM dt JOIN enc USING (word))
+         |SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |  string_agg(array_to_string(toks, ' '), ' ' ORDER BY p) AS encoded
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "x1_exact_dedup" ->
       """SELECT md5(props) AS digest, min(event_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dups

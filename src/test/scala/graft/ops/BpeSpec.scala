@@ -58,6 +58,25 @@ class BpeSpec extends SparkSpec {
     assert(counts === Seq((0L, 4L), (1L, 1L)))
   }
 
+  test("encode reproduces the training segmentation and orders tokens by position") {
+    val (merges, _, docs) = train(Seq("abab abab abc"), iters = 2)
+    // after rounds (a,b) then (ab,ab): abab -> [abab], abc -> [ab, c]
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(got === Seq((0L, 4L, "abab abab ab c")))
+  }
+
+  test("encode segments UNSEEN words from characters with the trained merges") {
+    val (merges, _, _) = train(Seq("abab abab abc"), iters = 2)
+    // "ababab" never occurred: chars -> (a,b) round gives [ab,ab,ab] ->
+    // (ab,ab) round merges greedily left-to-right: [abab, ab];
+    // "ba" has no applicable merge and stays [b, a]
+    val newDocs = Seq((9L, "ababab ba")).toDF("doc_id", "text")
+    val got = Bpe.encode(newDocs, "doc_id", "text", merges)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === Seq((9L, 4L, "abab ab b a")))
+  }
+
   test("running out of pairs before iters fails loudly") {
     val e = intercept[IllegalArgumentException] {
       train(Seq("ab"), iters = 2) // round 1 merges the only pair
