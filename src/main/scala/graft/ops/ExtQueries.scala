@@ -625,6 +625,17 @@ object ExtQueries {
       LangModel.bigramScore(docs, ref, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // X52 interpolated Kneser-Ney 5-gram LM — the CCNet-class quality
+    // filter; trains on the same deterministic train split as x26/x42,
+    // nano-fixed-point exact, oracle replays the whole model from data
+    "x52_kn_lm" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ref = Curate.splitAssign(docs, "doc_id",
+        Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
+        seed = SplitSeed).filter(col("split") === "train")
+      KneserNey.score(docs, ref, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // X27 SCD2 dimension history: order-priority runs per customer with
     // valid_from/valid_to intervals — one key-partitioned exchange
     "x27_scd2" -> ((s, dir) => {
@@ -1457,6 +1468,100 @@ object ExtQueries {
        |SELECT doc_id, lang AS pred, score AS score_micro FROM r
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** x52 Kneser-Ney 5-gram oracle: the full model — raw 5-gram counts,
+    * continuation-count tables at orders 4..1 from distinct type sets,
+    * history denominators — replayed from the data, then the per-order
+    * fixed-point chain p1→p5 with the identical single-division-per-
+    * order arithmetic (see [[KneserNey]]; `//` on DuckDB integers
+    * truncates like Spark's `div`, and every operand is non-negative).
+    */
+  private def knLmSql: String = {
+    val S = KneserNey.Scale
+    def ord(cnt: String, n1p: String, den: String, pLow: String): String =
+      s"CASE WHEN $den IS NULL THEN $pLow ELSE " +
+        s"(greatest(4 * coalesce($cnt, 0) - 3, 0) * $S + 3 * $n1p * $pLow)" +
+        s" // (4 * $den) END"
+    s"""WITH sp AS (SELECT doc_id,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
+       |      < '${Sample.threshold(SplitTrain)}' THEN 'train' ELSE 'other' END AS split
+       |  FROM documents),
+       |trt AS (SELECT d.doc_id, string_split(d.text, ' ') AS ts
+       |  FROM documents d JOIN sp ON sp.doc_id = d.doc_id
+       |  WHERE sp.split = 'train'),
+       |r5 AS (SELECT array_to_string(ts[i:i+4], ' ') AS g,
+       |    CAST(count(*) AS BIGINT) AS c5
+       |  FROM trt, LATERAL unnest(generate_series(1, len(ts) - 4)) AS u5(i)
+       |  GROUP BY 1),
+       |h5 AS (SELECT array_to_string(string_split(g, ' ')[1:4], ' ') AS h4,
+       |    CAST(sum(c5) AS BIGINT) AS tot5, CAST(count(*) AS BIGINT) AS n1p5
+       |  FROM r5 GROUP BY 1),
+       |cont4 AS (SELECT array_to_string(string_split(g, ' ')[2:5], ' ') AS u4,
+       |    CAST(count(*) AS BIGINT) AS cn4 FROM r5 GROUP BY 1),
+       |hist4 AS (SELECT array_to_string(string_split(u4, ' ')[1:3], ' ') AS h3,
+       |    CAST(sum(cn4) AS BIGINT) AS den4, CAST(count(*) AS BIGINT) AS n1p4
+       |  FROM cont4 GROUP BY 1),
+       |r4 AS (SELECT DISTINCT array_to_string(ts[i:i+3], ' ') AS g
+       |  FROM trt, LATERAL unnest(generate_series(1, len(ts) - 3)) AS u4g(i)),
+       |cont3 AS (SELECT array_to_string(string_split(g, ' ')[2:4], ' ') AS u3,
+       |    CAST(count(*) AS BIGINT) AS cn3 FROM r4 GROUP BY 1),
+       |hist3 AS (SELECT array_to_string(string_split(u3, ' ')[1:2], ' ') AS h2,
+       |    CAST(sum(cn3) AS BIGINT) AS den3, CAST(count(*) AS BIGINT) AS n1p3
+       |  FROM cont3 GROUP BY 1),
+       |r3 AS (SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS g
+       |  FROM trt, LATERAL unnest(generate_series(1, len(ts) - 2)) AS u3g(i)),
+       |cont2 AS (SELECT array_to_string(string_split(g, ' ')[2:3], ' ') AS u2,
+       |    CAST(count(*) AS BIGINT) AS cn2 FROM r3 GROUP BY 1),
+       |hist2 AS (SELECT string_split(u2, ' ')[1] AS h1,
+       |    CAST(sum(cn2) AS BIGINT) AS den2, CAST(count(*) AS BIGINT) AS n1p2
+       |  FROM cont2 GROUP BY 1),
+       |r2 AS (SELECT DISTINCT array_to_string(ts[i:i+1], ' ') AS g
+       |  FROM trt, LATERAL unnest(generate_series(1, len(ts) - 1)) AS u2g(i)),
+       |cont1 AS (SELECT string_split(g, ' ')[2] AS w,
+       |    CAST(count(*) AS BIGINT) AS cn1 FROM r2 GROUP BY 1),
+       |km AS (SELECT CAST(sum(cn1) AS BIGINT) AS tc1,
+       |    CAST(count(*) AS BIGINT) AS v1 FROM cont1),
+       |kv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+       |  FROM (SELECT unnest(ts) AS t FROM trt)),
+       |dt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |scp AS (SELECT doc_id,
+       |    array_to_string(ts[i:i+4], ' ') AS g,
+       |    array_to_string(ts[i:i+3], ' ') AS h4,
+       |    array_to_string(ts[i+1:i+4], ' ') AS u4,
+       |    array_to_string(ts[i+1:i+3], ' ') AS h3,
+       |    array_to_string(ts[i+2:i+4], ' ') AS u3,
+       |    array_to_string(ts[i+2:i+3], ' ') AS h2,
+       |    array_to_string(ts[i+3:i+4], ' ') AS u2,
+       |    ts[i+3] AS h1, ts[i+4] AS w
+       |  FROM dt, LATERAL unnest(generate_series(1, len(ts) - 4)) AS usc(i)),
+       |j AS (SELECT s.doc_id, r5.c5, h5.tot5, h5.n1p5, cont4.cn4,
+       |    hist4.den4, hist4.n1p4, cont3.cn3, hist3.den3, hist3.n1p3,
+       |    cont2.cn2, hist2.den2, hist2.n1p2, cont1.cn1, km.tc1, km.v1, kv.v
+       |  FROM scp s
+       |  LEFT JOIN r5 ON r5.g = s.g
+       |  LEFT JOIN h5 ON h5.h4 = s.h4
+       |  LEFT JOIN cont4 ON cont4.u4 = s.u4
+       |  LEFT JOIN hist4 ON hist4.h3 = s.h3
+       |  LEFT JOIN cont3 ON cont3.u3 = s.u3
+       |  LEFT JOIN hist3 ON hist3.h2 = s.h2
+       |  LEFT JOIN cont2 ON cont2.u2 = s.u2
+       |  LEFT JOIN hist2 ON hist2.h1 = s.h1
+       |  LEFT JOIN cont1 ON cont1.w = s.w
+       |  CROSS JOIN km CROSS JOIN kv),
+       |s1 AS (SELECT *, $S // v AS p0 FROM j),
+       |s2 AS (SELECT *, (greatest(4 * coalesce(cn1, 0) - 3, 0) * $S
+       |    + 3 * v1 * p0) // (4 * tc1) AS p1 FROM s1),
+       |s3 AS (SELECT *, ${ord("cn2", "n1p2", "den2", "p1")} AS p2 FROM s2),
+       |s4 AS (SELECT *, ${ord("cn3", "n1p3", "den3", "p2")} AS p3 FROM s3),
+       |s5 AS (SELECT *, ${ord("cn4", "n1p4", "den4", "p3")} AS p4 FROM s4),
+       |s6 AS (SELECT *, ${ord("c5", "n1p5", "tot5", "p4")} AS p5 FROM s5)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       |  CAST(sum(CASE WHEN coalesce(c5, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unseen,
+       |  CAST(sum(p5) AS BIGINT) AS sum_p_fix,
+       |  CAST(sum(p5) // count(*) AS BIGINT) AS avg_p_fix
+       |FROM s6 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** x49/x50 shared CTE chain, ending in `ck` (doc_id, chunk_idx, start,
     * clen, chunk_md5). The engine hashes BINARY slices of the blob; the
     * oracle hashes text slices — identical md5s because the test corpus
@@ -1529,6 +1634,8 @@ object ExtQueries {
          |SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_bpe
          |FROM dt JOIN n USING (word) WHERE length(word) > 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x52_kn_lm" -> knLmSql,
+
     "x54_bpe_encode" ->
       s"""WITH $bpeAllRounds,
          |enc AS (SELECT word, string_split(s[2:], chr(31)) AS toks

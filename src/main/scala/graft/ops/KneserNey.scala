@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X52 — interpolated Kneser-Ney 5-gram language-model scoring: the
+  * filter real pretraining pipelines actually run (CCNet-style KenLM
+  * perplexity gates are order-5 Kneser-Ney models), upgrading X26's
+  * Laplace bigram to the standard formulation (Kneser & Ney 1995; Chen
+  * & Goodman 1998's interpolated variant with a fixed absolute
+  * discount).
+  *
+  * Model, with fixed discount D = 3/4 at every order:
+  *  - order 5 (raw counts):  p5(w|h) = max(c5(hw) - D, 0)/tot5(h)
+  *      + D·N1+(h·)/tot5(h) · p4,   tot5(h) = Σ_w c5(hw)
+  *  - orders 4..2 (CONTINUATION counts — the KN insight that a word's
+  *    backoff mass is how many distinct contexts it completes, not how
+  *    often): cont_k(u) = |{v : c_{k+1}(v·u) > 0}| over the distinct
+  *    raw (k+1)-gram types;  p_k(w|h) = max(cont_k(hw) - D, 0)/den_k(h)
+  *      + D·N1+(h·)/den_k(h) · p_{k-1},  den_k(h) = Σ_w cont_k(hw)
+  *  - unigram: p1(w) = max(cont1(w) - D, 0)/T + D·V1/T · p0 with
+  *    T = Σ_w cont1(w) (# distinct bigram types), V1 = |{w : cont1 >
+  *    0}|, and the uniform floor p0 = 1/V over the reference vocabulary
+  *    (unseen words keep nonzero mass).
+  *  - an UNSEEN history at any order backs off wholesale: p_k := p_{k-1}
+  *    (λ = 1 — the history contributes no evidence).
+  *
+  * DETERMINISM: D = 3/4 stays rational, so with probabilities held as
+  * NANO-fixed-point integers (p_fix = floor(p·10^9)) every order folds
+  * into ONE exact integral division —
+  *   p_k = (max(4·cnt − 3, 0)·S  +  3·n1p·p_{k-1})  div  (4·den)
+  * — making per-position scores and per-document sums bit-identical in
+  * any engine (the x26/x37 fixed-point discipline; the DuckDB oracle
+  * replays the whole model from the data). Magnitude bound: numerators
+  * stay under 2^63 while per-history totals and type counts are below
+  * ~2.3·10^9, which holds far past any realistic reference slice; past
+  * that, re-seat the arithmetic in DECIMAL(38,0)/HUGEINT (the
+  * [[Sample.mixtureJoined]] precedent).
+  *
+  * SHAPE AT 100 TB: training is 5 exploded aggregations over the
+  * REFERENCE slice (n-gram counts at each order, map-side combined)
+  * plus 4 distinct-type passes — all vocabulary-sized outputs, the
+  * persisted model artifact of a real pipeline. Scoring explodes each
+  * document's 5-gram positions ONCE, equi-joins the 9 model tables on
+  * their n-gram keys (AQE broadcasts small models; big-big joins
+  * shuffle on the n-gram key), and re-aggregates per document. The
+  * corpus is never row-multiplied by order: every position carries its
+  * 9 keys as projections of one 5-gram string.
+  */
+object KneserNey {
+
+  /** 10^9 nano-probability fixed point (not [[FixedPoint.Scale]]=10^12:
+    * the λ-term product 3·n1p·p_fix must clear 2^63 with type counts in
+    * the billions — see the magnitude bound above).
+    */
+  val Scale = 1000000000L
+
+  private def ngramRows(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(explode(
+      graft.functions.Shingles.shingles(split(col(textCol), " "), n)).as("g"))
+
+  /** Distinct (n)-gram types keyed by their (n-1)-token suffix: the
+    * continuation-count table cont_{n-1}.
+    */
+  private def contTable(ref: DataFrame, textCol: String, n: Int,
+                        key: String, cn: String): DataFrame =
+    ngramRows(ref, textCol, n).distinct()
+      .groupBy(substring_index(col("g"), " ", -(n - 1)).as(key))
+      .agg(count(lit(1)).as(cn))
+
+  /** Score every document's full 5-gram positions under a KN model
+    * trained on `ref`. Output per document (docs shorter than 5 tokens
+    * have no positions and emit no row): position count, unseen-5-gram
+    * count, exact fixed-point sum and integral mean of p5.
+    */
+  def score(docs: DataFrame, ref: DataFrame,
+            idCol: String, textCol: String): DataFrame = {
+    // ---- model tables (all trained on ref) ----
+    val c5 = ngramRows(ref, textCol, 5)
+      .groupBy(col("g")).agg(count(lit(1)).as("c5"))
+    val h5 = c5.groupBy(substring_index(col("g"), " ", 4).as("h4"))
+      .agg(sum(col("c5")).as("tot5"), count(lit(1)).as("n1p5"))
+    val cont4 = contTable(ref, textCol, 5, "u4", "cn4")
+    val hist4 = cont4.groupBy(substring_index(col("u4"), " ", 3).as("h3"))
+      .agg(sum(col("cn4")).as("den4"), count(lit(1)).as("n1p4"))
+    val cont3 = contTable(ref, textCol, 4, "u3", "cn3")
+    val hist3 = cont3.groupBy(substring_index(col("u3"), " ", 2).as("h2"))
+      .agg(sum(col("cn3")).as("den3"), count(lit(1)).as("n1p3"))
+    val cont2 = contTable(ref, textCol, 3, "u2", "cn2")
+    val hist2 = cont2.groupBy(substring_index(col("u2"), " ", 1).as("h1"))
+      .agg(sum(col("cn2")).as("den2"), count(lit(1)).as("n1p2"))
+    val cont1 = contTable(ref, textCol, 2, "w", "cn1")
+    // three 1-row reductions -> one broadcast constants row
+    val consts = cont1.agg(sum(col("cn1")).as("tc1"), count(lit(1)).as("v1"))
+      .crossJoin(ref.select(explode(split(col(textCol), " ")).as("t"))
+        .agg(countDistinct(col("t")).as("v")))
+
+    // ---- scoring: one 5-gram explode, 9 key projections, left joins ----
+    val sc = docs.select(col(idCol), explode(
+        graft.functions.Shingles.shingles(split(col(textCol), " "), 5)).as("g"))
+      .withColumn("h4", substring_index(col("g"), " ", 4))
+      .withColumn("u4", substring_index(col("g"), " ", -4))
+      .withColumn("h3", substring_index(col("u4"), " ", 3))
+      .withColumn("u3", substring_index(col("g"), " ", -3))
+      .withColumn("h2", substring_index(col("u3"), " ", 2))
+      .withColumn("u2", substring_index(col("g"), " ", -2))
+      .withColumn("h1", substring_index(col("u2"), " ", 1))
+      .withColumn("w", substring_index(col("g"), " ", -1))
+
+    def order(cnt: String, n1p: String, den: String, pLow: String): String =
+      s"IF($den IS NULL, $pLow, " +
+        s"(greatest(4 * coalesce($cnt, 0L) - 3, 0L) * ${Scale}L " +
+        s"+ 3 * $n1p * $pLow) div (4 * $den))"
+
+    val scored = sc
+      .join(c5, Seq("g"), "left")
+      .join(h5, Seq("h4"), "left")
+      .join(cont4, Seq("u4"), "left")
+      .join(hist4, Seq("h3"), "left")
+      .join(cont3, Seq("u3"), "left")
+      .join(hist3, Seq("h2"), "left")
+      .join(cont2, Seq("u2"), "left")
+      .join(hist2, Seq("h1"), "left")
+      .join(cont1, Seq("w"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("p0", expr(s"${Scale}L div v"))
+      .withColumn("p1", expr(
+        s"(greatest(4 * coalesce(cn1, 0L) - 3, 0L) * ${Scale}L " +
+          "+ 3 * v1 * p0) div (4 * tc1)"))
+      .withColumn("p2", expr(order("cn2", "n1p2", "den2", "p1")))
+      .withColumn("p3", expr(order("cn3", "n1p3", "den3", "p2")))
+      .withColumn("p4", expr(order("cn4", "n1p4", "den4", "p3")))
+      .withColumn("p5", expr(order("c5", "n1p5", "tot5", "p4")))
+
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(coalesce(col("c5"), lit(0L)) === 0L, 1L).otherwise(0L))
+          .as("n_unseen"),
+        sum(col("p5")).as("sum_p_fix"))
+      .withColumn("avg_p_fix", expr("sum_p_fix div n_ngrams"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.engine.Tables
+
+/** X52 invariants beyond the DuckDB oracle: exact agreement with an
+  * independent driver-side reference implementation of interpolated
+  * Kneser-Ney (plain Scala maps and loops — no shared code with the
+  * operator), plus the contract edges: short docs, unseen mass, and the
+  * seen-vs-gibberish ordering a quality filter exists for.
+  */
+class KneserNeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = KneserNey.Scale
+
+  /** Textbook interpolated KN with D = 3/4 over integer fixed point —
+    * the same math written the single-machine way.
+    */
+  private def reference(refDocs: Seq[String],
+                        doc: String): (Long, Long, Long) = {
+    def grams(ts: Seq[String], n: Int): Seq[String] =
+      if (ts.length < n) Seq.empty
+      else ts.sliding(n).map(_.mkString(" ")).toSeq
+    def sfx(g: String, k: Int) = g.split(" ").takeRight(k).mkString(" ")
+    def pfx(g: String, k: Int) = g.split(" ").take(k).mkString(" ")
+    val refToks = refDocs.map(_.split(" ").toSeq)
+    val c5 = refToks.flatMap(grams(_, 5)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val h5 = c5.toSeq.groupBy(p => pfx(p._1, 4))
+      .view.mapValues(v => (v.map(_._2).sum, v.size.toLong)).toMap
+    def cont(n: Int): Map[String, Long] =
+      refToks.flatMap(grams(_, n)).distinct.groupBy(g => sfx(g, n - 1))
+        .view.mapValues(_.size.toLong).toMap
+    val (cont4, cont3, cont2, cont1) = (cont(5), cont(4), cont(3), cont(2))
+    def hist(c: Map[String, Long], k: Int): Map[String, (Long, Long)] =
+      c.toSeq.groupBy(p => pfx(p._1, k))
+        .view.mapValues(v => (v.map(_._2).sum, v.size.toLong)).toMap
+    val (hist4, hist3, hist2) = (hist(cont4, 3), hist(cont3, 2), hist(cont2, 1))
+    val tc1 = cont1.values.sum
+    val v1 = cont1.size.toLong
+    val v = refToks.flatten.distinct.size.toLong
+    val p0 = S / v
+    def ord(cnt: Long, h: Option[(Long, Long)], pLow: Long): Long = h match {
+      case None => pLow
+      case Some((den, n1p)) =>
+        (math.max(4 * cnt - 3, 0L) * S + 3 * n1p * pLow) / (4 * den)
+    }
+    val positions = grams(doc.split(" ").toSeq, 5)
+    var (sum, unseen) = (0L, 0L)
+    positions.foreach { g =>
+      val p1 = (math.max(4 * cont1.getOrElse(sfx(g, 1), 0L) - 3, 0L) * S +
+        3 * v1 * p0) / (4 * tc1)
+      val p2 = ord(cont2.getOrElse(sfx(g, 2), 0L),
+        hist2.get(pfx(sfx(g, 2), 1)), p1)
+      val p3 = ord(cont3.getOrElse(sfx(g, 3), 0L),
+        hist3.get(pfx(sfx(g, 3), 2)), p2)
+      val p4 = ord(cont4.getOrElse(sfx(g, 4), 0L),
+        hist4.get(pfx(sfx(g, 4), 3)), p3)
+      val p5 = ord(c5.getOrElse(g, 0L), h5.get(pfx(g, 4)), p4)
+      sum += p5
+      if (c5.getOrElse(g, 0L) == 0L) unseen += 1
+    }
+    (positions.size.toLong, unseen, sum)
+  }
+
+  private def sparkScore(refDocs: Seq[String], docs: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long)] =
+    KneserNey.score(
+      docs.toDF("doc_id", "text"),
+      refDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("doc_id", "n_ngrams", "n_unseen", "sum_p_fix")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("matches the independent reference implementation on real corpus docs") {
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val refDocs = texts.take(25).map(_._2)
+    val scoreDocs = texts.slice(20, 35) // overlaps ref + unseen docs
+    val got = sparkScore(refDocs, scoreDocs)
+    scoreDocs.foreach { case (id, text) =>
+      assert(got(id) === reference(refDocs, text),
+        s"doc $id diverges from the reference KN implementation")
+    }
+  }
+
+  test("documents shorter than 5 tokens have no positions and no row") {
+    val got = sparkScore(Seq("a b c d e f g"), Seq(1L -> "a b c d", 2L -> "a b c d e"))
+    assert(!got.contains(1L))
+    assert(got(2L)._1 === 1L)
+  }
+
+  test("a reference sentence outscores gibberish, and gibberish keeps nonzero mass") {
+    val ref = Seq.fill(5)("the quick brown fox jumps over the lazy dog") ++
+      Seq("an entirely different sentence with other words here")
+    val got = sparkScore(ref, Seq(
+      1L -> "the quick brown fox jumps",
+      2L -> "zz yy xx ww vv"))
+    val (n1, u1, s1) = got(1L)
+    val (n2, u2, s2) = got(2L)
+    assert(u1 === 0L && u2 === 1L)
+    assert(s1 / n1 > s2 / n2)
+    assert(s2 > 0L, "unseen text must keep the uniform-floor mass")
+  }
+}
