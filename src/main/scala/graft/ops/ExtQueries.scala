@@ -625,6 +625,17 @@ object ExtQueries {
       LangModel.bigramScore(docs, ref, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // X53 HTML text extraction — the documents wrapped in a fixed
+    // markup shell (script/style/comments/entities/anchor), then the
+    // row-local extraction chain; the hash gate proves the Java-regex
+    // and RE2 chains byte-agree on every document
+    "x53_html_extract" -> ((s, dir) => {
+      val wrapped = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit(HtmlPre), col("text"), lit(HtmlMid), col("source"),
+          lit(HtmlSuf)).as("h"))
+      Html.extract(wrapped, "doc_id", "h").orderBy("doc_id")
+    }),
+
     // X52 interpolated Kneser-Ney 5-gram LM — the CCNet-class quality
     // filter; trains on the same deterministic train split as x26/x42,
     // nano-fixed-point exact, oracle replays the whole model from data
@@ -1468,6 +1479,52 @@ object ExtQueries {
        |SELECT doc_id, lang AS pred, score AS score_micro FROM r
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // X53 fixed markup shell around each document (no single quotes, so
+  // the strings interpolate into the oracle SQL literally): a script
+  // block with comparison operators, a style block, entities (including
+  // a double-encoded one), the text body, an anchor on `source`, and a
+  // trailing comment
+  private val HtmlPre =
+    "<html><head><title>Doc</title><style>p { margin: 0; }</style>" +
+      "</head><body><script type=\"text/javascript\">if (x < 2 && y > 1) " +
+      "{ go(); }</script><h1>Entities &amp; &lt;raw&gt; &quot;quoted&quot;" +
+      "&nbsp;and &amp;amp; twice</h1><p>"
+  private val HtmlMid = "</p><div><a href=\"http://x\"><b>"
+  private val HtmlSuf = "</b></a></div><!-- trailing comment --></body></html>"
+
+  /** The x53 extraction chain in DuckDB syntax over expression `in` —
+    * stage-for-stage identical to [[Html.extractText]] (RE2 needs the
+    * explicit `g` flag where Java regex replaces globally by default).
+    */
+  private def htmlExtractSql(in: String): String =
+    "trim(regexp_replace(" +
+      "replace(replace(replace(replace(replace(replace(" +
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      in +
+      ", '(?is)<script[^>]*>.*?</script>', ' ', 'g')" +
+      ", '(?is)<style[^>]*>.*?</style>', ' ', 'g')" +
+      ", '(?s)<!--.*?-->', ' ', 'g')" +
+      ", '(?s)<[^>]+>', ' ', 'g')" +
+      ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"')" +
+      ", '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')" +
+      ", '[ \\t\\r\\n]+', ' ', 'g'))"
+
+  private def htmlExtractOracle: String =
+    s"""WITH he AS (SELECT doc_id,
+       |  '$HtmlPre' || text || '$HtmlMid' || source || '$HtmlSuf' AS h
+       |  FROM documents),
+       |ex AS (SELECT doc_id,
+       |  ${htmlExtractSql("h")} AS clean_text,
+       |  ${htmlExtractSql(
+             "array_to_string(regexp_extract_all(h, '(?is)<a[^>]*>(.*?)</a>', 1), ' ')")}
+       |    AS a_text
+       |  FROM he)
+       |SELECT doc_id, clean_text,
+       |  CAST(length(clean_text) AS BIGINT) AS n_clean_chars,
+       |  CAST(length(a_text) * 1000000 // greatest(length(clean_text), 1)
+       |    AS BIGINT) AS link_density_ppm
+       |FROM ex ORDER BY doc_id""".stripMargin
+
   /** x52 Kneser-Ney 5-gram oracle: the full model — raw 5-gram counts,
     * continuation-count tables at orders 4..1 from distinct type sets,
     * history denominators — replayed from the data, then the per-order
@@ -1635,6 +1692,8 @@ object ExtQueries {
          |FROM dt JOIN n USING (word) WHERE length(word) > 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x52_kn_lm" -> knLmSql,
+
+    "x53_html_extract" -> htmlExtractOracle,
 
     "x54_bpe_encode" ->
       s"""WITH $bpeAllRounds,
