@@ -155,10 +155,44 @@ object ScaleProbe {
         "doc_id", "blob")
         .write.format("noop").mode("overwrite").save()
     }
-    t("bpe-train-50k-4rounds") {
-      val (_, words) = graft.ops.Bpe.train(docs10, "text", 4)
+    val bpeMerges = t("bpe-train-50k-4rounds") {
+      val (merges, words) = graft.ops.Bpe.train(docs10, "text", 4)
       graft.ops.Bpe.docTokenCounts(docs10, "doc_id", "text", words)
         .write.format("noop").mode("overwrite").save()
+      merges
+    }
+    // round-9 operators. KN trains AND scores on the full 10x corpus —
+    // model-table sizes stay near 1x (the union repeats documents, so
+    // n-gram TYPE counts barely grow) while scoring work grows 10x:
+    // the shape a production run has (model ~vocabulary, corpus ~huge)
+    t("kn-lm-train-score-50k") {
+      graft.ops.KneserNey.score(docs10, docs10, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("bpe-encode-50k") {
+      graft.ops.Bpe.encode(docs10, "doc_id", "text", bpeMerges)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("html-extract-50k") {
+      val wrapped = docs10.select(col("doc_id"),
+        concat(lit("<html><body><script>if (a<b) { x(); }</script><p>"),
+          col("text"),
+          lit("</p><a href=\"u\">menu about contact</a></body></html>")).as("h"))
+      graft.ops.Html.extract(wrapped, "doc_id", "h")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // refine at 10x: candidate generation prunes via the coarse lists,
+    // the audit-sized candidate list broadcasts, the corpus never
+    // shuffles — cost should track the IVF-PQ scan, not |Q|x|corpus|
+    t("ann-refine-20k") {
+      val qs = emb10.filter(col("vec_id") < 10)
+      val trained = (c8,
+        graft.ops.Similarity.trainResidualCodebook(sample, c8, 16, 64))
+      val cands = graft.ops.Similarity.ivfPqTopK(emb10, qs, "vec_id",
+        "embedding", 50, nlist = 8, nprobe = 6, numSub = 16, codes = 64,
+        trained = Some(trained))
+      graft.ops.Similarity.refineExact(emb10, qs, "vec_id", "embedding", 5,
+        cands).write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }

@@ -177,6 +177,24 @@ object ExtQueries {
       val coarse = Similarity.trainCoarseCentroids(sample, IvfPqNlist)
       (coarse, Similarity.trainResidualCodebook(sample, coarse, PqNumSub, PqCodes))
     }
+  // X57 token-budget sampling: budget + seed (shared with the oracle).
+  // 20k tokens sits mid-corpus at sf0.01 so the prefix genuinely cuts
+  private val TokenBudget = 20000L
+  private val TokenBudgetSeed = "tb"
+
+  /** The x52 KN score plan, cached per (session, dir) so x52 and the
+    * x56 bucketing read one pipeline (the [[nbCache]] contract).
+    */
+  private val knCache = new graft.engine.SessionCache[DataFrame]
+  private def knScored(s: SparkSession, dir: String): DataFrame =
+    knCache.getOrCompute(s, dir) {
+      val docs = Tables.documents(s, dir)
+      val ref = Curate.splitAssign(docs, "doc_id",
+        Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
+        seed = SplitSeed).filter(col("split") === "train")
+      KneserNey.score(docs, ref, "doc_id", "text")
+    }
+
   /** The x51 refined top-k plan (wider-probe IVF-PQ candidates, exact
     * re-rank), shared by `x51_ann_refine` and the x43 audit row so the
     * candidate pipeline is built once per (session, dir).
@@ -639,12 +657,25 @@ object ExtQueries {
     // X52 interpolated Kneser-Ney 5-gram LM — the CCNet-class quality
     // filter; trains on the same deterministic train split as x26/x42,
     // nano-fixed-point exact, oracle replays the whole model from data
-    "x52_kn_lm" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val ref = Curate.splitAssign(docs, "doc_id",
+    "x52_kn_lm" -> ((s, dir) => knScored(s, dir).orderBy("doc_id")),
+
+    // X56 CCNet-style perplexity bucketing — tertile thresholds from
+    // the reference slice's x52 scores (one shared scoring pipeline),
+    // corpus bucketed scan-side against the broadcast thresholds
+    "x56_ppl_buckets" -> ((s, dir) => {
+      val refIds = Curate.splitAssign(Tables.documents(s, dir), "doc_id",
         Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
-        seed = SplitSeed).filter(col("split") === "train")
-      KneserNey.score(docs, ref, "doc_id", "text").orderBy("doc_id")
+        seed = SplitSeed).filter(col("split") === "train").select("doc_id")
+      KneserNey.perplexityBuckets(knScored(s, dir), refIds, "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // X57 token-budget sampling — greedy prefix in deterministic hash
+    // order via the two-pass distributed prefix sum; the oracle is the
+    // naive global-window form, so the gate proves the decomposition
+    "x57_token_budget" -> ((s, dir) => {
+      Sample.tokenBudget(Tables.documents(s, dir), "doc_id", "text",
+        TokenBudget, seed = TokenBudgetSeed).orderBy("doc_id")
     }),
 
     // X27 SCD2 dimension history: order-priority runs per customer with
@@ -1692,6 +1723,44 @@ object ExtQueries {
          |FROM dt JOIN n USING (word) WHERE length(word) > 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x52_kn_lm" -> knLmSql,
+
+    // tertile thresholds over the train slice of the embedded x52
+    // pipeline, value-based bucket assignment — integer-exact cut ranks
+    "x56_ppl_buckets" ->
+      s"""WITH k AS (SELECT doc_id, avg_p_fix FROM ($knLmSql)),
+         |spb AS (SELECT doc_id,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
+         |    < '${Sample.threshold(SplitTrain)}' THEN 'train' ELSE 'other' END AS split
+         |  FROM documents),
+         |rsc AS (SELECT k.doc_id, k.avg_p_fix FROM k
+         |  JOIN spb ON spb.doc_id = k.doc_id WHERE spb.split = 'train'),
+         |rk AS (SELECT doc_id, avg_p_fix,
+         |  row_number() OVER (ORDER BY avg_p_fix DESC, doc_id) AS r,
+         |  count(*) OVER () AS n FROM rsc),
+         |th AS (SELECT
+         |  max(CASE WHEN r = (n + 2) // 3 THEN avg_p_fix END) AS t1,
+         |  max(CASE WHEN r = (2 * n + 2) // 3 THEN avg_p_fix END) AS t2
+         |  FROM rk)
+         |SELECT k.doc_id, k.avg_p_fix,
+         |  CASE WHEN k.avg_p_fix >= th.t1 THEN 'head'
+         |       WHEN k.avg_p_fix >= th.t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM k CROSS JOIN th ORDER BY k.doc_id""".stripMargin,
+
+    // the NAIVE global-prefix-sum spec of x57 — the engine's two-pass
+    // grouped decomposition must reproduce it row for row
+    "x57_token_budget" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  md5(CAST(doc_id AS VARCHAR) || '$TokenBudgetSeed') AS h,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_before
+         |  FROM b)
+         |SELECT doc_id, n_tokens, cum_before FROM c
+         |WHERE cum_before < $TokenBudget ORDER BY doc_id""".stripMargin,
 
     "x53_html_extract" -> htmlExtractOracle,
 

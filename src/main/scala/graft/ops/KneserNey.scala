@@ -139,4 +139,46 @@ object KneserNey {
         sum(col("p5")).as("sum_p_fix"))
       .withColumn("avg_p_fix", expr("sum_p_fix div n_ngrams"))
   }
+
+  /** X56 — CCNet-style perplexity bucketing: split the corpus into
+    * head/middle/tail by LM score, the standard downstream use of the
+    * [[score]] filter (CCNet trains on head+middle, drops tail; head
+    * docs are the most reference-like). Tertile THRESHOLDS derive from
+    * the REFERENCE slice's scores only — exactly CCNet's recipe (its
+    * thresholds come from the Wikipedia-trained model's distribution,
+    * then apply corpus-wide as constants) — so the one totally-ordered
+    * window below runs over the reference-sized score table, never the
+    * corpus; corpus rows get their bucket from a broadcast 1-row
+    * threshold join, scan-side.
+    *
+    * Exactness: cut ranks are ceil(n/3) and ceil(2n/3) in pure integer
+    * arithmetic ((n+2) div 3, (2n+2) div 3), thresholds are the exact
+    * fixed-point scores at those ranks (ties to the lower doc id), and
+    * assignment is an integer comparison — bucket boundaries are
+    * bit-identical in any engine. Docs tying a threshold value share
+    * its bucket (value-based assignment, the CCNet behavior).
+    *
+    * `scored`: the [[score]] output for the whole corpus; `refIds`: the
+    * reference slice's ids (one column named idCol). Scoring runs once
+    * — reference rows are selected from `scored` by semi-join, not
+    * re-scored.
+    */
+  def perplexityBuckets(scored: DataFrame, refIds: DataFrame,
+                        idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val refSc = scored.join(refIds, Seq(idCol), "left_semi")
+      .select(col(idCol), col("avg_p_fix"))
+    val ranked = refSc
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("avg_p_fix").desc, col(idCol))))
+      .crossJoin(broadcast(refSc.agg(count(lit(1)).as("n"))))
+    val th = ranked.agg(
+      max(expr("IF(r = (n + 2) div 3, avg_p_fix, NULL)")).as("t1"),
+      max(expr("IF(r = (2 * n + 2) div 3, avg_p_fix, NULL)")).as("t2"))
+    scored.crossJoin(broadcast(th))
+      .select(col(idCol), col("avg_p_fix"),
+        when(col("avg_p_fix") >= col("t1"), lit("head"))
+          .when(col("avg_p_fix") >= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

@@ -195,6 +195,53 @@ object Sample {
     }
   }
 
+  /** X57 — TOKEN-BUDGET sampling: keep documents in deterministic hash
+    * order until a token budget fills — the "give me 1B tokens" op every
+    * training run starts with, where the unit that matters is tokens,
+    * not documents. A document is kept iff the total tokens of all
+    * documents BEFORE it (in md5(key||seed) order, ties by key) is
+    * still under the budget — the greedy prefix, so the kept set always
+    * includes the budget-crossing document and is stable under
+    * re-execution, retries, and engine choice.
+    *
+    * THE PREFIX SUM IS TWO-PASS, NEVER GLOBAL: a single unpartitioned
+    * running-sum window would funnel the corpus through one task. The
+    * hash order is exploited instead — rows are grouped by their first
+    * two hash hex chars (256 contiguous ranges of the order), per-group
+    * token subtotals make a 256-row table whose own running sum gives
+    * each group's starting offset (driver-trivial), and the within-group
+    * running sum is a window PARTITIONED BY the group. cum_before =
+    * group offset + within-group prefix. The DuckDB oracle is the
+    * NAIVE global-window form, so the driver's hash gate re-proves the
+    * distributed decomposition equal to the spec every round (the x48
+    * discipline).
+    *
+    * Output: (keyCol, n_tokens, cum_before) for kept documents.
+    */
+  def tokenBudget(df: DataFrame, keyCol: String, textCol: String,
+                  budgetTokens: Long, seed: String = ""): DataFrame = {
+    require(budgetTokens >= 1, s"budget must be >= 1: $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol),
+        md5(concat(col(keyCol).cast("string"), lit(seed))).as("h"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("grp", substring(col("h"), 1, 2))
+    val offsets = base.groupBy(col("grp"))
+      .agg(sum(col("n_tokens")).as("gtot"))
+      .withColumn("goff", coalesce(
+        sum(col("gtot")).over(Window.orderBy(col("grp"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("grp"), col("goff"))
+    val inGrp = Window.partitionBy(col("grp"))
+      .orderBy(col("h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), Seq("grp"))
+      .withColumn("cum_before",
+        col("goff") + coalesce(sum(col("n_tokens")).over(inGrp), lit(0L)))
+      .filter(col("cum_before") < budgetTokens)
+      .select(col(keyCol), col("n_tokens"), col("cum_before"))
+  }
+
   /** Stratified deterministic sample: per-stratum fractions with a default
     * for unlisted strata. The threshold is a row-local CASE — still a pure
     * scan-side filter.

@@ -93,6 +93,24 @@ class KneserNeySpec extends SparkSpec {
     assert(got(2L)._1 === 1L)
   }
 
+  test("perplexity buckets: tertile thresholds from the ref slice, value-based assignment") {
+    // 9 ref docs, distinct scores 90..10 -> cut ranks (9+2)div3=3 and
+    // (18+2)div3=6: t1 = 70, t2 = 40. Non-ref docs 20/21/22 probe the
+    // boundaries: 70 is head (>= t1), 40 middle (>= t2), 39 tail.
+    val scored = ((1L to 9L).map(i => (i, 100L - i * 10L)) ++
+      Seq((20L, 70L), (21L, 40L), (22L, 39L)))
+      .toDF("doc_id", "avg_p_fix")
+    val refIds = (1L to 9L).toDF("doc_id")
+    val got = KneserNey.perplexityBuckets(scored, refIds, "doc_id")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert((1L to 3L).forall(got(_) == "head"))
+    assert((4L to 6L).forall(got(_) == "middle"))
+    assert((7L to 9L).forall(got(_) == "tail"))
+    assert(got(20L) === "head")
+    assert(got(21L) === "middle")
+    assert(got(22L) === "tail")
+  }
+
   test("a reference sentence outscores gibberish, and gibberish keeps nonzero mass") {
     val ref = Seq.fill(5)("the quick brown fox jumps over the lazy dog") ++
       Seq("an entirely different sentence with other words here")

@@ -61,6 +61,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(none.count() === 0L)
   }
 
+  test("token budget: two-pass prefix equals brute force; crossing doc included") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // 200 docs with varying token counts; budget cuts mid-corpus
+    val rows = (1L to 200L).map(i => (i, (0 until (i % 13 + 1).toInt)
+      .map(j => s"t$j").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val budget = 600L
+    // brute force: global hash order, running sum, keep while before < budget
+    val ordered = rows.map { case (id, text) =>
+      (md5hex(id.toString + "s"), id, text.split(" ").length.toLong)
+    }.sortBy(t => (t._1, t._2))
+    val expected = ordered.scanLeft(("", 0L, 0L, 0L)) {
+      case ((_, _, _, cum), (h, id, n)) => (h, id, n, cum + n)
+    }.tail.map { case (_, id, n, cumAfter) => (id, n, cumAfter - n) }
+      .filter(_._3 < budget).toSet
+    val got = Sample.tokenBudget(df, "doc_id", "text", budget, seed = "s")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // greedy-prefix contract: kept mass reaches the budget (the
+    // crossing doc is included), and dropping any kept doc stays under
+    val keptTokens = got.toSeq.map(_._2).sum
+    assert(keptTokens >= budget)
+    assert(got.map(_._3).max < budget)
+    // deterministic under re-execution
+    assert(Sample.tokenBudget(df, "doc_id", "text", budget, seed = "s")
+      .as[(Long, Long, Long)].collect().toSet === got)
+  }
+
   test("temperature weights: alpha=1 keeps the whole corpus, alpha=0 is " +
       "uniform, flattening raises the scarcest share") {
     val counts = Map("big" -> 1000L, "mid" -> 250L, "small" -> 10L)
