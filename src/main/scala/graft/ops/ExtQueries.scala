@@ -182,8 +182,11 @@ object ExtQueries {
   private val TokenBudget = 20000L
   private val TokenBudgetSeed = "tb"
 
-  /** The x52 KN score plan, cached per (session, dir) so x52 and the
-    * x56 bucketing read one pipeline (the [[nbCache]] contract).
+  /** The x52 KN score table, MATERIALIZED once per (session, dir) and
+    * shared by x52 and the x56 bucketing (the [[cdcCache]] contract):
+    * the 9-join scoring pipeline is the cost center and the per-doc
+    * score table is tiny, so the second consumer reads the pin instead
+    * of re-running training + scoring.
     */
   private val knCache = new graft.engine.SessionCache[DataFrame]
   private def knScored(s: SparkSession, dir: String): DataFrame =
@@ -192,7 +195,7 @@ object ExtQueries {
       val ref = Curate.splitAssign(docs, "doc_id",
         Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
         seed = SplitSeed).filter(col("split") === "train")
-      KneserNey.score(docs, ref, "doc_id", "text")
+      KneserNey.score(docs, ref, "doc_id", "text").localCheckpoint(false)
     }
 
   /** The x51 refined top-k plan (wider-probe IVF-PQ candidates, exact
