@@ -55,7 +55,7 @@ object KneserNey {
     */
   val Scale = 1000000000L
 
-  private def ngramRows(df: DataFrame, textCol: String, n: Int): DataFrame =
+  private[graft] def ngramRows(df: DataFrame, textCol: String, n: Int): DataFrame =
     df.select(explode(
       graft.functions.Shingles.shingles(split(col(textCol), " "), n)).as("g"))
 
@@ -68,14 +68,21 @@ object KneserNey {
       .groupBy(substring_index(col("g"), " ", -(n - 1)).as(key))
       .agg(count(lit(1)).as(cn))
 
-  /** Score every document's full 5-gram positions under a KN model
-    * trained on `ref`. Output per document (docs shorter than 5 tokens
-    * have no positions and emit no row): position count, unseen-5-gram
-    * count, exact fixed-point sum and integral mean of p5.
+  /** The trained model as its 9 join tables + the 1-row constants —
+    * the persisted artifact a production run trains once; also the seam
+    * [[graft.streaming.KnLmStream]] rebuilds incrementally from its
+    * appended state.
     */
-  def score(docs: DataFrame, ref: DataFrame,
-            idCol: String, textCol: String): DataFrame = {
-    // ---- model tables (all trained on ref) ----
+  final case class Model(c5: DataFrame, h5: DataFrame,
+                         cont4: DataFrame, hist4: DataFrame,
+                         cont3: DataFrame, hist3: DataFrame,
+                         cont2: DataFrame, hist2: DataFrame,
+                         cont1: DataFrame, consts: DataFrame)
+
+  /** Train all model tables on `ref` (see object doc for the schema of
+    * each).
+    */
+  def modelTables(ref: DataFrame, textCol: String): Model = {
     val c5 = ngramRows(ref, textCol, 5)
       .groupBy(col("g")).agg(count(lit(1)).as("c5"))
     val h5 = c5.groupBy(substring_index(col("g"), " ", 4).as("h4"))
@@ -94,7 +101,23 @@ object KneserNey {
     val consts = cont1.agg(sum(col("cn1")).as("tc1"), count(lit(1)).as("v1"))
       .crossJoin(ref.select(explode(split(col(textCol), " ")).as("t"))
         .agg(countDistinct(col("t")).as("v")))
+    Model(c5, h5, cont4, hist4, cont3, hist3, cont2, hist2, cont1, consts)
+  }
 
+  /** Score every document's full 5-gram positions under a KN model
+    * trained on `ref`. Output per document (docs shorter than 5 tokens
+    * have no positions and emit no row): position count, unseen-5-gram
+    * count, exact fixed-point sum and integral mean of p5.
+    */
+  def score(docs: DataFrame, ref: DataFrame,
+            idCol: String, textCol: String): DataFrame =
+    scoreWithModel(docs, idCol, textCol, modelTables(ref, textCol))
+
+  /** The scoring half, against an already-built [[Model]]. */
+  def scoreWithModel(docs: DataFrame, idCol: String, textCol: String,
+                     m: Model): DataFrame = {
+    val Model(c5, h5, cont4, hist4, cont3, hist3, cont2, hist2, cont1,
+      consts) = m
     // ---- scoring: one 5-gram explode, 9 key projections, left joins ----
     val sc = docs.select(col(idCol), explode(
         graft.functions.Shingles.shingles(split(col(textCol), " "), 5)).as("g"))
