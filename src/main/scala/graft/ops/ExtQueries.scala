@@ -673,6 +673,17 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // X58 modified KN — discounts ESTIMATED from count-of-count
+    // statistics (D_k = n1/(n1+2n2) per order), DECIMAL(38,0) exact;
+    // same train split, same join shape as x52
+    "x58_kn_mkn" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ref = Curate.splitAssign(docs, "doc_id",
+        Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
+        seed = SplitSeed).filter(col("split") === "train")
+      KneserNey.scoreModified(docs, ref, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // X57 token-budget sampling — greedy prefix in deterministic hash
     // order via the two-pass distributed prefix sum; the oracle is the
     // naive global-window form, so the gate proves the decomposition
@@ -1566,12 +1577,50 @@ object ExtQueries {
     * order arithmetic (see [[KneserNey]]; `//` on DuckDB integers
     * truncates like Spark's `div`, and every operand is non-negative).
     */
-  private def knLmSql: String = {
+  private def knLmSql: String = knLmSqlBuilder(estimated = false)
+
+  /** The same pipeline with ESTIMATED discounts (x58): per-order
+    * a_k/b_k from the count-of-count singleton/doubleton statistics,
+    * arithmetic in HUGEINT (the rational b_k outgrows BIGINT — mirror
+    * of the engine's DECIMAL(38,0) seat).
+    */
+  private def knMknSql: String = knLmSqlBuilder(estimated = true)
+
+  private def knLmSqlBuilder(estimated: Boolean): String = {
     val S = KneserNey.Scale
-    def ord(cnt: String, n1p: String, den: String, pLow: String): String =
-      s"CASE WHEN $den IS NULL THEN $pLow ELSE " +
-        s"(greatest(4 * coalesce($cnt, 0) - 3, 0) * $S + 3 * $n1p * $pLow)" +
-        s" // (4 * $den) END"
+    def ord(k: Int, cnt: String, n1p: String, den: String,
+            pLow: String): String =
+      if (!estimated)
+        s"CASE WHEN $den IS NULL THEN $pLow ELSE " +
+          s"(greatest(4 * coalesce($cnt, 0) - 3, 0) * $S + 3 * $n1p * $pLow)" +
+          s" // (4 * $den) END"
+      else
+        s"CASE WHEN $den IS NULL THEN $pLow ELSE " +
+          s"(greatest(CAST(b$k AS HUGEINT) * coalesce($cnt, 0) - a$k, " +
+          s"CAST(0 AS HUGEINT)) * $S + CAST(a$k AS HUGEINT) * $n1p * $pLow)" +
+          s" // (CAST(b$k AS HUGEINT) * $den) END"
+    def dRow(src: String, cnt: String, k: Int): String =
+      s"""(SELECT CASE WHEN n1 = 0 THEN 3 ELSE n1 END AS a$k,
+         |  CASE WHEN n1 = 0 THEN 4 ELSE n1 + 2 * n2 END AS b$k
+         |  FROM (SELECT sum(CASE WHEN $cnt = 1 THEN 1 ELSE 0 END) AS n1,
+         |    sum(CASE WHEN $cnt = 2 THEN 1 ELSE 0 END) AS n2 FROM $src)) d$k"""
+        .stripMargin
+    val ddCte = if (!estimated) "" else
+      s""",
+         |dd AS (SELECT * FROM ${dRow("r5", "c5", 5)}
+         |  CROSS JOIN ${dRow("cont4", "cn4", 4)}
+         |  CROSS JOIN ${dRow("cont3", "cn3", 3)}
+         |  CROSS JOIN ${dRow("cont2", "cn2", 2)}
+         |  CROSS JOIN ${dRow("cont1", "cn1", 1)})""".stripMargin
+    val ddJoin = if (!estimated) "" else " CROSS JOIN dd"
+    val ddCols = if (!estimated) "" else ", dd.*"
+    val p1Expr =
+      if (!estimated)
+        s"(greatest(4 * coalesce(cn1, 0) - 3, 0) * $S + 3 * v1 * p0) // (4 * tc1)"
+      else
+        s"(greatest(CAST(b1 AS HUGEINT) * coalesce(cn1, 0) - a1, " +
+          s"CAST(0 AS HUGEINT)) * $S + CAST(a1 AS HUGEINT) * v1 * p0)" +
+          s" // (CAST(b1 AS HUGEINT) * tc1)"
     s"""WITH sp AS (SELECT doc_id,
        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
        |      < '${Sample.threshold(SplitTrain)}' THEN 'train' ELSE 'other' END AS split
@@ -1612,7 +1661,7 @@ object ExtQueries {
        |km AS (SELECT CAST(sum(cn1) AS BIGINT) AS tc1,
        |    CAST(count(*) AS BIGINT) AS v1 FROM cont1),
        |kv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
-       |  FROM (SELECT unnest(ts) AS t FROM trt)),
+       |  FROM (SELECT unnest(ts) AS t FROM trt))$ddCte,
        |dt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |scp AS (SELECT doc_id,
        |    array_to_string(ts[i:i+4], ' ') AS g,
@@ -1626,7 +1675,7 @@ object ExtQueries {
        |  FROM dt, LATERAL unnest(generate_series(1, len(ts) - 4)) AS usc(i)),
        |j AS (SELECT s.doc_id, r5.c5, h5.tot5, h5.n1p5, cont4.cn4,
        |    hist4.den4, hist4.n1p4, cont3.cn3, hist3.den3, hist3.n1p3,
-       |    cont2.cn2, hist2.den2, hist2.n1p2, cont1.cn1, km.tc1, km.v1, kv.v
+       |    cont2.cn2, hist2.den2, hist2.n1p2, cont1.cn1, km.tc1, km.v1, kv.v$ddCols
        |  FROM scp s
        |  LEFT JOIN r5 ON r5.g = s.g
        |  LEFT JOIN h5 ON h5.h4 = s.h4
@@ -1637,14 +1686,13 @@ object ExtQueries {
        |  LEFT JOIN cont2 ON cont2.u2 = s.u2
        |  LEFT JOIN hist2 ON hist2.h1 = s.h1
        |  LEFT JOIN cont1 ON cont1.w = s.w
-       |  CROSS JOIN km CROSS JOIN kv),
+       |  CROSS JOIN km CROSS JOIN kv$ddJoin),
        |s1 AS (SELECT *, $S // v AS p0 FROM j),
-       |s2 AS (SELECT *, (greatest(4 * coalesce(cn1, 0) - 3, 0) * $S
-       |    + 3 * v1 * p0) // (4 * tc1) AS p1 FROM s1),
-       |s3 AS (SELECT *, ${ord("cn2", "n1p2", "den2", "p1")} AS p2 FROM s2),
-       |s4 AS (SELECT *, ${ord("cn3", "n1p3", "den3", "p2")} AS p3 FROM s3),
-       |s5 AS (SELECT *, ${ord("cn4", "n1p4", "den4", "p3")} AS p4 FROM s4),
-       |s6 AS (SELECT *, ${ord("c5", "n1p5", "tot5", "p4")} AS p5 FROM s5)
+       |s2 AS (SELECT *, $p1Expr AS p1 FROM s1),
+       |s3 AS (SELECT *, ${ord(2, "cn2", "n1p2", "den2", "p1")} AS p2 FROM s2),
+       |s4 AS (SELECT *, ${ord(3, "cn3", "n1p3", "den3", "p2")} AS p3 FROM s3),
+       |s5 AS (SELECT *, ${ord(4, "cn4", "n1p4", "den4", "p3")} AS p4 FROM s4),
+       |s6 AS (SELECT *, ${ord(5, "c5", "n1p5", "tot5", "p4")} AS p5 FROM s5)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
        |  CAST(sum(CASE WHEN coalesce(c5, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_unseen,
@@ -1726,6 +1774,8 @@ object ExtQueries {
          |FROM dt JOIN n USING (word) WHERE length(word) > 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x52_kn_lm" -> knLmSql,
+
+    "x58_kn_mkn" -> knMknSql,
 
     // tertile thresholds over the train slice of the embedded x52
     // pipeline, value-based bucket assignment — integer-exact cut ranks

@@ -113,9 +113,16 @@ object KneserNey {
             idCol: String, textCol: String): DataFrame =
     scoreWithModel(docs, idCol, textCol, modelTables(ref, textCol))
 
-  /** The scoring half, against an already-built [[Model]]. */
+  /** The scoring half, against an already-built [[Model]] (fixed
+    * D = 3/4 — [[scoreModified]] runs the same chain with estimated
+    * discounts).
+    */
   def scoreWithModel(docs: DataFrame, idCol: String, textCol: String,
-                     m: Model): DataFrame = {
+                     m: Model): DataFrame =
+    scoreChain(docs, idCol, textCol, m, estimated = false)
+
+  private def scoreChain(docs: DataFrame, idCol: String, textCol: String,
+                         m: Model, estimated: Boolean): DataFrame = {
     val Model(c5, h5, cont4, hist4, cont3, hist3, cont2, hist2, cont1,
       consts) = m
     // ---- scoring: one 5-gram explode, 9 key projections, left joins ----
@@ -130,10 +137,29 @@ object KneserNey {
       .withColumn("h1", substring_index(col("u2"), " ", 1))
       .withColumn("w", substring_index(col("g"), " ", -1))
 
-    def order(cnt: String, n1p: String, den: String, pLow: String): String =
-      s"IF($den IS NULL, $pLow, " +
-        s"(greatest(4 * coalesce($cnt, 0L) - 3, 0L) * ${Scale}L " +
-        s"+ 3 * $n1p * $pLow) div (4 * $den))"
+    // the per-order fold: fixed discounts stay in BIGINT; estimated
+    // discounts (b up to corpus scale) re-seat every product in
+    // DECIMAL(38,0) — operands cast BEFORE multiplying so nothing
+    // overflows long on the way in
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    def order(k: Int, cnt: String, n1p: String, den: String,
+              pLow: String): String =
+      if (!estimated)
+        s"IF($den IS NULL, $pLow, " +
+          s"(greatest(4 * coalesce($cnt, 0L) - 3, 0L) * ${Scale}L " +
+          s"+ 3 * $n1p * $pLow) div (4 * $den))"
+      else
+        s"IF($den IS NULL, $pLow, " +
+          s"(greatest(${dec(s"b$k")} * coalesce($cnt, 0L) - a$k, ${dec("0")}) " +
+          s"* ${Scale}L + ${dec(s"a$k")} * $n1p * $pLow) " +
+          s"div (${dec(s"b$k")} * $den))"
+    val p1Expr =
+      if (!estimated)
+        s"(greatest(4 * coalesce(cn1, 0L) - 3, 0L) * ${Scale}L " +
+          "+ 3 * v1 * p0) div (4 * tc1)"
+      else
+        s"(greatest(${dec("b1")} * coalesce(cn1, 0L) - a1, ${dec("0")}) " +
+          s"* ${Scale}L + ${dec("a1")} * v1 * p0) div (${dec("b1")} * tc1)"
 
     val scored = sc
       .join(c5, Seq("g"), "left")
@@ -147,13 +173,11 @@ object KneserNey {
       .join(cont1, Seq("w"), "left")
       .crossJoin(broadcast(consts))
       .withColumn("p0", expr(s"${Scale}L div v"))
-      .withColumn("p1", expr(
-        s"(greatest(4 * coalesce(cn1, 0L) - 3, 0L) * ${Scale}L " +
-          "+ 3 * v1 * p0) div (4 * tc1)"))
-      .withColumn("p2", expr(order("cn2", "n1p2", "den2", "p1")))
-      .withColumn("p3", expr(order("cn3", "n1p3", "den3", "p2")))
-      .withColumn("p4", expr(order("cn4", "n1p4", "den4", "p3")))
-      .withColumn("p5", expr(order("c5", "n1p5", "tot5", "p4")))
+      .withColumn("p1", expr(p1Expr))
+      .withColumn("p2", expr(order(2, "cn2", "n1p2", "den2", "p1")))
+      .withColumn("p3", expr(order(3, "cn3", "n1p3", "den3", "p2")))
+      .withColumn("p4", expr(order(4, "cn4", "n1p4", "den4", "p3")))
+      .withColumn("p5", expr(order(5, "c5", "n1p5", "tot5", "p4")))
 
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
@@ -161,6 +185,48 @@ object KneserNey {
           .as("n_unseen"),
         sum(col("p5")).as("sum_p_fix"))
       .withColumn("avg_p_fix", expr("sum_p_fix div n_ngrams"))
+  }
+
+  /** X58 — Kneser-Ney with ESTIMATED discounts (Ney, Essen & Kneser
+    * 1994's leaving-one-out estimate, the one Chen & Goodman 1998
+    * standardize): D_k = n1 / (n1 + 2·n2) per order, where n1/n2 are
+    * the number of entries in that order's count table with count
+    * exactly 1 / exactly 2. The discount becomes a data-derived
+    * RATIONAL a_k/b_k, so the one-division-per-order fold survives:
+    *   p_k = (max(b_k·cnt − a_k, 0)·S + a_k·n1p·p_{k-1}) div (b_k·den)
+    * — but b_k is corpus-sized, so the numerator outgrows BIGINT and
+    * the arithmetic re-seats in DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB), the [[Sample.mixtureJoined]] precedent: every
+    * intermediate stays under ~10^30, exactness is preserved, and the
+    * oracle replays discount estimation and scoring bit-for-bit.
+    *
+    * Degenerate guard: a count table with NO singletons (n1 = 0 —
+    * possible only on tiny corpora) makes the estimate 0 (or 0/0);
+    * that order falls back to the fixed D = 3/4 of [[score]],
+    * deterministically (spec-pinned).
+    *
+    * Same tables, same join shape as [[score]]; training additionally
+    * pays five count-of-count aggregations (one tiny pass per order's
+    * model table — each output is two numbers).
+    */
+  def scoreModified(docs: DataFrame, ref: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val m = modelTables(ref, textCol)
+    def disc(table: DataFrame, cnt: String, a: String, b: String) =
+      table.agg(
+        sum(when(col(cnt) === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(cnt) === 2L, 1L).otherwise(0L)).as("n2"))
+        .select(
+          expr("IF(n1 = 0, 3L, n1)").as(a),
+          expr("IF(n1 = 0, 4L, n1 + 2 * n2)").as(b))
+    val dConsts = disc(m.c5, "c5", "a5", "b5")
+      .crossJoin(disc(m.cont4, "cn4", "a4", "b4"))
+      .crossJoin(disc(m.cont3, "cn3", "a3", "b3"))
+      .crossJoin(disc(m.cont2, "cn2", "a2", "b2"))
+      .crossJoin(disc(m.cont1, "cn1", "a1", "b1"))
+    scoreChain(docs, idCol, textCol,
+      m.copy(consts = m.consts.crossJoin(dConsts)),
+      estimated = true)
   }
 
   /** X56 — CCNet-style perplexity bucketing: split the corpus into

@@ -14,11 +14,13 @@ class KneserNeySpec extends SparkSpec {
 
   private val S = KneserNey.Scale
 
-  /** Textbook interpolated KN with D = 3/4 over integer fixed point —
-    * the same math written the single-machine way.
+  /** Textbook interpolated KN over integer fixed point — the same math
+    * written the single-machine way (BigInt, maps, loops). With
+    * `estimated`, per-order discounts come from the count-of-count
+    * estimate a/b = n1/(n1+2n2), falling back to 3/4 when n1 = 0.
     */
-  private def reference(refDocs: Seq[String],
-                        doc: String): (Long, Long, Long) = {
+  private def reference(refDocs: Seq[String], doc: String,
+                        estimated: Boolean = false): (Long, Long, Long) = {
     def grams(ts: Seq[String], n: Int): Seq[String] =
       if (ts.length < n) Seq.empty
       else ts.sliding(n).map(_.mkString(" ")).toSeq
@@ -41,23 +43,38 @@ class KneserNeySpec extends SparkSpec {
     val v1 = cont1.size.toLong
     val v = refToks.flatten.distinct.size.toLong
     val p0 = S / v
-    def ord(cnt: Long, h: Option[(Long, Long)], pLow: Long): Long = h match {
+    def discount(counts: Iterable[Long]): (Long, Long) =
+      if (!estimated) (3L, 4L)
+      else {
+        val n1 = counts.count(_ == 1L).toLong
+        val n2 = counts.count(_ == 2L).toLong
+        if (n1 == 0L) (3L, 4L) else (n1, n1 + 2 * n2)
+      }
+    val (a5, b5) = discount(c5.values)
+    val (a4, b4) = discount(cont4.values)
+    val (a3, b3) = discount(cont3.values)
+    val (a2, b2) = discount(cont2.values)
+    val (a1, b1) = discount(cont1.values)
+    def ord(cnt: Long, h: Option[(Long, Long)], pLow: Long,
+            a: Long, b: Long): Long = h match {
       case None => pLow
       case Some((den, n1p)) =>
-        (math.max(4 * cnt - 3, 0L) * S + 3 * n1p * pLow) / (4 * den)
+        (((BigInt(b) * cnt - a).max(BigInt(0)) * S +
+          BigInt(a) * n1p * pLow) / (BigInt(b) * den)).toLong
     }
     val positions = grams(doc.split(" ").toSeq, 5)
     var (sum, unseen) = (0L, 0L)
     positions.foreach { g =>
-      val p1 = (math.max(4 * cont1.getOrElse(sfx(g, 1), 0L) - 3, 0L) * S +
-        3 * v1 * p0) / (4 * tc1)
+      val cn1 = cont1.getOrElse(sfx(g, 1), 0L)
+      val p1 = (((BigInt(b1) * cn1 - a1).max(BigInt(0)) * S +
+        BigInt(a1) * v1 * p0) / (BigInt(b1) * tc1)).toLong
       val p2 = ord(cont2.getOrElse(sfx(g, 2), 0L),
-        hist2.get(pfx(sfx(g, 2), 1)), p1)
+        hist2.get(pfx(sfx(g, 2), 1)), p1, a2, b2)
       val p3 = ord(cont3.getOrElse(sfx(g, 3), 0L),
-        hist3.get(pfx(sfx(g, 3), 2)), p2)
+        hist3.get(pfx(sfx(g, 3), 2)), p2, a3, b3)
       val p4 = ord(cont4.getOrElse(sfx(g, 4), 0L),
-        hist4.get(pfx(sfx(g, 4), 3)), p3)
-      val p5 = ord(c5.getOrElse(g, 0L), h5.get(pfx(g, 4)), p4)
+        hist4.get(pfx(sfx(g, 4), 3)), p3, a4, b4)
+      val p5 = ord(c5.getOrElse(g, 0L), h5.get(pfx(g, 4)), p4, a5, b5)
       sum += p5
       if (c5.getOrElse(g, 0L) == 0L) unseen += 1
     }
@@ -85,6 +102,46 @@ class KneserNeySpec extends SparkSpec {
       assert(got(id) === reference(refDocs, text),
         s"doc $id diverges from the reference KN implementation")
     }
+  }
+
+  test("modified KN (estimated discounts) matches the reference implementation") {
+    val texts = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val refDocs = texts.take(25).map(_._2)
+    val scoreDocs = texts.slice(20, 32)
+    val got = KneserNey.scoreModified(
+      scoreDocs.toDF("doc_id", "text"),
+      refDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("doc_id", "n_ngrams", "n_unseen", "sum_p_fix")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    scoreDocs.foreach { case (id, text) =>
+      assert(got(id) === reference(refDocs, text, estimated = true),
+        s"doc $id diverges from the modified-KN reference")
+    }
+    // on a real corpus the estimate must actually differ from 3/4 for
+    // at least one doc's score (else this test proves nothing)
+    assert(scoreDocs.exists { case (id, text) =>
+      got(id) !== reference(refDocs, text, estimated = false)
+    })
+  }
+
+  test("estimated discounts fall back to 3/4 when an order has no singletons") {
+    // every bigram occurs exactly twice -> n1 = 0 at several orders;
+    // must not divide by zero and must equal the fixed-discount model
+    // wherever ALL orders fall back
+    val ref = Seq("a b a b", "a b a b")
+    val got = KneserNey.scoreModified(
+      Seq((1L, "a b a b a")).toDF("doc_id", "text"),
+      ref.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("n_ngrams", "n_unseen", "sum_p_fix")
+      .as[(Long, Long, Long)].head()
+    val want = reference(ref, "a b a b a", estimated = true)
+    assert((want._1, want._2, want._3) === got)
   }
 
   test("documents shorter than 5 tokens have no positions and no row") {
