@@ -51,7 +51,9 @@ object Bench {
       val sorted = (cold +: reruns).sorted
       (name, sorted((sorted.size - 1) / 2), cold)
     }
-    def fmt(v: Double): String = f"$v%.4f"
+    // Locale.ROOT: a comma-decimal default locale would render invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

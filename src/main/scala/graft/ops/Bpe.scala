@@ -115,13 +115,23 @@ object Bpe {
     val words = base.select(col("word")).distinct()
       .withColumn("syms", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-    val enc = merges.sortBy(_.r).foldLeft(words) { (acc, m) =>
-      val (ea, eb, eab) = (sqlLit(m.a), sqlLit(m.b), sqlLit(m.a + m.b))
-      acc.withColumn("syms", expr(
-        s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
-           |  IF(size(acc) > 0 AND element_at(acc, -1) = '$ea' AND x = '$eb',
-           |     concat(slice(acc, 1, size(acc) - 1), array('$eab')),
-           |     concat(acc, array(x))))""".stripMargin))
+    // checkpoint the vocabulary-sized table every few rounds: without
+    // it CollapseProject inlines all R fold expressions into one R-deep
+    // nested aggregate(...) and Catalyst falls off the expression-size
+    // cliff at realistic merge counts (train() pins every round for the
+    // same reason; here one pin per CheckpointEvery rounds suffices —
+    // the table is small and each pin cuts the lineage)
+    val CheckpointEvery = 8
+    val enc = merges.sortBy(_.r).zipWithIndex.foldLeft(words) {
+      case (acc, (m, i)) =>
+        val (ea, eb, eab) = (sqlLit(m.a), sqlLit(m.b), sqlLit(m.a + m.b))
+        val next = acc.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+             |  IF(size(acc) > 0 AND element_at(acc, -1) = '$ea' AND x = '$eb',
+             |     concat(slice(acc, 1, size(acc) - 1), array('$eab')),
+             |     concat(acc, array(x))))""".stripMargin))
+        if ((i + 1) % CheckpointEvery == 0) next.localCheckpoint(false)
+        else next
     }
     base.join(enc, Seq("word"))
       .groupBy(col(idCol))

@@ -1537,19 +1537,23 @@ object ExtQueries {
   private val HtmlMid = "</p><div><a href=\"http://x\"><b>"
   private val HtmlSuf = "</b></a></div><!-- trailing comment --></body></html>"
 
-  /** The x53 extraction chain in DuckDB syntax over expression `in` —
-    * stage-for-stage identical to [[Html.extractText]] (RE2 needs the
-    * explicit `g` flag where Java regex replaces globally by default).
+  /** The x53 extraction chain in DuckDB syntax — stage-for-stage
+    * identical to [[Html.extractText]]/[[Html.anchorText]] (RE2 needs
+    * the explicit `g` flag where Java regex replaces globally by
+    * default). Split like the engine: block removal is shared by the
+    * text chain and the anchor extraction.
     */
-  private def htmlExtractSql(in: String): String =
-    "trim(regexp_replace(" +
-      "replace(replace(replace(replace(replace(replace(" +
-      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+  private def htmlStripBlocksSql(in: String): String =
+    "regexp_replace(regexp_replace(regexp_replace(" +
       in +
       ", '(?is)<script[^>]*>.*?</script>', ' ', 'g')" +
       ", '(?is)<style[^>]*>.*?</style>', ' ', 'g')" +
-      ", '(?s)<!--.*?-->', ' ', 'g')" +
-      ", '(?s)<[^>]+>', ' ', 'g')" +
+      ", '(?s)<!--.*?-->', ' ', 'g')"
+
+  private def htmlFinishSql(in: String): String =
+    "trim(regexp_replace(" +
+      "replace(replace(replace(replace(replace(replace(" +
+      "regexp_replace(" + in + ", '(?s)<[^>]+>', ' ', 'g')" +
       ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"')" +
       ", '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')" +
       ", '[ \\t\\r\\n]+', ' ', 'g'))"
@@ -1558,12 +1562,14 @@ object ExtQueries {
     s"""WITH he AS (SELECT doc_id,
        |  '$HtmlPre' || text || '$HtmlMid' || source || '$HtmlSuf' AS h
        |  FROM documents),
+       |hb AS (SELECT doc_id, ${htmlStripBlocksSql("h")} AS hs FROM he),
        |ex AS (SELECT doc_id,
-       |  ${htmlExtractSql("h")} AS clean_text,
-       |  ${htmlExtractSql(
-             "array_to_string(regexp_extract_all(h, '(?is)<a[^>]*>(.*?)</a>', 1), ' ')")}
+       |  ${htmlFinishSql("hs")} AS clean_text,
+       |  ${htmlFinishSql(
+             "array_to_string(regexp_extract_all(hs, " +
+               "'(?is)<a(\\s[^>]*)?>(.*?)</a>', 2), ' ')")}
        |    AS a_text
-       |  FROM he)
+       |  FROM hb)
        |SELECT doc_id, clean_text,
        |  CAST(length(clean_text) AS BIGINT) AS n_clean_chars,
        |  CAST(length(a_text) * 1000000 // greatest(length(clean_text), 1)

@@ -38,12 +38,21 @@ object Html {
 
   private val Ws = "[ \\t\\r\\n]+"
 
-  /** The six-stage extraction chain as a single column expression. */
-  def extractText(html: Column): Column = {
+  /** Stages 1-3: script/style/comment blocks removed — shared by the
+    * text chain AND the anchor extraction, so content inside removed
+    * blocks can never count toward link density.
+    */
+  private def stripBlocks(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+  }
+
+  /** Stages 4-6: tag strip, one-level entity decode, whitespace
+    * collapse.
+    */
+  private def finish(c: Column): Column = {
+    val noTags = regexp_replace(c, "(?s)<[^>]+>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (from, to)) =>
@@ -52,12 +61,19 @@ object Html {
     trim(regexp_replace(decoded, Ws, " "))
   }
 
-  /** All anchor bodies, space-joined, run through the SAME extraction
-    * chain (anchors may nest markup/entities).
+  /** The six-stage extraction chain as a single column expression. */
+  def extractText(html: Column): Column = finish(stripBlocks(html))
+
+  /** All anchor bodies, space-joined, run through the SAME finishing
+    * chain (anchors may nest markup/entities). Anchors are extracted
+    * AFTER block removal — a `<a>` inside a script is code, not a link
+    * — and the tag pattern requires whitespace before attributes
+    * (`<a ...>` or bare `<a>`) so `<article>`/`<aside>`/`<abbr>` never
+    * match; the body is capture group 2.
     */
   def anchorText(html: Column): Column =
-    extractText(concat_ws(" ",
-      regexp_extract_all(html, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))))
+    finish(concat_ws(" ", regexp_extract_all(stripBlocks(html),
+      lit("(?is)<a(\\s[^>]*)?>(.*?)</a>"), lit(2))))
 
   /** Per-document extraction: (idCol, clean_text, n_clean_chars,
     * link_density_ppm). Density is exact integer ppm (0 for empty

@@ -140,6 +140,15 @@ object Sample {
     */
   def mixtureJoined(df: DataFrame, keyCol: String, domainCol: String,
                     weights: DataFrame, seed: String = ""): DataFrame = {
+    // a repeated domain row would silently DUPLICATE every kept corpus
+    // row of that domain through the cut join — fail loudly instead
+    // (one dim-table-sized probe, the embeddingDupPairs guard style)
+    val dup = weights.groupBy(col(domainCol)).agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1).select(col(domainCol)).limit(1).collect()
+    require(dup.isEmpty,
+      s"domain '${dup.headOption.map(_.get(0)).getOrElse("")}' appears " +
+        "more than once in the weights dim table — each listed domain " +
+        "must have exactly one w_ppm row")
     val w = weights.select(col(domainCol),
       col("w_ppm").cast("decimal(38,0)").as("w"))
     val counts = df.join(w.select(col(domainCol)), Seq(domainCol), "left_semi")

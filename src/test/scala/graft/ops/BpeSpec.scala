@@ -77,6 +77,18 @@ class BpeSpec extends SparkSpec {
     assert(got === Seq((9L, 4L, "abab ab b a")))
   }
 
+  test("encode survives a long merge table (periodic lineage checkpoint)") {
+    // 40 merges, most inapplicable — exercises the every-8-rounds
+    // checkpoint that keeps the fold from collapsing into one 40-deep
+    // nested expression; the applicable prefix still applies in order
+    val merges = Bpe.Merge(1, "a", "b", 9L) +: Bpe.Merge(2, "ab", "ab", 5L) +:
+      (3 to 40).map(r => Bpe.Merge(r, s"z$r", s"q$r", 1L))
+    val got = Bpe.encode(Seq((1L, "ababab ba")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === Seq((1L, 4L, "abab ab b a")))
+  }
+
   test("running out of pairs before iters fails loudly") {
     val e = intercept[IllegalArgumentException] {
       train(Seq("ab"), iters = 2) // round 1 merges the only pair

@@ -49,6 +49,20 @@ class HtmlSpec extends SparkSpec {
     assert(d === 10L * 1000000L / 23L)
   }
 
+  test("a-prefixed tags are not anchors; scripted anchors never count") {
+    // <article>/<abbr> must not match the anchor pattern; a bare <a>
+    // (no attributes) must; an <a> inside a removed script block is
+    // code, not a link
+    val (t, n, d) = extract(
+      "<article>long body text here</article>" +
+        "<script>x('<a href=\"/\">nav nav nav nav</a>')</script>" +
+        "<abbr>KN</abbr> <a>hi</a>")
+    assert(t === "long body text here KN hi")
+    assert(n === t.length.toLong)
+    // anchor text is exactly "hi" (2 chars) of the 25 total
+    assert(d === 2L * 1000000L / n)
+  }
+
   test("empty and markup-only documents yield empty text and zero density") {
     val (t, n, d) = extract("<div><script>x()</script><!-- nothing --></div>")
     assert(t === "")

@@ -59,6 +59,14 @@ class PipelineOpsSpec extends SparkSpec {
     val none = Sample.mixtureJoined(df, "doc_id", "source",
       Seq(("ghost", 1000000L)).toDF("source", "w_ppm"), seed = "t")
     assert(none.count() === 0L)
+    // a duplicated domain row would silently duplicate kept rows
+    // through the cut join — must fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      Sample.mixtureJoined(df, "doc_id", "source",
+        Seq(("a", 450000L), ("a", 450000L), ("c", 100000L))
+          .toDF("source", "w_ppm"), seed = "t")
+    }
+    assert(e.getMessage.contains("more than once"))
   }
 
   test("token budget: two-pass prefix equals brute force; crossing doc included") {
