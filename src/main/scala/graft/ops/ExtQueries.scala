@@ -1533,7 +1533,12 @@ object ExtQueries {
     "<html><head><title>Doc</title><style>p { margin: 0; }</style>" +
       "</head><body><script type=\"text/javascript\">if (x < 2 && y > 1) " +
       "{ go(); }</script><h1>Entities &amp; &lt;raw&gt; &quot;quoted&quot;" +
-      "&nbsp;and &amp;amp; twice</h1><p>"
+      "&nbsp;and &amp;amp; twice</h1>" +
+      // the anchor-scope edges the gate must exercise corpus-wide: an
+      // a-prefixed non-anchor tag, and an anchor living inside a
+      // removed script block — neither may count toward link density
+      "<article>article text stays but is not a link</article>" +
+      "<script>w(\"<a href=\\\"/\\\">scripted nav</a>\");</script><p>"
   private val HtmlMid = "</p><div><a href=\"http://x\"><b>"
   private val HtmlSuf = "</b></a></div><!-- trailing comment --></body></html>"
 
