@@ -217,4 +217,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOccurrences(plan, "HashAggregate") >= 2,
       s"no partial aggregation below the shuffle in:\n$plan")
   }
+
+  test("token budget: the corpus running sum is PARTITIONED; only the " +
+    "256-row offset table passes a single-partition exchange") {
+    val plan = physical(Sample.tokenBudget(
+      Tables.documents(spark, sf), "doc_id", "text", 5000L, seed = "s"))
+    // the corpus-side window must carry the grp partition spec — a
+    // regression to the naive global prefix sum would drop it and
+    // funnel the corpus through one task
+    assert(plan.contains("[grp"), s"corpus window not partitioned in:\n$plan")
+    assert(countOccurrences(plan, "Exchange SinglePartition") === 1,
+      s"expected exactly the offset-table global window in:\n$plan")
+  }
+
+  test("exact re-rank: candidate lists broadcast into the corpus scan; " +
+    "the only hash exchange is the rank window") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") < 3)
+    val cands = (0L until 3L).flatMap(q => (10L to 30L).map(c => (q, c)))
+      .toDF("qid", "cid")
+    val plan = physical(
+      Similarity.refineExact(emb, qs, "vec_id", "embedding", 5, cands))
+    assert(countOccurrences(plan, "BroadcastHashJoin") === 2,
+      s"candidates/queries not broadcast in:\n$plan")
+    assert(countOccurrences(plan, "Exchange hashpartitioning") === 1,
+      s"corpus must not shuffle outside the rank window in:\n$plan")
+  }
+
+  test("multi-probe LSH: probes broadcast, corpus keeps its scan-side " +
+    "bucket, one rank-window exchange") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = physical(Similarity.lshMultiProbeTopK(
+      emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5,
+      bits = 6, probeDist = 2))
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    assert(countOccurrences(plan, "Exchange hashpartitioning") === 1,
+      s"corpus must not shuffle outside the rank window in:\n$plan")
+  }
+
+  test("joined mixture: the keep decision is a broadcast join, never a " +
+    "sort-merge shuffle of the corpus") {
+    import spark.implicits._
+    val plan = physical(Sample.mixtureJoined(
+      Tables.documents(spark, sf), "doc_id", "source",
+      Seq(("src0", 500000L), ("src1", 300000L), ("src2", 200000L))
+        .toDF("source", "w_ppm"), seed = "m"))
+    assert(plan.contains("BroadcastHashJoin"), s"cut join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the join:\n$plan")
+  }
 }
