@@ -181,6 +181,18 @@ object ScaleProbe {
       graft.ops.Html.extract(wrapped, "doc_id", "h")
         .write.format("noop").mode("overwrite").save()
     }
+    t("token-budget-50k") {
+      graft.ops.Sample.tokenBudget(docs10, "doc_id", "text",
+        budgetTokens = 500000L, seed = "s")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("mixture-joined-50k") {
+      import spark.implicits._
+      graft.ops.Sample.mixtureJoined(docs10, "doc_id", "source",
+        Seq(("src0", 500000L), ("src1", 300000L), ("src2", 200000L))
+          .toDF("source", "w_ppm"), seed = "m")
+        .write.format("noop").mode("overwrite").save()
+    }
     // refine at 10x: candidate generation prunes via the coarse lists,
     // the audit-sized candidate list broadcasts, the corpus never
     // shuffles — cost should track the IVF-PQ scan, not |Q|x|corpus|
