@@ -189,7 +189,7 @@ object ScaleProbe {
     t("mixture-joined-50k") {
       import spark.implicits._
       graft.ops.Sample.mixtureJoined(docs10, "doc_id", "source",
-        Seq(("src0", 500000L), ("src1", 300000L), ("src2", 200000L))
+        graft.ops.ExtQueries.MixtureWeightsPpm.toSeq.sortBy(_._1)
           .toDF("source", "w_ppm"), seed = "m")
         .write.format("noop").mode("overwrite").save()
     }

@@ -57,7 +57,9 @@ object ExtQueries {
   private val Bm25TopK = 20
   private val PageRankIters = 3
   // X31 target mixture (parts-per-million) over three sources + its seed
-  private val MixtureWeightsPpm =
+  // private[graft]: ScaleProbe builds its 10x dim table from the SAME
+  // constant so the probe cannot drift from the oracle-gated weights
+  private[graft] val MixtureWeightsPpm =
     Map("src0" -> 500000L, "src1" -> 300000L, "src2" -> 200000L)
   private val MixtureSeed = "m"
   // X33 token-window chunking (stride < size: overlapping windows)

@@ -54,8 +54,11 @@ object TokenBudgetStream {
       .filter(col("cum_before") < budgetTokens)
     admitted.write.mode("overwrite")
       .parquet(s"$statePath/admitted/batch_id=$batchId")
-    // this batch's spend ledger row (0 if nothing admitted)
-    admitted.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("spent"))
+    // this batch's spend ledger row (0 if nothing admitted) — summed
+    // from the JUST-WRITTEN partition, so the prefix pipeline executes
+    // exactly once per batch instead of once per action
+    spark.read.parquet(s"$statePath/admitted/batch_id=$batchId")
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("spent"))
       .write.mode("overwrite")
       .parquet(s"$statePath/spent/batch_id=$batchId")
   }

@@ -51,10 +51,12 @@ class TokenBudgetStreamSpec extends SparkSpec {
     val after1 = admittedSet(statePath)
     // batch 1's admissions are ITS batch-operator prefix under the
     // remaining budget, shifted by batch 0's spend
-    val b1Expected = Sample.tokenBudget(df(b1: _*), "doc_id", "text",
-        math.max(90L - spent0, 1L), "s")
-      .as[(Long, Long, Long)].collect()
-      .map { case (id, n, cum) => (id, n, cum + spent0) }.toSet
+    val b1Expected =
+      if (spent0 >= 90L) Set.empty[(Long, Long, Long)]
+      else Sample.tokenBudget(df(b1: _*), "doc_id", "text",
+          90L - spent0, "s")
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, n, cum) => (id, n, cum + spent0) }.toSet
     assert(after1 === after0 ++ b1Expected)
     // the greedy guarantee holds globally: every admitted row's prior
     // cumulative is under budget, and total reaches it
