@@ -49,17 +49,27 @@ object Bench {
         .takeWhile(_ => System.nanoTime() - benchStart < wallBudgetNanos)
         .take(runsPerQuery - 1).map(_ => once()).toSeq
       val sorted = (cold +: reruns).sorted
-      (name, sorted((sorted.size - 1) / 2), cold)
+      // true median: middle element for odd counts, mean of the middle
+      // pair for even counts — a budget-truncated 2-run query reports the
+      // average of its runs, not the optimistic min; its actual run count
+      // is recorded alongside so consumers can tell the cases apart
+      val n = sorted.size
+      val median =
+        if (n % 2 == 1) sorted(n / 2)
+        else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+      (name, median, cold, n)
     }
     // Locale.ROOT: a comma-decimal default locale would render invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val rc = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"runs_per_query":$runsPerQuery,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"runs_per_query":$runsPerQuery,"run_counts":$rc,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver's round artifact stores only a truncated stdout tail, so
     // the per-query map's head is unrecoverable from it. Persist the full

@@ -1574,7 +1574,7 @@ object ExtQueries {
        |  ${htmlFinishSql("hs")} AS clean_text,
        |  ${htmlFinishSql(
              "array_to_string(regexp_extract_all(hs, " +
-               "'(?is)<a(\\s[^>]*)?>(.*?)</a>', 2), ' ')")}
+               "'(?is)<a([ \\t\\r\\n][^>]*)?>(.*?)</a>', 2), ' ')")}
        |    AS a_text
        |  FROM hb)
        |SELECT doc_id, clean_text,

@@ -73,7 +73,7 @@ object Html {
     */
   def anchorText(html: Column): Column =
     finish(concat_ws(" ", regexp_extract_all(stripBlocks(html),
-      lit("(?is)<a(\\s[^>]*)?>(.*?)</a>"), lit(2))))
+      lit("(?is)<a([ \\t\\r\\n][^>]*)?>(.*?)</a>"), lit(2))))
 
   /** Per-document extraction: (idCol, clean_text, n_clean_chars,
     * link_density_ppm). Density is exact integer ppm (0 for empty

@@ -257,6 +257,13 @@ object KneserNey {
     import org.apache.spark.sql.expressions.Window
     val refSc = scored.join(refIds, Seq(idCol), "left_semi")
       .select(col(idCol), col("avg_p_fix"))
+    // an empty reference slice (refIds disjoint from scored) would make
+    // both tertile thresholds NULL and silently bucket EVERYTHING as
+    // 'tail' — refuse loudly instead (mirror of recallAudit's guard)
+    require(!refSc.isEmpty,
+      "perplexityBuckets: reference slice is empty (refIds disjoint from " +
+        "scored?) — thresholds would be NULL and every doc would bucket " +
+        "as 'tail'")
     val ranked = refSc
       .withColumn("r", row_number().over(
         Window.orderBy(col("avg_p_fix").desc, col(idCol))))

@@ -458,13 +458,23 @@ object Similarity {
   def lshMultiProbeTopK(emb: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, k: Int, bits: Int = 16,
                         probeDist: Int = 2): DataFrame = {
-    require(bits >= 1 && bits <= 24,
-      s"bits must be in [1, 24]: $bits — the probe-mask enumeration is " +
-        "2^bits-bounded")
-    require(probeDist >= 0 && probeDist <= bits,
-      s"probeDist must be in [0, $bits]: $probeDist")
-    val masks = (0L until (1L << bits))
-      .filter(m => java.lang.Long.bitCount(m) <= probeDist)
+    require(bits >= 1 && bits <= 24, s"bits must be in [1, 24]: $bits")
+    // probeDist caps at 4: the probe set is Σ C(bits, d) masks PER QUERY
+    // and must stay inside the 'tiny, broadcast' shape — at bits=24,
+    // d<=4 is 12,951 masks; beyond that the probe explosion approaches
+    // the full 2^bits bucket space and the tier stops being a prune
+    require(probeDist >= 0 && probeDist <= math.min(bits, 4),
+      s"probeDist must be in [0, ${math.min(bits, 4)}]: $probeDist")
+    // masks generated combinatorially (choose d of bits positions for
+    // d <= probeDist) — never a 2^bits scan
+    val masks: Seq[Long] = {
+      def choose(start: Int, remaining: Int): Seq[Long] =
+        if (remaining == 0) Seq(0L)
+        else (start to bits - remaining).flatMap { p =>
+          choose(p + 1, remaining - 1).map(m => m | (1L << p))
+        }
+      (0 to probeDist).flatMap(d => choose(0, d))
+    }
     val corpus = emb.select(col(idCol), quantize(col(vecCol)).as("q"),
         signBucket(col(vecCol), bits).as("bucket"))
       .withColumn("n2", sqNorm(col("q")))
