@@ -89,6 +89,9 @@ object ExtQueries {
   @volatile private var lastTempWeights: Option[Map[String, Long]] = None
   // X44 BPE merge-training rounds (oracle unrolls them, x37-style)
   private val BpeIters = 4
+  // X59 averaged-perceptron epochs (oracle unrolls them, x37-style);
+  // features reuse the X39 dim + seed so the two matrices are identical
+  private val PerceptronEpochs = 3
   /** Trained (merges, final word table), cached per (session, dir): one
     * training pass feeds both x44 queries — the artifact contract of
     * [[pqCodebookCache]].
@@ -112,6 +115,23 @@ object ExtQueries {
         Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
         seed = SplitSeed).filter(col("split") === "train")
       NaiveBayes.classify(docs, ref, "doc_id", "text", "lang")
+    }
+
+  /** X59 perceptron pipeline, cached per (session, dir): training (the
+    * per-epoch driver collects inside [[Perceptron.train]]) runs once
+    * and both x59_linear_quality and the x59_agreement audit read the
+    * same plan — the nbCache contract.
+    */
+  private val lpCache = new graft.engine.SessionCache[DataFrame]
+  private def lpClassified(s: SparkSession, dir: String): DataFrame =
+    lpCache.getOrCompute(s, dir) {
+      val docs = Tables.documents(s, dir)
+      val ref = Curate.splitAssign(docs, "doc_id",
+        Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
+        seed = SplitSeed).filter(col("split") === "train")
+      Perceptron.classifyTrained(docs, ref, "doc_id", "text", "lang",
+        dim = FeatureHashDim, seed = FeatureHashSeed,
+        epochs = PerceptronEpochs)
     }
 
   // X41 substring-run window size and minimum shared span, in tokens;
@@ -987,6 +1007,33 @@ object ExtQueries {
         .filter(col("split1") =!= col("split2"))
         .select("d1", "d2", "jac", "split1", "split2")
         .orderBy("d1", "d2")
+    }),
+
+    // X59 trained linear quality classifier — epoch-synchronous averaged
+    // perceptron over the X39 hashed features, integer-exact end to end;
+    // the oracle re-trains all epochs from the raw data (x37 discipline)
+    "x59_linear_quality" -> ((s, dir) =>
+      lpClassified(s, dir).orderBy("doc_id")),
+
+    // X59/X42 agreement audit — the discriminative (perceptron) and
+    // generative (NB) gates compared per declared language: agreement
+    // rate plus each model's label accuracy on the labeled corpus
+    "x59_agreement" -> ((s, dir) => {
+      val declared = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val nb = nbClassified(s, dir)
+        .select(col("doc_id"), col("pred").as("nb_pred"))
+      val lp = lpClassified(s, dir)
+        .select(col("doc_id"), col("pred").as("lp_pred"))
+      declared.join(nb, Seq("doc_id")).join(lp, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nb_pred") === col("lp_pred"), 1L).otherwise(0L))
+            .as("n_agree"),
+          sum(when(col("nb_pred") === col("lang"), 1L).otherwise(0L))
+            .as("n_nb_correct"),
+          sum(when(col("lp_pred") === col("lang"), 1L).otherwise(0L))
+            .as("n_lp_correct"))
+        .orderBy("lang")
     })
   )
 
@@ -1525,6 +1572,75 @@ object ExtQueries {
        |  FROM sc)
        |SELECT doc_id, lang AS pred, score AS score_micro FROM r
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** x59 oracle: the E perceptron epochs replayed from the raw data
+    * alone (x37 discipline) — X39 feature hashing, zero-initialized
+    * dense weights over (label, bucket), then per epoch: per-(doc,
+    * label) scores, argmax predictions (score DESC, label ASC — the
+    * engine's tie-break), mistake deltas, weight update. The classifier
+    * scores against the SUM of the E epoch snapshots (argmax-invariant
+    * unscaled average); docs whose features all sign-cancelled away
+    * score 0 everywhere via the dense documents x langs left join.
+    * All arithmetic is integer (DuckDB widens sums to HUGEINT; the
+    * final score casts back to BIGINT like the engine's long).
+    */
+  private def perceptronSql: String = {
+    def fhSign = "CASE WHEN ('0x' || substring(md5('" + FeatureHashSeed +
+      "s|' || token), 1, 1))::INTEGER % 2 = 0 THEN 1 ELSE -1 END"
+    def epoch(e: Int): String = {
+      val wp = s"w${e - 1}"
+      s"""s$e AS (SELECT f.doc_id, w.label, sum(f.weight * w.w) AS sc
+         |  FROM tf f JOIN $wp w ON w.bucket = f.bucket GROUP BY 1, 2),
+         |p$e AS (SELECT doc_id, label AS pred FROM (
+         |  SELECT doc_id, label, row_number()
+         |      OVER (PARTITION BY doc_id ORDER BY sc DESC, label ASC) AS rn
+         |    FROM s$e) WHERE rn = 1),
+         |m$e AS (SELECT p.doc_id, lab.label AS t, p.pred
+         |  FROM p$e p JOIN lab ON lab.doc_id = p.doc_id
+         |  WHERE lab.label <> p.pred),
+         |d$e AS (SELECT l.label, f.bucket,
+         |    sum(f.weight * (CASE WHEN l.label = m.t THEN 1 ELSE 0 END
+         |      - CASE WHEN l.label = m.pred THEN 1 ELSE 0 END)) AS dw
+         |  FROM m$e m JOIN tf f ON f.doc_id = m.doc_id CROSS JOIN langs l
+         |  GROUP BY 1, 2),
+         |w$e AS (SELECT wp.label, wp.bucket, wp.w + coalesce(d.dw, 0) AS w
+         |  FROM $wp wp LEFT JOIN d$e d
+         |    ON d.label = wp.label AND d.bucket = wp.bucket)""".stripMargin
+    }
+    val epochs = (1 to PerceptronEpochs).map(epoch).mkString(",\n")
+    val snapshots = (1 to PerceptronEpochs)
+      .map(e => s"SELECT * FROM w$e").mkString(" UNION ALL ")
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |    ('0x' || substring(md5('$FeatureHashSeed|' || token), 1, 8))::BIGINT
+       |      % $FeatureHashDim AS bucket,
+       |    CAST(sum($fhSign) AS BIGINT) AS weight
+       |  FROM tk GROUP BY 1, 2 HAVING sum($fhSign) != 0),
+       |lab AS (SELECT d.doc_id, d.lang AS label FROM documents d
+       |  WHERE substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
+       |    < '${Sample.threshold(SplitTrain)}'),
+       |tf AS (SELECT f.doc_id, f.bucket, f.weight
+       |  FROM f JOIN lab ON lab.doc_id = f.doc_id),
+       |langs AS (SELECT DISTINCT label FROM lab),
+       |bk AS (SELECT unnest(generate_series(0, ${FeatureHashDim - 1}))
+       |  AS bucket),
+       |w0 AS (SELECT label, bucket, CAST(0 AS BIGINT) AS w
+       |  FROM langs CROSS JOIN bk),
+       |$epochs,
+       |ws AS (SELECT label, bucket, sum(w) AS w
+       |  FROM ($snapshots) GROUP BY 1, 2),
+       |cs AS (SELECT f.doc_id, w.label, sum(f.weight * w.w) AS sc
+       |  FROM f JOIN ws w ON w.bucket = f.bucket GROUP BY 1, 2),
+       |cd AS (SELECT d.doc_id, l.label, coalesce(cs.sc, 0) AS sc
+       |  FROM documents d CROSS JOIN langs l
+       |  LEFT JOIN cs ON cs.doc_id = d.doc_id AND cs.label = l.label),
+       |r AS (SELECT doc_id, label, sc, row_number()
+       |    OVER (PARTITION BY doc_id ORDER BY sc DESC, label ASC) AS rn
+       |  FROM cd)
+       |SELECT doc_id, label AS pred, CAST(sc AS BIGINT) AS score FROM r
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
 
   // X53 fixed markup shell around each document (no single quotes, so
   // the strings interpolate into the oracle SQL literally): a script
@@ -2615,6 +2731,27 @@ object ExtQueries {
          |SELECT doc_id, count(*) AS n_matches,
          |  CAST(min(pos) AS BIGINT) AS first_pos
          |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // the E perceptron epochs re-trained from the raw data, then the
+    // summed-snapshot (averaged) classifier over the whole corpus
+    "x59_linear_quality" -> perceptronSql,
+
+    // both trained gates as subqueries (the x43/x46 composition
+    // pattern), compared per declared language
+    "x59_agreement" ->
+      s"""WITH nb AS (SELECT doc_id, pred AS nb_pred FROM ($nbQualitySql)),
+         |lp AS (SELECT doc_id, pred AS lp_pred FROM ($perceptronSql))
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN nb.nb_pred = lp.lp_pred THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_agree,
+         |  CAST(sum(CASE WHEN nb.nb_pred = d.lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_nb_correct,
+         |  CAST(sum(CASE WHEN lp.lp_pred = d.lang THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_lp_correct
+         |FROM documents d
+         |JOIN nb ON nb.doc_id = d.doc_id
+         |JOIN lp ON lp.doc_id = d.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   )
 }
