@@ -393,26 +393,37 @@ object Dedup {
     */
   def substringRuns(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 6, minSpan: Int = 8,
-                    maxWindowFreq: Option[Int] = None): DataFrame = {
+                    maxWindowFreq: Option[Int] = None): DataFrame =
+    substringRunsFrom(windowTable(docs, idCol, textCol, k), idCol, k,
+      minSpan, maxWindowFreq)
+
+  /** [[substringRuns]] over a PREPARED (id, p, h) window table — the
+    * entry point for callers that share one [[windowTable]] pass (and
+    * often a persisted one) across the whole substring family: the
+    * window table is the only corpus-sized intermediate the family has,
+    * so a session running x41 + x47 + x48 + x45 together computes the
+    * scan + posexplode + md5 projection ONCE instead of four times.
+    */
+  def substringRunsFrom(wt: DataFrame, idCol: String, k: Int,
+                        minSpan: Int,
+                        maxWindowFreq: Option[Int] = None): DataFrame = {
     require(k >= 1, s"window size must be >= 1: $k")
     require(minSpan >= k, s"minSpan $minSpan below window size $k — every " +
       "single matched window would qualify; raise minSpan or shrink k")
-    runsFromWindows(
-      cappedWindowTable(docs, idCol, textCol, k, maxWindowFreq),
-      idCol, k, minSpan)
+    runsFromWindows(applyWindowCap(wt, maxWindowFreq), idCol, k, minSpan)
   }
 
-  /** [[windowTable]] with the corpus-wide `maxWindowFreq` hot-window cap
-    * already applied — the shared front of [[substringRuns]] and
-    * [[substringRunsPruned]], so both operators (and the winnowing
+  /** The corpus-wide `maxWindowFreq` hot-window cap over a prepared
+    * window table — the shared front of [[substringRunsFrom]] and
+    * [[substringRunsPrunedFrom]], so both operators (and the winnowing
     * fingerprint index the latter builds) see the SAME capped window
     * population and capped pruned output stays row-identical to the
-    * exhaustive capped operator.
+    * exhaustive capped operator. When the caller hands a persisted
+    * window table, the guard aggregation reads the pin instead of
+    * recomputing the scan.
     */
-  private def cappedWindowTable(docs: DataFrame, idCol: String,
-                                textCol: String, k: Int,
-                                maxWindowFreq: Option[Int]): DataFrame = {
-    val w = windowTable(docs, idCol, textCol, k)
+  private def applyWindowCap(w: DataFrame,
+                             maxWindowFreq: Option[Int]): DataFrame =
     maxWindowFreq match {
       case Some(cap) =>
         val hot = w.groupBy(col("h"))
@@ -421,7 +432,6 @@ object Dedup {
         w.join(broadcast(hot), Seq("h"), "left_anti")
       case None => w
     }
-  }
 
   /** Matched positions → diagonal islands → maximal runs, over an
     * already-capped window table (the back half of [[substringRuns]]).
@@ -468,7 +478,13 @@ object Dedup {
     */
   def winnow(docs: DataFrame, idCol: String, textCol: String,
              k: Int = 6, w: Int = 4): DataFrame =
-    winnowFromWindows(windowTable(docs, idCol, textCol, k), idCol, w)
+    winnowFrom(windowTable(docs, idCol, textCol, k), idCol, w)
+
+  /** [[winnow]] over a prepared (id, p, h) window table — the shared-
+    * window-table entry point (see [[substringRunsFrom]]).
+    */
+  def winnowFrom(wt: DataFrame, idCol: String, w: Int): DataFrame =
+    winnowFromWindows(wt, idCol, w)
 
   /** Winnowing over a prepared (id, p, h) window table — split out so
     * [[substringRunsPruned]] can fingerprint the CAPPED window table.
@@ -513,7 +529,16 @@ object Dedup {
     */
   def substringRunsPruned(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 6, minSpan: Int = 9, w: Int = 4,
-                          maxWindowFreq: Option[Int] = None): DataFrame = {
+                          maxWindowFreq: Option[Int] = None): DataFrame =
+    substringRunsPrunedFrom(windowTable(docs, idCol, textCol, k), idCol,
+      k, minSpan, w, maxWindowFreq)
+
+  /** [[substringRunsPruned]] over a prepared (id, p, h) window table —
+    * the shared-window-table entry point (see [[substringRunsFrom]]).
+    */
+  def substringRunsPrunedFrom(rawWt: DataFrame, idCol: String, k: Int,
+                              minSpan: Int, w: Int,
+                              maxWindowFreq: Option[Int] = None): DataFrame = {
     require(minSpan >= w + k - 1,
       s"minSpan $minSpan below the winnowing guarantee w + k - 1 = " +
         s"${w + k - 1} — a shorter shared span can miss the fingerprint " +
@@ -524,7 +549,7 @@ object Dedup {
     // candidate blow-up — the very storm the cap exists for), and the
     // capped output stays row-identical to substringRuns(docs, cap)
     // because both stages read the same capped window population
-    val wt = cappedWindowTable(docs, idCol, textCol, k, maxWindowFreq)
+    val wt = applyWindowCap(rawWt, maxWindowFreq)
     val fp = winnowFromWindows(wt, idCol, w)
     // candidate MEMBERS are what matters: any two members sharing a
     // qualifying span are fingerprint-collided by the guarantee, so
@@ -556,12 +581,36 @@ object Dedup {
     */
   def removeRuns(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 6, minSpan: Int = 8,
-                 maxWindowFreq: Option[Int] = None): DataFrame = {
-    val runs = substringRuns(docs, idCol, textCol, k, minSpan, maxWindowFreq)
+                 maxWindowFreq: Option[Int] = None): DataFrame =
+    removeRunsFrom(docs, windowTable(docs, idCol, textCol, k), idCol,
+      textCol, k, minSpan, maxWindowFreq)
+
+  /** [[removeRuns]] with the run detection reading a prepared (id, p, h)
+    * window table (see [[substringRunsFrom]]); `docs` is still needed
+    * for the rebuild side. The caller is responsible for `wt` being the
+    * window table OF `docs` at this `k` — a mismatched pair silently
+    * removes the wrong spans.
+    */
+  def removeRunsFrom(docs: DataFrame, wt: DataFrame, idCol: String,
+                     textCol: String, k: Int, minSpan: Int,
+                     maxWindowFreq: Option[Int] = None): DataFrame = {
+    val runs = substringRunsFrom(wt, idCol, k, minSpan, maxWindowFreq)
     val removed = runs.select(col("d2").as(idCol),
         explode(sequence(col("b_start").cast("long"),
           col("b_start").cast("long") + col("span_len") - 1)).as("p"))
       .distinct() // overlapping spans from different partners union
+    removeAtPositions(docs, idCol, textCol, removed)
+  }
+
+  /** Shared rebuild tail of the span-removal family ([[removeRuns]],
+    * [[decontaminate]]): drop the (idCol, p) token positions in
+    * `removed` (0-based, distinct) from their documents. Affected docs
+    * are semi-join pruned before the posexplode; untouched docs pass
+    * through bit-identical (never re-tokenized).
+    */
+  private def removeAtPositions(docs: DataFrame, idCol: String,
+                                textCol: String,
+                                removed: DataFrame): DataFrame = {
     val affected = docs.select(col(idCol), col(textCol))
       .join(removed.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
     val rebuilt = affected
@@ -580,6 +629,46 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("clean_text"), col(textCol)).as("clean_text"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** X60 — eval-set decontamination with SPAN REMOVAL: the composition
+    * of the X13 benchmark-overlap detector and the X45 interval-union
+    * excision, the operator a training pipeline actually runs before
+    * shipping data ("decontaminate this corpus against this eval
+    * suite"). X13 only FLAGS contaminated docs; this removes exactly
+    * the contaminated token spans: every corpus position covered by an
+    * n-token shingle that occurs anywhere in the eval set is dropped,
+    * covering intervals from overlapping matches unioned per document
+    * (a >= n-token verbatim eval quote is excised whole, because each
+    * of its length-n windows matches). Docs with no match pass through
+    * bit-identical; a fully-contaminated doc comes back empty with its
+    * token count in `n_removed` — the caller decides whether to keep
+    * the husk.
+    *
+    * Callers exclude the eval docs themselves from `docs` (an eval doc
+    * is 100% self-contaminated by construction).
+    *
+    * Shape at 100 TB: the eval side is a benchmark suite — tiny by
+    * construction — so its distinct shingle set BROADCASTS into the
+    * corpus scan (the X13 shape); corpus positional shingles are
+    * row-local (native [[shingles]] + posexplode, no corpus shuffle),
+    * matched positions are a sliver bounded by contaminated-token mass,
+    * and the rebuild is the X45 semi-join-pruned tail: unaffected
+    * documents cost one semi-join probe and are never exploded.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val evalSh = evalDocs
+      .select(explode(array_distinct(shingles(tokens(col(textCol)), n))).as("s"))
+      .distinct()
+    val pos = docs.select(col(idCol),
+      posexplode(shingles(tokens(col(textCol)), n)).as(Seq("sp", "s")))
+    val removed = pos.join(broadcast(evalSh), Seq("s"))
+      .select(col(idCol),
+        explode(sequence(col("sp").cast("long"),
+          col("sp").cast("long") + (n - 1))).as("p"))
+      .distinct() // overlapping eval matches union per document
+    removeAtPositions(docs, idCol, textCol, removed)
   }
 
   /** 16-bit SimHash from the first 4 hex chars of md5(shingle): per bit j,

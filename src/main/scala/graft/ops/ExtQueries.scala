@@ -173,6 +173,26 @@ object ExtQueries {
   // references its own session)
   private val lshPairsCache = new graft.engine.SessionCache[DataFrame]
 
+  /** The positional k-gram window table over `documents`, PERSISTED once
+    * per (session, dir) and shared by the whole substring family (x41
+    * exhaustive runs, x47 winnowing, x48 two-tier, x45 removal): it is
+    * the family's only corpus-sized intermediate — everything downstream
+    * is either a sketch (2/(w+1) density) or a sliver (matched spans) —
+    * and each of the four operators starts from the identical
+    * scan + posexplode + md5 projection, so one pinned pass replaces
+    * four. MEMORY_AND_DISK: at 100 TB the window table spills rather
+    * than evicts mid-family, and a real pipeline running the family
+    * together would persist exactly this stage (it is also what the x48
+    * hot-window guard aggregation reads, so the guard costs a pin scan,
+    * not a recompute).
+    */
+  private val windowTableCache = new graft.engine.SessionCache[DataFrame]
+  private def substrWindows(s: SparkSession, dir: String): DataFrame =
+    windowTableCache.getOrCompute(s, dir) {
+      Dedup.windowTable(Tables.documents(s, dir), "doc_id", "text", SubstrK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** The trained PQ codebook, cached per (session, table dir): training
     * is a deterministic driver-local pass over a bounded sample — in a
     * real pipeline a persisted artifact trained once per corpus version,
@@ -949,7 +969,7 @@ object ExtQueries {
     // runs via window-fingerprint diagonals: one corpus-sized shuffle
     // (the hash join), run detection reuses its own exchange
     "x41_substring_dedup" -> ((s, dir) => {
-      Dedup.substringRuns(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.substringRunsFrom(substrWindows(s, dir), "doc_id",
         k = SubstrK, minSpan = SubstrMinSpan)
         .orderBy("d1", "d2", "a_start", "b_start")
     }),
@@ -958,8 +978,7 @@ object ExtQueries {
     // window hash per width-w frame (ties rightmost), the index-size
     // dial for the substring family
     "x47_winnow" -> ((s, dir) => {
-      Dedup.winnow(Tables.documents(s, dir), "doc_id", "text",
-        k = SubstrK, w = WinnowW)
+      Dedup.winnowFrom(substrWindows(s, dir), "doc_id", w = WinnowW)
         .orderBy("doc_id", "p")
     }),
 
@@ -967,7 +986,7 @@ object ExtQueries {
     // member-pruned full verification; EQUALS the exhaustive x41 form
     // above the guarantee threshold, so the oracle IS the exhaustive SQL
     "x48_substring_pruned" -> ((s, dir) => {
-      Dedup.substringRunsPruned(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.substringRunsPrunedFrom(substrWindows(s, dir), "doc_id",
         k = SubstrK, minSpan = SubstrK + WinnowW - 1, w = WinnowW)
         .orderBy("d1", "d2", "a_start", "b_start")
     }),
@@ -989,7 +1008,8 @@ object ExtQueries {
     // docs drop spans a more-canonical doc already carries; untouched
     // docs pass through bit-identical (semi-join pruned, never exploded)
     "x45_remove_spans" -> ((s, dir) => {
-      Dedup.removeRuns(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.removeRunsFrom(Tables.documents(s, dir),
+        substrWindows(s, dir), "doc_id", "text",
         k = SubstrK, minSpan = SubstrMinSpan)
         .orderBy("doc_id")
     }),
@@ -1007,6 +1027,19 @@ object ExtQueries {
         .filter(col("split1") =!= col("split2"))
         .select("d1", "d2", "jac", "split1", "split2")
         .orderBy("d1", "d2")
+    }),
+
+    // X60 eval-set decontamination — X13's 8-gram overlap positions
+    // composed with X45's interval-union span removal: the corpus
+    // (minus the eval docs themselves) with every eval-overlapping
+    // span excised; eval shingles broadcast, untouched docs pass
+    // through bit-identical via the semi-join-pruned rebuild
+    "x60_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ev = Sample.uniform(docs, "doc_id", 0.1, seed = "eval")
+      val train = docs.join(ev.select("doc_id"), Seq("doc_id"), "left_anti")
+      Dedup.decontaminate(train, ev, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
     }),
 
     // X59 trained linear quality classifier — epoch-synchronous averaged
@@ -2731,6 +2764,43 @@ object ExtQueries {
          |SELECT doc_id, count(*) AS n_matches,
          |  CAST(min(pos) AS BIGINT) AS first_pos
          |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // eval 8-gram shingles (the x13 eval set) matched POSITIONALLY
+    // against the non-eval corpus, covered token intervals unioned,
+    // then the x45 rebuild; 1-based shingle start ii covers 0-based
+    // token positions ii-1 .. ii+6
+    "x60_decontaminate" -> {
+      val gram8 = (0 until 8).map(k => s"ts[ii+$k]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |evd AS (SELECT doc_id FROM documents
+         |  WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'eval'), 1, 8)
+         |    < '${Sample.threshold(0.1)}'),
+         |tr AS (SELECT t.* FROM t ANTI JOIN evd ON evd.doc_id = t.doc_id),
+         |es AS (SELECT DISTINCT $gram8 AS s
+         |  FROM t JOIN evd ON evd.doc_id = t.doc_id,
+         |  LATERAL unnest(generate_series(1, len(ts) - 7)) AS u(ii)),
+         |ps AS (SELECT doc_id, ii, $gram8 AS s
+         |  FROM tr, LATERAL unnest(generate_series(1, len(ts) - 7)) AS u(ii)),
+         |mt AS (SELECT ps.doc_id, ps.ii FROM ps JOIN es ON es.s = ps.s),
+         |rm AS (SELECT DISTINCT doc_id,
+         |    unnest(generate_series(ii - 1, ii + 6)) AS p FROM mt),
+         |aff AS (SELECT DISTINCT doc_id FROM rm),
+         |tk AS (SELECT t2.doc_id, p - 1 AS p, ts[p] AS w
+         |  FROM tr t2 JOIN aff ON aff.doc_id = t2.doc_id,
+         |  LATERAL unnest(generate_series(1, len(ts))) AS uu(p)),
+         |rb AS (SELECT tk.doc_id,
+         |    coalesce(array_to_string(list(tk.w ORDER BY tk.p)
+         |      FILTER (WHERE rm.p IS NULL), ' '), '') AS clean_text,
+         |    CAST(count(*) FILTER (WHERE rm.p IS NOT NULL) AS BIGINT)
+         |      AS n_removed
+         |  FROM tk LEFT JOIN rm ON rm.doc_id = tk.doc_id AND rm.p = tk.p
+         |  GROUP BY tk.doc_id)
+         |SELECT d.doc_id, coalesce(rb.clean_text, d.text) AS clean_text,
+         |  CAST(coalesce(rb.n_removed, 0) AS BIGINT) AS n_removed
+         |FROM tr d LEFT JOIN rb ON rb.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     // the E perceptron epochs re-trained from the raw data, then the
