@@ -264,17 +264,35 @@ object KneserNey {
       "perplexityBuckets: reference slice is empty (refIds disjoint from " +
         "scored?) — thresholds would be NULL and every doc would bucket " +
         "as 'tail'")
-    val ranked = refSc
+    scored.crossJoin(broadcast(tertileThresholds(refSc, idCol)))
+      .select(col(idCol), col("avg_p_fix"), bucketOf.as("bucket"))
+  }
+
+  /** The CCNet tertile cut over a (idCol, avg_p_fix) reference slice:
+    * ONE row (t1, t2) — the scores at integer cut ranks (n+2) div 3 and
+    * (2n+2) div 3 of the descending score order (ties broken by id).
+    * Shared by [[perplexityBuckets]] and the streaming twin
+    * ([[graft.streaming.PplBucketStream]]), which must cut the SAME way
+    * for its point-in-time contract to reduce to this operator. The
+    * caller guards against an empty slice (both thresholds come back
+    * NULL) — batch refuses loudly, the stream treats it as warm-up.
+    */
+  def tertileThresholds(refSc: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    refSc
       .withColumn("r", row_number().over(
         Window.orderBy(col("avg_p_fix").desc, col(idCol))))
       .crossJoin(broadcast(refSc.agg(count(lit(1)).as("n"))))
-    val th = ranked.agg(
-      max(expr("IF(r = (n + 2) div 3, avg_p_fix, NULL)")).as("t1"),
-      max(expr("IF(r = (2 * n + 2) div 3, avg_p_fix, NULL)")).as("t2"))
-    scored.crossJoin(broadcast(th))
-      .select(col(idCol), col("avg_p_fix"),
-        when(col("avg_p_fix") >= col("t1"), lit("head"))
-          .when(col("avg_p_fix") >= col("t2"), lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
+      .agg(
+        max(expr("IF(r = (n + 2) div 3, avg_p_fix, NULL)")).as("t1"),
+        max(expr("IF(r = (2 * n + 2) div 3, avg_p_fix, NULL)")).as("t2"))
   }
+
+  /** head/middle/tail assignment against in-scope t1/t2 threshold
+    * columns — the value-based tie rule both bucketing forms share.
+    */
+  private[graft] def bucketOf: org.apache.spark.sql.Column =
+    when(col("avg_p_fix") >= col("t1"), lit("head"))
+      .when(col("avg_p_fix") >= col("t2"), lit("middle"))
+      .otherwise(lit("tail"))
 }
