@@ -92,6 +92,12 @@ object ExtQueries {
   // X59 averaged-perceptron epochs (oracle unrolls them, x37-style);
   // features reuse the X39 dim + seed so the two matrices are identical
   private val PerceptronEpochs = 3
+  // X61 DSIR knobs: hashed n-gram bucket count, selection size, hash
+  // seed; the target slice is lang='en' (the "select data that looks
+  // like the target language" instantiation)
+  private val DsirDim = 256
+  private val DsirK = 100
+  private val DsirSeed = "ds"
   /** Trained (merges, final word table), cached per (session, dir): one
     * training pass feeds both x44 queries — the artifact contract of
     * [[pqCodebookCache]].
@@ -1039,6 +1045,17 @@ object ExtQueries {
       val ev = Sample.uniform(docs, "doc_id", 0.1, seed = "eval")
       val train = docs.join(ev.select("doc_id"), Seq("doc_id"), "left_anti")
       Dedup.decontaminate(train, ev, "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // X61 DSIR importance resampling — hashed unigram+bigram target/raw
+    // log-ratios (micro-nat seam), exact integer dot-product weights,
+    // deterministic Gumbel top-k; ratio table broadcasts, corpus never
+    // shuffled by the model
+    "x61_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dsir.select(docs, docs.filter(col("lang") === "en").select("doc_id"),
+          "doc_id", "text", k = DsirK, dim = DsirDim, seed = DsirSeed)
         .orderBy("doc_id")
     }),
 
@@ -2770,6 +2787,49 @@ object ExtQueries {
     // against the non-eval corpus, covered token intervals unioned,
     // then the x45 rebuild; 1-based shingle start ii covers 0-based
     // token positions ii-1 .. ii+6
+    // the DSIR pipeline replayed relationally: hashed unigram+bigram
+    // counts, Laplace-smoothed micro-nat log-ratios (round(ln·10^6) on
+    // each side separately, the x42 seam), integer dot-product weights,
+    // the same md5-derived Gumbel keys, top-K by (key DESC, id)
+    "x61_dsir" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(ts) AS gram FROM t
+         |  UNION ALL
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(ts) - 1),
+         |    i -> ts[i] || ' ' || ts[i+1])) AS gram FROM t),
+         |f AS (SELECT doc_id,
+         |    ('0x' || substring(md5('$DsirSeed|' || gram), 1, 8))::BIGINT
+         |      % $DsirDim AS bucket,
+         |    count(*) AS cnt
+         |  FROM g GROUP BY 1, 2),
+         |raw AS (SELECT bucket, sum(cnt) AS raw_b FROM f GROUP BY 1),
+         |tgt AS (SELECT bucket, sum(cnt) AS tgt_b
+         |  FROM f JOIN (SELECT doc_id FROM documents WHERE lang = 'en') e
+         |    USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(raw_b) FROM raw) AS raw_tot,
+         |  (SELECT coalesce(sum(tgt_b), 0) FROM tgt) AS tgt_tot),
+         |r AS (SELECT raw.bucket,
+         |    CAST(round(ln(CAST(coalesce(tgt_b, 0) + 1 AS DOUBLE)
+         |        / CAST(tgt_tot + $DsirDim AS DOUBLE)) * 1000000) AS BIGINT)
+         |    - CAST(round(ln(CAST(raw_b + 1 AS DOUBLE)
+         |        / CAST(raw_tot + $DsirDim AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS r_micro
+         |  FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket, tot),
+         |w AS (SELECT f.doc_id,
+         |    CAST(sum(f.cnt * r.r_micro) AS BIGINT) AS w_micro
+         |  FROM f JOIN r ON r.bucket = f.bucket GROUP BY 1),
+         |sel AS (SELECT doc_id, w_micro,
+         |    w_micro + CAST(round(-ln(-ln(
+         |      ((('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+         |        || '${DsirSeed}g'), 1, 8))::BIGINT + 0.5) / 4294967296.0)
+         |    )) * 1000000) AS BIGINT) AS key_micro
+         |  FROM w
+         |  ORDER BY key_micro DESC, doc_id LIMIT $DsirK)
+         |SELECT doc_id, w_micro, key_micro FROM sel
+         |ORDER BY doc_id""".stripMargin,
+
     "x60_decontaminate" -> {
       val gram8 = (0 until 8).map(k => s"ts[ii+$k]").mkString(" || ' ' || ")
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts
