@@ -98,6 +98,10 @@ object ExtQueries {
   private val DsirDim = 256
   private val DsirK = 100
   private val DsirSeed = "ds"
+  // X62 prototype-prune fraction (ppm of each cluster dropped); nlist
+  // reuses IvfPqNlist so the session-cached coarse centroids serve the
+  // whole embedding-curation family (x21/x36/x62)
+  private val ProtoPrunePpm = 250000L
   /** Trained (merges, final word table), cached per (session, dir): one
     * training pass feeds both x44 queries — the artifact contract of
     * [[pqCodebookCache]].
@@ -1048,6 +1052,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // X62 prototype-based diversity pruning (SSL prototypes / D4) —
+    // per-cluster cosine-to-centroid rank in signed fixed-point cos²,
+    // top prunePpm/10^6 of each cluster dropped; reuses the
+    // session-cached IVF-PQ coarse centroids
+    "x62_proto_prune" -> ((s, dir) => {
+      ProtoPrune.prune(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = IvfPqNlist, prunePpm = ProtoPrunePpm,
+        centroids = Some(ivfPqTrained(s, dir)._1)).orderBy("vec_id")
+    }),
+
     // X61 DSIR importance resampling — hashed unigram+bigram target/raw
     // log-ratios (micro-nat seam), exact integer dot-product weights,
     // deterministic Gumbel top-k; ratio table broadcasts, corpus never
@@ -1374,6 +1388,62 @@ object ExtQueries {
            |  CAST(CASE WHEN p.ia IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_kept
            |FROM asg LEFT JOIN pair p ON p.ia = asg.vec_id
            |ORDER BY asg.vec_id""".stripMargin
+    }.toMap
+  }
+
+  /** X62 oracle — the same centroid-inlining contract as
+    * [[semDedupOracle]]: list assignment replays the expanded |q−c|²
+    * argmin, prototypicality re-derives as signed HUGEINT cos²·10^12
+    * with DuckDB's // (floor division — operands are non-negative, so
+    * it equals Spark's truncating decimal `div`), then the identical
+    * per-cluster rank + ppm drop-count arithmetic.
+    */
+  private def protoPruneOracle: Map[String, String] = {
+    if (ProtoPrune.lastCentroids.isEmpty)
+      System.err.println(
+        "[graft] WARNING: x62_proto_prune oracle OMITTED — " +
+          "ProtoPrune.prune has not run in this JVM, so there are no " +
+          "centroids to inline. Run the queries before dumping oracleSql " +
+          "(graft.Verify's order).")
+    ProtoPrune.lastCentroids.map { cents =>
+      val rows = cents.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(v => v.toLong * v).sum
+        s"($i, ${c.map(v => s"$v.0").mkString("[", ", ", "]")}, $c2.0)"
+      }.mkString(",\n  ")
+      "x62_proto_prune" ->
+        s"""WITH cent(list_id, cv, c2) AS (VALUES
+           |  $rows),
+           |e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+           |ad AS (SELECT n.vec_id, cent.list_id,
+           |  n.n2 - 2 * list_dot_product(n.q, cent.cv) + cent.c2 AS dist
+           |  FROM n CROSS JOIN cent),
+           |asg AS (SELECT vec_id, list_id FROM (
+           |  SELECT vec_id, list_id,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+           |  FROM ad) WHERE rn = 1),
+           |s AS (SELECT n.vec_id, asg.list_id,
+           |  CASE WHEN n.n2 * cent.c2 = 0 THEN 0
+           |    ELSE (CASE WHEN list_dot_product(n.q, cent.cv) < 0
+           |            THEN -1 ELSE 1 END)
+           |      * CAST((CAST(list_dot_product(n.q, cent.cv) AS HUGEINT)
+           |          * CAST(list_dot_product(n.q, cent.cv) AS HUGEINT)
+           |          * 1000000000000)
+           |        // (CAST(n.n2 AS HUGEINT) * CAST(cent.c2 AS HUGEINT))
+           |        AS BIGINT) END AS proto_ppt
+           |  FROM asg JOIN n ON n.vec_id = asg.vec_id
+           |  JOIN cent ON cent.list_id = asg.list_id),
+           |r AS (SELECT vec_id, list_id, proto_ppt,
+           |    row_number() OVER (PARTITION BY list_id
+           |      ORDER BY proto_ppt DESC, vec_id) AS r,
+           |    count(*) OVER (PARTITION BY list_id) AS n FROM s)
+           |SELECT vec_id, CAST(list_id AS INTEGER) AS list_id,
+           |  CAST(proto_ppt AS BIGINT) AS proto_ppt, CAST(r AS BIGINT) AS r,
+           |  CAST(CASE WHEN r > ($ProtoPrunePpm * n) // 1000000
+           |    THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+           |FROM r ORDER BY vec_id""".stripMargin
     }.toMap
   }
 
@@ -1930,6 +2000,7 @@ object ExtQueries {
 
   def oracle: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfPqOracle ++ semDedupOracle ++
+      protoPruneOracle ++
       tempMixOracle ++ annRecallOracle ++ annRefineOracle ++ Map(
 
     "x51_lsh_multiprobe" -> lshMultiProbeSql,
