@@ -657,10 +657,28 @@ object Dedup {
     * documents cost one semi-join probe and are never exploded.
     */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, idCol: String,
-                    textCol: String, n: Int = 8): DataFrame = {
-    val evalSh = evalDocs
+                    textCol: String, n: Int = 8): DataFrame =
+    decontaminateAgainst(docs,
+      evalShingleSet(evalDocs, textCol, n), idCol, textCol, n)
+
+  /** The distinct n-token shingle set of an eval suite as a 1-column
+    * (`s`) frame — the broadcastable artifact [[decontaminateAgainst]]
+    * excises by, split out so the streaming twin
+    * ([[graft.streaming.DecontaminateStream]]) can accumulate it
+    * incrementally across batches.
+    */
+  def evalShingleSet(evalDocs: DataFrame, textCol: String,
+                     n: Int): DataFrame =
+    evalDocs
       .select(explode(array_distinct(shingles(tokens(col(textCol)), n))).as("s"))
       .distinct()
+
+  /** The excision half of [[decontaminate]], against a PREPARED distinct
+    * shingle set (column `s`, [[evalShingleSet]]'s layout).
+    */
+  def decontaminateAgainst(docs: DataFrame, evalSh: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int): DataFrame = {
     val pos = docs.select(col(idCol),
       posexplode(shingles(tokens(col(textCol)), n)).as(Seq("sp", "s")))
     val removed = pos.join(broadcast(evalSh), Seq("s"))
