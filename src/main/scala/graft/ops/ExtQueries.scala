@@ -200,7 +200,6 @@ object ExtQueries {
   private def substrWindows(s: SparkSession, dir: String): DataFrame =
     windowTableCache.getOrCompute(s, dir) {
       Dedup.windowTable(Tables.documents(s, dir), "doc_id", "text", SubstrK)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** The trained PQ codebook, cached per (session, table dir): training
@@ -214,6 +213,21 @@ object ExtQueries {
     pqCodebookCache.getOrCompute(s, dir) {
       Similarity.trainPqCodebook(Tables.embeddings(s, dir), "embedding",
         PqNumSub, PqCodes)
+    }
+
+  /** The x36 SemDeDup result, MATERIALIZED once per (session, dir) and
+    * shared by x36 and the x63 D4 composition (the [[cdcCache]]
+    * contract): the in-cluster pair join is the cost center and the
+    * per-vector verdict table is corpus-row-sized but narrow, so the
+    * D4 stage reads the pin instead of re-running the pair stage.
+    */
+  private val semDedupCache = new graft.engine.SessionCache[DataFrame]
+  private def semDeduped(s: SparkSession, dir: String): DataFrame =
+    semDedupCache.getOrCompute(s, dir) {
+      SemDedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nlist = IvfPqNlist, tauPermille = SemDedupTauPermille,
+        centroids = Some(ivfPqTrained(s, dir)._1))
+        .localCheckpoint(false)
     }
 
   /** Trained (coarse, residual codebook) for IVF-PQ, cached like
@@ -853,11 +867,8 @@ object ExtQueries {
     // X36 SemDeDup — semantic near-dup drop within coarse k-means
     // clusters; reuses the session-cached IVF-PQ coarse centroids (same
     // nlist), so clustering costs no additional training pass
-    "x36_semdedup" -> ((s, dir) => {
-      SemDedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
-        nlist = IvfPqNlist, tauPermille = SemDedupTauPermille,
-        centroids = Some(ivfPqTrained(s, dir)._1)).orderBy("vec_id")
-    }),
+    "x36_semdedup" -> ((s, dir) =>
+      semDeduped(s, dir).orderBy("vec_id")),
 
     // X37 distributed Lloyd k-means — fixed-point exact, deterministic
     // lowest-id init, so the oracle replays the rounds from data alone
@@ -1059,6 +1070,21 @@ object ExtQueries {
     "x62_proto_prune" -> ((s, dir) => {
       ProtoPrune.prune(Tables.embeddings(s, dir), "vec_id", "embedding",
         nlist = IvfPqNlist, prunePpm = ProtoPrunePpm,
+        centroids = Some(ivfPqTrained(s, dir)._1)).orderBy("vec_id")
+    }),
+
+    // X63 the full D4 pipeline (Tirumala et al. 2023): SemDeDup's
+    // keep-set, then prototype pruning over what survives — per-cluster
+    // drop counts re-derive over the DEDUPED population (the paper's
+    // order; both stages share the session-cached coarse centroids and
+    // the semDedup stage is computed once per session with x36)
+    "x63_d4" -> ((s, dir) => {
+      val kept = semDeduped(s, dir).filter(col("is_kept") === 1)
+        .select("vec_id")
+      ProtoPrune.prune(
+        Tables.embeddings(s, dir).join(kept, Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding", nlist = IvfPqNlist,
+        prunePpm = ProtoPrunePpm,
         centroids = Some(ivfPqTrained(s, dir)._1)).orderBy("vec_id")
     }),
 
@@ -1435,6 +1461,66 @@ object ExtQueries {
            |        AS BIGINT) END AS proto_ppt
            |  FROM asg JOIN n ON n.vec_id = asg.vec_id
            |  JOIN cent ON cent.list_id = asg.list_id),
+           |r AS (SELECT vec_id, list_id, proto_ppt,
+           |    row_number() OVER (PARTITION BY list_id
+           |      ORDER BY proto_ppt DESC, vec_id) AS r,
+           |    count(*) OVER (PARTITION BY list_id) AS n FROM s)
+           |SELECT vec_id, CAST(list_id AS INTEGER) AS list_id,
+           |  CAST(proto_ppt AS BIGINT) AS proto_ppt, CAST(r AS BIGINT) AS r,
+           |  CAST(CASE WHEN r > ($ProtoPrunePpm * n) // 1000000
+           |    THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+           |FROM r ORDER BY vec_id""".stripMargin
+    }.toMap
+  }
+
+  /** X63 oracle — the x36 pair stage and the x62 rank stage composed:
+    * the kept set from the cosine-gate pairs, then the prototype rank
+    * with per-cluster sizes over the DEDUPED population. Same centroid
+    * inlining contract ([[semDedupOracle]]).
+    */
+  private def d4Oracle: Map[String, String] = {
+    ProtoPrune.lastCentroids.map { cents =>
+      val rows = cents.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(v => v.toLong * v).sum
+        s"($i, ${c.map(v => s"$v.0").mkString("[", ", ", "]")}, $c2.0)"
+      }.mkString(",\n  ")
+      val tau2 = SemDedupTauPermille * SemDedupTauPermille
+      "x63_d4" ->
+        s"""WITH cent(list_id, cv, c2) AS (VALUES
+           |  $rows),
+           |e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+           |ad AS (SELECT n.vec_id, cent.list_id,
+           |  n.n2 - 2 * list_dot_product(n.q, cent.cv) + cent.c2 AS dist
+           |  FROM n CROSS JOIN cent),
+           |asg AS (SELECT vec_id, list_id FROM (
+           |  SELECT vec_id, list_id,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+           |  FROM ad) WHERE rn = 1),
+           |pair AS (SELECT a.vec_id AS ia, count(*) AS n_dup_lower
+           |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+           |  JOIN n na ON na.vec_id = a.vec_id
+           |  JOIN n nb ON nb.vec_id = b.vec_id
+           |  WHERE list_dot_product(na.q, nb.q) > 0
+           |    AND CAST(list_dot_product(na.q, nb.q) AS HUGEINT)
+           |      * CAST(list_dot_product(na.q, nb.q) AS HUGEINT) * 1000000
+           |      > $tau2 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
+           |  GROUP BY 1),
+           |kp AS (SELECT asg.vec_id, asg.list_id FROM asg
+           |  LEFT JOIN pair p ON p.ia = asg.vec_id WHERE p.ia IS NULL),
+           |s AS (SELECT n.vec_id, kp.list_id,
+           |  CASE WHEN n.n2 * cent.c2 = 0 THEN 0
+           |    ELSE (CASE WHEN list_dot_product(n.q, cent.cv) < 0
+           |            THEN -1 ELSE 1 END)
+           |      * CAST((CAST(list_dot_product(n.q, cent.cv) AS HUGEINT)
+           |          * CAST(list_dot_product(n.q, cent.cv) AS HUGEINT)
+           |          * 1000000000000)
+           |        // (CAST(n.n2 AS HUGEINT) * CAST(cent.c2 AS HUGEINT))
+           |        AS BIGINT) END AS proto_ppt
+           |  FROM kp JOIN n ON n.vec_id = kp.vec_id
+           |  JOIN cent ON cent.list_id = kp.list_id),
            |r AS (SELECT vec_id, list_id, proto_ppt,
            |    row_number() OVER (PARTITION BY list_id
            |      ORDER BY proto_ppt DESC, vec_id) AS r,
@@ -2000,7 +2086,7 @@ object ExtQueries {
 
   def oracle: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfPqOracle ++ semDedupOracle ++
-      protoPruneOracle ++
+      protoPruneOracle ++ d4Oracle ++
       tempMixOracle ++ annRecallOracle ++ annRefineOracle ++ Map(
 
     "x51_lsh_multiprobe" -> lshMultiProbeSql,

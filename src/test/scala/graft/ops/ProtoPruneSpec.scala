@@ -61,4 +61,23 @@ class ProtoPruneSpec extends SparkSpec {
     // (340000*3) div 10^6 = 1: exactly the lower-id prototype drops
     assert(m2(3L)._5 === 0 && m2(7L)._5 === 1 && m2(5L)._5 === 1)
   }
+
+  test("D4 composition: drop counts derive from the DEDUPED population") {
+    // ids 1/2 are identical (cos = 1 > tau): semDedup keeps only 1;
+    // with the dup gone the cluster has 3 members, and
+    // (250000 * 3) div 10^6 = 0 — nothing pruned. Over the RAW
+    // population of 4 the same ppm would have dropped one.
+    val d = emb(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.75f, 0.25f)), (4L, Seq(0.5f, 0.25f)))
+    val kept = SemDedup.semDedup(d, "vec_id", "embedding", nlist = 2,
+        tauPermille = 999L, centroids = Some(cents))
+      .filter($"is_kept" === 1).select("vec_id")
+    val pruned = ProtoPrune.prune(
+        d.join(kept, Seq("vec_id"), "left_semi"), "vec_id", "embedding",
+        nlist = 2, prunePpm = 250000L, centroids = Some(cents))
+      .as[(Long, Int, Long, Long, Int)].collect()
+    assert(pruned.map(_._1).toSet === Set(1L, 3L, 4L))
+    assert(pruned.forall(_._5 === 1))
+  }
 }
