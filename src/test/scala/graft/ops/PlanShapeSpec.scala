@@ -266,4 +266,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"cut join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the join:\n$plan")
   }
+
+  test("DSIR: dim-sized ratio table broadcasts into the weight join; " +
+    "selection is TakeOrdered, never a global sort exchange") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val plan = physical(Dsir.select(docs,
+      docs.filter(col("lang") === "en").select("doc_id"),
+      "doc_id", "text", k = 10, dim = 64, seed = "s"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ratio join not broadcast in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not TakeOrdered in:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort shuffle in:\n$plan")
+  }
+
+  test("prototype prune: centroids broadcast; the ONLY hash exchange is " +
+    "the per-cluster rank window") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Array(Array.fill(64)(100), Array.fill(64)(-100))
+    val plan = physical(ProtoPrune.prune(emb, "vec_id", "embedding",
+      nlist = 2, prunePpm = 250000L, centroids = Some(cents)))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid join not broadcast in:\n$plan")
+    assert(countOccurrences(plan, "Exchange hashpartitioning") === 1,
+      s"corpus must not shuffle outside the rank window in:\n$plan")
+  }
+
+  test("decontaminate: the eval shingle set broadcasts into the " +
+    "positional match — the corpus is never sort-merge joined") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val ev = Seq((9000001L, "e1 e2 e3 e4 e5 e6 e7 e8")).toDF("doc_id", "text")
+    val plan = physical(
+      Dedup.decontaminate(docs, ev, "doc_id", "text", n = 8))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingles not broadcast in:\n$plan")
+  }
 }
