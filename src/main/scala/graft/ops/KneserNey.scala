@@ -206,24 +206,31 @@ object KneserNey {
     * deterministically (spec-pinned).
     *
     * Same tables, same join shape as [[score]]; training additionally
-    * pays five count-of-count aggregations (one tiny pass per order's
-    * model table — each output is two numbers).
+    * pays the count-of-count estimate as ONE multi-order pass: the five
+    * model tables union as (order, count) rows and a single aggregation
+    * emits all ten n1/n2 numbers — one job, one 1-row output, no
+    * crossJoin chain (vs the five per-table passes this replaces; the
+    * values are identical by construction, spec- and oracle-pinned).
     */
   def scoreModified(docs: DataFrame, ref: DataFrame,
                     idCol: String, textCol: String): DataFrame = {
     val m = modelTables(ref, textCol)
-    def disc(table: DataFrame, cnt: String, a: String, b: String) =
-      table.agg(
-        sum(when(col(cnt) === 1L, 1L).otherwise(0L)).as("n1"),
-        sum(when(col(cnt) === 2L, 1L).otherwise(0L)).as("n2"))
-        .select(
-          expr("IF(n1 = 0, 3L, n1)").as(a),
-          expr("IF(n1 = 0, 4L, n1 + 2 * n2)").as(b))
-    val dConsts = disc(m.c5, "c5", "a5", "b5")
-      .crossJoin(disc(m.cont4, "cn4", "a4", "b4"))
-      .crossJoin(disc(m.cont3, "cn3", "a3", "b3"))
-      .crossJoin(disc(m.cont2, "cn2", "a2", "b2"))
-      .crossJoin(disc(m.cont1, "cn1", "a1", "b1"))
+    val cc = Seq(
+      (m.c5, "c5", 5), (m.cont4, "cn4", 4), (m.cont3, "cn3", 3),
+      (m.cont2, "cn2", 2), (m.cont1, "cn1", 1))
+      .map { case (t, cnt, k) => t.select(lit(k).as("k"), col(cnt).as("cnt")) }
+      .reduce(_.unionByName(_))
+    val n12 = (1 to 5).flatMap { k =>
+      Seq(
+        sum(when(col("k") === k && col("cnt") === 1L, 1L).otherwise(0L))
+          .as(s"n1_$k"),
+        sum(when(col("k") === k && col("cnt") === 2L, 1L).otherwise(0L))
+          .as(s"n2_$k"))
+    }
+    val dConsts = cc.agg(n12.head, n12.tail: _*)
+      .select((1 to 5).flatMap(k => Seq(
+        expr(s"IF(n1_$k = 0, 3L, n1_$k)").as(s"a$k"),
+        expr(s"IF(n1_$k = 0, 4L, n1_$k + 2 * n2_$k)").as(s"b$k"))): _*)
     scoreChain(docs, idCol, textCol,
       m.copy(consts = m.consts.crossJoin(dConsts)),
       estimated = true)
