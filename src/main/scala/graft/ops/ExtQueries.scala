@@ -102,6 +102,34 @@ object ExtQueries {
   // reuses IvfPqNlist so the session-cached coarse centroids serve the
   // whole embedding-curation family (x21/x36/x62)
   private val ProtoPrunePpm = 250000L
+  // X64 C4-cleaning synthesis: the word-soup corpus has no line
+  // structure, so (x53's HTML-shell precedent) the wiring derives a
+  // deterministic "\n"-paged twin — C4Width-word lines, with the rule
+  // triggers injected by doc_id/line arithmetic replayed verbatim in
+  // the oracle: a missing terminal '.' every 4th (doc_id+i), a
+  // "javascript" mention every 13th, and page-level '{' / "lorem
+  // ipsum" markers on line 0 of every 17th / 19th doc
+  private val C4Width = 7
+  private val C4MinWords = 3
+  private val C4MinLines = 5
+  /** The x64 paged twin of `documents`: (doc_id, page) with the
+    * synthesis documented at [[C4Width]] — pure higher-order functions,
+    * zero shuffle, so the synthetic page costs what a real multi-line
+    * page column would.
+    */
+  private def c4Page(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ts = split(col("text"), " ")
+    val nl = floor((size(ts) + lit(C4Width - 1)) / lit(C4Width)).cast("int")
+    val lines = transform(sequence(lit(0), nl - lit(1)), i =>
+      concat(array_join(slice(ts, i * C4Width + 1, lit(C4Width)), " "),
+        when((id + i) % 13 === 0, lit(" javascript")).otherwise(lit("")),
+        when(id % 17 === 0 && i === 0, lit(" {")).otherwise(lit("")),
+        when(id % 19 === 0 && i === 0, lit(" lorem ipsum")).otherwise(lit("")),
+        when((id + i) % 4 =!= 3, lit(".")).otherwise(lit(""))))
+    Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
+  }
+
   /** Trained (merges, final word table), cached per (session, dir): one
     * training pass feeds both x44 queries — the artifact contract of
     * [[pqCodebookCache]].
@@ -1124,7 +1152,13 @@ object ExtQueries {
           sum(when(col("lp_pred") === col("lang"), 1L).otherwise(0L))
             .as("n_lp_correct"))
         .orderBy("lang")
-    })
+    }),
+
+    // X64 C4 line-based cleaning over the synthesized paged twin —
+    // scan-side higher-order functions, zero shuffle end to end
+    "x64_c4_clean" -> ((s, dir) =>
+      C4.clean(c4Page(s, dir), "doc_id", "page", C4MinWords, C4MinLines)
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -2112,6 +2146,44 @@ object ExtQueries {
     "x52_kn_lm" -> knLmSql,
 
     "x58_kn_mkn" -> knMknSql,
+
+    // x64: the paged-twin synthesis (see c4Page) replayed relationally,
+    // then the C4 rules as per-line booleans grouped back per doc
+    "x64_c4_clean" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |l AS (SELECT doc_id, i,
+         |    array_to_string(ts[(i*$C4Width+1):(i*$C4Width+$C4Width)], ' ')
+         |      AS chunk
+         |  FROM t, LATERAL unnest(generate_series(0,
+         |    (len(ts) + ${C4Width - 1}) // $C4Width - 1)) AS u(i)),
+         |d AS (SELECT doc_id, i, chunk
+         |   || (CASE WHEN (doc_id + i) % 13 = 0 THEN ' javascript' ELSE '' END)
+         |   || (CASE WHEN doc_id % 17 = 0 AND i = 0 THEN ' {' ELSE '' END)
+         |   || (CASE WHEN doc_id % 19 = 0 AND i = 0 THEN ' lorem ipsum'
+         |       ELSE '' END)
+         |   || (CASE WHEN (doc_id + i) % 4 <> 3 THEN '.' ELSE '' END) AS line
+         |  FROM l),
+         |k AS (SELECT doc_id, i, line,
+         |   (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?'
+         |     OR line LIKE '%"')
+         |   AND len(string_split(line, ' ')) >= $C4MinWords
+         |   AND NOT contains(line, 'javascript') AS keep
+         |  FROM d),
+         |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |   string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY i)
+         |     AS joined,
+         |   bool_or(contains(line, '{')) AS has_brace,
+         |   bool_or(contains(line, 'lorem ipsum')) AS has_lorem
+         |  FROM k GROUP BY doc_id)
+         |SELECT doc_id, n_lines, n_kept,
+         |  (n_kept >= $C4MinLines AND NOT has_brace AND NOT has_lorem)
+         |    AS kept_doc,
+         |  CASE WHEN n_kept >= $C4MinLines AND NOT has_brace
+         |      AND NOT has_lorem
+         |    THEN coalesce(joined, '') ELSE NULL END AS cleaned
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     // tertile thresholds over the train slice of the embedded x52
     // pipeline, value-based bucket assignment — integer-exact cut ranks

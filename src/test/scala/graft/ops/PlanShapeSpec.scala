@@ -294,6 +294,13 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus must not shuffle outside the rank window in:\n$plan")
   }
 
+  test("C4 clean is a pure scan-side projection: zero exchanges") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c.\nd e f.")).toDF("doc_id", "page")
+    val plan = physical(C4.clean(docs, "doc_id", "page"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("decontaminate: the eval shingle set broadcasts into the " +
     "positional match — the corpus is never sort-merge joined") {
     import spark.implicits._
