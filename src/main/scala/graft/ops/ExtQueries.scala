@@ -112,6 +112,12 @@ object ExtQueries {
   private val C4Width = 7
   private val C4MinWords = 3
   private val C4MinLines = 5
+  // X65 Gopher synthesis (same paged-twin idea, different injections):
+  // a "- " bullet every 11th (doc_id+i), an "..." ending instead of "."
+  // every 4th, a " # #" symbol pair every 6th, a non-alphabetic "12345"
+  // every 9th, and the stopword pack " of and that" on line 0 of every
+  // doc_id % 3 != 0 doc (so the >= 2-stopwords rule actually splits the
+  // corpus — the word-soup vocabulary carries only "the" natively)
   /** The x64 paged twin of `documents`: (doc_id, page) with the
     * synthesis documented at [[C4Width]] — pure higher-order functions,
     * zero shuffle, so the synthetic page costs what a real multi-line
@@ -127,6 +133,22 @@ object ExtQueries {
         when(id % 17 === 0 && i === 0, lit(" {")).otherwise(lit("")),
         when(id % 19 === 0 && i === 0, lit(" lorem ipsum")).otherwise(lit("")),
         when((id + i) % 4 =!= 3, lit(".")).otherwise(lit(""))))
+    Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
+  }
+
+  /** The x65 paged twin (injections documented at the constant block). */
+  private def gopherPage(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ts = split(col("text"), " ")
+    val nl = floor((size(ts) + lit(C4Width - 1)) / lit(C4Width)).cast("int")
+    val lines = transform(sequence(lit(0), nl - lit(1)), i =>
+      concat(
+        when((id + i) % 11 === 0, lit("- ")).otherwise(lit("")),
+        array_join(slice(ts, i * C4Width + 1, lit(C4Width)), " "),
+        when(id % 3 =!= 0 && i === 0, lit(" of and that")).otherwise(lit("")),
+        when((id + i) % 6 === 0, lit(" # #")).otherwise(lit("")),
+        when((id + i) % 9 === 0, lit(" 12345")).otherwise(lit("")),
+        when((id + i) % 4 === 3, lit("...")).otherwise(lit("."))))
     Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
   }
 
@@ -1158,6 +1180,12 @@ object ExtQueries {
     // scan-side higher-order functions, zero shuffle end to end
     "x64_c4_clean" -> ((s, dir) =>
       C4.clean(c4Page(s, dir), "doc_id", "page", C4MinWords, C4MinLines)
+        .orderBy("doc_id")),
+
+    // X65 Gopher document-quality gate over its injected paged twin —
+    // integer cross-multiplied ratio thresholds, zero shuffle
+    "x65_gopher_rules" -> ((s, dir) =>
+      Gopher.qualityRules(gopherPage(s, dir), "doc_id", "page")
         .orderBy("doc_id"))
   )
 
@@ -2184,6 +2212,68 @@ object ExtQueries {
          |      AND NOT has_lorem
          |    THEN coalesce(joined, '') ELSE NULL END AS cleaned
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // x65: the Gopher paged-twin synthesis replayed, then each rule as
+    // the same integer cross-multiplication over unnested words/lines
+    "x65_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |l AS (SELECT doc_id, i,
+         |    array_to_string(ts[(i*$C4Width+1):(i*$C4Width+$C4Width)], ' ')
+         |      AS chunk
+         |  FROM t, LATERAL unnest(generate_series(0,
+         |    (len(ts) + ${C4Width - 1}) // $C4Width - 1)) AS u(i)),
+         |d AS (SELECT doc_id, i,
+         |   (CASE WHEN (doc_id + i) % 11 = 0 THEN '- ' ELSE '' END)
+         |   || chunk
+         |   || (CASE WHEN doc_id % 3 <> 0 AND i = 0 THEN ' of and that'
+         |       ELSE '' END)
+         |   || (CASE WHEN (doc_id + i) % 6 = 0 THEN ' # #' ELSE '' END)
+         |   || (CASE WHEN (doc_id + i) % 9 = 0 THEN ' 12345' ELSE '' END)
+         |   || (CASE WHEN (doc_id + i) % 4 = 3 THEN '...' ELSE '.' END)
+         |     AS line
+         |  FROM l),
+         |p AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS page
+         |  FROM d GROUP BY doc_id),
+         |wx AS (SELECT doc_id, w
+         |  FROM p, LATERAL unnest(string_split(replace(page, chr(10), ' '),
+         |    ' ')) AS u(w) WHERE length(w) > 0),
+         |wm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |   CAST(sum(length(w)) AS BIGINT) AS sum_len,
+         |   CAST(sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0
+         |     END) AS BIGINT) AS n_alpha,
+         |   CAST(count(DISTINCT CASE WHEN w IN ('the','be','to','of',
+         |     'and','that','have','with') THEN w END) AS BIGINT) AS n_stop
+         |  FROM wx GROUP BY doc_id),
+         |lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |   CAST(sum(CASE WHEN line LIKE '- %' OR line LIKE '• %'
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet,
+         |   CAST(sum(CASE WHEN line LIKE '%...' THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS n_ell
+         |  FROM d GROUP BY doc_id),
+         |pm AS (SELECT doc_id,
+         |   CAST(length(page) - length(replace(page, '#', '')) AS BIGINT)
+         |     AS n_hash,
+         |   CAST((length(page) - length(replace(page, '...', ''))) // 3
+         |     AS BIGINT) AS n_ell_occ
+         |  FROM p)
+         |SELECT doc_id, n_lines, n_words,
+         |  (n_words BETWEEN 50 AND 100000) AS g_words,
+         |  (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS g_meanlen,
+         |  (10 * (n_hash + n_ell_occ) <= n_words) AS g_symbol,
+         |  (10 * n_bullet <= n_lines) AS g_bullet,
+         |  (10 * n_ell <= 3 * n_lines) AS g_ellipsis,
+         |  (10 * n_alpha >= 8 * n_words) AS g_alpha,
+         |  (n_stop >= 2) AS g_stop,
+         |  ((n_words BETWEEN 50 AND 100000)
+         |   AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+         |   AND 10 * (n_hash + n_ell_occ) <= n_words
+         |   AND 10 * n_bullet <= n_lines
+         |   AND 10 * n_ell <= 3 * n_lines
+         |   AND 10 * n_alpha >= 8 * n_words
+         |   AND n_stop >= 2) AS kept_doc
+         |FROM wm JOIN lm USING (doc_id) JOIN pm USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // tertile thresholds over the train slice of the embedded x52
     // pipeline, value-based bucket assignment — integer-exact cut ranks

@@ -294,11 +294,14 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus must not shuffle outside the rank window in:\n$plan")
   }
 
-  test("C4 clean is a pure scan-side projection: zero exchanges") {
+  test("C4 clean and the Gopher gate are pure scan-side projections: " +
+    "zero exchanges") {
     import spark.implicits._
     val docs = Seq((1L, "a b c.\nd e f.")).toDF("doc_id", "page")
-    val plan = physical(C4.clean(docs, "doc_id", "page"))
-    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    val c4 = physical(C4.clean(docs, "doc_id", "page"))
+    assert(!c4.contains("Exchange"), s"unexpected shuffle in:\n$c4")
+    val go = physical(Gopher.qualityRules(docs, "doc_id", "page"))
+    assert(!go.contains("Exchange"), s"unexpected shuffle in:\n$go")
   }
 
   test("decontaminate: the eval shingle set broadcasts into the " +
