@@ -112,6 +112,14 @@ object ExtQueries {
   private val C4Width = 7
   private val C4MinWords = 3
   private val C4MinLines = 5
+  // X66 UniMax: budget/epoch knobs sized so the sf0.01 language table
+  // exercises every branch — de caps at 2 epochs (7098 <= the 36000
+  // budget's 5-way share), the other four share the leftover with a
+  // 2-token remainder (fr/es get +1), and e_full lands at 2/1/1/1/0
+  // with a nonzero partial epoch for fr/es/zh/en
+  private val UniMaxBudget = 36000L
+  private val UniMaxEpochs = 2L
+  private val UniMaxSeed = "um"
   // X65 Gopher synthesis (same paged-twin idea, different injections):
   // a "- " bullet every 11th (doc_id+i), an "..." ending instead of "."
   // every 4th, a " # #" symbol pair every 6th, a non-alphabetic "12345"
@@ -1186,7 +1194,19 @@ object ExtQueries {
     // integer cross-multiplied ratio thresholds, zero shuffle
     "x65_gopher_rules" -> ((s, dir) =>
       Gopher.qualityRules(gopherPage(s, dir), "doc_id", "page")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // X66 UniMax waterfilling allocation (language-sized)
+    "x66_unimax_alloc" -> ((s, dir) =>
+      UniMax.allocate(
+        UniMax.tokenCounts(Tables.documents(s, dir), "lang", "text"),
+        "lang", UniMaxBudget, UniMaxEpochs).orderBy("lang")),
+
+    // X66 the materialized per-document repeat counts (full epochs +
+    // hash-prefix partial epoch, x57 greedy contract per language)
+    "x66_unimax" -> ((s, dir) =>
+      UniMax.select(Tables.documents(s, dir), "doc_id", "lang", "text",
+        UniMaxBudget, UniMaxEpochs, seed = UniMaxSeed).orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1974,6 +1994,38 @@ object ExtQueries {
     * order arithmetic (see [[KneserNey]]; `//` on DuckDB integers
     * truncates like Spark's `div`, and every operand is non-negative).
     */
+  /** x66 waterfilling CTE (shared by both x66 oracles): the contiguous
+    * capped prefix found by the same BIGINT cross-multiplication as
+    * [[UniMax.allocate]], integer leftover share + remainder-to-
+    * smallest.
+    */
+  private def uniMaxAllocCte: String = {
+    val b = UniMaxBudget
+    val e = UniMaxEpochs
+    s"""c AS (SELECT lang,
+       |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ct
+       |  FROM documents GROUP BY lang),
+       |w AS (SELECT lang, ct, ct * $e AS cap,
+       |   CAST(row_number() OVER (ORDER BY ct, lang) AS BIGINT) AS i,
+       |   CAST(count(*) OVER () AS BIGINT) AS n,
+       |   CAST(coalesce(sum(ct * $e) OVER (ORDER BY ct, lang
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |     AS BIGINT) AS sprev
+       |  FROM c),
+       |f AS (SELECT *, (cap * (n - i + 1) <= $b - sprev) AS cond FROM w),
+       |kk AS (SELECT coalesce(min(CASE WHEN NOT cond THEN i END) - 1,
+       |    max(i)) AS k FROM f),
+       |sk AS (SELECT CAST(coalesce(sum(CASE WHEN f.i <= kk.k THEN f.cap
+       |    END), 0) AS BIGINT) AS sk FROM f, kk),
+       |a AS (SELECT f.lang, f.ct, f.i, kk.k,
+       |   CASE WHEN f.i <= kk.k THEN f.cap
+       |     ELSE ($b - sk.sk) // (f.n - kk.k)
+       |       + (CASE WHEN f.i - kk.k <= ($b - sk.sk) % (f.n - kk.k)
+       |          THEN 1 ELSE 0 END)
+       |   END AS alloc
+       |  FROM f, kk, sk)""".stripMargin
+  }
+
   private def knLmSql: String = knLmSqlBuilder(estimated = false)
 
   /** The same pipeline with ESTIMATED discounts (x58): per-order
@@ -2212,6 +2264,39 @@ object ExtQueries {
          |      AND NOT has_lorem
          |    THEN coalesce(joined, '') ELSE NULL END AS cleaned
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // x66: the waterfilling allocation replayed over the language table
+    // (naive single-window form), shared by both x66 queries
+    "x66_unimax_alloc" ->
+      s"""WITH $uniMaxAllocCte
+         |SELECT lang, ct AS lang_tokens, (i <= k) AS capped,
+         |  CAST(alloc AS BIGINT) AS alloc_tokens
+         |FROM a ORDER BY lang""".stripMargin,
+
+    // x66: per-document repeats — the oracle's admission window is the
+    // NAIVE per-language global prefix sum (x48/x57 discipline: the
+    // hash gate proves the engine's two-pass decomposition equal)
+    "x66_unimax" ->
+      s"""WITH $uniMaxAllocCte,
+         |e AS (SELECT lang, alloc // ct AS e_full, alloc % ct AS part
+         |  FROM a),
+         |d AS (SELECT doc_id, lang,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |   md5(CAST(doc_id AS VARCHAR) || '$UniMaxSeed') AS h
+         |  FROM documents),
+         |cb AS (SELECT doc_id, lang, n_tokens,
+         |   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |     ORDER BY h, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |     AS BIGINT) AS cum_before
+         |  FROM d)
+         |SELECT cb.doc_id, cb.lang, cb.n_tokens, cb.cum_before,
+         |  CAST(e.e_full + (CASE WHEN cb.cum_before < e.part
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS repeats
+         |FROM cb JOIN e USING (lang)
+         |WHERE e.e_full + (CASE WHEN cb.cum_before < e.part
+         |  THEN 1 ELSE 0 END) > 0
+         |ORDER BY doc_id""".stripMargin,
 
     // x65: the Gopher paged-twin synthesis replayed, then each rule as
     // the same integer cross-multiplication over unnested words/lines

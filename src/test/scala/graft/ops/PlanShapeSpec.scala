@@ -304,6 +304,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!go.contains("Exchange"), s"unexpected shuffle in:\n$go")
   }
 
+  test("UniMax select: the corpus is never globally sorted; the offset " +
+    "and epoch dim tables broadcast into the scan") {
+    val docs = Tables.documents(spark, sf)
+    val plan = physical(UniMax.select(docs, "doc_id", "lang", "text",
+      budgetTokens = 36000L, maxEpochs = 2L, seed = "um"))
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort shuffle in:\n$plan")
+    assert(countOccurrences(plan, "BroadcastHashJoin") >= 2,
+      s"offset/epoch joins not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled to join:\n$plan")
+  }
+
   test("decontaminate: the eval shingle set broadcasts into the " +
     "positional match — the corpus is never sort-merge joined") {
     import spark.implicits._
