@@ -160,6 +160,23 @@ object ExtQueries {
     Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
   }
 
+  /** The x67 paged twin: width-[[C4Width]] lines where line i is a COPY
+    * of line 0 whenever (doc_id + i) % 10 == 0 (i > 0) — injecting the
+    * duplicate lines (and, through them, duplicate 5..7-grams) the
+    * repetition signals measure; 2..4-gram repetition occurs naturally
+    * in the word-soup vocabulary.
+    */
+  private def repPage(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ts = split(col("text"), " ")
+    val nl = floor((size(ts) + lit(C4Width - 1)) / lit(C4Width)).cast("int")
+    val chunk0 = array_join(slice(ts, lit(1), lit(C4Width)), " ")
+    val lines = transform(sequence(lit(0), nl - lit(1)), i =>
+      when((id + i) % 10 === 0 && i =!= 0, chunk0)
+        .otherwise(array_join(slice(ts, i * C4Width + 1, lit(C4Width)), " ")))
+    Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
+  }
+
   /** Trained (merges, final word table), cached per (session, dir): one
     * training pass feeds both x44 queries — the artifact contract of
     * [[pqCodebookCache]].
@@ -1196,6 +1213,12 @@ object ExtQueries {
       Gopher.qualityRules(gopherPage(s, dir), "doc_id", "page")
         .orderBy("doc_id")),
 
+    // X67 Gopher repetition signals over the duplicate-injected paged
+    // twin — row-local sorted folds, zero shuffle
+    "x67_gopher_rep" -> ((s, dir) =>
+      Gopher.repetitionSignals(repPage(s, dir), "doc_id", "page")
+        .orderBy("doc_id")),
+
     // X66 UniMax waterfilling allocation (language-sized)
     "x66_unimax_alloc" -> ((s, dir) =>
       UniMax.allocate(
@@ -1994,6 +2017,102 @@ object ExtQueries {
     * order arithmetic (see [[KneserNey]]; `//` on DuckDB integers
     * truncates like Spark's `div`, and every operand is non-negative).
     */
+  /** x67 oracle: the duplicate-injected paged twin replayed, then every
+    * repetition signal in its relational form — group-by-line /
+    * group-by-gram counts, top-1 by (count DESC, gram), positional
+    * coverage join for the duplicate-n-gram character fractions.
+    */
+  private def x67Sql: String = {
+    val W = C4Width
+    def gramCtes(n: Int): String =
+      s"""gn$n AS (SELECT doc_id, i AS p,
+         |    array_to_string(ws[i:i+${n - 1}], ' ') AS g
+         |  FROM wl, LATERAL unnest(generate_series(1, len(ws) - ${n - 1}))
+         |    AS u(i)),
+         |tc$n AS (SELECT doc_id, g, count(*) AS c FROM gn$n
+         |  GROUP BY doc_id, g)""".stripMargin
+    def topCtes(n: Int): String =
+      s"""tb$n AS (SELECT doc_id, c, g FROM (SELECT doc_id, g, c,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g)
+         |      AS rn FROM tc$n) WHERE rn = 1),
+         |tp$n AS (SELECT tb$n.doc_id,
+         |   CAST(tb$n.c * (length(tb$n.g) - ${n - 1}) * 1000000 // twc.twc
+         |     AS BIGINT) AS v
+         |  FROM tb$n JOIN twc ON twc.doc_id = tb$n.doc_id)""".stripMargin
+    def dupCtes(n: Int): String =
+      s"""dd$n AS (SELECT doc_id, g FROM tc$n WHERE c > 1),
+         |dp$n AS (SELECT DISTINCT gn$n.doc_id, s.pos
+         |  FROM gn$n JOIN dd$n ON dd$n.doc_id = gn$n.doc_id
+         |    AND dd$n.g = gn$n.g,
+         |  LATERAL unnest(generate_series(gn$n.p, gn$n.p + ${n - 1}))
+         |    AS s(pos)),
+         |dc$n AS (SELECT dp$n.doc_id, CAST(sum(length(wx.w)) AS BIGINT)
+         |    AS dchars
+         |  FROM dp$n JOIN wx ON wx.doc_id = dp$n.doc_id
+         |    AND wx.p = dp$n.pos
+         |  GROUP BY dp$n.doc_id),
+         |du$n AS (SELECT dc$n.doc_id,
+         |   CAST(dc$n.dchars * 1000000 // twc.twc AS BIGINT) AS v
+         |  FROM dc$n JOIN twc ON twc.doc_id = dc$n.doc_id)""".stripMargin
+    val topVals = (2 to 4).map(n =>
+      s"CAST(coalesce(tp$n.v, 0) AS BIGINT) AS top${n}_char_ppm")
+    val dupVals = (5 to 10).map(n =>
+      s"CAST(coalesce(du$n.v, 0) AS BIGINT) AS dup${n}_char_ppm")
+    val keptConj = (Seq(
+      s"lm.n_dup * 1000000 // lm.n_lines <= ${Gopher.DupLineMaxPpm}",
+      "(CASE WHEN lm.total_lc > 0 THEN lm.dup_lc * 1000000 // lm.total_lc " +
+        s"ELSE 0 END) <= ${Gopher.DupLineCharMaxPpm}") ++
+      (2 to 4).map(n =>
+        s"coalesce(tp$n.v, 0) <= ${Gopher.TopGramMaxPpm(n)}") ++
+      (5 to 10).map(n =>
+        s"coalesce(du$n.v, 0) <= ${Gopher.DupGramMaxPpm(n)}"))
+      .mkString("(", "\n   AND ", ")")
+    val joins = ((2 to 4).map(n => s"LEFT JOIN tp$n ON tp$n.doc_id = lm.doc_id") ++
+      (5 to 10).map(n => s"LEFT JOIN du$n ON du$n.doc_id = lm.doc_id"))
+      .mkString("\n")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |  FROM documents),
+       |l AS (SELECT doc_id, i,
+       |   CASE WHEN (doc_id + i) % 10 = 0 AND i > 0
+       |     THEN array_to_string(ts[1:$W], ' ')
+       |     ELSE array_to_string(ts[(i*$W+1):(i*$W+$W)], ' ') END AS line
+       |  FROM t, LATERAL unnest(generate_series(0,
+       |    (len(ts) + ${W - 1}) // $W - 1)) AS u(i)),
+       |pg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS page
+       |  FROM l GROUP BY doc_id),
+       |lc AS (SELECT doc_id, line, count(*) AS c FROM l
+       |  GROUP BY doc_id, line),
+       |lm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+       |   CAST(sum(c) - count(*) AS BIGINT) AS n_dup,
+       |   CAST(sum((c - 1) * length(line)) AS BIGINT) AS dup_lc,
+       |   CAST(sum(c * length(line)) AS BIGINT) AS total_lc
+       |  FROM lc GROUP BY doc_id),
+       |w0 AS (SELECT doc_id,
+       |   string_split(replace(page, chr(10), ' '), ' ') AS aw FROM pg),
+       |wx AS (SELECT doc_id,
+       |   row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p,
+       |   aw[i] AS w
+       |  FROM w0, LATERAL unnest(generate_series(1, len(aw))) AS u(i)
+       |  WHERE length(aw[i]) > 0),
+       |twc AS (SELECT doc_id, CAST(sum(length(w)) AS BIGINT) AS twc
+       |  FROM wx GROUP BY doc_id),
+       |wl AS (SELECT doc_id, list(w ORDER BY p) AS ws FROM wx
+       |  GROUP BY doc_id),
+       |${(2 to 10).map(gramCtes).mkString(",\n")},
+       |${(2 to 4).map(topCtes).mkString(",\n")},
+       |${(5 to 10).map(dupCtes).mkString(",\n")}
+       |SELECT lm.doc_id, lm.n_lines,
+       |  CAST(lm.n_dup * 1000000 // lm.n_lines AS BIGINT) AS dup_line_ppm,
+       |  CAST(CASE WHEN lm.total_lc > 0
+       |    THEN lm.dup_lc * 1000000 // lm.total_lc ELSE 0 END AS BIGINT)
+       |    AS dup_line_char_ppm,
+       |  ${(topVals ++ dupVals).mkString(",\n  ")},
+       |  $keptConj AS kept_doc
+       |FROM lm
+       |$joins
+       |ORDER BY lm.doc_id""".stripMargin
+  }
+
   /** x66 waterfilling CTE (shared by both x66 oracles): the contiguous
     * capped prefix found by the same BIGINT cross-multiplication as
     * [[UniMax.allocate]], integer leftover share + remainder-to-
@@ -2264,6 +2383,8 @@ object ExtQueries {
          |      AND NOT has_lorem
          |    THEN coalesce(joined, '') ELSE NULL END AS cleaned
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "x67_gopher_rep" -> x67Sql,
 
     // x66: the waterfilling allocation replayed over the language table
     // (naive single-window form), shared by both x66 queries

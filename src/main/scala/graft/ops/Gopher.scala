@@ -76,4 +76,129 @@ object Gopher {
           col("g_bullet") && col("g_ellipsis") && col("g_alpha") &&
           col("g_stop"))
   }
+
+  // ----------------------------------------------------------- X67 ----
+
+  /** The paper's repetition thresholds (Table A1), in parts-per-million
+    * of the fraction they bound.
+    */
+  val DupLineMaxPpm = 300000L
+  val DupLineCharMaxPpm = 200000L
+  val TopGramMaxPpm: Map[Int, Long] =
+    Map(2 -> 200000L, 3 -> 180000L, 4 -> 160000L)
+  val DupGramMaxPpm: Map[Int, Long] =
+    (5 to 10).map(n => n -> (150000L - (n - 5) * 10000L)).toMap
+
+  /** Exact BIGINT integral division as a Column: a − (a mod b) is an
+    * exact multiple of b, and dividing an exact multiple ≤ 2^53 is
+    * exact in IEEE double — so the result is floor(a/b) bit-exactly
+    * for the ppm magnitudes here (a ≤ chars·10^6).
+    */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** X67 — Gopher repetition signals (Rae et al. 2021, Table A1): the
+    * within-document repetition filters MassiveText applies alongside
+    * the [[qualityRules]] gate. Emits, in exact integer ppm:
+    *  - duplicate-line fraction and duplicate-line CHARACTER fraction
+    *    (occurrences after the first, over all lines / line chars)
+    *  - top-n-gram character fraction for n = 2,3,4 (chars of the most
+    *    frequent n-gram's occurrences over total word chars; ties to
+    *    the lexicographically smallest gram)
+    *  - duplicate-n-gram character fraction for n = 5..10 (chars of
+    *    word positions COVERED by any n-gram occurring more than once,
+    *    each position counted once)
+    * and the conjunction verdict against the paper's thresholds.
+    * Character accounting is over word characters (separators excluded)
+    * — the [[C4]]-family convention; the oracle replays the identical
+    * definition.
+    *
+    * SHAPE AT 100 TB: row-local like the rest of the family — the
+    * n-gram coverage uses an O(m log m) sorted fold over (gram, pos)
+    * structs rather than the O(m²) all-pairs count, so a 10^4-word
+    * document costs ~10^5 comparisons per n, not 10^8. ZERO shuffle;
+    * the DuckDB oracle computes the same signals relationally
+    * (group-by-gram, positional coverage join), checking the fold
+    * against the relational form per document.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val page = col(textCol)
+    val lines = split(page, "\n")
+    val words = filter(split(translate(page, "\n", " "), " "),
+      w => length(w) > 0)
+    val totalWC = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), _ + _)
+    val nLines = size(lines).cast("long")
+    val totalLC = aggregate(transform(lines, l => length(l).cast("long")),
+      lit(0L), _ + _)
+    val nDupLines = nLines - size(array_distinct(lines)).cast("long")
+    // occurrences 2..k of each line value add their chars (sorted fold)
+    val zeroL = struct(lit(true).as("first"), lit("").as("prev"),
+      lit(0L).as("dc"))
+    val dupLineChars = aggregate(array_sort(lines), zeroL, (acc, x) =>
+      struct(lit(false).as("first"), x.as("prev"),
+        (acc.getField("dc") +
+          when(!acc.getField("first") && x === acc.getField("prev"),
+            length(x).cast("long")).otherwise(lit(0L))).as("dc")),
+      acc => acc.getField("dc"))
+
+    def topGramPpm(n: Int): Column = {
+      val sh = graft.functions.Shingles.shingles(words, n)
+      val zero = struct(lit(true).as("first"), lit("").as("prev"),
+        lit(0L).as("run"), lit(0L).as("bc"), lit("").as("bg"))
+      val best = aggregate(array_sort(sh), zero, (acc, x) => {
+        val run = when(!acc.getField("first") && x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        val better = run > acc.getField("bc") // strict: first max wins
+        struct(lit(false).as("first"), x.as("prev"), run.as("run"),
+          when(better, run).otherwise(acc.getField("bc")).as("bc"),
+          when(better, x).otherwise(acc.getField("bg")).as("bg"))
+      }, acc => struct(acc.getField("bc").as("bc"),
+        acc.getField("bg").as("bg")))
+      val chars = best.getField("bc") *
+        (length(best.getField("bg")) - lit(n - 1)).cast("long")
+      when(size(sh) >= 1 && totalWC > 0,
+        idiv(chars * lit(1000000L), totalWC)).otherwise(lit(0L))
+    }
+
+    def dupGramPpm(n: Int): Column = {
+      val sh = graft.functions.Shingles.shingles(words, n)
+      val ss = array_sort(transform(sequence(lit(1), size(sh)), i =>
+        struct(element_at(sh, i).as("g"), i.as("p"))))
+      val zero = struct(lit(true).as("first"), lit("").as("prev"),
+        lit(0).as("prevp"), array().cast("array<int>").as("ps"))
+      // a run of k equal grams collects all k positions: each step in
+      // the run adds (previous, current) and array_union dedupes
+      val dupPos = aggregate(ss, zero, (acc, x) => {
+        val isDup = !acc.getField("first") &&
+          x.getField("g") === acc.getField("prev")
+        struct(lit(false).as("first"), x.getField("g").as("prev"),
+          x.getField("p").as("prevp"),
+          when(isDup, array_union(acc.getField("ps"),
+              array(acc.getField("prevp"), x.getField("p"))))
+            .otherwise(acc.getField("ps")).as("ps"))
+      }, acc => acc.getField("ps"))
+      val covered = array_distinct(flatten(transform(dupPos,
+        p => sequence(p, p + lit(n - 1)))))
+      val dupChars = aggregate(covered, lit(0L),
+        (a, p) => a + length(element_at(words, p)).cast("long"))
+      when(size(sh) >= 1 && totalWC > 0,
+        idiv(dupChars * lit(1000000L), totalWC)).otherwise(lit(0L))
+    }
+
+    val sigCols =
+      Seq(idiv(nDupLines * lit(1000000L), nLines).as("dup_line_ppm"),
+        when(totalLC > 0, idiv(dupLineChars * lit(1000000L), totalLC))
+          .otherwise(lit(0L)).as("dup_line_char_ppm")) ++
+      (2 to 4).map(n => topGramPpm(n).as(s"top${n}_char_ppm")) ++
+      (5 to 10).map(n => dupGramPpm(n).as(s"dup${n}_char_ppm"))
+    docs.select(col(idCol) +: nLines.as("n_lines") +: sigCols: _*)
+      .withColumn("kept_doc",
+        (Seq(col("dup_line_ppm") <= DupLineMaxPpm,
+          col("dup_line_char_ppm") <= DupLineCharMaxPpm) ++
+          (2 to 4).map(n => col(s"top${n}_char_ppm") <= TopGramMaxPpm(n)) ++
+          (5 to 10).map(n => col(s"dup${n}_char_ppm") <= DupGramMaxPpm(n)))
+          .reduce(_ && _))
+  }
 }

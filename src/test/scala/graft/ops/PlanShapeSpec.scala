@@ -302,6 +302,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(!c4.contains("Exchange"), s"unexpected shuffle in:\n$c4")
     val go = physical(Gopher.qualityRules(docs, "doc_id", "page"))
     assert(!go.contains("Exchange"), s"unexpected shuffle in:\n$go")
+    val rep = physical(Gopher.repetitionSignals(docs, "doc_id", "page"))
+    assert(!rep.contains("Exchange"), s"unexpected shuffle in:\n$rep")
   }
 
   test("UniMax select: the corpus is never globally sorted; the offset " +
