@@ -41,19 +41,35 @@ object C4 {
       size(split(l, " ")) >= minWords &&
       !l.contains("javascript")
 
+  private def keptLines(page: Column, minWords: Int): Column =
+    filter(split(page, "\n"), l => lineKeep(l, minWords))
+
+  /** The page-level verdict as a Column — the kernel [[clean]] names,
+    * exposed so pipeline compositions (x68) can gate in the same
+    * projection.
+    */
+  def pageVerdict(page: Column, minWords: Int = 3,
+                  minLines: Int = 5): Column =
+    size(keptLines(page, minWords)) >= minLines &&
+      !page.contains("{") && !page.contains("lorem ipsum")
+
+  /** The cleaned page (kept lines re-joined), NULL when the page-level
+    * verdict drops the document.
+    */
+  def cleanedCol(page: Column, minWords: Int = 3,
+                 minLines: Int = 5): Column =
+    when(pageVerdict(page, minWords, minLines),
+      array_join(keptLines(page, minWords), "\n"))
+
   /** Apply the C4 rules to `textCol` (a "\n"-separated page). */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             minWords: Int = 3, minLines: Int = 5): DataFrame = {
-    val lines = split(col(textCol), "\n")
-    val kept = filter(lines, l => lineKeep(l, minWords))
-    val pageOk = size(kept) >= minLines &&
-      !col(textCol).contains("{") &&
-      !col(textCol).contains("lorem ipsum")
+    val page = col(textCol)
     docs.select(
       col(idCol),
-      size(lines).cast("long").as("n_lines"),
-      size(kept).cast("long").as("n_kept"),
-      pageOk.as("kept_doc"),
-      when(pageOk, array_join(kept, "\n")).as("cleaned"))
+      size(split(page, "\n")).cast("long").as("n_lines"),
+      size(keptLines(page, minWords)).cast("long").as("n_kept"),
+      pageVerdict(page, minWords, minLines).as("kept_doc"),
+      cleanedCol(page, minWords, minLines).as("cleaned"))
   }
 }

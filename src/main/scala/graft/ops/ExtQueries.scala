@@ -177,6 +177,36 @@ object ExtQueries {
     Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
   }
 
+  /** The x68 paged twin: ALL the family's rule triggers on one page —
+    * c4Page's javascript/brace/lorem + missing-punctuation endings,
+    * gopherPage's bullets/stopwords/symbols/numerics plus "..." endings
+    * on a separate cycle ((d+i)%5=4, so ellipsis lines still end in
+    * C4-terminal punctuation), and repPage's duplicated lines — so the
+    * three composed stages each gate on something real.
+    */
+  private def mtPage(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ts = split(col("text"), " ")
+    val nl = floor((size(ts) + lit(C4Width - 1)) / lit(C4Width)).cast("int")
+    val chunk0 = array_join(slice(ts, lit(1), lit(C4Width)), " ")
+    val lines = transform(sequence(lit(0), nl - lit(1)), i =>
+      concat(
+        when((id + i) % 11 === 0, lit("- ")).otherwise(lit("")),
+        when((id + i) % 10 === 0 && i =!= 0, chunk0)
+          .otherwise(array_join(slice(ts, i * C4Width + 1, lit(C4Width)),
+            " ")),
+        when(id % 3 =!= 0 && i === 0, lit(" of and that")).otherwise(lit("")),
+        when((id + i) % 13 === 0, lit(" javascript")).otherwise(lit("")),
+        when(id % 17 === 0 && i === 0, lit(" {")).otherwise(lit("")),
+        when(id % 19 === 0 && i === 0, lit(" lorem ipsum")).otherwise(lit("")),
+        when((id + i) % 6 === 0, lit(" # #")).otherwise(lit("")),
+        when((id + i) % 9 === 0, lit(" 12345")).otherwise(lit("")),
+        when((id + i) % 4 === 3, lit(""))
+          .when((id + i) % 5 === 4, lit("..."))
+          .otherwise(lit("."))))
+    Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
+  }
+
   /** Trained (merges, final word table), cached per (session, dir): one
     * training pass feeds both x44 queries — the artifact contract of
     * [[pqCodebookCache]].
@@ -1219,6 +1249,13 @@ object ExtQueries {
       Gopher.repetitionSignals(repPage(s, dir), "doc_id", "page")
         .orderBy("doc_id")),
 
+    // X68 the composed MassiveText-style gate: C4 line cleaning, then
+    // Gopher quality + repetition verdicts over the CLEANED text — one
+    // scan-side projection, no join between stages
+    "x68_massivetext" -> ((s, dir) =>
+      MassiveText.gate(mtPage(s, dir), "doc_id", "page",
+        C4MinWords, C4MinLines).orderBy("doc_id")),
+
     // X66 UniMax waterfilling allocation (language-sized)
     "x66_unimax_alloc" -> ((s, dir) =>
       UniMax.allocate(
@@ -2113,6 +2150,168 @@ object ExtQueries {
        |ORDER BY lm.doc_id""".stripMargin
   }
 
+  /** x68 oracle: the combined paged twin, C4-cleaned relationally, then
+    * the x65 quality and x67 repetition signal formulas (q_/r_-prefixed
+    * CTEs) replayed over the CLEANED pages; stage verdicts left-join
+    * back so dropped-at-C4 docs carry NULL downstream verdicts, exactly
+    * like the engine's `when(c4_kept, …)`.
+    */
+  private def x68Sql: String = {
+    val W = C4Width
+    def rGram(n: Int): String =
+      s"""rgn$n AS (SELECT doc_id, i AS p,
+         |    array_to_string(ws[i:i+${n - 1}], ' ') AS g
+         |  FROM rwl, LATERAL unnest(generate_series(1, len(ws) - ${n - 1}))
+         |    AS u(i)),
+         |rtc$n AS (SELECT doc_id, g, count(*) AS c FROM rgn$n
+         |  GROUP BY doc_id, g)""".stripMargin
+    def rTop(n: Int): String =
+      s"""rtb$n AS (SELECT doc_id, c, g FROM (SELECT doc_id, g, c,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g)
+         |      AS rn FROM rtc$n) WHERE rn = 1),
+         |rtp$n AS (SELECT rtb$n.doc_id,
+         |   CAST(rtb$n.c * (length(rtb$n.g) - ${n - 1}) * 1000000
+         |     // rtwc.twc AS BIGINT) AS v
+         |  FROM rtb$n JOIN rtwc ON rtwc.doc_id = rtb$n.doc_id)""".stripMargin
+    def rDup(n: Int): String =
+      s"""rdd$n AS (SELECT doc_id, g FROM rtc$n WHERE c > 1),
+         |rdp$n AS (SELECT DISTINCT rgn$n.doc_id, s.pos
+         |  FROM rgn$n JOIN rdd$n ON rdd$n.doc_id = rgn$n.doc_id
+         |    AND rdd$n.g = rgn$n.g,
+         |  LATERAL unnest(generate_series(rgn$n.p, rgn$n.p + ${n - 1}))
+         |    AS s(pos)),
+         |rdc$n AS (SELECT rdp$n.doc_id, CAST(sum(length(rwx.w)) AS BIGINT)
+         |    AS dchars
+         |  FROM rdp$n JOIN rwx ON rwx.doc_id = rdp$n.doc_id
+         |    AND rwx.p = rdp$n.pos
+         |  GROUP BY rdp$n.doc_id),
+         |rdu$n AS (SELECT rdc$n.doc_id,
+         |   CAST(rdc$n.dchars * 1000000 // rtwc.twc AS BIGINT) AS v
+         |  FROM rdc$n JOIN rtwc ON rtwc.doc_id = rdc$n.doc_id)""".stripMargin
+    val repConj = (Seq(
+      "rlm.n_dup * 1000000 // rlm.n_lines <= " + Gopher.DupLineMaxPpm,
+      "(CASE WHEN rlm.total_lc > 0 THEN rlm.dup_lc * 1000000 // " +
+        s"rlm.total_lc ELSE 0 END) <= ${Gopher.DupLineCharMaxPpm}") ++
+      (2 to 4).map(n =>
+        s"coalesce(rtp$n.v, 0) <= ${Gopher.TopGramMaxPpm(n)}") ++
+      (5 to 10).map(n =>
+        s"coalesce(rdu$n.v, 0) <= ${Gopher.DupGramMaxPpm(n)}"))
+      .mkString("(", "\n   AND ", ")")
+    val repJoins = ((2 to 4).map(n =>
+      s"LEFT JOIN rtp$n ON rtp$n.doc_id = rlm.doc_id") ++
+      (5 to 10).map(n => s"LEFT JOIN rdu$n ON rdu$n.doc_id = rlm.doc_id"))
+      .mkString("\n  ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |  FROM documents),
+       |l AS (SELECT doc_id, i,
+       |   (CASE WHEN (doc_id + i) % 11 = 0 THEN '- ' ELSE '' END)
+       |   || (CASE WHEN (doc_id + i) % 10 = 0 AND i > 0
+       |       THEN array_to_string(ts[1:$W], ' ')
+       |       ELSE array_to_string(ts[(i*$W+1):(i*$W+$W)], ' ') END)
+       |   || (CASE WHEN doc_id % 3 <> 0 AND i = 0 THEN ' of and that'
+       |       ELSE '' END)
+       |   || (CASE WHEN (doc_id + i) % 13 = 0 THEN ' javascript'
+       |       ELSE '' END)
+       |   || (CASE WHEN doc_id % 17 = 0 AND i = 0 THEN ' {' ELSE '' END)
+       |   || (CASE WHEN doc_id % 19 = 0 AND i = 0 THEN ' lorem ipsum'
+       |       ELSE '' END)
+       |   || (CASE WHEN (doc_id + i) % 6 = 0 THEN ' # #' ELSE '' END)
+       |   || (CASE WHEN (doc_id + i) % 9 = 0 THEN ' 12345' ELSE '' END)
+       |   || (CASE WHEN (doc_id + i) % 4 = 3 THEN ''
+       |       WHEN (doc_id + i) % 5 = 4 THEN '...' ELSE '.' END) AS line
+       |  FROM t, LATERAL unnest(generate_series(0,
+       |    (len(ts) + ${W - 1}) // $W - 1)) AS u(i)),
+       |k AS (SELECT doc_id, i, line,
+       |   (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?'
+       |     OR line LIKE '%"')
+       |   AND len(string_split(line, ' ')) >= $C4MinWords
+       |   AND NOT contains(line, 'javascript') AS keep
+       |  FROM l),
+       |g AS (SELECT doc_id,
+       |   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |   string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY i)
+       |     AS joined,
+       |   bool_or(contains(line, '{')) AS has_brace,
+       |   bool_or(contains(line, 'lorem ipsum')) AS has_lorem
+       |  FROM k GROUP BY doc_id),
+       |cp AS (SELECT doc_id,
+       |   (n_kept >= $C4MinLines AND NOT has_brace AND NOT has_lorem)
+       |     AS c4_kept,
+       |   CASE WHEN n_kept >= $C4MinLines AND NOT has_brace
+       |       AND NOT has_lorem
+       |     THEN coalesce(joined, '') END AS page
+       |  FROM g),
+       |cps AS (SELECT doc_id, page FROM cp WHERE c4_kept),
+       |qwx AS (SELECT doc_id, w
+       |  FROM cps, LATERAL unnest(string_split(replace(page, chr(10),
+       |    ' '), ' ')) AS u(w) WHERE length(w) > 0),
+       |qwm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |   CAST(sum(length(w)) AS BIGINT) AS sum_len,
+       |   CAST(sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0
+       |     END) AS BIGINT) AS n_alpha,
+       |   CAST(count(DISTINCT CASE WHEN w IN ('the','be','to','of',
+       |     'and','that','have','with') THEN w END) AS BIGINT) AS n_stop
+       |  FROM qwx GROUP BY doc_id),
+       |ql AS (SELECT doc_id, line FROM cps,
+       |  LATERAL unnest(string_split(page, chr(10))) AS u(line)),
+       |qlm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |   CAST(sum(CASE WHEN line LIKE '- %' OR line LIKE '• %'
+       |     THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet,
+       |   CAST(sum(CASE WHEN line LIKE '%...' THEN 1 ELSE 0 END)
+       |     AS BIGINT) AS n_ell
+       |  FROM ql GROUP BY doc_id),
+       |qpm AS (SELECT doc_id,
+       |   CAST(length(page) - length(replace(page, '#', '')) AS BIGINT)
+       |     AS n_hash,
+       |   CAST((length(page) - length(replace(page, '...', ''))) // 3
+       |     AS BIGINT) AS n_ell_occ
+       |  FROM cps),
+       |gq AS (SELECT qwm.doc_id,
+       |  ((n_words BETWEEN 50 AND 100000)
+       |   AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+       |   AND 10 * (n_hash + n_ell_occ) <= n_words
+       |   AND 10 * n_bullet <= n_lines
+       |   AND 10 * n_ell <= 3 * n_lines
+       |   AND 10 * n_alpha >= 8 * n_words
+       |   AND n_stop >= 2) AS q_kept
+       |  FROM qwm JOIN qlm ON qlm.doc_id = qwm.doc_id
+       |    JOIN qpm ON qpm.doc_id = qwm.doc_id),
+       |rl AS (SELECT doc_id, line FROM cps,
+       |  LATERAL unnest(string_split(page, chr(10))) AS u(line)),
+       |rlc AS (SELECT doc_id, line, count(*) AS c FROM rl
+       |  GROUP BY doc_id, line),
+       |rlm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+       |   CAST(sum(c) - count(*) AS BIGINT) AS n_dup,
+       |   CAST(sum((c - 1) * length(line)) AS BIGINT) AS dup_lc,
+       |   CAST(sum(c * length(line)) AS BIGINT) AS total_lc
+       |  FROM rlc GROUP BY doc_id),
+       |rw0 AS (SELECT doc_id,
+       |   string_split(replace(page, chr(10), ' '), ' ') AS aw FROM cps),
+       |rwx AS (SELECT doc_id,
+       |   row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p,
+       |   aw[i] AS w
+       |  FROM rw0, LATERAL unnest(generate_series(1, len(aw))) AS u(i)
+       |  WHERE length(aw[i]) > 0),
+       |rtwc AS (SELECT doc_id, CAST(sum(length(w)) AS BIGINT) AS twc
+       |  FROM rwx GROUP BY doc_id),
+       |rwl AS (SELECT doc_id, list(w ORDER BY p) AS ws FROM rwx
+       |  GROUP BY doc_id),
+       |${(2 to 10).map(rGram).mkString(",\n")},
+       |${(2 to 4).map(rTop).mkString(",\n")},
+       |${(5 to 10).map(rDup).mkString(",\n")},
+       |gr AS (SELECT rlm.doc_id, $repConj AS rep_kept
+       |  FROM rlm
+       |  $repJoins)
+       |SELECT cp.doc_id, cp.c4_kept, gq.q_kept AS quality_kept,
+       |  gr.rep_kept,
+       |  (cp.c4_kept AND coalesce(gq.q_kept, FALSE)
+       |    AND coalesce(gr.rep_kept, FALSE)) AS kept_doc
+       |FROM cp
+       |LEFT JOIN gq ON gq.doc_id = cp.doc_id
+       |LEFT JOIN gr ON gr.doc_id = cp.doc_id
+       |ORDER BY cp.doc_id""".stripMargin
+  }
+
   /** x66 waterfilling CTE (shared by both x66 oracles): the contiguous
     * capped prefix found by the same BIGINT cross-multiplication as
     * [[UniMax.allocate]], integer leftover share + remainder-to-
@@ -2385,6 +2584,8 @@ object ExtQueries {
          |FROM g ORDER BY doc_id""".stripMargin,
 
     "x67_gopher_rep" -> x67Sql,
+
+    "x68_massivetext" -> x68Sql,
 
     // x66: the waterfilling allocation replayed over the language table
     // (naive single-window form), shared by both x66 queries

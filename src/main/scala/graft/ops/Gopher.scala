@@ -43,8 +43,10 @@ object Gopher {
   val MaxMeanLen = 10L
   val MinStopwords = 2
 
-  def qualityRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val page = col(textCol)
+  /** The seven gate booleans for one page Column, in the documented
+    * order — shared by [[qualityRules]] and [[qualityVerdict]].
+    */
+  private def qualityGates(page: Column): Seq[(String, Column)] = {
     val lines = split(page, "\n")
     val words = filter(split(translate(page, "\n", " "), " "),
       w => length(w) > 0)
@@ -61,20 +63,34 @@ object Gopher {
     val nHash = (length(page) - length(translate(page, "#", ""))).cast("long")
     val nEllOcc = ((length(page) - length(replace(page, lit("..."), lit(""))))
       / lit(3)).cast("long")
+    Seq(
+      "g_words" -> (nWords >= MinWords && nWords <= MaxWords),
+      "g_meanlen" -> (lit(MinMeanLen) * nWords <= sumLen &&
+        sumLen <= lit(MaxMeanLen) * nWords),
+      "g_symbol" -> (lit(10L) * (nHash + nEllOcc) <= nWords),
+      "g_bullet" -> (lit(10L) * nBullet <= nLines),
+      "g_ellipsis" -> (lit(10L) * nEllLines <= lit(3L) * nLines),
+      "g_alpha" -> (lit(10L) * nAlpha >= lit(8L) * nWords),
+      "g_stop" -> (nStop >= MinStopwords))
+  }
+
+  /** The conjunction verdict as a Column (for same-projection pipeline
+    * composition — x68).
+    */
+  def qualityVerdict(page: Column): Column =
+    qualityGates(page).map(_._2).reduce(_ && _)
+
+  def qualityRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val page = col(textCol)
+    val lines = split(page, "\n")
+    val words = filter(split(translate(page, "\n", " "), " "),
+      w => length(w) > 0)
+    val gates = qualityGates(page)
     docs.select(
-      col(idCol), nLines.as("n_lines"), nWords.as("n_words"),
-      (nWords >= MinWords && nWords <= MaxWords).as("g_words"),
-      (lit(MinMeanLen) * nWords <= sumLen &&
-        sumLen <= lit(MaxMeanLen) * nWords).as("g_meanlen"),
-      (lit(10L) * (nHash + nEllOcc) <= nWords).as("g_symbol"),
-      (lit(10L) * nBullet <= nLines).as("g_bullet"),
-      (lit(10L) * nEllLines <= lit(3L) * nLines).as("g_ellipsis"),
-      (lit(10L) * nAlpha >= lit(8L) * nWords).as("g_alpha"),
-      (nStop >= MinStopwords).as("g_stop"))
-      .withColumn("kept_doc",
-        col("g_words") && col("g_meanlen") && col("g_symbol") &&
-          col("g_bullet") && col("g_ellipsis") && col("g_alpha") &&
-          col("g_stop"))
+      Seq(col(idCol), size(lines).cast("long").as("n_lines"),
+        size(words).cast("long").as("n_words")) ++
+        gates.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("kept_doc", gates.map(g => col(g._1)).reduce(_ && _))
   }
 
   // ----------------------------------------------------------- X67 ----
@@ -124,6 +140,22 @@ object Gopher {
   def repetitionSignals(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     val page = col(textCol)
+    val (nLines, sigs) = repSignalCols(page)
+    docs.select(col(idCol) +: nLines.as("n_lines") +:
+        sigs.map { case (n, c, _) => c.as(n) }: _*)
+      .withColumn("kept_doc",
+        sigs.map { case (n, _, thr) => col(n) <= thr }.reduce(_ && _))
+  }
+
+  /** The conjunction verdict as a Column (x68 composition). */
+  def repetitionVerdict(page: Column): Column =
+    repSignalCols(page)._2.map { case (_, c, thr) => c <= thr }
+      .reduce(_ && _)
+
+  /** (n_lines, (name, ppm Column, max ppm) per signal) for one page
+    * Column — shared by the DataFrame op and the verdict kernel.
+    */
+  private def repSignalCols(page: Column): (Column, Seq[(String, Column, Long)]) = {
     val lines = split(page, "\n")
     val words = filter(split(translate(page, "\n", " "), " "),
       w => length(w) > 0)
@@ -187,18 +219,16 @@ object Gopher {
         idiv(dupChars * lit(1000000L), totalWC)).otherwise(lit(0L))
     }
 
-    val sigCols =
-      Seq(idiv(nDupLines * lit(1000000L), nLines).as("dup_line_ppm"),
-        when(totalLC > 0, idiv(dupLineChars * lit(1000000L), totalLC))
-          .otherwise(lit(0L)).as("dup_line_char_ppm")) ++
-      (2 to 4).map(n => topGramPpm(n).as(s"top${n}_char_ppm")) ++
-      (5 to 10).map(n => dupGramPpm(n).as(s"dup${n}_char_ppm"))
-    docs.select(col(idCol) +: nLines.as("n_lines") +: sigCols: _*)
-      .withColumn("kept_doc",
-        (Seq(col("dup_line_ppm") <= DupLineMaxPpm,
-          col("dup_line_char_ppm") <= DupLineCharMaxPpm) ++
-          (2 to 4).map(n => col(s"top${n}_char_ppm") <= TopGramMaxPpm(n)) ++
-          (5 to 10).map(n => col(s"dup${n}_char_ppm") <= DupGramMaxPpm(n)))
-          .reduce(_ && _))
+    val sigs =
+      Seq(("dup_line_ppm", idiv(nDupLines * lit(1000000L), nLines),
+          DupLineMaxPpm),
+        ("dup_line_char_ppm",
+          when(totalLC > 0, idiv(dupLineChars * lit(1000000L), totalLC))
+            .otherwise(lit(0L)), DupLineCharMaxPpm)) ++
+      (2 to 4).map(n =>
+        (s"top${n}_char_ppm", topGramPpm(n), TopGramMaxPpm(n))) ++
+      (5 to 10).map(n =>
+        (s"dup${n}_char_ppm", dupGramPpm(n), DupGramMaxPpm(n)))
+    (nLines, sigs)
   }
 }

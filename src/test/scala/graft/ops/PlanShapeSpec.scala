@@ -304,6 +304,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!go.contains("Exchange"), s"unexpected shuffle in:\n$go")
     val rep = physical(Gopher.repetitionSignals(docs, "doc_id", "page"))
     assert(!rep.contains("Exchange"), s"unexpected shuffle in:\n$rep")
+    // the x68 three-stage composition stays one projection: no join,
+    // no shuffle between the stages
+    val mt = physical(MassiveText.gate(docs, "doc_id", "page"))
+    assert(!mt.contains("Exchange"), s"unexpected shuffle in:\n$mt")
+    assert(!mt.contains("Join"), s"unexpected join in:\n$mt")
   }
 
   test("UniMax select: the corpus is never globally sorted; the offset " +
