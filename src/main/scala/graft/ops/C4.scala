@@ -61,6 +61,58 @@ object C4 {
     when(pageVerdict(page, minWords, minLines),
       array_join(keptLines(page, minWords), "\n"))
 
+  /** X69 — the corpus-level half of the C4 recipe: "we deduplicated any
+    * three-sentence span occurring more than once". Every `span`
+    * consecutive-line window is fingerprinted; the globally FIRST
+    * occurrence (minimum (doc, start) — document id, then start line)
+    * keeps its lines, every later occurrence is excised, and documents
+    * reassemble from their surviving lines. Overlapping removed spans
+    * union (each line removed once); a removed span overlapping a kept
+    * first occurrence still removes its own lines — spans are judged on
+    * the ORIGINAL line sequence, single-pass, as the paper does.
+    *
+    * SHAPE AT 100 TB: the only all-corpus exchange carries (digest,
+    * doc, start) — the md5 of the span text, never the text itself (the
+    * x1 digest-only discipline; the DuckDB oracle computes the same md5
+    * so there is nothing to drift). The removed-start lists come back
+    * doc-keyed through the (doc ⨝ removals) equi-join — AQE broadcasts
+    * them when small — and the line-level excision is a row-local
+    * coverage union (the x67 position-set trick). Two shuffles total:
+    * the digest group-by and the doc-id join.
+    *
+    * Output: doc_id, n_lines, n_removed, deduped ('' if everything was
+    * excised).
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                span: Int = 3): DataFrame = {
+    require(span >= 1, s"span must be >= 1: $span")
+    val lines = split(col(textCol), "\n")
+    val spanArr = when(size(lines) >= span,
+      transform(sequence(lit(1), size(lines) - lit(span - 1)), i =>
+        md5(array_join(slice(lines, i, lit(span)), "\n"))))
+      .otherwise(array().cast("array<string>"))
+    val spans = docs.select(col(idCol), posexplode(spanArr).as(Seq("p", "d")))
+      .select(col(idCol), (col("p") + 1).as("start"), col("d"))
+    val first = spans.groupBy(col("d"))
+      .agg(min(struct(col(idCol), col("start"))).as("keep"))
+    val removedStarts = spans.join(first, Seq("d"))
+      .filter(!(col("keep").getField(idCol) === col(idCol) &&
+        col("keep").getField("start") === col("start")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("start"))).as("starts"))
+    val covered = array_distinct(flatten(transform(col("starts"),
+      st => sequence(st, st + lit(span - 1)))))
+    docs.join(removedStarts, Seq(idCol), "left")
+      .select(col(idCol), lines.as("ls"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col(idCol),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(covered).cast("long").as("n_removed"),
+        array_join(filter(transform(sequence(lit(1), size(col("ls"))),
+          j => when(!array_contains(covered, j), element_at(col("ls"), j))),
+          x => x.isNotNull), "\n").as("deduped"))
+  }
+
   /** Apply the C4 rules to `textCol` (a "\n"-separated page). */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             minWords: Int = 3, minLines: Int = 5): DataFrame = {

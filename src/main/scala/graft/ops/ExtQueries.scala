@@ -177,6 +177,24 @@ object ExtQueries {
     Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
   }
 
+  /** The x69 paged twin: even docs cycle their first five width-
+    * [[C4Width]] chunks (line i repeats chunk i mod 5), so every
+    * 3-line span from line 6 onward duplicates an earlier one; odd
+    * docs keep their natural distinct lines. Cross-doc span dedup is
+    * spec-pinned on hand rows (chunks are doc-local, so the synthesis
+    * cannot produce it).
+    */
+  private def cycPage(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ts = split(col("text"), " ")
+    val nl = floor((size(ts) + lit(C4Width - 1)) / lit(C4Width)).cast("int")
+    val lines = transform(sequence(lit(0), nl - lit(1)), i => {
+      val j = when(id % 2 === 0, pmod(i, lit(5))).otherwise(i)
+      array_join(slice(ts, j * C4Width + 1, lit(C4Width)), " ")
+    })
+    Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
+  }
+
   /** The x68 paged twin: ALL the family's rule triggers on one page —
     * c4Page's javascript/brace/lorem + missing-punctuation endings,
     * gopherPage's bullets/stopwords/symbols/numerics plus "..." endings
@@ -1255,6 +1273,12 @@ object ExtQueries {
     "x68_massivetext" -> ((s, dir) =>
       MassiveText.gate(mtPage(s, dir), "doc_id", "page",
         C4MinWords, C4MinLines).orderBy("doc_id")),
+
+    // X69 C4 three-sentence-span corpus dedup over the cyclic twin —
+    // digest-only global shuffle, row-local line excision
+    "x69_c4_spandedup" -> ((s, dir) =>
+      C4.spanDedup(cycPage(s, dir), "doc_id", "page", span = 3)
+        .orderBy("doc_id")),
 
     // X66 UniMax waterfilling allocation (language-sized)
     "x66_unimax_alloc" -> ((s, dir) =>
@@ -2586,6 +2610,43 @@ object ExtQueries {
     "x67_gopher_rep" -> x67Sql,
 
     "x68_massivetext" -> x68Sql,
+
+    // x69: the cyclic twin replayed, spans fingerprinted with the SAME
+    // md5 the engine shuffles (nothing to drift), first-occurrence rank
+    // by (doc_id, start), coverage union excision
+    "x69_c4_spandedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |l AS (SELECT doc_id, i,
+         |   array_to_string(ts[(j*$C4Width+1):(j*$C4Width+$C4Width)], ' ')
+         |     AS line
+         |  FROM (SELECT doc_id, ts, i,
+         |     CASE WHEN doc_id % 2 = 0 THEN i % 5 ELSE i END AS j
+         |    FROM t, LATERAL unnest(generate_series(0,
+         |      (len(ts) + ${C4Width - 1}) // $C4Width - 1)) AS u(i))),
+         |lw AS (SELECT doc_id, list(line ORDER BY i) AS ls FROM l
+         |  GROUP BY doc_id),
+         |sp AS (SELECT doc_id, i AS start,
+         |   md5(array_to_string(ls[i:i+2], chr(10))) AS d
+         |  FROM lw, LATERAL unnest(generate_series(1, len(ls) - 2))
+         |    AS u(i)),
+         |rk AS (SELECT doc_id, start,
+         |   row_number() OVER (PARTITION BY d ORDER BY doc_id, start)
+         |     AS rn FROM sp),
+         |cov AS (SELECT DISTINCT rk.doc_id, v.pos FROM rk,
+         |  LATERAL unnest(generate_series(rk.start, rk.start + 2))
+         |    AS v(pos)
+         |  WHERE rk.rn > 1),
+         |ln AS (SELECT doc_id, i + 1 AS j, line FROM l)
+         |SELECT ln.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN cov.pos IS NULL THEN line END,
+         |    chr(10) ORDER BY j), '') AS deduped
+         |FROM ln LEFT JOIN cov ON cov.doc_id = ln.doc_id
+         |  AND cov.pos = ln.j
+         |GROUP BY ln.doc_id ORDER BY ln.doc_id""".stripMargin,
 
     // x66: the waterfilling allocation replayed over the language table
     // (naive single-window form), shared by both x66 queries

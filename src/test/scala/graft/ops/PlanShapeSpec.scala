@@ -311,6 +311,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!mt.contains("Join"), s"unexpected join in:\n$mt")
   }
 
+  test("span dedup: two hash exchanges total (digest group-by + removal " +
+    "lists), removals broadcast back, corpus text never shuffles") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "replace(text, ' the ', chr(10)) AS page")
+    val plan = physical(C4.spanDedup(docs, "doc_id", "page"))
+    assert(countOccurrences(plan, "Exchange hashpartitioning") === 2,
+      s"expected exactly 2 hash exchanges in:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort shuffle in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled to join:\n$plan")
+  }
+
   test("UniMax select: the corpus is never globally sorted; the offset " +
     "and epoch dim tables broadcast into the scan") {
     val docs = Tables.documents(spark, sf)
