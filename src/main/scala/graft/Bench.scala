@@ -37,11 +37,7 @@ object Bench {
     val benchStart = System.nanoTime()
     // Local-iteration filter (same contract as Verify's): the driver
     // never sets it, so driver benches always cover every query.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val selected =
-      if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val selected = QueryFilter.selected()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -17,11 +17,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter: comma-separated query names. The driver
     // never sets it, so the full dump is unchanged in driver runs.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val selected =
-      if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val selected = QueryFilter.selected()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

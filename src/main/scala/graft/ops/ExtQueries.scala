@@ -323,6 +323,7 @@ object ExtQueries {
   private def substrWindows(s: SparkSession, dir: String): DataFrame =
     windowTableCache.getOrCompute(s, dir) {
       Dedup.windowTable(Tables.documents(s, dir), "doc_id", "text", SubstrK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** The trained PQ codebook, cached per (session, table dir): training
@@ -1540,6 +1541,70 @@ object ExtQueries {
     * cosine gate is the identical no-sqrt integer comparison in HUGEINT
     * (dot^2 * 10^6 overflows BIGINT at dim 64).
     */
+  /** Shared SQL fragments for the centroid-replay oracles (x36, x62,
+    * x63) — ONE builder per stage so a formula fix cannot silently
+    * drift between the three replays. [[centAssignCtes]] = centroid
+    * VALUES + quantize + expanded |q−c|² argmin assignment;
+    * [[cosinePairCte]] = the lower-id duplicate-pair cosine gate
+    * (HUGEINT no-sqrt comparison); [[protoRankTail]] = proto_ppt
+    * scoring + per-cluster rank + ppm keep verdict over the population
+    * CTE named `pop` (asg for x62, the deduped kp for x63).
+    */
+  private def centAssignCtes(cents: Array[Array[Int]]): String = {
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(v => v.toLong * v).sum
+      s"($i, ${c.map(v => s"$v.0").mkString("[", ", ", "]")}, $c2.0)"
+    }.mkString(",\n  ")
+    s"""WITH cent(list_id, cv, c2) AS (VALUES
+       |  $rows),
+       |e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+       |ad AS (SELECT n.vec_id, cent.list_id,
+       |  n.n2 - 2 * list_dot_product(n.q, cent.cv) + cent.c2 AS dist
+       |  FROM n CROSS JOIN cent),
+       |asg AS (SELECT vec_id, list_id FROM (
+       |  SELECT vec_id, list_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+       |  FROM ad) WHERE rn = 1)""".stripMargin
+  }
+
+  private def cosinePairCte: String = {
+    val tau2 = SemDedupTauPermille * SemDedupTauPermille
+    s"""pair AS (SELECT a.vec_id AS ia, count(*) AS n_dup_lower
+       |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+       |  JOIN n na ON na.vec_id = a.vec_id
+       |  JOIN n nb ON nb.vec_id = b.vec_id
+       |  WHERE list_dot_product(na.q, nb.q) > 0
+       |    AND CAST(list_dot_product(na.q, nb.q) AS HUGEINT)
+       |      * CAST(list_dot_product(na.q, nb.q) AS HUGEINT) * 1000000
+       |      > $tau2 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  private def protoRankTail(pop: String): String =
+    s"""s AS (SELECT n.vec_id, $pop.list_id,
+       |  CASE WHEN n.n2 * cent.c2 = 0 THEN 0
+       |    ELSE (CASE WHEN list_dot_product(n.q, cent.cv) < 0
+       |            THEN -1 ELSE 1 END)
+       |      * CAST((CAST(list_dot_product(n.q, cent.cv) AS HUGEINT)
+       |          * CAST(list_dot_product(n.q, cent.cv) AS HUGEINT)
+       |          * 1000000000000)
+       |        // (CAST(n.n2 AS HUGEINT) * CAST(cent.c2 AS HUGEINT))
+       |        AS BIGINT) END AS proto_ppt
+       |  FROM $pop JOIN n ON n.vec_id = $pop.vec_id
+       |  JOIN cent ON cent.list_id = $pop.list_id),
+       |r AS (SELECT vec_id, list_id, proto_ppt,
+       |    row_number() OVER (PARTITION BY list_id
+       |      ORDER BY proto_ppt DESC, vec_id) AS r,
+       |    count(*) OVER (PARTITION BY list_id) AS n FROM s)
+       |SELECT vec_id, CAST(list_id AS INTEGER) AS list_id,
+       |  CAST(proto_ppt AS BIGINT) AS proto_ppt, CAST(r AS BIGINT) AS r,
+       |  CAST(CASE WHEN r > ($ProtoPrunePpm * n) // 1000000
+       |    THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+       |FROM r ORDER BY vec_id""".stripMargin
+
   private def semDedupOracle: Map[String, String] = {
     if (SemDedup.lastCentroids.isEmpty)
       System.err.println(
@@ -1547,34 +1612,9 @@ object ExtQueries {
           "has not run in this JVM, so there are no centroids to inline. " +
           "Run the queries before dumping oracleSql (graft.Verify's order).")
     SemDedup.lastCentroids.map { cents =>
-      val rows = cents.zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(v => v.toLong * v).sum
-        s"($i, ${c.map(v => s"$v.0").mkString("[", ", ", "]")}, $c2.0)"
-      }.mkString(",\n  ")
-      val tau2 = SemDedupTauPermille * SemDedupTauPermille
       "x36_semdedup" ->
-        s"""WITH cent(list_id, cv, c2) AS (VALUES
-           |  $rows),
-           |e AS (SELECT vec_id,
-           |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
-           |  FROM embeddings),
-           |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
-           |ad AS (SELECT n.vec_id, cent.list_id,
-           |  n.n2 - 2 * list_dot_product(n.q, cent.cv) + cent.c2 AS dist
-           |  FROM n CROSS JOIN cent),
-           |asg AS (SELECT vec_id, list_id FROM (
-           |  SELECT vec_id, list_id,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
-           |  FROM ad) WHERE rn = 1),
-           |pair AS (SELECT a.vec_id AS ia, count(*) AS n_dup_lower
-           |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND b.vec_id < a.vec_id
-           |  JOIN n na ON na.vec_id = a.vec_id
-           |  JOIN n nb ON nb.vec_id = b.vec_id
-           |  WHERE list_dot_product(na.q, nb.q) > 0
-           |    AND CAST(list_dot_product(na.q, nb.q) AS HUGEINT)
-           |      * CAST(list_dot_product(na.q, nb.q) AS HUGEINT) * 1000000
-           |      > $tau2 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
-           |  GROUP BY 1)
+        s"""${centAssignCtes(cents)},
+           |$cosinePairCte
            |SELECT asg.vec_id, CAST(asg.list_id AS INTEGER) AS list_id,
            |  CAST(coalesce(p.n_dup_lower, 0) AS BIGINT) AS n_dup_lower,
            |  CAST(CASE WHEN p.ia IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_kept
@@ -1598,44 +1638,9 @@ object ExtQueries {
           "centroids to inline. Run the queries before dumping oracleSql " +
           "(graft.Verify's order).")
     ProtoPrune.lastCentroids.map { cents =>
-      val rows = cents.zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(v => v.toLong * v).sum
-        s"($i, ${c.map(v => s"$v.0").mkString("[", ", ", "]")}, $c2.0)"
-      }.mkString(",\n  ")
       "x62_proto_prune" ->
-        s"""WITH cent(list_id, cv, c2) AS (VALUES
-           |  $rows),
-           |e AS (SELECT vec_id,
-           |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
-           |  FROM embeddings),
-           |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
-           |ad AS (SELECT n.vec_id, cent.list_id,
-           |  n.n2 - 2 * list_dot_product(n.q, cent.cv) + cent.c2 AS dist
-           |  FROM n CROSS JOIN cent),
-           |asg AS (SELECT vec_id, list_id FROM (
-           |  SELECT vec_id, list_id,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
-           |  FROM ad) WHERE rn = 1),
-           |s AS (SELECT n.vec_id, asg.list_id,
-           |  CASE WHEN n.n2 * cent.c2 = 0 THEN 0
-           |    ELSE (CASE WHEN list_dot_product(n.q, cent.cv) < 0
-           |            THEN -1 ELSE 1 END)
-           |      * CAST((CAST(list_dot_product(n.q, cent.cv) AS HUGEINT)
-           |          * CAST(list_dot_product(n.q, cent.cv) AS HUGEINT)
-           |          * 1000000000000)
-           |        // (CAST(n.n2 AS HUGEINT) * CAST(cent.c2 AS HUGEINT))
-           |        AS BIGINT) END AS proto_ppt
-           |  FROM asg JOIN n ON n.vec_id = asg.vec_id
-           |  JOIN cent ON cent.list_id = asg.list_id),
-           |r AS (SELECT vec_id, list_id, proto_ppt,
-           |    row_number() OVER (PARTITION BY list_id
-           |      ORDER BY proto_ppt DESC, vec_id) AS r,
-           |    count(*) OVER (PARTITION BY list_id) AS n FROM s)
-           |SELECT vec_id, CAST(list_id AS INTEGER) AS list_id,
-           |  CAST(proto_ppt AS BIGINT) AS proto_ppt, CAST(r AS BIGINT) AS r,
-           |  CAST(CASE WHEN r > ($ProtoPrunePpm * n) // 1000000
-           |    THEN 1 ELSE 0 END AS INTEGER) AS is_kept
-           |FROM r ORDER BY vec_id""".stripMargin
+        s"""${centAssignCtes(cents)},
+           |${protoRankTail("asg")}""".stripMargin
     }.toMap
   }
 
@@ -1645,57 +1650,18 @@ object ExtQueries {
     * inlining contract ([[semDedupOracle]]).
     */
   private def d4Oracle: Map[String, String] = {
+    if (ProtoPrune.lastCentroids.isEmpty)
+      System.err.println(
+        "[graft] WARNING: x63_d4 oracle OMITTED — ProtoPrune.prune has " +
+          "not run in this JVM, so there are no centroids to inline. Run " +
+          "the queries before dumping oracleSql (graft.Verify's order).")
     ProtoPrune.lastCentroids.map { cents =>
-      val rows = cents.zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(v => v.toLong * v).sum
-        s"($i, ${c.map(v => s"$v.0").mkString("[", ", ", "]")}, $c2.0)"
-      }.mkString(",\n  ")
-      val tau2 = SemDedupTauPermille * SemDedupTauPermille
       "x63_d4" ->
-        s"""WITH cent(list_id, cv, c2) AS (VALUES
-           |  $rows),
-           |e AS (SELECT vec_id,
-           |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
-           |  FROM embeddings),
-           |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
-           |ad AS (SELECT n.vec_id, cent.list_id,
-           |  n.n2 - 2 * list_dot_product(n.q, cent.cv) + cent.c2 AS dist
-           |  FROM n CROSS JOIN cent),
-           |asg AS (SELECT vec_id, list_id FROM (
-           |  SELECT vec_id, list_id,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
-           |  FROM ad) WHERE rn = 1),
-           |pair AS (SELECT a.vec_id AS ia, count(*) AS n_dup_lower
-           |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND b.vec_id < a.vec_id
-           |  JOIN n na ON na.vec_id = a.vec_id
-           |  JOIN n nb ON nb.vec_id = b.vec_id
-           |  WHERE list_dot_product(na.q, nb.q) > 0
-           |    AND CAST(list_dot_product(na.q, nb.q) AS HUGEINT)
-           |      * CAST(list_dot_product(na.q, nb.q) AS HUGEINT) * 1000000
-           |      > $tau2 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
-           |  GROUP BY 1),
+        s"""${centAssignCtes(cents)},
+           |$cosinePairCte,
            |kp AS (SELECT asg.vec_id, asg.list_id FROM asg
            |  LEFT JOIN pair p ON p.ia = asg.vec_id WHERE p.ia IS NULL),
-           |s AS (SELECT n.vec_id, kp.list_id,
-           |  CASE WHEN n.n2 * cent.c2 = 0 THEN 0
-           |    ELSE (CASE WHEN list_dot_product(n.q, cent.cv) < 0
-           |            THEN -1 ELSE 1 END)
-           |      * CAST((CAST(list_dot_product(n.q, cent.cv) AS HUGEINT)
-           |          * CAST(list_dot_product(n.q, cent.cv) AS HUGEINT)
-           |          * 1000000000000)
-           |        // (CAST(n.n2 AS HUGEINT) * CAST(cent.c2 AS HUGEINT))
-           |        AS BIGINT) END AS proto_ppt
-           |  FROM kp JOIN n ON n.vec_id = kp.vec_id
-           |  JOIN cent ON cent.list_id = kp.list_id),
-           |r AS (SELECT vec_id, list_id, proto_ppt,
-           |    row_number() OVER (PARTITION BY list_id
-           |      ORDER BY proto_ppt DESC, vec_id) AS r,
-           |    count(*) OVER (PARTITION BY list_id) AS n FROM s)
-           |SELECT vec_id, CAST(list_id AS INTEGER) AS list_id,
-           |  CAST(proto_ppt AS BIGINT) AS proto_ppt, CAST(r AS BIGINT) AS r,
-           |  CAST(CASE WHEN r > ($ProtoPrunePpm * n) // 1000000
-           |    THEN 1 ELSE 0 END AS INTEGER) AS is_kept
-           |FROM r ORDER BY vec_id""".stripMargin
+           |${protoRankTail("kp")}""".stripMargin
     }.toMap
   }
 
@@ -2083,54 +2049,77 @@ object ExtQueries {
     * group-by-gram counts, top-1 by (count DESC, gram), positional
     * coverage join for the duplicate-n-gram character fractions.
     */
-  private def x67Sql: String = {
-    val W = C4Width
+  /** The repetition-signal CTE generators shared by [[x67Sql]] and
+    * [[x68Sql]], parameterized by a CTE-name prefix: every table the
+    * fragments read is prefix+name (wl/wx/twc/lm for x67's paged twin,
+    * rwl/rwx/rtwc/rlm for x68's cleaned pages), so ONE generator feeds
+    * both replays and a threshold or formula fix cannot drift between
+    * them. [[repSignalCtes]] = per-n gram explode + counts + top-1 +
+    * duplicate coverage; [[repKeptConj]] = the Gopher threshold
+    * conjunction; [[repSignalJoins]] = the per-signal LEFT JOINs.
+    */
+  private def repSignalCtes(pfx: String): String = {
     def gramCtes(n: Int): String =
-      s"""gn$n AS (SELECT doc_id, i AS p,
+      s"""${pfx}gn$n AS (SELECT doc_id, i AS p,
          |    array_to_string(ws[i:i+${n - 1}], ' ') AS g
-         |  FROM wl, LATERAL unnest(generate_series(1, len(ws) - ${n - 1}))
+         |  FROM ${pfx}wl, LATERAL unnest(generate_series(1, len(ws) - ${n - 1}))
          |    AS u(i)),
-         |tc$n AS (SELECT doc_id, g, count(*) AS c FROM gn$n
+         |${pfx}tc$n AS (SELECT doc_id, g, count(*) AS c FROM ${pfx}gn$n
          |  GROUP BY doc_id, g)""".stripMargin
     def topCtes(n: Int): String =
-      s"""tb$n AS (SELECT doc_id, c, g FROM (SELECT doc_id, g, c,
+      s"""${pfx}tb$n AS (SELECT doc_id, c, g FROM (SELECT doc_id, g, c,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g)
-         |      AS rn FROM tc$n) WHERE rn = 1),
-         |tp$n AS (SELECT tb$n.doc_id,
-         |   CAST(tb$n.c * (length(tb$n.g) - ${n - 1}) * 1000000 // twc.twc
-         |     AS BIGINT) AS v
-         |  FROM tb$n JOIN twc ON twc.doc_id = tb$n.doc_id)""".stripMargin
+         |      AS rn FROM ${pfx}tc$n) WHERE rn = 1),
+         |${pfx}tp$n AS (SELECT ${pfx}tb$n.doc_id,
+         |   CAST(${pfx}tb$n.c * (length(${pfx}tb$n.g) - ${n - 1}) * 1000000
+         |     // ${pfx}twc.twc AS BIGINT) AS v
+         |  FROM ${pfx}tb$n JOIN ${pfx}twc
+         |    ON ${pfx}twc.doc_id = ${pfx}tb$n.doc_id)""".stripMargin
     def dupCtes(n: Int): String =
-      s"""dd$n AS (SELECT doc_id, g FROM tc$n WHERE c > 1),
-         |dp$n AS (SELECT DISTINCT gn$n.doc_id, s.pos
-         |  FROM gn$n JOIN dd$n ON dd$n.doc_id = gn$n.doc_id
-         |    AND dd$n.g = gn$n.g,
-         |  LATERAL unnest(generate_series(gn$n.p, gn$n.p + ${n - 1}))
+      s"""${pfx}dd$n AS (SELECT doc_id, g FROM ${pfx}tc$n WHERE c > 1),
+         |${pfx}dp$n AS (SELECT DISTINCT ${pfx}gn$n.doc_id, s.pos
+         |  FROM ${pfx}gn$n JOIN ${pfx}dd$n ON ${pfx}dd$n.doc_id = ${pfx}gn$n.doc_id
+         |    AND ${pfx}dd$n.g = ${pfx}gn$n.g,
+         |  LATERAL unnest(generate_series(${pfx}gn$n.p, ${pfx}gn$n.p + ${n - 1}))
          |    AS s(pos)),
-         |dc$n AS (SELECT dp$n.doc_id, CAST(sum(length(wx.w)) AS BIGINT)
+         |${pfx}dc$n AS (SELECT ${pfx}dp$n.doc_id, CAST(sum(length(${pfx}wx.w)) AS BIGINT)
          |    AS dchars
-         |  FROM dp$n JOIN wx ON wx.doc_id = dp$n.doc_id
-         |    AND wx.p = dp$n.pos
-         |  GROUP BY dp$n.doc_id),
-         |du$n AS (SELECT dc$n.doc_id,
-         |   CAST(dc$n.dchars * 1000000 // twc.twc AS BIGINT) AS v
-         |  FROM dc$n JOIN twc ON twc.doc_id = dc$n.doc_id)""".stripMargin
+         |  FROM ${pfx}dp$n JOIN ${pfx}wx ON ${pfx}wx.doc_id = ${pfx}dp$n.doc_id
+         |    AND ${pfx}wx.p = ${pfx}dp$n.pos
+         |  GROUP BY ${pfx}dp$n.doc_id),
+         |${pfx}du$n AS (SELECT ${pfx}dc$n.doc_id,
+         |   CAST(${pfx}dc$n.dchars * 1000000 // ${pfx}twc.twc AS BIGINT) AS v
+         |  FROM ${pfx}dc$n JOIN ${pfx}twc
+         |    ON ${pfx}twc.doc_id = ${pfx}dc$n.doc_id)""".stripMargin
+    ((2 to 10).map(gramCtes) ++ (2 to 4).map(topCtes) ++
+      (5 to 10).map(dupCtes)).mkString(",\n")
+  }
+
+  private def repKeptConj(pfx: String): String = (Seq(
+      s"${pfx}lm.n_dup * 1000000 // ${pfx}lm.n_lines <= ${Gopher.DupLineMaxPpm}",
+      s"(CASE WHEN ${pfx}lm.total_lc > 0 THEN ${pfx}lm.dup_lc * 1000000 " +
+        s"// ${pfx}lm.total_lc ELSE 0 END) <= ${Gopher.DupLineCharMaxPpm}") ++
+      (2 to 4).map(n =>
+        s"coalesce(${pfx}tp$n.v, 0) <= ${Gopher.TopGramMaxPpm(n)}") ++
+      (5 to 10).map(n =>
+        s"coalesce(${pfx}du$n.v, 0) <= ${Gopher.DupGramMaxPpm(n)}"))
+      .mkString("(", "\n   AND ", ")")
+
+  private def repSignalJoins(pfx: String): String =
+    ((2 to 4).map(n =>
+      s"LEFT JOIN ${pfx}tp$n ON ${pfx}tp$n.doc_id = ${pfx}lm.doc_id") ++
+      (5 to 10).map(n =>
+        s"LEFT JOIN ${pfx}du$n ON ${pfx}du$n.doc_id = ${pfx}lm.doc_id"))
+      .mkString("\n  ")
+
+  private def x67Sql: String = {
+    val W = C4Width
     val topVals = (2 to 4).map(n =>
       s"CAST(coalesce(tp$n.v, 0) AS BIGINT) AS top${n}_char_ppm")
     val dupVals = (5 to 10).map(n =>
       s"CAST(coalesce(du$n.v, 0) AS BIGINT) AS dup${n}_char_ppm")
-    val keptConj = (Seq(
-      s"lm.n_dup * 1000000 // lm.n_lines <= ${Gopher.DupLineMaxPpm}",
-      "(CASE WHEN lm.total_lc > 0 THEN lm.dup_lc * 1000000 // lm.total_lc " +
-        s"ELSE 0 END) <= ${Gopher.DupLineCharMaxPpm}") ++
-      (2 to 4).map(n =>
-        s"coalesce(tp$n.v, 0) <= ${Gopher.TopGramMaxPpm(n)}") ++
-      (5 to 10).map(n =>
-        s"coalesce(du$n.v, 0) <= ${Gopher.DupGramMaxPpm(n)}"))
-      .mkString("(", "\n   AND ", ")")
-    val joins = ((2 to 4).map(n => s"LEFT JOIN tp$n ON tp$n.doc_id = lm.doc_id") ++
-      (5 to 10).map(n => s"LEFT JOIN du$n ON du$n.doc_id = lm.doc_id"))
-      .mkString("\n")
+    val keptConj = repKeptConj("")
+    val joins = repSignalJoins("")
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
        |  FROM documents),
        |l AS (SELECT doc_id, i,
@@ -2159,9 +2148,7 @@ object ExtQueries {
        |  FROM wx GROUP BY doc_id),
        |wl AS (SELECT doc_id, list(w ORDER BY p) AS ws FROM wx
        |  GROUP BY doc_id),
-       |${(2 to 10).map(gramCtes).mkString(",\n")},
-       |${(2 to 4).map(topCtes).mkString(",\n")},
-       |${(5 to 10).map(dupCtes).mkString(",\n")}
+       |${repSignalCtes("")}
        |SELECT lm.doc_id, lm.n_lines,
        |  CAST(lm.n_dup * 1000000 // lm.n_lines AS BIGINT) AS dup_line_ppm,
        |  CAST(CASE WHEN lm.total_lc > 0
@@ -2182,49 +2169,8 @@ object ExtQueries {
     */
   private def x68Sql: String = {
     val W = C4Width
-    def rGram(n: Int): String =
-      s"""rgn$n AS (SELECT doc_id, i AS p,
-         |    array_to_string(ws[i:i+${n - 1}], ' ') AS g
-         |  FROM rwl, LATERAL unnest(generate_series(1, len(ws) - ${n - 1}))
-         |    AS u(i)),
-         |rtc$n AS (SELECT doc_id, g, count(*) AS c FROM rgn$n
-         |  GROUP BY doc_id, g)""".stripMargin
-    def rTop(n: Int): String =
-      s"""rtb$n AS (SELECT doc_id, c, g FROM (SELECT doc_id, g, c,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g)
-         |      AS rn FROM rtc$n) WHERE rn = 1),
-         |rtp$n AS (SELECT rtb$n.doc_id,
-         |   CAST(rtb$n.c * (length(rtb$n.g) - ${n - 1}) * 1000000
-         |     // rtwc.twc AS BIGINT) AS v
-         |  FROM rtb$n JOIN rtwc ON rtwc.doc_id = rtb$n.doc_id)""".stripMargin
-    def rDup(n: Int): String =
-      s"""rdd$n AS (SELECT doc_id, g FROM rtc$n WHERE c > 1),
-         |rdp$n AS (SELECT DISTINCT rgn$n.doc_id, s.pos
-         |  FROM rgn$n JOIN rdd$n ON rdd$n.doc_id = rgn$n.doc_id
-         |    AND rdd$n.g = rgn$n.g,
-         |  LATERAL unnest(generate_series(rgn$n.p, rgn$n.p + ${n - 1}))
-         |    AS s(pos)),
-         |rdc$n AS (SELECT rdp$n.doc_id, CAST(sum(length(rwx.w)) AS BIGINT)
-         |    AS dchars
-         |  FROM rdp$n JOIN rwx ON rwx.doc_id = rdp$n.doc_id
-         |    AND rwx.p = rdp$n.pos
-         |  GROUP BY rdp$n.doc_id),
-         |rdu$n AS (SELECT rdc$n.doc_id,
-         |   CAST(rdc$n.dchars * 1000000 // rtwc.twc AS BIGINT) AS v
-         |  FROM rdc$n JOIN rtwc ON rtwc.doc_id = rdc$n.doc_id)""".stripMargin
-    val repConj = (Seq(
-      "rlm.n_dup * 1000000 // rlm.n_lines <= " + Gopher.DupLineMaxPpm,
-      "(CASE WHEN rlm.total_lc > 0 THEN rlm.dup_lc * 1000000 // " +
-        s"rlm.total_lc ELSE 0 END) <= ${Gopher.DupLineCharMaxPpm}") ++
-      (2 to 4).map(n =>
-        s"coalesce(rtp$n.v, 0) <= ${Gopher.TopGramMaxPpm(n)}") ++
-      (5 to 10).map(n =>
-        s"coalesce(rdu$n.v, 0) <= ${Gopher.DupGramMaxPpm(n)}"))
-      .mkString("(", "\n   AND ", ")")
-    val repJoins = ((2 to 4).map(n =>
-      s"LEFT JOIN rtp$n ON rtp$n.doc_id = rlm.doc_id") ++
-      (5 to 10).map(n => s"LEFT JOIN rdu$n ON rdu$n.doc_id = rlm.doc_id"))
-      .mkString("\n  ")
+    val repConj = repKeptConj("r")
+    val repJoins = repSignalJoins("r")
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
        |  FROM documents),
        |l AS (SELECT doc_id, i,
@@ -2320,9 +2266,7 @@ object ExtQueries {
        |  FROM rwx GROUP BY doc_id),
        |rwl AS (SELECT doc_id, list(w ORDER BY p) AS ws FROM rwx
        |  GROUP BY doc_id),
-       |${(2 to 10).map(rGram).mkString(",\n")},
-       |${(2 to 4).map(rTop).mkString(",\n")},
-       |${(5 to 10).map(rDup).mkString(",\n")},
+       |${repSignalCtes("r")},
        |gr AS (SELECT rlm.doc_id, $repConj AS rep_kept
        |  FROM rlm
        |  $repJoins)

@@ -266,13 +266,17 @@ object KneserNey {
       .select(col(idCol), col("avg_p_fix"))
     // an empty reference slice (refIds disjoint from scored) would make
     // both tertile thresholds NULL and silently bucket EVERYTHING as
-    // 'tail' — refuse loudly instead (mirror of recallAudit's guard)
-    require(!refSc.isEmpty,
-      "perplexityBuckets: reference slice is empty (refIds disjoint from " +
-        "scored?) — thresholds would be NULL and every doc would bucket " +
-        "as 'tail'")
+    // 'tail' — refuse loudly instead (mirror of recallAudit's guard).
+    // The guard lives INSIDE the plan (t1 is NULL iff the slice was
+    // empty; with n >= 1 both cut ranks land on a real row): a driver
+    // isEmpty here would run the whole scoring DAG once at plan-build
+    // time and again at the caller's action.
+    val guardedBucket = when(col("t1").isNull, raise_error(lit(
+      "perplexityBuckets: reference slice is empty (refIds disjoint " +
+        "from scored?) — thresholds would be NULL and every doc would " +
+        "bucket as 'tail'"))).otherwise(bucketOf)
     scored.crossJoin(broadcast(tertileThresholds(refSc, idCol)))
-      .select(col(idCol), col("avg_p_fix"), bucketOf.as("bucket"))
+      .select(col(idCol), col("avg_p_fix"), guardedBucket.as("bucket"))
   }
 
   /** The CCNet tertile cut over a (idCol, avg_p_fix) reference slice:

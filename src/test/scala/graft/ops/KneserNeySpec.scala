@@ -168,6 +168,18 @@ class KneserNeySpec extends SparkSpec {
     assert(got(22L) === "tail")
   }
 
+  test("perplexity buckets: empty reference slice fails loudly at the action") {
+    // The guard is IN the plan (no driver-side isEmpty job at build
+    // time): building the frame is free, the first action raises.
+    val scored = Seq((1L, 50L)).toDF("doc_id", "avg_p_fix")
+    val refIds = Seq(99L).toDF("doc_id") // disjoint from scored
+    val frame = KneserNey.perplexityBuckets(scored, refIds, "doc_id")
+    val ex = intercept[Exception](frame.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("reference slice is empty")))
+  }
+
   test("a reference sentence outscores gibberish, and gibberish keeps nonzero mass") {
     val ref = Seq.fill(5)("the quick brown fox jumps over the lazy dog") ++
       Seq("an entirely different sentence with other words here")
