@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * cheaper, and the cost is per *document* row (thousands), so the
   * CodegenFallback projection boundary is immaterial.
   */
-case class Shingles(child: Expression, n: Int)
+case class Shingles(child: Expression, n: Int, separator: String = " ")
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "shingle size must be >= 1")
@@ -26,7 +26,7 @@ case class Shingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingles"
 
-  private val space = UTF8String.fromString(" ")
+  private val space = UTF8String.fromString(separator)
 
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -56,4 +56,10 @@ case class Shingles(child: Expression, n: Int)
 object Shingles {
   def shingles(tokens: Column, n: Int): Column =
     GraftBridge.column(Shingles(GraftBridge.expression(tokens), n))
+
+  /** n consecutive elements joined by an arbitrary separator — e.g.
+    * "\n" for line-span windows ([[graft.ops.C4.spanDedup]]).
+    */
+  def shingles(tokens: Column, n: Int, separator: String): Column =
+    GraftBridge.column(Shingles(GraftBridge.expression(tokens), n, separator))
 }

@@ -87,10 +87,12 @@ object C4 {
                 span: Int = 3): DataFrame = {
     require(span >= 1, s"span must be >= 1: $span")
     val lines = split(col(textCol), "\n")
-    val spanArr = when(size(lines) >= span,
-      transform(sequence(lit(1), size(lines) - lit(span - 1)), i =>
-        md5(array_join(slice(lines, i, lit(span)), "\n"))))
-      .otherwise(array().cast("array<string>"))
+    // native windowed join (the Shingles kernel): `slice(lines, i, span)`
+    // inside a transform lambda would re-evaluate the split per span
+    // position (interpreted lambdas re-run captured subtrees per
+    // element — the Gopher lesson), O(lines x chars) per document
+    val spanArr = transform(
+      graft.functions.Shingles.shingles(lines, span, "\n"), s => md5(s))
     val spans = docs.select(col(idCol), posexplode(spanArr).as(Seq("p", "d")))
       .select(col(idCol), (col("p") + 1).as("start"), col("d"))
     val first = spans.groupBy(col("d"))

@@ -130,11 +130,18 @@ object Gopher {
     * definition.
     *
     * SHAPE AT 100 TB: row-local like the rest of the family — the
-    * n-gram coverage uses an O(m log m) sorted fold over (gram, pos)
-    * structs rather than the O(m²) all-pairs count, so a 10^4-word
-    * document costs ~10^5 comparisons per n, not 10^8. ZERO shuffle;
+    * n-gram coverage runs in a native one-pass kernel
+    * ([[graft.functions.DupGramCoveredChars]]): gram hash-count +
+    * boolean coverage mark + one length sum, O(m·n) per document, even
+    * when every gram is the same one (the adversarial page the filter
+    * exists to catch). Declarative forms were tried and rejected twice:
+    * both an accumulated-positions fold and a sorted-neighbor scan need
+    * per-position probes into computed arrays, and interpreted
+    * higher-order-function lambdas re-evaluate the probed array's whole
+    * expression tree per probe (no CSE inside lambdas) — O(m²)–O(m³)
+    * per document. ZERO shuffle;
     * the DuckDB oracle computes the same signals relationally
-    * (group-by-gram, positional coverage join), checking the fold
+    * (group-by-gram, positional coverage join), checking the kernel
     * against the relational form per document.
     */
   def repetitionSignals(docs: DataFrame, idCol: String,
@@ -195,27 +202,15 @@ object Gopher {
     }
 
     def dupGramPpm(n: Int): Column = {
-      val sh = graft.functions.Shingles.shingles(words, n)
-      val ss = array_sort(transform(sequence(lit(1), size(sh)), i =>
-        struct(element_at(sh, i).as("g"), i.as("p"))))
-      val zero = struct(lit(true).as("first"), lit("").as("prev"),
-        lit(0).as("prevp"), array().cast("array<int>").as("ps"))
-      // a run of k equal grams collects all k positions: each step in
-      // the run adds (previous, current) and array_union dedupes
-      val dupPos = aggregate(ss, zero, (acc, x) => {
-        val isDup = !acc.getField("first") &&
-          x.getField("g") === acc.getField("prev")
-        struct(lit(false).as("first"), x.getField("g").as("prev"),
-          x.getField("p").as("prevp"),
-          when(isDup, array_union(acc.getField("ps"),
-              array(acc.getField("prevp"), x.getField("p"))))
-            .otherwise(acc.getField("ps")).as("ps"))
-      }, acc => acc.getField("ps"))
-      val covered = array_distinct(flatten(transform(dupPos,
-        p => sequence(p, p + lit(n - 1)))))
-      val dupChars = aggregate(covered, lit(0L),
-        (a, p) => a + length(element_at(words, p)).cast("long"))
-      when(size(sh) >= 1 && totalWC > 0,
+      // native one-pass coverage kernel (the Shingles precedent): any
+      // declarative form needs per-position element_at probes into a
+      // COMPUTED array, and interpreted lambda evaluation re-runs the
+      // probed array's whole expression tree per probe — quadratic or
+      // worse on exactly the repetitive pages this filter exists to
+      // catch
+      val dupChars =
+        graft.functions.DupGramCoveredChars.dupGramCoveredChars(words, n)
+      when(size(words) >= n && totalWC > 0,
         idiv(dupChars * lit(1000000L), totalWC)).otherwise(lit(0L))
     }
 

@@ -64,6 +64,15 @@ class GopherRepSpec extends SparkSpec {
     assert(r.getBoolean(r.fieldIndex("kept_doc")))
   }
 
+  test("the adversarial page — 5000 copies of one word — computes in " +
+    "one pass (the declarative forms were quadratic-or-worse here)") {
+    // every n-gram is the same gram, so every position is covered for
+    // every n: all dup-gram signals saturate at exactly 10^6
+    val r = signals(1L -> Seq.fill(5000)("spam").mkString(" "))(1L)
+    (5 to 10).foreach(n => assert(v(r, s"dup${n}_char_ppm") === 1000000L))
+    assert(!r.getBoolean(r.fieldIndex("kept_doc")))
+  }
+
   test("docs shorter than the gram size report 0 for that signal") {
     val r = signals(1L -> "only three words")(1L)
     assert(v(r, "dup5_char_ppm") === 0L)
