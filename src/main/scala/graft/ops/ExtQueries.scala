@@ -126,6 +126,16 @@ object ExtQueries {
   // every 9th, and the stopword pack " of and that" on line 0 of every
   // doc_id % 3 != 0 doc (so the >= 2-stopwords rule actually splits the
   // corpus — the word-soup vocabulary carries only "the" natively)
+  // X70 epoch-shuffle knobs: 16 shards exercises the prefix-mod
+  // mapping (256 groups over 16 shards = 16 groups each), seed "ep"
+  private val EpochShards = 16
+  private val EpochSeed = "ep"
+  // X72 code-twin synthesis: doc_id % 3 == 0 docs code-ify (odd lines
+  // indent "  int " + end " = 1;", even lines end " {") — indent,
+  // punct-line, and symbol signals all fire, keyword stays just under
+  // its threshold; % 3 == 1 docs indent alternate lines only (ONE vote
+  // — pinned prose, exercising the >= 2 rule); % 3 == 2 stay plain
+
   /** The x64 paged twin of `documents`: (doc_id, page) with the
     * synthesis documented at [[C4Width]] — pure higher-order functions,
     * zero shuffle, so the synthetic page costs what a real multi-line
@@ -192,6 +202,24 @@ object ExtQueries {
       val j = when(id % 2 === 0, pmod(i, lit(5))).otherwise(i)
       array_join(slice(ts, j * C4Width + 1, lit(C4Width)), " ")
     })
+    Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
+  }
+
+  /** The x72 code twin (synthesis documented at the [[EpochShards]]
+    * constant block).
+    */
+  private def codePage(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ts = split(col("text"), " ")
+    val nl = floor((size(ts) + lit(C4Width - 1)) / lit(C4Width)).cast("int")
+    val lines = transform(sequence(lit(0), nl - lit(1)), i =>
+      concat(
+        when(id % 3 === 0 && i % 2 === 1, lit("  int "))
+          .otherwise(when(id % 3 === 1 && i % 2 === 1, lit("  "))
+            .otherwise(lit(""))),
+        array_join(slice(ts, i * C4Width + 1, lit(C4Width)), " "),
+        when(id % 3 === 0 && i % 2 === 1, lit(" = 1;"))
+          .otherwise(when(id % 3 === 0, lit(" {")).otherwise(lit("")))))
     Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
   }
 
@@ -1291,7 +1319,29 @@ object ExtQueries {
     // hash-prefix partial epoch, x57 greedy contract per language)
     "x66_unimax" -> ((s, dir) =>
       UniMax.select(Tables.documents(s, dir), "doc_id", "lang", "text",
-        UniMaxBudget, UniMaxEpochs, seed = UniMaxSeed).orderBy("doc_id"))
+        UniMaxBudget, UniMaxEpochs, seed = UniMaxSeed).orderBy("doc_id")),
+
+    // X70 deterministic epoch shuffle (two-pass prefix-group rank; the
+    // oracle is the naive per-shard global window, x48 discipline)
+    "x70_epoch_shuffle" -> ((s, dir) =>
+      Sample.epochShuffle(Tables.documents(s, dir), "doc_id",
+        EpochShards, EpochSeed).orderBy("doc_id")),
+
+    // X71 contrastive hard-negative mining: x2's broadcast top-k shape
+    // with the label-mismatch predicate riding the same join
+    "x71_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < NumQueries),
+        "vec_id", "embedding", "label", TopK)
+        .select("qid", "cid", "clabel", "rank", "sim")
+        .orderBy("qid", "rank")
+    }),
+
+    // X72 code-vs-prose routing gate over the code twin (synthesis at
+    // [[codePage]]) — scan-side integer-ppm signals, >= 2-of-4 vote
+    "x72_code_detect" -> ((s, dir) =>
+      CodeDetect.detect(codePage(s, dir), "doc_id", "page")
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -2280,6 +2330,69 @@ object ExtQueries {
        |ORDER BY cp.doc_id""".stripMargin
   }
 
+  /** x72: the code-twin synthesis replayed, then each signal
+    * relationally — lines/words unnested and grouped back, symbol chars
+    * via the same translate strip, identical integer ppm cuts and the
+    * >= [[CodeDetect.MinVotes]] vote.
+    */
+  private def x72Sql: String = {
+    val W = C4Width
+    val kws = CodeDetect.Keywords.mkString("'", "','", "'")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |  FROM documents),
+       |l AS (SELECT doc_id, i,
+       |   (CASE WHEN doc_id % 3 = 0 AND i % 2 = 1 THEN '  int '
+       |         WHEN doc_id % 3 = 1 AND i % 2 = 1 THEN '  '
+       |         ELSE '' END)
+       |   || array_to_string(ts[(i*$W+1):(i*$W+$W)], ' ')
+       |   || (CASE WHEN doc_id % 3 = 0 AND i % 2 = 1 THEN ' = 1;'
+       |            WHEN doc_id % 3 = 0 THEN ' {' ELSE '' END) AS line
+       |  FROM t, LATERAL unnest(generate_series(0,
+       |    (len(ts) + ${W - 1}) // $W - 1)) AS u(i)),
+       |p AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS page
+       |  FROM l GROUP BY doc_id),
+       |lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |   CAST(sum(CASE WHEN starts_with(line, '  ')
+       |     OR starts_with(line, chr(9)) THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_ind,
+       |   CAST(sum(CASE WHEN ends_with(line, ';') OR ends_with(line, '{')
+       |     OR ends_with(line, '}') THEN 1 ELSE 0 END) AS BIGINT) AS n_pct
+       |  FROM l GROUP BY doc_id),
+       |wx AS (SELECT doc_id, w
+       |  FROM p, LATERAL unnest(string_split(replace(page, chr(10), ' '),
+       |    ' ')) AS u(w) WHERE length(w) > 0),
+       |wm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |   CAST(sum(CASE WHEN lower(w) IN ($kws) THEN 1 ELSE 0 END)
+       |     AS BIGINT) AS n_kw
+       |  FROM wx GROUP BY doc_id),
+       |pm AS (SELECT doc_id, CAST(length(page) AS BIGINT) AS n_chars,
+       |   CAST(length(page) - length(translate(page,
+       |     '${CodeDetect.SymbolChars}', '')) AS BIGINT) AS n_sym
+       |  FROM p),
+       |sg AS (SELECT lm.doc_id,
+       |   CAST(CASE WHEN pm.n_chars > 0
+       |     THEN pm.n_sym * 1000000 // pm.n_chars ELSE 0 END AS BIGINT)
+       |     AS sym_ppm,
+       |   CAST(CASE WHEN wm.n_words > 0
+       |     THEN wm.n_kw * 1000000 // wm.n_words ELSE 0 END AS BIGINT)
+       |     AS kw_ppm,
+       |   CAST(lm.n_ind * 1000000 // lm.n_lines AS BIGINT) AS indent_ppm,
+       |   CAST(lm.n_pct * 1000000 // lm.n_lines AS BIGINT)
+       |     AS punctline_ppm,
+       |   lm.n_lines, wm.n_words
+       |  FROM lm JOIN wm ON wm.doc_id = lm.doc_id
+       |  JOIN pm ON pm.doc_id = lm.doc_id)
+       |SELECT doc_id, sym_ppm, kw_ppm, indent_ppm, punctline_ppm,
+       |  n_lines, n_words,
+       |  ((CASE WHEN sym_ppm >= ${CodeDetect.SymMinPpm} THEN 1 ELSE 0 END)
+       |   + (CASE WHEN kw_ppm >= ${CodeDetect.KwMinPpm} THEN 1 ELSE 0 END)
+       |   + (CASE WHEN indent_ppm >= ${CodeDetect.IndentMinPpm}
+       |       THEN 1 ELSE 0 END)
+       |   + (CASE WHEN punctline_ppm >= ${CodeDetect.PunctLineMinPpm}
+       |       THEN 1 ELSE 0 END)) >= ${CodeDetect.MinVotes} AS is_code
+       |FROM sg ORDER BY doc_id""".stripMargin
+  }
+
   /** x66 waterfilling CTE (shared by both x66 oracles): the contiguous
     * capped prefix found by the same BIGINT cross-multiplication as
     * [[UniMax.allocate]], integer leftover share + remainder-to-
@@ -2591,6 +2704,47 @@ object ExtQueries {
          |FROM ln LEFT JOIN cov ON cov.doc_id = ln.doc_id
          |  AND cov.pos = ln.j
          |GROUP BY ln.doc_id ORDER BY ln.doc_id""".stripMargin,
+
+    // x70: the NAIVE per-shard global window (the engine's two-pass
+    // prefix-group decomposition proven equal by the hash gate — x48
+    // discipline); shard from the same 2-hex md5 prefix
+    "x70_epoch_shuffle" ->
+      s"""WITH b AS (SELECT doc_id,
+         |   md5(CAST(doc_id AS VARCHAR) || '$EpochSeed') AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id, h,
+         |   CAST(('0x' || substring(h, 1, 2))::BIGINT % $EpochShards
+         |     AS INTEGER) AS shard
+         |  FROM b)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |    - 1 AS BIGINT) AS pos
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // x71: x2's brute-force cosine replay with the label-mismatch
+    // predicate on the same join
+    "x71_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, q, list_dot_product(q, q) AS n2 FROM e),
+         |scored AS (SELECT qs.vec_id AS qid, c.vec_id AS cid,
+         |  c.label AS clabel,
+         |  round(list_dot_product(qs.q, c.q) / (sqrt(qs.n2) * sqrt(c.n2)), 6)
+         |    AS sim
+         |  FROM n qs JOIN n c ON c.vec_id != qs.vec_id
+         |    AND c.label != qs.label
+         |  WHERE qs.vec_id < $NumQueries),
+         |ranked AS (SELECT qid, cid, clabel, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+         |    AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, clabel, rank, sim FROM ranked
+         |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+
+    // x72: the code-twin synthesis replayed, each signal relationally
+    // (explode lines/words, group back), identical integer ppm cuts
+    "x72_code_detect" -> x72Sql,
 
     // x66: the waterfilling allocation replayed over the language table
     // (naive single-window form), shared by both x66 queries

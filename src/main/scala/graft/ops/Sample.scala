@@ -251,6 +251,56 @@ object Sample {
       .select(col(keyCol), col("n_tokens"), col("cum_before"))
   }
 
+  /** X70 — deterministic EPOCH SHUFFLE: the training-order pass every
+    * run does after curation — assign each document a shard and a dense
+    * 0-based position within the shard, both pure functions of
+    * (key, seed), so the training order is reproducible across retries,
+    * engines, and re-runs, and changes completely with the seed (the
+    * next epoch is `seed+1`). Shard = the document's 2-hex md5 prefix
+    * mod numShards; within-shard order = the md5 order itself.
+    *
+    * THE RANK IS TWO-PASS, NEVER PER-SHARD-GLOBAL (the [[tokenBudget]]
+    * decomposition): a row_number window partitioned by shard alone
+    * would funnel corpus/numShards rows through one task — 1.5 TB per
+    * task at 100 TB with 64 shards. Instead rows group by their 2-hex
+    * prefix (256 contiguous ranges of the md5 order, each belonging to
+    * exactly one shard), per-group counts make a 256-row offset table
+    * (running sum within shard, ordered by prefix — driver-trivial),
+    * and the within-group rank is a window PARTITIONED BY the prefix.
+    * pos = group offset + within-group rank. The DuckDB oracle is the
+    * NAIVE per-shard global window, so the hash gate re-proves the
+    * decomposition equal to the spec every round (the x48 discipline).
+    *
+    * Output: (keyCol, shard, pos); positions are dense 0..n_s-1 within
+    * each shard. Writing `partitionBy(shard)` + `sortWithinPartitions
+    * (pos)` then streams each shard in order with no global sort.
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, numShards: Int,
+                   seed: String = ""): DataFrame = {
+    require(numShards >= 1 && numShards <= 256,
+      s"numShards must be in [1, 256] (shards are 2-hex-prefix unions): " +
+        s"$numShards")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol),
+        md5(concat(col(keyCol).cast("string"), lit(seed))).as("h"))
+      .withColumn("grp", substring(col("h"), 1, 2))
+      .withColumn("shard",
+        (conv(col("grp"), 16, 10).cast("int") % numShards).cast("int"))
+    val offsets = base.groupBy(col("shard"), col("grp"))
+      .agg(count(lit(1)).as("gc"))
+      .withColumn("goff", coalesce(
+        sum(col("gc")).over(Window.partitionBy(col("shard"))
+          .orderBy(col("grp"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("grp"), col("goff"))
+    val inGrp = Window.partitionBy(col("grp"))
+      .orderBy(col("h"), col(keyCol))
+    base.join(broadcast(offsets), Seq("grp"))
+      .withColumn("pos",
+        col("goff") + row_number().over(inGrp).cast("long") - 1L)
+      .select(col(keyCol), col("shard"), col("pos"))
+  }
+
   /** Stratified deterministic sample: per-stratum fractions with a default
     * for unlisted strata. The threshold is a row-local CASE — still a pure
     * scan-side filter.

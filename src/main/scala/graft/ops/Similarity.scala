@@ -71,6 +71,36 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** X71 — contrastive HARD-NEGATIVE mining: per query vector, the
+    * top-k most-cosine-similar corpus vectors carrying a DIFFERENT
+    * label — the standard training-pair generator for embedding models
+    * (the hardest negatives are the near-misses, not random draws).
+    * Same shape as [[bruteForceTopK]] — queries broadcast into the
+    * corpus scan (the corpus is never shuffled), the label-mismatch
+    * predicate rides the same broadcast join, and the per-query top-k
+    * is a rank window over the scored pairs only. Scoring is the same
+    * floor(x*1000) integer-quantized cosine, so the DuckDB oracle
+    * byte-matches. At 100 TB the scale path is the same as x2's: swap
+    * the brute-force candidate set for an ANN tier's and keep the
+    * label-mismatch filter + window unchanged.
+    */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val corpus = emb.select(col(idCol), col(labelCol),
+        quantize(col(vecCol)).as("q"))
+      .withColumn("n2", sqNorm(col("q")))
+    val qs = queries.select(col(idCol).as("qid"),
+        col(labelCol).as("qlabel"), quantize(col(vecCol)).as("qq"))
+      .withColumn("qn2", sqNorm(col("qq")))
+    val scored = corpus.join(broadcast(qs),
+        col("qid") =!= col(idCol) && col("qlabel") =!= col(labelCol))
+      .select(col("qid"), col(idCol).as("cid"), col(labelCol).as("clabel"),
+        round(cosine(dot(col("qq"), col("q")), col("qn2"), col("n2")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** 16-bit sign bucket over the leading dimensions: bit j set iff
     * vec[j] >= 0. Deterministic, computable at scan time, and cheap
     * enough to store alongside the vector at ingest.

@@ -346,4 +346,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"eval shingles not broadcast in:\n$plan")
   }
+
+  test("epoch shuffle: the corpus rank window is PARTITIONED by the " +
+    "prefix group; offsets broadcast; no global sort") {
+    val plan = physical(Sample.epochShuffle(
+      Tables.documents(spark, sf), "doc_id", numShards = 16, seed = "ep"))
+    // a regression to the naive per-shard window would partition by
+    // shard (16 partitions at any corpus size) or sort globally
+    assert(plan.contains("[grp"), s"corpus window not grp-partitioned:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort shuffle in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset table not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled to join:\n$plan")
+  }
+
+  test("hard negatives: queries broadcast into the corpus scan; the " +
+    "only hash exchange is the rank window") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = physical(Similarity.hardNegatives(emb,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", "label", 5))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"queries not broadcast in:\n$plan")
+    assert(countOccurrences(plan, "Exchange hashpartitioning") === 1,
+      s"corpus must not shuffle outside the rank window in:\n$plan")
+  }
+
+  test("code detect is a pure scan-side projection: zero exchanges") {
+    import spark.implicits._
+    val docs = Seq((1L, "int f() {\n  return 0;\n}")).toDF("doc_id", "page")
+    val plan = physical(CodeDetect.detect(docs, "doc_id", "page"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
