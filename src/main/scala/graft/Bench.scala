@@ -77,11 +77,16 @@ object Bench {
     // The driver's round artifact stores only a truncated stdout tail, so
     // the per-query map's head is unrecoverable from it. Persist the full
     // line next to the build so every round-over-round comparison can read
-    // all queries (the file is committed with the round's work).
-    val out = java.nio.file.Paths.get(
-      sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
-    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    System.err.println(s"[bench] full JSON written to $out")
+    // all queries (the file is committed with the round's work). Filtered
+    // local-iteration runs must NOT overwrite it — a partial map would
+    // silently replace the round artifact.
+    if (sys.env.get("SPARK_GRAFT_ONLY").forall(_.trim.isEmpty)) {
+      val out = java.nio.file.Paths.get(
+        sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full JSON written to $out")
+    } else System.err.println(
+      "[bench] SPARK_GRAFT_ONLY set - BENCH_FULL.json not overwritten")
     spark.stop()
   }
 }

@@ -183,21 +183,11 @@ object Gopher {
       acc => acc.getField("dc"))
 
     def topGramPpm(n: Int): Column = {
-      val sh = graft.functions.Shingles.shingles(words, n)
-      val zero = struct(lit(true).as("first"), lit("").as("prev"),
-        lit(0L).as("run"), lit(0L).as("bc"), lit("").as("bg"))
-      val best = aggregate(array_sort(sh), zero, (acc, x) => {
-        val run = when(!acc.getField("first") && x === acc.getField("prev"),
-          acc.getField("run") + 1L).otherwise(lit(1L))
-        val better = run > acc.getField("bc") // strict: first max wins
-        struct(lit(false).as("first"), x.as("prev"), run.as("run"),
-          when(better, run).otherwise(acc.getField("bc")).as("bc"),
-          when(better, x).otherwise(acc.getField("bg")).as("bg"))
-      }, acc => struct(acc.getField("bc").as("bc"),
-        acc.getField("bg").as("bg")))
-      val chars = best.getField("bc") *
-        (length(best.getField("bg")) - lit(n - 1)).cast("long")
-      when(size(sh) >= 1 && totalWC > 0,
+      // native hash-count kernel (see TopGramChars): the sorted-fold
+      // form paid an interpreted comparator per comparison — the
+      // dominant x67/x68 bench cost
+      val chars = graft.functions.TopGramChars.topGramChars(words, n)
+      when(size(words) >= n && totalWC > 0,
         idiv(chars * lit(1000000L), totalWC)).otherwise(lit(0L))
     }
 

@@ -1,10 +1,10 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.ops.{C4, Gopher, MassiveText}
+import graft.ops.{C4, CodeDetect, Gopher, MassiveText}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-/** The x64/x65/x67/x68 gates are pure scan-side projections (zero
+/** The x64/x65/x67/x68/x72 gates are pure scan-side projections (zero
   * shuffle, plan-pinned), so they need no streaming twin: the SAME
   * DataFrame operators run unchanged on an unbounded stream. This spec
   * is that claim executed — each gate applied to a MemoryStream in
@@ -54,5 +54,10 @@ class StatelessGateStreamSpec extends SparkSpec {
       "mt_gate")
     assert(mtStream.toSet ===
       MassiveText.gate(batchDf, "doc_id", "page").collect().toSet)
+
+    val cdStream = runAppend(CodeDetect.detect(_, "doc_id", "page"),
+      "code_gate")
+    assert(cdStream.toSet ===
+      CodeDetect.detect(batchDf, "doc_id", "page").collect().toSet)
   }
 }
