@@ -64,8 +64,10 @@ object CodeDetect {
     val nWords = size(words).cast("long")
     val symChars = (nChars -
       length(translate(page, SymbolChars, ""))).cast("long")
+    // one array_contains probe per word, not a 22-term OR chain — the
+    // filter lambda is interpreted per element, so node count matters
     val kwWords = size(filter(words,
-      w => Keywords.map(k => lower(w) === k).reduce(_ || _))).cast("long")
+      w => array_contains(lit(Keywords.toArray), lower(w)))).cast("long")
     val indentLines = size(filter(lines,
       l => l.startsWith("  ") || l.startsWith("\t"))).cast("long")
     val punctLines = size(filter(lines, l =>

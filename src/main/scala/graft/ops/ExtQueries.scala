@@ -135,6 +135,10 @@ object ExtQueries {
   // punct-line, and symbol signals all fire, keyword stays just under
   // its threshold; % 3 == 1 docs indent alternate lines only (ONE vote
   // — pinned prose, exercising the >= 2 rule); % 3 == 2 stay plain
+  // X73 script-twin phrases (appended per doc_id % 5, see scriptPage)
+  private val CyrPhrase = " привет мир"
+  private val GrePhrase = " αβγ δεζ"
+  private val HanPhrase = " 中文 文本"
 
   /** The x64 paged twin of `documents`: (doc_id, page) with the
     * synthesis documented at [[C4Width]] — pure higher-order functions,
@@ -203,6 +207,31 @@ object ExtQueries {
       array_join(slice(ts, j * C4Width + 1, lit(C4Width)), " ")
     })
     Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
+  }
+
+  /** The x73 script twin: the ASCII word-soup corpus is all-Latin, so
+    * multi-script runs are appended by doc_id arithmetic — doc_id % 5
+    * picks the script (1 Cyrillic, 2 Greek, 3 Han, 4 one mixed run of
+    * all three), repeated (doc_id % 4) * 8 times so the appended script
+    * sometimes outweighs the Latin base and the dominant verdict
+    * actually switches. Phrases are shared constants spliced verbatim
+    * into the oracle.
+    */
+  private def scriptPage(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val page = concat(col("text"),
+      when(id % 5 === 1,
+        expr(s"repeat('$CyrPhrase', CAST((doc_id % 4) * 8 AS INT))"))
+        .otherwise(lit("")),
+      when(id % 5 === 2,
+        expr(s"repeat('$GrePhrase', CAST((doc_id % 4) * 8 AS INT))"))
+        .otherwise(lit("")),
+      when(id % 5 === 3,
+        expr(s"repeat('$HanPhrase', CAST((doc_id % 4) * 8 AS INT))"))
+        .otherwise(lit("")),
+      when(id % 5 === 4, lit(CyrPhrase + GrePhrase + HanPhrase))
+        .otherwise(lit("")))
+    Tables.documents(s, dir).select(id, page.as("page"))
   }
 
   /** The x72 code twin (synthesis documented at the [[EpochShards]]
@@ -1341,6 +1370,12 @@ object ExtQueries {
     // [[codePage]]) — scan-side integer-ppm signals, >= 2-of-4 vote
     "x72_code_detect" -> ((s, dir) =>
       CodeDetect.detect(codePage(s, dir), "doc_id", "page")
+        .orderBy("doc_id")),
+
+    // X73 Unicode script mix over the script twin (synthesis at
+    // [[scriptPage]]) — row-local strip-and-diff codepoint counts
+    "x73_script_mix" -> ((s, dir) =>
+      ScriptMix.analyze(scriptPage(s, dir), "doc_id", "page")
         .orderBy("doc_id"))
   )
 
@@ -2393,6 +2428,60 @@ object ExtQueries {
        |FROM sg ORDER BY doc_id""".stripMargin
   }
 
+  /** x73: the script-twin synthesis + strip-and-diff counts replayed;
+    * the dominant CASE is the closed form of the engine's alphabetical
+    * strict-> fold (a script wins iff its count >= every later one's
+    * and the overall max is nonzero).
+    */
+  private def x73Sql: String = {
+    val cls = ScriptMix.Classes.toMap
+    def strip(name: String): String =
+      s"CAST(length(page) - length(regexp_replace(page, '${cls(name)}', '', 'g')) AS BIGINT)"
+    s"""WITH p AS (SELECT doc_id, text
+       |   || (CASE WHEN doc_id % 5 = 1
+       |       THEN repeat('$CyrPhrase', CAST((doc_id % 4) * 8 AS INT))
+       |       ELSE '' END)
+       |   || (CASE WHEN doc_id % 5 = 2
+       |       THEN repeat('$GrePhrase', CAST((doc_id % 4) * 8 AS INT))
+       |       ELSE '' END)
+       |   || (CASE WHEN doc_id % 5 = 3
+       |       THEN repeat('$HanPhrase', CAST((doc_id % 4) * 8 AS INT))
+       |       ELSE '' END)
+       |   || (CASE WHEN doc_id % 5 = 4
+       |       THEN '$CyrPhrase$GrePhrase$HanPhrase' ELSE '' END) AS page
+       |  FROM documents),
+       |c AS (SELECT doc_id, CAST(length(page) AS BIGINT) AS n_chars,
+       |   ${strip("cyrillic")} AS cyrillic_chars,
+       |   ${strip("greek")} AS greek_chars,
+       |   ${strip("han")} AS han_chars,
+       |   ${strip("latin")} AS latin_chars
+       |  FROM p)
+       |SELECT doc_id, cyrillic_chars, greek_chars, han_chars, latin_chars,
+       |  CAST(CASE WHEN n_chars > 0
+       |    THEN cyrillic_chars * 1000000 // n_chars ELSE 0 END AS BIGINT)
+       |    AS cyrillic_ppm,
+       |  CAST(CASE WHEN n_chars > 0
+       |    THEN greek_chars * 1000000 // n_chars ELSE 0 END AS BIGINT)
+       |    AS greek_ppm,
+       |  CAST(CASE WHEN n_chars > 0
+       |    THEN han_chars * 1000000 // n_chars ELSE 0 END AS BIGINT)
+       |    AS han_ppm,
+       |  CAST(CASE WHEN n_chars > 0
+       |    THEN latin_chars * 1000000 // n_chars ELSE 0 END AS BIGINT)
+       |    AS latin_ppm,
+       |  n_chars,
+       |  CASE
+       |    WHEN greatest(cyrillic_chars, greek_chars, han_chars,
+       |      latin_chars) = 0 THEN 'none'
+       |    WHEN cyrillic_chars >= greatest(greek_chars, han_chars,
+       |      latin_chars) THEN 'cyrillic'
+       |    WHEN greek_chars >= greatest(han_chars, latin_chars)
+       |      THEN 'greek'
+       |    WHEN han_chars >= latin_chars THEN 'han'
+       |    ELSE 'latin' END AS dominant
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   /** x66 waterfilling CTE (shared by both x66 oracles): the contiguous
     * capped prefix found by the same BIGINT cross-multiplication as
     * [[UniMax.allocate]], integer leftover share + remainder-to-
@@ -2745,6 +2834,11 @@ object ExtQueries {
     // x72: the code-twin synthesis replayed, each signal relationally
     // (explode lines/words, group back), identical integer ppm cuts
     "x72_code_detect" -> x72Sql,
+
+    // x73: the script twin replayed with the SAME literal-range
+    // patterns and phrases (identical bytes, no escape-syntax seam);
+    // codepoint strip-and-diff counts, alphabetical-tie dominant
+    "x73_script_mix" -> x73Sql,
 
     // x66: the waterfilling allocation replayed over the language table
     // (naive single-window form), shared by both x66 queries

@@ -379,4 +379,11 @@ class PlanShapeSpec extends SparkSpec {
     val plan = physical(CodeDetect.detect(docs, "doc_id", "page"))
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("script mix is a pure scan-side projection: zero exchanges") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc привет")).toDF("doc_id", "page")
+    val plan = physical(ScriptMix.analyze(docs, "doc_id", "page"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }

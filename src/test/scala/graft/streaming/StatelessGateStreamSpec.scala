@@ -4,7 +4,7 @@ import graft.SparkSpec
 import graft.ops.{C4, CodeDetect, Gopher, MassiveText}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-/** The x64/x65/x67/x68/x72 gates are pure scan-side projections (zero
+/** The x64/x65/x67/x68/x72/x73 gates are pure scan-side projections (zero
   * shuffle, plan-pinned), so they need no streaming twin: the SAME
   * DataFrame operators run unchanged on an unbounded stream. This spec
   * is that claim executed — each gate applied to a MemoryStream in
@@ -59,5 +59,10 @@ class StatelessGateStreamSpec extends SparkSpec {
       "code_gate")
     assert(cdStream.toSet ===
       CodeDetect.detect(batchDf, "doc_id", "page").collect().toSet)
+
+    val smStream = runAppend(graft.ops.ScriptMix.analyze(_, "doc_id", "page"),
+      "script_gate")
+    assert(smStream.toSet ===
+      graft.ops.ScriptMix.analyze(batchDf, "doc_id", "page").collect().toSet)
   }
 }
