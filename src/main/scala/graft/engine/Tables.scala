@@ -5,12 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Central loaders for the driver-generated parquet tables (TESTDATA.md).
   *
-  * `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-  * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We flip the documented
-  * escape hatch `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to
-  * microseconds — the same truncation DuckDB applies when it reads nanos
-  * into its native micro-precision TIMESTAMP, so the two engines agree to
-  * the microsecond.
+  * `events.parquet` has shipped `ts` in two physical forms across data
+  * generations: INT64 TIMESTAMP(NANOS) (which Spark's parquet reader
+  * rejects — [PARQUET_TYPE_ILLEGAL] — so we flip the documented escape
+  * hatch `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to
+  * microseconds) and native TIMESTAMP(MICROS) without UTC adjustment
+  * (which Spark reads as TIMESTAMP_NTZ). Both normalize to the same
+  * session-zone micro-precision TimestampType here: the session runs in
+  * UTC, so the NTZ→TZ cast re-labels the identical instant, and the nanos
+  * floor-divide is the same truncation DuckDB applies reading nanos into
+  * its micro-precision TIMESTAMP — the two engines agree to the
+  * microsecond either way.
   */
 object Tables {
 
@@ -42,8 +47,14 @@ object Tables {
   /** events with `ts` normalized to a microsecond TimestampType column. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // INT64 nanos generation
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ generation; session tz is UTC, same instant
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
