@@ -44,16 +44,31 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     balanced(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
 
-  /** events with `ts` normalized to a microsecond TimestampType column. */
+  /** events with `ts` normalized to a microsecond TimestampType column.
+    *
+    * Requires a UTC session: the NTZ→TZ cast below re-labels the same
+    * instant ONLY when spark.sql.session.timeZone is UTC (any other zone
+    * would silently shift every NTZ timestamp and diverge from the
+    * DuckDB oracle), so the precondition is enforced here rather than
+    * trusted to the caller.
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"events() requires spark.sql.session.timeZone=UTC (got $tz): the " +
+        "TIMESTAMP_NTZ generation is re-labeled, not converted")
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // INT64 nanos generation
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => // TIMESTAMP_NTZ generation; session tz is UTC, same instant
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ generation; session tz is UTC (asserted), same instant
         raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        sys.error(s"events.parquet ts has unexpected type $other — known " +
+          "generations are INT64(NANOS), TIMESTAMP(MICROS), TIMESTAMP_NTZ")
     }
   }
 
