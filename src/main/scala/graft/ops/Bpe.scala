@@ -142,6 +142,39 @@ object Bpe {
           .as("encoded"))
   }
 
+  /** X77 — tokenizer FERTILITY per language: tokens-per-word and
+    * chars-per-token under the trained segmentation, the standard
+    * tokenizer-equity audit (Ács 2019; the XLM-R / NLLB tokenizer
+    * papers) — a language whose fertility is 2× pays 2× the context
+    * budget for the same text, and this table is how you catch that
+    * before training.
+    *
+    * Takes the ALREADY-ENCODED corpus (`enc` = [[encode]]'s output, the
+    * x54 artifact — shared, not recomputed) and the raw docs; the op
+    * itself is one row-local projection (word/char counts), one
+    * id-equi-join, and one per-language aggregation. Ratios are exact
+    * integer ppm (`·10^6 div`) — no float seam. Docs with no encodable
+    * word (empty after tokenization) drop with the inner join: fertility
+    * is defined over encoded text; every surviving language slice has
+    * n_words ≥ 1 and n_tokens ≥ 1, so the divisions are total.
+    */
+  def fertility(docs: DataFrame, enc: DataFrame, idCol: String,
+                textCol: String, langCol: String): DataFrame =
+    docs.select(col(idCol), col(langCol).as("lang"),
+        size(filter(split(col(textCol), " "), w => length(w) > 0))
+          .cast("long").as("words"),
+        length(col(textCol)).cast("long").as("chars"))
+      .join(enc.select(col(idCol), col("n_tokens").as("toks")), Seq(idCol))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).as("n_words"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        expr("n_tokens * 1000000L div n_words").as("fertility_ppm"),
+        expr("n_chars * 1000000L div n_tokens").as("chars_per_token_ppm"))
+
   /** Per-document token count under the trained segmentation: one token
     * explode joined to the vocabulary-sized (word -> symbol count) map
     * (AQE broadcasts it), one per-doc sum.

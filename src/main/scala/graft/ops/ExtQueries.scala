@@ -139,6 +139,15 @@ object ExtQueries {
   private val CyrPhrase = " привет мир"
   private val GrePhrase = " αβγ δεζ"
   private val HanPhrase = " 中文 文本"
+  // X74 Bloom gate: 2^18-bit bitmap (4096 longs), 4 md5 lanes — the
+  // oracle is the NAIVE exact join (x48 discipline: the gate has no
+  // false negatives, so gate-then-verify == exact, proven per run)
+  private val BloomBits = 1 << 18
+  private val BloomK = 4
+  // X75 HITS rounds (oracle unrolls them, x28-style)
+  private val HitsIters = 3
+  // X78 bitext-margin NN depth (Artetxe & Schwenk's k)
+  private val BitextK = 5
 
   /** The x64 paged twin of `documents`: (doc_id, page) with the
     * synthesis documented at [[C4Width]] — pure higher-order functions,
@@ -291,6 +300,18 @@ object ExtQueries {
   private def bpeTrained(s: SparkSession, dir: String): (Seq[Bpe.Merge], DataFrame) =
     bpeCache.getOrCompute(s, dir) {
       Bpe.train(Tables.documents(s, dir), "text", BpeIters)
+    }
+
+  /** The ENCODED corpus under the trained merges, cached per (session,
+    * dir) and pinned: the vocabulary fold + corpus rejoin run once and
+    * both x54 and the x77 fertility audit read the same table — the
+    * bpeCache artifact contract one stage downstream.
+    */
+  private val bpeEncCache = new graft.engine.SessionCache[DataFrame]
+  private def bpeEncoded(s: SparkSession, dir: String): DataFrame =
+    bpeEncCache.getOrCompute(s, dir) {
+      Bpe.encode(Tables.documents(s, dir), "doc_id", "text",
+        bpeTrained(s, dir)._1).localCheckpoint(false)
     }
 
   /** The x42 classifier result, cached per (session, dir): model
@@ -1101,10 +1122,8 @@ object ExtQueries {
     // over the input's distinct word types, corpus joined once; the
     // oracle replays the identical training fold and reassembles the
     // token stream in word order
-    "x54_bpe_encode" -> ((s, dir) => {
-      Bpe.encode(Tables.documents(s, dir), "doc_id", "text",
-        bpeTrained(s, dir)._1).orderBy("doc_id")
-    }),
+    "x54_bpe_encode" -> ((s, dir) =>
+      bpeEncoded(s, dir).orderBy("doc_id")),
 
     // X43 ANN recall audit — recall@k of every approximate tier against
     // the exact top-k on the same corpus/queries; the exact list is
@@ -1376,7 +1395,50 @@ object ExtQueries {
     // [[scriptPage]]) — row-local strip-and-diff codepoint counts
     "x73_script_mix" -> ((s, dir) =>
       ScriptMix.analyze(scriptPage(s, dir), "doc_id", "page")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // X74 Bloom-gated eval contamination — x13's exact semantics on the
+    // x60 train/eval split, computed through a 32 KB scan-side bitmap
+    // pre-gate + exact verify; the oracle is the naive exact join (the
+    // gate is lossless — no false negatives)
+    "x74_bloom_decon" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ev = Sample.uniform(docs, "doc_id", 0.1, seed = "eval")
+      val train = docs.join(ev.select("doc_id"), Seq("doc_id"), "left_anti")
+      Bloom.contamination(train, ev, "doc_id", "text", n = 8,
+        m = BloomBits, k = BloomK).orderBy("doc_id")
+    }),
+
+    // X75 HITS hubs & authorities over the DIRECTED customer→supplier
+    // trade graph (pure bipartite: customers are hubs, suppliers
+    // authorities) — exact fixed-point iterations, oracle unrolled
+    "x75_hits" -> ((s, dir) => {
+      val pair = tradePairs(s, dir)
+      Graph.hits(pair.select(col("c").as("src"), col("s").as("dst")),
+        HitsIters).orderBy(col("auth").desc, col("node")).limit(100)
+    }),
+
+    // X76 corpus data card — docs/tokens/chars/exact-dup counts for
+    // every (source, lang) slice and every marginal, one CUBE pass
+    "x76_datacard" -> ((s, dir) =>
+      Report.dataCard(Tables.documents(s, dir), "source", "lang",
+        "text", "n_chars").orderBy("src", "lng")),
+
+    // X77 tokenizer fertility per language under the trained BPE —
+    // reads the session-cached x54 encode artifact, exact integer ppm
+    "x77_fertility" -> ((s, dir) =>
+      Bpe.fertility(Tables.documents(s, dir), bpeEncoded(s, dir),
+        "doc_id", "text", "lang").orderBy("lang")),
+
+    // X78 margin-based bitext mining between the label-0 and label-1
+    // embedding slices — ratio margin over one broadcast pair table,
+    // exact integer micro-cosines and ppm margins
+    "x78_bitext_margin" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bitextMargin(emb.filter(col("label") === 0),
+        emb.filter(col("label") === 1), "vec_id", "embedding", BitextK)
+        .orderBy("aid")
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -3861,6 +3923,132 @@ object ExtQueries {
          |FROM documents d
          |JOIN nb ON nb.doc_id = d.doc_id
          |JOIN lp ON lp.doc_id = d.doc_id
-         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // the NAIVE exact join over the train slice — the Bloom gate is
+    // lossless, so this IS x74's answer (the x48 prune-proof pattern)
+    "x74_bloom_decon" -> {
+      val gram8 = (0 until 8).map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |sh8 AS (SELECT DISTINCT doc_id,
+         |  unnest(list_transform(generate_series(1, len(ts) - 7), i -> $gram8)) AS s
+         |  FROM t),
+         |ev AS (SELECT doc_id AS eval_id, s AS es FROM sh8
+         |  WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'eval'), 1, 8)
+         |    < '${Sample.threshold(0.1)}'),
+         |evd AS (SELECT doc_id FROM documents
+         |  WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'eval'), 1, 8)
+         |    < '${Sample.threshold(0.1)}'),
+         |trd AS (SELECT doc_id FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM evd)),
+         |tr AS (SELECT sh8.* FROM sh8 JOIN trd USING (doc_id)),
+         |hits AS (SELECT doc_id, count(DISTINCT eval_id) AS m
+         |  FROM tr JOIN ev ON s = es GROUP BY 1)
+         |SELECT trd.doc_id, CAST(coalesce(hits.m, 0) AS BIGINT) AS n_eval_matches
+         |FROM trd LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // the same HitsIters L1-normalized half-rounds unrolled; HUGEINT
+    // re-seats the raw·SCALE product exactly as Spark's DECIMAL(38,0)
+    "x75_hits" -> {
+      val SC = Graph.Scale
+      val iter = (k: Int) =>
+        s"""ar$k AS (SELECT e.dst AS node, sum(h.hub) AS raw
+           |  FROM e JOIN h${k - 1} h ON h.node = e.src GROUP BY 1),
+           |at$k AS (SELECT sum(raw) AS t FROM ar$k),
+           |a$k AS (SELECT nodes.node, CASE WHEN at$k.t > 0
+           |    THEN CAST(CAST(coalesce(ar$k.raw, 0) AS HUGEINT) * $SC // at$k.t AS BIGINT)
+           |    ELSE 0 END AS auth
+           |  FROM nodes LEFT JOIN ar$k USING (node) CROSS JOIN at$k),
+           |hr$k AS (SELECT e.src AS node, sum(a.auth) AS raw
+           |  FROM e JOIN a$k a ON a.node = e.dst GROUP BY 1),
+           |ht$k AS (SELECT sum(raw) AS t FROM hr$k),
+           |h$k AS (SELECT nodes.node, CASE WHEN ht$k.t > 0
+           |    THEN CAST(CAST(coalesce(hr$k.raw, 0) AS HUGEINT) * $SC // ht$k.t AS BIGINT)
+           |    ELSE 0 END AS hub
+           |  FROM nodes LEFT JOIN hr$k USING (node) CROSS JOIN ht$k)""".stripMargin
+      s"""WITH pair AS (SELECT DISTINCT o.o_custkey * 2 AS c,
+         |  l.l_suppkey * 2 + 1 AS s
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM pair),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+         |n AS (SELECT count(*) AS n FROM nodes),
+         |h0 AS (SELECT node, $SC // n.n AS hub FROM nodes CROSS JOIN n),
+         |${(1 to HitsIters).map(iter).mkString(",\n")}
+         |SELECT node, CAST(h.hub AS BIGINT) AS hub, CAST(a.auth AS BIGINT) AS auth
+         |FROM h$HitsIters h JOIN a$HitsIters a USING (node)
+         |ORDER BY auth DESC, node LIMIT 100""".stripMargin
+    },
+
+    // one CUBE aggregation, marginal NULLs rendered '(all)' on both
+    // engines so ordering never hits a NULLS FIRST/LAST dialect seam
+    "x76_datacard" ->
+      """SELECT coalesce(source, '(all)') AS src,
+        |  coalesce(lang, '(all)') AS lng,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(text, ' '),
+        |    w -> length(w) > 0))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+        |FROM documents GROUP BY CUBE (source, lang)
+        |ORDER BY src, lng""".stripMargin,
+
+    // the x54 encode replayed per word type, then per-language exact
+    // integer ppm ratios
+    "x77_fertility" ->
+      s"""WITH $bpeAllRounds,
+         |enc AS (SELECT word,
+         |  CAST(len(string_split(s[2:], chr(31))) AS BIGINT) AS ntok
+         |  FROM w$BpeIters),
+         |t AS (SELECT doc_id, lang, length(text) AS chars,
+         |  string_split(text, ' ') AS ts FROM documents),
+         |dt AS (SELECT doc_id, ts[i] AS word
+         |  FROM t, LATERAL unnest(generate_series(1, len(ts))) AS u(i)
+         |  WHERE length(ts[i]) > 0),
+         |dwc AS (SELECT doc_id, count(*) AS words, sum(enc.ntok) AS toks
+         |  FROM dt JOIN enc USING (word) GROUP BY 1),
+         |j AS (SELECT t.doc_id, t.lang, t.chars, dwc.words, dwc.toks
+         |  FROM t JOIN dwc USING (doc_id))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(words) AS BIGINT) AS n_words,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(toks) * 1000000 // sum(words) AS BIGINT) AS fertility_ppm,
+         |  CAST(sum(chars) * 1000000 // sum(toks) AS BIGINT) AS chars_per_token_ppm
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical pair table, NN-sum windows, and integral margin
+    // division; float ops (dot, sqrt, divide, floor) are all IEEE
+    // correctly-rounded in the same association, so cmicro byte-matches
+    "x78_bitext_margin" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, q, list_dot_product(q, q) AS n2 FROM e),
+         |a AS (SELECT vec_id AS aid, q AS qa, n2 AS na FROM n WHERE label = 0),
+         |b AS (SELECT vec_id AS bid, q AS qb, n2 AS nb FROM n WHERE label = 1),
+         |p AS (SELECT aid, bid,
+         |  CAST(floor(list_dot_product(qa, qb) / (sqrt(na) * sqrt(nb))
+         |    * 1000000) AS BIGINT) AS cmicro
+         |  FROM a CROSS JOIN b),
+         |sa AS (SELECT aid, sum(cmicro) AS sa FROM (
+         |  SELECT aid, cmicro, row_number() OVER (PARTITION BY aid
+         |    ORDER BY cmicro DESC, bid) AS rn FROM p)
+         |  WHERE rn <= $BitextK GROUP BY 1),
+         |sb AS (SELECT bid, sum(cmicro) AS sb FROM (
+         |  SELECT bid, cmicro, row_number() OVER (PARTITION BY bid
+         |    ORDER BY cmicro DESC, aid) AS rn FROM p)
+         |  WHERE rn <= $BitextK GROUP BY 1),
+         |m AS (SELECT p.aid, p.bid,
+         |  cmicro * ${2 * BitextK} * 1000000 // (sa.sa + sb.sb) AS margin_ppm
+         |  FROM p JOIN sa USING (aid) JOIN sb USING (bid)
+         |  WHERE cmicro >= 0 AND sa.sa + sb.sb > 0)
+         |SELECT aid, bid, CAST(margin_ppm AS BIGINT) AS margin_ppm FROM (
+         |  SELECT aid, bid, margin_ppm, row_number() OVER (PARTITION BY aid
+         |    ORDER BY margin_ppm DESC, bid) AS rn FROM m)
+         |WHERE rn = 1 ORDER BY aid""".stripMargin
   )
 }

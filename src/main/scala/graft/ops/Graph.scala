@@ -53,6 +53,89 @@ object Graph {
     * (node, rank) — eagerly materialized and persisted (rank-vector
     * sized); callers done with the result may `.unpersist()` it.
     */
+  /** X75 — HITS hubs & authorities (Kleinberg 1999) over directed
+    * `edges` (src, dst), `iters` rounds, in the same exact-BIGINT
+    * fixed-point discipline as [[pageRank]]: scores are integers in
+    * units of 10^-12 and each half-round L1-normalizes to SCALE via one
+    * integral division per node —
+    *   auth'(v) = Σ_{u→v} hub(u), then auth(v) = auth'(v)·SCALE div Σauth';
+    *   hub'(u)  = Σ_{u→v} auth(v), then hub(u) = hub'(u)·SCALE div Σhub'.
+    * (The textbook L2 normalization needs a square root; the L1 variant
+    * is the standard rational alternative — the argsort is what HITS
+    * consumers read, and it is normalization-invariant.) The
+    * `raw·SCALE` product can exceed 2^63, so the division runs in
+    * DECIMAL(38,0) and re-seats in BIGINT — the x55/x58 reseat.
+    *
+    * Shape at 100 TB: per round, the score vector (one BIGINT per node)
+    * shuffles into the persisted edge topology and re-aggregates with
+    * map-side combine — rank-vector-sized traffic, edge list scanned in
+    * place; the L1 total is a 1-row broadcast. Two persisted copies of
+    * the edge list (src- and dst-partitioned) keep BOTH half-rounds
+    * co-located. Fixed iteration budget, as [[pageRank]].
+    *
+    * Returns (node, hub, auth); empty edges yield an empty frame.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    if (n == 0L) {
+      val empty = nodes.withColumn("hub", lit(0L))
+        .withColumn("auth", lit(0L)).limit(0)
+      nodes.unpersist(false)
+      return empty
+    }
+    val bySrc = edges.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val byDst = edges.repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bySrc.count(); byDst.count()
+
+    // Σ over a score column, then SCALE-normalize raw sums against it:
+    // coalesce(0) densifies nodes the propagation never reached.
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val total = raw.agg(coalesce(sum(col("raw")), lit(0L)).as("t"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("node"),
+          when(col("t") > 0L, expr(
+            s"CAST(CAST(coalesce(raw, 0L) AS DECIMAL(38,0)) * ${Scale}L div t AS BIGINT)"))
+            .otherwise(lit(0L)).as(outCol))
+    }
+
+    var hubs = nodes.withColumn("hub", lit(Scale / n))
+    var auths: DataFrame = null
+    var pinned: Option[DataFrame] = None
+    for (i <- 1 to iters) {
+      val authRaw = bySrc // join key is src: co-located with the src pin
+        .join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
+      auths = normalized(authRaw, "auth")
+      val hubRaw = byDst // join key is dst: co-located with the dst pin
+        .join(auths.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
+      hubs = normalized(hubRaw, "hub")
+      if (i % 2 == 0 || i == iters) {
+        val both = hubs.join(auths, Seq("node"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        both.count()
+        pinned.foreach(_.unpersist(false))
+        pinned = Some(both)
+        hubs = both.select(col("node"), col("hub"))
+        auths = both.select(col("node"), col("auth"))
+      }
+    }
+    // the loop always pins at i == iters; the pinned (node, hub, auth)
+    // frame IS the result (callers done with it may .unpersist() it)
+    val out = pinned.get.select(col("node"), col("hub"), col("auth"))
+    byDst.unpersist(false)
+    bySrc.unpersist(false)
+    nodes.unpersist(false)
+    out
+  }
+
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))

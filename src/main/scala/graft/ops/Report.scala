@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X76 — the corpus DATA CARD: the per-slice composition report every
+  * released training set ships (Gebru et al. 2021 "Datasheets for
+  * Datasets"; the Pile/ROOTS/Dolma data cards) — document, token, and
+  * byte counts plus an exact-duplicate rate, for every (source, lang)
+  * slice AND every marginal, in ONE pass.
+  *
+  * The grain is `CUBE(source, lang)`: (source, lang), (source), (lang)
+  * and the grand total — a single Expand-based aggregation (the c4
+  * ROLLUP shape), not four scans. Every metric is an exact integer:
+  * token counts are row-local `size(filter(split))` (no shuffle before
+  * the aggregation), and the duplicate rate derives from
+  * `count(DISTINCT md5(text))` — digests, never text, cross the
+  * aggregation exchange (the x1 discipline). `n_dup_docs` =
+  * docs − distinct digests, the slice's exact-duplicate surplus.
+  *
+  * Marginal labels: grouping NULLs render as `(all)` — the real columns
+  * never carry NULL in this corpus, and the label keeps the output
+  * totally ordered without NULLS FIRST/LAST dialect seams.
+  *
+  * Shape at 100 TB: one map-side-combined multi-aggregate over the
+  * corpus scan; Expand multiplies rows 4× BEFORE the combine but the
+  * combine output is slice-cardinality (sources × langs), so the
+  * exchange carries a dimension table, not a corpus. The distinct-digest
+  * count plans as Spark's standard two-phase distinct aggregate —
+  * digest-sized, the price of an exact dup rate (approx_count_distinct
+  * is the sketch you would swap in when ±2% is acceptable).
+  */
+object Report {
+
+  /** Data card over `docs`: (src, lng, n_docs, n_tokens, n_chars,
+    * n_distinct_texts, n_dup_docs) at cube grain.
+    */
+  def dataCard(docs: DataFrame, sourceCol: String, langCol: String,
+               textCol: String, charsCol: String): DataFrame =
+    docs
+      .select(col(sourceCol).as("src0"), col(langCol).as("lng0"),
+        size(filter(split(col(textCol), " "), w => length(w) > 0))
+          .cast("long").as("toks"),
+        col(charsCol).cast("long").as("chars"),
+        md5(col(textCol)).as("digest"))
+      .cube(col("src0"), col("lng0"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        countDistinct(col("digest")).as("n_distinct_texts"))
+      .select(
+        coalesce(col("src0"), lit("(all)")).as("src"),
+        coalesce(col("lng0"), lit("(all)")).as("lng"),
+        col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_distinct_texts"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_dup_docs"))
+}

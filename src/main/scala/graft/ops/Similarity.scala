@@ -84,6 +84,75 @@ object Similarity {
     * the brute-force candidate set for an ANN tier's and keep the
     * label-mismatch filter + window unchanged.
     */
+  /** X78 — margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix parallel-corpus recipe): for every source-side
+    * vector, the best target-side candidate by RATIO MARGIN — cosine
+    * normalized by the mean cosine of each side's k nearest neighbors
+    * in the other side:
+    *   margin(x,y) = cos(x,y) / ((Σ_{z∈NNk(x)} cos(x,z)
+    *                            + Σ_{z∈NNk(y)} cos(z,y)) / 2k).
+    * Plain cosine thresholds fail on hubness (some vectors are near
+    * everything); the margin rescales per-vector, which is the whole
+    * point of the recipe.
+    *
+    * EXACT INTEGER formulation: per-pair cosine lands as
+    * `floor(cos·10^6)` micro-units (cos itself is deterministic — the
+    * dot and norms are exact ints and IEEE sqrt/divide are correctly
+    * rounded), NN sums are then exact BIGINT sums, and the margin is one
+    * integral division `cmicro·2k·10^6 div (sa+sb)` — ppm of the ratio,
+    * bit-identical in any engine. Anti-correlated pairs (cmicro < 0)
+    * are dropped before the division (they are never bitext, and
+    * negative integral division rounds differently across engines);
+    * degenerate queries whose NN sums are ≤ 0 drop with them.
+    *
+    * Shape at 100 TB: ONE scored pair table drives everything — the
+    * (smaller) source side broadcasts into the target scan (the x2
+    * shape, target never shuffled), both NN sums are rank windows over
+    * that same pair table, and the sums rejoin it as two broadcast
+    * side-tables (side-cardinality rows). Brute-force pairing is the
+    * sf-scale baseline; at production scale the pair table is an ANN
+    * tier's candidate list (x51's refine contract) and every stage
+    * downstream is unchanged.
+    *
+    * Returns (aid, bid, margin_ppm): the top-1 target per source vector
+    * by margin (ties to the smaller bid).
+    */
+  def bitextMargin(a: DataFrame, b: DataFrame, idCol: String,
+                   vecCol: String, k: Int): DataFrame = {
+    val pa = prepared(a, idCol, vecCol)
+      .select(col(idCol).as("aid"), col("q").as("qa"), col("n2").as("na"))
+    val pb = prepared(b, idCol, vecCol)
+      .select(col(idCol).as("bid"), col("q").as("qb"), col("n2").as("nb"))
+    val pairs = pb.join(broadcast(pa))
+      .select(col("aid"), col("bid"),
+        floor(cosine(dot(col("qa"), col("qb")), col("na"), col("nb"))
+          * 1000000L).cast("long").as("cmicro"))
+      // one scored-pair table feeds both NN-sum windows AND the margin
+      // join: pin it so the pair scoring runs once, not three times
+      // (blocks release with the RDD once the query's consumers are GC'd)
+      .localCheckpoint(false)
+    val wa = Window.partitionBy(col("aid"))
+      .orderBy(col("cmicro").desc, col("bid"))
+    val sa = pairs.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") <= k)
+      .groupBy(col("aid")).agg(sum(col("cmicro")).as("sa"))
+    val wb = Window.partitionBy(col("bid"))
+      .orderBy(col("cmicro").desc, col("aid"))
+    val sb = pairs.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= k)
+      .groupBy(col("bid")).agg(sum(col("cmicro")).as("sb"))
+    val margins = pairs
+      .join(broadcast(sa), Seq("aid")).join(broadcast(sb), Seq("bid"))
+      .filter(col("cmicro") >= 0L && col("sa") + col("sb") > 0L)
+      .select(col("aid"), col("bid"),
+        expr(s"cmicro * ${2L * k}L * 1000000L div (sa + sb)").as("margin_ppm"))
+    val top = Window.partitionBy(col("aid"))
+      .orderBy(col("margin_ppm").desc, col("bid"))
+    margins.withColumn("rn", row_number().over(top))
+      .filter(col("rn") === 1)
+      .select(col("aid"), col("bid"), col("margin_ppm"))
+  }
+
   def hardNegatives(emb: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int): DataFrame = {
     val corpus = emb.select(col(idCol), col(labelCol),

@@ -89,6 +89,27 @@ class BpeSpec extends SparkSpec {
     assert(got === Seq((1L, 4L, "abab ab b a")))
   }
 
+  test("fertility: exact per-language ppm ratios over a given encoding") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "en", "one two three"), // 3 words, 13 chars
+      (2L, "en", "four five"), // 2 words, 9 chars
+      (3L, "de", "ein"), // 1 word, 3 chars
+      (4L, "de", "") // 0 words: drops (not encodable)
+    ).toDF("doc_id", "lang", "text")
+    val enc = Seq((1L, 5L), (2L, 3L), (3L, 2L))
+      .toDF("doc_id", "n_tokens")
+    val got = Bpe.fertility(docs, enc, "doc_id", "text", "lang")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === Seq(
+      // de: 1 doc, 1 word, 2 tokens, 3 chars; 2e6/1; 3e6/2
+      ("de", 1L, 1L, 2L, 3L, 2000000L, 1500000L),
+      // en: 2 docs, 5 words, 8 tokens, 22 chars; 8e6 div 5; 22e6 div 8
+      ("en", 2L, 5L, 8L, 22L, 1600000L, 2750000L)))
+  }
+
   test("running out of pairs before iters fails loudly") {
     val e = intercept[IllegalArgumentException] {
       train(Seq("ab"), iters = 2) // round 1 merges the only pair

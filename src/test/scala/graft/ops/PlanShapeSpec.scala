@@ -386,4 +386,49 @@ class PlanShapeSpec extends SparkSpec {
     val plan = physical(ScriptMix.analyze(docs, "doc_id", "page"))
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("bloom contamination: the bitmap gate filters BEFORE the verify " +
+    "join, and the eval side broadcasts — the corpus is never sort-merge " +
+    "joined") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val ev = Seq((9000001L, "e1 e2 e3 e4 e5 e6 e7 e8")).toDF("doc_id", "text")
+    val plan = physical(Bloom.contamination(docs, ev, "doc_id", "text",
+      n = 8, m = 1 << 12, k = 4))
+    // the membership probe (element_at into the literal bitmap) must sit
+    // in a Filter on the corpus side, upstream of the join
+    assert(plan.contains("shiftright"), s"bloom gate not in the plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingles not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled to join:\n$plan")
+  }
+
+  test("bitext margin: ONE pinned pair table feeds all three consumers; " +
+    "NN sums rejoin broadcast; rank windows get group-limit pushdown — " +
+    "no sort-merge join anywhere") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.bitextMargin(emb.filter(col("label") === 0),
+      emb.filter(col("label") === 1), "vec_id", "embedding", 5)
+    val plan = physical(out)
+    // the checkpointed pair table appears as the SAME RDD scan in the
+    // margin join and both NN-sum subplans — scored once, read thrice
+    // (its own upstream plan — source side broadcast into the target
+    // scan — is truncated behind the checkpoint by design)
+    assert(countOccurrences(plan, "Scan ExistingRDD") === 3,
+      s"pair table not shared across the three consumers in:\n$plan")
+    assert(countOccurrences(plan, "BroadcastHashJoin") === 2,
+      s"NN sums not broadcast back in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k rank not pushed down in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"pair table shuffled to join:\n$plan")
+  }
+
+  test("datacard is ONE Expand aggregation — a single cube pass, not " +
+    "four scans") {
+    val plan = physical(Report.dataCard(Tables.documents(spark, sf),
+      "source", "lang", "text", "n_chars"))
+    assert(countOccurrences(plan, "Expand") >= 1, s"no Expand in:\n$plan")
+    assert(countOccurrences(plan, "Scan parquet") <= 1,
+      s"cube must scan the corpus once in:\n$plan")
+  }
 }
