@@ -67,11 +67,19 @@ object Graph {
     * DECIMAL(38,0) and re-seats in BIGINT — the x55/x58 reseat.
     *
     * Shape at 100 TB: per round, the score vector (one BIGINT per node)
-    * shuffles into the persisted edge topology and re-aggregates with
+    * shuffles into the pinned edge topology and re-aggregates with
     * map-side combine — rank-vector-sized traffic, edge list scanned in
-    * place; the L1 total is a 1-row broadcast. Two persisted copies of
-    * the edge list (src- and dst-partitioned) keep BOTH half-rounds
-    * co-located. Fixed iteration budget, as [[pageRank]].
+    * place; the L1 total is a 1-row driver read off the pinned raw
+    * vector. Two pinned copies of the edge list (src- and
+    * dst-partitioned) keep BOTH half-rounds co-located. Unlike
+    * [[pageRank]]'s persist pins, every pin here is an EAGER
+    * localCheckpoint: HITS pins each half-round (the L1 total forces
+    * materialization anyway), and 2·iters retained full-lineage cache
+    * entries made driver-side plan canonicalization the bottleneck —
+    * checkpointing keeps every round's query tree constant-size at the
+    * price of losing lineage-based recompute on block loss (acceptable:
+    * the deterministic rebuild is one rerun from the pinned edges).
+    * Fixed iteration budget, as [[pageRank]].
     *
     * Returns (node, hub, auth); empty edges yield an empty frame.
     */
@@ -87,28 +95,37 @@ object Graph {
       nodes.unpersist(false)
       return empty
     }
-    val bySrc = edges.repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val byDst = edges.repartition(col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    bySrc.count(); byDst.count()
+    // Edge topology and every per-half-round score vector pin via EAGER
+    // localCheckpoint, not persist: checkpoint TRUNCATES the logical
+    // plan to an RDD leaf, so each half-round's query tree stays
+    // constant-size. (The persist-based variant kept full lineage: by
+    // round 3 the driver spent 10× longer canonicalizing/matching the
+    // ever-growing tree against the cache than executing it — measured,
+    // not theoretical. The vectors are node-sized and the edge pins are
+    // read every round, so eager materialization costs nothing extra;
+    // the durability trade vs pageRank's persist is documented there.)
+    val bySrc = edges.repartition(col("src")).localCheckpoint()
+    val byDst = edges.repartition(col("dst")).localCheckpoint()
 
-    // Σ over a score column, then SCALE-normalize raw sums against it:
-    // coalesce(0) densifies nodes the propagation never reached.
+    // L1 total read off the pinned raw vector as a 1-row driver collect
+    // (the bounded-artifact seam — one BIGINT), then one scan-side exact
+    // division against it.
     def normalized(raw: DataFrame, outCol: String): DataFrame = {
-      val total = raw.agg(coalesce(sum(col("raw")), lit(0L)).as("t"))
-      nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(total))
+      val pinned = raw.localCheckpoint()
+      val total = pinned.agg(coalesce(sum(col("raw")), lit(0L)))
+        .collect()(0).getLong(0)
+      nodes.join(pinned, Seq("node"), "left")
         .select(col("node"),
-          when(col("t") > 0L, expr(
-            s"CAST(CAST(coalesce(raw, 0L) AS DECIMAL(38,0)) * ${Scale}L div t AS BIGINT)"))
-            .otherwise(lit(0L)).as(outCol))
+          (if (total > 0L)
+             expr(s"CAST(CAST(coalesce(raw, 0L) AS DECIMAL(38,0)) " +
+               s"* ${Scale}L div ${total}L AS BIGINT)")
+           else lit(0L)).as(outCol))
+        .localCheckpoint()
     }
 
     var hubs = nodes.withColumn("hub", lit(Scale / n))
     var auths: DataFrame = null
-    var pinned: Option[DataFrame] = None
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
       val authRaw = bySrc // join key is src: co-located with the src pin
         .join(hubs.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
@@ -117,21 +134,10 @@ object Graph {
         .join(auths.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
       hubs = normalized(hubRaw, "hub")
-      if (i % 2 == 0 || i == iters) {
-        val both = hubs.join(auths, Seq("node"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        both.count()
-        pinned.foreach(_.unpersist(false))
-        pinned = Some(both)
-        hubs = both.select(col("node"), col("hub"))
-        auths = both.select(col("node"), col("auth"))
-      }
     }
-    // the loop always pins at i == iters; the pinned (node, hub, auth)
-    // frame IS the result (callers done with it may .unpersist() it)
-    val out = pinned.get.select(col("node"), col("hub"), col("auth"))
-    byDst.unpersist(false)
-    bySrc.unpersist(false)
+    // one node-sized join of the two final pinned vectors; superseded
+    // checkpoint blocks release with their RDDs via the context cleaner
+    val out = hubs.join(auths, Seq("node"))
     nodes.unpersist(false)
     out
   }
