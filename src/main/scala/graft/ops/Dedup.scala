@@ -706,6 +706,75 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** X79 — 64-bit SimHash (the production width: at 16 bits random
+    * unrelated docs land within Hamming distance 3 about 1% of the
+    * time — measured on this corpus — while at 64 bits the same event
+    * is ~2e-15, so distance actually means near-duplication; Manku,
+    * Jain & Sarma 2007 use 64 for all of the web). Bit j votes from
+    * hex char j/4 of md5(shingle) (16 of the 32 chars), same lane
+    * family as [[simhash16]]. Bit 63 assembles as Long.MinValue — the
+    * two's-complement top bit — so the signature is a plain BIGINT
+    * whose XOR/popcount semantics are identical in any engine; the 63
+    * positive weights sum first (max 2^63-1, no overflow) and the sign
+    * bit lands last.
+    */
+  def simhash64(sh: DataFrame, idCol: String): DataFrame = {
+    val withHex = sh.withColumn("h", md5(col("s")))
+    def bit(j: Int): Column =
+      (shiftright(conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int"), j % 4) % 2)
+        .cast("int")
+    val votes = (0 until 64).map(j => sum(bit(j) * 2 - 1).as(s"v$j"))
+    withHex.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        ((0 until 63).map(j =>
+          when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          :+ when(col("v63") >= 0, lit(Long.MinValue)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** X79 — all pairs within Hamming distance `maxDist` of each other's
+    * 64-bit signature, by the PIGEONHOLE multi-index (Manku, Jain &
+    * Sarma 2007, the Google web-dedup recipe): split the 64 bits into
+    * maxDist+1 bands — two signatures within distance d have at most d
+    * differing bands, so they agree EXACTLY on at least one band — then
+    * equi-join per (band, key) and popcount-verify the sliver of
+    * candidates. The prune is lossless by the pigeonhole argument; the
+    * oracle runs the naive all-pairs popcount, re-proving it per run
+    * (x48 discipline).
+    *
+    * Shape at 100 TB: the corpus never joins on itself — SIGNATURES do
+    * (one BIGINT per doc). The banded self-join is the x1 LSH-bucket
+    * shape: one hash exchange of (band, key, sig), candidates bounded
+    * by band-bucket sizes (band width 64/(maxDist+1) bits is the knob
+    * that scales buckets with corpus cardinality — the LshBits
+    * discipline), verification is one row-local XOR+popcount, and the
+    * cross-band duplicate collapse shuffles survivors only.
+    *
+    * Returns (d1, d2, dist), d1 < d2. `maxDist+1` must divide 64.
+    */
+  def hammingPairs(sig: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    val bands = maxDist + 1
+    require(maxDist >= 0 && 64 % bands == 0,
+      s"maxDist $maxDist: maxDist+1 must divide 64 (0, 1, 3, 7, 15, 31)")
+    val w = 64 / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val banded = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        expr(s"shiftright(simhash, ${b * w}) & $mask")): _*))
+        .as(Seq("band", "key")))
+    val left = banded.select(col(idCol).as("d1"), col("simhash").as("s1"),
+      col("band"), col("key"))
+    val right = banded.select(col(idCol).as("d2"), col("simhash").as("s2"),
+      col("band"), col("key"))
+    left.join(right, Seq("band", "key"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        expr("bit_count(s1 ^ s2)").cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Embedding near-dup: pairs with quantized-cosine >= threshold.
     * Quantization (floor(x*1000)) keeps the arithmetic exact-integer so
     * results are order- and engine-independent.

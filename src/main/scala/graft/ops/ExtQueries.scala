@@ -148,6 +148,8 @@ object ExtQueries {
   private val HitsIters = 3
   // X78 bitext-margin NN depth (Artetxe & Schwenk's k)
   private val BitextK = 5
+  // X79 simhash Hamming radius (Manku et al.'s d=3 over 64 bits)
+  private val SimhashMaxDist = 3
 
   /** The x64 paged twin of `documents`: (doc_id, page) with the
     * synthesis documented at [[C4Width]] — pure higher-order functions,
@@ -1438,6 +1440,16 @@ object ExtQueries {
       Similarity.bitextMargin(emb.filter(col("label") === 0),
         emb.filter(col("label") === 1), "vec_id", "embedding", BitextK)
         .orderBy("aid")
+    }),
+
+    // X79 SimHash near-dup PAIRS at the production signature width —
+    // 64-bit signatures, pigeonhole banded self-join, popcount verify;
+    // the signature table pins once and feeds both join sides
+    "x79_simhash_hamming" -> ((s, dir) => {
+      val sig = Dedup.simhash64(
+        Dedup.shingleTable(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id").localCheckpoint(false)
+      Dedup.hammingPairs(sig, "doc_id", SimhashMaxDist).orderBy("d1", "d2")
     })
   )
 
@@ -1471,6 +1483,19 @@ object ExtQueries {
 
   private def simhashAssemble: String =
     (0 until 16).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  // 64-bit variants for x79: same lane family over the first 16 hex
+  // chars; bit 63 lands as the two's-complement sign weight so the
+  // HUGEINT vote sum re-seats exactly in BIGINT
+  private def simhash64Votes: String =
+    (0 until 64).map { j =>
+      s"sum(2 * (((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1) - 1) AS v$j"
+    }.mkString(", ")
+
+  private def simhash64Assemble: String =
+    ((0 until 63).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      :+ s"(CASE WHEN v63 >= 0 THEN ${Long.MinValue} ELSE 0 END)")
       .mkString(" + ")
 
   private def signBucketSql(col: String, bits: Int = 16): String =
@@ -4049,6 +4074,20 @@ object ExtQueries {
          |SELECT aid, bid, CAST(margin_ppm AS BIGINT) AS margin_ppm FROM (
          |  SELECT aid, bid, margin_ppm, row_number() OVER (PARTITION BY aid
          |    ORDER BY margin_ppm DESC, bid) AS rn FROM m)
-         |WHERE rn = 1 ORDER BY aid""".stripMargin
+         |WHERE rn = 1 ORDER BY aid""".stripMargin,
+
+    // the NAIVE all-pairs popcount — the pigeonhole prune is lossless,
+    // so this IS x79's answer (the x48 prune-proof discipline)
+    "x79_simhash_hamming" ->
+      s"""WITH $ShingleCte,
+         |hh AS (SELECT doc_id, md5(s) AS h FROM sh),
+         |votes AS (SELECT doc_id, $simhash64Votes FROM hh GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($simhash64Assemble AS BIGINT) AS simhash
+         |  FROM votes)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxDist
+         |ORDER BY d1, d2""".stripMargin
   )
 }
