@@ -97,13 +97,25 @@ object Bloom {
     * just on the contaminated sliver.
     */
   def contamination(docs: DataFrame, evalDocs: DataFrame, idCol: String,
-                    textCol: String, n: Int, m: Int, k: Int): DataFrame = {
-    val evalSh = Dedup.shingleTable(evalDocs, idCol, textCol, n)
-      .withColumnRenamed(idCol, "eval_id").withColumnRenamed("s", "es")
-    val bm = buildBitmap(evalSh.select(col("es").as("s")).distinct(), "s", m, k)
+                    textCol: String, n: Int, m: Int, k: Int): DataFrame =
+    contaminationAgainst(docs,
+      Dedup.shingleTable(evalDocs, idCol, textCol, n)
+        .select(col(idCol).as("eval_id"), col("s")),
+      idCol, textCol, n, m, k)
+
+  /** The gate+verify half of [[contamination]], against a PREPARED
+    * (eval_id, s) shingle table — split out so the streaming twin
+    * ([[graft.streaming.BloomGateStream]]) can accumulate the eval side
+    * incrementally across batches.
+    */
+  def contaminationAgainst(docs: DataFrame, evalSh: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int, m: Int, k: Int): DataFrame = {
+    val ev = evalSh.select(col("eval_id"), col("s").as("es"))
+    val bm = buildBitmap(ev.select(col("es").as("s")).distinct(), "s", m, k)
     val cand = Dedup.shingleTable(docs, idCol, textCol, n)
       .filter(mightContain(col("s"), bm, m, k))
-    val hits = cand.join(broadcast(evalSh), col("s") === col("es"))
+    val hits = cand.join(broadcast(ev), col("s") === col("es"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("eval_id")).as("m"))
     docs.select(col(idCol)).join(hits, Seq(idCol), "left")
