@@ -150,6 +150,11 @@ object ExtQueries {
   private val BitextK = 5
   // X79 simhash Hamming radius (Manku et al.'s d=3 over 64 bits)
   private val SimhashMaxDist = 3
+  // X80 hybrid-fusion knobs: RRF constant K=60 (the paper's value) and
+  // the per-ranker list depth (reuses Bm25TopK so the sparse side IS
+  // x25's ranking); the dense query is embedding vec 0
+  private val RrfK = 60
+  private val RrfQueryVec = 0L
 
   /** The x64 paged twin of `documents`: (doc_id, page) with the
     * synthesis documented at [[C4Width]] — pure higher-order functions,
@@ -1450,6 +1455,23 @@ object ExtQueries {
         Dedup.shingleTable(Tables.documents(s, dir), "doc_id", "text"),
         "doc_id").localCheckpoint(false)
       Dedup.hammingPairs(sig, "doc_id", SimhashMaxDist).orderBy("d1", "d2")
+    }),
+
+    // X80 hybrid retrieval — x25's sparse BM25 ranking fused with a
+    // dense cosine ranking for embedding vec 0 by exact-integer
+    // reciprocal-rank fusion; fusion cost is ranker-output-sized
+    "x80_hybrid_rrf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === RrfQueryVec), "vec_id", "embedding",
+          Bm25TopK)
+        .select(col("cid").as("doc_id"), col("rank"))
+      val sparse = Retrieval.bm25(Tables.documents(s, dir), "doc_id",
+          "text", Bm25Terms, Bm25TopK)
+        .select(col("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq("bm25" -> sparse, "cos" -> dense), "doc_id",
+          kRrf = RrfK)
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
     })
   )
 
@@ -2045,6 +2067,42 @@ object ExtQueries {
 
   private def bpeAllRounds: String =
     (bpeW0Cte +: (1 to BpeIters).map(bpeRoundCtes)).mkString(",\n")
+
+  /** x25 BM25 pipeline SQL — named so the x80 fusion can embed the
+    * identical ranking as a subquery (the x43/x46 composition pattern).
+    */
+  private def bm25Sql: String = {
+    // terms are interpolated into SQL string literals — escape quotes
+    // so a term containing ' can never break or alter the oracle
+    val esc = Bm25Terms.map(_.replace("'", "''"))
+    val dfCols = esc.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(", ")
+    val tfCols = esc.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n  ")
+    // identical operator tree to Retrieval.bm25: ((1.0-b) + ((b*dl)/avgdl))
+    // etc., so every float op sees the same operand bits
+    val termSum = Bm25Terms.indices.map { i =>
+      s"""CASE WHEN tf$i > 0.0 THEN
+         |  round(ln((CAST(n AS DOUBLE) - df$i + 0.5) / (df$i + 0.5) + 1.0), 6)
+         |    * (tf$i * (1.2 + 1.0))
+         |    / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n)))
+         |  ELSE 0.0 END""".stripMargin
+    }.mkString("\n + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |stats AS (SELECT count(*) AS n,
+       |  CAST(sum(len(ts)) AS BIGINT) AS total_tokens, $dfCols FROM t),
+       |d AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+       |  $tfCols FROM t),
+       |s AS (SELECT doc_id, round($termSum, 6) AS score
+       |  FROM d CROSS JOIN stats),
+       |r AS (SELECT doc_id, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+       |  FROM s WHERE score > 0.0)
+       |SELECT doc_id, score, rank FROM r WHERE rank <= $Bm25TopK
+       |ORDER BY rank""".stripMargin
+  }
 
   /** x42 NB pipeline SQL — named so the x46 mismatch audit can embed the
     * identical pipeline as a subquery (the x43 composition pattern).
@@ -3462,38 +3520,7 @@ object ExtQueries {
          |SELECT doc_id, token, tf, df, tfidf, rnk FROM r WHERE rnk <= $TfIdfTopK
          |ORDER BY doc_id, rnk""".stripMargin,
 
-    "x25_bm25" -> {
-      // terms are interpolated into SQL string literals — escape quotes
-      // so a term containing ' can never break or alter the oracle
-      val esc = Bm25Terms.map(_.replace("'", "''"))
-      val dfCols = esc.zipWithIndex.map { case (t, i) =>
-        s"sum(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS df$i"
-      }.mkString(", ")
-      val tfCols = esc.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) AS tf$i"
-      }.mkString(",\n  ")
-      // identical operator tree to Retrieval.bm25: ((1.0-b) + ((b*dl)/avgdl))
-      // etc., so every float op sees the same operand bits
-      val termSum = Bm25Terms.indices.map { i =>
-        s"""CASE WHEN tf$i > 0.0 THEN
-           |  round(ln((CAST(n AS DOUBLE) - df$i + 0.5) / (df$i + 0.5) + 1.0), 6)
-           |    * (tf$i * (1.2 + 1.0))
-           |    / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(total_tokens AS DOUBLE) / n)))
-           |  ELSE 0.0 END""".stripMargin
-      }.mkString("\n + ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-         |stats AS (SELECT count(*) AS n,
-         |  CAST(sum(len(ts)) AS BIGINT) AS total_tokens, $dfCols FROM t),
-         |d AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
-         |  $tfCols FROM t),
-         |s AS (SELECT doc_id, round($termSum, 6) AS score
-         |  FROM d CROSS JOIN stats),
-         |r AS (SELECT doc_id, score,
-         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
-         |  FROM s WHERE score > 0.0)
-         |SELECT doc_id, score, rank FROM r WHERE rank <= $Bm25TopK
-         |ORDER BY rank""".stripMargin
-    },
+    "x25_bm25" -> bm25Sql,
 
     // exact fixed-point Laplace bigram LM — every value is BIGINT
     // arithmetic, so the oracle reproduces sums bit-for-bit
@@ -4088,6 +4115,32 @@ object ExtQueries {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxDist
-         |ORDER BY d1, d2""".stripMargin
+         |ORDER BY d1, d2""".stripMargin,
+
+    // the x25 ranking and the vec-0 dense ranking as subqueries,
+    // full-outer fused with integral reciprocal-rank contributions
+    "x80_hybrid_rrf" ->
+      s"""WITH bm AS (SELECT doc_id, rank FROM ($bm25Sql)),
+         |e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+         |qv AS (SELECT q, n2 FROM n WHERE vec_id = $RrfQueryVec),
+         |scored AS (SELECT n.vec_id AS doc_id,
+         |  round(list_dot_product(qv.q, n.q) / (sqrt(qv.n2) * sqrt(n.n2)), 6) AS sim
+         |  FROM n CROSS JOIN qv WHERE n.vec_id != $RrfQueryVec),
+         |cs AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INTEGER) AS rank
+         |  FROM scored) WHERE rank <= $Bm25TopK),
+         |f AS (SELECT coalesce(bm.doc_id, cs.doc_id) AS doc_id,
+         |  coalesce(bm.rank, 0) AS bm25_rank, coalesce(cs.rank, 0) AS cos_rank,
+         |  coalesce(1000000 // ($RrfK + bm.rank), 0)
+         |    + coalesce(1000000 // ($RrfK + cs.rank), 0) AS rrf_micro
+         |  FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id)
+         |SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+         |  CAST(cos_rank AS BIGINT) AS cos_rank,
+         |  CAST(rrf_micro AS BIGINT) AS rrf_micro
+         |FROM f ORDER BY rrf_micro DESC, doc_id""".stripMargin
   )
 }

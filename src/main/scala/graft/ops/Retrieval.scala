@@ -104,6 +104,47 @@ object Retrieval {
     * aggregation), so float addition order is identical on both oracle
     * sides.
     */
+  /** X80 — reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009):
+    * the standard hybrid-retrieval combiner — fuse N rankings of the
+    * same corpus (here sparse BM25 + dense cosine) by summing
+    * reciprocal ranks, rrf(d) = Σ_r 1/(K + rank_r(d)), K = 60. RRF
+    * needs no score calibration between rankers (ranks only), which is
+    * why it is the default fusion in hybrid search engines.
+    *
+    * EXACT INTEGER form: each contribution is `floor(10^6/(K + rank))`
+    * micro-units — one integral division per (doc, ranker), no float
+    * anywhere — so the fused ordering is bit-reproducible. A doc absent
+    * from a ranker's top-k contributes 0 (the standard top-k fusion
+    * convention) and reports rank 0 in that ranker's column.
+    *
+    * Shape at 100 TB: fusion cost is RANKER-OUTPUT-sized, never
+    * corpus-sized — the inputs are already top-k lists, the full-outer
+    * fold joins k-row frames (AQE broadcasts them), and the final sort
+    * orders ≤ N·k rows. The rankers themselves carry the corpus-scale
+    * contracts (bm25's scalar-stats broadcast, x2's query broadcast).
+    *
+    * `rankings` maps ranker name → (idCol, rank) frame; output carries
+    * one `<name>_rank` column per ranker plus `rrf_micro`.
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+              kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "ranker names must be distinct")
+    val sides = rankings.map { case (name, r) =>
+      r.select(col(idCol), col("rank").cast("long").as(s"${name}_rank"))
+    }
+    val joined = sides.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val rrf = rankings.map { case (name, _) =>
+      coalesce(expr(s"1000000L div (${kRrf}L + ${name}_rank)"), lit(0L))
+    }.reduce(_ + _)
+    joined.select(
+      col(idCol) +:
+        rankings.map { case (name, _) =>
+          coalesce(col(s"${name}_rank"), lit(0L)).as(s"${name}_rank")
+        } :+ rrf.as("rrf_micro"): _*)
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], topK: Int,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
