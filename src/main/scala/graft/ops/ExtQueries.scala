@@ -155,6 +155,12 @@ object ExtQueries {
   // x25's ranking); the dense query is embedding vec 0
   private val RrfK = 60
   private val RrfQueryVec = 0L
+  // X81 span corruption: anchor grid 8, spans 1-3 tokens, fire p=0.6
+  // => expected corruption 0.6*2/8 = 15% of tokens (T5's rate)
+  private val SpanGrid = 8
+  private val SpanMax = 3
+  private val SpanP = 0.6
+  private val SpanSeed = "sc"
 
   /** The x64 paged twin of `documents`: (doc_id, page) with the
     * synthesis documented at [[C4Width]] — pure higher-order functions,
@@ -1472,7 +1478,15 @@ object ExtQueries {
       Retrieval.rrfFuse(Seq("bm25" -> sparse, "cos" -> dense), "doc_id",
           kRrf = RrfK)
         .orderBy(col("rrf_micro").desc, col("doc_id"))
-    })
+    }),
+
+    // X81 T5 span-corruption pair materialization — grid-anchored
+    // deterministic spans, block-ordinal sentinels, one scan-side
+    // projection (stateless gate; zero shuffle)
+    "x81_span_corrupt" -> ((s, dir) =>
+      Augment.spanCorrupt(Tables.documents(s, dir), "doc_id", "text",
+        grid = SpanGrid, maxSpan = SpanMax, pStart = SpanP,
+        seed = SpanSeed).orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -4141,6 +4155,47 @@ object ExtQueries {
          |SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
          |  CAST(cos_rank AS BIGINT) AS cos_rank,
          |  CAST(rrf_micro AS BIGINT) AS rrf_micro
-         |FROM f ORDER BY rrf_micro DESC, doc_id""".stripMargin
+         |FROM f ORDER BY rrf_micro DESC, doc_id""".stripMargin,
+
+    // identical grid/lane arithmetic: block hash lanes via md5 string
+    // compare (Sample.threshold discipline), length lane via the
+    // strpos hex trick, slices clipped at doc end on both engines
+    "x81_span_corrupt" -> {
+      val thr = Sample.threshold(SpanP)
+      val lenLane = (h: String) =>
+        s"(strpos('0123456789abcdef', substring($h, 9, 1)) - 1) % $SpanMax + 1"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |bl AS (SELECT doc_id, ts, (len(ts) + ${SpanGrid - 1}) // $SpanGrid AS nb FROM t),
+         |h AS (SELECT doc_id, ts, nb,
+         |  list_transform(range(0, CAST(nb AS INT)), b ->
+         |    md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |        CAST(b * $SpanGrid AS VARCHAR) || ':$SpanSeed')) AS hs
+         |  FROM bl)
+         |SELECT doc_id,
+         |  array_to_string(list_filter(
+         |    list_transform(generate_series(1, len(ts)), i ->
+         |      CASE WHEN substring(hs[((i-1) // $SpanGrid) + 1], 1, 8) < '$thr'
+         |        THEN CASE
+         |          WHEN (i-1) % $SpanGrid = 0
+         |          THEN '<X_' || CAST((i-1) // $SpanGrid AS VARCHAR) || '>'
+         |          WHEN (i-1) % $SpanGrid <
+         |            ${lenLane(s"hs[((i-1) // $SpanGrid) + 1]")}
+         |          THEN NULL
+         |          ELSE ts[i] END
+         |        ELSE ts[i] END),
+         |    x -> x IS NOT NULL), ' ') AS input,
+         |  coalesce(array_to_string(list_filter(
+         |    list_transform(range(0, CAST(nb AS INT)), b ->
+         |      CASE WHEN substring(hs[b + 1], 1, 8) < '$thr'
+         |        THEN '<X_' || CAST(b AS VARCHAR) || '> ' ||
+         |          array_to_string(
+         |            ts[b * $SpanGrid + 1 :
+         |               b * $SpanGrid + ${lenLane(s"hs[b + 1]")}], ' ')
+         |        ELSE NULL END),
+         |    x -> x IS NOT NULL), ' '), '') AS target,
+         |  CAST(len(list_filter(range(0, CAST(nb AS INT)), b ->
+         |    substring(hs[b + 1], 1, 8) < '$thr')) AS BIGINT) AS n_spans
+         |FROM h ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -423,6 +423,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"pair table shuffled to join:\n$plan")
   }
 
+  test("span corruption is a pure scan-side projection: zero exchanges") {
+    val plan = physical(Augment.spanCorrupt(
+      Tables.documents(spark, sf), "doc_id", "text"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("datacard is ONE Expand aggregation — a single cube pass, not " +
     "four scans") {
     val plan = physical(Report.dataCard(Tables.documents(spark, sf),

@@ -4,8 +4,8 @@ import graft.SparkSpec
 import graft.ops.{C4, CodeDetect, Gopher, MassiveText}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-/** The x64/x65/x67/x68/x72/x73 gates are pure scan-side projections (zero
-  * shuffle, plan-pinned), so they need no streaming twin: the SAME
+/** The x64/x65/x67/x68/x72/x73/x81 gates are pure scan-side projections
+  * (zero shuffle, plan-pinned), so they need no streaming twin: the SAME
   * DataFrame operators run unchanged on an unbounded stream. This spec
   * is that claim executed — each gate applied to a MemoryStream in
   * append mode, batch-equal output, no state store.
@@ -64,5 +64,13 @@ class StatelessGateStreamSpec extends SparkSpec {
       "script_gate")
     assert(smStream.toSet ===
       graft.ops.ScriptMix.analyze(batchDf, "doc_id", "page").collect().toSet)
+
+    // x81 span corruption is row-local too: pair materialization can
+    // run directly on the ingest stream
+    val scStream = runAppend(
+      graft.ops.Augment.spanCorrupt(_, "doc_id", "page"), "span_gate")
+    assert(scStream.toSet ===
+      graft.ops.Augment.spanCorrupt(batchDf, "doc_id", "page")
+        .collect().toSet)
   }
 }
