@@ -775,6 +775,42 @@ object Dedup {
       .distinct()
   }
 
+  /** X82 — dedup-TIER audit (the x43 recall-audit idea turned on the
+    * dedup family): precision and recall of each approximate pair
+    * source against exact ground-truth pairs, as exact integer ppm.
+    * This is the number a pipeline owner actually tunes by — "what does
+    * switching MinHash-LSH to SimHash-d3 cost in recall, and what junk
+    * does it admit" — measured, not asserted.
+    *
+    * `methods` maps tier name → (d1, d2) pair frame; `truth` is the
+    * exact pair list. All frames are pair-lists (near-dup slivers), so
+    * every join/aggregate here is audit-sized — the corpus-scale cost
+    * lives in the tiers themselves. An empty truth makes recall
+    * undefined and fails loudly (the recallAudit contract); an empty
+    * TIER is a legitimate measurement (precision reported 0).
+    */
+  def pairAudit(methods: Seq[(String, DataFrame)],
+                truth: DataFrame): DataFrame = {
+    require(methods.nonEmpty, "need at least one method to audit")
+    require(methods.map(_._1).distinct.size == methods.size,
+      "method names must be distinct")
+    require(!truth.isEmpty,
+      "pairAudit: exact pair list is empty — nothing to measure against")
+    val t = truth.select(col("d1"), col("d2")).localCheckpoint(false)
+    val rows = methods.map { case (name, m) =>
+      val p = m.select(col("d1"), col("d2"))
+      p.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(p.join(t, Seq("d1", "d2"), "left_semi")
+          .agg(count(lit(1)).as("n_hits")))
+        .select(lit(name).as("method"), col("n_pairs"), col("n_hits"))
+    }.reduce(_ unionByName _)
+    rows.crossJoin(broadcast(t.agg(count(lit(1)).as("n_truth"))))
+      .select(col("method"), col("n_pairs"), col("n_hits"), col("n_truth"),
+        expr("CASE WHEN n_pairs > 0 THEN n_hits * 1000000L div n_pairs " +
+          "ELSE 0L END").as("precision_ppm"),
+        expr("n_hits * 1000000L div n_truth").as("recall_ppm"))
+  }
+
   /** Embedding near-dup: pairs with quantized-cosine >= threshold.
     * Quantization (floor(x*1000)) keeps the arithmetic exact-integer so
     * results are order- and engine-independent.

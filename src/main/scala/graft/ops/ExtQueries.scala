@@ -1486,7 +1486,24 @@ object ExtQueries {
     "x81_span_corrupt" -> ((s, dir) =>
       Augment.spanCorrupt(Tables.documents(s, dir), "doc_id", "text",
         grid = SpanGrid, maxSpan = SpanMax, pStart = SpanP,
-        seed = SpanSeed).orderBy("doc_id"))
+        seed = SpanSeed).orderBy("doc_id")),
+
+    // X82 dedup-tier audit — precision/recall of MinHash-LSH and
+    // SimHash-d3 pairs against exact Jaccard ground truth, integer ppm;
+    // every stage is pair-list-sized (the x43 discipline for dedup)
+    "x82_dedup_audit" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingleTable(docs, "doc_id", "text")
+      val truth = Dedup.jaccardPairs(sh,
+        Dedup.shingleCounts(docs, "doc_id", "text"), "doc_id",
+        JaccardThreshold)
+      val sig = Dedup.simhash64(sh, "doc_id").localCheckpoint(false)
+      Dedup.pairAudit(Seq(
+          "minhash_lsh" -> lshPairs(s, dir),
+          "simhash64_d3" -> Dedup.hammingPairs(sig, "doc_id",
+            SimhashMaxDist)),
+        truth).orderBy("method")
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -4196,6 +4213,53 @@ object ExtQueries {
          |  CAST(len(list_filter(range(0, CAST(nb AS INT)), b ->
          |    substring(hs[b + 1], 1, 8) < '$thr')) AS BIGINT) AS n_spans
          |FROM h ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // all three pair pipelines composed from the SAME fragments their
+    // own oracles use (ShingleCte / minhash bands / simhash64 lanes),
+    // then audit-sized count aggregates
+    "x82_dedup_audit" ->
+      s"""WITH $ShingleCte,
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |tin AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT d1, d2 FROM (SELECT d1, d2,
+         |    round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM tin JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2)
+         |  WHERE jac >= $JaccardThreshold),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |min_i AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |mh AS (SELECT d1, d2 FROM (SELECT d1, d2,
+         |    round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM min_i JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2)
+         |  WHERE jac >= $JaccardThreshold),
+         |hh AS (SELECT doc_id, md5(s) AS h FROM sh),
+         |votes AS (SELECT doc_id, $simhash64Votes FROM hh GROUP BY doc_id),
+         |s64 AS (SELECT doc_id, CAST($simhash64Assemble AS BIGINT) AS simhash
+         |  FROM votes),
+         |sh64 AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM s64 a JOIN s64 b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxDist),
+         |counts AS (
+         |  SELECT 'minhash_lsh' AS method,
+         |    (SELECT count(*) FROM mh) AS np,
+         |    (SELECT count(*) FROM mh JOIN truth USING (d1, d2)) AS nh
+         |  UNION ALL SELECT 'simhash64_d3',
+         |    (SELECT count(*) FROM sh64),
+         |    (SELECT count(*) FROM sh64 JOIN truth USING (d1, d2))),
+         |tt AS (SELECT count(*) AS nt FROM truth)
+         |SELECT method, CAST(np AS BIGINT) AS n_pairs,
+         |  CAST(nh AS BIGINT) AS n_hits, CAST(nt AS BIGINT) AS n_truth,
+         |  CAST(CASE WHEN np > 0 THEN nh * 1000000 // np ELSE 0 END AS BIGINT)
+         |    AS precision_ppm,
+         |  CAST(nh * 1000000 // nt AS BIGINT) AS recall_ppm
+         |FROM counts CROSS JOIN tt ORDER BY method""".stripMargin
   )
 }
