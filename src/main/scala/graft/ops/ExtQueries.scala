@@ -161,6 +161,9 @@ object ExtQueries {
   private val SpanMax = 3
   private val SpanP = 0.6
   private val SpanSeed = "sc"
+  // X83 linear counting: 16^4 = 65536 buckets — load factor stays well
+  // under 1 for per-source distinct shingles at both test SFs
+  private val SketchHexDigits = 4
 
   /** The x64 paged twin of `documents`: (doc_id, page) with the
     * synthesis documented at [[C4Width]] — pure higher-order functions,
@@ -1503,6 +1506,16 @@ object ExtQueries {
           "simhash64_d3" -> Dedup.hammingPairs(sig, "doc_id",
             SimhashMaxDist)),
         truth).orderBy("method")
+    }),
+
+    // X83 per-source distinct-shingle cardinality: linear-counting
+    // sketch (bounded m-bucket state) audited against the exact count
+    "x83_cardinality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingleTable(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      Sketch.linearCount(sh, "source", "s", SketchHexDigits)
+        .orderBy("grp")
     })
   )
 
@@ -4260,6 +4273,28 @@ object ExtQueries {
          |  CAST(CASE WHEN np > 0 THEN nh * 1000000 // np ELSE 0 END AS BIGINT)
          |    AS precision_ppm,
          |  CAST(nh * 1000000 // nt AS BIGINT) AS recall_ppm
-         |FROM counts CROSS JOIN tt ORDER BY method""".stripMargin
+         |FROM counts CROSS JOIN tt ORDER BY method""".stripMargin,
+
+    // identical string-bucket lane and double formula; saturation would
+    // raise on both engines (the in-plan guard / ln-of-zero)
+    "x83_cardinality" -> {
+      val m = math.pow(16, SketchHexDigits).toLong
+      s"""WITH $ShingleCte,
+         |t2 AS (SELECT d.source AS grp, sh.s,
+         |  substring(md5(sh.s), 1, $SketchHexDigits) AS pos
+         |  FROM sh JOIN documents d USING (doc_id)),
+         |agg AS (SELECT grp, count(DISTINCT s) AS n_exact,
+         |  count(DISTINCT pos) AS filled FROM t2 GROUP BY 1)
+         |SELECT grp, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(filled AS BIGINT) AS filled,
+         |  CASE WHEN filled >= $m THEN error('saturated')
+         |    ELSE round(-$m.0 * ln(1.0 - CAST(filled AS DOUBLE) / $m.0), 6)
+         |  END AS est,
+         |  round(((CASE WHEN filled >= $m THEN error('saturated')
+         |    ELSE round(-$m.0 * ln(1.0 - CAST(filled AS DOUBLE) / $m.0), 6)
+         |  END) - CAST(n_exact AS DOUBLE))
+         |    / CAST(n_exact AS DOUBLE) * 1000000.0, 6) AS err_ppm
+         |FROM agg ORDER BY grp""".stripMargin
+    }
   )
 }
