@@ -206,6 +206,36 @@ object ScaleProbe {
       graft.ops.Similarity.refineExact(emb10, qs, "vec_id", "embedding", 5,
         cands).write.format("noop").mode("overwrite").save()
     }
+    // round-11 operators at 10x — watching the documented scale seams
+    t("simhash64-hamming-50k") {
+      // banded self-join: candidates grow with band-bucket occupancy,
+      // not |docs|^2 — the d+1 bands of 16 bits are the knob
+      val sig = graft.ops.Dedup.simhash64(
+        graft.ops.Dedup.shingleTable(docs10, "doc_id", "text"), "doc_id")
+        .localCheckpoint(false)
+      graft.ops.Dedup.hammingPairs(sig, "doc_id", maxDist = 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("linear-count-50k") {
+      graft.ops.Sketch.linearCount(
+        graft.ops.Dedup.shingleTable(docs10, "doc_id", "text")
+          .join(docs10.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "source", "s", hexDigits = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("span-corrupt-50k") {
+      graft.ops.Augment.spanCorrupt(docs10, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // bitext at 4k x 4k: the brute-force pair table is the documented
+    // sf-scale baseline — this probe measures the cliff the ANN
+    // candidate swap (x51 contract) exists to remove
+    t("bitext-margin-4kx4k") {
+      graft.ops.Similarity.bitextMargin(
+        emb10.filter(col("label") === 0), emb10.filter(col("label") === 1),
+        "vec_id", "embedding", 5)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
