@@ -172,8 +172,13 @@ object Bpe {
         sum(col("chars")).as("n_chars"))
       .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
         col("n_chars"),
-        expr("n_tokens * 1000000L div n_words").as("fertility_ppm"),
-        expr("n_chars * 1000000L div n_tokens").as("chars_per_token_ppm"))
+        // DECIMAL(38,0) reseat (x55/x58): token sums at 100 TB exceed
+        // 2^63/10^6, where bare long multiply would wrap silently while
+        // the DuckDB oracle's HUGEINT stays exact
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000L " +
+          "div n_words AS BIGINT)").as("fertility_ppm"),
+        expr("CAST(CAST(n_chars AS DECIMAL(38,0)) * 1000000L " +
+          "div n_tokens AS BIGINT)").as("chars_per_token_ppm"))
 
   /** Per-document token count under the trained segmentation: one token
     * explode joined to the vocabulary-sized (word -> symbol count) map

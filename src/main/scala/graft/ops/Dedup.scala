@@ -689,49 +689,46 @@ object Dedup {
     removeAtPositions(docs, idCol, textCol, removed)
   }
 
-  /** 16-bit SimHash from the first 4 hex chars of md5(shingle): per bit j,
-    * sign of the +1/-1 vote sum across the doc's shingles. Expressed as 16
-    * conditional sums in one aggregation (single shuffle of 16 ints/doc).
+  /** `bits`-wide SimHash, one lane arithmetic for both widths: bit j
+    * votes with the sign of the +1/-1 sum of bit (j%4) of md5 hex char
+    * j/4 across the doc's shingles — `bits` conditional sums in ONE
+    * aggregation (single shuffle of `bits` ints per doc). At the full
+    * width, bit 63 assembles as Long.MinValue — the two's-complement
+    * top bit — so the signature is a plain BIGINT whose XOR/popcount
+    * semantics are identical in any engine; the positive weights sum
+    * first (max 2^63-1, no overflow) and the sign bit lands last.
     */
-  def simhash16(sh: DataFrame, idCol: String): DataFrame = {
+  private def simhashBits(sh: DataFrame, idCol: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"simhash width $bits out of [1, 64]")
     val withHex = sh.withColumn("h", md5(col("s")))
     def bit(j: Int): Column =
       (shiftright(conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int"), j % 4) % 2)
         .cast("int")
-    val votes = (0 until 16).map(j => sum(bit(j) * 2 - 1).as(s"v$j"))
+    val votes = (0 until bits).map(j => sum(bit(j) * 2 - 1).as(s"v$j"))
+    def weight(j: Int): Column = {
+      val w = if (j == 63) Long.MinValue else 1L << j
+      when(col(s"v$j") >= 0, lit(w)).otherwise(lit(0L))
+    }
     withHex.groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol),
-        (0 until 16).map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        (0 until bits).map(weight).reduce(_ + _).as("simhash"))
   }
+
+  /** 16-bit SimHash (the x1 signature column) — [[simhashBits]] at 16. */
+  def simhash16(sh: DataFrame, idCol: String): DataFrame =
+    simhashBits(sh, idCol, 16)
 
   /** X79 — 64-bit SimHash (the production width: at 16 bits random
     * unrelated docs land within Hamming distance 3 about 1% of the
     * time — measured on this corpus — while at 64 bits the same event
     * is ~2e-15, so distance actually means near-duplication; Manku,
-    * Jain & Sarma 2007 use 64 for all of the web). Bit j votes from
-    * hex char j/4 of md5(shingle) (16 of the 32 chars), same lane
-    * family as [[simhash16]]. Bit 63 assembles as Long.MinValue — the
-    * two's-complement top bit — so the signature is a plain BIGINT
-    * whose XOR/popcount semantics are identical in any engine; the 63
-    * positive weights sum first (max 2^63-1, no overflow) and the sign
-    * bit lands last.
+    * Jain & Sarma 2007 use 64 for all of the web). [[simhashBits]] at
+    * the full width — the same lane family as [[simhash16]], whose
+    * signature IS this one's low 16 bits (spec-pinned).
     */
-  def simhash64(sh: DataFrame, idCol: String): DataFrame = {
-    val withHex = sh.withColumn("h", md5(col("s")))
-    def bit(j: Int): Column =
-      (shiftright(conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int"), j % 4) % 2)
-        .cast("int")
-    val votes = (0 until 64).map(j => sum(bit(j) * 2 - 1).as(s"v$j"))
-    withHex.groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        ((0 until 63).map(j =>
-          when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-          :+ when(col("v63") >= 0, lit(Long.MinValue)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+  def simhash64(sh: DataFrame, idCol: String): DataFrame =
+    simhashBits(sh, idCol, 64)
 
   /** X79 — all pairs within Hamming distance `maxDist` of each other's
     * 64-bit signature, by the PIGEONHOLE multi-index (Manku, Jain &
@@ -756,7 +753,7 @@ object Dedup {
   def hammingPairs(sig: DataFrame, idCol: String, maxDist: Int): DataFrame = {
     val bands = maxDist + 1
     require(maxDist >= 0 && 64 % bands == 0,
-      s"maxDist $maxDist: maxDist+1 must divide 64 (0, 1, 3, 7, 15, 31)")
+      s"maxDist $maxDist: maxDist+1 must divide 64 (0, 1, 3, 7, 15, 31, 63)")
     val w = 64 / bands
     val mask = if (w == 64) -1L else (1L << w) - 1
     val banded = sig.select(col(idCol), col("simhash"),
@@ -794,9 +791,12 @@ object Dedup {
     require(methods.nonEmpty, "need at least one method to audit")
     require(methods.map(_._1).distinct.size == methods.size,
       "method names must be distinct")
-    require(!truth.isEmpty,
-      "pairAudit: exact pair list is empty — nothing to measure against")
+    // pin BEFORE the emptiness probe: truth is the corpus-scale exact
+    // pipeline — probing the un-pinned frame would run it once for the
+    // probe and again for the audit
     val t = truth.select(col("d1"), col("d2")).localCheckpoint(false)
+    require(!t.isEmpty,
+      "pairAudit: exact pair list is empty — nothing to measure against")
     val rows = methods.map { case (name, m) =>
       val p = m.select(col("d1"), col("d2"))
       p.agg(count(lit(1)).as("n_pairs"))

@@ -1542,27 +1542,25 @@ object ExtQueries {
       s"SELECT doc_id, $b AS band_id, md5($key) AS key FROM sig"
     }.mkString(" UNION ALL ")
 
-  private def simhashVotes: String =
-    (0 until 16).map { j =>
+  // ONE lane arithmetic for both simhash widths (mirrors
+  // Dedup.simhashBits — two copies of this must never diverge); bit 63
+  // lands as the two's-complement sign weight so the HUGEINT vote sum
+  // re-seats exactly in BIGINT
+  private def simhashVotesN(bits: Int): String =
+    (0 until bits).map { j =>
       s"sum(2 * (((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1) - 1) AS v$j"
     }.mkString(", ")
 
-  private def simhashAssemble: String =
-    (0 until 16).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
+  private def simhashAssembleN(bits: Int): String =
+    (0 until bits).map { j =>
+      val w = if (j == 63) Long.MinValue else 1L << j
+      s"(CASE WHEN v$j >= 0 THEN $w ELSE 0 END)"
+    }.mkString(" + ")
 
-  // 64-bit variants for x79: same lane family over the first 16 hex
-  // chars; bit 63 lands as the two's-complement sign weight so the
-  // HUGEINT vote sum re-seats exactly in BIGINT
-  private def simhash64Votes: String =
-    (0 until 64).map { j =>
-      s"sum(2 * (((strpos('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1) - 1) AS v$j"
-    }.mkString(", ")
-
-  private def simhash64Assemble: String =
-    ((0 until 63).map(j => s"(CASE WHEN v$j >= 0 THEN ${1L << j} ELSE 0 END)")
-      :+ s"(CASE WHEN v63 >= 0 THEN ${Long.MinValue} ELSE 0 END)")
-      .mkString(" + ")
+  private def simhashVotes: String = simhashVotesN(16)
+  private def simhashAssemble: String = simhashAssembleN(16)
+  private def simhash64Votes: String = simhashVotesN(64)
+  private def simhash64Assemble: String = simhashAssembleN(64)
 
   private def signBucketSql(col: String, bits: Int = 16): String =
     (0 until bits).map(j => s"(CASE WHEN $col[${j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)")

@@ -123,8 +123,10 @@ object Graph {
         .localCheckpoint()
     }
 
+    // iters = 0 returns the initial state (uniform hubs, zero auths) —
+    // the pageRank degrade-gracefully contract
     var hubs = nodes.withColumn("hub", lit(Scale / n))
-    var auths: DataFrame = null
+    var auths: DataFrame = nodes.withColumn("auth", lit(0L))
     for (_ <- 1 to iters) {
       val authRaw = bySrc // join key is src: co-located with the src pin
         .join(hubs.withColumnRenamed("node", "src"), "src")

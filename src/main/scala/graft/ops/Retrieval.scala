@@ -131,6 +131,13 @@ object Retrieval {
     require(rankings.nonEmpty, "need at least one ranking to fuse")
     require(rankings.map(_._1).distinct.size == rankings.size,
       "ranker names must be distinct")
+    // names are spliced into column identifiers and expr() SQL below —
+    // anything beyond a bare identifier would mis-parse (e.g. "bm-25"
+    // reads as a subtraction)
+    rankings.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"ranker name '$name' must be a bare identifier ([A-Za-z0-9_])")
+    }
     val sides = rankings.map { case (name, r) =>
       r.select(col(idCol), col("rank").cast("long").as(s"${name}_rank"))
     }

@@ -39,9 +39,13 @@ object BloomGateStream {
     val rows = batch
       .select(col(idCol), col(textCol), col(evalCol).as("is_eval"))
       .localCheckpoint(false)
+    // distinct WITHIN the delta too: an at-least-once source can
+    // duplicate an eval row inside one batch, and the left_anti below
+    // only dedupes against PRIOR batches
     val evalDelta = Dedup.shingleTable(
         rows.filter(col("is_eval")), idCol, textCol, n)
       .select(col(idCol).as("eval_id"), col("s"))
+      .distinct()
     val prior = DedupStream.readState(spark, s"$statePath/evsh",
       evalDelta, Seq("eval_id", "s"), batchId)
     // novelty only: the appended state stays the distinct pair table

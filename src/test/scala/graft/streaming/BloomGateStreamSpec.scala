@@ -65,6 +65,10 @@ class BloomGateStreamSpec extends SparkSpec {
     // replay of batch 1: identical prior state, identical partitions
     apply(df((101L, quote, true)), 1L)
     assert(spark.read.parquet(s"$statePath/evsh").count() === n0 + 1)
+    // an at-least-once source duplicating an eval row WITHIN one batch
+    // must not duplicate state pairs (delta-internal distinct)
+    apply(df((102L, quote, true), (102L, quote, true)), 2L)
+    assert(spark.read.parquet(s"$statePath/evsh").count() === n0 + 2)
   }
 
   test("end to end through the streaming engine") {
