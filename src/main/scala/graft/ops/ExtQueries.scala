@@ -146,6 +146,8 @@ object ExtQueries {
   private val BloomK = 4
   // X75 HITS rounds (oracle unrolls them, x28-style)
   private val HitsIters = 3
+  // X84 label-propagation rounds (oracle unrolls them)
+  private val LpaIters = 3
   // X78 bitext-margin NN depth (Artetxe & Schwenk's k)
   private val BitextK = 5
   // X79 simhash Hamming radius (Manku et al.'s d=3 over 64 bits)
@@ -1516,6 +1518,16 @@ object ExtQueries {
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       Sketch.linearCount(sh, "source", "s", SketchHexDigits)
         .orderBy("grp")
+    }),
+
+    // X84 label-propagation communities over the undirected trade graph
+    // (both directions, the x28 edge set) — deterministic ties, exact
+    // integer counting, oracle unrolled
+    "x84_label_prop" -> ((s, dir) => {
+      val pair = tradePairs(s, dir)
+      val edges = pair.select(col("c").as("src"), col("s").as("dst"))
+        .union(pair.select(col("s").as("src"), col("c").as("dst")))
+      Graph.labelPropagation(edges, LpaIters).orderBy("node")
     })
   )
 
@@ -4293,6 +4305,29 @@ object ExtQueries {
          |  END) - CAST(n_exact AS DOUBLE))
          |    / CAST(n_exact AS DOUBLE) * 1000000.0, 6) AS err_ppm
          |FROM agg ORDER BY grp""".stripMargin
+    },
+
+    // the same deterministic-tie synchronous rounds unrolled
+    "x84_label_prop" -> {
+      val iter = (k: Int) =>
+        s"""c$k AS (SELECT e.dst AS node, l.label, count(*) AS c
+           |  FROM e JOIN l${k - 1} l ON l.node = e.src GROUP BY 1, 2),
+           |a$k AS (SELECT node, label FROM (SELECT node, label,
+           |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+           |  FROM c$k) WHERE rn = 1),
+           |l$k AS (SELECT l.node, coalesce(a.label, l.label) AS label
+           |  FROM l${k - 1} l LEFT JOIN a$k a USING (node))""".stripMargin
+      s"""WITH pair AS (SELECT DISTINCT o.o_custkey * 2 AS c,
+         |  l.l_suppkey * 2 + 1 AS s
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM pair
+         |  UNION ALL SELECT s AS src, c AS dst FROM pair),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |${(1 to LpaIters).map(iter).mkString(",\n")}
+         |SELECT node, CAST(label AS BIGINT) AS community FROM l$LpaIters
+         |ORDER BY node""".stripMargin
     }
   )
 }

@@ -144,6 +144,54 @@ object Graph {
     out
   }
 
+  /** X84 — community detection by LABEL PROPAGATION (Raghavan, Albert &
+    * Kumara 2007), the third iterative kernel: x9's connected
+    * components find REACHABILITY islands; LPA finds DENSITY
+    * communities inside them — the granularity web-curation pipelines
+    * group hosts by (mirror farms, topic hubs) before sampling.
+    *
+    * Deterministic synchronous variant: every node starts labeled with
+    * its own id; each round, every node adopts the label held by the
+    * MOST of its in-neighbors, ties to the numerically smaller label
+    * (the repo argmax convention — classic LPA breaks ties randomly,
+    * which no oracle could replay). Isolated nodes keep their label.
+    * All arithmetic is integer counting, so the oracle unrolls the
+    * identical rounds (x28/x75 discipline). Undirected graphs: feed
+    * both edge directions, as [[pageRank]].
+    *
+    * Shape at 100 TB: per round, the label vector (one BIGINT per
+    * node) joins the pinned src-partitioned edge list, per-(node,
+    * label) counts map-side combine, and the argmax is a rank-1 window
+    * that plans as WindowGroupLimit (map-side top-1). Every round's
+    * label vector pins via eager localCheckpoint — the x75 lesson:
+    * per-round pins want plan truncation, not caching. Fixed iteration
+    * budget.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    if (nodes.isEmpty) return nodes.withColumn("community", lit(0L)).limit(0)
+    val bySrc = edges.repartition(col("src")).localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val counts = bySrc
+        .join(labels.select(col("node").as("src"), col("label").as("nl")), "src")
+        .groupBy(col("dst").as("node"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("nl"))
+      val adopted = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("node"), col("nl"))
+      labels = labels.join(adopted, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
