@@ -35,18 +35,23 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
+  /** The estimator as a SQL fragment over a `filled` column — ONE copy
+    * shared by the batch operator and the streaming twin
+    * ([[graft.streaming.CardinalityStream]]): the two must never
+    * diverge on rounding, threshold, or the saturation message.
+    */
+  def estExpr(m: Long): String =
+    s"""CASE WHEN filled >= $m
+       |  THEN raise_error('linear counting saturated (filled == m=$m): increase hexDigits')
+       |  ELSE round(-$m.0 * ln(1.0 - CAST(filled AS DOUBLE) / $m.0), 6)
+       |END""".stripMargin
+
   def linearCount(df: DataFrame, groupCol: String, valueCol: String,
                   hexDigits: Int): DataFrame = {
     require(hexDigits >= 1 && hexDigits <= 6,
       s"hexDigits $hexDigits out of [1, 6] (m = 16^k buckets, <= 16.7M)")
     val m = math.pow(16, hexDigits).toLong
-    // the estimate expression, twice (no lateral alias); saturation
-    // raises instead of ln(0)'s engine-dependent fate
-    val est =
-      s"""CASE WHEN filled >= $m
-         |  THEN raise_error('linear counting saturated (filled == m=$m): increase hexDigits')
-         |  ELSE round(-$m.0 * ln(1.0 - CAST(filled AS DOUBLE) / $m.0), 6)
-         |END""".stripMargin
+    val est = estExpr(m)
     df.select(col(groupCol).as("grp"), col(valueCol).as("v"),
         substring(md5(col(valueCol)), 1, hexDigits).as("pos"))
       .groupBy(col("grp"))

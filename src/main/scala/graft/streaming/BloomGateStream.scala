@@ -37,7 +37,14 @@ object BloomGateStream {
                 (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val rows = batch
-      .select(col(idCol), col(textCol), col(evalCol).as("is_eval"))
+      .select(col(idCol), col(textCol),
+        // a null eval flag would silently vanish from BOTH sides of the
+        // gate (filter(f) and filter(!f) each reject null) — raise
+        // instead of letting a document slip past unexamined
+        when(col(evalCol).isNotNull, col(evalCol))
+          .otherwise(expr(
+            "raise_error('BloomGateStream: null eval flag')").cast("boolean"))
+          .as("is_eval"))
       .localCheckpoint(false)
     // distinct WITHIN the delta too: an at-least-once source can
     // duplicate an eval row inside one batch, and the left_anti below
@@ -53,7 +60,10 @@ object BloomGateStream {
       .localCheckpoint(false)
     val all = prior.unionByName(novel)
     val scored = Bloom.contaminationAgainst(
-      rows.filter(!col("is_eval")).select(col(idCol), col(textCol)),
+      // distinct for the same at-least-once reason as the eval delta:
+      // a corpus row duplicated WITHIN the batch must score once
+      rows.filter(!col("is_eval")).select(col(idCol), col(textCol))
+        .distinct(),
       all, idCol, textCol, n, m, k)
     scored.write.mode("overwrite")
       .parquet(s"$statePath/contam/batch_id=$batchId")

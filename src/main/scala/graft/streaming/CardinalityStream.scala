@@ -37,19 +37,23 @@ object CardinalityStream {
       s"hexDigits $hexDigits out of [1, 6]")
     val m = math.pow(16, hexDigits).toLong
     val spark = batch.sparkSession
+    // null VALUES drop (the batch operator's countDistinct ignores them
+    // too — md5(null) is null); null GROUPS are legitimate, so the
+    // novelty anti-join below is NULL-SAFE on grp (a plain equi
+    // anti-join would re-append a null-group bucket every batch,
+    // growing state and inflating filled monotonically)
     val delta = batch
       .select(col(groupCol).as("grp"),
         substring(md5(col(valueCol)), 1, hexDigits).as("pos"))
+      .filter(col("pos").isNotNull)
       .distinct()
     val prior = DedupStream.readState(spark, s"$statePath/buckets",
       delta, Seq("grp", "pos"), batchId)
-    val novel = delta.join(prior, Seq("grp", "pos"), "left_anti")
+    val novel = delta.join(prior,
+        delta("grp") <=> prior("grp") && delta("pos") === prior("pos"),
+        "left_anti")
       .localCheckpoint(false)
-    val est =
-      s"""CASE WHEN filled >= $m
-         |  THEN raise_error('linear counting saturated (m=$m): increase hexDigits')
-         |  ELSE round(-$m.0 * ln(1.0 - CAST(filled AS DOUBLE) / $m.0), 6)
-         |END""".stripMargin
+    val est = graft.ops.Sketch.estExpr(m)
     val scores = prior.unionByName(novel)
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("filled")) // prior ∪ novel is disjoint-distinct
@@ -65,10 +69,12 @@ object CardinalityStream {
     */
   def latest(spark: SparkSession, statePath: String): DataFrame = {
     val all = spark.read.parquet(s"$statePath/card")
-    // partition-column type inference may read batch_id as int
-    val top = all.agg(max(col("batch_id").cast("long")))
-      .collect()(0).getLong(0)
-    all.filter(col("batch_id").cast("long") === top)
+    // partition-column type inference may read batch_id as int; a
+    // stream whose batches were all empty has snapshots with 0 rows —
+    // max() is then null and the answer is the empty frame, not an NPE
+    val row = all.agg(max(col("batch_id").cast("long"))).collect()(0)
+    if (row.isNullAt(0)) all.select("grp", "filled", "est").limit(0)
+    else all.filter(col("batch_id").cast("long") === row.getLong(0))
       .select("grp", "filled", "est")
   }
 

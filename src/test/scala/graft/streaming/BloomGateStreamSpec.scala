@@ -71,6 +71,28 @@ class BloomGateStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$statePath/evsh").count() === n0 + 2)
   }
 
+  test("a corpus row duplicated within a batch scores exactly once") {
+    val statePath = tmpDir("bg-corpus-dup")
+    BloomGateStream.applyBatch(statePath, "doc_id", "text", "is_eval",
+      8, m, k)(
+      df((100L, quote, true), (10L, s"a $quote", false),
+        (10L, s"a $quote", false)), 0L)
+    val rows = BloomGateStream.scores(spark, statePath, "doc_id").collect()
+    assert(rows.length === 1)
+    assert(emitted(statePath) === Set((10L, 1L)))
+  }
+
+  test("a null eval flag raises instead of silently vanishing") {
+    val statePath = tmpDir("bg-null-flag")
+    val bad = Seq((10L, "some text", null.asInstanceOf[java.lang.Boolean]))
+      .toDF("doc_id", "text", "is_eval")
+    val e = intercept[Exception] {
+      BloomGateStream.applyBatch(statePath, "doc_id", "text", "is_eval",
+        8, m, k)(bad, 0L)
+    }
+    assert(e.getMessage.contains("null eval flag"))
+  }
+
   test("end to end through the streaming engine") {
     val statePath = tmpDir("bg-e2e")
     val src = org.apache.spark.sql.execution.streaming.runtime

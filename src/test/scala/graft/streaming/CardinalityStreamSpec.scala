@@ -53,6 +53,26 @@ class CardinalityStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$statePath/buckets").count() === n0)
   }
 
+  test("null values drop; null groups stay bounded across batches") {
+    val statePath = tmpDir("card-nulls")
+    val apply = CardinalityStream.applyBatch(
+      statePath, "grp", "v", hexDigits) _
+    val withNulls = Seq(("g", "a"), ("g", null), (null, "b"))
+    apply(withNulls.toDF("grp", "v"), 0L)
+    val n0 = spark.read.parquet(s"$statePath/buckets").count()
+    assert(n0 === 2L) // (g,a) and (null-group, b); null VALUE dropped
+    // the same rows again: the null-group bucket must NOT re-append
+    apply(withNulls.toDF("grp", "v"), 1L)
+    assert(spark.read.parquet(s"$statePath/buckets").count() === n0)
+  }
+
+  test("latest() on an all-empty stream is an empty frame, not an NPE") {
+    val statePath = tmpDir("card-empty")
+    CardinalityStream.applyBatch(statePath, "grp", "v", hexDigits)(
+      df(), 0L)
+    assert(CardinalityStream.latest(spark, statePath).count() === 0L)
+  }
+
   test("end to end through the streaming engine") {
     val statePath = tmpDir("card-e2e")
     val src = org.apache.spark.sql.execution.streaming.runtime
