@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X85 — Zipf-law fit over the corpus vocabulary: the log-log linear
+  * regression of frequency on rank (Zipf 1949), the standard corpus-QA
+  * statistic — a natural-language corpus fits slope ≈ −1, and a corpus
+  * whose slope drifts (boilerplate floods, templated spam, synthetic
+  * text) announces itself in this one number before any sample reading
+  * does.
+  *
+  * DETERMINISTIC least squares, the NB micro-nat discipline: log(rank)
+  * and log(frequency) land as `round(ln·10^6)` BIGINT micro-nats, so
+  * every regression moment (Σx, Σy, Σxy, Σx²) is an EXACT integer sum
+  * — no float-addition order anywhere — carried in DECIMAL(38,0)
+  * (x ~ 10^7 micro-nats squared times a 10^8-type vocabulary overflows
+  * 2^63; the x55/x58 reseat). Only the final slope/intercept divisions
+  * are doubles, and a ratio of two exact decimals is correctly rounded
+  * — bit-identical in any engine (round-6, the x12 discipline).
+  *
+  * Shape at 100 TB: the corpus pays one token explode + map-side-
+  * combined (word, count) aggregation; everything after runs on the
+  * VOCABULARY (orders of magnitude smaller than the corpus — the x8
+  * contract). The rank is a global window over that vocab table —
+  * acceptable at vocab size, and the one stage to re-shard (x57's
+  * prefix decomposition) if vocabulary itself outgrows a node. Output
+  * is a single row.
+  */
+object CorpusStats {
+
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val ranked = vocab.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("w")))
+        .cast("long"))
+    val pts = ranked.select(
+      expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)")
+        .as("x"),
+      expr("CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT)")
+        .as("y"))
+    val moments = pts.agg(
+      count(lit(1)).as("n"),
+      sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+      sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))"))
+        .as("sxy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
+        .as("sxx"))
+    // slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²); a 1-word vocabulary has
+    // zero x-variance — refuse in-plan rather than divide by zero
+    moments.select(col("n").as("n_vocab"),
+      expr("""CASE WHEN n * sxx - sx * sx = 0
+             |  THEN raise_error('zipfFit: degenerate vocabulary (no rank variance)')
+             |  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             |END""".stripMargin).as("slope"),
+      expr("""round((CAST(sy AS DOUBLE)
+             |  - (CAST(n * sxy - sx * sy AS DOUBLE)
+             |     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             |  / CAST(n AS DOUBLE) / 1000000.0, 6)""".stripMargin)
+        .as("intercept_ln"))
+  }
+}

@@ -1528,7 +1528,12 @@ object ExtQueries {
       val edges = pair.select(col("c").as("src"), col("s").as("dst"))
         .union(pair.select(col("s").as("src"), col("c").as("dst")))
       Graph.labelPropagation(edges, LpaIters).orderBy("node")
-    })
+    }),
+
+    // X85 Zipf-law fit over the corpus vocabulary — micro-nat integer
+    // regression moments, one double division at the end
+    "x85_zipf" -> ((s, dir) =>
+      CorpusStats.zipfFit(Tables.documents(s, dir), "text"))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -4328,6 +4333,32 @@ object ExtQueries {
          |${(1 to LpaIters).map(iter).mkString(",\n")}
          |SELECT node, CAST(label AS BIGINT) AS community FROM l$LpaIters
          |ORDER BY node""".stripMargin
-    }
+    },
+
+    // identical micro-nat moments in HUGEINT; the only doubles are the
+    // final slope/intercept divisions, same operand order
+    "x85_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w, count(*) AS freq FROM tok WHERE length(w) > 0
+        |  GROUP BY 1),
+        |r AS (SELECT w, freq,
+        |  row_number() OVER (ORDER BY freq DESC, w) AS rank FROM v),
+        |p AS (SELECT
+        |  CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |  CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM r),
+        |mo AS (SELECT count(*) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |  sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_vocab,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN error('degenerate')
+        |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept_ln
+        |FROM mo""".stripMargin
   )
 }

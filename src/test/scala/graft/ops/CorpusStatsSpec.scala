@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** X85 Zipf fit: agreement with a driver-side micro-nat reference,
+  * a perfect synthetic Zipf corpus recovering slope ≈ −1, and the
+  * degenerate-vocabulary guard.
+  */
+class CorpusStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Reference: identical micro-nat moments in BigInt. */
+  private def ref(freqs: Seq[(String, Long)]): (Long, Double, Double) = {
+    val ranked = freqs.sortBy { case (w, f) => (-f, w) }.zipWithIndex
+    val pts = ranked.map { case ((_, f), i) =>
+      (BigInt(math.round(math.log((i + 1).toDouble) * 1000000)),
+        BigInt(math.round(math.log(f.toDouble) * 1000000)))
+    }
+    val n = BigInt(pts.size)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val num = (n * sxy - sx * sy).toDouble
+    val den = (n * sxx - sx * sx).toDouble
+    val slopeRaw = num / den
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (pts.size.toLong, r6(slopeRaw),
+      r6((sy.toDouble - slopeRaw * sx.toDouble) / n.toDouble / 1000000.0))
+  }
+
+  private def corpus(freqs: Seq[(String, Long)]): Seq[(Long, String)] =
+    Seq((1L, freqs.flatMap { case (w, f) =>
+      Seq.fill(f.toInt)(w) }.mkString(" ")))
+
+  test("matches the driver-side reference") {
+    val freqs = Seq("alpha" -> 40L, "beta" -> 17L, "gamma" -> 9L,
+      "delta" -> 5L, "eps" -> 2L, "zeta" -> 1L)
+    val got = CorpusStats.zipfFit(
+        corpus(freqs).toDF("doc_id", "text"), "text")
+      .collect().head
+    assert((got.getLong(0), got.getDouble(1), got.getDouble(2)) ===
+      ref(freqs))
+  }
+
+  test("a perfect Zipf corpus recovers slope ~ -1") {
+    // freq(rank) = floor(1200 / rank): an exact 1/rank law
+    val freqs = (1 to 30).map(r => f"w$r%02d" -> (1200L / r))
+    val got = CorpusStats.zipfFit(
+        corpus(freqs).toDF("doc_id", "text"), "text")
+      .collect().head
+    assert(math.abs(got.getDouble(1) + 1.0) < 0.05,
+      s"slope ${got.getDouble(1)} not ~ -1")
+  }
+
+  test("degenerate vocabulary raises in-plan") {
+    val one = Seq((1L, "same same same")).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      CorpusStats.zipfFit(one, "text").collect())
+    assert(e.getMessage.contains("degenerate"))
+  }
+}
