@@ -751,23 +751,46 @@ object Dedup {
     * Returns (d1, d2, dist), d1 < d2. `maxDist+1` must divide 64.
     */
   def hammingPairs(sig: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    val banded = hammingBands(sig, idCol, maxDist)
+    hammingPairsBetween(banded, banded, idCol, maxDist)
+  }
+
+  /** The banded signature index of [[hammingPairs]] — (idCol, simhash,
+    * band, key) — split out so the streaming twin
+    * ([[graft.streaming.SimhashStream]]) can persist it as its
+    * accumulated state and probe new batches against it.
+    */
+  def hammingBands(sig: DataFrame, idCol: String, maxDist: Int): DataFrame = {
     val bands = maxDist + 1
     require(maxDist >= 0 && 64 % bands == 0,
       s"maxDist $maxDist: maxDist+1 must divide 64 (0, 1, 3, 7, 15, 31, 63)")
     val w = 64 / bands
     val mask = if (w == 64) -1L else (1L << w) - 1
-    val banded = sig.select(col(idCol), col("simhash"),
+    sig.select(col(idCol), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         expr(s"shiftright(simhash, ${b * w}) & $mask")): _*))
         .as(Seq("band", "key")))
-    val left = banded.select(col(idCol).as("d1"), col("simhash").as("s1"),
+  }
+
+  /** The join+verify half over PREPARED band frames ([[hammingBands]]'s
+    * layout): equi-join probe×index per (band, key), popcount-verify,
+    * normalize pair order to (least, greatest), collapse cross-band
+    * duplicates. `hammingPairs` is the self-probe special case; the
+    * streaming twin probes each delta against the accumulated index so
+    * every pair emits exactly once — in the batch its LATER member
+    * arrives.
+    */
+  def hammingPairsBetween(probe: DataFrame, index: DataFrame,
+                          idCol: String, maxDist: Int): DataFrame = {
+    val p = probe.select(col(idCol).as("pid"), col("simhash").as("psig"),
       col("band"), col("key"))
-    val right = banded.select(col(idCol).as("d2"), col("simhash").as("s2"),
+    val ix = index.select(col(idCol).as("iid"), col("simhash").as("isig"),
       col("band"), col("key"))
-    left.join(right, Seq("band", "key"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        expr("bit_count(s1 ^ s2)").cast("long").as("dist"))
+    p.join(ix, Seq("band", "key"))
+      .filter(col("pid") =!= col("iid"))
+      .select(least(col("pid"), col("iid")).as("d1"),
+        greatest(col("pid"), col("iid")).as("d2"),
+        expr("bit_count(psig ^ isig)").cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
   }
