@@ -23,10 +23,26 @@ import org.apache.spark.sql.functions._
   * Shape at 100 TB: the corpus pays one token explode + map-side-
   * combined (word, count) aggregation; everything after runs on the
   * VOCABULARY (orders of magnitude smaller than the corpus — the x8
-  * contract). The rank is a global window over that vocab table —
-  * acceptable at vocab size, and the one stage to re-shard (x57's
-  * prefix decomposition) if vocabulary itself outgrows a node. Output
-  * is a single row.
+  * contract). THE RANK IS TWO-LEVEL, NEVER A GLOBAL SORT (the x57
+  * discipline applied to a non-hash order): the naive
+  * `row_number() OVER (ORDER BY freq DESC, w)` would funnel the whole
+  * vocabulary through one task. The regression only consumes the
+  * MULTISET of (ln rank, ln freq) points, and y = ln(freq) is constant
+  * within a frequency tie — so the within-tie order is free, and we
+  * pick md5(w) so ties decompose over 256 hash-prefix cells exactly
+  * like tokenBudget:
+  *   rank = foff(freq) + poff(freq, pfx) + row_number within cell
+  * where foff is the running word count of strictly-higher freq bands
+  * (a window over the DISTINCT-FREQ table — the one single-partition
+  *  stage left, orders smaller than vocab: a Zipfian corpus has
+  *  O(sqrt(tokens)) distinct counts) and poff is the within-band cell
+  * offset (a window PARTITIONED BY freq, ≤256 rows each). The largest
+  * window partition shrinks from |vocab| to |largest tie|/256 — the
+  * hapax band, the worst case, spreads over 256 cells. The DuckDB
+  * oracle is the NAIVE global-window form, so the hash gate re-proves
+  * the decomposition equal to the spec every round (the x48
+  * discipline). Offset tables join back unhinted — vocab-sized at
+  * worst, AQE broadcasts them when small. Output is a single row.
   */
 object CorpusStats {
 
@@ -35,9 +51,31 @@ object CorpusStats {
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    val ranked = vocab.withColumn("rank",
-      row_number().over(Window.orderBy(col("freq").desc, col("w")))
-        .cast("long"))
+      .withColumn("pfx", substring(md5(col("w")), 1, 2))
+    // (freq, pfx) cell counts: <= min(|vocab|, |distinct freqs| * 256)
+    val cells = vocab.groupBy(col("freq"), col("pfx"))
+      .agg(count(lit(1)).as("cc"))
+    // band offsets: words in strictly higher-frequency bands
+    val freqOff = cells.groupBy(col("freq"))
+      .agg(sum(col("cc")).as("fc"))
+      .withColumn("foff", coalesce(
+        sum(col("fc")).over(Window.orderBy(col("freq").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("freq"), col("foff"))
+    // cell offsets within a band: earlier prefixes' words
+    val cellOff = cells
+      .withColumn("poff", coalesce(
+        sum(col("cc")).over(Window.partitionBy(col("freq"))
+          .orderBy(col("pfx")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("freq"), col("pfx"), col("poff"))
+    val ranked = vocab
+      .join(freqOff, Seq("freq"))
+      .join(cellOff, Seq("freq", "pfx"))
+      .withColumn("rank",
+        (col("foff") + col("poff") +
+          row_number().over(Window.partitionBy(col("freq"), col("pfx"))
+            .orderBy(col("w")))).cast("long"))
     val pts = ranked.select(
       expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)")
         .as("x"),

@@ -820,11 +820,16 @@ object Dedup {
     val t = truth.select(col("d1"), col("d2")).localCheckpoint(false)
     require(!t.isEmpty,
       "pairAudit: exact pair list is empty — nothing to measure against")
+    // one pass per tier: a left join with a match flag yields n_pairs
+    // (all rows) and n_hits (matched rows) from a single execution of
+    // the corpus-scale tier pipeline — two separate aggregates would run
+    // the MinHash/Hamming join twice. The truth side is distinct pairs
+    // (pinned above), so the left join cannot fan a tier row out.
+    val tFlag = broadcast(t.distinct().withColumn("hit", lit(1)))
     val rows = methods.map { case (name, m) =>
-      val p = m.select(col("d1"), col("d2"))
-      p.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(p.join(t, Seq("d1", "d2"), "left_semi")
-          .agg(count(lit(1)).as("n_hits")))
+      m.select(col("d1"), col("d2"))
+        .join(tFlag, Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_pairs"), count(col("hit")).as("n_hits"))
         .select(lit(name).as("method"), col("n_pairs"), col("n_hits"))
     }.reduce(_ unionByName _)
     rows.crossJoin(broadcast(t.agg(count(lit(1)).as("n_truth"))))

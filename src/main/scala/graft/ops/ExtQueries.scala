@@ -4297,7 +4297,8 @@ object ExtQueries {
       s"""WITH $ShingleCte,
          |t2 AS (SELECT d.source AS grp, sh.s,
          |  substring(md5(sh.s), 1, $SketchHexDigits) AS pos
-         |  FROM sh JOIN documents d USING (doc_id)),
+         |  FROM sh JOIN documents d USING (doc_id)
+         |  WHERE sh.s IS NOT NULL),
          |agg AS (SELECT grp, count(DISTINCT s) AS n_exact,
          |  count(DISTINCT pos) AS filled FROM t2 GROUP BY 1)
          |SELECT grp, CAST(n_exact AS BIGINT) AS n_exact,

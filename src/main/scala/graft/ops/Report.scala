@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   * aggregation exchange (the x1 discipline). `n_dup_docs` =
   * docs − distinct digests, the slice's exact-duplicate surplus.
   *
-  * Marginal labels: grouping NULLs render as `(all)` — the real columns
-  * never carry NULL in this corpus, and the label keeps the output
-  * totally ordered without NULLS FIRST/LAST dialect seams.
+  * Marginal labels: marginal rows render as `(all)`, identified by
+  * `grouping()` (the bit Spark sets for cube-generated slots), never by
+  * the value being NULL — so a marginal can never be conflated with a
+  * real value. Dirty dimensions fail LOUDLY in-plan: a NULL or a
+  * literal `(all)` in the source/lang columns raises instead of
+  * silently merging a slice into the marginals (NULL would also
+  * reintroduce the NULLS FIRST/LAST ordering dialect seam the label
+  * exists to avoid).
   *
   * Shape at 100 TB: one map-side-combined multi-aggregate over the
   * corpus scan; Expand multiplies rows 4× BEFORE the combine but the
@@ -36,9 +41,16 @@ object Report {
     * n_distinct_texts, n_dup_docs) at cube grain.
     */
   def dataCard(docs: DataFrame, sourceCol: String, langCol: String,
-               textCol: String, charsCol: String): DataFrame =
+               textCol: String, charsCol: String): DataFrame = {
+    // dimension guard: NULL or a literal '(all)' would be rendered
+    // identically to a cube marginal — fail in-plan rather than merge
+    def dim(c: String, alias: String) =
+      when(col(c).isNull || col(c) === "(all)",
+        raise_error(lit(s"dataCard: dimension '$c' is NULL or '(all)' — " +
+          "clean the corpus or re-label; marginals would silently absorb it")))
+        .otherwise(col(c)).as(alias)
     docs
-      .select(col(sourceCol).as("src0"), col(langCol).as("lng0"),
+      .select(dim(sourceCol, "src0"), dim(langCol, "lng0"),
         size(filter(split(col(textCol), " "), w => length(w) > 0))
           .cast("long").as("toks"),
         col(charsCol).cast("long").as("chars"),
@@ -47,11 +59,17 @@ object Report {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("toks")).as("n_tokens"),
         sum(col("chars")).as("n_chars"),
-        countDistinct(col("digest")).as("n_distinct_texts"))
+        countDistinct(col("digest")).as("n_distinct_texts"),
+        grouping(col("src0")).as("g_src"),
+        grouping(col("lng0")).as("g_lng"))
       .select(
-        coalesce(col("src0"), lit("(all)")).as("src"),
-        coalesce(col("lng0"), lit("(all)")).as("lng"),
+        // the sentinel is emitted ONLY on grouping()=1 slots — the
+        // guard above makes the coalesce-equivalent unreachable, but
+        // the grouping bit is the semantically correct discriminator
+        when(col("g_src") === 1, lit("(all)")).otherwise(col("src0")).as("src"),
+        when(col("g_lng") === 1, lit("(all)")).otherwise(col("lng0")).as("lng"),
         col("n_docs"), col("n_tokens"), col("n_chars"),
         col("n_distinct_texts"),
         (col("n_docs") - col("n_distinct_texts")).as("n_dup_docs"))
+  }
 }

@@ -139,7 +139,16 @@ object Retrieval {
         s"ranker name '$name' must be a bare identifier ([A-Za-z0-9_])")
     }
     val sides = rankings.map { case (name, r) =>
-      r.select(col(idCol), col("rank").cast("long").as(s"${name}_rank"))
+      // ranks must be 1-based: rank 0 is the 'absent from this ranker'
+      // output sentinel, and the 10^6 div (K + rank) contribution
+      // assumes 1-based — a 0-based ranker would be indistinguishable
+      // from absent AND silently over-weighted. Fail in-plan instead.
+      val rk = col("rank").cast("long")
+      r.select(col(idCol),
+        when(rk.isNull || rk < 1L,
+          raise_error(lit(s"rrfFuse: ranker '$name' emitted a rank < 1 " +
+            "(or NULL) — ranks must be 1-based")))
+          .otherwise(rk).as(s"${name}_rank"))
     }
     val joined = sides.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
     val rrf = rankings.map { case (name, _) =>

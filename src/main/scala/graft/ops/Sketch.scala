@@ -52,7 +52,14 @@ object Sketch {
       s"hexDigits $hexDigits out of [1, 6] (m = 16^k buckets, <= 16.7M)")
     val m = math.pow(16, hexDigits).toLong
     val est = estExpr(m)
-    df.select(col(groupCol).as("grp"), col(valueCol).as("v"),
+    // drop null values BEFORE grouping (mirrors the streaming twin's
+    // pos-isNotNull filter): countDistinct ignores nulls, so an
+    // all-null group would otherwise emit n_exact=0/filled=0 and a 0/0
+    // NaN err_ppm here while CardinalityStream never emits the group —
+    // filtering on both sides keeps the batch-equals-stream contract
+    // and guarantees n_exact >= 1 on every emitted row.
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valueCol).as("v"),
         substring(md5(col(valueCol)), 1, hexDigits).as("pos"))
       .groupBy(col("grp"))
       .agg(countDistinct(col("v")).as("n_exact"),

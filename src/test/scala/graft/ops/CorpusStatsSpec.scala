@@ -54,6 +54,21 @@ class CorpusStatsSpec extends SparkSpec {
       s"slope ${got.getDouble(1)} not ~ -1")
   }
 
+  test("heavy frequency ties match the naive-order reference " +
+    "(the two-level rank decomposition is order-free within a tie)") {
+    // 40 hapax words + a handful of tied mid bands: the decomposition
+    // assigns ranks within a tie in md5 order, the reference in word
+    // order — the regression moments must agree exactly regardless
+    val freqs = Seq("top" -> 50L, "mid1" -> 7L, "mid2" -> 7L,
+      "mid3" -> 7L, "low1" -> 3L, "low2" -> 3L) ++
+      (1 to 40).map(i => f"hapax$i%02d" -> 1L)
+    val got = CorpusStats.zipfFit(
+        corpus(freqs).toDF("doc_id", "text"), "text")
+      .collect().head
+    assert((got.getLong(0), got.getDouble(1), got.getDouble(2)) ===
+      ref(freqs))
+  }
+
   test("degenerate vocabulary raises in-plan") {
     val one = Seq((1L, "same same same")).toDF("doc_id", "text")
     val e = intercept[Exception](

@@ -437,4 +437,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOccurrences(plan, "Scan parquet") <= 1,
       s"cube must scan the corpus once in:\n$plan")
   }
+
+  test("zipf fit: the vocab rank window is PARTITIONED by (freq, pfx); " +
+    "only the distinct-freq offset table and the 1-row moments agg pass " +
+    "a single-partition exchange; AQE reuses the vocab shuffle") {
+    val df = CorpusStats.zipfFit(Tables.documents(spark, sf), "text")
+    val initial = physical(df)
+    // the rank window must carry the (freq, pfx) partition spec — a
+    // regression to the naive global ORDER BY freq DESC, w would funnel
+    // the whole vocabulary through one task
+    assert(initial.contains("row_number() windowspecdefinition(freq"),
+      s"rank window not partitioned in:\n$initial")
+    assert(countOccurrences(initial, "Exchange SinglePartition") === 2,
+      s"expected only the freq-band offsets + final moments agg in:\n$initial")
+    // the vocab and cell shuffles must be REUSED, not recomputed — the
+    // corpus is scanned once even though three subtrees consume vocab
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(countOccurrences(fin, "ReusedExchange") === 2,
+      s"vocab/cell exchanges not reused in final plan:\n$fin")
+    assert(countOccurrences(fin, "FileScan") === 1,
+      s"corpus must be scanned exactly once in final plan:\n$fin")
+  }
 }

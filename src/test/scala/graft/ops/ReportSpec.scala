@@ -44,4 +44,21 @@ class ReportSpec extends SparkSpec {
     assert(card(("(all)", "en")) === ((3L, 7L, 30L, 2L, 1L)))
     assert(card(("(all)", "(all)")) === ((4L, 9L, 40L, 3L, 1L)))
   }
+
+  test("dirty dimensions fail loudly instead of merging into marginals") {
+    // a real '(all)' value would be indistinguishable from a marginal
+    val collide = Seq((1L, "(all)", "en", "x", 1L))
+      .toDF("doc_id", "source", "lang", "text", "n_chars")
+    val e1 = intercept[Exception] {
+      Report.dataCard(collide, "source", "lang", "text", "n_chars").collect()
+    }
+    assert(e1.getMessage.contains("NULL or '(all)'"))
+    // a NULL dimension would land in the marginal slot via the cube NULL
+    val nulled = Seq((1L, null.asInstanceOf[String], "en", "x", 1L))
+      .toDF("doc_id", "source", "lang", "text", "n_chars")
+    val e2 = intercept[Exception] {
+      Report.dataCard(nulled, "source", "lang", "text", "n_chars").collect()
+    }
+    assert(e2.getMessage.contains("NULL or '(all)'"))
+  }
 }

@@ -37,6 +37,16 @@ class RrfFuseSpec extends SparkSpec {
       s"consensus doc must outrank single-list leaders: $got")
   }
 
+  test("a 0-based (or negative) input rank fails in-plan") {
+    // rank 0 is the ABSENT output sentinel; an input ranker emitting it
+    // would be silently over-weighted (1e6 div 60 vs div 61)
+    val e = intercept[Exception] {
+      Retrieval.rrfFuse(
+        Seq("zr" -> Seq(1L -> 0).toDF("doc_id", "rank")), "doc_id").collect()
+    }
+    assert(e.getMessage.contains("1-based"))
+  }
+
   test("guards: empty rankings and duplicate names are loud") {
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Nil, "doc_id"))
     val r = Seq(1L -> 1).toDF("doc_id", "rank")

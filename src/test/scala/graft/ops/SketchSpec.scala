@@ -42,6 +42,18 @@ class SketchSpec extends SparkSpec {
     assert(e.getMessage.contains("saturated"))
   }
 
+  test("all-null groups drop (the batch-equals-stream contract)") {
+    // countDistinct ignores nulls: an all-null group would emit
+    // n_exact=0/filled=0 and a 0/0 NaN err_ppm that CardinalityStream
+    // never emits — both sides must drop the group entirely
+    val rows = Seq(("g", "a"), ("g", null), ("dead", null))
+      .toDF("grp", "v")
+    val got = Sketch.linearCount(rows, "grp", "v", hexDigits = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("g" -> 1L), "null values must not count; " +
+      "all-null groups must vanish")
+  }
+
   test("hexDigits guard") {
     val df = Seq(("g", "v")).toDF("grp", "v")
     intercept[IllegalArgumentException](Sketch.linearCount(df, "grp", "v", 0))
