@@ -33,7 +33,15 @@ object Bench {
     // spent so large SFs still finish inside an external timeout (the
     // median then covers however many runs completed).
     val runsPerQuery = 3
-    val wallBudgetNanos = 300e9
+    // Sized so the FULL map re-runs: 128 queries at sf0.1 cost ~200 s
+    // cold + ~2x150 s warm re-runs; the old 300 s budget expired
+    // mid-map in round 11, silently downgrading 34 late-alphabet
+    // queries to single COLD runs — which looked like a uniform 1.55x
+    // regression and put training-heavy queries (x59_agreement) at
+    // their cold cost instead of their warm median. Overridable for
+    // local iteration; run_counts in the output is the audit trail.
+    val wallBudgetNanos =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SECS", "1200").toDouble * 1e9
     val benchStart = System.nanoTime()
     // Local-iteration filter (same contract as Verify's): the driver
     // never sets it, so driver benches always cover every query.
