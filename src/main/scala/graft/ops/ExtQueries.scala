@@ -89,6 +89,11 @@ object ExtQueries {
   @volatile private var lastTempWeights: Option[Map[String, Long]] = None
   // X44 BPE merge-training rounds (oracle unrolls them, x37-style)
   private val BpeIters = 4
+  // X86 unigram-LM knobs: max piece length, seed multi-char vocabulary
+  // size, Viterbi-EM rounds (oracle unrolls them, x37-style)
+  private val UniPieceLen = 4
+  private val UniTopMulti = 48
+  private val UniEmIters = 2
   // X59 averaged-perceptron epochs (oracle unrolls them, x37-style);
   // features reuse the X39 dim + seed so the two matrices are identical
   private val PerceptronEpochs = 3
@@ -330,6 +335,20 @@ object ExtQueries {
     bpeEncCache.getOrCompute(s, dir) {
       Bpe.encode(Tables.documents(s, dir), "doc_id", "text",
         bpeTrained(s, dir)._1).localCheckpoint(false)
+    }
+
+  /** The trained unigram-LM piece table, cached per (session, dir):
+    * train() already pins each round's vocabulary eagerly (the table
+    * IS checkpointed when it lands here), and one training pass feeds
+    * both the x86 vocabulary query and the x86 fertility audit — the
+    * bpeCache artifact contract.
+    */
+  private val uniCache = new graft.engine.SessionCache[DataFrame]
+  private def uniTrained(s: SparkSession, dir: String): DataFrame =
+    uniCache.getOrCompute(s, dir) {
+      UnigramLm.train(Tables.documents(s, dir), "text",
+        maxPieceLen = UniPieceLen, topMulti = UniTopMulti,
+        emIters = UniEmIters)
     }
 
   /** The x42 classifier result, cached per (session, dir): model
@@ -1533,7 +1552,30 @@ object ExtQueries {
     // X85 Zipf-law fit over the corpus vocabulary — micro-nat integer
     // regression moments, one double division at the end
     "x85_zipf" -> ((s, dir) =>
-      CorpusStats.zipfFit(Tables.documents(s, dir), "text"))
+      CorpusStats.zipfFit(Tables.documents(s, dir), "text")),
+
+    // X86 unigram-LM tokenizer training (Kudo 2018 hard-EM) — the
+    // final piece table after the seeded Viterbi-EM rounds; oracle
+    // replays seed + every round from the data (x37/x44 discipline)
+    "x86_unigram" -> ((s, dir) =>
+      uniTrained(s, dir).orderBy(col("cnt").desc, col("piece"))),
+
+    // X86 fertility audit: the trained unigram tokenizer vs the x54
+    // BPE on the identical corpus, per language — the x77 table run
+    // under both vocabularies and joined (both read session-cached
+    // training artifacts)
+    "x86_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bpe = Bpe.fertility(docs, bpeEncoded(s, dir),
+          "doc_id", "text", "lang")
+        .select(col("lang"), col("fertility_ppm").as("bpe_fertility_ppm"))
+      val uni = Bpe.fertility(docs,
+          UnigramLm.docTokenCounts(docs, "doc_id", "text",
+            uniTrained(s, dir), UniPieceLen),
+          "doc_id", "text", "lang")
+        .select(col("lang"), col("fertility_ppm").as("uni_fertility_ppm"))
+      bpe.join(uni, Seq("lang")).orderBy("lang")
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -2126,6 +2168,79 @@ object ExtQueries {
 
   private def bpeAllRounds: String =
     (bpeW0Cte +: (1 to BpeIters).map(bpeRoundCtes)).mkString(",\n")
+
+  /** x86 unigram-LM seed: word types, occurrence-weighted substring
+    * counts (chained LATERAL unnest over start/end), the all-singles +
+    * top-multis vocabulary, and micro-nat costs — the exact engine
+    * arithmetic (one rounded ln per piece; everything else integer).
+    */
+  private def uniSeedCtes: String =
+    s"""uw AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |usp AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |  SELECT freq, word[s:e] AS piece FROM uw,
+       |    LATERAL unnest(generate_series(1, length(word))) AS t1(s),
+       |    LATERAL unnest(generate_series(s,
+       |      least(length(word), s + ${UniPieceLen - 1}))) AS t2(e))
+       |  GROUP BY piece),
+       |uv0c AS (SELECT piece, cnt FROM usp WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt FROM usp
+       |    WHERE length(piece) >= 2 ORDER BY cnt DESC, piece
+       |    LIMIT $UniTopMulti)),
+       |uv0 AS (SELECT piece, cnt,
+       |  CAST(round(ln(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000)
+       |    AS BIGINT) AS cost
+       |  FROM uv0c CROSS JOIN (SELECT sum(cnt) AS tot FROM uv0c))""".stripMargin
+
+  /** One x86 Viterbi-EM round: the engine's DP replayed as a
+    * list_reduce over a separator-encoded dp string (the x44 fold
+    * pattern) — chr(30) separates positions, chr(31) separates the
+    * cost head from the piece tail of each entry, '' encodes an
+    * unreachable prefix. Split points scan ASCENDING (longest piece
+    * first) with strict-< replacement — the engine's pinned tie-break.
+    */
+  private def uniRoundCtes(r: Int): String =
+    s"""um$r AS (SELECT map_from_entries(list({'k': piece, 'v': cost})) AS m
+       |  FROM uv${r - 1}),
+       |useg$r AS (SELECT word, freq,
+       |  list_reduce(list_prepend('0',
+       |      list_transform(generate_series(1, length(word)),
+       |        ii -> CAST(ii AS VARCHAR))),
+       |    (acc, x) -> acc || chr(30) ||
+       |      list_reduce(list_prepend('',
+       |          list_transform(generate_series(
+       |              greatest(1, CAST(x AS INT) - ${UniPieceLen - 1}),
+       |              CAST(x AS INT)),
+       |            s -> CASE
+       |              WHEN len(m[word[s:CAST(x AS INT)]]) = 0
+       |                OR string_split(acc, chr(30))[s] = ''
+       |              THEN ''
+       |              ELSE concat(
+       |                CAST(CAST(string_split(
+       |                    string_split(acc, chr(30))[s], chr(31))[1] AS BIGINT)
+       |                  + m[word[s:CAST(x AS INT)]][1] AS VARCHAR),
+       |                substr(string_split(acc, chr(30))[s],
+       |                  length(string_split(
+       |                    string_split(acc, chr(30))[s], chr(31))[1]) + 1),
+       |                chr(31), word[s:CAST(x AS INT)]) END)),
+       |        (b, c) -> CASE WHEN c = '' THEN b WHEN b = '' THEN c
+       |          WHEN CAST(string_split(c, chr(31))[1] AS BIGINT)
+       |             < CAST(string_split(b, chr(31))[1] AS BIGINT) THEN c
+       |          ELSE b END)) AS dp
+       |  FROM uw CROSS JOIN um$r),
+       |upc$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |  SELECT freq, unnest(string_split(
+       |    string_split(dp, chr(30))[length(word) + 1], chr(31))[2:]) AS piece
+       |  FROM useg$r) GROUP BY piece),
+       |uv$r AS (SELECT piece, cnt,
+       |  CAST(round(ln(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000)
+       |    AS BIGINT) AS cost
+       |  FROM upc$r CROSS JOIN (SELECT sum(cnt) AS tot FROM upc$r))""".stripMargin
+
+  private def uniAllRounds: String =
+    (uniSeedCtes +: (1 to UniEmIters).map(uniRoundCtes)).mkString(",\n")
 
   /** x25 BM25 pipeline SQL — named so the x80 fusion can embed the
     * identical ranking as a subquery (the x43/x46 composition pattern).
@@ -4360,6 +4475,46 @@ object ExtQueries {
         |    - (CAST(n * sxy - sx * sy AS DOUBLE)
         |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept_ln
-        |FROM mo""".stripMargin
+        |FROM mo""".stripMargin,
+
+    // seed + every Viterbi-EM round replayed from the data (the x44
+    // unrolled-training discipline); the final piece table is the output
+    "x86_unigram" ->
+      s"""WITH $uniAllRounds
+         |SELECT piece, cnt, cost FROM uv$UniEmIters
+         |ORDER BY cnt DESC, piece""".stripMargin,
+
+    // both tokenizers' full training replayed, each word type encoded
+    // under its final vocabulary (BPE: the trained word table; unigram:
+    // one more Viterbi pass), then the x77 per-language fertility on
+    // the identical corpus join
+    "x86_fertility" ->
+      s"""WITH $bpeAllRounds,
+         |$uniAllRounds,
+         |${uniRoundCtes(UniEmIters + 1)},
+         |benc AS (SELECT word,
+         |  CAST(len(string_split(s[2:], chr(31))) AS BIGINT) AS ntok
+         |  FROM w$BpeIters),
+         |uenc AS (SELECT word, CAST(len(string_split(
+         |    string_split(dp, chr(30))[length(word) + 1], chr(31))[2:])
+         |  AS BIGINT) AS ntok FROM useg${UniEmIters + 1}),
+         |t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |dt AS (SELECT doc_id, ts[i] AS word
+         |  FROM t, LATERAL unnest(generate_series(1, len(ts))) AS u(i)
+         |  WHERE length(ts[i]) > 0),
+         |bwc AS (SELECT doc_id, count(*) AS words, sum(benc.ntok) AS toks
+         |  FROM dt JOIN benc USING (word) GROUP BY 1),
+         |uwc AS (SELECT doc_id, sum(uenc.ntok) AS toks
+         |  FROM dt JOIN uenc USING (word) GROUP BY 1),
+         |j AS (SELECT t.doc_id, t.lang, bwc.words,
+         |  bwc.toks AS btoks, uwc.toks AS utoks
+         |  FROM t JOIN bwc USING (doc_id) JOIN uwc USING (doc_id))
+         |SELECT lang,
+         |  CAST(sum(btoks) * 1000000 // sum(words) AS BIGINT)
+         |    AS bpe_fertility_ppm,
+         |  CAST(sum(utoks) * 1000000 // sum(words) AS BIGINT)
+         |    AS uni_fertility_ppm
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
