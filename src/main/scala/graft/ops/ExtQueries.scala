@@ -1560,6 +1560,25 @@ object ExtQueries {
     "x86_unigram" -> ((s, dir) =>
       uniTrained(s, dir).orderBy(col("cnt").desc, col("piece"))),
 
+    // X87 corpus-wide paragraph dedup (the Dolma grain): the x69 span
+    // machinery at span=1 over the duplicate-rich cyclic twin —
+    // first (doc, idx) occurrence wins, digests-only shuffle,
+    // row-local excision
+    "x87_paragraph_dedup" -> ((s, dir) =>
+      C4.spanDedup(cycPage(s, dir), "doc_id", "page", span = 1)
+        .orderBy("doc_id")),
+
+    // X87 cross-corpus paragraph decontamination: docs vs the doc_id%7
+    // "prior release" slice, x74 bitmap gate + exact verify — the
+    // oracle is the naive exact join, re-proving the gate lossless
+    "x87_paragraph_decon" -> ((s, dir) => {
+      val page = cycPage(s, dir)
+      Dolma.paragraphDecontaminate(
+        page.filter(col("doc_id") % 7 =!= 0),
+        page.filter(col("doc_id") % 7 === 0),
+        "doc_id", "page", m = BloomBits, k = BloomK).orderBy("doc_id")
+    }),
+
     // X86 fertility audit: the trained unigram tokenizer vs the x54
     // BPE on the identical corpus, per language — the x77 table run
     // under both vocabularies and joined (both read session-cached
@@ -2174,6 +2193,20 @@ object ExtQueries {
     * top-multis vocabulary, and micro-nat costs — the exact engine
     * arithmetic (one rounded ln per piece; everything else integer).
     */
+  /** The x69 cyclic-twin page lines as shared CTEs (t, l): doc lines
+    * after the even-doc chunk cycling — reused by both x87 oracles.
+    */
+  private def cycLinesCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |  FROM documents),
+       |l AS (SELECT doc_id, i,
+       |   array_to_string(ts[(j*$C4Width+1):(j*$C4Width+$C4Width)], ' ')
+       |     AS line
+       |  FROM (SELECT doc_id, ts, i,
+       |     CASE WHEN doc_id % 2 = 0 THEN i % 5 ELSE i END AS j
+       |    FROM t, LATERAL unnest(generate_series(0,
+       |      (len(ts) + ${C4Width - 1}) // $C4Width - 1)) AS u(i)))""".stripMargin
+
   private def uniSeedCtes: String =
     s"""uw AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -4476,6 +4509,40 @@ object ExtQueries {
         |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept_ln
         |FROM mo""".stripMargin,
+
+    // x87 within-corpus: first-occurrence paragraph rank over the
+    // cyclic twin's lines (the x69 CTEs at span=1)
+    "x87_paragraph_dedup" ->
+      s"""WITH $cycLinesCtes,
+         |rk AS (SELECT doc_id, i + 1 AS j, line,
+         |   row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, i)
+         |     AS rn FROM l)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+         |    chr(10) ORDER BY j), '') AS deduped
+         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x87 cross-corpus: the NAIVE exact paragraph join (no bloom
+    // anywhere) — the gate in the engine must be invisible here, which
+    // is the losslessness proof
+    "x87_paragraph_decon" ->
+      s"""WITH $cycLinesCtes,
+         |ln AS (SELECT doc_id, i + 1 AS j, line FROM l),
+         |ref AS (SELECT DISTINCT md5(line) AS d FROM ln
+         |  WHERE doc_id % 7 = 0),
+         |c AS (SELECT doc_id, j, line, md5(line) AS d FROM ln
+         |  WHERE doc_id % 7 <> 0)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_pars,
+         |  CAST(sum(CASE WHEN ref.d IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN ref.d IS NULL THEN line END,
+         |    chr(10) ORDER BY j), '') AS cleaned
+         |FROM c LEFT JOIN ref ON ref.d = c.d
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // seed + every Viterbi-EM round replayed from the data (the x44
     // unrolled-training discipline); the final piece table is the output
