@@ -236,6 +236,57 @@ object ScaleProbe {
         "vec_id", "embedding", 5)
         .write.format("noop").mode("overwrite").save()
     }
+    // round-12: the two iterative graph kernels at 10x — the claim
+    // under test is that per-round cost tracks the LABEL/SCORE VECTOR
+    // (node-count-sized state joined to pinned edges), so 10 disjoint
+    // shifted copies of the sf0.1 trade graph should cost ~10x one
+    // copy per round, with no pair-count or plan-depth cliff (each
+    // round localCheckpoints — plan size stays constant by design)
+    val oc = Tables.orders(spark, "/root/testdata/sf0.1")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pair1 = li.join(oc, li("l_orderkey") === oc("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val pair10 = (0 until 10).map { k =>
+      pair1.select((col("c") + lit(k * 10000000L)).as("c"),
+        (col("s") + lit(k * 10000000L)).as("s"))
+    }.reduce(_ union _).localCheckpoint()
+    println("EDGES=" + pair10.count())
+    t("hits-10x-3iters") {
+      graft.ops.Graph.hits(
+        pair10.select(col("c").as("src"), col("s").as("dst")), iters = 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("label-prop-10x-3iters") {
+      val edges = pair10.select(col("c").as("src"), col("s").as("dst"))
+        .union(pair10.select(col("s").as("src"), col("c").as("dst")))
+      graft.ops.Graph.labelPropagation(edges, iters = 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // round-12 corpus operators at 10x: tokenizer training cost is
+    // bounded by the word-TYPE table (the 10x union repeats documents,
+    // so types barely grow — expect ~1x, the scale contract itself),
+    // while paragraph dedup pays the corpus (expect ~10x)
+    t("unigram-train-50k-2rounds") {
+      graft.ops.UnigramLm.train(docs10, "text",
+        maxPieceLen = 4, topMulti = 48, emIters = 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("paragraph-dedup-50k") {
+      // 7-word lines from the raw text (the cycPage shape without the
+      // dup-planting twist — the 10x union already plants whole-doc
+      // 10-way duplicates, the worst case for the digest shuffle)
+      val ts = split(col("text"), " ")
+      val nl = floor((size(ts) + lit(6)) / lit(7)).cast("int")
+      val page = docs10.select(col("doc_id"), array_join(
+        transform(sequence(lit(0), nl - lit(1)),
+          i => array_join(slice(ts, i * 7 + 1, lit(7)), " ")), "\n").as("page"))
+      graft.ops.C4.spanDedup(page, "doc_id", "page", span = 1)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
