@@ -171,6 +171,16 @@ object ExtQueries {
   // X83 linear counting: 16^4 = 65536 buckets — load factor stays well
   // under 1 for per-source distinct shingles at both test SFs
   private val SketchHexDigits = 4
+  // X88 HyperLogLog: 16^2 = 256 registers — deliberately 256x less
+  // state than x83 on the same input; HLL's max-rank registers don't
+  // saturate, which is the point of the comparison
+  private val HllHexDigits = 2
+  // X89 Count-Min: 4 lanes x 256 buckets = 1024 counters against a
+  // vocabulary orders larger — collisions are real at both test SFs,
+  // so over_ppm measures the sketch, not a degenerate exact pass
+  private val CmsDepth = 4
+  private val CmsHexDigits = 2
+  private val HeavyTopK = 20
 
   /** The x64 paged twin of `documents`: (doc_id, page) with the
     * synthesis documented at [[C4Width]] — pure higher-order functions,
@@ -1594,6 +1604,52 @@ object ExtQueries {
           "doc_id", "text", "lang")
         .select(col("lang"), col("fertility_ppm").as("uni_fertility_ppm"))
       bpe.join(uni, Seq("lang")).orderBy("lang")
+    }),
+
+    // X88 HyperLogLog per-source shingle cardinality — the x83 input
+    // with 256 registers instead of 65536 linear-counting buckets: the
+    // max-rank register survives cardinalities that saturate linear
+    // counting, at 1/256th the state
+    "x88_hll" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingleTable(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      Sketch.hll(sh, "source", "s", HllHexDigits).orderBy("grp")
+    }),
+
+    // X88 sketch-merge: union cardinality of two OVERLAPPING corpus
+    // slices from their registers alone (pointwise max), neither slice
+    // re-scanned at merge time — the cross-shard rollup HLL exists for
+    "x88_hll_union" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingleTable(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      Sketch.hllMerged(
+        sh.filter(col("doc_id") % 2 === 0),
+        sh.filter(col("doc_id") % 3 === 0),
+        "source", "s", HllHexDigits).orderBy("grp")
+    }),
+
+    // X89 Count-Min heavy hitters: the exact top-K tokens (the audit
+    // baseline) point-queried against the 1024-counter sketch; the
+    // over-estimate-only guarantee is asserted in-plan — an estimate
+    // below the exact count aborts the query instead of hashing green
+    "x89_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+      val sk = CountMin.sketch(toks, "token", CmsDepth, CmsHexDigits)
+      val top = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(HeavyTopK)
+      CountMin.estimate(sk, top.select("token"), "token",
+          CmsDepth, CmsHexDigits)
+        .join(top, Seq("token"))
+        .select(col("token"), col("n_exact"), col("est"),
+          expr("""CASE WHEN est < n_exact
+                 |  THEN CAST(raise_error('count-min under-estimated: impossible') AS BIGINT)
+                 |  ELSE (est - n_exact) * 1000000 div n_exact
+                 |END""".stripMargin).as("over_ppm"))
+        .orderBy(col("n_exact").desc, col("token"))
     })
   )
 
@@ -4582,6 +4638,86 @@ object ExtQueries {
          |    AS bpe_fertility_ppm,
          |  CAST(sum(utoks) * 1000000 // sum(words) AS BIGINT)
          |    AS uni_fertility_ppm
-         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // X88: registers re-derived from the data with the SAME fragments
+    // the Scala side runs (rho / register term / estimator interpolated
+    // from Sketch), so the two engines cannot diverge on lane
+    // arithmetic or the small-range-correction branch
+    "x88_hll" -> {
+      val m = math.pow(16, HllHexDigits).toLong
+      val est = Sketch.hllEstExpr(m)
+      s"""WITH $ShingleCte,
+         |v AS (SELECT d.source AS grp, md5(sh.s) AS h
+         |  FROM sh JOIN documents d USING (doc_id) WHERE sh.s IS NOT NULL),
+         |r AS (SELECT grp, substring(h, 1, $HllHexDigits) AS reg,
+         |  ${Sketch.rhoSql("h", HllHexDigits + 1)} AS rho FROM v),
+         |regs AS (SELECT grp, reg, max(rho) AS mj FROM r GROUP BY 1, 2),
+         |agg AS (SELECT grp, count(*) AS filled,
+         |  sum(${Sketch.hllTermSql}) AS s_present FROM regs GROUP BY 1),
+         |ex AS (SELECT d.source AS grp, count(DISTINCT sh.s) AS n_exact
+         |  FROM sh JOIN documents d USING (doc_id)
+         |  WHERE sh.s IS NOT NULL GROUP BY 1)
+         |SELECT grp, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(filled AS BIGINT) AS filled,
+         |  $est AS est,
+         |  round((($est) - CAST(n_exact AS DOUBLE))
+         |    / CAST(n_exact AS DOUBLE) * 1000000.0, 6) AS err_ppm
+         |FROM agg JOIN ex USING (grp) ORDER BY grp""".stripMargin
+    },
+
+    // the merge collapses to one max over the unioned slices' rows
+    // (max is associative: per-slice registers then pointwise max ==
+    // max over the union), which is exactly the losslessness claim
+    "x88_hll_union" -> {
+      val m = math.pow(16, HllHexDigits).toLong
+      val est = Sketch.hllEstExpr(m)
+      s"""WITH $ShingleCte,
+         |j AS (SELECT sh.doc_id, d.source, sh.s
+         |  FROM sh JOIN documents d USING (doc_id) WHERE sh.s IS NOT NULL),
+         |u AS (SELECT source AS grp, s FROM j WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT source, s FROM j WHERE doc_id % 3 = 0),
+         |v AS (SELECT grp, s, md5(s) AS h FROM u),
+         |r AS (SELECT grp, substring(h, 1, $HllHexDigits) AS reg,
+         |  ${Sketch.rhoSql("h", HllHexDigits + 1)} AS rho FROM v),
+         |regs AS (SELECT grp, reg, max(rho) AS mj FROM r GROUP BY 1, 2),
+         |agg AS (SELECT grp, count(*) AS filled,
+         |  sum(${Sketch.hllTermSql}) AS s_present FROM regs GROUP BY 1),
+         |ex AS (SELECT grp, count(DISTINCT s) AS n_exact FROM u GROUP BY 1)
+         |SELECT grp, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(filled AS BIGINT) AS filled,
+         |  $est AS est,
+         |  round((($est) - CAST(n_exact AS DOUBLE))
+         |    / CAST(n_exact AS DOUBLE) * 1000000.0, 6) AS err_ppm
+         |FROM agg JOIN ex USING (grp) ORDER BY grp""".stripMargin
+    },
+
+    // X89: sketch rebuilt from the data with the same "lane|token" md5
+    // lane; integer-exact counters and ppm, so the hash compare is
+    // bit-strict; error() mirrors the in-plan under-estimate guard
+    "x89_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |lanes AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS lane),
+         |lb AS (SELECT lane,
+         |  substring(md5(CAST(lane AS VARCHAR) || '|' || token), 1,
+         |    $CmsHexDigits) AS bucket
+         |  FROM t CROSS JOIN lanes),
+         |sk AS (SELECT lane, bucket, count(*) AS cnt FROM lb GROUP BY 1, 2),
+         |top AS (SELECT token, count(*) AS n_exact FROM t GROUP BY 1
+         |  ORDER BY n_exact DESC, token LIMIT $HeavyTopK),
+         |q AS (SELECT token, n_exact, lane,
+         |  substring(md5(CAST(lane AS VARCHAR) || '|' || token), 1,
+         |    $CmsHexDigits) AS bucket
+         |  FROM top CROSS JOIN lanes),
+         |e AS (SELECT token, n_exact, min(cnt) AS est
+         |  FROM q JOIN sk USING (lane, bucket) GROUP BY 1, 2)
+         |SELECT token, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(est AS BIGINT) AS est,
+         |  CAST(CASE WHEN est < n_exact
+         |    THEN error('count-min under-estimated: impossible')
+         |    ELSE (est - n_exact) * 1000000 // n_exact
+         |  END AS BIGINT) AS over_ppm
+         |FROM e ORDER BY n_exact DESC, token""".stripMargin
   )
 }
