@@ -287,6 +287,48 @@ object ScaleProbe {
       graft.ops.C4.spanDedup(page, "doc_id", "page", span = 1)
         .write.format("noop").mode("overwrite").save()
     }
+    // round-12 sketch family at 10x: every sketch's exchange is
+    // state-sized (registers / counters / kept rows / k digests) after
+    // map-side combine, so cost should track the one corpus scan —
+    // compare against linear-count-50k above, the family's x83 anchor
+    t("hll-50k") {
+      graft.ops.Sketch.hll(
+        graft.ops.Dedup.shingleTable(docs10, "doc_id", "text")
+          .join(docs10.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "source", "s", hexDigits = 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("count-min-50k") {
+      val toks = docs10.select(explode(split(col("text"), " ")).as("token"))
+      graft.ops.CountMin.sketch(toks, "token", depth = 4, hexDigits = 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // word-TYPE bounded like BPE/unigram: expect ~1x vs 1x-corpus cost
+    t("wordpiece-train-50k-4rounds") {
+      val (_, words) = graft.ops.WordPiece.train(docs10, "text", 4)
+      graft.ops.WordPiece.vocab(words)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // the per-(group, shard) sorts are the cost; shards bound each sort
+    t("quantile-summary-50k") {
+      val summ = graft.ops.Quantile.summary(docs10, "lang", "n_chars",
+        "doc_id", shards = 8, k = 50)
+      graft.ops.Quantile.estimate(summ, docs10, "lang", "n_chars",
+        Seq(250000L, 500000L, 750000L), shards = 8, k = 50)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("kmv-overlap-50k") {
+      val sh = graft.ops.Dedup.shingleTable(docs10, "doc_id", "text")
+        .join(docs10.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val a = sh.filter(col("doc_id") % 2 === 0)
+        .select(col("source").as("grp"), col("s"))
+      val b = sh.filter(col("doc_id") % 3 === 0)
+        .select(col("source").as("grp"), col("s"))
+      graft.ops.Kmv.jaccardEst(
+        graft.ops.Kmv.sketch(a, "grp", "s", 128),
+        graft.ops.Kmv.sketch(b, "grp", "s", 128), 128)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -181,6 +181,19 @@ object ExtQueries {
   private val CmsDepth = 4
   private val CmsHexDigits = 2
   private val HeavyTopK = 20
+  // X90 WordPiece rounds — same bounded-loop budget as BpeIters; each
+  // round is two type-table aggregations + a 1-row argmax
+  private val WpIters = 4
+  // X91 quantile summary: 8 shards x 50 kept rows — rank-error bound
+  // n/50 + 8 (2% + slack), loose enough to hold at every SF, tight
+  // enough that the in-plan assert means something
+  private val QShards = 8
+  private val QK = 50
+  private val QPhisPpm = Seq(250000L, 500000L, 750000L)
+  // X92 KMV: 128 minimum digests per corpus per source — small enough
+  // that both test SFs exercise the k-th-smallest truncation, large
+  // enough that the Jaccard estimate lands near the exact audit
+  private val KmvK = 128
 
   /** The x64 paged twin of `documents`: (doc_id, page) with the
     * synthesis documented at [[C4Width]] — pure higher-order functions,
@@ -333,6 +346,17 @@ object ExtQueries {
   private def bpeTrained(s: SparkSession, dir: String): (Seq[Bpe.Merge], DataFrame) =
     bpeCache.getOrCompute(s, dir) {
       Bpe.train(Tables.documents(s, dir), "text", BpeIters)
+    }
+
+  /** X90 WordPiece training artifact, cached per (session, dir) — one
+    * training pass feeds both x90 queries, the bpeCache contract.
+    */
+  private val wpCache =
+    new graft.engine.SessionCache[(Seq[WordPiece.Merge], DataFrame)]
+  private def wpTrained(s: SparkSession,
+                        dir: String): (Seq[WordPiece.Merge], DataFrame) =
+    wpCache.getOrCompute(s, dir) {
+      WordPiece.train(Tables.documents(s, dir), "text", WpIters)
     }
 
   /** The ENCODED corpus under the trained merges, cached per (session,
@@ -1650,6 +1674,57 @@ object ExtQueries {
                  |  ELSE (est - n_exact) * 1000000 div n_exact
                  |END""".stripMargin).as("over_ppm"))
         .orderBy(col("n_exact").desc, col("token"))
+    }),
+
+    // X90 WordPiece training — the likelihood-scored merge table
+    // (Schuster & Nakajima 2012); oracle replays every round from the
+    // data with the identical quantized-score argmax
+    "x90_wordpiece" -> ((s, dir) =>
+      WordPiece.mergeTable(s, wpTrained(s, dir)._1).orderBy("r")),
+
+    // X90 learned subword inventory after the merges — '##'-marked
+    // continuations and merged pieces with freq-weighted counts
+    "x90_wp_vocab" -> ((s, dir) =>
+      WordPiece.vocab(wpTrained(s, dir)._2)
+        .orderBy(col("cnt").desc, col("piece"))),
+
+    // X91 mergeable quantile summary over doc lengths per language —
+    // est quantiles read off the bounded weighted sample, true rank
+    // audited against the corpus, bound asserted in-plan
+    "x91_quantile_sketch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val summ = Quantile.summary(docs, "lang", "n_chars", "doc_id",
+        QShards, QK)
+      Quantile.estimate(summ, docs, "lang", "n_chars", QPhisPpm,
+        QShards, QK).orderBy("grp", "phi_ppm")
+    }),
+
+    // X92 KMV overlap: Jaccard between the x88 corpus slices estimated
+    // from two 128-digest sketches alone, exact Jaccard (the full
+    // shingle join) alongside as the audit baseline
+    "x92_kmv_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingleTable(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val a = sh.filter(col("doc_id") % 2 === 0)
+        .select(col("source").as("grp"), col("s"))
+      val b = sh.filter(col("doc_id") % 3 === 0)
+        .select(col("source").as("grp"), col("s"))
+      val est = Kmv.jaccardEst(Kmv.sketch(a, "grp", "s", KmvK),
+        Kmv.sketch(b, "grp", "s", KmvK), KmvK)
+      val da = a.distinct()
+      val db = b.distinct()
+      val ni = da.join(db, Seq("grp", "s"))
+        .groupBy(col("grp")).agg(count(lit(1)).as("n_i"))
+      val nu = da.union(db).distinct()
+        .groupBy(col("grp")).agg(count(lit(1)).as("n_un"))
+      est.join(nu, Seq("grp")).join(ni, Seq("grp"), "left")
+        .select(col("grp"), col("n_u"), col("est_jaccard_ppm"),
+          expr("coalesce(n_i, 0L) * 1000000 div n_un")
+            .as("exact_jaccard_ppm"),
+          expr("abs(est_jaccard_ppm - " +
+            "coalesce(n_i, 0L) * 1000000 div n_un)").as("abs_err_ppm"))
+        .orderBy("grp")
     })
   )
 
@@ -2243,6 +2318,49 @@ object ExtQueries {
 
   private def bpeAllRounds: String =
     (bpeW0Cte +: (1 to BpeIters).map(bpeRoundCtes)).mkString(",\n")
+
+  /** x90 WordPiece unroll — the x44 fold pattern with '##'-marked
+    * continuation symbols and the likelihood-scored argmax: HUGEINT is
+    * DuckDB's 38-digit lane for the engine's DECIMAL(38,0) score
+    * quantization (cnt·10^12 // ca·cb), `b[3:]` strips the '##' the
+    * engine strips with substring(b, 3).
+    */
+  private def wpW0Cte: String =
+    s"""ww0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       |  chr(31) || array_to_string(
+       |    list_transform(generate_series(1, length(word)),
+       |      i -> CASE WHEN i = 1 THEN word[i:i]
+       |           ELSE '##' || word[i:i] END),
+       |    chr(31)) AS s
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word)""".stripMargin
+
+  private def wpRoundCtes(r: Int): String =
+    s"""wwp$r AS (SELECT freq, string_split(s[2:], chr(31)) AS ps FROM ww${r - 1}),
+       |wsc$r AS (SELECT ps[i] AS sym, sum(freq) AS c
+       |  FROM wwp$r, LATERAL unnest(generate_series(1, len(ps))) AS s$r(i)
+       |  GROUP BY 1),
+       |wpc$r AS (SELECT ps[i] AS a, ps[i+1] AS b, sum(freq) AS cnt
+       |  FROM wwp$r, LATERAL unnest(generate_series(1, len(ps) - 1)) AS u$r(i)
+       |  GROUP BY 1, 2),
+       |wbest$r AS (SELECT wpc$r.a AS a, wpc$r.b AS b,
+       |  CAST(wpc$r.cnt AS BIGINT) AS cnt,
+       |  CAST(CAST(wpc$r.cnt AS HUGEINT) * 1000000000000 //
+       |    (CAST(sa.c AS HUGEINT) * CAST(sb.c AS HUGEINT)) AS BIGINT) AS score
+       |  FROM wpc$r JOIN wsc$r sa ON sa.sym = wpc$r.a
+       |    JOIN wsc$r sb ON sb.sym = wpc$r.b
+       |  ORDER BY score DESC, a, b LIMIT 1),
+       |ww$r AS (SELECT word, freq,
+       |  list_reduce(list_prepend('', string_split(s[2:], chr(31))),
+       |    (acc, x) -> CASE
+       |      WHEN ends_with(acc, chr(31) || wbest$r.a) AND x = wbest$r.b
+       |      THEN concat(left(acc, length(acc) - length(wbest$r.a) - 1),
+       |        chr(31), wbest$r.a, wbest$r.b[3:])
+       |      ELSE acc || chr(31) || x END) AS s
+       |  FROM ww${r - 1} CROSS JOIN wbest$r)""".stripMargin
+
+  private def wpAllRounds: String =
+    (wpW0Cte +: (1 to WpIters).map(wpRoundCtes)).mkString(",\n")
 
   /** x86 unigram-LM seed: word types, occurrence-weighted substring
     * counts (chained LATERAL unnest over start/end), the all-singles +
@@ -4718,6 +4836,107 @@ object ExtQueries {
          |    THEN error('count-min under-estimated: impossible')
          |    ELSE (est - n_exact) * 1000000 // n_exact
          |  END AS BIGINT) AS over_ppm
-         |FROM e ORDER BY n_exact DESC, token""".stripMargin
+         |FROM e ORDER BY n_exact DESC, token""".stripMargin,
+
+    // X90: every training round replayed from the data (the x44
+    // discipline) — the per-round winning pair with its quantized
+    // likelihood score
+    "x90_wordpiece" ->
+      s"""WITH $wpAllRounds
+         |SELECT * FROM (
+         |  ${(1 to WpIters).map(r =>
+              s"SELECT $r AS r, a, b, score, cnt FROM wbest$r")
+              .mkString("\n  UNION ALL ")}
+         |) ORDER BY r""".stripMargin,
+
+    "x90_wp_vocab" ->
+      s"""WITH $wpAllRounds,
+         |fin AS (SELECT freq,
+         |  unnest(string_split(s[2:], chr(31))) AS piece FROM ww$WpIters)
+         |SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM fin
+         |GROUP BY 1 ORDER BY cnt DESC, piece""".stripMargin,
+
+    // X91: the summary re-derived with the identical integer lanes —
+    // ROWS-mode cumulative window (Spark's rowsBetween), ceil targets,
+    // and the same in-plan bound via error()
+    "x91_quantile_sketch" -> {
+      val phis = QPhisPpm.mkString(", ")
+      s"""WITH base AS (SELECT lang AS grp, n_chars AS v, doc_id AS id,
+         |  doc_id % $QShards AS shard
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |rk AS (SELECT grp, shard, v, id,
+         |  row_number() OVER (PARTITION BY grp, shard ORDER BY v, id) AS r,
+         |  count(*) OVER (PARTITION BY grp, shard) AS n_s FROM base),
+         |kept AS (SELECT grp, shard, v,
+         |  CASE WHEN r % step = 0 THEN step
+         |       WHEN r = n_s THEN n_s % step ELSE 0 END AS w
+         |  FROM (SELECT *, (n_s + ${QK - 1}) // $QK AS step FROM rk)),
+         |summ AS (SELECT grp, shard, v, w FROM kept WHERE w > 0),
+         |cumt AS (SELECT grp, v,
+         |  sum(w) OVER (PARTITION BY grp ORDER BY v, shard
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         |  sum(w) OVER (PARTITION BY grp) AS n FROM summ),
+         |e AS (SELECT grp, phi_ppm, n, target, min(v) AS est FROM (
+         |  SELECT grp, v, cw, n, phi_ppm,
+         |    (phi_ppm * n + 999999) // 1000000 AS target
+         |  FROM cumt CROSS JOIN
+         |    (SELECT unnest([$phis]) AS phi_ppm))
+         |  WHERE cw >= target GROUP BY 1, 2, 3, 4),
+         |tr AS (SELECT e.grp, e.phi_ppm, e.n, e.target, e.est,
+         |  sum(CASE WHEN d.n_chars < e.est THEN 1 ELSE 0 END) + 1 AS rank_lo,
+         |  sum(CASE WHEN d.n_chars <= e.est THEN 1 ELSE 0 END) AS rank_hi
+         |  FROM e JOIN documents d ON d.lang = e.grp
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT grp, CAST(n AS BIGINT) AS n,
+         |  CAST(phi_ppm AS BIGINT) AS phi_ppm, est,
+         |  CAST(rank_lo AS BIGINT) AS rank_lo,
+         |  CAST(rank_hi AS BIGINT) AS rank_hi,
+         |  CAST(target AS BIGINT) AS target,
+         |  CAST(CASE WHEN rank_hi < target
+         |         OR rank_lo > target + n // $QK + $QShards
+         |    THEN error('quantile summary outside its rank bound')
+         |    ELSE greatest(rank_lo - target, target - rank_hi, 0)
+         |         * 1000000 // n
+         |  END AS BIGINT) AS err_ppm
+         |FROM tr ORDER BY grp, phi_ppm""".stripMargin
+    },
+
+    // X92: sketches re-derived as plain order statistics on the md5
+    // string lane (direct window here — min-k is min-k regardless of
+    // the engine's two-level decomposition), estimator and exact audit
+    // in the same integer-ppm lanes
+    "x92_kmv_overlap" ->
+      s"""WITH $ShingleCte,
+         |j AS (SELECT sh.doc_id, d.source AS grp, sh.s
+         |  FROM sh JOIN documents d USING (doc_id) WHERE sh.s IS NOT NULL),
+         |a AS (SELECT DISTINCT grp, s FROM j WHERE doc_id % 2 = 0),
+         |b AS (SELECT DISTINCT grp, s FROM j WHERE doc_id % 3 = 0),
+         |ka AS (SELECT grp, h FROM (SELECT grp, md5(s) AS h,
+         |  row_number() OVER (PARTITION BY grp ORDER BY md5(s)) AS r
+         |  FROM a) WHERE r <= $KmvK),
+         |kb AS (SELECT grp, h FROM (SELECT grp, md5(s) AS h,
+         |  row_number() OVER (PARTITION BY grp ORDER BY md5(s)) AS r
+         |  FROM b) WHERE r <= $KmvK),
+         |uu AS (SELECT coalesce(ka.grp, kb.grp) AS grp,
+         |  coalesce(ka.h, kb.h) AS h,
+         |  CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
+         |    THEN 1 ELSE 0 END AS hit
+         |  FROM ka FULL JOIN kb ON ka.grp = kb.grp AND ka.h = kb.h),
+         |uk AS (SELECT grp, hit,
+         |  row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM uu),
+         |e AS (SELECT grp, count(*) AS n_u, sum(hit) AS n_both
+         |  FROM uk WHERE r <= $KmvK GROUP BY 1),
+         |ni AS (SELECT grp, count(*) AS n_i FROM a JOIN b USING (grp, s)
+         |  GROUP BY 1),
+         |nun AS (SELECT grp, count(*) AS n_un FROM
+         |  (SELECT grp, s FROM a UNION SELECT grp, s FROM b) GROUP BY 1)
+         |SELECT e.grp, CAST(n_u AS BIGINT) AS n_u,
+         |  CAST(n_both * 1000000 // n_u AS BIGINT) AS est_jaccard_ppm,
+         |  CAST(coalesce(n_i, 0) * 1000000 // n_un AS BIGINT)
+         |    AS exact_jaccard_ppm,
+         |  CAST(abs(n_both * 1000000 // n_u -
+         |    coalesce(n_i, 0) * 1000000 // n_un) AS BIGINT) AS abs_err_ppm
+         |FROM e JOIN nun USING (grp) LEFT JOIN ni USING (grp)
+         |ORDER BY grp""".stripMargin
   )
 }
