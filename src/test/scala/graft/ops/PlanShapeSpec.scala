@@ -460,4 +460,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOccurrences(fin, "FileScan") === 1,
       s"corpus must be scanned exactly once in final plan:\n$fin")
   }
+
+  test("hll registers: rho is scan-side, ONE register-keyed exchange, " +
+    "no single-partition stage") {
+    val plan = physical(Sketch.hllRegisters(
+      Tables.documents(spark, sf), "source", "text", hexDigits = 2))
+    assert(countOccurrences(plan, "Exchange") === 1, s"plan:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
+    // partial max before the exchange = the map-side combine the
+    // bounded-state claim rests on
+    assert(plan.contains("partial_max") || plan.contains("partial"),
+      s"no map-side combine in:\n$plan")
+  }
+
+  test("count-min sketch: lane explode is scan-side, ONE counter-keyed " +
+    "exchange, map-side combine present") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val plan = physical(CountMin.sketch(toks, "token", 4, 2))
+    assert(countOccurrences(plan, "Exchange") === 1, s"plan:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
+    assert(plan.contains("partial"), s"no map-side combine in:\n$plan")
+  }
+
+  test("quantile summary: the sort windows are PARTITIONED by " +
+    "(group, shard) over ONE exchange — no global sort anywhere") {
+    val plan = physical(Quantile.summary(
+      Tables.documents(spark, sf), "lang", "n_chars", "doc_id", 8, 50))
+    assert(countOccurrences(plan, "Exchange") === 1, s"plan:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
+    assert(plan.contains("windowspecdefinition(grp"),
+      s"window not partitioned in:\n$plan")
+  }
+
+  test("kmv sketch: two-level min-k — cell-partitioned rank, then the " +
+    "group rank over survivors only; no single-partition stage") {
+    val plan = physical(Kmv.sketch(
+      Tables.documents(spark, sf).select(col("source").as("grp"),
+        col("text").as("v")), "grp", "v", 128))
+    assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
+    // distinct + cell window + group window = exactly three exchanges
+    assert(countOccurrences(plan, "Exchange") === 3, s"plan:\n$plan")
+    assert(countOccurrences(plan, "windowspecdefinition(grp") === 2,
+      s"both rank windows must be grp-partitioned in:\n$plan")
+  }
+
+  test("x91 end-to-end carries no single-partition exchange (the " +
+    "cumulative pass runs over the summary only)") {
+    val docs = Tables.documents(spark, sf)
+    val summ = Quantile.summary(docs, "lang", "n_chars", "doc_id", 8, 50)
+    val plan = physical(Quantile.estimate(summ, docs, "lang", "n_chars",
+      Seq(500000L), 8, 50))
+    assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
+  }
 }
