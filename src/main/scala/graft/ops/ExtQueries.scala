@@ -453,6 +453,24 @@ object ExtQueries {
   // per-(session, dir) memo — see graft.engine.SessionCache for why the
   // value side is softly referenced (a cached DataFrame strongly
   // references its own session)
+  /** X93 per-node triangle table over the part co-purchase graph
+    * (parts linked when they share an order), MATERIALIZED once per
+    * (session, dir): the wedge join is the expensive stage and both
+    * x93 queries read the same result — the lshPairs artifact
+    * contract.
+    */
+  private val triCache = new graft.engine.SessionCache[DataFrame]
+  private def copurchaseTri(s: SparkSession, dir: String): DataFrame =
+    triCache.getOrCompute(s, dir) {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      Graph.triangles(e).localCheckpoint()
+    }
+
   private val lshPairsCache = new graft.engine.SessionCache[DataFrame]
 
   /** The positional k-gram window table over `documents`, PERSISTED once
@@ -1725,7 +1743,24 @@ object ExtQueries {
           expr("abs(est_jaccard_ppm - " +
             "coalesce(n_i, 0L) * 1000000 div n_un)").as("abs_err_ppm"))
         .orderBy("grp")
-    })
+    }),
+
+    // X93 exact triangle counting over the part co-purchase graph —
+    // per-node degree + triangle participation, each triangle
+    // generated once at its (degree, id)-minimum vertex
+    "x93_triangles" -> ((s, dir) =>
+      copurchaseTri(s, dir).orderBy("node")),
+
+    // X93 global clustering: transitivity = closed wedges over all
+    // wedges, exact integers derived from the per-node table
+    "x93_clustering" -> ((s, dir) =>
+      copurchaseTri(s, dir).agg(
+        count(lit(1)).as("n_nodes"),
+        expr("sum(deg) div 2").as("n_edges"),
+        expr("sum(tri) div 3").as("n_triangles"),
+        expr("sum(deg * (deg - 1)) div 2").as("n_wedges"),
+        expr("sum(tri) * 1000000 div (sum(deg * (deg - 1)) div 2)")
+          .as("transitivity_ppm")))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -4937,6 +4972,52 @@ object ExtQueries {
          |  CAST(abs(n_both * 1000000 // n_u -
          |    coalesce(n_i, 0) * 1000000 // n_un) AS BIGINT) AS abs_err_ppm
          |FROM e JOIN nun USING (grp) LEFT JOIN ni USING (grp)
-         |ORDER BY grp""".stripMargin
+         |ORDER BY grp""".stripMargin,
+
+    // X93: the same degree-ordered orientation as row-value
+    // comparisons — each triangle closed by one semi-join, counted at
+    // its (degree, id)-minimum vertex
+    "x93_triangles" -> (x93PerNodeSql +
+      """
+        |SELECT node, CAST(d AS BIGINT) AS deg,
+        |  CAST(coalesce(pt.tri, 0) AS BIGINT) AS tri
+        |FROM deg LEFT JOIN pt USING (node) ORDER BY node""".stripMargin),
+
+    "x93_clustering" -> (x93PerNodeSql +
+      """
+        |, pn AS (SELECT deg.node, deg.d, coalesce(pt.tri, 0) AS tri
+        |  FROM deg LEFT JOIN pt USING (node))
+        |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+        |  CAST(sum(tri) // 3 AS BIGINT) AS n_triangles,
+        |  CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges,
+        |  CAST(sum(tri) * 1000000 // (sum(d * (d - 1)) // 2) AS BIGINT)
+        |    AS transitivity_ppm
+        |FROM pn""".stripMargin)
   )
+
+  /** Shared x93 CTE chain: co-purchase edges -> degrees ->
+    * degree-ordered orientation -> wedges -> closed triangles ->
+    * per-node participation.
+    */
+  private def x93PerNodeSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b USING (ok) WHERE a.pk < b.pk),
+       |deg AS (SELECT node, count(*) AS d FROM
+       |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+       |o AS (SELECT
+       |  CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS src,
+       |  CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS dst,
+       |  CASE WHEN (da.d, e.u) < (db.d, e.v) THEN db.d ELSE da.d END AS dd
+       |  FROM e JOIN deg da ON da.node = e.u JOIN deg db ON db.node = e.v),
+       |wdg AS (SELECT x.src AS a1, x.dst AS a2, y.dst AS a3
+       |  FROM o x JOIN o y
+       |  ON x.src = y.src AND (x.dd, x.dst) < (y.dd, y.dst)),
+       |tri AS (SELECT a1, a2, a3 FROM wdg
+       |  SEMI JOIN o ON wdg.a2 = o.src AND wdg.a3 = o.dst),
+       |pt AS (SELECT node, count(*) AS tri FROM
+       |  (SELECT a1 AS node FROM tri UNION ALL SELECT a2 FROM tri
+       |   UNION ALL SELECT a3 FROM tri) GROUP BY 1)""".stripMargin
 }
