@@ -1760,8 +1760,56 @@ object ExtQueries {
         expr("sum(tri) div 3").as("n_triangles"),
         expr("sum(deg * (deg - 1)) div 2").as("n_wedges"),
         expr("sum(tri) * 1000000 div (sum(deg * (deg - 1)) div 2)")
-          .as("transitivity_ppm")))
+          .as("transitivity_ppm"))),
+
+    // X94 PII policy (the Dolma recipe): emails/phones/IPs injected
+    // deterministically (plus two negative controls that must NOT
+    // match), per-category counts, mask-or-drop verdict, masked text
+    // for survivors — all one scan-side projection
+    "x94_pii_policy" -> ((s, dir) =>
+      Pii.policy(piiAugmented(Tables.documents(s, dir)), "doc_id", "aug",
+        PiiMaxHits).orderBy("doc_id")),
+
+    // X94 corpus PII report: per-verdict doc counts + category totals
+    "x94_pii_summary" -> ((s, dir) =>
+      Pii.summary(piiAugmented(Tables.documents(s, dir)), "doc_id", "aug",
+        PiiMaxHits).orderBy("verdict"))
   )
+
+  // X94 PII-injection fixture: the corpus carries no real PII (synthetic
+  // word-salad), so targets are constructed deterministically from
+  // doc_id — the x7 discipline. Every doc also gets two NEGATIVE
+  // controls (a 5-3-4 order-id whose 3-3-4 suffix is not word-bounded,
+  // and a 2-part version number that is not a dotted quad); %17 docs get
+  // a PII-dense "directory page" tail that must cross PiiMaxHits and
+  // draw the drop verdict.
+  private val PiiMaxHits = 4
+  private def piiAugmented(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      lit(" id 12345-678-9012 v1.2 beta"),
+      when(id % 3 === 0, concat(lit(" reach user"), id.cast("string"),
+        lit("@example.org now"))).otherwise(lit("")),
+      when(id % 4 === 0, concat(lit(" call 415-555-"),
+        lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" node 10."), (id % 200).cast("string"),
+        lit(".0."), (id % 250).cast("string"), lit(" up")))
+        .otherwise(lit("")),
+      when(id % 17 === 0, lit(PiiDirectoryTail)).otherwise(lit(""))
+    ).as("aug"))
+  }
+  // 3 phones (one dot-separated — the IP-vs-phone ordering case) + 2
+  // IPs = 5 extra hits, > PiiMaxHits on its own
+  private val PiiDirectoryTail =
+    " directory 202-555-0101, 202-555-0102, 303.555.0199 at 192.168.0.1 and 10.0.0.2"
+  // the identical augmentation as a DuckDB scalar over `documents`
+  private def piiAugmentSql: String =
+    "text || ' id 12345-678-9012 v1.2 beta'" +
+      " || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.org now' ELSE '' END" +
+      " || CASE WHEN doc_id % 4 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END" +
+      " || CASE WHEN doc_id % 5 = 0 THEN ' node 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' up' ELSE '' END" +
+      s" || CASE WHEN doc_id % 17 = 0 THEN '$PiiDirectoryTail' ELSE '' END"
 
   // ---------------------------------------------------------------- oracle
 
@@ -4993,8 +5041,60 @@ object ExtQueries {
         |  CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges,
         |  CAST(sum(tri) * 1000000 // (sum(d * (d - 1)) // 2) AS BIGINT)
         |    AS transitivity_ppm
-        |FROM pn""".stripMargin)
+        |FROM pn""".stripMargin),
+
+    // X94: identical injection, identical regex lanes (patterns are
+    // lookaround-free so Java regex and RE2 agree), identical
+    // email -> IP -> phone mask order, identical verdict CASE
+    "x94_pii_policy" -> (x94ScanSql +
+      s"""
+         |SELECT doc_id, n_email, n_phone, n_ip, n_pii,
+         |  CASE WHEN n_pii > $PiiMaxHits THEN 'drop'
+         |       WHEN n_pii > 0 THEN 'mask' ELSE 'keep' END AS verdict,
+         |  CASE WHEN n_pii > $PiiMaxHits THEN NULL
+         |       WHEN n_pii > 0 THEN $x94MaskSql
+         |       ELSE t END AS out_text
+         |FROM sc ORDER BY doc_id""".stripMargin),
+
+    "x94_pii_summary" -> (x94ScanSql +
+      s"""
+         |, v AS (SELECT
+         |    CASE WHEN n_pii > $PiiMaxHits THEN 'drop'
+         |         WHEN n_pii > 0 THEN 'mask' ELSE 'keep' END AS verdict,
+         |    n_email, n_phone, n_ip FROM sc)
+         |SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_email) AS BIGINT) AS n_email,
+         |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+         |  CAST(sum(n_ip) AS BIGINT) AS n_ip
+         |FROM v GROUP BY 1 ORDER BY verdict""".stripMargin)
   )
+
+  /** Shared x94 CTE: augmented text + per-category counts (phone counted
+    * on the IP-masked text, mirroring [[Pii.scan]]).
+    */
+  private def x94ScanSql: String =
+    s"""WITH aug AS (SELECT doc_id, $piiAugmentSql AS t FROM documents),
+       |sc AS (SELECT doc_id, t,
+       |  CAST(len(regexp_extract_all(t, '${Pii.EmailPattern}')) AS BIGINT)
+       |    AS n_email,
+       |  CAST(len(regexp_extract_all(
+       |    regexp_replace(t, '${Pii.Ipv4Pattern}', '${Pii.IpToken}', 'g'),
+       |    '${Pii.PhonePattern}')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(t, '${Pii.Ipv4Pattern}')) AS BIGINT)
+       |    AS n_ip,
+       |  CAST(len(regexp_extract_all(t, '${Pii.EmailPattern}'))
+       |    + len(regexp_extract_all(
+       |        regexp_replace(t, '${Pii.Ipv4Pattern}', '${Pii.IpToken}', 'g'),
+       |        '${Pii.PhonePattern}'))
+       |    + len(regexp_extract_all(t, '${Pii.Ipv4Pattern}')) AS BIGINT)
+       |    AS n_pii
+       |  FROM aug)""".stripMargin
+
+  private def x94MaskSql: String =
+    s"""regexp_replace(regexp_replace(regexp_replace(t,
+       |    '${Pii.EmailPattern}', '${Pii.EmailToken}', 'g'),
+       |    '${Pii.Ipv4Pattern}', '${Pii.IpToken}', 'g'),
+       |    '${Pii.PhonePattern}', '${Pii.PhoneToken}', 'g')""".stripMargin
 
   /** Shared x93 CTE chain: co-purchase edges -> degrees ->
     * degree-ordered orientation -> wedges -> closed triangles ->

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** X94 — PII detection, masking, and the mask-or-drop policy: the Dolma
+  * toolkit's PII step (Soldaini et al. 2024, §2.3: regex taggers for
+  * email addresses, phone numbers, and IP addresses; documents with few
+  * hits are masked in place, documents above a hit threshold are dropped
+  * outright, on the theory that PII-dense pages are scrapes of directories
+  * or logs rather than prose worth keeping).
+  *
+  * X7's scrubber (`TextAnalysis.scrub`) replaces emails/URLs blindly;
+  * this operator is the POLICY form: per-category counts first, then a
+  * verdict (`keep` / `mask` / `drop`) driven by the counts, and masked
+  * text only for surviving documents. The reference pump has no text
+  * operators at all (its payloads are opaque JSON — `data_adapter.go`),
+  * so this whole family is north-star surface, not reference surface.
+  *
+  * 100 TB design: everything here is a row-local projection over the scan
+  * — regex extraction, counting, masking, and the verdict CASE all happen
+  * inside one whole-stage-codegen'd stage with ZERO shuffle and nothing
+  * driver-side. The corpus-level [[summary]] adds one map-side-combined
+  * aggregation whose exchange carries a single row per partition. Regex
+  * patterns deliberately avoid lookaround and backreferences so they run
+  * identically on Java regex (Spark), RE2 (DuckDB), and any other engine
+  * auditing the corpus.
+  */
+object Pii {
+
+  /** Email — same class shape as [[TextAnalysis.EmailPattern]] (kept
+    * separate so the two families can evolve independently).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style phone: 3-3-4 digit groups, dash or dot separated.
+    * Word-bounded so order-ids like `12345-678-9012x` don't half-match.
+    */
+  val PhonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  /** Dotted-quad IPv4. Range validity (each octet <= 255) is NOT checked
+    * — the Dolma tagger doesn't either, and the lookahead-free form is
+    * what keeps the pattern portable across regex engines.
+    */
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  val EmailToken = "<EMAIL>"
+  val PhoneToken = "<PHONE>"
+  val IpToken = "<IP>"
+
+  /** Count matches of one pattern — `regexp_extract_all` + `size`, both
+    * codegen'd; returns 0 (not null) on no match for non-null text.
+    */
+  private def hits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Masked text: emails first (an email can contain digit runs but a
+    * masked `<EMAIL>` token cannot, so later patterns see clean text),
+    * then IPv4 BEFORE phone — the dotted phone variant `415.555.0199`
+    * is also a syntactic dotted-quad prefix, and fixing the order is
+    * what makes the output deterministic rather than engine-dependent.
+    */
+  def mask(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, EmailToken),
+        Ipv4Pattern, IpToken),
+      PhonePattern, PhoneToken)
+
+  /** Per-document PII scan: per-category counts + total. Pure scan-side
+    * projection — the shape that runs at any corpus size.
+    */
+  def scan(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scanned(docs, idCol, textCol).drop(textCol)
+
+  /** [[scan]] with the text column carried through — the single-pass
+    * base [[policy]] builds on (recomputing the counts in a second pass
+    * or, worse, joining scan output back to the corpus would double the
+    * corpus work for nothing).
+    */
+  private def scanned(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol), t,
+      hits(t, EmailPattern).cast("long").as("n_email"),
+      // phone counted on the IP-masked text so a dotted phone number is
+      // attributed to exactly one category (IP wins, matching [[mask]])
+      hits(regexp_replace(t, Ipv4Pattern, IpToken), PhonePattern)
+        .cast("long").as("n_phone"),
+      hits(t, Ipv4Pattern).cast("long").as("n_ip"))
+      .withColumn("n_pii", col("n_email") + col("n_phone") + col("n_ip"))
+  }
+
+  /** The policy: `drop` above `maxPii` total hits, `mask` for 1..maxPii,
+    * `keep` for clean documents. Masked text is produced only for
+    * surviving rows (dropped rows carry NULL — at 100 TB the drop branch
+    * never pays the triple-regex rewrite). One projection over the scan,
+    * zero shuffle, zero joins.
+    */
+  def policy(docs: DataFrame, idCol: String, textCol: String,
+             maxPii: Int): DataFrame = {
+    require(maxPii >= 1, "maxPii must be >= 1 (0 would drop any hit)")
+    scanned(docs, idCol, textCol)
+      .select(col(idCol), col("n_email"), col("n_phone"), col("n_ip"),
+        col("n_pii"),
+        when(col("n_pii") > maxPii, "drop")
+          .when(col("n_pii") > 0, "mask")
+          .otherwise("keep").as("verdict"),
+        when(col("n_pii") > maxPii, lit(null).cast("string"))
+          .when(col("n_pii") > 0, mask(col(textCol)))
+          .otherwise(col(textCol)).as("out_text"))
+  }
+
+  /** Corpus-level PII report: per-verdict document counts and category
+    * totals — the datacard row a release audit wants. One row per
+    * verdict; the exchange carries (verdict, 4 longs) per map task.
+    */
+  def summary(docs: DataFrame, idCol: String, textCol: String,
+              maxPii: Int): DataFrame =
+    policy(docs, idCol, textCol, maxPii)
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("n_email"),
+        sum(col("n_phone")).as("n_phone"),
+        sum(col("n_ip")).as("n_ip"))
+}

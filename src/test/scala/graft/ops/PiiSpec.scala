@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("scan counts each category and attributes dotted phones to phone") {
+    val d = docs(
+      1L -> "write to a.user@example.com or b_user@sub.example.org today",
+      2L -> "call 415-555-0199 or 202.555.0101 from 10.0.0.1",
+      3L -> "clean prose with no identifiers at all")
+    val r = Pii.scan(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getLong(1) === 2 && r(0).getLong(4) === 2) // 2 emails
+    // dot-separated phone is a phone, not an IP (ordering contract)
+    assert(r(1).getLong(2) === 2 && r(1).getLong(3) === 1
+      && r(1).getLong(4) === 3)
+    assert(r(2).getLong(4) === 0)
+  }
+
+  test("negative controls do not match") {
+    val d = docs(
+      1L -> "order 12345-678-9012 shipped",       // 3-3-4 tail not word-bounded
+      2L -> "upgrade to v1.2 beta now",           // not a dotted quad
+      3L -> "range 1.2.3 and build 1.2.3.4.5 ok") // 3 groups; 5 groups matches once
+    val r = Pii.scan(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getLong(4) === 0)
+    assert(r(1).getLong(4) === 0)
+    // 1.2.3 is no quad; 1.2.3.4.5 matches exactly once ("1.2.3.4" —
+    // the trailing \b holds because '.' is a non-word char)
+    assert(r(2).getLong(3) === 1 && r(2).getLong(4) === 1)
+  }
+
+  test("mask replaces email then ip then phone with typed tokens") {
+    val d = docs(1L ->
+      "mail x.y@example.com call 415-555-0100 or 202.555.0101 node 10.1.2.3")
+    val out = d.select(Pii.mask(col("text"))).as[String].head()
+    assert(out ===
+      "mail <EMAIL> call <PHONE> or <PHONE> node <IP>")
+  }
+
+  test("policy verdicts: keep / mask / drop with null text on drop") {
+    val d = docs(
+      1L -> "nothing to hide",
+      2L -> "one hit a@b.example and done",
+      3L -> "a@b.example c@d.example 415-555-0100 10.0.0.1 10.0.0.2 too many")
+    val r = Pii.policy(d, "doc_id", "text", maxPii = 4)
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(5) === "keep" && r(0).getString(6) === d.orderBy("doc_id").collect()(0).getString(1))
+    assert(r(1).getString(5) === "mask" && r(1).getString(6).contains("<EMAIL>"))
+    assert(r(2).getString(5) === "drop" && r(2).isNullAt(6))
+  }
+
+  test("policy rejects maxPii < 1") {
+    intercept[IllegalArgumentException] {
+      Pii.policy(docs(1L -> "x"), "doc_id", "text", maxPii = 0)
+    }
+  }
+
+  test("summary aggregates per verdict") {
+    val d = docs(
+      1L -> "plain",
+      2L -> "also plain",
+      3L -> "a@b.example once",
+      4L -> "a@b.example c@d.example 415-555-0100 10.0.0.1 10.0.0.2 dense")
+    val r = Pii.summary(d, "doc_id", "text", maxPii = 4)
+      .orderBy("verdict").collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("drop", "keep", "mask"))
+    assert(r(1).getLong(1) === 2) // two kept docs
+    assert(r(0).getLong(2) === 2 && r(0).getLong(3) === 1
+      && r(0).getLong(4) === 2)  // drop row: 2 emails, 1 phone, 2 ips
+  }
+
+  test("scan is a single zero-shuffle projection (no Exchange in plan)") {
+    val d = docs(1L -> "a@b.example")
+    val plan = Pii.policy(d, "doc_id", "text", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
