@@ -962,4 +962,47 @@ object Dedup {
           col("a.n2"), col("b.n2")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** X95 — EDIT-DISTANCE verification of a candidate pair list: the
+    * character-grain exact tier that sits behind a sketch prune
+    * (MinHash bands, SimHash Hamming bands) the way [[verifyCandidates]]
+    * sits behind LSH for set-Jaccard. Shingle Jaccard is blind to
+    * word-ORDER edits and to sub-token typos; Levenshtein distance is
+    * the standard (Navarro 2001, "A guided tour to approximate string
+    * matching") exact measure for both, and both Spark and any ANSI-ish
+    * engine ship it natively (`levenshtein`), codegen'd and row-local.
+    *
+    * Emits every candidate with its distance and a length-normalized
+    * similarity — `(max_len - dist) * 1e6 / max_len`, exact-integer so
+    * engines can't drift — plus the `confirmed` verdict at
+    * `simThresholdPpm`. Candidates are emitted rather than filtered:
+    * the rejected rows ARE the sketch tier's false positives, which is
+    * what a dedup audit (x82 discipline) wants to see.
+    *
+    * 100 TB shape: the O(len^2) DP kernel runs once per CANDIDATE (a
+    * corpus sliver by the sketch tier's contract), never per corpus
+    * pair; texts reach it through two hash joins of the candidate list
+    * against the corpus — pair-list-sized shuffles on id, with AQE free
+    * to broadcast the candidate side when it is small. Nothing is
+    * collected; nothing is quadratic in the corpus.
+    */
+  def editVerify(docs: DataFrame, cands: DataFrame, idCol: String,
+                 textCol: String, simThresholdPpm: Long): DataFrame = {
+    require(simThresholdPpm >= 0 && simThresholdPpm <= 1000000,
+      s"simThresholdPpm $simThresholdPpm must be in [0, 1000000]")
+    val t = docs.select(col(idCol), col(textCol))
+    cands.select(col("d1"), col("d2"))
+      .join(t.select(col(idCol).as("d1"), col(textCol).as("t1")), Seq("d1"))
+      .join(t.select(col(idCol).as("d2"), col(textCol).as("t2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("dist"),
+        greatest(length(col("t1")), length(col("t2"))).cast("long")
+          .as("max_len"))
+      // two empty strings: distance 0 over length 0 is a perfect match,
+      // not a division (ANSI mode would abort on the naive div)
+      .withColumn("sim_ppm", expr(
+        "CASE WHEN max_len = 0 THEN 1000000L " +
+          "ELSE (max_len - dist) * 1000000L div max_len END"))
+      .withColumn("confirmed", col("sim_ppm") >= simThresholdPpm)
+  }
 }

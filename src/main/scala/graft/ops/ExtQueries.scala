@@ -599,7 +599,8 @@ object ExtQueries {
 
   // --------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
 
     // X1 exact dedup — events.props has a 10:1 duplication rate
     "x1_exact_dedup" -> ((s, dir) => {
@@ -1774,7 +1775,28 @@ object ExtQueries {
     "x94_pii_summary" -> ((s, dir) =>
       Pii.summary(piiAugmented(Tables.documents(s, dir)), "doc_id", "aug",
         PiiMaxHits).orderBy("verdict"))
+  ) ++ Map[String, (SparkSession, String) => DataFrame](
+
+    // X95 edit-distance verification over a LOOSE MinHash band tier
+    // (8 bands of 2 sigs — a deliberately high-recall / low-precision
+    // candidate stage, unlike x1's 4x4): Levenshtein per candidate,
+    // length-normalized exact-integer similarity, confirmed verdict;
+    // rejected rows are the sketch tier's measured false positives
+    "x95_edit_verify" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cands = Dedup.lshCandidates(
+        Dedup.docSignatures(docs, "doc_id", "text", numSigs = 16),
+        "doc_id", numSigs = 16, rowsPerBand = EditRowsPerBand)
+      Dedup.editVerify(docs, cands, "doc_id", "text", EditSimPpm)
+        .orderBy("d1", "d2")
+    })
   )
+
+  // X95 knobs: 2-sig bands recall near-dups the 4x4 tier misses (at the
+  // cost of false candidates — which is the point: the edit tier must
+  // have something to reject); confirmation at 90% char similarity.
+  private val EditRowsPerBand = 2
+  private val EditSimPpm = 900000L
 
   // X94 PII-injection fixture: the corpus carries no real PII (synthetic
   // word-salad), so targets are constructed deterministically from
@@ -1828,9 +1850,15 @@ object ExtQueries {
       s"min(substring(md5('${i / 4}|' || s), ${(i % 4) * 8 + 1}, 8)) AS sig$i")
       .mkString(", ")
 
-  private def bandUnion: String =
-    (0 until 4).map { b =>
-      val key = (0 until 4).map(r => s"sig${b * 4 + r}").mkString(" || ',' || ")
+  private def bandUnion: String = bandUnionW(4)
+
+  /** [[bandUnion]] at any band width (mirrors Dedup.bandRows: 16 sigs
+    * split into 16/w bands of w, key = md5 of the comma-joined lane).
+    */
+  private def bandUnionW(rowsPerBand: Int): String =
+    (0 until 16 / rowsPerBand).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"sig${b * rowsPerBand + r}").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band_id, md5($key) AS key FROM sig"
     }.mkString(" UNION ALL ")
 
@@ -5066,7 +5094,31 @@ object ExtQueries {
          |  CAST(sum(n_email) AS BIGINT) AS n_email,
          |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
          |  CAST(sum(n_ip) AS BIGINT) AS n_ip
-         |FROM v GROUP BY 1 ORDER BY verdict""".stripMargin)
+         |FROM v GROUP BY 1 ORDER BY verdict""".stripMargin),
+
+    // X95: identical candidate CTEs to x1_minhash_lsh (signatures,
+    // banding, bucket self-join — no Jaccard verify), then the same
+    // native levenshtein + exact-integer similarity lanes
+    "x95_edit_verify" ->
+      s"""WITH $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS (${bandUnionW(EditRowsPerBand)}),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |m AS (SELECT c.d1, c.d2,
+         |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
+         |  CAST(greatest(len(ta.text), len(tb.text)) AS BIGINT) AS max_len
+         |  FROM cand c
+         |  JOIN documents ta ON ta.doc_id = c.d1
+         |  JOIN documents tb ON tb.doc_id = c.d2),
+         |e AS (SELECT d1, d2, dist, max_len,
+         |  CAST(CASE WHEN max_len = 0 THEN 1000000
+         |    ELSE (max_len - dist) * 1000000 // max_len END AS BIGINT)
+         |    AS sim_ppm FROM m)
+         |SELECT d1, d2, dist, max_len, sim_ppm,
+         |  sim_ppm >= $EditSimPpm AS confirmed
+         |FROM e ORDER BY d1, d2""".stripMargin
   )
 
   /** Shared x94 CTE: augmented text + per-category counts (phone counted
