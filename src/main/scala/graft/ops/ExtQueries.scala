@@ -1789,6 +1789,22 @@ object ExtQueries {
         "doc_id", numSigs = 16, rowsPerBand = EditRowsPerBand)
       Dedup.editVerify(docs, cands, "doc_id", "text", EditSimPpm)
         .orderBy("d1", "d2")
+    }),
+
+    // X96 corpus BLEU-4 per language over adjacent-doc pairs (hyp =
+    // doc i, ref = doc i+1 — a deterministic stand-in for an upstream
+    // aligner's output): clipped n-gram match/total counts stay exact
+    // integers; the geometric mean + brevity penalty is the one rounded
+    // double. Groups with no 4-gram match exercise the zero branch,
+    // groups with r > c exercise the brevity penalty.
+    "x96_bleu" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = d.as("a").join(d.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.lang").as("lang"), col("a.doc_id").as("pid"),
+          col("a.text").as("hyp"), col("b.text").as("ref"))
+      Bleu.corpusBleu(pairs, "lang", "pid", "hyp", "ref", maxN = 4)
+        .orderBy("grp")
     })
   )
 
@@ -5118,7 +5134,59 @@ object ExtQueries {
          |    AS sim_ppm FROM m)
          |SELECT d1, d2, dist, max_len, sim_ppm,
          |  sim_ppm >= $EditSimPpm AS confirmed
-         |FROM e ORDER BY d1, d2""".stripMargin
+         |FROM e ORDER BY d1, d2""".stripMargin,
+
+    // X96: identical pairing, identical clipped-count integer lanes,
+    // identical unsmoothed BLEU composition (zero branch, brevity
+    // penalty, round-6 double as the only float step)
+    "x96_bleu" ->
+      """WITH pr AS (SELECT a.lang AS grp, a.doc_id AS pid,
+        |    string_split(a.text, ' ') AS hts, string_split(b.text, ' ') AS rts
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+        |hg AS (SELECT grp, pid, n, gram, count(*) AS hc FROM (
+        |  SELECT grp, pid, ns.n AS n,
+        |    unnest(list_transform(generate_series(1, len(hts) - ns.n + 1),
+        |      i -> array_to_string(hts[i:i+ns.n-1], ' '))) AS gram
+        |  FROM pr CROSS JOIN ns) GROUP BY ALL),
+        |rg AS (SELECT grp, pid, n, gram, count(*) AS rc FROM (
+        |  SELECT grp, pid, ns.n AS n,
+        |    unnest(list_transform(generate_series(1, len(rts) - ns.n + 1),
+        |      i -> array_to_string(rts[i:i+ns.n-1], ' '))) AS gram
+        |  FROM pr CROSS JOIN ns) GROUP BY ALL),
+        |cl AS (SELECT grp, n, sum(least(hc, rc)) AS m
+        |  FROM hg JOIN rg USING (grp, pid, n, gram) GROUP BY 1, 2),
+        |tot AS (SELECT grp, n, sum(greatest(len(hts) - n + 1, 0)) AS t
+        |  FROM pr CROSS JOIN ns GROUP BY 1, 2),
+        |lens AS (SELECT grp, sum(len(hts)) AS c, sum(len(rts)) AS r
+        |  FROM pr GROUP BY 1),
+        |mm AS (SELECT grp,
+        |  coalesce(max(CASE WHEN n=1 THEN m END), 0) AS m1,
+        |  coalesce(max(CASE WHEN n=2 THEN m END), 0) AS m2,
+        |  coalesce(max(CASE WHEN n=3 THEN m END), 0) AS m3,
+        |  coalesce(max(CASE WHEN n=4 THEN m END), 0) AS m4
+        |  FROM cl GROUP BY 1),
+        |tt AS (SELECT grp,
+        |  max(CASE WHEN n=1 THEN t END) AS t1, max(CASE WHEN n=2 THEN t END) AS t2,
+        |  max(CASE WHEN n=3 THEN t END) AS t3, max(CASE WHEN n=4 THEN t END) AS t4
+        |  FROM tot GROUP BY 1)
+        |SELECT tt.grp, CAST(coalesce(m1, 0) AS BIGINT) AS m1,
+        |  CAST(coalesce(m2, 0) AS BIGINT) AS m2,
+        |  CAST(coalesce(m3, 0) AS BIGINT) AS m3,
+        |  CAST(coalesce(m4, 0) AS BIGINT) AS m4,
+        |  CAST(t1 AS BIGINT) AS t1, CAST(t2 AS BIGINT) AS t2,
+        |  CAST(t3 AS BIGINT) AS t3, CAST(t4 AS BIGINT) AS t4,
+        |  CAST(c AS BIGINT) AS c, CAST(r AS BIGINT) AS r,
+        |  CASE WHEN coalesce(m1,0)=0 OR coalesce(m2,0)=0 OR coalesce(m3,0)=0
+        |         OR coalesce(m4,0)=0 OR c=0 THEN 0.0
+        |  ELSE round(exp(
+        |    least(CAST(0 AS DOUBLE), 1.0 - CAST(r AS DOUBLE) / CAST(c AS DOUBLE))
+        |    + (ln(CAST(m1 AS DOUBLE)/t1) + ln(CAST(m2 AS DOUBLE)/t2)
+        |       + ln(CAST(m3 AS DOUBLE)/t3) + ln(CAST(m4 AS DOUBLE)/t4)) / 4.0),
+        |    6) END AS bleu
+        |FROM tt LEFT JOIN mm ON tt.grp = mm.grp
+        |  JOIN lens ON lens.grp = tt.grp
+        |ORDER BY tt.grp""".stripMargin
   )
 
   /** Shared x94 CTE: augmented text + per-category counts (phone counted
