@@ -35,7 +35,17 @@ object Bleu {
     * @param maxN   highest n-gram order (4 = the standard BLEU-4)
     */
   def corpusBleu(pairs: DataFrame, grpCol: String, idCol: String,
-                 hypCol: String, refCol: String, maxN: Int = 4): DataFrame = {
+                 hypCol: String, refCol: String, maxN: Int = 4): DataFrame =
+    withBleu(counts(pairs, grpCol, idCol, hypCol, refCol, maxN), maxN)
+
+  /** The per-group ADDITIVE count table (m1..mN clipped matches, t1..tN
+    * hyp n-gram totals, c/r length totals) — every column is an exact
+    * integer SUM over pairs, so count tables from disjoint pair sets
+    * merge by plain addition. That additivity is what the streaming
+    * twin's per-batch delta state relies on (the x89 counter law).
+    */
+  def counts(pairs: DataFrame, grpCol: String, idCol: String,
+             hypCol: String, refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN $maxN out of range [1, 8]")
     val base = pairs.select(col(grpCol).as("grp"), col(idCol).as("pid"),
       Dedup.tokens(col(hypCol)).as("hts"), Dedup.tokens(col(refCol)).as("rts"))
@@ -73,9 +83,6 @@ object Bleu {
         (2 to maxN).map(n => sum(s"t$n").as(s"t$n")) ++
           Seq(sum("lh").as("c"), sum("lr").as("r")): _*)
 
-    val lnTerms = (1 to maxN).map(n => s"ln(CAST(m$n AS DOUBLE) / t$n)")
-      .mkString(" + ")
-    val zeroGuard = (1 to maxN).map(n => s"m$n = 0").mkString(" OR ")
     // a group can miss from `clipped` only if NO order matched at all —
     // left join + coalesce keeps it with m_n = 0 and bleu = 0
     totals.join(mtab, Seq("grp"), "left")
@@ -83,10 +90,22 @@ object Bleu {
         (1 to maxN).map(n => coalesce(col(s"m$n"), lit(0L)).as(s"m$n")) ++:
         (1 to maxN).map(n => col(s"t$n")) :+
         col("c") :+ col("r"): _*)
-      .withColumn("bleu", expr(
-        s"""CASE WHEN $zeroGuard OR c = 0 THEN 0.0
-           |ELSE round(exp(
-           |  least(CAST(0 AS DOUBLE), 1.0 - CAST(r AS DOUBLE) / CAST(c AS DOUBLE))
-           |  + ($lnTerms) / ${maxN}.0), 6) END""".stripMargin))
+  }
+
+  /** The BLEU composition over a count table — the ONE shared estimator
+    * fragment (batch and stream score through this verbatim, the x83/x88
+    * discipline): zero branch if any order has no match, brevity penalty
+    * exp(min(0, 1 − r/c)), geometric mean of the order precisions,
+    * rounded to 6 digits as the single float step.
+    */
+  def withBleu(countTab: DataFrame, maxN: Int): DataFrame = {
+    val lnTerms = (1 to maxN).map(n => s"ln(CAST(m$n AS DOUBLE) / t$n)")
+      .mkString(" + ")
+    val zeroGuard = (1 to maxN).map(n => s"m$n = 0").mkString(" OR ")
+    countTab.withColumn("bleu", expr(
+      s"""CASE WHEN $zeroGuard OR c = 0 THEN 0.0
+         |ELSE round(exp(
+         |  least(CAST(0 AS DOUBLE), 1.0 - CAST(r AS DOUBLE) / CAST(c AS DOUBLE))
+         |  + ($lnTerms) / ${maxN}.0), 6) END""".stripMargin))
   }
 }
