@@ -47,29 +47,8 @@ object Bleu {
   def counts(pairs: DataFrame, grpCol: String, idCol: String,
              hypCol: String, refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN $maxN out of range [1, 8]")
-    val base = pairs.select(col(grpCol).as("grp"), col(idCol).as("pid"),
-      Dedup.tokens(col(hypCol)).as("hts"), Dedup.tokens(col(refCol)).as("rts"))
-
-    // all n-gram orders from one array: [(1, g), ..., (maxN, g)] — the
-    // explode runs once per side, not once per order
-    def tagged(ts: Column): Column = concat((1 to maxN).map { n =>
-      transform(Dedup.shingles(ts, n),
-        g => struct(lit(n).as("n"), g.as("gram")))
-    }: _*)
-
-    def gramCounts(ts: String, out: String): DataFrame =
-      base.select(col("grp"), col("pid"), explode(tagged(col(ts))).as("g"))
-        .groupBy(col("grp"), col("pid"),
-          col("g.n").as("n"), col("g.gram").as("gram"))
-        .agg(count(lit(1)).as(out))
-
-    val clipped = gramCounts("hts", "hc")
-      .join(gramCounts("rts", "rc"), Seq("grp", "pid", "n", "gram"))
-      .groupBy(col("grp"), col("n"))
-      .agg(sum(least(col("hc"), col("rc"))).as("m"))
-    val mcols = (1 to maxN).map(n =>
-      coalesce(max(when(col("n") === n, col("m"))), lit(0L)).as(s"m$n"))
-    val mtab = clipped.groupBy("grp").agg(mcols.head, mcols.tail: _*)
+    val base = tokenPairs(pairs, grpCol, idCol, hypCol, refCol)
+    val mtab = clippedMatches(base, maxN)
 
     // denominators + length totals: row-local, no explode
     val tcols = (1 to maxN).map(n =>
@@ -90,6 +69,40 @@ object Bleu {
         (1 to maxN).map(n => coalesce(col(s"m$n"), lit(0L)).as(s"m$n")) ++:
         (1 to maxN).map(n => col(s"t$n")) :+
         col("c") :+ col("r"): _*)
+  }
+
+  /** (grp, pid, hts, rts) tokenized pair base shared with [[Rouge]]. */
+  private[ops] def tokenPairs(pairs: DataFrame, grpCol: String,
+                              idCol: String, hypCol: String,
+                              refCol: String): DataFrame =
+    pairs.select(col(grpCol).as("grp"), col(idCol).as("pid"),
+      Dedup.tokens(col(hypCol)).as("hts"), Dedup.tokens(col(refCol)).as("rts"))
+
+  /** Per-group clipped-match sums m1..mN over a [[tokenPairs]] base:
+    * Σ_pairs Σ_grams min(count_hyp, count_ref) for each order. All
+    * n-gram orders ride ONE tagged explode per side ([(1, g), ...,
+    * (maxN, g)] structs), so the corpus is scanned once, not per order;
+    * the clip join is keyed (pair, n, gram) with map-side partials.
+    */
+  private[ops] def clippedMatches(base: DataFrame, maxN: Int): DataFrame = {
+    def tagged(ts: Column): Column = concat((1 to maxN).map { n =>
+      transform(Dedup.shingles(ts, n),
+        g => struct(lit(n).as("n"), g.as("gram")))
+    }: _*)
+
+    def gramCounts(ts: String, out: String): DataFrame =
+      base.select(col("grp"), col("pid"), explode(tagged(col(ts))).as("g"))
+        .groupBy(col("grp"), col("pid"),
+          col("g.n").as("n"), col("g.gram").as("gram"))
+        .agg(count(lit(1)).as(out))
+
+    val clipped = gramCounts("hts", "hc")
+      .join(gramCounts("rts", "rc"), Seq("grp", "pid", "n", "gram"))
+      .groupBy(col("grp"), col("n"))
+      .agg(sum(least(col("hc"), col("rc"))).as("m"))
+    val mcols = (1 to maxN).map(n =>
+      coalesce(max(when(col("n") === n, col("m"))), lit(0L)).as(s"m$n"))
+    clipped.groupBy("grp").agg(mcols.head, mcols.tail: _*)
   }
 
   /** The BLEU composition over a count table — the ONE shared estimator

@@ -1805,6 +1805,20 @@ object ExtQueries {
           col("a.text").as("hyp"), col("b.text").as("ref"))
       Bleu.corpusBleu(pairs, "lang", "pid", "hyp", "ref", maxN = 4)
         .orderBy("grp")
+    }),
+
+    // X97 corpus ROUGE-1/2/L per language over the same adjacent-doc
+    // pairing as x96: clipped matches + hyp/ref totals + native-DP LCS
+    // stay exact integers; the three F1 ratios are the rounded doubles.
+    // Scrambled vs aligned word order separates rougel_f from rouge1_f.
+    "x97_rouge" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = d.as("a").join(d.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.lang").as("lang"), col("a.doc_id").as("pid"),
+          col("a.text").as("hyp"), col("b.text").as("ref"))
+      Rouge.corpusRouge(pairs, "lang", "pid", "hyp", "ref", maxN = 2)
+        .orderBy("grp")
     })
   )
 
@@ -5186,7 +5200,70 @@ object ExtQueries {
         |    6) END AS bleu
         |FROM tt LEFT JOIN mm ON tt.grp = mm.grp
         |  JOIN lens ON lens.grp = tt.grp
-        |ORDER BY tt.grp""".stripMargin
+        |ORDER BY tt.grp""".stripMargin,
+
+    // X97: identical pairing and clipped-count lanes (orders 1..2),
+    // LCS re-derived by the same max-of-three two-row DP as the native
+    // expression (nested list_reduce: outer over hyp-token match rows,
+    // inner over ref positions with the left-carry in the accumulator),
+    // F1 = 2m/(ht+rt) exactly as the aggregate-count collapse
+    "x97_rouge" ->
+      """WITH pr AS (SELECT a.lang AS grp, a.doc_id AS pid,
+        |    string_split(a.text, ' ') AS hts, string_split(b.text, ' ') AS rts
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |ns AS (SELECT unnest([1, 2]) AS n),
+        |hg AS (SELECT grp, pid, n, gram, count(*) AS hc FROM (
+        |  SELECT grp, pid, ns.n AS n,
+        |    unnest(list_transform(generate_series(1, len(hts) - ns.n + 1),
+        |      i -> array_to_string(hts[i:i+ns.n-1], ' '))) AS gram
+        |  FROM pr CROSS JOIN ns) GROUP BY ALL),
+        |rg AS (SELECT grp, pid, n, gram, count(*) AS rc FROM (
+        |  SELECT grp, pid, ns.n AS n,
+        |    unnest(list_transform(generate_series(1, len(rts) - ns.n + 1),
+        |      i -> array_to_string(rts[i:i+ns.n-1], ' '))) AS gram
+        |  FROM pr CROSS JOIN ns) GROUP BY ALL),
+        |cl AS (SELECT grp, n, sum(least(hc, rc)) AS m
+        |  FROM hg JOIN rg USING (grp, pid, n, gram) GROUP BY 1, 2),
+        |mm AS (SELECT grp,
+        |  coalesce(max(CASE WHEN n=1 THEN m END), 0) AS m1,
+        |  coalesce(max(CASE WHEN n=2 THEN m END), 0) AS m2
+        |  FROM cl GROUP BY 1),
+        |lc AS (SELECT grp, pid,
+        |  list_reduce(
+        |    [list_transform(generate_series(0, len(rts)), i -> 0)] ||
+        |    list_transform(hts, tok ->
+        |      list_transform(generate_series(0, len(rts)), j ->
+        |        CASE WHEN j = 0 THEN 0
+        |             WHEN rts[j] = tok THEN 1 ELSE 0 END)),
+        |    (prev, mrow) -> list_reduce(
+        |      list_transform(generate_series(0, len(mrow) - 1), j -> [j]),
+        |      (acc, jj) -> CASE WHEN jj[1] = 0 THEN [0]
+        |        ELSE acc || [greatest(prev[jj[1] + 1], acc[len(acc)],
+        |                              prev[jj[1]] + mrow[jj[1] + 1])] END)
+        |  )[len(rts) + 1] AS lcs,
+        |  len(hts) AS lh, len(rts) AS lr,
+        |  greatest(len(hts), 0) AS ht1, greatest(len(hts) - 1, 0) AS ht2,
+        |  greatest(len(rts), 0) AS rt1, greatest(len(rts) - 1, 0) AS rt2
+        |  FROM pr),
+        |tot AS (SELECT grp, sum(ht1) AS ht1, sum(ht2) AS ht2,
+        |    sum(rt1) AS rt1, sum(rt2) AS rt2, sum(lcs) AS lcs,
+        |    sum(lh) AS c, sum(lr) AS r
+        |  FROM lc GROUP BY 1)
+        |SELECT tot.grp,
+        |  CAST(coalesce(m1, 0) AS BIGINT) AS m1,
+        |  CAST(coalesce(m2, 0) AS BIGINT) AS m2,
+        |  CAST(ht1 AS BIGINT) AS ht1, CAST(ht2 AS BIGINT) AS ht2,
+        |  CAST(rt1 AS BIGINT) AS rt1, CAST(rt2 AS BIGINT) AS rt2,
+        |  CAST(lcs AS BIGINT) AS lcs,
+        |  CAST(c AS BIGINT) AS c, CAST(r AS BIGINT) AS r,
+        |  CASE WHEN ht1 + rt1 = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE round(CAST(2 * coalesce(m1, 0) AS DOUBLE) / (ht1 + rt1), 6) END AS rouge1_f,
+        |  CASE WHEN ht2 + rt2 = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE round(CAST(2 * coalesce(m2, 0) AS DOUBLE) / (ht2 + rt2), 6) END AS rouge2_f,
+        |  CASE WHEN c + r = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE round(CAST(2 * lcs AS DOUBLE) / (c + r), 6) END AS rougel_f
+        |FROM tot LEFT JOIN mm ON tot.grp = mm.grp
+        |ORDER BY tot.grp""".stripMargin
   )
 
   /** Shared x94 CTE: augmented text + per-category counts (phone counted

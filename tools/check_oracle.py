@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [only,names]
+
+With a third argument (comma-separated query names), only those oracle
+entries are compared — pairs with Verify's SPARK_GRAFT_ONLY filter for
+local iteration on one query without the full dump.
 
 Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from oracle_sql.json in DuckDB with views over <sfDir>'s tables,
@@ -25,12 +29,18 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = names - set(oracle)
+        if unknown:
+            raise SystemExit(f"unknown query names: {sorted(unknown)}")
+        oracle = {n: s for n, s in oracle.items() if n in names}
     failed = []
     for name, sql in sorted(oracle.items()):
         try:
@@ -84,4 +94,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
