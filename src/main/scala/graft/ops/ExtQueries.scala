@@ -1819,6 +1819,22 @@ object ExtQueries {
           col("a.text").as("hyp"), col("b.text").as("ref"))
       Rouge.corpusRouge(pairs, "lang", "pid", "hyp", "ref", maxN = 2)
         .orderBy("grp")
+    }),
+
+    // X98 corpus chrF (β=2, orders 1..6) per language over the same
+    // adjacent-doc pairing: character grams on despaced text, so the
+    // score is tokenization-free — the third leg of the x96/x97/x98
+    // generation-grading family. All match/total lanes exact BIGINT;
+    // the P/R means + F composition is ONE fragment (Chrf.chrfSql)
+    // shared textually with the oracle.
+    "x98_chrf" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = d.as("a").join(d.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.lang").as("lang"), col("a.doc_id").as("pid"),
+          col("a.text").as("hyp"), col("b.text").as("ref"))
+      Chrf.corpusChrf(pairs, "lang", "pid", "hyp", "ref", maxN = 6,
+        beta = 2).orderBy("grp")
     })
   )
 
@@ -5263,7 +5279,51 @@ object ExtQueries {
         |  CASE WHEN c + r = 0 THEN CAST(0 AS DOUBLE)
         |    ELSE round(CAST(2 * lcs AS DOUBLE) / (c + r), 6) END AS rougel_f
         |FROM tot LEFT JOIN mm ON tot.grp = mm.grp
-        |ORDER BY tot.grp""".stripMargin
+        |ORDER BY tot.grp""".stripMargin,
+
+    // X98: identical pairing, despacing, char-gram slices (DuckDB
+    // character slicing == Spark substr for the corpus's BMP text),
+    // clipped-count lanes, and the VERBATIM Chrf.chrfSql composition —
+    // the double lane cannot drift because it is one shared string
+    "x98_chrf" -> {
+      val mSel = (1 to 6).map(n =>
+        s"coalesce(max(CASE WHEN n=$n THEN m END), 0) AS m$n").mkString(",\n        |  ")
+      val hSel = (1 to 6).map(n =>
+        s"sum(greatest(len(hs) - ${n - 1}, 0)) AS h$n").mkString(",\n        |    ")
+      val rSel = (1 to 6).map(n =>
+        s"sum(greatest(len(rs) - ${n - 1}, 0)) AS r$n").mkString(",\n        |    ")
+      val finSel = ((1 to 6).map(n => s"CAST(coalesce(m$n, 0) AS BIGINT) AS m$n") ++
+        (1 to 6).map(n => s"CAST(h$n AS BIGINT) AS h$n") ++
+        (1 to 6).map(n => s"CAST(r$n AS BIGINT) AS r$n")).mkString(",\n        |  ")
+      s"""WITH pr AS (SELECT a.lang AS grp, a.doc_id AS pid,
+        |    replace(a.text, ' ', '') AS hs, replace(b.text, ' ', '') AS rs
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |ns AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+        |hg AS (SELECT grp, pid, n, gram, count(*) AS hc FROM (
+        |  SELECT grp, pid, ns.n AS n,
+        |    unnest(list_transform(generate_series(1, len(hs) - ns.n + 1),
+        |      i -> hs[i:i+ns.n-1])) AS gram
+        |  FROM pr CROSS JOIN ns) GROUP BY ALL),
+        |rg AS (SELECT grp, pid, n, gram, count(*) AS rc FROM (
+        |  SELECT grp, pid, ns.n AS n,
+        |    unnest(list_transform(generate_series(1, len(rs) - ns.n + 1),
+        |      i -> rs[i:i+ns.n-1])) AS gram
+        |  FROM pr CROSS JOIN ns) GROUP BY ALL),
+        |cl AS (SELECT grp, n, sum(least(hc, rc)) AS m
+        |  FROM hg JOIN rg USING (grp, pid, n, gram) GROUP BY 1, 2),
+        |mm AS (SELECT grp,
+        |  $mSel
+        |  FROM cl GROUP BY 1),
+        |tot AS (SELECT grp,
+        |    $hSel,
+        |    $rSel
+        |  FROM pr GROUP BY 1),
+        |fin AS (SELECT tot.grp,
+        |  $finSel
+        |  FROM tot LEFT JOIN mm ON tot.grp = mm.grp)
+        |SELECT fin.*, ${Chrf.chrfSql(6, 2)} AS chrf
+        |FROM fin ORDER BY grp""".stripMargin
+    }
   )
 
   /** Shared x94 CTE: augmented text + per-category counts (phone counted
