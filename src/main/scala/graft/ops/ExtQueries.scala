@@ -1835,7 +1835,15 @@ object ExtQueries {
           col("a.text").as("hyp"), col("b.text").as("ref"))
       Chrf.corpusChrf(pairs, "lang", "pid", "hyp", "ref", maxN = 6,
         beta = 2).orderBy("grp")
-    })
+    }),
+
+    // X99 PMI collocations per language (count floor 3): exact-integer
+    // bigram/unigram/total counts decide membership and order; the PMI
+    // ln-ratio (house round-6 lane) is display-only, so no float ever
+    // picks rows.
+    "x99_pmi_collocations" -> ((s, dir) =>
+      Collocations.pmiBigrams(Tables.documents(s, dir), "lang", "text",
+        minCount = 3).orderBy("lang", "w1", "w2"))
   )
 
   // X95 knobs: 2-sig bands recall near-dups the 4x4 tier misses (at the
@@ -5323,7 +5331,32 @@ object ExtQueries {
         |  FROM tot LEFT JOIN mm ON tot.grp = mm.grp)
         |SELECT fin.*, ${Chrf.chrfSql(6, 2)} AS chrf
         |FROM fin ORDER BY grp""".stripMargin
-    }
+    },
+
+    // X99: identical tokenization, bigram/unigram type counts,
+    // per-language totals, the same count floor, and the same
+    // fixed-order double PMI composition
+    "x99_pmi_collocations" ->
+      """WITH tk AS (SELECT lang, string_split(text, ' ') AS ts FROM documents),
+        |bgl AS (SELECT lang, unnest(list_transform(
+        |    generate_series(1, len(ts) - 1),
+        |    i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS bg FROM tk),
+        |bc AS (SELECT lang, bg.w1 AS w1, bg.w2 AS w2, count(*) AS c_xy
+        |  FROM bgl GROUP BY ALL),
+        |un AS (SELECT lang, w, count(*) AS c_w
+        |  FROM (SELECT lang, unnest(ts) AS w FROM tk) GROUP BY ALL),
+        |tt AS (SELECT lang, CAST(sum(c_xy) AS BIGINT) AS t
+        |  FROM bc GROUP BY 1)
+        |SELECT bc.lang, w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+        |  CAST(u1.c_w AS BIGINT) AS c_x, CAST(u2.c_w AS BIGINT) AS c_y, t,
+        |  round(ln(CAST(c_xy AS DOUBLE) * CAST(t AS DOUBLE)
+        |    / (CAST(u1.c_w AS DOUBLE) * CAST(u2.c_w AS DOUBLE))), 6) AS pmi
+        |FROM bc
+        |  JOIN un u1 ON u1.lang = bc.lang AND u1.w = bc.w1
+        |  JOIN un u2 ON u2.lang = bc.lang AND u2.w = bc.w2
+        |  JOIN tt ON tt.lang = bc.lang
+        |WHERE c_xy >= 3
+        |ORDER BY bc.lang, w1, w2""".stripMargin
   )
 
   /** Shared x94 CTE: augmented text + per-category counts (phone counted
