@@ -1843,7 +1843,18 @@ object ExtQueries {
     // picks rows.
     "x99_pmi_collocations" -> ((s, dir) =>
       Collocations.pmiBigrams(Tables.documents(s, dir), "lang", "text",
-        minCount = 3).orderBy("lang", "w1", "w2"))
+        minCount = 3).orderBy("lang", "w1", "w2")),
+
+    // X100 Aho-Corasick phrase coverage: the phrase set is the corpus's
+    // top-20 trigrams (from data — distributed TakeOrdered, 20 rows to
+    // the driver), matched back over every doc in one automaton pass.
+    // Substring semantics — the oracle's per-phrase contains() is the
+    // K·len naive form the automaton replaces.
+    "x100_phrase_coverage" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val phrases = PhraseMatch.topPhrases(d, "text", n = 3, k = 20)
+      PhraseMatch.coverage(d, "doc_id", "text", phrases).orderBy("doc_id")
+    })
   )
 
   // X95 knobs: 2-sig bands recall near-dups the 4x4 tier misses (at the
@@ -5356,7 +5367,28 @@ object ExtQueries {
         |  JOIN un u2 ON u2.lang = bc.lang AND u2.w = bc.w2
         |  JOIN tt ON tt.lang = bc.lang
         |WHERE c_xy >= 3
-        |ORDER BY bc.lang, w1, w2""".stripMargin
+        |ORDER BY bc.lang, w1, w2""".stripMargin,
+
+    // X100: same top-20 trigram derivation (count desc, gram asc), then
+    // the naive per-phrase contains() join the automaton replaces;
+    // hit lists re-sorted lexicographically to match id-rank order
+    "x100_phrase_coverage" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |tg AS (SELECT gram, count(*) AS c FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(ts) - 2),
+        |    i -> array_to_string(ts[i:i+2], ' '))) AS gram FROM tk)
+        |  GROUP BY 1),
+        |topk AS (SELECT gram FROM tg ORDER BY c DESC, gram LIMIT 20),
+        |hits AS (SELECT d.doc_id, t.gram FROM documents d
+        |  JOIN topk t ON contains(d.text, t.gram)),
+        |agg AS (SELECT doc_id, count(*) AS n,
+        |    string_agg(gram, ',' ORDER BY gram) AS hs
+        |  FROM hits GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_hits,
+        |  coalesce(agg.hs, '') AS hits
+        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** Shared x94 CTE: augmented text + per-category counts (phone counted
