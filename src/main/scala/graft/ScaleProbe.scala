@@ -329,6 +329,40 @@ object ScaleProbe {
         graft.ops.Kmv.sketch(b, "grp", "s", 128), 128)
         .write.format("noop").mode("overwrite").save()
     }
+    // round-12 text-metric family at 10x (50k adjacent pairs): the clip
+    // joins are (pair, n, gram)-keyed with map-side combine, so cost
+    // should track the gram explode (chrF's 6 char orders are the big
+    // one: ~maxN x chars rows/side); LCS and the AC automaton are
+    // row-local scan work — expect all four linear, no pair-count cliff
+    val pairs10 = docs10.as("a").join(docs10.as("b"),
+      col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.lang").as("lang"), col("a.doc_id").as("pid"),
+        col("a.text").as("hyp"), col("b.text").as("ref"))
+    t("bleu-50k-pairs") {
+      graft.ops.Bleu.corpusBleu(pairs10, "lang", "pid", "hyp", "ref", 4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("rouge-50k-pairs") {
+      graft.ops.Rouge.corpusRouge(pairs10, "lang", "pid", "hyp", "ref", 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("chrf-50k-pairs") {
+      graft.ops.Chrf.corpusChrf(pairs10, "lang", "pid", "hyp", "ref", 6)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("pmi-collocations-50k") {
+      graft.ops.Collocations.pmiBigrams(docs10, "lang", "text", 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // 100-phrase automaton (5x the query's 20) to show K does not
+    // multiply scan cost the way per-phrase contains() would
+    val phrases100 = t("top-phrases-100") {
+      graft.ops.PhraseMatch.topPhrases(docs10, "text", 3, 100)
+    }
+    t("phrase-coverage-50k-100pat") {
+      graft.ops.PhraseMatch.coverage(docs10, "doc_id", "text", phrases100)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

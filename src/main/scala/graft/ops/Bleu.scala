@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+import graft.functions.ClippedGramMatches.clippedGramMatches
 
 /** X96 — corpus-level BLEU (Papineni, Roukos, Ward & Zhu 2002): the
   * standard machine-translation / text-generation quality score, used in
@@ -17,12 +19,15 @@ import org.apache.spark.sql.functions._
   * numerator and denominator an exact integer; the only floating-point
   * step is the final exp/ln composition, rounded to 6 digits.
   *
-  * 100 TB shape: ONE pass over the pair table — hyp and ref n-grams for
-  * all n ride a single explode each (tagged structs, so there is no
-  * per-n rescan), the clip join is keyed (pair, n, gram) with map-side
-  * partial counts, and everything after it is group-cardinality-sized.
-  * Length totals are row-local projections (no explode). Nothing is
-  * collected; the quadratic-looking "clip" is a hash join on exact keys.
+  * 100 TB shape: ONE pass over the pair table and ONE exchange. Because
+  * clipping is per pair, the entire numerator/denominator computation is
+  * row-local — [[graft.functions.ClippedGramMatches]] counts all orders'
+  * clipped matches in one pass over the pair's two token arrays, and the
+  * n-gram totals are length projections — so the only exchange is the
+  * group-grain partial-sum aggregate (maxN+2 integers per pair into it,
+  * group-cardinality rows out). The earlier explode → (pair, n, gram)
+  * join formulation shuffled a row per gram OCCURRENCE; this shape
+  * shuffles none.
   */
 object Bleu {
 
@@ -48,27 +53,19 @@ object Bleu {
              hypCol: String, refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN $maxN out of range [1, 8]")
     val base = tokenPairs(pairs, grpCol, idCol, hypCol, refCol)
-    val mtab = clippedMatches(base, maxN)
-
-    // denominators + length totals: row-local, no explode
-    val tcols = (1 to maxN).map(n =>
-      greatest(size(col("hts")) - (n - 1), lit(0)).cast("long").as(s"t$n"))
-    val totals = base
-      .select(col("grp") +: tcols :+
-        size(col("hts")).cast("long").as("lh") :+
-        size(col("rts")).cast("long").as("lr"): _*)
-      .groupBy("grp")
-      .agg(sum("t1").as("t1"),
-        (2 to maxN).map(n => sum(s"t$n").as(s"t$n")) ++
-          Seq(sum("lh").as("c"), sum("lr").as("r")): _*)
-
-    // a group can miss from `clipped` only if NO order matched at all —
-    // left join + coalesce keeps it with m_n = 0 and bleu = 0
-    totals.join(mtab, Seq("grp"), "left")
-      .select(col("grp") +:
-        (1 to maxN).map(n => coalesce(col(s"m$n"), lit(0L)).as(s"m$n")) ++:
-        (1 to maxN).map(n => col(s"t$n")) :+
-        col("c") :+ col("r"): _*)
+    // matches, denominators, lengths: ALL row-local — one projection,
+    // then the single group-grain exchange
+    val perPair = base.select(col("grp") +:
+      clippedGramMatches(col("hts"), col("rts"), maxN).as("ms") +:
+      (1 to maxN).map(n =>
+        greatest(size(col("hts")) - (n - 1), lit(0)).cast("long").as(s"t$n")) :+
+      size(col("hts")).cast("long").as("lh") :+
+      size(col("rts")).cast("long").as("lr"): _*)
+    perPair.groupBy("grp")
+      .agg(sum(element_at(col("ms"), 1)).as("m1"),
+        ((2 to maxN).map(n => sum(element_at(col("ms"), n)).as(s"m$n")) ++
+          (1 to maxN).map(n => sum(s"t$n").as(s"t$n")) ++
+          Seq(sum("lh").as("c"), sum("lr").as("r"))): _*)
   }
 
   /** (grp, pid, hts, rts) tokenized pair base shared with [[Rouge]]. */
@@ -78,32 +75,7 @@ object Bleu {
     pairs.select(col(grpCol).as("grp"), col(idCol).as("pid"),
       Dedup.tokens(col(hypCol)).as("hts"), Dedup.tokens(col(refCol)).as("rts"))
 
-  /** Per-group clipped-match sums m1..mN over a [[tokenPairs]] base:
-    * Σ_pairs Σ_grams min(count_hyp, count_ref) for each order. All
-    * n-gram orders ride ONE tagged explode per side ([(1, g), ...,
-    * (maxN, g)] structs), so the corpus is scanned once, not per order;
-    * the clip join is keyed (pair, n, gram) with map-side partials.
-    */
-  private[ops] def clippedMatches(base: DataFrame, maxN: Int): DataFrame = {
-    def tagged(ts: Column): Column = concat((1 to maxN).map { n =>
-      transform(Dedup.shingles(ts, n),
-        g => struct(lit(n).as("n"), g.as("gram")))
-    }: _*)
 
-    def gramCounts(ts: String, out: String): DataFrame =
-      base.select(col("grp"), col("pid"), explode(tagged(col(ts))).as("g"))
-        .groupBy(col("grp"), col("pid"),
-          col("g.n").as("n"), col("g.gram").as("gram"))
-        .agg(count(lit(1)).as(out))
-
-    val clipped = gramCounts("hts", "hc")
-      .join(gramCounts("rts", "rc"), Seq("grp", "pid", "n", "gram"))
-      .groupBy(col("grp"), col("n"))
-      .agg(sum(least(col("hc"), col("rc"))).as("m"))
-    val mcols = (1 to maxN).map(n =>
-      coalesce(max(when(col("n") === n, col("m"))), lit(0L)).as(s"m$n"))
-    clipped.groupBy("grp").agg(mcols.head, mcols.tail: _*)
-  }
 
   /** The BLEU composition over a count table — the ONE shared estimator
     * fragment (batch and stream score through this verbatim, the x83/x88

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.ClippedGramMatches.clippedGramMatches
 import graft.functions.TokenLcs.tokenLcs
 
 /** X97 — corpus-level ROUGE (Lin 2004): the recall-oriented complement
@@ -17,12 +18,14 @@ import graft.functions.TokenLcs.tokenLcs
   * numerator and denominator is an exact integer sum — the three F1
   * columns, rounded to 6 digits, are the only floats.
   *
-  * 100 TB shape: the clip join is [[Bleu.clippedMatches]] (one tagged
-  * explode per side, (pair, n, gram)-keyed, map-side partials); the LCS
-  * is the native [[graft.functions.TokenLcs]] DP — row-local scan-side
-  * compute with per-pair O(|hyp|·|ref|) time and two-int-row space, no
-  * shuffle beyond the group-grain count sums. Everything after the
-  * explode is group-cardinality-sized.
+  * 100 TB shape: one corpus scan, one group-grain exchange. Clipped
+  * matches, n-gram totals, lengths, AND the LCS are all row-local —
+  * [[graft.functions.ClippedGramMatches]] counts every order in one
+  * pass over the pair's token arrays, and the LCS is the native
+  * [[graft.functions.TokenLcs]] two-row integer DP (per-pair
+  * O(|hyp|·|ref|) time) — so the only exchange carries ~3·maxN+3
+  * integers per pair into the group partial sums. Nothing gram-grain
+  * ever shuffles.
   */
 object Rouge {
 
@@ -30,20 +33,21 @@ object Rouge {
                   hypCol: String, refCol: String, maxN: Int = 2): DataFrame = {
     require(maxN >= 1 && maxN <= 4, s"maxN $maxN out of range [1, 4]")
     val base = Bleu.tokenPairs(pairs, grpCol, idCol, hypCol, refCol)
-    val mtab = Bleu.clippedMatches(base, maxN)
 
-    // hyp/ref n-gram totals, lengths, LCS: all row-local projections
-    val tcols = (1 to maxN).flatMap(n => Seq(
-      greatest(size(col("hts")) - (n - 1), lit(0)).cast("long").as(s"ht$n"),
-      greatest(size(col("rts")) - (n - 1), lit(0)).cast("long").as(s"rt$n")))
-    val totals = base
-      .select(col("grp") +: tcols :+
-        tokenLcs(col("hts"), col("rts")).as("lcs") :+
-        size(col("hts")).cast("long").as("lh") :+
-        size(col("rts")).cast("long").as("lr"): _*)
-      .groupBy("grp")
-      .agg(sum("ht1").as("ht1"),
-        ((2 to maxN).flatMap(n => Seq(sum(s"ht$n").as(s"ht$n"))) ++
+    // matches, hyp/ref totals, lengths, LCS: all row-local — one
+    // projection, then the single group-grain exchange
+    val perPair = base.select(col("grp") +:
+      clippedGramMatches(col("hts"), col("rts"), maxN).as("ms") +:
+      (1 to maxN).flatMap(n => Seq(
+        greatest(size(col("hts")) - (n - 1), lit(0)).cast("long").as(s"ht$n"),
+        greatest(size(col("rts")) - (n - 1), lit(0)).cast("long").as(s"rt$n"))) :+
+      tokenLcs(col("hts"), col("rts")).as("lcs") :+
+      size(col("hts")).cast("long").as("lh") :+
+      size(col("rts")).cast("long").as("lr"): _*)
+    val counts = perPair.groupBy("grp")
+      .agg(sum(element_at(col("ms"), 1)).as("m1"),
+        ((2 to maxN).map(n => sum(element_at(col("ms"), n)).as(s"m$n")) ++
+          (1 to maxN).map(n => sum(s"ht$n").as(s"ht$n")) ++
           (1 to maxN).map(n => sum(s"rt$n").as(s"rt$n")) ++
           Seq(sum("lcs").as("lcs"), sum("lh").as("c"), sum("lr").as("r"))): _*)
 
@@ -53,12 +57,6 @@ object Rouge {
       s"""CASE WHEN $d1 + $d2 = 0 THEN CAST(0 AS DOUBLE)
          |ELSE round(CAST(2 * $m AS DOUBLE) / ($d1 + $d2), 6) END""".stripMargin)
 
-    val counts = totals.join(mtab, Seq("grp"), "left")
-      .select(col("grp") +:
-        (1 to maxN).map(n => coalesce(col(s"m$n"), lit(0L)).as(s"m$n")) ++:
-        (1 to maxN).map(n => col(s"ht$n")) ++:
-        (1 to maxN).map(n => col(s"rt$n")) :+
-        col("lcs") :+ col("c") :+ col("r"): _*)
     (1 to maxN).foldLeft(counts) { (df, n) =>
       df.withColumn(s"rouge${n}_f", f1(s"m$n", s"ht$n", s"rt$n"))
     }.withColumn("rougel_f", f1("lcs", "c", "r"))

@@ -513,4 +513,51 @@ class PlanShapeSpec extends SparkSpec {
       Seq(500000L), 8, 50))
     assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
   }
+
+  private def adjacentPairs(sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.lang").as("lang"), col("a.doc_id").as("pid"),
+        col("a.text").as("hyp"), col("b.text").as("ref"))
+  }
+
+  test("bleu/rouge/chrf are SINGLE-exchange: per-pair clipping is " +
+    "row-local, so only the group aggregate shuffles — no join, no " +
+    "gram-grain exchange anywhere") {
+    val d = Tables.documents(spark, sf)
+    val pairs = d.select(col("lang"), col("doc_id").as("pid"),
+      col("text").as("hyp"), col("text").as("ref"))
+    for (df <- Seq(
+        Bleu.corpusBleu(pairs, "lang", "pid", "hyp", "ref", 4),
+        Rouge.corpusRouge(pairs, "lang", "pid", "hyp", "ref", 2),
+        Chrf.corpusChrf(pairs, "lang", "pid", "hyp", "ref", 6))) {
+      val plan = physical(df)
+      assert(countOccurrences(plan, "Exchange") === 1, s"plan:\n$plan")
+      assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    }
+  }
+
+  test("rouge's LCS survives as the native row-local expression (not a " +
+    "driver eval or a lambda pipeline)") {
+    val plan = physical(
+      Rouge.corpusRouge(adjacentPairs(sf), "lang", "pid", "hyp", "ref", 2))
+    assert(plan.contains("token_lcs"), s"native LCS missing in:\n$plan")
+  }
+
+  test("pmi collocations: the per-language total joins broadcast; no " +
+    "cartesian, no single-partition stage") {
+    val plan = physical(Collocations.pmiBigrams(
+      Tables.documents(spark, sf), "lang", "text", 3))
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("SinglePartition"), s"plan:\n$plan")
+  }
+
+  test("phrase coverage is a pure scan-side projection: zero exchanges, " +
+    "automaton expression in-plan") {
+    val plan = physical(PhraseMatch.coverage(
+      Tables.documents(spark, sf), "doc_id", "text", Seq("a b", "c d")))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert(plan.contains("aho_corasick_hits"), s"plan:\n$plan")
+  }
 }
