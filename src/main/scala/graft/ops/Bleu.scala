@@ -50,22 +50,33 @@ object Bleu {
     * twin's per-batch delta state relies on (the x89 counter law).
     */
   def counts(pairs: DataFrame, grpCol: String, idCol: String,
-             hypCol: String, refCol: String, maxN: Int = 4): DataFrame = {
-    require(maxN >= 1 && maxN <= 8, s"maxN $maxN out of range [1, 8]")
-    val base = tokenPairs(pairs, grpCol, idCol, hypCol, refCol)
-    // matches, denominators, lengths: ALL row-local — one projection,
-    // then the single group-grain exchange
-    val perPair = base.select(col("grp") +:
-      clippedGramMatches(col("hts"), col("rts"), maxN).as("ms") +:
-      (1 to maxN).map(n =>
-        greatest(size(col("hts")) - (n - 1), lit(0)).cast("long").as(s"t$n")) :+
-      size(col("hts")).cast("long").as("lh") :+
-      size(col("rts")).cast("long").as("lr"): _*)
-    perPair.groupBy("grp")
-      .agg(sum(element_at(col("ms"), 1)).as("m1"),
-        ((2 to maxN).map(n => sum(element_at(col("ms"), n)).as(s"m$n")) ++
+             hypCol: String, refCol: String, maxN: Int = 4): DataFrame =
+    perPairCounts(pairs, grpCol, idCol, hypCol, refCol, maxN)
+      .groupBy("grp")
+      .agg(sum("m1").as("m1"),
+        ((2 to maxN).map(n => sum(s"m$n").as(s"m$n")) ++
           (1 to maxN).map(n => sum(s"t$n").as(s"t$n")) ++
           Seq(sum("lh").as("c"), sum("lr").as("r"))): _*)
+
+  /** Per-PAIR count rows (grp, pid, m1..mN, t1..tN, lh, lr) — entirely
+    * row-local (clipping is per pair), the shared scan [[counts]] sums
+    * at group grain and [[BleuCi]] resamples before summing.
+    */
+  private[ops] def perPairCounts(pairs: DataFrame, grpCol: String,
+                                 idCol: String, hypCol: String,
+                                 refCol: String, maxN: Int): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN $maxN out of range [1, 8]")
+    val base = tokenPairs(pairs, grpCol, idCol, hypCol, refCol)
+    base.select(Seq(col("grp"), col("pid"),
+        clippedGramMatches(col("hts"), col("rts"), maxN).as("ms")) ++
+      (1 to maxN).map(n =>
+        greatest(size(col("hts")) - (n - 1), lit(0)).cast("long").as(s"t$n")) ++
+      Seq(size(col("hts")).cast("long").as("lh"),
+        size(col("rts")).cast("long").as("lr")): _*)
+      .select(Seq(col("grp"), col("pid")) ++
+        (1 to maxN).map(n => element_at(col("ms"), n).as(s"m$n")) ++
+        (1 to maxN).map(n => col(s"t$n")) ++
+        Seq(col("lh"), col("lr")): _*)
   }
 
   /** (grp, pid, hts, rts) tokenized pair base shared with [[Rouge]]. */
@@ -83,14 +94,20 @@ object Bleu {
     * exp(min(0, 1 − r/c)), geometric mean of the order precisions,
     * rounded to 6 digits as the single float step.
     */
-  def withBleu(countTab: DataFrame, maxN: Int): DataFrame = {
+  def withBleu(countTab: DataFrame, maxN: Int): DataFrame =
+    countTab.withColumn("bleu", expr(bleuSql(maxN)))
+
+  /** The composition as one SQL fragment, shared textually with the
+    * oracle side wherever a query re-scores count tables (x101's
+    * resamples) — the x88/x98 shared-fragment discipline.
+    */
+  def bleuSql(maxN: Int): String = {
     val lnTerms = (1 to maxN).map(n => s"ln(CAST(m$n AS DOUBLE) / t$n)")
       .mkString(" + ")
     val zeroGuard = (1 to maxN).map(n => s"m$n = 0").mkString(" OR ")
-    countTab.withColumn("bleu", expr(
-      s"""CASE WHEN $zeroGuard OR c = 0 THEN 0.0
-         |ELSE round(exp(
-         |  least(CAST(0 AS DOUBLE), 1.0 - CAST(r AS DOUBLE) / CAST(c AS DOUBLE))
-         |  + ($lnTerms) / ${maxN}.0), 6) END""".stripMargin))
+    s"""CASE WHEN $zeroGuard OR c = 0 THEN 0.0
+       |ELSE round(exp(
+       |  least(CAST(0 AS DOUBLE), 1.0 - CAST(r AS DOUBLE) / CAST(c AS DOUBLE))
+       |  + ($lnTerms) / ${maxN}.0), 6) END""".stripMargin
   }
 }

@@ -1854,6 +1854,21 @@ object ExtQueries {
       val d = Tables.documents(s, dir)
       val phrases = PhraseMatch.topPhrases(d, "text", n = 3, k = 20)
       PhraseMatch.coverage(d, "doc_id", "text", phrases).orderBy("doc_id")
+    }),
+
+    // X101 Poisson-bootstrap CI for corpus BLEU (Koehn 2004 resampling
+    // at the row-local Poisson limit): multiplicities are exact-integer
+    // inverse-CDF thresholds on the md5 lane, resample scores ride the
+    // shared x96 estimator, and CI bounds are order statistics over a
+    // grp-partitioned window — floats never decide membership.
+    "x101_bleu_ci" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = d.as("a").join(d.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.lang").as("lang"), col("a.doc_id").as("pid"),
+          col("a.text").as("hyp"), col("b.text").as("ref"))
+      BleuCi.bleuCi(pairs, "lang", "pid", "hyp", "ref", maxN = 4,
+        nBoot = 40, seed = "ci").orderBy("grp")
     })
   )
 
@@ -5388,7 +5403,69 @@ object ExtQueries {
         |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_hits,
         |  coalesce(agg.hs, '') AS hits
         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // X101: identical per-pair count lanes (the x96 CTEs at pair
+    // grain), the VERBATIM Poisson threshold CASE and BLEU composition
+    // fragments, ranks 1/39 of the 40 resamples as the 2.5/97.5
+    // order statistics
+    "x101_bleu_ci" ->
+      s"""WITH pr AS (SELECT a.lang AS grp, a.doc_id AS pid,
+        |    string_split(a.text, ' ') AS hts, string_split(b.text, ' ') AS rts
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+        |hg AS (SELECT grp, pid, n, gram, count(*) AS hc FROM (
+        |  SELECT grp, pid, ns.n AS n,
+        |    unnest(list_transform(generate_series(1, len(hts) - ns.n + 1),
+        |      i -> array_to_string(hts[i:i+ns.n-1], ' '))) AS gram
+        |  FROM pr CROSS JOIN ns) GROUP BY ALL),
+        |rg AS (SELECT grp, pid, n, gram, count(*) AS rc FROM (
+        |  SELECT grp, pid, ns.n AS n,
+        |    unnest(list_transform(generate_series(1, len(rts) - ns.n + 1),
+        |      i -> array_to_string(rts[i:i+ns.n-1], ' '))) AS gram
+        |  FROM pr CROSS JOIN ns) GROUP BY ALL),
+        |clp AS (SELECT grp, pid, n, sum(least(hc, rc)) AS m
+        |  FROM hg JOIN rg USING (grp, pid, n, gram) GROUP BY 1, 2, 3),
+        |pm AS (SELECT grp, pid,
+        |  coalesce(max(CASE WHEN n=1 THEN m END), 0) AS m1,
+        |  coalesce(max(CASE WHEN n=2 THEN m END), 0) AS m2,
+        |  coalesce(max(CASE WHEN n=3 THEN m END), 0) AS m3,
+        |  coalesce(max(CASE WHEN n=4 THEN m END), 0) AS m4
+        |  FROM clp GROUP BY 1, 2),
+        |pp AS (SELECT pr.grp, pr.pid,
+        |  coalesce(m1, 0) AS m1, coalesce(m2, 0) AS m2,
+        |  coalesce(m3, 0) AS m3, coalesce(m4, 0) AS m4,
+        |  greatest(len(hts), 0) AS t1, greatest(len(hts) - 1, 0) AS t2,
+        |  greatest(len(hts) - 2, 0) AS t3, greatest(len(hts) - 3, 0) AS t4,
+        |  len(hts) AS lh, len(rts) AS lr
+        |  FROM pr LEFT JOIN pm ON pm.grp = pr.grp AND pm.pid = pr.pid),
+        |bt AS (SELECT grp, pid, bs.b AS b,
+        |  ('0x' || substring(md5(CAST(pid AS VARCHAR) || '|ci|'
+        |    || CAST(bs.b AS VARCHAR)), 1, 8))::BIGINT AS h,
+        |  m1, m2, m3, m4, t1, t2, t3, t4, lh, lr
+        |  FROM pp CROSS JOIN (SELECT unnest(generate_series(1, 40)) AS b) bs),
+        |bk AS (SELECT grp, b, ${BleuCi.poissonKSql("h")} AS k,
+        |  m1, m2, m3, m4, t1, t2, t3, t4, lh, lr FROM bt),
+        |bs2 AS (SELECT grp, b,
+        |  sum(k * m1) AS m1, sum(k * m2) AS m2, sum(k * m3) AS m3,
+        |  sum(k * m4) AS m4, sum(k * t1) AS t1, sum(k * t2) AS t2,
+        |  sum(k * t3) AS t3, sum(k * t4) AS t4,
+        |  sum(k * lh) AS c, sum(k * lr) AS r FROM bk GROUP BY 1, 2),
+        |sc AS (SELECT grp, b, ${Bleu.bleuSql(4)} AS bleu FROM bs2),
+        |rk AS (SELECT grp, b, bleu,
+        |  row_number() OVER (PARTITION BY grp ORDER BY bleu, b) AS rn
+        |  FROM sc),
+        |ci AS (SELECT grp, max(CASE WHEN rn = 1 THEN bleu END) AS ci_lo,
+        |    max(CASE WHEN rn = 39 THEN bleu END) AS ci_hi,
+        |    CAST(count(*) AS BIGINT) AS n_boot
+        |  FROM rk GROUP BY 1),
+        |pt AS (SELECT grp, sum(m1) AS m1, sum(m2) AS m2, sum(m3) AS m3,
+        |    sum(m4) AS m4, sum(t1) AS t1, sum(t2) AS t2, sum(t3) AS t3,
+        |    sum(t4) AS t4, sum(lh) AS c, sum(lr) AS r FROM pp GROUP BY 1),
+        |psc AS (SELECT grp, ${Bleu.bleuSql(4)} AS bleu FROM pt)
+        |SELECT psc.grp, psc.bleu, ci.ci_lo, ci.ci_hi, ci.n_boot
+        |FROM psc JOIN ci ON ci.grp = psc.grp
+        |ORDER BY psc.grp""".stripMargin
   )
 
   /** Shared x94 CTE: augmented text + per-category counts (phone counted
