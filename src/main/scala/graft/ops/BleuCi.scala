@@ -72,4 +72,75 @@ object BleuCi {
       .select(col("grp"), col("bleu"))
       .join(ci, Seq("grp"))
   }
+
+  /** X102 — the PAIRED bootstrap significance test itself (Koehn 2004
+    * §3): two systems' hypotheses against one shared reference, scored
+    * on the SAME resamples (identical Poisson multiplicities per pair —
+    * pairing is what gives the test its power), then compared resample
+    * by resample. wins_a / ties / n_boot are exact integers;
+    * `significant` is the exact-integer 95% criterion
+    * wins_a·1000 ≥ 950·n_boot; share_a is the one display double.
+    */
+  def bleuPairedTest(pairs: DataFrame, grpCol: String, idCol: String,
+                     hypACol: String, hypBCol: String, refCol: String,
+                     maxN: Int = 4, nBoot: Int = 40,
+                     seed: String = "pt"): DataFrame = {
+    require(nBoot >= 40 && nBoot <= 10000,
+      s"nBoot $nBoot out of range [40, 10000]")
+    import graft.functions.ClippedGramMatches.clippedGramMatches
+    val base = pairs.select(col(grpCol).as("grp"), col(idCol).as("pid"),
+      Dedup.tokens(col(hypACol)).as("ats"),
+      Dedup.tokens(col(hypBCol)).as("bts"),
+      Dedup.tokens(col(refCol)).as("rts"))
+    // both systems' count lanes from ONE row-local projection
+    val pp = base.select(Seq(col("grp"), col("pid"),
+        clippedGramMatches(col("ats"), col("rts"), maxN).as("msa"),
+        clippedGramMatches(col("bts"), col("rts"), maxN).as("msb")) ++
+      (1 to maxN).flatMap(n => Seq(
+        greatest(size(col("ats")) - (n - 1), lit(0)).cast("long").as(s"t${n}a"),
+        greatest(size(col("bts")) - (n - 1), lit(0)).cast("long").as(s"t${n}b"))) ++
+      Seq(size(col("ats")).cast("long").as("ca"),
+        size(col("bts")).cast("long").as("cb"),
+        size(col("rts")).cast("long").as("lr")): _*)
+      .select(Seq(col("grp"), col("pid")) ++
+        (1 to maxN).flatMap(n => Seq(
+          element_at(col("msa"), n).as(s"m${n}a"),
+          element_at(col("msb"), n).as(s"m${n}b"),
+          col(s"t${n}a"), col(s"t${n}b"))) ++
+        Seq(col("ca"), col("cb"), col("lr")): _*)
+
+    val wcols = (1 to maxN).flatMap(n =>
+      Seq(s"m${n}a", s"m${n}b", s"t${n}a", s"t${n}b")) ++
+      Seq("ca", "cb", "lr")
+    val boot = pp
+      .withColumn("b", explode(sequence(lit(1), lit(nBoot))))
+      .withColumn("h", conv(substring(md5(concat(
+        col("pid").cast("string"), lit(s"|$seed|"),
+        col("b").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("k", expr(poissonKSql("h")).cast("long"))
+      .groupBy("grp", "b")
+      .agg(sum(col("k") * col(wcols.head)).as(wcols.head),
+        wcols.drop(1).map(c => sum(col("k") * col(c)).as(c)): _*)
+
+    def score(sfx: String, out: String): DataFrame =
+      Bleu.withBleu(boot.select(Seq(col("grp"), col("b")) ++
+          (1 to maxN).map(n => col(s"m$n$sfx").as(s"m$n")) ++
+          (1 to maxN).map(n => col(s"t$n$sfx").as(s"t$n")) ++
+          Seq(col(s"c$sfx").as("c"), col("lr").as("r")): _*), maxN)
+        .select(col("grp"), col("b"), col("bleu").as(out))
+    val cmp = score("a", "bleu_a").join(score("b", "bleu_b"), Seq("grp", "b"))
+      .groupBy("grp").agg(
+        sum(when(col("bleu_a") > col("bleu_b"), 1L).otherwise(0L)).as("wins_a"),
+        sum(when(col("bleu_a") === col("bleu_b"), 1L).otherwise(0L)).as("ties"),
+        count(lit(1)).as("n_boot"))
+      .withColumn("share_a", expr(
+        "round(CAST(wins_a AS DOUBLE) / n_boot, 6)"))
+      .withColumn("significant", expr("wins_a * 1000 >= 950 * n_boot"))
+
+    def point(hypCol: String, out: String): DataFrame =
+      Bleu.corpusBleu(pairs, grpCol, idCol, hypCol, refCol, maxN)
+        .select(col("grp"), col("bleu").as(out))
+    point(hypACol, "bleu_a").join(point(hypBCol, "bleu_b"), Seq("grp"))
+      .join(cmp, Seq("grp"))
+  }
 }

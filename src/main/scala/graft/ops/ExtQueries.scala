@@ -1869,6 +1869,23 @@ object ExtQueries {
           col("a.text").as("hyp"), col("b.text").as("ref"))
       BleuCi.bleuCi(pairs, "lang", "pid", "hyp", "ref", maxN = 4,
         nBoot = 40, seed = "ci").orderBy("grp")
+    }),
+
+    // X102 paired bootstrap significance test (Koehn 2004 §3): system A
+    // = doc i, system B = doc i+2, shared reference = doc i+1 — both
+    // systems scored on the SAME Poisson resamples (one multiplicity
+    // per pair), compared resample-by-resample. wins/ties/n and the 95%
+    // criterion are exact integers.
+    "x102_bleu_paired" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val t = d.as("a")
+        .join(d.as("r"), col("r.doc_id") === col("a.doc_id") + 1)
+        .join(d.as("b2"), col("b2.doc_id") === col("a.doc_id") + 2)
+        .select(col("a.lang").as("lang"), col("a.doc_id").as("pid"),
+          col("a.text").as("hyp_a"), col("b2.text").as("hyp_b"),
+          col("r.text").as("ref"))
+      BleuCi.bleuPairedTest(t, "lang", "pid", "hyp_a", "hyp_b", "ref",
+        maxN = 4, nBoot = 40, seed = "pt").orderBy("grp")
     })
   )
 
@@ -5465,7 +5482,108 @@ object ExtQueries {
         |psc AS (SELECT grp, ${Bleu.bleuSql(4)} AS bleu FROM pt)
         |SELECT psc.grp, psc.bleu, ci.ci_lo, ci.ci_hi, ci.n_boot
         |FROM psc JOIN ci ON ci.grp = psc.grp
-        |ORDER BY psc.grp""".stripMargin
+        |ORDER BY psc.grp""".stripMargin,
+
+    // X102: identical triple pairing, both systems' clip lanes against
+    // ONE shared reference gram table, identical Poisson multiplicities
+    // (paired!), the shared estimator fragment per side, exact-integer
+    // win counts and 95% criterion
+    "x102_bleu_paired" ->
+      s"""WITH pr AS (SELECT a.lang AS grp, a.doc_id AS pid,
+        |    string_split(a.text, ' ') AS ats, string_split(b2.text, ' ') AS bts,
+        |    string_split(r.text, ' ') AS rts
+        |  FROM documents a
+        |    JOIN documents r ON r.doc_id = a.doc_id + 1
+        |    JOIN documents b2 ON b2.doc_id = a.doc_id + 2),
+        |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+        |ha AS (SELECT grp, pid, n, gram, count(*) AS hc FROM (
+        |  SELECT grp, pid, ns.n AS n,
+        |    unnest(list_transform(generate_series(1, len(ats) - ns.n + 1),
+        |      i -> array_to_string(ats[i:i+ns.n-1], ' '))) AS gram
+        |  FROM pr CROSS JOIN ns) GROUP BY ALL),
+        |hb AS (SELECT grp, pid, n, gram, count(*) AS hc FROM (
+        |  SELECT grp, pid, ns.n AS n,
+        |    unnest(list_transform(generate_series(1, len(bts) - ns.n + 1),
+        |      i -> array_to_string(bts[i:i+ns.n-1], ' '))) AS gram
+        |  FROM pr CROSS JOIN ns) GROUP BY ALL),
+        |rg AS (SELECT grp, pid, n, gram, count(*) AS rc FROM (
+        |  SELECT grp, pid, ns.n AS n,
+        |    unnest(list_transform(generate_series(1, len(rts) - ns.n + 1),
+        |      i -> array_to_string(rts[i:i+ns.n-1], ' '))) AS gram
+        |  FROM pr CROSS JOIN ns) GROUP BY ALL),
+        |clpa AS (SELECT grp, pid, n, sum(least(ha.hc, rg.rc)) AS m
+        |  FROM ha JOIN rg USING (grp, pid, n, gram) GROUP BY 1, 2, 3),
+        |clpb AS (SELECT grp, pid, n, sum(least(hb.hc, rg.rc)) AS m
+        |  FROM hb JOIN rg USING (grp, pid, n, gram) GROUP BY 1, 2, 3),
+        |pma AS (SELECT grp, pid,
+        |  coalesce(max(CASE WHEN n=1 THEN m END), 0) AS m1a,
+        |  coalesce(max(CASE WHEN n=2 THEN m END), 0) AS m2a,
+        |  coalesce(max(CASE WHEN n=3 THEN m END), 0) AS m3a,
+        |  coalesce(max(CASE WHEN n=4 THEN m END), 0) AS m4a
+        |  FROM clpa GROUP BY 1, 2),
+        |pmb AS (SELECT grp, pid,
+        |  coalesce(max(CASE WHEN n=1 THEN m END), 0) AS m1b,
+        |  coalesce(max(CASE WHEN n=2 THEN m END), 0) AS m2b,
+        |  coalesce(max(CASE WHEN n=3 THEN m END), 0) AS m3b,
+        |  coalesce(max(CASE WHEN n=4 THEN m END), 0) AS m4b
+        |  FROM clpb GROUP BY 1, 2),
+        |pp AS (SELECT pr.grp, pr.pid,
+        |  coalesce(m1a, 0) AS m1a, coalesce(m2a, 0) AS m2a,
+        |  coalesce(m3a, 0) AS m3a, coalesce(m4a, 0) AS m4a,
+        |  coalesce(m1b, 0) AS m1b, coalesce(m2b, 0) AS m2b,
+        |  coalesce(m3b, 0) AS m3b, coalesce(m4b, 0) AS m4b,
+        |  greatest(len(ats), 0) AS t1a, greatest(len(ats) - 1, 0) AS t2a,
+        |  greatest(len(ats) - 2, 0) AS t3a, greatest(len(ats) - 3, 0) AS t4a,
+        |  greatest(len(bts), 0) AS t1b, greatest(len(bts) - 1, 0) AS t2b,
+        |  greatest(len(bts) - 2, 0) AS t3b, greatest(len(bts) - 3, 0) AS t4b,
+        |  len(ats) AS ca, len(bts) AS cb, len(rts) AS lr
+        |  FROM pr LEFT JOIN pma ON pma.grp = pr.grp AND pma.pid = pr.pid
+        |    LEFT JOIN pmb ON pmb.grp = pr.grp AND pmb.pid = pr.pid),
+        |bt AS (SELECT pp.*, bs.b AS b,
+        |  ('0x' || substring(md5(CAST(pid AS VARCHAR) || '|pt|'
+        |    || CAST(bs.b AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM pp CROSS JOIN (SELECT unnest(generate_series(1, 40)) AS b) bs),
+        |bk AS (SELECT grp, b, ${BleuCi.poissonKSql("h")} AS k, bt.*
+        |  FROM bt),
+        |bs2 AS (SELECT grp, b,
+        |  sum(k * m1a) AS m1a, sum(k * m2a) AS m2a, sum(k * m3a) AS m3a,
+        |  sum(k * m4a) AS m4a, sum(k * m1b) AS m1b, sum(k * m2b) AS m2b,
+        |  sum(k * m3b) AS m3b, sum(k * m4b) AS m4b,
+        |  sum(k * t1a) AS t1a, sum(k * t2a) AS t2a, sum(k * t3a) AS t3a,
+        |  sum(k * t4a) AS t4a, sum(k * t1b) AS t1b, sum(k * t2b) AS t2b,
+        |  sum(k * t3b) AS t3b, sum(k * t4b) AS t4b,
+        |  sum(k * ca) AS ca, sum(k * cb) AS cb, sum(k * lr) AS r
+        |  FROM bk GROUP BY 1, 2),
+        |sca AS (SELECT grp, b, ${Bleu.bleuSql(4)} AS bleu_a FROM (
+        |  SELECT grp, b, m1a AS m1, m2a AS m2, m3a AS m3, m4a AS m4,
+        |    t1a AS t1, t2a AS t2, t3a AS t3, t4a AS t4, ca AS c, r
+        |  FROM bs2)),
+        |scb AS (SELECT grp, b, ${Bleu.bleuSql(4)} AS bleu_b FROM (
+        |  SELECT grp, b, m1b AS m1, m2b AS m2, m3b AS m3, m4b AS m4,
+        |    t1b AS t1, t2b AS t2, t3b AS t3, t4b AS t4, cb AS c, r
+        |  FROM bs2)),
+        |cmp AS (SELECT grp,
+        |    CAST(sum(CASE WHEN bleu_a > bleu_b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS wins_a,
+        |    CAST(sum(CASE WHEN bleu_a = bleu_b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties,
+        |    CAST(count(*) AS BIGINT) AS n_boot
+        |  FROM sca JOIN scb USING (grp, b) GROUP BY 1),
+        |pta AS (SELECT grp, ${Bleu.bleuSql(4)} AS bleu_a FROM (
+        |  SELECT grp, sum(m1a) AS m1, sum(m2a) AS m2, sum(m3a) AS m3,
+        |    sum(m4a) AS m4, sum(t1a) AS t1, sum(t2a) AS t2, sum(t3a) AS t3,
+        |    sum(t4a) AS t4, sum(ca) AS c, sum(lr) AS r FROM pp GROUP BY 1)),
+        |ptb AS (SELECT grp, ${Bleu.bleuSql(4)} AS bleu_b FROM (
+        |  SELECT grp, sum(m1b) AS m1, sum(m2b) AS m2, sum(m3b) AS m3,
+        |    sum(m4b) AS m4, sum(t1b) AS t1, sum(t2b) AS t2, sum(t3b) AS t3,
+        |    sum(t4b) AS t4, sum(cb) AS c, sum(lr) AS r FROM pp GROUP BY 1))
+        |SELECT pta.grp, pta.bleu_a, ptb.bleu_b, cmp.wins_a, cmp.ties,
+        |  cmp.n_boot,
+        |  round(CAST(wins_a AS DOUBLE) / n_boot, 6) AS share_a,
+        |  wins_a * 1000 >= 950 * n_boot AS significant
+        |FROM pta JOIN ptb ON ptb.grp = pta.grp
+        |  JOIN cmp ON cmp.grp = pta.grp
+        |ORDER BY pta.grp""".stripMargin
   )
 
   /** Shared x94 CTE: augmented text + per-category counts (phone counted
