@@ -87,6 +87,9 @@ case class AhoCorasickHits(child: Expression, patterns: Seq[String])
     extends UnaryExpression with CodegenFallback {
 
   require(patterns.nonEmpty, "pattern list must be non-empty")
+  require(patterns.forall(_.nonEmpty),
+    "empty-string pattern: the automaton would never report it, " +
+      "silently diverging from contains(text, '') = true")
   require(patterns.size <= 100000,
     s"${patterns.size} patterns: beyond 100k move the list to a broadcast")
   require(patterns.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),

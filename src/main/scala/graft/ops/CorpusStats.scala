@@ -103,4 +103,74 @@ object CorpusStats {
              |  / CAST(n AS DOUBLE) / 1000000.0, 6)""".stripMargin)
         .as("intercept_ln"))
   }
+
+  /** X103 — Heaps'-law fit of vocabulary growth (Heaps 1978; Herdan):
+    * V(n) = K·n^β, the companion number to [[zipfFit]] — natural text
+    * grows vocabulary as n^~0.5±0.1, and a corpus whose β collapses
+    * (template floods repeat words) or nears 1 (synthetic/ID-heavy
+    * text mints types per token) flags itself in one statistic.
+    *
+    * Growth checkpoints are per-document, ordered by doc id: a word
+    * contributes a type at its FIRST document (min doc id — exact),
+    * so cum_types is the running sum of first-occurrence counts and
+    * cum_tokens the running token sum. Points (ln n, ln V) land as
+    * micro-nat BIGINTs into the same exact-integer least squares as
+    * [[zipfFit]], per language.
+    *
+    * 100 TB shape: one corpus explode; firsts are a vocab-sized
+    * min-aggregate; the running sums NEVER globally sort — the x57/x85
+    * two-level decomposition over doc-id cells (per-cell sums, a
+    * cell-table offset window orders smaller than the doc table, then
+    * within-cell windows ≤ cellSize rows). The oracle is the naive
+    * global-window form, re-proving the decomposition each round.
+    */
+  def heapsFit(docs: DataFrame, langCol: String, idCol: String,
+               textCol: String, cellSize: Int = 256): DataFrame = {
+    require(cellSize >= 2, s"cellSize $cellSize must be >= 2")
+    val words = docs.select(col(langCol).as("lang"), col(idCol).as("did"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val firsts = words.groupBy("lang", "w").agg(min("did").as("did"))
+      .groupBy("lang", "did").agg(count(lit(1)).as("nt"))
+    val perDoc = words.groupBy("lang", "did").agg(count(lit(1)).as("tk"))
+      .join(firsts, Seq("lang", "did"), "left")
+      .withColumn("nt", coalesce(col("nt"), lit(0L)))
+      .withColumn("cell", floor(col("did") / cellSize))
+    val cellOffW = Window.partitionBy("lang").orderBy("cell")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellOff = perDoc.groupBy("lang", "cell")
+      .agg(sum("tk").as("ct"), sum("nt").as("cn"))
+      .withColumn("ot", coalesce(sum("ct").over(cellOffW), lit(0L)))
+      .withColumn("on", coalesce(sum("cn").over(cellOffW), lit(0L)))
+      .select("lang", "cell", "ot", "on")
+    val inCellW = Window.partitionBy("lang", "cell").orderBy("did")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = perDoc.join(cellOff, Seq("lang", "cell"))
+      .withColumn("cumt", col("ot") + sum("tk").over(inCellW))
+      .withColumn("cumn", col("on") + sum("nt").over(inCellW))
+      .select(col("lang"),
+        expr("CAST(round(ln(CAST(cumt AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("x"),
+        expr("CAST(round(ln(CAST(cumn AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("y"))
+    val moments = pts.groupBy("lang").agg(
+      count(lit(1)).as("n"),
+      sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+      sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))"))
+        .as("sxy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))"))
+        .as("sxx"))
+    moments.select(col("lang"), col("n").as("n_points"),
+      expr("""CASE WHEN n * sxx - sx * sx = 0
+             |  THEN raise_error('heapsFit: degenerate growth curve (single checkpoint)')
+             |  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             |END""".stripMargin).as("beta"),
+      expr("""round((CAST(sy AS DOUBLE)
+             |  - (CAST(n * sxy - sx * sy AS DOUBLE)
+             |     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             |  / CAST(n AS DOUBLE) / 1000000.0, 6)""".stripMargin)
+        .as("ln_k"))
+  }
 }

@@ -1886,7 +1886,16 @@ object ExtQueries {
           col("r.text").as("ref"))
       BleuCi.bleuPairedTest(t, "lang", "pid", "hyp_a", "hyp_b", "ref",
         maxN = 4, nBoot = 40, seed = "pt").orderBy("grp")
-    })
+    }),
+
+    // X103 Heaps'-law vocabulary-growth fit per language — x85's
+    // companion corpus-QA number. Checkpoints are per-doc exact
+    // first-occurrence counts; the running sums use the x57/x85
+    // two-level cell decomposition (oracle = naive global window,
+    // re-proving it).
+    "x103_heaps" -> ((s, dir) =>
+      CorpusStats.heapsFit(Tables.documents(s, dir), "lang", "doc_id",
+        "text").orderBy("lang"))
   )
 
   // X95 knobs: 2-sig bands recall near-dups the 4x4 tier misses (at the
@@ -5583,7 +5592,41 @@ object ExtQueries {
         |  wins_a * 1000 >= 950 * n_boot AS significant
         |FROM pta JOIN ptb ON ptb.grp = pta.grp
         |  JOIN cmp ON cmp.grp = pta.grp
-        |ORDER BY pta.grp""".stripMargin
+        |ORDER BY pta.grp""".stripMargin,
+
+    // X103: same first-occurrence checkpoints, NAIVE per-language
+    // cumulative window (the decomposition's spec), same micro-nat
+    // integer least squares as x85
+    "x103_heaps" ->
+      """WITH tw AS (SELECT lang, doc_id AS did,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT lang, did, w FROM tw WHERE length(w) > 0),
+        |fd AS (SELECT lang, w, min(did) AS did FROM tf GROUP BY 1, 2),
+        |nt AS (SELECT lang, did, count(*) AS nt FROM fd GROUP BY 1, 2),
+        |tk AS (SELECT lang, did, count(*) AS tk FROM tf GROUP BY 1, 2),
+        |pd AS (SELECT tk.lang, tk.did, tk.tk, coalesce(nt.nt, 0) AS nt
+        |  FROM tk LEFT JOIN nt ON nt.lang = tk.lang AND nt.did = tk.did),
+        |cm AS (SELECT lang,
+        |  sum(tk) OVER (PARTITION BY lang ORDER BY did) AS cumt,
+        |  sum(nt) OVER (PARTITION BY lang ORDER BY did) AS cumn FROM pd),
+        |p AS (SELECT lang,
+        |  CAST(round(ln(CAST(cumt AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |  CAST(round(ln(CAST(cumn AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM cm),
+        |mo AS (SELECT lang, count(*) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |  sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |  FROM p GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n_points,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN error('degenerate')
+        |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS beta,
+        |  round((CAST(sy AS DOUBLE)
+        |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 1000000.0, 6) AS ln_k
+        |FROM mo ORDER BY lang""".stripMargin
   )
 
   /** Shared x94 CTE: augmented text + per-category counts (phone counted

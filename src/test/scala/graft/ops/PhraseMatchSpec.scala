@@ -29,6 +29,11 @@ class PhraseMatchSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       AhoCorasickHits(GraftBridge.expression(lit("x")), Seq.empty)
     }
+    // '' would never be reported by the automaton though contains
+    // matches it — rejected loudly rather than silently diverging
+    intercept[IllegalArgumentException] {
+      AhoCorasickHits(GraftBridge.expression(lit("x")), Seq("", "a"))
+    }
   }
 
   test("coverage equals per-phrase contains on every doc") {
