@@ -173,4 +173,95 @@ object CorpusStats {
              |  / CAST(n AS DOUBLE) / 1000000.0, 6)""".stripMargin)
         .as("ln_k"))
   }
+
+  /** X104 — population stability index between two corpus slices
+    * (the banking-world drift monitor, standard thresholds 0.1 / 0.25):
+    * PSI = Σ_buckets (p_i − q_i)·ln(p_i/q_i) over hashed vocabulary
+    * buckets — the one number a nightly pipeline watches to catch a
+    * source flipping template, a crawler drifting domains, or a
+    * snapshot diverging from its reference.
+    *
+    * Buckets are md5(word) mod nBuckets (deterministic, engine-portable)
+    * with Laplace +1 smoothing so empty buckets stay finite — counts
+    * stay exact integers. Each bucket's term is rounded to NANO units
+    * and summed as BIGINT (the NB micro-nat discipline widened 1000x:
+    * per-term doubles are deterministic, but a float SUM would depend
+    * on partition order), then the one division seats the display psi.
+    *
+    * 100 TB shape: one token explode per slice, map-side-combined into
+    * nBuckets rows per group — the exchange is bucket-table-sized and
+    * everything after is group-cardinality work.
+    */
+  def psiDrift(current: DataFrame, reference: DataFrame, grpCol: String,
+               textCol: String, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 100000,
+      s"nBuckets $nBuckets out of range [2, 100000]")
+    def bucketCounts(df: DataFrame, out: String): DataFrame =
+      df.select(col(grpCol).as("grp"),
+          explode(split(col(textCol), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .withColumn("bkt", expr(
+          s"CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % $nBuckets"))
+        .groupBy("grp", "bkt").agg(count(lit(1)).as(out))
+    // dense (grp, bucket) grid so zero buckets exist on both sides
+    val grps = bucketCounts(current, "ca").select("grp").distinct()
+      .unionByName(bucketCounts(reference, "cb").select("grp").distinct())
+      .distinct()
+    val grid = grps.crossJoin(
+      current.sparkSession.range(nBuckets).select(col("id").as("bkt")))
+    val joined = grid
+      .join(bucketCounts(current, "ca"), Seq("grp", "bkt"), "left")
+      .join(bucketCounts(reference, "cb"), Seq("grp", "bkt"), "left")
+      .withColumn("ca", coalesce(col("ca"), lit(0L)) + 1)
+      .withColumn("cb", coalesce(col("cb"), lit(0L)) + 1)
+    val tot = joined.groupBy("grp")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    joined.join(tot, Seq("grp"))
+      .withColumn("term_nano", expr(
+        """CAST(round(
+          |  (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+          |  * ln((CAST(ca AS DOUBLE) / na) / (CAST(cb AS DOUBLE) / nb))
+          |  * 1000000000) AS BIGINT)""".stripMargin))
+      .groupBy("grp")
+      .agg((max("na") - lit(nBuckets)).as("n_a"),
+        (max("nb") - lit(nBuckets)).as("n_b"),
+        expr("round(CAST(sum(term_nano) AS DOUBLE) / 1000000000.0, 6)")
+          .as("psi"))
+  }
+
+  /** X105 — Turing frequency re-estimation (Good 1953; Gale & Sampson's
+    * presentation): the frequency-of-frequencies table N_r and the
+    * Turing estimate r* = (r+1)·N_{r+1}/N_r for small r, plus the
+    * unseen-mass estimate P0 = N_1/N as the r = 0 row — the numbers
+    * behind every smoothing decision the LM family (x26/x52/x58)
+    * makes, surfaced as corpus QA.
+    *
+    * All N_r and N are exact integers from two vocab-sized aggregates;
+    * r* and p are round-6 ratios of exact integers.
+    */
+  def goodTuring(docs: DataFrame, grpCol: String, textCol: String,
+                 maxR: Int = 10, gram: Int = 1): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, s"maxR $maxR out of range [1, 1000]")
+    require(gram >= 1 && gram <= 5, s"gram $gram out of range [1, 5]")
+    // n-gram grain: unigram tables in a small-vocab corpus have almost
+    // no rare events; bigrams restore the Zipfian tail N_r exists for
+    val freqs = docs.select(col(grpCol).as("grp"), explode(
+        Dedup.shingles(Dedup.tokens(col(textCol)), gram)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("grp", "w").agg(count(lit(1)).as("r"))
+    val nr = freqs.groupBy(col("grp"), col("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val tot = freqs.groupBy("grp").agg(sum("r").as("n_tokens"))
+    val next = nr.select(col("grp"), (col("r") - 1).as("r"),
+      col("n_r").as("n_r1"))
+    nr.filter(col("r") <= maxR)
+      .join(next, Seq("grp", "r"), "left")
+      .join(tot, Seq("grp"))
+      .select(col("grp"), col("r"), col("n_r"),
+        coalesce(col("n_r1"), lit(0L)).as("n_r1"),
+        col("n_tokens"),
+        expr("""round(CAST((r + 1) * coalesce(n_r1, 0) AS DOUBLE)
+               |  / n_r, 6)""".stripMargin).as("r_star"),
+        expr("round(CAST(r * n_r AS DOUBLE) / n_tokens, 6)").as("p_mass"))
+  }
 }

@@ -1895,7 +1895,25 @@ object ExtQueries {
     // re-proving it).
     "x103_heaps" -> ((s, dir) =>
       CorpusStats.heapsFit(Tables.documents(s, dir), "lang", "doc_id",
-        "text").orderBy("lang"))
+        "text").orderBy("lang")),
+
+    // X104 PSI drift between the even- and odd-doc slices (stand-in
+    // for current-vs-reference snapshots) per language: hashed vocab
+    // buckets, Laplace-smoothed exact counts, nano-scaled integer term
+    // sums so no float addition ever crosses partitions.
+    "x104_psi_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      CorpusStats.psiDrift(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "lang", "text")
+        .orderBy("grp")
+    }),
+
+    // X105 Turing frequency re-estimation per language: N_r table,
+    // r* = (r+1)N_{r+1}/N_r, and per-band probability mass — exact
+    // integer lanes, round-6 ratios.
+    "x105_good_turing" -> ((s, dir) =>
+      CorpusStats.goodTuring(Tables.documents(s, dir), "lang", "text",
+        maxR = 10, gram = 2).orderBy("grp", "r"))
   )
 
   // X95 knobs: 2-sig bands recall near-dups the 4x4 tier misses (at the
@@ -5626,7 +5644,67 @@ object ExtQueries {
         |    - (CAST(n * sxy - sx * sy AS DOUBLE)
         |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) / 1000000.0, 6) AS ln_k
-        |FROM mo ORDER BY lang""".stripMargin
+        |FROM mo ORDER BY lang""".stripMargin,
+
+    // X104: same slices, same md5-mod buckets, same Laplace +1, same
+    // nano-unit term rounding before the integer sum
+    "x104_psi_drift" ->
+      """WITH tka AS (SELECT lang AS grp, w FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE doc_id % 2 = 0) WHERE length(w) > 0),
+        |tkb AS (SELECT lang AS grp, w FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE doc_id % 2 = 1) WHERE length(w) > 0),
+        |ca AS (SELECT grp,
+        |    ('0x' || substring(md5(w), 1, 8))::BIGINT % 64 AS bkt,
+        |    count(*) AS c FROM tka GROUP BY 1, 2),
+        |cb AS (SELECT grp,
+        |    ('0x' || substring(md5(w), 1, 8))::BIGINT % 64 AS bkt,
+        |    count(*) AS c FROM tkb GROUP BY 1, 2),
+        |gs AS (SELECT DISTINCT grp FROM (
+        |    SELECT grp FROM ca UNION ALL SELECT grp FROM cb)),
+        |grid AS (SELECT grp, b.bkt FROM gs CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 63)) AS bkt) b),
+        |j AS (SELECT grid.grp, grid.bkt,
+        |    coalesce(ca.c, 0) + 1 AS ca, coalesce(cb.c, 0) + 1 AS cb
+        |  FROM grid
+        |    LEFT JOIN ca ON ca.grp = grid.grp AND ca.bkt = grid.bkt
+        |    LEFT JOIN cb ON cb.grp = grid.grp AND cb.bkt = grid.bkt),
+        |t AS (SELECT grp, sum(ca) AS na, sum(cb) AS nb FROM j GROUP BY 1),
+        |terms AS (SELECT j.grp, na, nb,
+        |    CAST(round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+        |      * ln((CAST(ca AS DOUBLE) / na) / (CAST(cb AS DOUBLE) / nb))
+        |      * 1000000000) AS BIGINT) AS tn
+        |  FROM j JOIN t ON t.grp = j.grp)
+        |SELECT grp, CAST(max(na) - 64 AS BIGINT) AS n_a,
+        |  CAST(max(nb) - 64 AS BIGINT) AS n_b,
+        |  round(CAST(sum(tn) AS DOUBLE) / 1000000000.0, 6) AS psi
+        |FROM terms GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // X105: same tokenization, frequency-of-frequencies, shifted
+    // self-join for N_{r+1}, round-6 exact-integer ratios
+    "x105_good_turing" ->
+      """WITH tk AS (SELECT lang AS grp, w FROM (
+        |    SELECT lang, unnest(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 1),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))
+        |      AS w
+        |    FROM documents) WHERE length(w) > 0),
+        |f AS (SELECT grp, w, count(*) AS r FROM tk GROUP BY 1, 2),
+        |nr AS (SELECT grp, r, count(*) AS n_r FROM f GROUP BY 1, 2),
+        |t AS (SELECT grp, CAST(sum(r) AS BIGINT) AS n_tokens
+        |  FROM f GROUP BY 1),
+        |nx AS (SELECT grp, r - 1 AS r, n_r AS n_r1 FROM nr)
+        |SELECT nr.grp, CAST(nr.r AS BIGINT) AS r,
+        |  CAST(nr.n_r AS BIGINT) AS n_r,
+        |  CAST(coalesce(nx.n_r1, 0) AS BIGINT) AS n_r1, n_tokens,
+        |  round(CAST((nr.r + 1) * coalesce(nx.n_r1, 0) AS DOUBLE)
+        |    / nr.n_r, 6) AS r_star,
+        |  round(CAST(nr.r * nr.n_r AS DOUBLE) / n_tokens, 6) AS p_mass
+        |FROM nr LEFT JOIN nx ON nx.grp = nr.grp AND nx.r = nr.r
+        |  JOIN t ON t.grp = nr.grp
+        |WHERE nr.r <= 10
+        |ORDER BY nr.grp, nr.r""".stripMargin
   )
 
   /** Shared x94 CTE: augmented text + per-category counts (phone counted
