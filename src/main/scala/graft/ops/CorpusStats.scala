@@ -193,25 +193,40 @@ object CorpusStats {
     * everything after is group-cardinality work.
     */
   def psiDrift(current: DataFrame, reference: DataFrame, grpCol: String,
-               textCol: String, nBuckets: Int = 64): DataFrame = {
+               textCol: String, nBuckets: Int = 64): DataFrame =
+    psiFromBuckets(tokenBuckets(current, grpCol, textCol, nBuckets),
+      tokenBuckets(reference, grpCol, textCol, nBuckets), nBuckets)
+
+  /** (grp, bkt, c) hashed-vocabulary bucket counts — ADDITIVE exact
+    * integers (counts sum across disjoint slices), which is what the
+    * streaming twin's per-batch delta state relies on.
+    */
+  def tokenBuckets(df: DataFrame, grpCol: String, textCol: String,
+                   nBuckets: Int): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 100000,
       s"nBuckets $nBuckets out of range [2, 100000]")
-    def bucketCounts(df: DataFrame, out: String): DataFrame =
-      df.select(col(grpCol).as("grp"),
-          explode(split(col(textCol), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .withColumn("bkt", expr(
-          s"CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % $nBuckets"))
-        .groupBy("grp", "bkt").agg(count(lit(1)).as(out))
+    df.select(col(grpCol).as("grp"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("bkt", expr(
+        s"CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % $nBuckets"))
+      .groupBy("grp", "bkt").agg(count(lit(1)).as("c"))
+  }
+
+  /** PSI from two bucket-count tables — the ONE shared estimator
+    * (batch and stream score through this verbatim): dense grid,
+    * Laplace +1, nano-scaled integer term sums.
+    */
+  def psiFromBuckets(current: DataFrame, reference: DataFrame,
+                     nBuckets: Int): DataFrame = {
     // dense (grp, bucket) grid so zero buckets exist on both sides
-    val grps = bucketCounts(current, "ca").select("grp").distinct()
-      .unionByName(bucketCounts(reference, "cb").select("grp").distinct())
-      .distinct()
+    val grps = current.select("grp").distinct()
+      .unionByName(reference.select("grp").distinct()).distinct()
     val grid = grps.crossJoin(
       current.sparkSession.range(nBuckets).select(col("id").as("bkt")))
     val joined = grid
-      .join(bucketCounts(current, "ca"), Seq("grp", "bkt"), "left")
-      .join(bucketCounts(reference, "cb"), Seq("grp", "bkt"), "left")
+      .join(current.withColumnRenamed("c", "ca"), Seq("grp", "bkt"), "left")
+      .join(reference.withColumnRenamed("c", "cb"), Seq("grp", "bkt"), "left")
       .withColumn("ca", coalesce(col("ca"), lit(0L)) + 1)
       .withColumn("cb", coalesce(col("cb"), lit(0L)) + 1)
     val tot = joined.groupBy("grp")
