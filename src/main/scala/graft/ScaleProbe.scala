@@ -363,6 +363,30 @@ object ScaleProbe {
       graft.ops.PhraseMatch.coverage(docs10, "doc_id", "text", phrases100)
         .write.format("noop").mode("overwrite").save()
     }
+    // corpus-statistics family at 10x: heaps pays the explode + the
+    // vocab min-aggregate + cell windows (<= cellSize rows each); psi
+    // collapses to a bucket table; good-turing to the bigram-type table
+    t("heaps-50k") {
+      graft.ops.CorpusStats.heapsFit(docs10, "lang", "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("psi-drift-50k") {
+      graft.ops.CorpusStats.psiDrift(
+        docs10.filter(col("doc_id") % 2 === 0),
+        docs10.filter(col("doc_id") % 2 === 1), "lang", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("good-turing-bigram-50k") {
+      graft.ops.CorpusStats.goodTuring(docs10, "lang", "text", 10, 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // bootstrap fan-out: 40 weighted count rows per pair — the cost is
+    // the explode volume, not the resample count
+    t("bleu-ci-50k-40boot") {
+      graft.ops.BleuCi.bleuCi(pairs10, "lang", "pid", "hyp", "ref",
+        maxN = 4, nBoot = 40)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -560,4 +560,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
     assert(plan.contains("aho_corasick_hits"), s"plan:\n$plan")
   }
+
+  test("heaps fit: the running sums decompose over doc-id cells — " +
+    "every window is partitioned, no single-partition stage") {
+    val plan = physical(CorpusStats.heapsFit(
+      Tables.documents(spark, sf), "lang", "doc_id", "text"))
+    assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
+    assert(plan.contains("windowspecdefinition(lang"),
+      s"windows must be lang-partitioned in:\n$plan")
+  }
+
+  test("psi drift and good-turing: corpus pays the explode, every " +
+    "aggregate is keyed — no single-partition stage") {
+    val d = Tables.documents(spark, sf)
+    for (df <- Seq(
+        CorpusStats.psiDrift(d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1), "lang", "text"),
+        CorpusStats.goodTuring(d, "lang", "text", maxR = 10, gram = 2))) {
+      val plan = physical(df)
+      assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
+    }
+  }
 }
