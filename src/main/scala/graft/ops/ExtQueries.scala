@@ -1913,7 +1913,29 @@ object ExtQueries {
     // integer lanes, round-6 ratios.
     "x105_good_turing" -> ((s, dir) =>
       CorpusStats.goodTuring(Tables.documents(s, dir), "lang", "text",
-        maxR = 10, gram = 2).orderBy("grp", "r"))
+        maxR = 10, gram = 2).orderBy("grp", "r")),
+
+    // X106 Matryoshka-style truncation audit (Kusupati et al. 2022's
+    // question asked of ANY embedding column): exact top-k recall at
+    // prefix dims 64/32/16/8 vs the full-dim truth — the measured
+    // curve that licenses (or forbids) serving truncated vectors.
+    // Dim 64 is the full width, a built-in recall=1.0 harness check.
+    "x106_mrl_truncation" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      def trunc(d: Int) = emb.withColumn("embedding",
+        slice(col("embedding"), 1, d))
+      val exact = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < NumQueries), "vec_id", "embedding",
+          TopK)
+        .select("qid", "cid").localCheckpoint(false)
+      val methods = Seq(64, 32, 16, 8).map { d =>
+        val e = trunc(d)
+        s"trunc_$d" -> Similarity.bruteForceTopK(e,
+          e.filter(col("vec_id") < NumQueries), "vec_id", "embedding",
+          TopK)
+      }
+      Similarity.recallAudit(methods, exact).orderBy("method")
+    })
   )
 
   // X95 knobs: 2-sig bands recall near-dups the 4x4 tier misses (at the
@@ -5704,7 +5726,41 @@ object ExtQueries {
         |FROM nr LEFT JOIN nx ON nx.grp = nr.grp AND nx.r = nr.r
         |  JOIN t ON t.grp = nr.grp
         |WHERE nr.r <= 10
-        |ORDER BY nr.grp, nr.r""".stripMargin
+        |ORDER BY nr.grp, nr.r""".stripMargin,
+
+    // X106: the x43 recall-audit oracle shape over prefix-sliced
+    // embeddings — slice THEN quantize, same as the engine
+    "x106_mrl_truncation" -> {
+      def truncSql(d: Int): String =
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding[1:$d],
+           |    x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+           |scored AS (SELECT qs.vec_id AS qid, c.vec_id AS cid,
+           |  round(list_dot_product(qs.q, c.q)
+           |    / (sqrt(qs.n2) * sqrt(c.n2)), 6) AS sim
+           |  FROM n qs JOIN n c ON c.vec_id != qs.vec_id
+           |  WHERE qs.vec_id < $NumQueries),
+           |ranked AS (SELECT qid, cid,
+           |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid)
+           |    AS rank FROM scored)
+           |SELECT qid, cid FROM ranked WHERE rank <= $TopK""".stripMargin
+      val unions = Seq(64, 32, 16, 8).map(d =>
+        s"SELECT 'trunc_$d' AS method, count(*) AS n_hits " +
+          s"FROM m$d JOIN ex USING (qid, cid)").mkString("\n  UNION ALL ")
+      val mctes = Seq(64, 32, 16, 8).map(d =>
+        s"m$d AS (SELECT qid, cid FROM (${truncSql(d)}))").mkString(",\n")
+      s"""WITH ex AS (SELECT qid, cid FROM (${truncSql(64)})),
+         |$mctes,
+         |t AS (SELECT count(*) AS n_truth FROM ex),
+         |u AS (
+         |  $unions)
+         |SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(t.n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_hits * 1000000 // t.n_truth AS BIGINT) AS recall_ppm
+         |FROM u CROSS JOIN t ORDER BY method""".stripMargin
+    }
   )
 
   /** Shared x94 CTE: augmented text + per-category counts (phone counted
