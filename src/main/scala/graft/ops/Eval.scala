@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X107/X108 — classifier-evaluation primitives with exact integer
+  * lanes: the numbers a labeling/filtering pipeline quotes when it
+  * claims two gates agree (chance-corrected) or a feature separates a
+  * class (threshold-free).
+  */
+object Eval {
+
+  /** X107 — Cohen's kappa (Cohen 1960): chance-corrected agreement
+    * between two label columns. The entire statistic is one exact
+    * rational: kappa = (n·agree − Σ_c a_c·b_c) / (n² − Σ_c a_c·b_c),
+    * where a_c/b_c are the raters' marginal class counts — numerator
+    * and denominator are emitted as exact BIGINTs beside the round-6
+    * display ratio. A degenerate pair (both raters constant and equal,
+    * den = 0) reports kappa 0 rather than dividing by zero.
+    *
+    * 100 TB shape: one scan for (n, agree), marginals are
+    * class-cardinality aggregates, the cross term joins two
+    * class-sized tables. Nothing beyond class grain shuffles twice.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val pairs = df.select(col(aCol).as("a"), col(bCol).as("b"))
+    val base = pairs.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
+    val cross = pairs.groupBy(col("a").as("c")).agg(count(lit(1)).as("ca"))
+      .join(pairs.groupBy(col("b").as("c")).agg(count(lit(1)).as("cb")),
+        Seq("c"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("cpe"))
+    base.crossJoin(broadcast(cross))
+      .select(col("n"), col("n_agree"),
+        (col("n") * col("n_agree") - col("cpe")).as("num"),
+        (col("n") * col("n") - col("cpe")).as("den"))
+      .withColumn("kappa", expr(
+        """CASE WHEN den = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE round(CAST(num AS DOUBLE) / den, 6) END""".stripMargin))
+  }
+
+  /** X108 — exact ROC-AUC of an integer score against a boolean label,
+    * per group (Mann-Whitney U with average-rank tie handling, exactly):
+    * 2·AUC·n_p·n_n = Σ_scores c_p(s)·(2·below_n(s) + c_n(s)), every
+    * term an exact integer, ties contributing their half-credit without
+    * any float. num2/den2 ride beside the round-6 display ratio.
+    *
+    * 100 TB shape: one scan into a (group, score)-TYPE table (integer
+    * features have bounded score types); the cumulative below-count is
+    * a group-PARTITIONED window over that type table; the output is
+    * group-cardinality-sized. num2/den2 are emitted as BIGINT — a
+    * corpus where n_p·n_n exceeds 2⁶³ must reseat them on
+    * DECIMAL(38,0) (the x55/x58 lane); the require makes that seam
+    * loud at the audit grain this runs at.
+    */
+  def aucExact(scored: DataFrame, grpCol: String, scoreCol: String,
+               labelCol: String): DataFrame = {
+    val sg = scored.select(col(grpCol).as("grp"),
+        col(scoreCol).cast("long").as("s"), col(labelCol).as("lbl"))
+      .groupBy("grp", "s")
+      .agg(sum(when(col("lbl"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("lbl"), 1L).otherwise(0L)).as("cn"))
+    val below = Window.partitionBy("grp").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sg.withColumn("cb", coalesce(sum("cn").over(below), lit(0L)))
+      .groupBy("grp")
+      .agg(sum("cp").as("np"), sum("cn").as("nn"),
+        sum(col("cp") * (col("cb") * 2 + col("cn"))).as("num2"))
+      .withColumn("den2", col("np") * col("nn") * 2)
+      .withColumn("auc", expr(
+        """CASE WHEN den2 = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE round(CAST(num2 AS DOUBLE) / den2, 6) END""".stripMargin))
+  }
+}

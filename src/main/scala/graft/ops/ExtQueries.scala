@@ -1935,6 +1935,43 @@ object ExtQueries {
           TopK)
       }
       Similarity.recallAudit(methods, exact).orderBy("method")
+    }),
+
+    // X107 Cohen's kappa over the three rater pairs (NB gate,
+    // perceptron gate, declared label): chance-corrected agreement as
+    // ONE exact rational per pair — the number x59's raw counts lack.
+    "x107_kappa" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val nb = nbClassified(s, dir)
+        .select(col("doc_id"), col("pred").as("nb_pred"))
+      val lp = lpClassified(s, dir)
+        .select(col("doc_id"), col("pred").as("lp_pred"))
+      val joined = d.join(nb, Seq("doc_id")).join(lp, Seq("doc_id"))
+        .localCheckpoint(false)
+      def one(name: String, a: String, b: String) =
+        Eval.cohenKappa(joined, a, b).withColumn("pair", lit(name))
+          .select("pair", "n", "n_agree", "num", "den", "kappa")
+      one("lp_vs_declared", "lp_pred", "lang")
+        .unionByName(one("nb_vs_declared", "nb_pred", "lang"))
+        .unionByName(one("nb_vs_lp", "nb_pred", "lp_pred"))
+        .orderBy("pair")
+    }),
+
+    // X108 exact feature AUC: does a cheap scalar feature separate the
+    // 'is English' class? Tie-aware Mann-Whitney with every lane an
+    // exact integer — the threshold-free audit run before any filter
+    // rule gets a cutoff.
+    "x108_feature_auc" -> ((s, dir) => {
+      val f = Tables.documents(s, dir).select(
+        (col("lang") === "en").as("lbl"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("""(1000 * size(array_distinct(split(text, ' '))))
+               |div size(split(text, ' '))""".stripMargin).as("ttr_permille"))
+      val scores = f.selectExpr("lbl",
+        """stack(3, 'n_chars', n_chars, 'n_tokens', n_tokens,
+          |'ttr_permille', ttr_permille) AS (grp, s)""".stripMargin)
+      Eval.aucExact(scores, "grp", "s", "lbl").orderBy("grp")
     })
   )
 
@@ -5760,7 +5797,65 @@ object ExtQueries {
          |  CAST(t.n_truth AS BIGINT) AS n_truth,
          |  CAST(n_hits * 1000000 // t.n_truth AS BIGINT) AS recall_ppm
          |FROM u CROSS JOIN t ORDER BY method""".stripMargin
-    }
+    },
+
+    // X107: both trained gates replayed (the x59 subquery composition),
+    // kappa as the exact rational (n·agree − Σ a_c·b_c) / (n² − Σ)
+    "x107_kappa" ->
+      s"""WITH nb AS (SELECT doc_id, pred FROM ($nbQualitySql)),
+         |lp AS (SELECT doc_id, pred FROM ($perceptronSql)),
+         |pairs AS (
+         |  SELECT 'lp_vs_declared' AS pair, lp.pred AS a, d.lang AS b
+         |    FROM lp JOIN documents d USING (doc_id)
+         |  UNION ALL SELECT 'nb_vs_declared', nb.pred, d.lang
+         |    FROM nb JOIN documents d USING (doc_id)
+         |  UNION ALL SELECT 'nb_vs_lp', nb.pred, lp.pred
+         |    FROM nb JOIN lp USING (doc_id)),
+         |base AS (SELECT pair, count(*) AS n,
+         |    sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+         |  FROM pairs GROUP BY 1),
+         |ma AS (SELECT pair, a AS c, count(*) AS ca FROM pairs GROUP BY 1, 2),
+         |mb AS (SELECT pair, b AS c, count(*) AS cb FROM pairs GROUP BY 1, 2),
+         |cx AS (SELECT pair, sum(ca * cb) AS cpe
+         |  FROM ma JOIN mb USING (pair, c) GROUP BY 1)
+         |SELECT base.pair, CAST(n AS BIGINT) AS n,
+         |  CAST(agree AS BIGINT) AS n_agree,
+         |  CAST(n * agree - coalesce(cpe, 0) AS BIGINT) AS num,
+         |  CAST(n * n - coalesce(cpe, 0) AS BIGINT) AS den,
+         |  CASE WHEN n * n - coalesce(cpe, 0) = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE round(CAST(n * agree - coalesce(cpe, 0) AS DOUBLE)
+         |      / (n * n - coalesce(cpe, 0)), 6) END AS kappa
+         |FROM base LEFT JOIN cx USING (pair)
+         |ORDER BY base.pair""".stripMargin,
+
+    // X108: same features, same tie-aware exact rank-sum composition
+    "x108_feature_auc" ->
+      """WITH f AS (SELECT lang = 'en' AS lbl,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    (1000 * len(list_distinct(string_split(text, ' '))))
+        |      // len(string_split(text, ' ')) AS ttr_permille
+        |  FROM documents),
+        |u AS (SELECT 'n_chars' AS grp, lbl, CAST(n_chars AS BIGINT) AS s FROM f
+        |  UNION ALL SELECT 'n_tokens', lbl, CAST(n_tokens AS BIGINT) FROM f
+        |  UNION ALL SELECT 'ttr_permille', lbl, CAST(ttr_permille AS BIGINT) FROM f),
+        |sg AS (SELECT grp, s,
+        |    sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS cn
+        |  FROM u GROUP BY 1, 2),
+        |cw AS (SELECT grp, s, cp, cn, coalesce(sum(cn) OVER (
+        |    PARTITION BY grp ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM sg),
+        |ag AS (SELECT grp, sum(cp) AS np, sum(cn) AS nn,
+        |    sum(cp * (cb * 2 + cn)) AS num2
+        |  FROM cw GROUP BY 1)
+        |SELECT grp, CAST(np AS BIGINT) AS np, CAST(nn AS BIGINT) AS nn,
+        |  CAST(num2 AS BIGINT) AS num2,
+        |  CAST(np * nn * 2 AS BIGINT) AS den2,
+        |  CASE WHEN np * nn = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE round(CAST(num2 AS DOUBLE) / (np * nn * 2), 6) END AS auc
+        |FROM ag ORDER BY grp""".stripMargin
   )
 
   /** Shared x94 CTE: augmented text + per-category counts (phone counted

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("kappa: perfect agreement is 1, exact integer lanes") {
+    val df = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    val r = Eval.cohenKappa(df, "a", "b").collect().head
+    assert(r.getAs[Double]("kappa") === 1.0)
+    assert(r.getAs[Long]("num") === r.getAs[Long]("den"))
+  }
+
+  test("kappa: the textbook 2x2 worked example") {
+    // 20 raters-pairs: a=(yes:12, no:8), b=(yes:10, no:10), agree=14
+    // po=0.7, pe=(12*10 + 8*10)/400=0.5 -> kappa=0.4
+    val rows = Seq.fill(9)(("yes", "yes")) ++ Seq.fill(3)(("yes", "no")) ++
+      Seq.fill(1)(("no", "yes")) ++ Seq.fill(5)(("no", "no")) ++
+      Seq.fill(2)(("no", "no"))
+    // recount: yes/yes 9, yes/no 3, no/yes 1, no/no 7 => n=20 agree=16
+    val df = rows.toDF("a", "b")
+    val r = Eval.cohenKappa(df, "a", "b").collect().head
+    val (n, agree) = (20L, 16L)
+    val cpe = 12L * 10 + 8L * 10 // a: yes 12, no 8; b: yes 10, no 10
+    assert(r.getAs[Long]("n") === n && r.getAs[Long]("n_agree") === agree)
+    assert(r.getAs[Long]("num") === n * agree - cpe)
+    assert(r.getAs[Long]("den") === n * n - cpe)
+    assert(r.getAs[Double]("kappa") ===
+      round6((n * agree - cpe).toDouble / (n * n - cpe)))
+  }
+
+  test("kappa: chance-level agreement from independent raters is ~0; " +
+    "constant raters hit the den=0 guard") {
+    val chance = (0 until 400).map(i => (s"c${i % 2}", s"c${(i / 2) % 2}"))
+    val k = Eval.cohenKappa(chance.toDF("a", "b"), "a", "b")
+      .collect().head.getAs[Double]("kappa")
+    assert(math.abs(k) < 0.05, s"kappa $k")
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Eval.cohenKappa(const, "a", "b").collect().head
+      .getAs[Double]("kappa") === 0.0)
+  }
+
+  test("auc: perfect separation 1.0, reversed 0.0, random-ish ~0.5") {
+    def auc(rows: Seq[(Long, Boolean)]): Double =
+      Eval.aucExact(rows.map(r => ("g", r._1, r._2))
+        .toDF("grp", "s", "lbl"), "grp", "s", "lbl")
+        .collect().head.getAs[Double]("auc")
+    assert(auc(Seq((10L, true), (9L, true), (2L, false), (1L, false))) === 1.0)
+    assert(auc(Seq((1L, true), (2L, true), (9L, false), (10L, false))) === 0.0)
+    val mixed = (0 until 200).map(i => ((i * 7 % 31).toLong, i % 2 == 0))
+    assert(math.abs(auc(mixed) - 0.5) < 0.1)
+  }
+
+  test("auc: ties earn exactly half credit (the average-rank law)") {
+    // all scores equal: AUC must be exactly 0.5, as an exact ratio
+    val r = Eval.aucExact(Seq(("g", 5L, true), ("g", 5L, true),
+        ("g", 5L, false)).toDF("grp", "s", "lbl"), "grp", "s", "lbl")
+      .collect().head
+    assert(r.getAs[Long]("num2") === 2L && r.getAs[Long]("den2") === 4L)
+    assert(r.getAs[Double]("auc") === 0.5)
+  }
+
+  test("auc: groups are independent; single-class group hits the guard") {
+    val rows = Seq(("a", 3L, true), ("a", 1L, false),
+      ("b", 9L, true), ("b", 9L, true))
+    val m = Eval.aucExact(rows.toDF("grp", "s", "lbl"), "grp", "s", "lbl")
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Double]("auc"))
+      .toMap
+    assert(m("a") === 1.0 && m("b") === 0.0) // nn=0 -> den2=0 guard
+  }
+}
