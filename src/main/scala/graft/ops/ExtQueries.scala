@@ -1972,7 +1972,17 @@ object ExtQueries {
         """stack(3, 'n_chars', n_chars, 'n_tokens', n_tokens,
           |'ttr_permille', ttr_permille) AS (grp, s)""".stripMargin)
       Eval.aucExact(scores, "grp", "s", "lbl").orderBy("grp")
-    })
+    }),
+
+    // X109 perceptual image dedup: aHash-16 over the REAL decoded PPM
+    // bytes, exact-hash groups with min-id canonicals. The oracle
+    // re-derives every pixel from the render RULE (never touching the
+    // binary), so a byte-offset bug anywhere in the decode path breaks
+    // the hash match — the x4_wav construction-rule discipline.
+    "x109_image_ahash" -> ((s, dir) =>
+      Multimodal.imagePerceptualDedup(
+        Multimodal.renderPpm(Tables.documents(s, dir), "doc_id"),
+        "doc_id").orderBy("doc_id"))
   )
 
   // X95 knobs: 2-sig bands recall near-dups the 4x4 tier misses (at the
@@ -5855,7 +5865,36 @@ object ExtQueries {
         |  CAST(np * nn * 2 AS BIGINT) AS den2,
         |  CASE WHEN np * nn = 0 THEN CAST(0 AS DOUBLE)
         |    ELSE round(CAST(num2 AS DOUBLE) / (np * nn * 2), 6) END AS auc
-        |FROM ag ORDER BY grp""".stripMargin
+        |FROM ag ORDER BY grp""".stripMargin,
+
+    // X109: pixels re-derived from the render rule (id*31 + 7*byteIdx
+    // mod 256 over a (id%8+1) x (id%5+1) frame) — the binary is never
+    // parsed here, so the engine's byte-walk must agree with the pure
+    // arithmetic to hash-match
+    "x109_image_ahash" -> {
+      // p = 3*(si*w + sj), si = (i*h)//4, sj = (j*w)//4, i = k//4, j = k%4
+      val pidx = "(3 * ((((ks.k // 4) * h) // 4) * w + (((ks.k % 4)) * w) // 4))"
+      def chan(d: Int) = s"((31 * doc_id + 7 * ($pidx + $d)) % 256)"
+      s"""WITH im AS (SELECT doc_id,
+         |    CAST(doc_id % 8 + 1 AS INTEGER) AS w,
+         |    CAST(doc_id % 5 + 1 AS INTEGER) AS h FROM documents),
+         |cells AS (SELECT doc_id, w, h, ks.k AS k,
+         |    (${chan(0)} + ${chan(1)} + ${chan(2)}) // 3 AS g
+         |  FROM im CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 15)) AS k) ks),
+         |av AS (SELECT doc_id, sum(g) // 16 AS avg FROM cells GROUP BY 1),
+         |hs AS (SELECT cells.doc_id, max(cells.w) AS width,
+         |    max(cells.h) AS height,
+         |    CAST(sum(CASE WHEN g > av.avg
+         |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM cells JOIN av ON av.doc_id = cells.doc_id GROUP BY 1),
+         |gr AS (SELECT ahash, CAST(count(*) AS BIGINT) AS group_n,
+         |    min(doc_id) AS canonical_id FROM hs GROUP BY 1)
+         |SELECT hs.doc_id, hs.width, hs.height, hs.ahash,
+         |  gr.group_n, gr.canonical_id
+         |FROM hs JOIN gr ON gr.ahash = hs.ahash
+         |ORDER BY hs.doc_id""".stripMargin
+    }
   )
 
   /** Shared x94 CTE: augmented text + per-category counts (phone counted

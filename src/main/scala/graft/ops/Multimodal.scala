@@ -302,4 +302,56 @@ object Multimodal {
       col("meta.mime").as("mime"),
       col("meta.width").as("width"),
       col("meta.height").as("height"))
+
+  /** X109 — 16-bit average hash of a decoded PPM: grayscale the pixels,
+    * nearest-sample a 4x4 grid (source index (i·h) div 4 — defined for
+    * every h ≥ 1, no interpolation so every step is exact integer),
+    * threshold each cell against the integer mean of the 16 samples.
+    * The standard perceptual-hash recipe (aHash, as popularized by the
+    * pHash family) restricted to exact arithmetic so any engine —
+    * including an oracle that RE-DERIVES pixels from the render rule
+    * instead of parsing bytes — reproduces the hash bit-for-bit.
+    */
+  def aHash16(blob: Array[Byte]): Option[(Int, Int, Long)] =
+    decodePpmHeader(blob).map { case (w, h, _, n) =>
+      val off = blob.length - n
+      def gray(si: Int, sj: Int): Int = {
+        val p = off + 3 * (si * w + sj)
+        ((blob(p) & 0xff) + (blob(p + 1) & 0xff) + (blob(p + 2) & 0xff)) / 3
+      }
+      val cells = for (i <- 0 until 4; j <- 0 until 4)
+        yield gray(i * h / 4, j * w / 4)
+      val avg = cells.sum / 16
+      var hash = 0L
+      for (k <- cells.indices if cells(k) > avg) hash |= 1L << k
+      (w, h, hash)
+    }
+
+  /** X109 — perceptual image dedup: group images by their exact aHash
+    * (identical 16-bit signature = near-identical content under this
+    * grid), pick the min-id canonical per group. 100 TB shape: the
+    * blobs never shuffle — decode and hash are partition-local, the
+    * exchange carries (id, w, h, hash) rows, and the dedup is a plain
+    * hash group-by (the x1 exact-dedup discipline on a perceptual key).
+    * A Hamming-banded tier (the x79 pigeonhole) is the loosening knob
+    * when exact signature equality is too strict.
+    */
+  def imagePerceptualDedup(images: DataFrame, idCol: String): DataFrame = {
+    val spark = images.sparkSession
+    val rdd = images.select(col(idCol), col("image")).rdd.mapPartitions {
+      rows => rows.flatMap { r =>
+        aHash16(r.getAs[Array[Byte]](1)).map { case (w, h, hash) =>
+          Row(r.getLong(0), w, h, hash)
+        }
+      }
+    }
+    val hashed = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("ahash", LongType))))
+    val groups = hashed.groupBy("ahash")
+      .agg(count(lit(1)).as("group_n"), min("doc_id").as("canonical_id"))
+    hashed.join(groups, Seq("ahash"))
+      .select(col("doc_id"), col("width"), col("height"), col("ahash"),
+        col("group_n"), col("canonical_id"))
+  }
 }
