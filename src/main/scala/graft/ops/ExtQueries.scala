@@ -1982,6 +1982,14 @@ object ExtQueries {
     "x109_image_ahash" -> ((s, dir) =>
       Multimodal.imagePerceptualDedup(
         Multimodal.renderPpm(Tables.documents(s, dir), "doc_id"),
+        "doc_id").orderBy("doc_id")),
+
+    // X110 perceptual audio dedup: the x109 discipline on the PCM
+    // stream — 8-window energy-delta fingerprint over the real decoded
+    // bytes, oracle re-deriving every sample from the render rule.
+    "x110_audio_fp" -> ((s, dir) =>
+      Multimodal.audioPerceptualDedup(
+        Multimodal.renderWav(Tables.documents(s, dir), "doc_id"),
         "doc_id").orderBy("doc_id"))
   )
 
@@ -5894,6 +5902,38 @@ object ExtQueries {
          |  gr.group_n, gr.canonical_id
          |FROM hs JOIN gr ON gr.ahash = hs.ahash
          |ORDER BY hs.doc_id""".stripMargin
+    },
+
+    // X110: samples re-derived from the render rule (id*131 + 17*word
+    // mod 65536 minus 32768, nWords = (id%50+1)*(id%2+1)); window
+    // energies as conditional integer sums over the word list
+    "x110_audio_fp" -> {
+      val eCols = (0 until 8).map(k =>
+        s"sum(CASE WHEN i >= $k * nw // 8 AND i < ${k + 1} * nw // 8 " +
+          s"THEN s * s ELSE 0 END) AS e$k").mkString(",\n        |    ")
+      val fpBits = (0 until 7).map(j =>
+        s"(CASE WHEN e${j + 1} > e$j THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id,
+         |    CAST((doc_id % 50 + 1) * (doc_id % 2 + 1) AS BIGINT) AS nw
+         |  FROM documents),
+         |sq AS (SELECT doc_id, nw, i,
+         |    (doc_id * 131 + i * 17) % 65536 - 32768 AS s
+         |  FROM (SELECT doc_id, nw,
+         |    unnest(generate_series(0, nw - 1)) AS i FROM w)),
+         |en AS (SELECT doc_id, max(nw) AS n_words,
+         |    $eCols,
+         |    sum(s * s) AS energy
+         |  FROM sq GROUP BY 1),
+         |fp AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |    CAST($fpBits AS BIGINT) AS fp,
+         |    CAST(energy AS BIGINT) AS energy FROM en),
+         |gr AS (SELECT fp.fp, CAST(count(*) AS BIGINT) AS group_n,
+         |    min(doc_id) AS canonical_id FROM fp GROUP BY 1)
+         |SELECT fp.doc_id, fp.n_words, fp.fp, fp.energy,
+         |  gr.group_n, gr.canonical_id
+         |FROM fp JOIN gr ON gr.fp = fp.fp
+         |ORDER BY fp.doc_id""".stripMargin
     }
   )
 

@@ -237,7 +237,19 @@ object Multimodal {
     * present (a truncated file reports what it holds, not what the
     * header claims).
     */
-  def decodeWavHeader(blob: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+  def decodeWavHeader(blob: Array[Byte]): Option[(Int, Int, Int, Long, Long)] =
+    wavChunks(blob).map { case (_, channels, sampleRate, bits, blockAlign,
+        _, dataLen) =>
+      val nSamples = dataLen / blockAlign
+      (channels, sampleRate, bits, nSamples, nSamples * 1000000L / sampleRate)
+    }
+
+  /** The RIFF chunk walk shared by the header decode and the
+    * fingerprint: (fmtCode, channels, sampleRate, bits, blockAlign,
+    * dataOff, dataLen) — None under the same rejection rules as before.
+    */
+  private def wavChunks(blob: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int, Int, Long)] = {
     if (blob.length < 12) return None
     val b = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(off: Int) = new String(blob, off, 4, "US-ASCII")
@@ -245,7 +257,7 @@ object Multimodal {
     var off = 12L // Long: a hostile 32-bit length must not overflow the cursor
     var fmtCode = 0; var channels = 0; var sampleRate = 0
     var bits = 0; var blockAlign = 0
-    var dataLen = -1L
+    var dataLen = -1L; var dataOff = -1
     while (off + 8 <= blob.length && (channels == 0 || dataLen < 0)) {
       val o = off.toInt
       val id = tag(o); val len = b.getInt(o + 4)
@@ -259,18 +271,17 @@ object Multimodal {
         sampleRate = b.getInt(o + 12)
         blockAlign = b.getShort(o + 20)
         bits = b.getShort(o + 22)
-      } else if (id == "data")
+      } else if (id == "data") {
         // clamp to bytes actually present — truncated files report content
         dataLen = math.min(len.toLong, math.max(0L, blob.length - (o + 8L)))
+        dataOff = o + 8
+      }
       off += 8L + len + (len & 1) // chunks are word-aligned
     }
     if (fmtCode != 1 || channels <= 0 || sampleRate <= 0 || blockAlign <= 0 ||
         bits <= 0 || dataLen < 0) None
-    else {
-      val nSamples = dataLen / blockAlign
-      Some((channels, sampleRate, bits, nSamples,
-        nSamples * 1000000L / sampleRate))
-    }
+    else Some((fmtCode, channels, sampleRate, bits, blockAlign, dataOff,
+      dataLen))
   }
 
   /** Decode WAV headers across a table of audio blobs via mapPartitions —
@@ -302,6 +313,62 @@ object Multimodal {
       col("meta.mime").as("mime"),
       col("meta.width").as("width"),
       col("meta.height").as("height"))
+
+  /** X110 — 7-bit energy-delta fingerprint of a decoded PCM WAV
+    * (Haitsma & Kalker 2002's sign-of-band-energy-difference recipe
+    * collapsed to the time axis): split the int16 word stream into 8
+    * equal windows, E_k = Σ s², bit k = E_{k+1} > E_k. Every energy is
+    * an exact long (|s| ≤ 2¹⁵ → s² ≤ 2³⁰ per term), so the fingerprint
+    * replays in any engine — including an oracle that re-derives the
+    * samples from the render rule without parsing a byte.
+    */
+  def audioFingerprint(blob: Array[Byte]): Option[(Long, Long, Long)] =
+    wavChunks(blob).map { case (_, _, _, _, _, dataOff, dataLen) =>
+      val b = java.nio.ByteBuffer.wrap(blob)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val nWords = (dataLen / 2).toInt
+      val e = new Array[Long](8)
+      var total = 0L
+      var k = 0
+      while (k < 8) {
+        var i = k * nWords / 8
+        val end = (k + 1) * nWords / 8
+        while (i < end) {
+          val s = b.getShort(dataOff + 2 * i).toLong
+          e(k) += s * s
+          i += 1
+        }
+        total += e(k)
+        k += 1
+      }
+      var fp = 0L
+      for (j <- 0 until 7 if e(j + 1) > e(j)) fp |= 1L << j
+      (fp, nWords.toLong, total)
+    }
+
+  /** X110 — perceptual audio dedup: exact-fingerprint groups with
+    * min-id canonicals, the [[imagePerceptualDedup]] discipline on the
+    * audio key. Blobs never shuffle; the exchange carries
+    * (id, n_words, fp, energy) rows only.
+    */
+  def audioPerceptualDedup(audio: DataFrame, idCol: String): DataFrame = {
+    val spark = audio.sparkSession
+    val rdd = audio.select(col(idCol), col("audio")).rdd.mapPartitions {
+      rows => rows.flatMap { r =>
+        audioFingerprint(r.getAs[Array[Byte]](1)).map {
+          case (fp, nWords, total) => Row(r.getLong(0), nWords, fp, total)
+        }
+      }
+    }
+    val hashed = spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_words", LongType),
+      StructField("fp", LongType), StructField("energy", LongType))))
+    val groups = hashed.groupBy("fp")
+      .agg(count(lit(1)).as("group_n"), min("doc_id").as("canonical_id"))
+    hashed.join(groups, Seq("fp"))
+      .select(col("doc_id"), col("n_words"), col("fp"), col("energy"),
+        col("group_n"), col("canonical_id"))
+  }
 
   /** X109 — 16-bit average hash of a decoded PPM: grayscale the pixels,
     * nearest-sample a 4x4 grid (source index (i·h) div 4 — defined for
