@@ -1990,7 +1990,31 @@ object ExtQueries {
     "x110_audio_fp" -> ((s, dir) =>
       Multimodal.audioPerceptualDedup(
         Multimodal.renderWav(Tables.documents(s, dir), "doc_id"),
-        "doc_id").orderBy("doc_id"))
+        "doc_id").orderBy("doc_id")),
+
+    // X111 cross-modal consistency audit: doc groups sharing a
+    // PERCEPTUAL image hash whose texts disagree (distinct norm_fp) —
+    // the same-image-different-caption smell a multimodal corpus QA
+    // pass flags. Image key = x109's aHash (collides by construction
+    // in 16 bits), text key = x9's norm_fp; the audit is two group-bys
+    // and a join. (The text-keyed direction is vacuous on this corpus:
+    // no two docs normalize to the same text.)
+    "x111_modal_consistency" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val text = d.select(col("doc_id"),
+        md5(TextAnalysis.normalize(col("text"))).as("norm_fp"))
+      val img = Multimodal.imagePerceptualDedup(
+          Multimodal.renderPpm(d, "doc_id"), "doc_id")
+        .select(col("doc_id"), col("ahash"))
+      text.join(img, Seq("doc_id"))
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("norm_fp")).as("n_text"),
+          min("doc_id").as("canonical_id"))
+        .filter(col("n_docs") > 1)
+        .withColumn("consistent", col("n_text") === 1)
+        .orderBy("ahash")
+    })
   )
 
   // X95 knobs: 2-sig bands recall near-dups the 4x4 tier misses (at the
@@ -5934,6 +5958,36 @@ object ExtQueries {
          |  gr.group_n, gr.canonical_id
          |FROM fp JOIN gr ON gr.fp = fp.fp
          |ORDER BY fp.doc_id""".stripMargin
+    },
+
+    // X111: the x9 norm_fp and the x109 rule-derived aHash joined into
+    // the same two-group-by audit
+    "x111_modal_consistency" -> {
+      val pidx = "(3 * ((((ks.k // 4) * h) // 4) * w + (((ks.k % 4)) * w) // 4))"
+      def chan(d: Int) = s"((31 * doc_id + 7 * ($pidx + $d)) % 256)"
+      s"""WITH tf AS (SELECT doc_id,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
+         |  FROM documents),
+         |im AS (SELECT doc_id,
+         |    CAST(doc_id % 8 + 1 AS INTEGER) AS w,
+         |    CAST(doc_id % 5 + 1 AS INTEGER) AS h FROM documents),
+         |cells AS (SELECT doc_id, ks.k AS k,
+         |    (${chan(0)} + ${chan(1)} + ${chan(2)}) // 3 AS g
+         |  FROM im CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 15)) AS k) ks),
+         |av AS (SELECT doc_id, sum(g) // 16 AS avg FROM cells GROUP BY 1),
+         |hs AS (SELECT cells.doc_id,
+         |    CAST(sum(CASE WHEN g > av.avg
+         |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM cells JOIN av ON av.doc_id = cells.doc_id GROUP BY 1)
+         |SELECT hs.ahash, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT tf.norm_fp) AS BIGINT) AS n_text,
+         |  min(tf.doc_id) AS canonical_id,
+         |  count(DISTINCT tf.norm_fp) = 1 AS consistent
+         |FROM tf JOIN hs ON hs.doc_id = tf.doc_id
+         |GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY hs.ahash""".stripMargin
     }
   )
 
