@@ -54,6 +54,42 @@ object Eval {
     * DECIMAL(38,0) (the x55/x58 lane); the require makes that seam
     * loud at the audit grain this runs at.
     */
+  /** X112 — Kendall rank correlation between each method's top-k
+    * ranking and the exact ranking, over their SHARED candidates (the
+    * x43 recall audit says "found them"; this says "in the right
+    * order"). Both rankings are tie-free by construction (deterministic
+    * id tie-breaks), so tau = (C − D) / P exactly, with C/D/P exact
+    * integer sums of per-query pair comparisons. Per-query pair work is
+    * k²-bounded — audit-sized like the recall join, never corpus-sized.
+    */
+  def kendallTau(methods: Seq[(String, DataFrame)],
+                 exact: DataFrame): DataFrame = {
+    require(methods.nonEmpty, "need at least one method to compare")
+    val truth = exact.select(col("qid"), col("cid"),
+      col("rank").as("re"))
+    methods.map { case (name, df) =>
+      val shared = df.select(col("qid"), col("cid"), col("rank").as("ra"))
+        .join(truth, Seq("qid", "cid"))
+      val pairs = shared.as("x").join(shared.as("y"),
+          col("x.qid") === col("y.qid") && col("x.cid") < col("y.cid"))
+        .select(
+          ((col("x.re") - col("y.re")).cast("long") *
+            (col("x.ra") - col("y.ra")).cast("long")).as("prod"))
+      pairs.agg(
+          sum(when(col("prod") > 0, 1L).otherwise(0L)).as("concordant"),
+          sum(when(col("prod") < 0, 1L).otherwise(0L)).as("discordant"),
+          count(lit(1)).as("n_pairs"))
+        .select(lit(name).as("method"),
+          coalesce(col("concordant"), lit(0L)).as("concordant"),
+          coalesce(col("discordant"), lit(0L)).as("discordant"),
+          col("n_pairs"))
+    }.reduce(_ unionByName _)
+      .withColumn("tau", expr(
+        """CASE WHEN n_pairs = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE round(CAST(concordant - discordant AS DOUBLE) / n_pairs, 6)
+          |END""".stripMargin))
+  }
+
   def aucExact(scored: DataFrame, grpCol: String, scoreCol: String,
                labelCol: String): DataFrame = {
     val sg = scored.select(col(grpCol).as("grp"),

@@ -1999,6 +1999,34 @@ object ExtQueries {
     // in 16 bits), text key = x9's norm_fp; the audit is two group-bys
     // and a join. (The text-keyed direction is vacuous on this corpus:
     // no two docs normalize to the same text.)
+    // X112 rank fidelity of every ANN tier: Kendall tau between each
+    // method's top-k and the exact ranking over their shared
+    // candidates — x43 measures WHAT was found, this measures whether
+    // it arrived in the right ORDER (ADC distortion reorders even when
+    // recall holds). Exact C/D/P integer lanes, k²-bounded pair work.
+    "x112_rank_tau" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < NumQueries)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+        TopK).select("qid", "cid", "rank").localCheckpoint(false)
+      Eval.kendallTau(Seq(
+        "ann_ivf" -> Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+          TopK, nlist = IvfNlist, nprobe = IvfNprobe),
+        "ann_lsh" -> Similarity.lshTopK(emb, qs, "vec_id", "embedding",
+          TopK, bits = LshBits),
+        "ivf_pq" -> Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding",
+          TopK, nlist = IvfPqNlist, nprobe = IvfPqNprobe,
+          numSub = PqNumSub, codes = PqCodes,
+          trained = Some(ivfPqTrained(s, dir))),
+        "ivf_pq_refine" -> ivfPqRefined(s, dir),
+        "lsh_multiprobe" -> Similarity.lshMultiProbeTopK(emb, qs, "vec_id",
+          "embedding", TopK, bits = LshBits, probeDist = LshProbeDist),
+        "pq_ann" -> Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+          TopK, numSub = PqNumSub, codes = PqCodes,
+          codebook = Some(pqCodebook(s, dir)))), exact)
+        .orderBy("method")
+    }),
+
     "x111_modal_consistency" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val text = d.select(col("doc_id"),
@@ -2621,6 +2649,51 @@ object ExtQueries {
        |  CAST(t.n_truth AS BIGINT) AS n_truth,
        |  CAST(n_hits * 1000000 // t.n_truth AS BIGINT) AS recall_ppm
        |FROM u CROSS JOIN t ORDER BY method""".stripMargin).toMap
+
+  /** x112 rank-fidelity oracle: each method's ranked subquery joined
+    * to the exact ranking on shared (qid, cid), per-query pair
+    * products, exact C/D/P counts — same conditional-emission contract
+    * as [[annRecallOracle]].
+    */
+  private def rankTauOracle: Map[String, String] = (for {
+    ivf <- ivfOracle.get("x2_ann_ivf")
+    pq <- pqOracle.get("x20_pq_ann")
+    ivfpq <- ivfPqOracle.get("x21_ivf_pq")
+    refine <- annRefineOracle.get("x51_ann_refine")
+  } yield {
+    val methods = Seq("ann_ivf" -> ivf, "ann_lsh" -> annLshSql,
+      "ivf_pq" -> ivfpq, "ivf_pq_refine" -> refine,
+      "lsh_multiprobe" -> lshMultiProbeSql, "pq_ann" -> pq)
+    val mCtes = methods.zipWithIndex.map { case ((_, sql), i) =>
+      s"""s$i AS (SELECT m.qid, m.cid, m.rank AS ra, ex.re
+         |  FROM (SELECT qid, cid, rank FROM ($sql)) m
+         |  JOIN ex ON ex.qid = m.qid AND ex.cid = m.cid)""".stripMargin
+    }.mkString(",\n")
+    val unions = methods.zipWithIndex.map { case ((name, _), i) =>
+      s"""SELECT '$name' AS method,
+         |    coalesce(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END), 0)
+         |      AS concordant,
+         |    coalesce(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END), 0)
+         |      AS discordant,
+         |    count(*) AS n_pairs FROM (
+         |    SELECT (CAST(x.re AS BIGINT) - y.re)
+         |      * (CAST(x.ra AS BIGINT) - y.ra) AS prod
+         |    FROM s$i x JOIN s$i y
+         |      ON x.qid = y.qid AND x.cid < y.cid)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    "x112_rank_tau" ->
+      s"""WITH ex AS (SELECT qid, cid, rank AS re FROM ($cosineTopkSql)),
+         |$mCtes,
+         |u AS (
+         |  $unions)
+         |SELECT method, CAST(concordant AS BIGINT) AS concordant,
+         |  CAST(discordant AS BIGINT) AS discordant,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CASE WHEN n_pairs = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE round(CAST(concordant - discordant AS DOUBLE) / n_pairs, 6)
+         |  END AS tau
+         |FROM u ORDER BY method""".stripMargin
+  }).toMap
 
   /** x44 oracle building blocks: the full BPE training unrolled round by
     * round, x37-style — w0 is the word-type table; each round counts
@@ -3551,7 +3624,8 @@ object ExtQueries {
   def oracle: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfPqOracle ++ semDedupOracle ++
       protoPruneOracle ++ d4Oracle ++
-      tempMixOracle ++ annRecallOracle ++ annRefineOracle ++ Map(
+      tempMixOracle ++ annRecallOracle ++ rankTauOracle ++
+      annRefineOracle ++ Map(
 
     "x51_lsh_multiprobe" -> lshMultiProbeSql,
 

@@ -64,6 +64,35 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("auc") === 0.5)
   }
 
+  test("kendall tau: identical ranking 1, reversed -1, partial overlap") {
+    def rk(rows: (Long, Long, Int)*) = rows.toDF("qid", "cid", "rank")
+    val exact = rk((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4))
+    def tau(m: org.apache.spark.sql.DataFrame): (Long, Long, Long, Double) = {
+      val r = Eval.kendallTau(Seq("m" -> m), exact).collect().head
+      (r.getAs[Long]("concordant"), r.getAs[Long]("discordant"),
+        r.getAs[Long]("n_pairs"), r.getAs[Double]("tau"))
+    }
+    assert(tau(exact) === ((6L, 0L, 6L, 1.0)))
+    val rev = rk((1L, 10L, 4), (1L, 11L, 3), (1L, 12L, 2), (1L, 13L, 1))
+    assert(tau(rev) === ((0L, 6L, 6L, -1.0)))
+    // method finds only 3 of 4, with one swap: pairs C(3,2)=3, one discordant
+    val part = rk((1L, 10L, 1), (1L, 12L, 2), (1L, 11L, 3))
+    assert(tau(part) === ((2L, 1L, 3L, round6(1.0 / 3))))
+  }
+
+  test("kendall tau: pairs never cross queries; empty overlap hits the guard") {
+    def rk(rows: (Long, Long, Int)*) = rows.toDF("qid", "cid", "rank")
+    val exact = rk((1L, 10L, 1), (1L, 11L, 2), (2L, 10L, 1), (2L, 11L, 2))
+    val m = rk((1L, 10L, 1), (1L, 11L, 2), (2L, 10L, 2), (2L, 11L, 1))
+    val r = Eval.kendallTau(Seq("m" -> m), exact).collect().head
+    assert(r.getAs[Long]("n_pairs") === 2) // one pair per query, not C(4,2)
+    assert(r.getAs[Double]("tau") === 0.0) // +1 and -1 cancel
+    val none = Eval.kendallTau(
+      Seq("m" -> rk((9L, 99L, 1))), exact).collect().head
+    assert(none.getAs[Long]("n_pairs") === 0
+      && none.getAs[Double]("tau") === 0.0)
+  }
+
   test("auc: groups are independent; single-class group hits the guard") {
     val rows = Seq(("a", 3L, true), ("a", 1L, false),
       ("b", 9L, true), ("b", 9L, true))
