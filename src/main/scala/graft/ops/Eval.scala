@@ -90,6 +90,57 @@ object Eval {
           |END""".stripMargin))
   }
 
+  /** X113 — nDCG@k of each method against binary relevance (membership
+    * in the exact top-k): DCG = Σ rel_i / log2(i+1), with the position
+    * weights PRE-SCALED to integer micro-units (round(10⁶/log2(i+1)) —
+    * a fixed k-entry table both engines inline identically), so the
+    * per-query and corpus sums are exact integers and no float ever
+    * crosses a partition. The ideal DCG is the same weight table's
+    * prefix sum at min(k, n_relevant); ndcg is the one round-6 ratio.
+    * Position emphasis is what [[kendallTau]]'s uniform pairs lack —
+    * a swap at rank 1 costs nDCG far more than one at rank k.
+    */
+  /** The micro-unit position weights — ONE table shared with the
+    * oracle side (interpolated as literals there), so the log never
+    * evaluates in two engines.
+    */
+  def ndcgWeightsMicro(k: Int): IndexedSeq[Long] = (1 to k).map(i =>
+    math.round(1e6 / (math.log(i + 1) / math.log(2))))
+
+  def ndcgAt(methods: Seq[(String, DataFrame)], exact: DataFrame,
+             k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k $k out of range [1, 100]")
+    val wMicro = ndcgWeightsMicro(k)
+    val wCase = (1 to k).map(i =>
+      s"WHEN rank = $i THEN ${wMicro(i - 1)}").mkString(
+      "CASE ", " ", " ELSE 0 END")
+    val idealPrefix = wMicro.scanLeft(0L)(_ + _) // idealPrefix(m) = Σ first m
+    val idealCase = (0 to k).map(m =>
+      s"WHEN n_rel = $m THEN ${idealPrefix(m)}").mkString(
+      "CASE ", " ", s" ELSE ${idealPrefix(k)} END")
+
+    val truth = exact.select(col("qid"), col("cid"))
+    // per-query ideal: min(k, n_relevant) weights — n_relevant is the
+    // exact list's size per query (= k normally; fewer on tiny corpora)
+    val ideal = truth.groupBy("qid")
+      .agg(least(count(lit(1)), lit(k.toLong)).as("n_rel"))
+      .withColumn("idcg_micro", expr(idealCase))
+      .agg(sum("idcg_micro").as("idcg_micro"))
+
+    methods.map { case (name, df) =>
+      df.filter(col("rank") <= k)
+        .join(truth, Seq("qid", "cid"), "left_semi")
+        .select(expr(wCase).as("w"))
+        .agg(coalesce(sum("w"), lit(0L)).as("dcg_micro"))
+        .select(lit(name).as("method"), col("dcg_micro"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(ideal))
+      .withColumn("ndcg", expr(
+        """CASE WHEN idcg_micro = 0 THEN CAST(0 AS DOUBLE)
+          |ELSE round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6)
+          |END""".stripMargin))
+  }
+
   def aucExact(scored: DataFrame, grpCol: String, scoreCol: String,
                labelCol: String): DataFrame = {
     val sg = scored.select(col(grpCol).as("grp"),

@@ -2027,6 +2027,33 @@ object ExtQueries {
         .orderBy("method")
     }),
 
+    // X113 nDCG@k of every ANN tier against exact-top-k relevance:
+    // position-weighted complement of x112 (a rank-1 miss costs more
+    // than a rank-k miss). Weights are one integer micro-unit table
+    // shared with the oracle, so every sum is exact.
+    "x113_ndcg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < NumQueries)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+        TopK).select("qid", "cid", "rank").localCheckpoint(false)
+      Eval.ndcgAt(Seq(
+        "ann_ivf" -> Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+          TopK, nlist = IvfNlist, nprobe = IvfNprobe),
+        "ann_lsh" -> Similarity.lshTopK(emb, qs, "vec_id", "embedding",
+          TopK, bits = LshBits),
+        "ivf_pq" -> Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding",
+          TopK, nlist = IvfPqNlist, nprobe = IvfPqNprobe,
+          numSub = PqNumSub, codes = PqCodes,
+          trained = Some(ivfPqTrained(s, dir))),
+        "ivf_pq_refine" -> ivfPqRefined(s, dir),
+        "lsh_multiprobe" -> Similarity.lshMultiProbeTopK(emb, qs, "vec_id",
+          "embedding", TopK, bits = LshBits, probeDist = LshProbeDist),
+        "pq_ann" -> Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+          TopK, numSub = PqNumSub, codes = PqCodes,
+          codebook = Some(pqCodebook(s, dir)))), exact, TopK)
+        .orderBy("method")
+    }),
+
     "x111_modal_consistency" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val text = d.select(col("doc_id"),
@@ -2693,6 +2720,47 @@ object ExtQueries {
          |    ELSE round(CAST(concordant - discordant AS DOUBLE) / n_pairs, 6)
          |  END AS tau
          |FROM u ORDER BY method""".stripMargin
+  }).toMap
+
+  /** x113 nDCG oracle: the same micro-unit weight table inlined as
+    * literals, per-method hit weights summed over shared (qid, cid),
+    * the per-query ideal from exact-list sizes.
+    */
+  private def ndcgOracle: Map[String, String] = (for {
+    ivf <- ivfOracle.get("x2_ann_ivf")
+    pq <- pqOracle.get("x20_pq_ann")
+    ivfpq <- ivfPqOracle.get("x21_ivf_pq")
+    refine <- annRefineOracle.get("x51_ann_refine")
+  } yield {
+    val methods = Seq("ann_ivf" -> ivf, "ann_lsh" -> annLshSql,
+      "ivf_pq" -> ivfpq, "ivf_pq_refine" -> refine,
+      "lsh_multiprobe" -> lshMultiProbeSql, "pq_ann" -> pq)
+    val w = Eval.ndcgWeightsMicro(TopK)
+    val wCase = (1 to TopK).map(i =>
+      s"WHEN $i THEN ${w(i - 1)}").mkString("CASE m.rank ", " ", " ELSE 0 END")
+    val pfx = w.scanLeft(0L)(_ + _)
+    val idealCase = (0 to TopK).map(m =>
+      s"WHEN $m THEN ${pfx(m)}").mkString(
+      "CASE n_rel ", " ", s" ELSE ${pfx(TopK)} END")
+    val unions = methods.map { case (name, sql) =>
+      s"""SELECT '$name' AS method, coalesce(sum($wCase), 0) AS dcg_micro
+         |  FROM (SELECT qid, cid, rank FROM ($sql)) m
+         |  JOIN ex ON ex.qid = m.qid AND ex.cid = m.cid
+         |  WHERE m.rank <= $TopK""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    "x113_ndcg" ->
+      s"""WITH ex AS (SELECT qid, cid FROM ($cosineTopkSql)),
+         |id0 AS (SELECT qid, least(count(*), $TopK) AS n_rel
+         |  FROM ex GROUP BY 1),
+         |idt AS (SELECT sum($idealCase) AS idcg_micro FROM id0),
+         |u AS (
+         |  $unions)
+         |SELECT method, CAST(dcg_micro AS BIGINT) AS dcg_micro,
+         |  CAST(idt.idcg_micro AS BIGINT) AS idcg_micro,
+         |  CASE WHEN idt.idcg_micro = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE round(CAST(dcg_micro AS DOUBLE) / idt.idcg_micro, 6)
+         |  END AS ndcg
+         |FROM u CROSS JOIN idt ORDER BY method""".stripMargin
   }).toMap
 
   /** x44 oracle building blocks: the full BPE training unrolled round by
@@ -3625,7 +3693,7 @@ object ExtQueries {
     ivfOracle ++ pqOracle ++ ivfPqOracle ++ semDedupOracle ++
       protoPruneOracle ++ d4Oracle ++
       tempMixOracle ++ annRecallOracle ++ rankTauOracle ++
-      annRefineOracle ++ Map(
+      ndcgOracle ++ annRefineOracle ++ Map(
 
     "x51_lsh_multiprobe" -> lshMultiProbeSql,
 

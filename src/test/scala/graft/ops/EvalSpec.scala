@@ -93,6 +93,38 @@ class EvalSpec extends SparkSpec {
       && none.getAs[Double]("tau") === 0.0)
   }
 
+  test("ndcg: perfect 1.0, top-rank misses cost more than tail misses") {
+    def rk(rows: (Long, Long, Int)*) = rows.toDF("qid", "cid", "rank")
+    val exact = rk((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val w = Seq(1000000L, 630930L, 500000L) // round(1e6/log2(i+1))
+    def ndcg(m: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = Eval.ndcgAt(Seq("m" -> m), exact, k = 3).collect().head
+      (r.getAs[Long]("dcg_micro"), r.getAs[Double]("ndcg"))
+    }
+    assert(ndcg(exact) === ((w.sum, 1.0)))
+    // missing the rank-1 truth item but holding 11, 12 at front
+    val noTop = rk((1L, 11L, 1), (1L, 12L, 2), (1L, 99L, 3))
+    // missing the rank-3 truth item
+    val noTail = rk((1L, 10L, 1), (1L, 11L, 2), (1L, 99L, 3))
+    assert(ndcg(noTop)._1 === w(0) + w(1))
+    assert(ndcg(noTail)._1 === w(0) + w(1))
+    // same dcg here (both hold 2 hits at ranks 1-2) — drop a hit to
+    // the tail instead to see position emphasis:
+    val topHitLast = rk((1L, 99L, 1), (1L, 98L, 2), (1L, 10L, 3))
+    assert(ndcg(topHitLast)._1 === w(2))
+    assert(ndcg(topHitLast)._2 < ndcg(noTail)._2)
+    assert(ndcg(rk((9L, 99L, 1)))._2 === 0.0)
+  }
+
+  test("ndcg: the ideal adapts to short exact lists per query") {
+    def rk(rows: (Long, Long, Int)*) = rows.toDF("qid", "cid", "rank")
+    // qid 2's exact list has only ONE item: its ideal is w1, not w1+w2
+    val exact = rk((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+    val perfect = rk((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+    val r = Eval.ndcgAt(Seq("m" -> perfect), exact, k = 2).collect().head
+    assert(r.getAs[Double]("ndcg") === 1.0)
+  }
+
   test("auc: groups are independent; single-class group hits the guard") {
     val rows = Seq(("a", 3L, true), ("a", 1L, false),
       ("b", 9L, true), ("b", 9L, true))
