@@ -387,6 +387,36 @@ object ScaleProbe {
         maxN = 4, nBoot = 40)
         .write.format("noop").mode("overwrite").save()
     }
+    // perceptual multimodal tier at 10x: render + decode + hash are
+    // partition-local; the exchanges carry id + a few integers
+    t("image-ahash-50k") {
+      graft.ops.Multimodal.imagePerceptualDedup(
+        graft.ops.Multimodal.renderPpm(docs10, "doc_id"), "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("audio-fp-50k") {
+      graft.ops.Multimodal.audioPerceptualDedup(
+        graft.ops.Multimodal.renderWav(docs10, "doc_id"), "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("kappa-50k-proxy") {
+      // kappa over a cheap proxy pair at corpus scale (the trained-gate
+      // pair is classifier-bounded, probed via x59's own entries)
+      graft.ops.Eval.cohenKappa(docs10.select(col("lang").as("a"),
+        (col("doc_id") % 5).cast("string").as("b")), "a", "b")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("auc-50k-3features") {
+      val f = docs10.select((col("lang") === "en").as("lbl"),
+        org.apache.spark.sql.functions.size(split(col("text"), " "))
+          .cast("long").as("n_tokens"),
+        org.apache.spark.sql.functions.length(col("text"))
+          .cast("long").as("n_chars"))
+      graft.ops.Eval.aucExact(f.selectExpr("lbl",
+        "stack(2, 'n_chars', n_chars, 'n_tokens', n_tokens) AS (grp, s)"),
+        "grp", "s", "lbl")
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
