@@ -1005,4 +1005,51 @@ object Dedup {
           "ELSE (max_len - dist) * 1000000L div max_len END"))
       .withColumn("confirmed", col("sim_ppm") >= simThresholdPpm)
   }
+
+  /** X114 — Broder CONTAINMENT C(A,B) = |A∩B| / |A|: the directional
+    * near-dup the resemblance tiers structurally miss — a small
+    * template inside a big document has high containment but low
+    * Jaccard, so band-LSH on whole-doc signatures never pairs them.
+    * This is the boilerplate/template detector (shared nav bars,
+    * license headers, form letters).
+    *
+    * The numerator counts DISCRIMINATIVE shared shingles only
+    * (document frequency ≤ maxDf): the stop-shingle cap is both the
+    * scale knob — ubiquitous shingles would join quadratically — and
+    * standard practice (a shingle in half the corpus identifies no
+    * template). Containment ppm is therefore a LOWER bound on the
+    * uncapped value; denominators stay the full per-doc shingle
+    * counts. All lanes exact integers; pairs surface only past a
+    * min-shared floor.
+    *
+    * 100 TB shape: the join is shingle-keyed with per-key fan-out
+    * capped at maxDf (≤ maxDf² pairs per shingle type); everything
+    * after is pair-list-sized.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 6, maxDf: Int = 32, minShared: Int = 3,
+                       thresholdPpm: Long = 500000L): DataFrame = {
+    require(maxDf >= 2, s"maxDf $maxDf must be >= 2")
+    require(minShared >= 1, s"minShared $minShared must be >= 1")
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val sizes = shingleCounts(docs, idCol, textCol, n)
+    val rare = sh.join(
+      sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("s"), Seq("s"))
+    val inter = rare.as("a").join(rare.as("b"),
+        col("a.s") === col("b.s") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("i"))
+      .filter(col("i") >= minShared)
+    inter
+      .join(sizes.select(col(idCol).as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col(idCol).as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("cont1_ppm", expr("i * 1000000 div n1"))
+      .withColumn("cont2_ppm", expr("i * 1000000 div n2"))
+      .withColumn("template",
+        greatest(col("cont1_ppm"), col("cont2_ppm")) >= thresholdPpm)
+      .select("d1", "d2", "i", "n1", "n2", "cont1_ppm", "cont2_ppm",
+        "template")
+  }
 }

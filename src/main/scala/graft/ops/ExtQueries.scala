@@ -2054,6 +2054,16 @@ object ExtQueries {
         .orderBy("method")
     }),
 
+    // X114 Broder containment — the directional near-dup resemblance
+    // tiers miss: a template inside a big doc has high containment but
+    // low Jaccard, so whole-doc band-LSH never pairs them. Numerator
+    // counts discriminative shingles only (df-capped — the scale knob
+    // AND standard practice); all lanes exact integers.
+    "x114_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 6, maxDf = 32, minShared = 3, thresholdPpm = 500000L)
+        .orderBy("d1", "d2")),
+
     "x111_modal_consistency" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val text = d.select(col("doc_id"),
@@ -2762,6 +2772,35 @@ object ExtQueries {
          |  END AS ndcg
          |FROM u CROSS JOIN idt ORDER BY method""".stripMargin
   }).toMap
+
+  /** x114 oracle: same 6-shingle distinct table, df cap, shared-count
+    * floor, exact-integer containment ppm.
+    */
+  private def containmentOracle: Map[String, String] = Map(
+    "x114_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(ts) - 5),
+        |    i -> array_to_string(ts[i:i+5], ' '))) AS s FROM t)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |keep AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh
+        |  GROUP BY 1) WHERE df <= 32),
+        |rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    count(*) AS i
+        |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT d1, d2, CAST(i AS BIGINT) AS i,
+        |  CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+        |  CAST(i * 1000000 // s1.n AS BIGINT) AS cont1_ppm,
+        |  CAST(i * 1000000 // s2.n AS BIGINT) AS cont2_ppm,
+        |  greatest(i * 1000000 // s1.n, i * 1000000 // s2.n) >= 500000
+        |    AS template
+        |FROM inter JOIN sz s1 ON s1.doc_id = d1
+        |  JOIN sz s2 ON s2.doc_id = d2
+        |ORDER BY d1, d2""".stripMargin)
 
   /** x44 oracle building blocks: the full BPE training unrolled round by
     * round, x37-style — w0 is the word-type table; each round counts
@@ -3693,7 +3732,7 @@ object ExtQueries {
     ivfOracle ++ pqOracle ++ ivfPqOracle ++ semDedupOracle ++
       protoPruneOracle ++ d4Oracle ++
       tempMixOracle ++ annRecallOracle ++ rankTauOracle ++
-      ndcgOracle ++ annRefineOracle ++ Map(
+      ndcgOracle ++ containmentOracle ++ annRefineOracle ++ Map(
 
     "x51_lsh_multiprobe" -> lshMultiProbeSql,
 
