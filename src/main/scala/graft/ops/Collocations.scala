@@ -33,14 +33,20 @@ object Collocations {
     val toks = docs.select(col(langCol).as("lang"),
       Dedup.tokens(col(textCol)).as("ts"))
 
+    // both TYPE tables pinned: bi feeds three consumers (count filter,
+    // total, output) and uni two (w1 and w2 marginals) — without the
+    // pin each reference re-scans the corpus (4 scans measured in the
+    // unpinned plan); pinned, the corpus is read exactly twice
     val bi = toks
       .select(col("lang"), explode(arrays_zip(
         slice(col("ts"), lit(1), size(col("ts")) - 1).as("w1"),
         slice(col("ts"), lit(2), size(col("ts")) - 1).as("w2"))).as("bg"))
       .groupBy(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint(false)
     val uni = toks.select(col("lang"), explode(col("ts")).as("w"))
       .groupBy("lang", "w").agg(count(lit(1)).as("c_w"))
+      .localCheckpoint(false)
     val tot = bi.groupBy("lang").agg(sum("c_xy").as("t"))
 
     bi.filter(col("c_xy") >= minCount)

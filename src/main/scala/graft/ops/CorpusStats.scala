@@ -219,14 +219,19 @@ object CorpusStats {
     */
   def psiFromBuckets(current: DataFrame, reference: DataFrame,
                      nBuckets: Int): DataFrame = {
+    // pin both bucket tables (groups × nBuckets rows): each side feeds
+    // the group grid AND the count join — unpinned, every reference
+    // re-runs the corpus scan behind it (8 scans measured)
+    val cur = current.localCheckpoint(false)
+    val ref = reference.localCheckpoint(false)
     // dense (grp, bucket) grid so zero buckets exist on both sides
-    val grps = current.select("grp").distinct()
-      .unionByName(reference.select("grp").distinct()).distinct()
+    val grps = cur.select("grp").distinct()
+      .unionByName(ref.select("grp").distinct()).distinct()
     val grid = grps.crossJoin(
       current.sparkSession.range(nBuckets).select(col("id").as("bkt")))
     val joined = grid
-      .join(current.withColumnRenamed("c", "ca"), Seq("grp", "bkt"), "left")
-      .join(reference.withColumnRenamed("c", "cb"), Seq("grp", "bkt"), "left")
+      .join(cur.withColumnRenamed("c", "ca"), Seq("grp", "bkt"), "left")
+      .join(ref.withColumnRenamed("c", "cb"), Seq("grp", "bkt"), "left")
       .withColumn("ca", coalesce(col("ca"), lit(0L)) + 1)
       .withColumn("cb", coalesce(col("cb"), lit(0L)) + 1)
     val tot = joined.groupBy("grp")
