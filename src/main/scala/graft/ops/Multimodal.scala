@@ -363,6 +363,7 @@ object Multimodal {
     val hashed = spark.createDataFrame(rdd, StructType(Seq(
       StructField("doc_id", LongType), StructField("n_words", LongType),
       StructField("fp", LongType), StructField("energy", LongType))))
+      .localCheckpoint(false) // same double-decode pin as the image path
     val groups = hashed.groupBy("fp")
       .agg(count(lit(1)).as("group_n"), min("doc_id").as("canonical_id"))
     hashed.join(groups, Seq("fp"))
@@ -412,9 +413,12 @@ object Multimodal {
         }
       }
     }
+    // pinned: hashed feeds both the group table and the join — without
+    // the pin each consumer re-runs the RDD and decodes every blob twice
     val hashed = spark.createDataFrame(rdd, StructType(Seq(
       StructField("doc_id", LongType), StructField("width", IntegerType),
       StructField("height", IntegerType), StructField("ahash", LongType))))
+      .localCheckpoint(false)
     val groups = hashed.groupBy("ahash")
       .agg(count(lit(1)).as("group_n"), min("doc_id").as("canonical_id"))
     hashed.join(groups, Seq("ahash"))
