@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.ClippedGramMatches.clippedGramMatches
@@ -79,12 +79,22 @@ object Bleu {
         Seq(col("lh"), col("lr")): _*)
   }
 
-  /** (grp, pid, hts, rts) tokenized pair base shared with [[Rouge]]. */
+  /** (grp, pid, hts, rts) tokenized pair base shared with [[Rouge]].
+    * Zero-length tokens are filtered: `split('', ' ')` yields `[""]`,
+    * and without the filter an empty hypothesis or reference would
+    * contribute a phantom token (t1=1, c=1, and a matchable ""
+    * unigram) to the BLEU/ROUGE counts instead of 0 — mirrored in the
+    * oracle CTEs and in [[BleuCi.bleuPairedTest]].
+    */
+  private[ops] def nonEmptyTokens(c: Column): Column =
+    filter(Dedup.tokens(c), t => length(t) > 0)
+
   private[ops] def tokenPairs(pairs: DataFrame, grpCol: String,
                               idCol: String, hypCol: String,
                               refCol: String): DataFrame =
     pairs.select(col(grpCol).as("grp"), col(idCol).as("pid"),
-      Dedup.tokens(col(hypCol)).as("hts"), Dedup.tokens(col(refCol)).as("rts"))
+      nonEmptyTokens(col(hypCol)).as("hts"),
+      nonEmptyTokens(col(refCol)).as("rts"))
 
 
 

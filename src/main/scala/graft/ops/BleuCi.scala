@@ -89,9 +89,9 @@ object BleuCi {
       s"nBoot $nBoot out of range [40, 10000]")
     import graft.functions.ClippedGramMatches.clippedGramMatches
     val base = pairs.select(col(grpCol).as("grp"), col(idCol).as("pid"),
-      Dedup.tokens(col(hypACol)).as("ats"),
-      Dedup.tokens(col(hypBCol)).as("bts"),
-      Dedup.tokens(col(refCol)).as("rts"))
+      Bleu.nonEmptyTokens(col(hypACol)).as("ats"),
+      Bleu.nonEmptyTokens(col(hypBCol)).as("bts"),
+      Bleu.nonEmptyTokens(col(refCol)).as("rts"))
     // both systems' count lanes from ONE row-local projection
     val pp = base.select(Seq(col("grp"), col("pid"),
         clippedGramMatches(col("ats"), col("rts"), maxN).as("msa"),

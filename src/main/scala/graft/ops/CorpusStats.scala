@@ -274,7 +274,7 @@ object CorpusStats {
     val tot = freqs.groupBy("grp").agg(sum("r").as("n_tokens"))
     val next = nr.select(col("grp"), (col("r") - 1).as("r"),
       col("n_r").as("n_r1"))
-    nr.filter(col("r") <= maxR)
+    val seen = nr.filter(col("r") <= maxR)
       .join(next, Seq("grp", "r"), "left")
       .join(tot, Seq("grp"))
       .select(col("grp"), col("r"), col("n_r"),
@@ -283,5 +283,17 @@ object CorpusStats {
         expr("""round(CAST((r + 1) * coalesce(n_r1, 0) AS DOUBLE)
                |  / n_r, 6)""".stripMargin).as("r_star"),
         expr("round(CAST(r * n_r AS DOUBLE) / n_tokens, 6)").as("p_mass"))
+    // the promised r = 0 row: N_0 (the unseen-type count) is
+    // unobservable, so n_r = 0 and r_star = 0 by convention; p_mass
+    // carries the Turing unseen-mass estimate P0 = N_1/N
+    val zero = tot
+      .join(nr.filter(col("r") === 1)
+        .select(col("grp"), col("n_r").as("n1")), Seq("grp"), "left")
+      .select(col("grp"), lit(0L).as("r"), lit(0L).as("n_r"),
+        coalesce(col("n1"), lit(0L)).as("n_r1"), col("n_tokens"),
+        lit(0.0).as("r_star"),
+        expr("round(CAST(coalesce(n1, 0) AS DOUBLE) / n_tokens, 6)")
+          .as("p_mass"))
+    seen.unionByName(zero)
   }
 }

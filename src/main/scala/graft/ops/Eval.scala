@@ -99,6 +99,15 @@ object Eval {
     * prefix sum at min(k, n_relevant); ndcg is the one round-6 ratio.
     * Position emphasis is what [[kendallTau]]'s uniform pairs lack —
     * a swap at rank 1 costs nDCG far more than one at rank k.
+    *
+    * AVERAGING CONTRACT: this is MICRO-averaged nDCG — corpus sum of
+    * DCG over corpus sum of ideal DCG — not the field-standard mean of
+    * per-query nDCG (trec_eval's form). Micro keeps every lane an
+    * exact integer until one final division (the repo's fixed-point
+    * discipline) and weights every query by its ideal mass; values
+    * will NOT match per-query-averaged tooling on skewed relevance
+    * counts. The same contract applies to [[Rouge.corpusRouge]]'s
+    * aggregate-count F1.
     */
   /** The micro-unit position weights — ONE table shared with the
     * oracle side (interpolated as literals there), so the log never

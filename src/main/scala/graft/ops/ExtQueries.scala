@@ -2108,6 +2108,10 @@ object ExtQueries {
       when(id % 5 === 0, concat(lit(" node 10."), (id % 200).cast("string"),
         lit(".0."), (id % 250).cast("string"), lit(" up")))
         .otherwise(lit("")),
+      // phone-shaped local part INSIDE an email: must count once as
+      // email, never as phone (the count/mask-order consistency case)
+      when(id % 9 === 0, lit(" mail 415-555-0199@example.org ok"))
+        .otherwise(lit("")),
       when(id % 17 === 0, lit(PiiDirectoryTail)).otherwise(lit(""))
     ).as("aug"))
   }
@@ -2121,6 +2125,7 @@ object ExtQueries {
       " || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.org now' ELSE '' END" +
       " || CASE WHEN doc_id % 4 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END" +
       " || CASE WHEN doc_id % 5 = 0 THEN ' node 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' up' ELSE '' END" +
+      " || CASE WHEN doc_id % 9 = 0 THEN ' mail 415-555-0199@example.org ok' ELSE '' END" +
       s" || CASE WHEN doc_id % 17 = 0 THEN '$PiiDirectoryTail' ELSE '' END"
 
   // ---------------------------------------------------------------- oracle
@@ -5531,7 +5536,8 @@ object ExtQueries {
     // penalty, round-6 double as the only float step)
     "x96_bleu" ->
       """WITH pr AS (SELECT a.lang AS grp, a.doc_id AS pid,
-        |    string_split(a.text, ' ') AS hts, string_split(b.text, ' ') AS rts
+        |    list_filter(string_split(a.text, ' '), t -> len(t) > 0) AS hts,
+        |    list_filter(string_split(b.text, ' '), t -> len(t) > 0) AS rts
         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
         |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
         |hg AS (SELECT grp, pid, n, gram, count(*) AS hc FROM (
@@ -5585,7 +5591,8 @@ object ExtQueries {
     // F1 = 2m/(ht+rt) exactly as the aggregate-count collapse
     "x97_rouge" ->
       """WITH pr AS (SELECT a.lang AS grp, a.doc_id AS pid,
-        |    string_split(a.text, ' ') AS hts, string_split(b.text, ' ') AS rts
+        |    list_filter(string_split(a.text, ' '), t -> len(t) > 0) AS hts,
+        |    list_filter(string_split(b.text, ' '), t -> len(t) > 0) AS rts
         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
         |ns AS (SELECT unnest([1, 2]) AS n),
         |hg AS (SELECT grp, pid, n, gram, count(*) AS hc FROM (
@@ -5737,7 +5744,8 @@ object ExtQueries {
     // order statistics
     "x101_bleu_ci" ->
       s"""WITH pr AS (SELECT a.lang AS grp, a.doc_id AS pid,
-        |    string_split(a.text, ' ') AS hts, string_split(b.text, ' ') AS rts
+        |    list_filter(string_split(a.text, ' '), t -> len(t) > 0) AS hts,
+        |    list_filter(string_split(b.text, ' '), t -> len(t) > 0) AS rts
         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
         |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
         |hg AS (SELECT grp, pid, n, gram, count(*) AS hc FROM (
@@ -5799,8 +5807,9 @@ object ExtQueries {
     // win counts and 95% criterion
     "x102_bleu_paired" ->
       s"""WITH pr AS (SELECT a.lang AS grp, a.doc_id AS pid,
-        |    string_split(a.text, ' ') AS ats, string_split(b2.text, ' ') AS bts,
-        |    string_split(r.text, ' ') AS rts
+        |    list_filter(string_split(a.text, ' '), t -> len(t) > 0) AS ats,
+        |    list_filter(string_split(b2.text, ' '), t -> len(t) > 0) AS bts,
+        |    list_filter(string_split(r.text, ' '), t -> len(t) > 0) AS rts
         |  FROM documents a
         |    JOIN documents r ON r.doc_id = a.doc_id + 1
         |    JOIN documents b2 ON b2.doc_id = a.doc_id + 2),
@@ -5976,8 +5985,8 @@ object ExtQueries {
         |nr AS (SELECT grp, r, count(*) AS n_r FROM f GROUP BY 1, 2),
         |t AS (SELECT grp, CAST(sum(r) AS BIGINT) AS n_tokens
         |  FROM f GROUP BY 1),
-        |nx AS (SELECT grp, r - 1 AS r, n_r AS n_r1 FROM nr)
-        |SELECT nr.grp, CAST(nr.r AS BIGINT) AS r,
+        |nx AS (SELECT grp, r - 1 AS r, n_r AS n_r1 FROM nr),
+        |seen AS (SELECT nr.grp, CAST(nr.r AS BIGINT) AS r,
         |  CAST(nr.n_r AS BIGINT) AS n_r,
         |  CAST(coalesce(nx.n_r1, 0) AS BIGINT) AS n_r1, n_tokens,
         |  round(CAST((nr.r + 1) * coalesce(nx.n_r1, 0) AS DOUBLE)
@@ -5985,8 +5994,17 @@ object ExtQueries {
         |  round(CAST(nr.r * nr.n_r AS DOUBLE) / n_tokens, 6) AS p_mass
         |FROM nr LEFT JOIN nx ON nx.grp = nr.grp AND nx.r = nr.r
         |  JOIN t ON t.grp = nr.grp
-        |WHERE nr.r <= 10
-        |ORDER BY nr.grp, nr.r""".stripMargin,
+        |WHERE nr.r <= 10),
+        |zr AS (SELECT t.grp, CAST(0 AS BIGINT) AS r,
+        |  CAST(0 AS BIGINT) AS n_r,
+        |  CAST(coalesce(n1.n_r, 0) AS BIGINT) AS n_r1, n_tokens,
+        |  0.0 AS r_star,
+        |  round(CAST(coalesce(n1.n_r, 0) AS DOUBLE) / n_tokens, 6)
+        |    AS p_mass
+        |FROM t LEFT JOIN (SELECT grp, n_r FROM nr WHERE r = 1) n1
+        |  ON n1.grp = t.grp)
+        |SELECT * FROM (SELECT * FROM seen UNION ALL SELECT * FROM zr)
+        |ORDER BY grp, r""".stripMargin,
 
     // X106: the x43 recall-audit oracle shape over prefix-sliced
     // embeddings — slice THEN quantize, same as the engine
@@ -6133,11 +6151,12 @@ object ExtQueries {
          |fp AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
          |    CAST($fpBits AS BIGINT) AS fp,
          |    CAST(energy AS BIGINT) AS energy FROM en),
-         |gr AS (SELECT fp.fp, CAST(count(*) AS BIGINT) AS group_n,
-         |    min(doc_id) AS canonical_id FROM fp GROUP BY 1)
+         |gr AS (SELECT fp.n_words, fp.fp,
+         |    CAST(count(*) AS BIGINT) AS group_n,
+         |    min(doc_id) AS canonical_id FROM fp GROUP BY 1, 2)
          |SELECT fp.doc_id, fp.n_words, fp.fp, fp.energy,
          |  gr.group_n, gr.canonical_id
-         |FROM fp JOIN gr ON gr.fp = fp.fp
+         |FROM fp JOIN gr ON gr.fp = fp.fp AND gr.n_words = fp.n_words
          |ORDER BY fp.doc_id""".stripMargin
     },
 
@@ -6172,26 +6191,31 @@ object ExtQueries {
     }
   )
 
-  /** Shared x94 CTE: augmented text + per-category counts (phone counted
-    * on the IP-masked text, mirroring [[Pii.scan]]).
+  /** Shared x94 CTE: augmented text + per-category counts in [[Pii.mask]]
+    * priority order (email on the raw text, IP on the email-masked text,
+    * phone on the email-then-IP-masked text — mirroring [[Pii.scan]], so
+    * a phone/IP-shaped substring inside an email counts once as email).
     */
   private def x94ScanSql: String =
     s"""WITH aug AS (SELECT doc_id, $piiAugmentSql AS t FROM documents),
+       |em AS (SELECT doc_id, t,
+       |  regexp_replace(t, '${Pii.EmailPattern}', '${Pii.EmailToken}', 'g')
+       |    AS te FROM aug),
        |sc AS (SELECT doc_id, t,
        |  CAST(len(regexp_extract_all(t, '${Pii.EmailPattern}')) AS BIGINT)
        |    AS n_email,
        |  CAST(len(regexp_extract_all(
-       |    regexp_replace(t, '${Pii.Ipv4Pattern}', '${Pii.IpToken}', 'g'),
+       |    regexp_replace(te, '${Pii.Ipv4Pattern}', '${Pii.IpToken}', 'g'),
        |    '${Pii.PhonePattern}')) AS BIGINT) AS n_phone,
-       |  CAST(len(regexp_extract_all(t, '${Pii.Ipv4Pattern}')) AS BIGINT)
+       |  CAST(len(regexp_extract_all(te, '${Pii.Ipv4Pattern}')) AS BIGINT)
        |    AS n_ip,
        |  CAST(len(regexp_extract_all(t, '${Pii.EmailPattern}'))
        |    + len(regexp_extract_all(
-       |        regexp_replace(t, '${Pii.Ipv4Pattern}', '${Pii.IpToken}', 'g'),
+       |        regexp_replace(te, '${Pii.Ipv4Pattern}', '${Pii.IpToken}', 'g'),
        |        '${Pii.PhonePattern}'))
-       |    + len(regexp_extract_all(t, '${Pii.Ipv4Pattern}')) AS BIGINT)
+       |    + len(regexp_extract_all(te, '${Pii.Ipv4Pattern}')) AS BIGINT)
        |    AS n_pii
-       |  FROM aug)""".stripMargin
+       |  FROM em)""".stripMargin
 
   private def x94MaskSql: String =
     s"""regexp_replace(regexp_replace(regexp_replace(t,

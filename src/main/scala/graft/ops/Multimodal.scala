@@ -346,10 +346,16 @@ object Multimodal {
       (fp, nWords.toLong, total)
     }
 
-  /** X110 — perceptual audio dedup: exact-fingerprint groups with
-    * min-id canonicals, the [[imagePerceptualDedup]] discipline on the
-    * audio key. Blobs never shuffle; the exchange carries
-    * (id, n_words, fp, energy) rows only.
+  /** X110 — perceptual audio dedup: the [[imagePerceptualDedup]]
+    * discipline on the audio key. The group key is (n_words, fp) —
+    * sample count AND the 7-bit energy-delta profile: fp alone has 128
+    * possible values, so on any corpus beyond a few hundred clips
+    * unrelated audio of different lengths would collapse into shared
+    * canonical groups (n_words restores the length axis the time-
+    * collapsed Haitsma-Kalker profile drops). Total energy is carried
+    * for audits but deliberately NOT in the key — requiring equal
+    * energy would make the tier exact-dup, not perceptual. Blobs never
+    * shuffle; the exchange carries (id, n_words, fp, energy) rows only.
     */
   def audioPerceptualDedup(audio: DataFrame, idCol: String): DataFrame = {
     val spark = audio.sparkSession
@@ -364,9 +370,9 @@ object Multimodal {
       StructField("doc_id", LongType), StructField("n_words", LongType),
       StructField("fp", LongType), StructField("energy", LongType))))
       .localCheckpoint(false) // same double-decode pin as the image path
-    val groups = hashed.groupBy("fp")
+    val groups = hashed.groupBy("n_words", "fp")
       .agg(count(lit(1)).as("group_n"), min("doc_id").as("canonical_id"))
-    hashed.join(groups, Seq("fp"))
+    hashed.join(groups, Seq("n_words", "fp"))
       .select(col("doc_id"), col("n_words"), col("fp"), col("energy"),
         col("group_n"), col("canonical_id"))
   }

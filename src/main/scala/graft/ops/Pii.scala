@@ -81,13 +81,18 @@ object Pii {
   private def scanned(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     val t = col(textCol)
+    // counts mirror [[mask]]'s category-priority order (email -> IP ->
+    // phone): each later category counts on text with the EARLIER
+    // categories already masked, so a phone- or IP-shaped substring
+    // inside an email address (415-555-0199@x.com) is attributed to
+    // exactly one category and can never flip the verdict to `drop`
+    // for text mask() would have rendered fully clean
+    val em = regexp_replace(t, EmailPattern, EmailToken)
     docs.select(col(idCol), t,
       hits(t, EmailPattern).cast("long").as("n_email"),
-      // phone counted on the IP-masked text so a dotted phone number is
-      // attributed to exactly one category (IP wins, matching [[mask]])
-      hits(regexp_replace(t, Ipv4Pattern, IpToken), PhonePattern)
+      hits(regexp_replace(em, Ipv4Pattern, IpToken), PhonePattern)
         .cast("long").as("n_phone"),
-      hits(t, Ipv4Pattern).cast("long").as("n_ip"))
+      hits(em, Ipv4Pattern).cast("long").as("n_ip"))
       .withColumn("n_pii", col("n_email") + col("n_phone") + col("n_ip"))
   }
 

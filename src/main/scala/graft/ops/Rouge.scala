@@ -12,11 +12,15 @@ import graft.functions.TokenLcs.tokenLcs
   * score against the REFERENCE totals; ROUGE-L scores the longest
   * common subsequence, order-sensitive without requiring contiguity.
   *
-  * Aggregate-count form: per group, P_n = m_n/ht_n and R_n = m_n/rt_n
-  * over summed counts, so F1 collapses to the exact ratio
-  * 2·m_n/(ht_n + rt_n); ROUGE-L's F1 is likewise 2·Σlcs/(c + r). Every
-  * numerator and denominator is an exact integer sum — the three F1
-  * columns, rounded to 6 digits, are the only floats.
+  * Aggregate-count form — MICRO-averaged, not the per-pair-averaged F1
+  * sacrebleu/rouge-score report: per group, P_n = m_n/ht_n and
+  * R_n = m_n/rt_n over summed counts, so F1 collapses to the exact
+  * ratio 2·m_n/(ht_n + rt_n); ROUGE-L's F1 is likewise 2·Σlcs/(c + r).
+  * Every numerator and denominator is an exact integer sum — the three
+  * F1 columns, rounded to 6 digits, are the only floats. Micro weights
+  * long pairs proportionally to their token mass; values will NOT
+  * match mean-of-per-pair-F1 tooling on length-skewed corpora (the
+  * [[Eval.ndcgAt]] averaging contract).
   *
   * 100 TB shape: one corpus scan, one group-grain exchange. Clipped
   * matches, n-gram totals, lengths, AND the LCS are all row-local —

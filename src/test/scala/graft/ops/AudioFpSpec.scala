@@ -27,16 +27,24 @@ class AudioFpSpec extends SparkSpec {
       assert(got(id) === ruleFp(id), s"doc $id")
   }
 
-  test("fingerprint groups carry min-id canonicals and true sizes") {
+  test("groups key on (n_words, fp) with min-id canonicals and true sizes") {
     val docs = (0L until 150L).map(i => (i, "t")).toDF("doc_id", "text")
     val rows = Multimodal.audioPerceptualDedup(
         Multimodal.renderWav(docs, "doc_id"), "doc_id").collect()
-    for ((_, g) <- rows.groupBy(_.getLong(2))) {
+    for ((_, g) <- rows.groupBy(r => (r.getLong(1), r.getLong(2)))) {
       assert(g.map(_.getLong(5)).toSet === Set(g.map(_.getLong(0)).min))
       assert(g.map(_.getLong(4)).toSet === Set(g.length.toLong))
     }
-    // 7-bit space over 150 clips must collide
-    assert(rows.groupBy(_.getLong(2)).exists(_._2.length > 1))
+    // group sizes equal the rule-derived partition of the key space
+    val want = (0L until 150L).map { id =>
+      val (fp, nw, _) = ruleFp(id); (nw, fp)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for ((k, g) <- rows.groupBy(r => (r.getLong(1), r.getLong(2))))
+      assert(want(k) === g.length.toLong, s"key $k")
+    // the 7-bit fp alone DOES collide across lengths at 150 clips —
+    // the n_words axis is what keeps those out of shared groups
+    assert(rows.groupBy(_.getLong(2))
+      .exists(_._2.map(_.getLong(1)).distinct.length > 1))
   }
 
   test("non-WAV blobs are skipped") {

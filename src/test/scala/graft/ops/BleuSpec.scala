@@ -35,6 +35,19 @@ class BleuSpec extends SparkSpec {
     assert(r3.getAs[Double]("bleu") === expected) // c=7 > r=6: BP = 1
   }
 
+  test("empty hypothesis or reference contributes zero counts, not a phantom token") {
+    // split('', ' ') = [""] — without the length filter an empty side
+    // would carry t1=1, c=1 and a matchable "" unigram
+    val r = Bleu.corpusBleu(
+      pairs(("g", 1L, "", "a b"), ("g", 2L, "a", ""), ("g", 3L, "a b", "a b")),
+      "grp", "pid", "hyp", "ref", maxN = 2).collect().head
+    // pair 1: c += 0; pair 2: c += 1, m1 += 0 ("" ref holds no grams);
+    // pair 3: c += 2, m1 += 2, m2 += 1
+    assert(r.getAs[Long]("c") === 3 && r.getAs[Long]("r") === 4)
+    assert(r.getAs[Long]("m1") === 2 && r.getAs[Long]("t1") === 3)
+    assert(r.getAs[Long]("m2") === 1 && r.getAs[Long]("t2") === 1)
+  }
+
   test("brevity penalty: short hyp with perfect precision") {
     val r = Bleu.corpusBleu(pairs(("g", 1L, "a b", "a b c d")),
       "grp", "pid", "hyp", "ref", maxN = 2).collect().head

@@ -35,6 +35,20 @@ class PiiSpec extends SparkSpec {
     assert(r(2).getLong(3) === 1 && r(2).getLong(4) === 1)
   }
 
+  test("phone/IP-shaped substrings inside an email count as email only") {
+    // counts must mirror mask(): mask() replaces the whole email before
+    // the IP/phone passes ever see its local part, so counting on the
+    // raw text would inflate n_pii for text mask() renders fully clean
+    val d = docs(
+      1L -> "mail 415-555-0199@example.com now",
+      2L -> "host 10.0.0.1@odd.example up")
+    val r = Pii.scan(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getLong(1) === 1 && r(0).getLong(2) === 0
+      && r(0).getLong(4) === 1) // email only, no phantom phone
+    assert(r(1).getLong(1) === 1 && r(1).getLong(3) === 0
+      && r(1).getLong(4) === 1) // email only, no phantom IP
+  }
+
   test("mask replaces email then ip then phone with typed tokens") {
     val d = docs(1L ->
       "mail x.y@example.com call 415-555-0100 or 202.555.0101 node 10.1.2.3")
