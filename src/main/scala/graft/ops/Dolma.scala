@@ -23,16 +23,41 @@ import org.apache.spark.sql.functions._
   *    (the naive exact join, no bloom anywhere) re-proves per run.
   *
   * Shape at 100 TB: the reference side reduces to ONE distinct digest
-  * table (pinned once — the bitmap build and the verify join read the
-  * same materialization) and a 32 KB bitmap literal; the corpus pays a
-  * row-local paragraph explode + digest + bitmap probe, and ONLY
+  * table (pinned once — the cardinality count, the bitmap build, and
+  * the verify join read the same materialization) and a bitmap literal
+  * SIZED TO the measured reference cardinality (skipped loudly once
+  * saturated — see [[paragraphDecontaminateAgainst]]); the corpus pays
+  * a row-local paragraph explode + digest + bitmap probe, and ONLY
   * gate-surviving (digest, doc, idx) triples — never paragraph text —
-  * reach the verify join. Dropped indexes come back per-doc as one
+  * reach the SHUFFLED (never force-broadcast) verify semi join. Dropped indexes come back per-doc as one
   * small int array (doc-count-sized), and the excision is a row-local
   * array rebuild (the x45/x69 shape). A paragraph-text exchange never
   * happens anywhere.
   */
 object Dolma {
+
+  /** Bitmap bits provisioned per reference digest when deriving the
+    * gate size from reference cardinality (10 bits/key ≈ 1% FP at the
+    * repo's k ≤ 4 hash budget).
+    */
+  val BitsPerKey: Int = 10
+
+  /** Estimated FP bound past which the saturated gate prunes nothing
+    * and is skipped (loudly) in favor of the plain digest semi join.
+    */
+  val MaxFpRate: Double = 0.5
+
+  /** Standard Bloom false-positive estimate (1 − e^{−kn/m})^k. */
+  def bloomFpRate(m: Long, k: Int, n: Long): Double =
+    math.pow(1.0 - math.exp(-k.toDouble * n / m), k.toDouble)
+
+  /** Effective bitmap bits for a reference of `nRef` digests: at least
+    * `minBits`, grown to [[BitsPerKey]]·nRef (rounded up to a word),
+    * hard-capped at [[Bloom.MaxBits]].
+    */
+  def derivedBits(minBits: Int, nRef: Long): Int =
+    math.min(Bloom.MaxBits.toLong,
+      math.max(minBits.toLong, (nRef * BitsPerKey + 63) / 64 * 64)).toInt
 
   /** One digest row per paragraph occurrence: (idCol, idx, d). */
   def paragraphDigests(docs: DataFrame, idCol: String,
@@ -45,19 +70,48 @@ object Dolma {
     * `refPars` (a prepared one-column `d` digest frame — so the
     * streaming twin can feed its accumulated state directly). Returns
     * (idCol, n_pars, n_removed, cleaned), DENSE over every input doc.
+    *
+    * SCALE CONTRACT (the production Dolma use is decontaminating
+    * against a PRIOR RELEASE — a corpus-scale reference, not a bounded
+    * eval suite): `m` is the MINIMUM bitmap size; the effective size
+    * grows with measured reference cardinality ([[BitsPerKey]] bits
+    * per distinct digest, capped at [[Bloom.MaxBits]]). Past the cap
+    * the estimated FP rate ([[bloomFpRate]]) eventually crosses
+    * [[MaxFpRate]] — a saturated bitmap passes everything while
+    * reading as "gated" — so the gate is then SKIPPED, loudly, and the
+    * digest-only semi join carries the whole load. The verify join is
+    * deliberately UN-hinted: digests are ~32 bytes/row on both sides,
+    * so a shuffled left-semi is cheap at any scale, and AQE still
+    * broadcasts genuinely small references on its own; a forced
+    * broadcast of a billion-digest prior release would OOM the driver.
+    * Every configuration returns byte-identical results (the gate is
+    * lossless; skipping it only costs verify-join rows).
     */
   def paragraphDecontaminateAgainst(docs: DataFrame, refPars: DataFrame,
                                     idCol: String, textCol: String,
                                     m: Int, k: Int): DataFrame = {
-    // pin BEFORE the bitmap build: the bitmap and the verify join must
-    // see the same reference set (two executions of a nondeterministic
-    // ref could admit a paragraph the bitmap never saw — breaking the
-    // no-false-negative losslessness argument)
+    // pin BEFORE the cardinality count and bitmap build: the count,
+    // the bitmap, and the verify join must see the same reference set
+    // (two executions of a nondeterministic ref could admit a paragraph
+    // the bitmap never saw — breaking the no-false-negative
+    // losslessness argument)
     val ref = refPars.select(col("d")).distinct().localCheckpoint(false)
-    val bm = Bloom.buildBitmap(ref.select(col("d").as("s")), "s", m, k)
-    val cand = paragraphDigests(docs, idCol, textCol)
-      .filter(Bloom.mightContain(col("d"), bm, m, k))
-    val dropped = cand.join(broadcast(ref), Seq("d"), "left_semi")
+    val nRef = ref.count()
+    val mEff = derivedBits(m, nRef)
+    val fp = bloomFpRate(mEff, k, nRef)
+    val pars = paragraphDigests(docs, idCol, textCol)
+    val cand = if (fp <= MaxFpRate) {
+      val bm = Bloom.buildBitmap(ref.select(col("d").as("s")), "s", mEff, k)
+      pars.filter(Bloom.mightContain(col("d"), bm, mEff, k))
+    } else {
+      System.err.println(
+        f"[dolma] bloom gate SKIPPED: $nRef%d reference digests saturate " +
+          f"the ${Bloom.MaxBits}%d-bit cap (est. FP $fp%.3f > $MaxFpRate%.2f" +
+          ") — the gate would prune nothing; falling back to the exact " +
+          "digest semi join (results identical)")
+      pars
+    }
+    val dropped = cand.join(ref, Seq("d"), "left_semi")
       .select(col(idCol), col("idx"))
     exciseByIdx(docs, dropped, idCol, textCol)
   }

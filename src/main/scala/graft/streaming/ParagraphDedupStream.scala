@@ -55,11 +55,28 @@ object ParagraphDedupStream {
     // cross-batch: the x74 gate against the accumulated set — bitmap
     // probe kills the never-seen majority row-locally, exact verify
     // confirms the sliver (lossless, the Bloom no-false-negative
-    // argument)
-    val bm = Bloom.buildBitmap(prior.select(col("d").as("s")), "s", m, k)
-    val priorHit = ranked
-      .filter(Bloom.mightContain(col("d"), bm, m, k))
-      .join(broadcast(prior), Seq("d"), "left_semi")
+    // argument). The admitted set grows STREAM-WIDE, so the same scale
+    // contract as [[Dolma.paragraphDecontaminateAgainst]] applies: the
+    // bitmap is sized to the measured state cardinality (m is the
+    // minimum), skipped loudly once saturated, and the verify join is
+    // un-hinted — AQE broadcasts a small state, a large state shuffles
+    // digest-only rows instead of force-collecting to the driver
+    val nPrior = prior.count()
+    val mEff = Dolma.derivedBits(m, nPrior)
+    val fp = Dolma.bloomFpRate(mEff, k, nPrior)
+    val gated = if (fp <= Dolma.MaxFpRate) {
+      val bm = Bloom.buildBitmap(prior.select(col("d").as("s")), "s", mEff, k)
+      ranked.filter(Bloom.mightContain(col("d"), bm, mEff, k))
+    } else {
+      System.err.println(
+        f"[pdedup-stream] bloom gate SKIPPED at batch $batchId%d: " +
+          f"$nPrior%d admitted digests saturate the ${Bloom.MaxBits}%d-bit " +
+          f"cap (est. FP $fp%.3f) — exact digest semi join only " +
+          "(results identical)")
+      ranked
+    }
+    val priorHit = gated
+      .join(prior, Seq("d"), "left_semi")
       .select(col(idCol), col("idx"))
     val dupWithin = ranked.filter(col("rn") > 1)
       .select(col(idCol), col("idx"))

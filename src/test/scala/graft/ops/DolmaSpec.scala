@@ -40,4 +40,22 @@ class DolmaSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().head
     assert(got === ((1L, 4L, 3L, "a")))
   }
+
+  test("bitmap size derives from reference cardinality, capped loudly") {
+    // minimum respected for small refs
+    assert(Dolma.derivedBits(1 << 12, 10) === (1 << 12))
+    // grows at BitsPerKey bits per digest, word-rounded
+    assert(Dolma.derivedBits(64, 1000) === (1000 * Dolma.BitsPerKey + 63) / 64 * 64)
+    // hard cap at the driver-artifact bound
+    assert(Dolma.derivedBits(64, 1L << 40) === Bloom.MaxBits)
+    // below the cap the derived geometry keeps the gate selective...
+    assert(Dolma.bloomFpRate(Dolma.derivedBits(64, 1000000), 4, 1000000)
+      < 0.02)
+    // ...and a corpus-scale prior release saturates it past MaxFpRate,
+    // which is exactly when the gate is skipped for the exact semi join
+    assert(Dolma.bloomFpRate(Bloom.MaxBits, 4, 20000000L)
+      > Dolma.MaxFpRate)
+    // empty reference: fully selective, never skipped
+    assert(Dolma.bloomFpRate(Dolma.derivedBits(64, 0), 4, 0) === 0.0)
+  }
 }

@@ -423,6 +423,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"pair table shuffled to join:\n$plan")
   }
 
+  test("x87 decon verify join carries no forced broadcast hint: a " +
+    "corpus-scale prior release must shuffle digests, never collect " +
+    "to the driver") {
+    val d = Tables.documents(spark, sf)
+    val df = Dolma.paragraphDecontaminate(
+      d.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text")),
+      d.filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text")),
+      "doc_id", "text", m = 1 << 12, k = 4)
+    // AQE may still CHOOSE broadcast for a genuinely small ref — what
+    // must not exist is a planted hint forcing it at any size (the
+    // bucketed-embedding pin's discipline)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), s"forced hint in:\n$analyzed")
+    // and the gate itself must still be planted: the scan-side bitmap
+    // probe shows up as the md5-lane conv chain in the optimized plan
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("conv(substring(md5"),
+      s"bloom probe missing from:\n$optimized")
+  }
+
   test("span corruption is a pure scan-side projection: zero exchanges") {
     val plan = physical(Augment.spanCorrupt(
       Tables.documents(spark, sf), "doc_id", "text"))
