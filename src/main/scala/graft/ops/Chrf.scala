@@ -20,13 +20,15 @@ import graft.functions.ClippedGramMatches.clippedGramMatches
   * final F are the double steps, composed in one fixed-order expression
   * shared textually with the oracle and rounded to 6 digits.
   *
-  * Character grams are substring slices, CODEPOINT-indexed on both
-  * engines for BMP text (Spark `substr` counts UTF-8 chars, DuckDB
-  * slices characters); supplementary-plane input would diverge only if
-  * an engine indexed UTF-16 units — the corpus contract here is
-  * BMP/ASCII text (asserted nowhere because split points stay equal
-  * either way for equal-length inputs at test data; revisit for emoji
-  * corpora).
+  * Character grams are CODEPOINT-indexed on both engines (Spark
+  * `split("")` and `substr` count UTF-8 chars, DuckDB slices
+  * characters); supplementary-plane input would diverge only on an
+  * engine indexing UTF-16 units (a Java-`String.length` port would
+  * halve every astral char into surrogate halves and double the gram
+  * lanes). Spark's codepoint grain on astral input is PINNED in
+  * ChrfSpec ("supplementary-plane text grams at CODEPOINT grain") —
+  * any engine swap that regresses to UTF-16 units fails the exact
+  * integer-lane assertions there, not silently at emoji corpora.
   *
   * 100 TB shape: one corpus scan, one group-grain exchange. Clipping
   * is per pair, so [[graft.functions.ClippedGramMatches]] counts every

@@ -56,6 +56,27 @@ class ChrfSpec extends SparkSpec {
     assert(r.getAs[Double]("chrf") === 0.0)
   }
 
+  test("supplementary-plane text grams at CODEPOINT grain (the BMP seam, " +
+    "pinned): an astral char is one gram, never two surrogate halves") {
+    // 𝄞 (U+1D11E) and 😀 (U+1F600) are outside the BMP — two UTF-16
+    // units each. If Spark's split("") ever produced surrogate halves,
+    // the identical pair below would still score 1 (halves match
+    // halves) but the gram COUNTS would double — so the pin is on the
+    // exact integer lanes, where a UTF-16-unit engine cannot hide.
+    val r = Chrf.corpusChrf(pairs(("g", 1L, "a𝄞b", "a𝄞b")),
+      "grp", "pid", "hyp", "ref", maxN = 2).collect().head
+    assert(r.getAs[Long]("h1") === 3 && r.getAs[Long]("m1") === 3,
+      "astral char must count as ONE unigram")
+    assert(r.getAs[Long]("h2") === 2 && r.getAs[Long]("m2") === 2)
+    assert(r.getAs[Double]("chrf") === 1.0)
+    // and a cross-plane near-miss: hyp swaps the astral char — the
+    // shared mass is exactly the 'a'/'b' unigrams, nothing fractional
+    val d = Chrf.corpusChrf(pairs(("g", 1L, "a😀b", "a𝄞b")),
+      "grp", "pid", "hyp", "ref", maxN = 1).collect().head
+    assert(d.getAs[Long]("m1") === 2 && d.getAs[Long]("h1") === 3
+      && d.getAs[Long]("r1") === 3)
+  }
+
   test("recall weighting: beta=2 rewards covering the reference") {
     // same P+R mass, different split: high-recall pair must outscore
     val hiRecall = Chrf.corpusChrf(pairs(("g", 1L, "abcdxyzw", "abcd")),
