@@ -77,9 +77,18 @@ object Quantile {
     * (grp, n, phi_ppm, est, rank_lo, rank_hi, target, err_ppm) with
     * err_ppm = the target's distance to the rank interval (0 inside).
     */
-  def estimate(summ: DataFrame, df: DataFrame, groupCol: String,
-               valueCol: String, phisPpm: Seq[Long], shards: Int,
-               k: Int): DataFrame = {
+  /** Per-group φ-quantile estimates from a summary ALONE — the
+    * production read path (no truth join, no audit columns), shared by
+    * [[estimate]] and the streaming twin
+    * ([[graft.streaming.QuantileStream]]) so the two cannot drift on
+    * the target/pick arithmetic. Returns (grp, phi_ppm, n, target,
+    * est). Deterministic under merged (multi-batch) summaries: tied
+    * (v, shard) rows can cumulate in any order, but "some row of value
+    * v reaches the target" depends only on the total weight ≤ v, so
+    * the min-v pick is order-free.
+    */
+  def estimateFromSummary(summ: DataFrame,
+                          phisPpm: Seq[Long]): DataFrame = {
     require(phisPpm.nonEmpty &&
       phisPpm.forall(p => p >= 1 && p <= 999999),
       s"phisPpm out of [1, 999999]: $phisPpm")
@@ -94,13 +103,19 @@ object Quantile {
     val phis = phisPpm.map(p => s"CAST($p AS BIGINT)").mkString(", ")
     // one row per (summary row, phi); keep the first row reaching the
     // target cumulative weight
-    val est = withCum
+    withCum
       .select(col("grp"), col("v"), col("cw"), col("n"),
         explode(expr(s"array($phis)")).as("phi_ppm"))
       .withColumn("target", expr("(phi_ppm * n + 999999) div 1000000"))
       .filter(col("cw") >= col("target"))
       .groupBy(col("grp"), col("phi_ppm"), col("n"), col("target"))
       .agg(min(col("v")).as("est"))
+  }
+
+  def estimate(summ: DataFrame, df: DataFrame, groupCol: String,
+               valueCol: String, phisPpm: Seq[Long], shards: Int,
+               k: Int): DataFrame = {
+    val est = estimateFromSummary(summ, phisPpm)
     val truth = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("grp"), col(valueCol).as("tv"))
     est.join(truth, Seq("grp"))
