@@ -1992,6 +1992,31 @@ object ExtQueries {
         Multimodal.renderWav(Tables.documents(s, dir), "doc_id"),
         "doc_id").orderBy("doc_id")),
 
+    // X115 Hamming-banded near-duplicate images, CANONICAL grain:
+    // 64-bit aHash, exact-equal signatures collapsed first (min-id
+    // canonical + member count), then the x79 pigeonhole band join
+    // over distinct signatures only — output bounded by signature
+    // pairs, never doc pairs (this synthetic corpus is duplication-
+    // heavy: doc-grain d<=3 pairs are ~2% of ALL doc pairs). Oracle =
+    // naive all-pairs popcount over the distinct hashes re-derived
+    // from the render rule (lossless prune, re-proven per run).
+    "x115_image_hamming" -> ((s, dir) =>
+      Multimodal.imageHammingCanonical(
+        Multimodal.renderPpm(Tables.documents(s, dir), "doc_id"),
+        "doc_id", ImgHamMaxDist).orderBy("d1", "d2")),
+
+    // X115 tier audit (the x82 pattern on the image family): precision
+    // and recall of the banded d<=3 tier and the 16-bit exact tier
+    // against exact 64-bit signature equality as truth — computed at
+    // signature-GROUP grain (doc-pair counts are binomials/products of
+    // group sizes; no doc pair enumerates). Recall of the superset
+    // d<=3 tier is 1 by construction; its precision is the number a
+    // pipeline owner tunes the distance knob by.
+    "x115_image_audit" -> ((s, dir) =>
+      Multimodal.imageTierAudit(
+        Multimodal.renderPpm(Tables.documents(s, dir), "doc_id"),
+        "doc_id", ImgHamMaxDist).orderBy("method")),
+
     // X111 cross-modal consistency audit: doc groups sharing a
     // PERCEPTUAL image hash whose texts disagree (distinct norm_fp) —
     // the same-image-different-caption smell a multimodal corpus QA
@@ -2087,6 +2112,34 @@ object ExtQueries {
   // have something to reject); confirmation at 90% char similarity.
   private val EditRowsPerBand = 2
   private val EditSimPpm = 900000L
+
+  // X115 knob: Hamming radius of the banded image tier (maxDist+1 = 4
+  // bands of 16 bits — the Manku web-dedup geometry).
+  private val ImgHamMaxDist = 3
+
+  /** Shared x115 CTE chain: 64-bit aHash per doc re-derived from the
+    * render RULE (8x8 grid over the doc_id-derived pixels — never
+    * touching the binary), bit 63 as the sign-bit literal because
+    * DuckDB's `1 << 63` overflows where two's complement wraps.
+    */
+  private def x115HashCtes: String = {
+    val pidx = "(3 * ((((ks.k // 8) * h) // 8) * w + (((ks.k % 8)) * w) // 8))"
+    def chan(d: Int) = s"((31 * doc_id + 7 * ($pidx + $d)) % 256)"
+    s"""im AS (SELECT doc_id,
+       |    CAST(doc_id % 8 + 1 AS INTEGER) AS w,
+       |    CAST(doc_id % 5 + 1 AS INTEGER) AS h FROM documents),
+       |cells AS (SELECT doc_id, w, h, ks.k AS k,
+       |    (${chan(0)} + ${chan(1)} + ${chan(2)}) // 3 AS g
+       |  FROM im CROSS JOIN
+       |    (SELECT unnest(generate_series(0, 63)) AS k) ks),
+       |av AS (SELECT doc_id, sum(g) // 64 AS avg FROM cells GROUP BY 1),
+       |hs AS (SELECT cells.doc_id,
+       |    CAST(sum(CASE WHEN g > av.avg THEN
+       |      (CASE WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |            ELSE (CAST(1 AS BIGINT) << k) END)
+       |      ELSE 0 END) AS BIGINT) AS h64
+       |  FROM cells JOIN av ON av.doc_id = cells.doc_id GROUP BY 1)""".stripMargin
+  }
 
   // X94 PII-injection fixture: the corpus carries no real PII (synthetic
   // word-salad), so targets are constructed deterministically from
@@ -6188,6 +6241,67 @@ object ExtQueries {
          |FROM tf JOIN hs ON hs.doc_id = tf.doc_id
          |GROUP BY 1 HAVING count(*) > 1
          |ORDER BY hs.ahash""".stripMargin
+    },
+
+    // X115: naive all-pairs popcount over the DISTINCT 64-bit hashes
+    // re-derived from the render rule, canonical = min doc per hash —
+    // the banded pigeonhole in the engine must be invisible here (the
+    // losslessness proof, x48/x79 discipline)
+    "x115_image_hamming" ->
+      s"""WITH $x115HashCtes,
+         |g AS (SELECT h64, min(doc_id) AS cid,
+         |    CAST(count(*) AS BIGINT) AS m FROM hs GROUP BY 1)
+         |SELECT a.cid AS d1, b.cid AS d2,
+         |  CAST(bit_count(xor(a.h64, b.h64)) AS BIGINT) AS dist,
+         |  a.m AS n1, b.m AS n2
+         |FROM g a JOIN g b ON a.cid < b.cid
+         |WHERE bit_count(xor(a.h64, b.h64)) <= $ImgHamMaxDist
+         |ORDER BY d1, d2""".stripMargin,
+
+    // X115 audit: both tiers re-derived at signature-group grain
+    // (binomials/products of group sizes — no doc-pair enumeration),
+    // truth = exact 64-bit equality, then the pairAudit integer-ppm
+    // arithmetic verbatim
+    "x115_image_audit" -> {
+      val pidx16 = "(3 * ((((ks.k // 4) * h) // 4) * w + (((ks.k % 4)) * w) // 4))"
+      def chan16(d: Int) = s"((31 * doc_id + 7 * ($pidx16 + $d)) % 256)"
+      s"""WITH $x115HashCtes,
+         |c16 AS (SELECT doc_id, w, h, ks.k AS k,
+         |    (${chan16(0)} + ${chan16(1)} + ${chan16(2)}) // 3 AS g
+         |  FROM im CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 15)) AS k) ks),
+         |a16v AS (SELECT doc_id, sum(g) // 16 AS avg FROM c16 GROUP BY 1),
+         |ht AS (SELECT c16.doc_id,
+         |    CAST(sum(CASE WHEN g > a16v.avg
+         |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS h16
+         |  FROM c16 JOIN a16v ON a16v.doc_id = c16.doc_id GROUP BY 1),
+         |g64 AS (SELECT h64, CAST(count(*) AS BIGINT) AS m
+         |  FROM hs GROUP BY 1),
+         |tr AS (SELECT CAST(coalesce(sum(m * (m - 1) // 2), 0) AS BIGINT)
+         |  AS n_truth FROM g64),
+         |cx AS (SELECT CAST(coalesce(sum(a.m * b.m), 0) AS BIGINT)
+         |  AS n_cross FROM g64 a JOIN g64 b ON a.h64 < b.h64
+         |  AND bit_count(xor(a.h64, b.h64)) <= $ImgHamMaxDist),
+         |w64 AS (SELECT CAST(coalesce(sum(m * (m - 1) // 2), 0) AS BIGINT)
+         |  AS n_within FROM g64),
+         |g16 AS (SELECT CAST(coalesce(sum(m * (m - 1) // 2), 0) AS BIGINT)
+         |  AS n_pairs FROM (SELECT h16, CAST(count(*) AS BIGINT) AS m
+         |    FROM ht GROUP BY 1)),
+         |jt AS (SELECT CAST(coalesce(sum(m * (m - 1) // 2), 0) AS BIGINT)
+         |  AS n_hits FROM (SELECT ht.h16, hs.h64,
+         |      CAST(count(*) AS BIGINT) AS m
+         |    FROM ht JOIN hs ON hs.doc_id = ht.doc_id GROUP BY 1, 2)),
+         |m AS (
+         |  SELECT 'a16_exact' AS method, g16.n_pairs, jt.n_hits
+         |    FROM g16 CROSS JOIN jt
+         |  UNION ALL
+         |  SELECT 'h64_d3', w64.n_within + cx.n_cross, w64.n_within
+         |    FROM w64 CROSS JOIN cx)
+         |SELECT method, n_pairs, n_hits, tr.n_truth,
+         |  CAST(CASE WHEN n_pairs > 0 THEN n_hits * 1000000 // n_pairs
+         |       ELSE 0 END AS BIGINT) AS precision_ppm,
+         |  CAST(n_hits * 1000000 // tr.n_truth AS BIGINT) AS recall_ppm
+         |FROM m CROSS JOIN tr ORDER BY method""".stripMargin
     }
   )
 

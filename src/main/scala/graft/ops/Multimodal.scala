@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -401,14 +401,180 @@ object Multimodal {
       (w, h, hash)
     }
 
+  /** X115 — 64-bit average hash: [[aHash16]]'s recipe at the standard
+    * production grid (8x8 — the width the pHash family and every
+    * image-dedup pipeline actually ship, and the width
+    * [[graft.ops.Dedup.simhash64]]'s scaladoc argues for: at 16 bits
+    * unrelated content collides constantly; at 64 bits proximity means
+    * near-duplication). Same exact-integer contract: nearest-sample
+    * grid, integer mean threshold, reproducible bit-for-bit by an
+    * oracle re-deriving pixels from the render rule. Bit 63 arrives
+    * via `1L << 63` (the sign bit) — two's complement on both engines.
+    */
+  def aHash64(blob: Array[Byte]): Option[(Int, Int, Long)] =
+    decodePpmHeader(blob).map { case (w, h, _, n) =>
+      val off = blob.length - n
+      def gray(si: Int, sj: Int): Int = {
+        val p = off + 3 * (si * w + sj)
+        ((blob(p) & 0xff) + (blob(p + 1) & 0xff) + (blob(p + 2) & 0xff)) / 3
+      }
+      val cells = for (i <- 0 until 8; j <- 0 until 8)
+        yield gray(i * h / 8, j * w / 8)
+      val avg = cells.sum / 64
+      var hash = 0L
+      for (k <- cells.indices if cells(k) > avg) hash |= 1L << k
+      (w, h, hash)
+    }
+
+  /** X115 — pinned (idCol, width, height, simhash) signature table over
+    * image blobs: the column is named `simhash` so the frame feeds
+    * [[Dedup.hammingBands]]/[[Dedup.hammingPairs]] unchanged. Pinned
+    * because the banded self-join consumes the frame TWICE (probe and
+    * index) — without the pin every blob would decode twice (the
+    * x109/x110 double-decode discipline).
+    */
+  def imageSignatures(images: DataFrame, idCol: String): DataFrame = {
+    val spark = images.sparkSession
+    val rdd = images.select(col(idCol), col("image")).rdd.mapPartitions {
+      rows => rows.flatMap { r =>
+        aHash64(r.getAs[Array[Byte]](1)).map { case (w, h, hash) =>
+          Row(r.getLong(0), w, h, hash)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("simhash", LongType))))
+      .localCheckpoint(false)
+  }
+
+  /** X115 — Hamming-banded near-duplicate image pairs at DOC grain:
+    * the x79 pigeonhole multi-index over 64-bit aHash signatures — the
+    * loosening knob x109's exact-equality tier documents. All pairs
+    * within Hamming distance `maxDist`, found by banded equi-join +
+    * popcount verify (lossless by the pigeonhole argument). Doc-grain
+    * output is quadratic in per-signature copy counts — use
+    * [[imageHammingCanonical]] at corpus scale; this form exists for
+    * bounded inputs and the spec's all-pairs equivalence pin.
+    */
+  def imageHammingPairs(images: DataFrame, idCol: String,
+                        maxDist: Int): DataFrame =
+    Dedup.hammingPairs(imageSignatures(images, idCol), idCol, maxDist)
+
+  /** X115 — the SCALE form: exact-equal signatures collapse FIRST
+    * (the x109 tier — min-id canonical + member count per distinct
+    * 64-bit hash), then the x79 banded Hamming join runs over
+    * CANONICALS only. Output (d1, d2, dist, n1, n2): canonical doc
+    * pairs within `maxDist`, each carrying its group size — every
+    * doc-grain pair is recoverable as a product of member counts, but
+    * the enumerated output is bounded by DISTINCT-signature pairs, not
+    * doc pairs (on a corpus with heavy duplication that is the
+    * difference between thousands and tens of millions of rows; the
+    * same two-tier shape as x30's canonical-probe dedup). Blobs decode
+    * partition-local and never shuffle; the band join carries one
+    * BIGINT per distinct signature.
+    */
+  def imageHammingCanonical(images: DataFrame, idCol: String,
+                            maxDist: Int): DataFrame = {
+    val sig = imageSignatures(images, idCol)
+    val canon = sig.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_members"))
+      .localCheckpoint(false) // feeds the band join twice + two rejoins
+    val pairs = Dedup.hammingPairs(
+      canon.select(col("doc_id"), col("simhash")), idCol, maxDist)
+    pairs
+      .join(canon.select(col("doc_id").as("d1"),
+        col("n_members").as("n1")), Seq("d1"))
+      .join(canon.select(col("doc_id").as("d2"),
+        col("n_members").as("n2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("dist"), col("n1"), col("n2"))
+  }
+
+  /** X115 — one decode pass emitting BOTH perceptual hashes per image:
+    * (idCol, h16, h64). The audit needs the two grids on identical
+    * pixels; two separate scans would decode every blob twice.
+    */
+  def imageHashes(images: DataFrame, idCol: String): DataFrame = {
+    val spark = images.sparkSession
+    val rdd = images.select(col(idCol), col("image")).rdd.mapPartitions {
+      rows => rows.flatMap { r =>
+        val blob = r.getAs[Array[Byte]](1)
+        for {
+          (_, _, h16) <- aHash16(blob)
+          (_, _, h64) <- aHash64(blob)
+        } yield Row(r.getLong(0), h16, h64)
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("h16", LongType),
+      StructField("h64", LongType))))
+      .localCheckpoint(false)
+  }
+
+  /** X115 — tier audit (the x82 precision/recall idea) computed at
+    * SIGNATURE-GROUP grain: doc-pair counts are exact products/
+    * binomials of group sizes, so NO doc pair is ever enumerated —
+    * the form that survives a corpus where popular signatures carry
+    * thousands of copies. Truth = exact 64-bit equality pairs;
+    * methods = the 16-bit exact tier (precision measures how often the
+    * coarse grid lumps 64-distinct content) and the Hamming-d tier
+    * (recall 1 by construction — it is a superset of equality; its
+    * precision prices the loosening). Same output contract as
+    * [[Dedup.pairAudit]]: (method, n_pairs, n_hits, n_truth,
+    * precision_ppm, recall_ppm), exact integer ppm.
+    */
+  def imageTierAudit(images: DataFrame, idCol: String,
+                     maxDist: Int): DataFrame = {
+    val spark = images.sparkSession
+    val hashes = imageHashes(images, idCol)
+    // C(m, 2) over a group-size column
+    def pairsOf(m: Column): Column = (m * (m - 1) / 2).cast("long")
+    val g64 = hashes.groupBy(col("h64")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(false) // feeds truth, the band join, and h64 pairs
+    val truth = g64.agg(coalesce(sum(pairsOf(col("m"))), lit(0L))
+      .as("n_truth"))
+    // h64_d3 doc pairs: within-signature binomials + cross-signature
+    // products over the banded canonical pairs (one row per signature
+    // pair within maxDist — the bounded enumeration)
+    val cross = Dedup.hammingPairs(
+        g64.select(col("h64").as("doc_id"), col("h64").as("simhash")),
+        idCol, maxDist)
+      .join(g64.select(col("h64").as("d1"), col("m").as("m1")), Seq("d1"))
+      .join(g64.select(col("h64").as("d2"), col("m").as("m2")), Seq("d2"))
+      .agg(coalesce(sum(col("m1") * col("m2")), lit(0L)).as("n_cross"))
+    val within64 = g64.agg(coalesce(sum(pairsOf(col("m"))), lit(0L))
+      .as("n_within"))
+    val h64Rows = within64.crossJoin(cross)
+      .select(lit("h64_d3").as("method"),
+        (col("n_within") + col("n_cross")).as("n_pairs"),
+        col("n_within").as("n_hits")) // equality pairs are all at d=0
+    // a16_exact doc pairs: 16-bit groups; hits are pairs equal in BOTH
+    // grids = binomials of the joint (h16, h64) groups
+    val p16 = hashes.groupBy(col("h16")).agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(pairsOf(col("m"))), lit(0L)).as("n_pairs"))
+    val joint = hashes.groupBy(col("h16"), col("h64"))
+      .agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(pairsOf(col("m"))), lit(0L)).as("n_hits"))
+    val a16Rows = p16.crossJoin(joint)
+      .select(lit("a16_exact").as("method"), col("n_pairs"), col("n_hits"))
+    a16Rows.unionByName(h64Rows).crossJoin(broadcast(truth))
+      .select(col("method"), col("n_pairs"), col("n_hits"), col("n_truth"),
+        expr("CASE WHEN n_pairs > 0 THEN n_hits * 1000000L div n_pairs " +
+          "ELSE 0L END").as("precision_ppm"),
+        expr("n_hits * 1000000L div n_truth").as("recall_ppm"))
+  }
+
   /** X109 — perceptual image dedup: group images by their exact aHash
     * (identical 16-bit signature = near-identical content under this
     * grid), pick the min-id canonical per group. 100 TB shape: the
     * blobs never shuffle — decode and hash are partition-local, the
     * exchange carries (id, w, h, hash) rows, and the dedup is a plain
     * hash group-by (the x1 exact-dedup discipline on a perceptual key).
-    * A Hamming-banded tier (the x79 pigeonhole) is the loosening knob
-    * when exact signature equality is too strict.
+    * The Hamming-banded tier over the 64-bit hash
+    * ([[imageHammingPairs]]) is the loosening knob when exact equality
+    * is too strict, with the x82 audit ([[Dedup.pairAudit]]) measuring
+    * what the loosening admits.
     */
   def imagePerceptualDedup(images: DataFrame, idCol: String): DataFrame = {
     val spark = images.sparkSession
