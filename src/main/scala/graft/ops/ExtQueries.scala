@@ -39,6 +39,10 @@ object ExtQueries {
   private val LshBits = 6
   private val LshProbeDist = 2
   // curation knobs — same shared-constant discipline
+  // X116 knobs: eval-holdout fraction (the x13 eval slice's rate) and
+  // the id offset of the injected exact-duplicate clone slice
+  private val EvalHoldoutFrac = 0.1
+  private val E2eCloneOffset = 1000000L
   private val SplitSeed = "split"
   private val SplitTrain = 0.8
   private val SplitValid = 0.1 // cumulative train+valid = 0.9
@@ -472,6 +476,111 @@ object ExtQueries {
     }
 
   private val lshPairsCache = new graft.engine.SessionCache[DataFrame]
+
+  /** X116 — the flagship end-to-end pipeline (see the query's comment
+    * for the stage list). Every frame with 2+ consumers is pinned
+    * (localCheckpoint) so no stage re-executes a shared upstream: the
+    * corpus parquet is scanned ONCE (plan-shape-pinned), and each
+    * stage's drop set plus its survivor stream read the same
+    * materialization — the session-cache/pin discipline the x44/x59
+    * training artifacts established, applied to a linear pipeline.
+    * The near-dedup keeper rule is pairwise (drop the LARGER id of
+    * every confirmed pair) — deterministic, one pass, and exactly
+    * replayable in SQL; a transitive-component keeper is x9's job.
+    */
+  private def e2ePipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    def ledger(ids: DataFrame, verdict: String): DataFrame =
+      ids.select(col("doc_id"), lit(verdict).as("verdict"),
+        nullS.as("split"), nullL.as("shard"),
+        nullL.as("chunk_first"), nullL.as("n_chunks"))
+
+    // ONE corpus read feeds the holdout split, the gate signals, the
+    // eval shingle table, and the ledger. The corpus carries no exact
+    // duplicates by construction, so a deterministic clone slice is
+    // injected (the x7/x94 fixture discipline) — without it the exact-
+    // dedup stage would be vacuously pinned
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .localCheckpoint(false) // both union branches read THIS, not parquet
+    val docs = base.unionByName(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + E2eCloneOffset).as("doc_id"), col("lang"),
+          col("source"), col("text")))
+      .localCheckpoint(false)
+    // stage 0: eval holdout (the x60 discipline — eval never trains)
+    val evalDocs = Sample.uniform(docs, "doc_id", EvalHoldoutFrac,
+      seed = "eval").localCheckpoint(false)
+    val corpus = docs.join(evalDocs.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    // stage 1: gate signals — x22's one scan-side projection
+    val ts = split(col("text"), " ")
+    val sh2 = graft.functions.Shingles.shingles(ts, 2)
+    val sig = corpus.select(col("doc_id"), col("lang"), col("source"),
+        col("text"),
+        round(size(array_distinct(ts)).cast("double") / size(ts), 6)
+          .as("quality"),
+        size(sh2).cast("long").as("n_ngrams"),
+        round(lit(1.0) -
+          size(array_distinct(sh2)).cast("double") / size(sh2), 6)
+          .as("dup_ngram_ratio"),
+        md5(TextAnalysis.normalize(col("text"))).as("norm_fp"))
+      .localCheckpoint(false)
+    val gatePass = sig.filter(col("n_ngrams") > 0 &&
+      col("quality") >= CurateQualityMin &&
+      col("dup_ngram_ratio") <= CurateDupMax)
+    // stage 2: exact dedup — first occurrence per normalized fingerprint
+    val ranked = gatePass.withColumn("rn", row_number().over(
+      Window.partitionBy("norm_fp").orderBy("doc_id")))
+      .localCheckpoint(false)
+    val exactPass = ranked.filter(col("rn") === 1)
+      .drop("rn", "norm_fp").localCheckpoint(false)
+    // stage 3: MinHash-LSH near-dedup over survivors (x1 machinery)
+    val nearDrop = Dedup.minhashLshPairs(exactPass, "doc_id", "text",
+        numSigs = 16, rowsPerBand = 4, threshold = JaccardThreshold)
+      .select(col("d2").as("doc_id")).distinct().localCheckpoint(false)
+    val nearPass = exactPass.join(nearDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
+    // stage 4: decontamination — any 8-shingle shared with an eval doc
+    // (x13's join; the eval shingle set broadcasts, the x74 contract)
+    val evalSh = Dedup.shingleTable(evalDocs, "doc_id", "text", n = 8)
+      .select(col("s").as("es")).distinct()
+    val deconDrop = Dedup.shingleTable(nearPass, "doc_id", "text", n = 8)
+      .join(broadcast(evalSh), col("s") === col("es"))
+      .select(col("doc_id")).distinct().localCheckpoint(false)
+    val deconPass = nearPass.join(deconDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
+    // stage 5: per-source quota over survivors (x16's two-phase form)
+    val quotaPass = Curate.domainQuota(deconPass, "doc_id", "source",
+      quota = QuotaPerDomain, seed = QuotaSeed).localCheckpoint(false)
+    val quotaDrop = deconPass.select(col("doc_id"))
+      .join(quotaPass.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // stage 6: split assignment (x15)
+    val splitDone = Curate.splitAssign(quotaPass, "doc_id",
+        Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
+        seed = SplitSeed)
+      .select(col("doc_id"), col("text"), col("split"))
+      .localCheckpoint(false)
+    // stage 7: pack the train split (x17)
+    val packed = Curate.seqPack(splitDone.filter(col("split") === "train"),
+        "doc_id", "text", shards = PackShards,
+        chunkTokens = PackChunkTokens)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        col("chunk_first"), col("n_chunks"))
+    val kept = splitDone.join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), lit("kept").as("verdict"), col("split"),
+        col("shard"), col("chunk_first"), col("n_chunks"))
+    ledger(evalDocs, "eval_holdout")
+      .unionByName(ledger(sig.join(gatePass.select(col("doc_id")),
+        Seq("doc_id"), "left_anti"), "gate"))
+      .unionByName(ledger(ranked.filter(col("rn") > 1), "exact_dup"))
+      .unionByName(ledger(nearDrop, "near_dup"))
+      .unionByName(ledger(deconDrop, "decon"))
+      .unionByName(ledger(quotaDrop, "quota"))
+      .unionByName(kept)
+      .orderBy("doc_id")
+  }
 
   /** The positional k-gram window table over `documents`, PERSISTED once
     * per (session, dir) and shared by the whole substring family (x41
@@ -966,6 +1075,21 @@ object ExtQueries {
           Seq("train" -> SplitTrain, "valid" -> SplitValid), "test", SplitSeed)
         .select("doc_id", "lang", "quality", "split").orderBy("doc_id")
     }),
+
+    // X116 FLAGSHIP end-to-end production pipeline — every stage of the
+    // current recipe chained behind ONE oracle: eval holdout -> quality/
+    // repetition gate (x22's scan-side signals) -> exact dedup (norm_fp
+    // first-occurrence) -> MinHash-LSH near-dedup over survivors (x1
+    // machinery; drop the larger id of each confirmed pair) -> eval-
+    // shingle decontamination (x13's 8-gram join) -> per-source quota
+    // (x16) -> split assignment (x15) -> sequence packing of the train
+    // split (x17). Output is the per-document DISPOSITION LEDGER: every
+    // input doc carries exactly one verdict (which stage dropped it, or
+    // 'kept' + split + pack coordinates), so the oracle pins every
+    // stage's behavior AND their composition order in one hash. Each
+    // multi-consumer stage is localCheckpoint-pinned — the plan-shape
+    // spec asserts the corpus parquet is scanned exactly once.
+    "x116_e2e_pipeline" -> ((s, dir) => e2ePipeline(s, dir)),
 
     // X19 exact per-language distinct token counts — the oracle-checkable
     // twin of the HLL sketch path (approx_count_distinct, spec-verified)
@@ -4458,6 +4582,113 @@ object ExtQueries {
          |         < '${Sample.threshold(SplitTrain + SplitValid)}' THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM dedup ORDER BY doc_id""".stripMargin,
+
+    // X116: every stage replayed naively — eval slice, gate signals,
+    // fingerprint window, the FULL x1 minhash/band/verify chain over
+    // survivors, the 8-gram decon join, the naive quota window, the
+    // split CASE, the pack running sum — then the same one-verdict-
+    // per-doc ledger. The engine's pins and two-phase forms must be
+    // invisible here; that is the composition proof.
+    "x116_e2e_pipeline" -> {
+      val gram8 = (0 until 8).map(k => s"ts[i+$k]").mkString(" || ' ' || ")
+      s"""WITH t0 AS (SELECT doc_id, lang, source, text FROM documents
+         |  UNION ALL SELECT doc_id + $E2eCloneOffset, lang, source, text
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |ev AS (SELECT * FROM t0
+         |  WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'eval'), 1, 8)
+         |    < '${Sample.threshold(EvalHoldoutFrac)}'),
+         |corp AS (SELECT t0.* FROM t0 ANTI JOIN ev USING (doc_id)),
+         |tt AS (SELECT doc_id, source, text, string_split(text, ' ') AS ts
+         |  FROM corp),
+         |bg AS (SELECT doc_id, list_transform(generate_series(1, len(ts) - 1),
+         |  i -> ts[i] || ' ' || ts[i+1]) AS g FROM tt),
+         |sg AS (SELECT tt.doc_id, tt.source, tt.text, tt.ts,
+         |  round(CAST(len(list_distinct(tt.ts)) AS DOUBLE) / len(tt.ts), 6)
+         |    AS quality,
+         |  len(bg.g) AS n_ngrams,
+         |  round(1.0 - CAST(len(list_distinct(bg.g)) AS DOUBLE) / len(bg.g), 6)
+         |    AS dup_ngram_ratio,
+         |  md5(trim(regexp_replace(regexp_replace(lower(tt.text),
+         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
+         |  FROM tt JOIN bg ON bg.doc_id = tt.doc_id),
+         |gp AS (SELECT * FROM sg WHERE n_ngrams > 0
+         |  AND quality >= $CurateQualityMin
+         |  AND dup_ngram_ratio <= $CurateDupMax),
+         |exr AS (SELECT *,
+         |  row_number() OVER (PARTITION BY norm_fp ORDER BY doc_id) AS rn
+         |  FROM gp),
+         |exp2 AS (SELECT doc_id, source, text, ts FROM exr WHERE rn = 1),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  unnest(list_transform(generate_series(1, len(ts) - 2),
+         |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM exp2),
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |neard AS (SELECT DISTINCT d2 AS doc_id FROM inter
+         |  JOIN nsh na ON na.doc_id = d1 JOIN nsh nb ON nb.doc_id = d2
+         |  WHERE round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6)
+         |    >= $JaccardThreshold),
+         |nearp AS (SELECT exp2.* FROM exp2 ANTI JOIN neard USING (doc_id)),
+         |evt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM ev),
+         |evsh AS (SELECT DISTINCT
+         |  unnest(list_transform(generate_series(1, len(ts) - 7),
+         |    i -> $gram8)) AS es FROM evt),
+         |csh AS (SELECT DISTINCT doc_id,
+         |  unnest(list_transform(generate_series(1, len(ts) - 7),
+         |    i -> $gram8)) AS s FROM nearp),
+         |cont AS (SELECT DISTINCT doc_id FROM csh
+         |  JOIN evsh ON evsh.es = csh.s),
+         |deconp AS (SELECT nearp.* FROM nearp ANTI JOIN cont USING (doc_id)),
+         |qr AS (SELECT doc_id, source, text,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || '$QuotaSeed'),
+         |      1, 8), doc_id) AS BIGINT) AS rnk FROM deconp),
+         |qp AS (SELECT * FROM qr WHERE rnk <= $QuotaPerDomain),
+         |spl AS (SELECT doc_id, text,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'),
+         |         1, 8) < '${Sample.threshold(SplitTrain)}' THEN 'train'
+         |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'),
+         |         1, 8) < '${Sample.threshold(SplitTrain + SplitValid)}'
+         |         THEN 'valid'
+         |       ELSE 'test' END AS split FROM qp),
+         |pk0 AS (SELECT doc_id, doc_id % $PackShards AS shard,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM spl WHERE split = 'train'),
+         |pk1 AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+         |  FROM pk0),
+         |pk AS (SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |  (tok_end - n_tokens) // $PackChunkTokens AS chunk_first,
+         |  ((tok_end - 1) // $PackChunkTokens)
+         |    - ((tok_end - n_tokens) // $PackChunkTokens) + 1 AS n_chunks
+         |  FROM pk1),
+         |led AS (
+         |  SELECT doc_id, 'eval_holdout' AS verdict,
+         |    CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BIGINT) AS shard,
+         |    CAST(NULL AS BIGINT) AS chunk_first,
+         |    CAST(NULL AS BIGINT) AS n_chunks FROM ev
+         |  UNION ALL SELECT sg.doc_id, 'gate', NULL, NULL, NULL, NULL
+         |    FROM sg ANTI JOIN gp USING (doc_id)
+         |  UNION ALL SELECT doc_id, 'exact_dup', NULL, NULL, NULL, NULL
+         |    FROM exr WHERE rn > 1
+         |  UNION ALL SELECT doc_id, 'near_dup', NULL, NULL, NULL, NULL
+         |    FROM neard
+         |  UNION ALL SELECT doc_id, 'decon', NULL, NULL, NULL, NULL
+         |    FROM cont
+         |  UNION ALL SELECT doc_id, 'quota', NULL, NULL, NULL, NULL
+         |    FROM qr WHERE rnk > $QuotaPerDomain
+         |  UNION ALL SELECT spl.doc_id, 'kept', spl.split, pk.shard,
+         |    pk.chunk_first, pk.n_chunks
+         |    FROM spl LEFT JOIN pk ON pk.doc_id = spl.doc_id)
+         |SELECT doc_id, verdict, split, shard, chunk_first, n_chunks
+         |FROM led ORDER BY doc_id""".stripMargin
+    },
 
     // idf rounded at the ln seam on both sides (see Retrieval doc);
     // tf * idf and the final round are IEEE-core, hence bit-exact

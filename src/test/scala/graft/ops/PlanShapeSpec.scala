@@ -443,6 +443,17 @@ class PlanShapeSpec extends SparkSpec {
       s"bloom probe missing from:\n$optimized")
   }
 
+  test("x116 e2e pipeline: every stage reads a pinned upstream — the " +
+    "ledger plan holds ZERO parquet scans (the one corpus read lives " +
+    "in the docs pin), so no stage re-executes a shared stage") {
+    val plan = physical(
+      graft.SparkEntry.queries("x116_e2e_pipeline")(spark, sf))
+    assert(countOccurrences(plan, "FileScan") === 0,
+      s"a stage re-reads the corpus instead of its pin in:\n$plan")
+    assert(countOccurrences(plan, "Scan ExistingRDD") >= 5,
+      s"expected the stage pins as RDD scans in:\n$plan")
+  }
+
   test("span corruption is a pure scan-side projection: zero exchanges") {
     val plan = physical(Augment.spanCorrupt(
       Tables.documents(spark, sf), "doc_id", "text"))
