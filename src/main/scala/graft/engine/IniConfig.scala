@@ -77,6 +77,12 @@ object IniConfig {
         username = get("source-mqtt", "username", ""),
         password = get("source-mqtt", "password", ""),
         qos = getInt("source-mqtt", "qos", d.source.qos),
+        cleanSession = getBool("source-mqtt", "cleansession",
+          d.source.cleanSession),
+        pingTimeoutSecs = getInt("source-mqtt", "pingtimeout",
+          d.source.pingTimeoutSecs),
+        keepAliveSecs = getInt("source-mqtt", "keepalive",
+          d.source.keepAliveSecs),
         topicRoot = get("source-mqtt", "topicroot", d.source.topicRoot),
         topicPrefix = {
           // reference: full topic = topicroot + topicprefix (+ "/<n>");
@@ -92,6 +98,12 @@ object IniConfig {
         username = get("monitor-mqtt", "username", ""),
         password = get("monitor-mqtt", "password", ""),
         qos = getInt("monitor-mqtt", "qos", d.monitor.qos),
+        cleanSession = getBool("monitor-mqtt", "cleansession",
+          d.monitor.cleanSession),
+        pingTimeoutSecs = getInt("monitor-mqtt", "pingtimeout",
+          d.monitor.pingTimeoutSecs),
+        keepAliveSecs = getInt("monitor-mqtt", "keepalive",
+          d.monitor.keepAliveSecs),
         topicRoot = get("monitor-mqtt", "topicroot", d.monitor.topicRoot),
         publishIntervalSecs = getInt("monitor-info", "publishinterval", d.monitor.publishIntervalSecs),
         bufferSize = getInt("monitor-info", "buffersize", d.monitor.bufferSize)),

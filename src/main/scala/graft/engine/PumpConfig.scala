@@ -13,6 +13,12 @@ final case class SourceMqtt(
     username: String = "",
     password: String = "",
     qos: Int = 0,
+    /** CONNECT clean-session flag (`conf.go:29`, `mqtt.go:42`) */
+    cleanSession: Boolean = true,
+    /** PINGRESP wait before declaring the link dead (`conf.go:31`) */
+    pingTimeoutSecs: Int = 10,
+    /** CONNECT keepalive interval (`conf.go:32`) */
+    keepAliveSecs: Int = 60,
     topicRoot: String = "pump",
     topicPrefix: String = "data",
     enableGroupNum: Boolean = true,
@@ -24,6 +30,9 @@ final case class MonitorMqtt(
     username: String = "",
     password: String = "",
     qos: Int = 0,
+    cleanSession: Boolean = true,
+    pingTimeoutSecs: Int = 10,
+    keepAliveSecs: Int = 60,
     topicRoot: String = "pump_monitor",
     publishIntervalSecs: Int = 5,
     bufferSize: Int = 32)

@@ -29,12 +29,15 @@ object MqttBridge {
     */
   def start(host: String, port: Int, topics: Seq[String], brokerName: String,
             clientId: String = s"graft-pump-${System.nanoTime()}",
-            username: String = "", password: String = ""): Bridge = {
+            username: String = "", password: String = "",
+            cleanSession: Boolean = true, keepAliveSecs: Int = 60,
+            pingTimeoutSecs: Int = 10): Bridge = {
     val log = MemoryBroker.get(brokerName)
     val client = new MqttClient(host, port, clientId,
       onMessage = (topic, payload) =>
         log.publish(topic, payload, System.currentTimeMillis() * 1000L),
-      username = username, password = password)
+      username = username, password = password, cleanSession = cleanSession,
+      keepAliveSecs = keepAliveSecs, pingTimeoutSecs = pingTimeoutSecs)
     client.subscribe(topics)
     new Bridge(client)
   }

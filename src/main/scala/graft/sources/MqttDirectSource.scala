@@ -62,15 +62,21 @@ class MqttDirectTable(options: CaseInsensitiveStringMap) extends Table with Supp
       PumpMqttSource.topicsOf(options),
       options.getOrDefault("username", ""),
       options.getOrDefault("password", ""),
-      options.getOrDefault("qos", "0").toInt)
+      options.getOrDefault("qos", "0").toInt,
+      options.getOrDefault("cleansession", "true").toBoolean,
+      options.getOrDefault("keepalive", "60").toInt,
+      options.getOrDefault("pingtimeout", "10").toInt)
 }
 
 class MqttDirectScan(host: String, port: Int, topics: Seq[String],
                      username: String = "", password: String = "",
-                     qos: Int = 0) extends Scan {
+                     qos: Int = 0, cleanSession: Boolean = true,
+                     keepAliveSecs: Int = 60,
+                     pingTimeoutSecs: Int = 10) extends Scan {
   override def readSchema(): StructType = PumpMqttSource.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MqttDirectMicroBatchStream(host, port, topics, username, password, qos)
+    new MqttDirectMicroBatchStream(host, port, topics, username, password,
+      qos, cleanSession, keepAliveSecs, pingTimeoutSecs)
 }
 
 /** Count offset over the driver-side delivery buffer. */
@@ -131,7 +137,9 @@ private[sources] final class DeliveryBuffer {
 
 class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String],
                                  username: String = "", password: String = "",
-                                 qos: Int = 0)
+                                 qos: Int = 0, cleanSession: Boolean = true,
+                                 keepAliveSecs: Int = 60,
+                                 pingTimeoutSecs: Int = 10)
     extends MicroBatchStream {
 
   // delivery buffer: (topic, payload, receivedTimeMicros), appended by the
@@ -141,7 +149,8 @@ class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String],
     s"graft-direct-${System.identityHashCode(this)}",
     onMessage = (topic, payload) =>
       buffer.append((topic, payload, System.currentTimeMillis() * 1000L)),
-    username = username, password = password)
+    username = username, password = password, cleanSession = cleanSession,
+    keepAliveSecs = keepAliveSecs, pingTimeoutSecs = pingTimeoutSecs)
   client.subscribe(topics, qos)
 
   override def initialOffset(): Offset = CountOffset(0L)

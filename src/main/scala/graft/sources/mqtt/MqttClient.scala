@@ -22,7 +22,13 @@ import MqttCodec._
   */
 class MqttClient(host: String, port: Int, clientId: String,
                  onMessage: (String, Array[Byte]) => Unit = (_, _) => (),
-                 username: String = "", password: String = "") {
+                 username: String = "", password: String = "",
+                 cleanSession: Boolean = true, keepAliveSecs: Int = 60,
+                 pingTimeoutSecs: Int = 10) {
+  require(keepAliveSecs >= 2 && keepAliveSecs <= 0xffff,
+    s"keepalive $keepAliveSecs out of [2, 65535]")
+  require(pingTimeoutSecs >= 1 && pingTimeoutSecs <= 255,
+    s"pingtimeout $pingTimeoutSecs out of [1, 255] (reference uint8)")
 
   private val socket = new Socket(host, port)
   private val out = new DataOutputStream(socket.getOutputStream)
@@ -55,7 +61,8 @@ class MqttClient(host: String, port: Int, clientId: String,
           case PacketType.PUBACK =>
             val id = ((pkt.payload(0) & 0xff) << 8) | (pkt.payload(1) & 0xff)
             Option(pendingAcks.remove(id)).foreach(_.countDown())
-          case PacketType.PINGRESP => ()
+          case PacketType.PINGRESP =>
+            lastPingResp.set(System.nanoTime())
           case _ => ()
         }
       }
@@ -68,7 +75,9 @@ class MqttClient(host: String, port: Int, clientId: String,
   // thread, parked in readPacket forever) — a reconnect loop retrying
   // this constructor would otherwise leak one of each per attempt
   try {
-    writePacket(out, PacketType.CONNECT, 0, connectPacket(clientId, username, password))
+    writePacket(out, PacketType.CONNECT,
+      0, connectPacket(clientId, username, password, cleanSession,
+        keepAliveSecs))
     require(connected.await(10, java.util.concurrent.TimeUnit.SECONDS), "CONNACK timeout")
     require(connackRc == 0, s"CONNECT refused: CONNACK rc=$connackRc")
   } catch {
@@ -77,16 +86,28 @@ class MqttClient(host: String, port: Int, clientId: String,
       throw e
   }
 
-  // keepalive: CONNECT advertises 60 s, and a spec-compliant broker drops
-  // a client silent for 1.5x that — an idle subscriber (no inbound
-  // traffic to ack, QoS 0) would be disconnected without this. The
-  // reference gets the same loop from paho's SetKeepAlive/SetPingTimeout
-  // options (`mqtt.go:53-56`).
+  // keepalive: CONNECT advertises `keepAliveSecs`, and a spec-compliant
+  // broker drops a client silent for 1.5x that — an idle subscriber (no
+  // inbound traffic to ack, QoS 0) would be disconnected without this
+  // loop. pingtimeout mirrors paho's SetPingTimeout (`mqtt.go:43`): a
+  // broker that does not answer a PINGREQ inside the window means a
+  // dead link, and closing the socket makes that LOUD (the caller's
+  // reconnect policy takes over) instead of hanging a silent
+  // half-open connection forever.
+  // 0 = no PINGRESP ever seen, so an unanswered FIRST ping also closes
+  private val lastPingResp =
+    new java.util.concurrent.atomic.AtomicLong(0L)
   private val pinger = new Thread(() => {
     try {
       while (!socket.isClosed) {
-        Thread.sleep(30000)
-        if (!socket.isClosed) ping()
+        Thread.sleep(keepAliveSecs * 1000L / 2)
+        if (!socket.isClosed) {
+          val sentAt = System.nanoTime()
+          ping()
+          Thread.sleep(pingTimeoutSecs * 1000L)
+          if (!socket.isClosed && lastPingResp.get() < sentAt)
+            socket.close() // dead link: no PINGRESP inside the window
+        }
       }
     } catch { case _: Throwable => /* closed */ }
   }, s"mqtt-ping-$clientId")

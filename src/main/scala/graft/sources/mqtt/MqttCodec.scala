@@ -79,17 +79,22 @@ object MqttCodec {
     * reference's `if username != ""` gate).
     */
   def connectPacket(clientId: String, username: String = "",
-                    password: String = ""): Array[Byte] = {
+                    password: String = "", cleanSession: Boolean = true,
+                    keepAliveSecs: Int = 60): Array[Byte] = {
+    require(keepAliveSecs >= 0 && keepAliveSecs <= 0xffff,
+      s"keepalive $keepAliveSecs out of [0, 65535]")
     val b = new java.io.ByteArrayOutputStream()
     b.write(utf8("MQTT"))
     b.write(4)            // protocol level 3.1.1
-    var flags = 0x02      // clean session
+    // clean-session bit mirrors the reference's SetCleanSession
+    // (mqtt.go:42); false = the broker resumes this clientId's session
+    var flags = if (cleanSession) 0x02 else 0x00
     if (username.nonEmpty) {
       flags |= 0x80
       if (password.nonEmpty) flags |= 0x40
     }
     b.write(flags)
-    b.write(0); b.write(60) // keepalive 60s
+    b.write((keepAliveSecs >> 8) & 0xff); b.write(keepAliveSecs & 0xff)
     b.write(utf8(clientId))
     if (username.nonEmpty) {
       b.write(utf8(username))

@@ -34,6 +34,12 @@ class IniConfigSpec extends AnyFunSuite {
     assert(cfg.pipeBufferSize === 8)
     assert(cfg.processorBufferSize === 16)
     assert(cfg.adapterBufferSize === 16)
+    // session options (conf.go:29-32; example ini lines 9-11 / 38-40):
+    // source cleansession=true keepalive=300, monitor cleansession=false
+    assert(cfg.source.cleanSession && cfg.source.keepAliveSecs === 300
+      && cfg.source.pingTimeoutSecs === 1)
+    assert(!cfg.monitor.cleanSession && cfg.monitor.keepAliveSecs === 60
+      && cfg.monitor.pingTimeoutSecs === 1)
   }
 
   test("the INI's jsonsample round-trips through schema inference to the golden DDL") {

@@ -25,6 +25,31 @@ class MqttSpec extends SparkSpec {
     assert(!topicMatches("pump/data/+", "pump/data"))
   }
 
+  test("CONNECT carries the configured clean-session flag and keepalive") {
+    // cleansession=false, keepalive=300 (the reference example INI's
+    // source section) — flags byte bit 1 clear, 16-bit keepalive field
+    val p = MqttCodec.connectPacket("c1", cleanSession = false,
+      keepAliveSecs = 300)
+    // variable header: "MQTT"(6 bytes utf8) + level + flags + keepalive
+    val flags = p(7) & 0xff
+    assert((flags & 0x02) === 0, "clean-session bit must be CLEAR")
+    assert((((p(8) & 0xff) << 8) | (p(9) & 0xff)) === 300)
+    val d = MqttCodec.connectPacket("c1") // defaults: clean, 60 s
+    assert((d(7) & 0x02) === 0x02)
+    assert((((d(8) & 0xff) << 8) | (d(9) & 0xff)) === 60)
+    // a session-resuming client against the mini broker still connects
+    val server = new MqttMiniServer()
+    try {
+      val c = new MqttClient("127.0.0.1", server.port, "resume",
+        cleanSession = false, keepAliveSecs = 300, pingTimeoutSecs = 1)
+      c.publish("t", "x".getBytes(StandardCharsets.UTF_8))
+      c.close()
+    } finally server.close()
+    intercept[IllegalArgumentException] {
+      new MqttClient("127.0.0.1", 1, "bad", keepAliveSecs = 1)
+    }
+  }
+
   test("client/server round-trip: connect, subscribe, publish, receive") {
     val server = new MqttMiniServer()
     try {
