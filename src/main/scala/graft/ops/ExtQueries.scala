@@ -43,6 +43,12 @@ object ExtQueries {
   // the id offset of the injected exact-duplicate clone slice
   private val EvalHoldoutFrac = 0.1
   private val E2eCloneOffset = 1000000L
+
+  // X117 knob: cosine micro-ppm threshold, calibrated to this synthetic
+  // embedding corpus (max corpus-vs-eval cosine p75 ≈ 0.32, p99 ≈ 0.44
+  // at sf0.01 — 0.35 exercises both verdicts; a real text-embedding
+  // decon runs at 0.9+)
+  private val SemDeconTauPpm = 350000L
   private val SplitSeed = "split"
   private val SplitTrain = 0.8
   private val SplitValid = 0.1 // cumulative train+valid = 0.9
@@ -1090,6 +1096,18 @@ object ExtQueries {
     // multi-consumer stage is localCheckpoint-pinned — the plan-shape
     // spec asserts the corpus parquet is scanned exactly once.
     "x116_e2e_pipeline" -> ((s, dir) => e2ePipeline(s, dir)),
+
+    // X117 semantic decontamination: the x13/x74/x87 lexical gates'
+    // embedding-space complement — corpus vectors too cosine-close to
+    // the bounded eval suite drop; eval block broadcasts, corpus never
+    // shuffles, exact micro-ppm integer lanes
+    "x117_semantic_decon" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SemDedup.semanticDecon(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", SemDeconTauPpm).orderBy("vec_id")
+    }),
 
     // X19 exact per-language distinct token counts — the oracle-checkable
     // twin of the HLL sketch path (approx_count_distinct, spec-verified)
@@ -6533,7 +6551,31 @@ object ExtQueries {
          |       ELSE 0 END AS BIGINT) AS precision_ppm,
          |  CAST(n_hits * 1000000 // tr.n_truth AS BIGINT) AS recall_ppm
          |FROM m CROSS JOIN tr ORDER BY method""".stripMargin
-    }
+    },
+
+    // X117: the naive corpus-x-eval cosine scan — identical quantized
+    // integer lanes and floor(cos*1e6) micro-units, max per corpus
+    // row with min-eval-id tie break
+    "x117_semantic_decon" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+         |c AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+         |ev AS (SELECT vec_id AS eval_id, q, n2 FROM n WHERE vec_id % 10 = 0),
+         |s AS (SELECT c.vec_id, ev.eval_id,
+         |  CAST(floor(list_dot_product(c.q, ev.q)
+         |    / (sqrt(c.n2) * sqrt(ev.n2)) * 1000000) AS BIGINT) AS sim_ppm
+         |  FROM c JOIN ev ON ev.eval_id <> c.vec_id),
+         |m AS (SELECT vec_id, max(sim_ppm) AS max_sim_ppm FROM s GROUP BY 1),
+         |pick AS (SELECT s.vec_id, m.max_sim_ppm,
+         |  min(s.eval_id) AS nearest_eval
+         |  FROM s JOIN m ON m.vec_id = s.vec_id AND s.sim_ppm = m.max_sim_ppm
+         |  GROUP BY 1, 2)
+         |SELECT vec_id, max_sim_ppm, nearest_eval,
+         |  CASE WHEN max_sim_ppm >= $SemDeconTauPpm THEN 'drop'
+         |       ELSE 'keep' END AS verdict
+         |FROM pick ORDER BY vec_id""".stripMargin
   )
 
   /** Shared x94 CTE: augmented text + per-category counts in [[Pii.mask]]

@@ -174,4 +174,58 @@ object SemDedup {
         coalesce(col("n_dup_lower"), lit(0L)).as("n_dup_lower"),
         when(col("n_dup_lower").isNull, 1).otherwise(0).as("is_kept"))
   }
+
+  /** X117 — CROSS-corpus SEMANTIC decontamination: drop every corpus
+    * vector whose cosine against ANY eval-suite vector reaches `tauPpm`
+    * micro-units. The embedding-space complement of the lexical gates
+    * (x13 shingles / x74 Bloom / x87 paragraphs): a paraphrased or
+    * re-worded eval item shares no 8-gram with its source but still
+    * sits next to it in embedding space — the [[semDedup]] argument
+    * (Abbas et al. 2023) pointed ACROSS corpora, at the train-vs-eval
+    * boundary where contamination audits actually run.
+    *
+    * Shape at 100 TB: the eval suite is BOUNDED (the x74 argument), so
+    * its quantized block broadcasts into the corpus scan and the corpus
+    * NEVER shuffles vectors — per corpus row one codegen'd [[Similarity.dot]]
+    * pass over the eval block, then a map-side-combined max; the only
+    * exchange carries (id, sim_ppm) partials. The corpora are disjoint
+    * by contract (the x60 split); the join predicate defensively
+    * excludes an id present on both sides rather than letting a
+    * violation score 10^6 against itself.
+    *
+    * Integer-exact: quantized dot and norms are exact ints, the cosine
+    * is one IEEE-correctly-rounded double, and `floor(cos·10^6)` lands
+    * the comparison in exact BIGINT micro-units — bit-identical in any
+    * engine (the x78 lane discipline). `nearest_eval` ties break to the
+    * smallest eval id. Returns (idCol, max_sim_ppm, nearest_eval,
+    * verdict) DENSE over the corpus.
+    */
+  def semanticDecon(corpus: DataFrame, evalEmb: DataFrame, idCol: String,
+                    vecCol: String, tauPpm: Long): DataFrame = {
+    require(tauPpm >= 1 && tauPpm <= 1000000,
+      s"tauPpm $tauPpm out of [1, 1000000]")
+    val c = corpus.select(col(idCol),
+        Similarity.quantize(col(vecCol)).as("q"))
+      .withColumn("n2", Similarity.sqNorm(col("q")))
+    // pin: the emptiness probe and the broadcast must see one
+    // materialization (the x87 nondeterministic-ref argument)
+    val ev = evalEmb.select(col(idCol).as("eval_id"),
+        Similarity.quantize(col(vecCol)).as("eq"))
+      .withColumn("en2", Similarity.sqNorm(col("eq")))
+      .localCheckpoint(false)
+    require(!ev.isEmpty,
+      "semanticDecon: eval side is empty — nothing to gate against")
+    val scored = c.join(broadcast(ev), col("eval_id") =!= col(idCol))
+      .select(col(idCol), col("eval_id"),
+        floor(Similarity.cosine(
+          Similarity.dot(col("q"), col("eq")), col("n2"), col("en2"))
+          * 1000000).cast("long").as("sim_ppm"))
+    scored.groupBy(col(idCol))
+      .agg(max(struct(col("sim_ppm"), (-col("eval_id")).as("nege"))).as("m"))
+      .select(col(idCol),
+        col("m.sim_ppm").as("max_sim_ppm"),
+        (-col("m.nege")).as("nearest_eval"),
+        when(col("m.sim_ppm") >= tauPpm, "drop").otherwise("keep")
+          .as("verdict"))
+  }
 }

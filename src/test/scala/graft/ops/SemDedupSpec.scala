@@ -100,4 +100,28 @@ class SemDedupSpec extends SparkSpec {
     }.toSeq
     assert(got === expected)
   }
+
+  test("semanticDecon: max-cosine vs eval, micro-ppm threshold, dense, " +
+    "min-eval-id tie break") {
+    import spark.implicits._
+    // eval 100=(1,0), 101=(0,1); corpus 1=(1,0) dup of 100,
+    // 2=(1,1) cos ~0.7071 to both (tie -> nearest 100), 3=(-1,0) anti
+    val corpus = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 1f)),
+      (3L, Seq(-1f, 0f))).toDF("vec_id", "embedding")
+    val ev = Seq((100L, Seq(1f, 0f)), (101L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = SemDedup.semanticDecon(corpus, ev, "vec_id", "embedding",
+        tauPpm = 900000L)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1000000L, 100L, "drop"),
+      (2L, 707106L, 100L, "keep"), // floor(0.70710678*1e6); tie -> 100
+      (3L, 0L, 101L, "keep")))     // anti vs 100 floors to -1e6; best is 0
+    // empty eval fails loudly, never silently keeps everything
+    intercept[IllegalArgumentException] {
+      SemDedup.semanticDecon(corpus,
+        ev.filter($"vec_id" < 0), "vec_id", "embedding", 900000L)
+    }
+  }
 }
