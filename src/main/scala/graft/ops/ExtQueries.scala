@@ -1097,6 +1097,33 @@ object ExtQueries {
     // spec asserts the corpus parquet is scanned exactly once.
     "x116_e2e_pipeline" -> ((s, dir) => e2ePipeline(s, dir)),
 
+    // X118 theta-style set algebra from KMV sketches: distinct-count
+    // estimates of A, B, union, intersection, and both differences per
+    // source — neither corpus re-scanned (k-row sketches only); exact
+    // audit columns carried beside the estimates (test-SF-only, the
+    // x92 contract)
+    "x118_kmv_algebra" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingleTable(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val a = sh.filter(col("doc_id") % 2 === 0)
+        .select(col("source").as("grp"), col("s"))
+      val b = sh.filter(col("doc_id") % 3 === 0)
+        .select(col("source").as("grp"), col("s"))
+      val alg = Kmv.setAlgebra(Kmv.sketch(a, "grp", "s", KmvK),
+        Kmv.sketch(b, "grp", "s", KmvK), KmvK)
+      val ex = a.distinct().select(col("grp"), col("s"), lit(1L).as("ia"))
+        .join(b.distinct().select(col("grp"), col("s"), lit(1L).as("ib")),
+          Seq("grp", "s"), "full")
+        .groupBy(col("grp")).agg(
+          sum(coalesce(col("ia"), lit(0L))).as("ex_a"),
+          sum(coalesce(col("ib"), lit(0L))).as("ex_b"),
+          count(lit(1)).as("ex_union"),
+          sum(coalesce(col("ia"), lit(0L)) * coalesce(col("ib"), lit(0L)))
+            .as("ex_intersect"))
+      alg.join(ex, Seq("grp")).orderBy("grp")
+    }),
+
     // X117 semantic decontamination: the x13/x74/x87 lexical gates'
     // embedding-space complement — corpus vectors too cosine-close to
     // the bounded eval suite drop; eval block broadcasts, corpus never
@@ -6575,7 +6602,76 @@ object ExtQueries {
          |SELECT vec_id, max_sim_ppm, nearest_eval,
          |  CASE WHEN max_sim_ppm >= $SemDeconTauPpm THEN 'drop'
          |       ELSE 'keep' END AS verdict
-         |FROM pick ORDER BY vec_id""".stripMargin
+         |FROM pick ORDER BY vec_id""".stripMargin,
+
+    // X118: sketches re-derived by the naive min-k window (the x92
+    // CTEs), then the identical (k-1)*2^48 div h_k integer estimator
+    // and theta composition; exact audit from the full distinct sets
+    "x118_kmv_algebra" -> {
+      val coef = (KmvK - 1).toLong * (1L << 48)
+      def estSql(n: String, hk: String): String =
+        s"CASE WHEN $n < $KmvK THEN $n ELSE $coef // greatest($hk, 1) END"
+      s"""WITH $ShingleCte,
+         |j AS (SELECT sh.doc_id, d.source AS grp, sh.s
+         |  FROM sh JOIN documents d USING (doc_id) WHERE sh.s IS NOT NULL),
+         |a AS (SELECT DISTINCT grp, s FROM j WHERE doc_id % 2 = 0),
+         |b AS (SELECT DISTINCT grp, s FROM j WHERE doc_id % 3 = 0),
+         |ka AS (SELECT grp, h FROM (SELECT grp, md5(s) AS h,
+         |  row_number() OVER (PARTITION BY grp ORDER BY md5(s)) AS r
+         |  FROM a) WHERE r <= $KmvK),
+         |kb AS (SELECT grp, h FROM (SELECT grp, md5(s) AS h,
+         |  row_number() OVER (PARTITION BY grp ORDER BY md5(s)) AS r
+         |  FROM b) WHERE r <= $KmvK),
+         |sa AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_a,
+         |  max(('0x' || substring(h, 1, 12))::BIGINT) AS hk_a
+         |  FROM ka GROUP BY 1),
+         |sb AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_b,
+         |  max(('0x' || substring(h, 1, 12))::BIGINT) AS hk_b
+         |  FROM kb GROUP BY 1),
+         |uu AS (SELECT coalesce(ka.grp, kb.grp) AS grp,
+         |  coalesce(ka.h, kb.h) AS h,
+         |  CASE WHEN ka.h IS NOT NULL THEN 1 ELSE 0 END AS ina,
+         |  CASE WHEN kb.h IS NOT NULL THEN 1 ELSE 0 END AS inb
+         |  FROM ka FULL JOIN kb ON ka.grp = kb.grp AND ka.h = kb.h),
+         |uk AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY h)
+         |  AS r FROM uu),
+         |us AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_u,
+         |  max(('0x' || substring(h, 1, 12))::BIGINT) AS hk_u,
+         |  CAST(sum(ina * inb) AS BIGINT) AS n_both,
+         |  CAST(sum(ina * (1 - inb)) AS BIGINT) AS n_a_only,
+         |  CAST(sum((1 - ina) * inb) AS BIGINT) AS n_b_only
+         |  FROM uk WHERE r <= $KmvK GROUP BY 1),
+         |alg AS (SELECT us.grp,
+         |  CAST(coalesce(sa.n_a, 0) AS BIGINT) AS n_a,
+         |  CAST(coalesce(sb.n_b, 0) AS BIGINT) AS n_b,
+         |  n_u, n_both, n_a_only, n_b_only,
+         |  CAST(${estSql("coalesce(sa.n_a, 0)", "sa.hk_a")} AS BIGINT)
+         |    AS est_a,
+         |  CAST(${estSql("coalesce(sb.n_b, 0)", "sb.hk_b")} AS BIGINT)
+         |    AS est_b,
+         |  CAST(${estSql("n_u", "hk_u")} AS BIGINT) AS est_union
+         |  FROM us LEFT JOIN sa ON sa.grp = us.grp
+         |  LEFT JOIN sb ON sb.grp = us.grp),
+         |ex AS (SELECT grp,
+         |  CAST(sum(ia) AS BIGINT) AS ex_a, CAST(sum(ib) AS BIGINT) AS ex_b,
+         |  CAST(count(*) AS BIGINT) AS ex_union,
+         |  CAST(sum(ia * ib) AS BIGINT) AS ex_intersect
+         |  FROM (SELECT coalesce(a.grp, b.grp) AS grp,
+         |    CASE WHEN a.s IS NOT NULL THEN 1 ELSE 0 END AS ia,
+         |    CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END AS ib
+         |    FROM a FULL JOIN b ON a.grp = b.grp AND a.s = b.s) GROUP BY 1)
+         |SELECT alg.grp, n_a, n_b, n_u, n_both, n_a_only, n_b_only,
+         |  est_a, est_b, est_union,
+         |  CAST(n_both * est_union // greatest(n_u, 1) AS BIGINT)
+         |    AS est_intersect,
+         |  CAST(n_a_only * est_union // greatest(n_u, 1) AS BIGINT)
+         |    AS est_a_only,
+         |  CAST(n_b_only * est_union // greatest(n_u, 1) AS BIGINT)
+         |    AS est_b_only,
+         |  ex_a, ex_b, ex_union, ex_intersect
+         |FROM alg JOIN ex ON ex.grp = alg.grp
+         |ORDER BY alg.grp""".stripMargin
+    }
   )
 
   /** Shared x94 CTE: augmented text + per-category counts in [[Pii.mask]]

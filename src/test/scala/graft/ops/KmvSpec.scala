@@ -62,6 +62,56 @@ class KmvSpec extends SparkSpec {
       s"estimate $est ppm too far from 333333")
   }
 
+  test("set algebra is exact below k and composes the theta way") {
+    val a = Seq("x", "y", "z"); val b = Seq("y", "z", "w")
+    val got = Kmv.setAlgebra(
+        Kmv.sketch(a.map(("g", _)).toDF("grp", "v"), "grp", "v", 8),
+        Kmv.sketch(b.map(("g", _)).toDF("grp", "v"), "grp", "v", 8), 8)
+      .collect().head
+    assert(got.getAs[Long]("n_a") === 3 && got.getAs[Long]("n_b") === 3)
+    assert(got.getAs[Long]("n_u") === 4 && got.getAs[Long]("n_both") === 2)
+    assert(got.getAs[Long]("est_a") === 3 && got.getAs[Long]("est_b") === 3)
+    assert(got.getAs[Long]("est_union") === 4)
+    assert(got.getAs[Long]("est_intersect") === 2)
+    assert(got.getAs[Long]("est_a_only") === 1
+      && got.getAs[Long]("est_b_only") === 1)
+  }
+
+  test("full sketch uses the (k-1)*2^48 div h_k integer estimator; a " +
+    "one-sided group reports the other side as zero") {
+    val k = 2
+    val vals = (0 until 10).map(i => s"v $i")
+    val got = Kmv.setAlgebra(
+        Kmv.sketch(vals.map(("g", _)).toDF("grp", "v"), "grp", "v", k),
+        Seq.empty[(String, String)].toDF("grp", "h"), k)
+      .collect().head
+    // expected straight from the formula on the 2nd-smallest digest
+    val hk = java.lang.Long.parseLong(
+      vals.map(md5).sorted.apply(1).take(12), 16)
+    val want = (k - 1).toLong * (1L << 48) / math.max(hk, 1L)
+    assert(got.getAs[Long]("est_a") === want)
+    assert(got.getAs[Long]("n_b") === 0 && got.getAs[Long]("est_b") === 0)
+    assert(got.getAs[Long]("est_intersect") === 0)
+    assert(got.getAs[Long]("est_union") === got.getAs[Long]("est_a"))
+    assert(got.getAs[Long]("est_a_only") === got.getAs[Long]("est_union"))
+  }
+
+  test("estimator lands near known cardinalities at k = 128") {
+    val a = (0 until 1000).map(i => s"a $i")
+    val b = (500 until 1500).map(i => s"a $i") // 500 shared
+    val got = Kmv.setAlgebra(
+        Kmv.sketch(a.map(("g", _)).toDF("grp", "v"), "grp", "v", 128),
+        Kmv.sketch(b.map(("g", _)).toDF("grp", "v"), "grp", "v", 128), 128)
+      .collect().head
+    def near(est: Long, truth: Long, tolPct: Int): Unit =
+      assert(math.abs(est - truth) <= truth * tolPct / 100,
+        s"est $est vs $truth")
+    near(got.getAs[Long]("est_a"), 1000, 30)
+    near(got.getAs[Long]("est_b"), 1000, 30)
+    near(got.getAs[Long]("est_union"), 1500, 30)
+    near(got.getAs[Long]("est_intersect"), 500, 45)
+  }
+
   test("null values drop and k guard holds") {
     val df = Seq(("g", "a"), ("g", null)).toDF("grp", "v")
     assert(Kmv.sketch(df, "grp", "v", 8).count() === 1L)
