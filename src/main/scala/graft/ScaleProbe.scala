@@ -417,6 +417,36 @@ object ScaleProbe {
         "grp", "s", "lbl")
         .write.format("noop").mode("overwrite").save()
     }
+
+    // round-13 additions: the canonical-grain perceptual tier (50k
+    // blobs, 10x whole-corpus duplication pressure on the signature
+    // group-by), the group-grain tier audit, cross-corpus semantic
+    // decon (10% eval slice of 20k vectors broadcast into the rest),
+    // and the x87 decon at its new cardinality-derived bitmap
+    t("image-hamming-canonical-50k") {
+      graft.ops.Multimodal.imageHammingCanonical(
+        graft.ops.Multimodal.renderPpm(docs10, "doc_id"), "doc_id", 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("image-tier-audit-50k") {
+      graft.ops.Multimodal.imageTierAudit(
+        graft.ops.Multimodal.renderPpm(docs10, "doc_id"), "doc_id", 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("semantic-decon-20k-vs-2k") {
+      graft.ops.SemDedup.semanticDecon(
+        emb10.filter(col("vec_id") % 10 =!= 0),
+        emb10.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", 350000L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("paragraph-decon-50k-derived-bitmap") {
+      graft.ops.Dolma.paragraphDecontaminate(
+        docs10.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text")),
+        docs10.filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text")),
+        "doc_id", "text", m = 1 << 18, k = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
