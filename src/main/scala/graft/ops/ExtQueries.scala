@@ -1124,6 +1124,21 @@ object ExtQueries {
       alg.join(ex, Seq("grp")).orderBy("grp")
     }),
 
+    // X119 exact integer covariance table of the embedding column —
+    // the second-moment summary every embedding post-processing step
+    // starts from; one cell-grain exchange, all lanes exact BIGINT
+    "x119_embedding_cov" -> ((s, dir) =>
+      Similarity.covarianceTable(Tables.embeddings(s, dir), "embedding")
+        .orderBy("i", "j")),
+
+    // X119 all-but-the-top audit: per-vector exact projection score on
+    // the driver-trained top principal component (inlined as a
+    // micro-unit literal — the IVF-centroid oracle contract) and the
+    // centered-vector cosine against it
+    "x119_abtt" -> ((s, dir) =>
+      Similarity.abtt(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
     // X117 semantic decontamination: the x13/x74/x87 lexical gates'
     // embedding-space complement — corpus vectors too cosine-close to
     // the bounded eval suite drop; eval block broadcasts, corpus never
@@ -3955,11 +3970,71 @@ object ExtQueries {
        |    CAST(count(*) + $SubstrK - 1 AS BIGINT) AS span_len
        |  FROM r GROUP BY d1, d2, diag, island)""".stripMargin
 
+  /** X119 ABTT oracle, rendered from the trained top principal
+    * component (micro-unit integer literal) — same
+    * run-queries-then-dump contract as [[ivfOracle]]. The projection
+    * arithmetic is exact BIGINT, so DuckDB replays scores and the one
+    * round-6 cosine bit-for-bit.
+    */
+  private def abttOracle: Map[String, String] = {
+    if (Similarity.lastAbttPc.isEmpty)
+      System.err.println(
+        "[graft] WARNING: x119_abtt oracle OMITTED — Similarity.abtt has " +
+          "not run in this JVM, so there is no trained component to " +
+          "inline. Run the queries before dumping oracleSql.")
+    Similarity.lastAbttPc.map { case (vq, vq2) =>
+      "x119_abtt" ->
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))
+           |    AS q FROM embeddings WHERE embedding IS NOT NULL),
+           |ix AS (SELECT unnest(generate_series(1,
+           |  (SELECT max(len(q)) FROM e))) AS i),
+           |sums AS (SELECT ix.i AS p, CAST(sum(q[ix.i]) AS BIGINT) AS s,
+           |  CAST(count(*) AS BIGINT) AS n FROM e CROSS JOIN ix GROUP BY 1),
+           |v(p, vv) AS (SELECT unnest(generate_series(1, ${vq.length})),
+           |  unnest(${vq.mkString("[", ", ", "]")})),
+           |terms AS (SELECT e.vec_id,
+           |  (q[sums.p] * sums.n - sums.s) AS qc, v.vv
+           |  FROM e CROSS JOIN sums JOIN v ON v.p = sums.p),
+           |agg AS (SELECT vec_id,
+           |  CAST(sum(qc * vv) AS BIGINT) AS pc1_score,
+           |  CAST(sum(qc * qc) AS BIGINT) AS qc2 FROM terms GROUP BY 1)
+           |SELECT vec_id, pc1_score,
+           |  CASE WHEN qc2 = 0 THEN CAST(0 AS DOUBLE)
+           |       ELSE round(CAST(pc1_score AS DOUBLE)
+           |         / (sqrt(qc2) * sqrt($vq2)), 6) END AS cos_pc1
+           |FROM agg ORDER BY vec_id""".stripMargin
+    }.toMap
+  }
+
   def oracle: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfPqOracle ++ semDedupOracle ++
       protoPruneOracle ++ d4Oracle ++
       tempMixOracle ++ annRecallOracle ++ rankTauOracle ++
-      ndcgOracle ++ containmentOracle ++ annRefineOracle ++ Map(
+      ndcgOracle ++ containmentOracle ++ annRefineOracle ++
+      abttOracle ++ Map(
+
+    // X119: the covariance lanes re-derived by the naive coordinate
+    // cross join — exact integers, one round-6 double
+    "x119_embedding_cov" ->
+      """WITH e AS (SELECT
+        |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))
+        |    AS q FROM embeddings WHERE embedding IS NOT NULL),
+        |ix AS (SELECT unnest(generate_series(1,
+        |  (SELECT max(len(q)) FROM e))) AS i),
+        |cells AS (SELECT a.i, b.i AS j,
+        |  CAST(sum(q[a.i] * q[b.i]) AS BIGINT) AS g
+        |  FROM e CROSS JOIN ix a CROSS JOIN ix b WHERE b.i >= a.i
+        |  GROUP BY 1, 2),
+        |sums AS (SELECT ix.i AS p, CAST(sum(q[ix.i]) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n FROM e CROSS JOIN ix GROUP BY 1)
+        |SELECT CAST(cells.i AS BIGINT) AS i, CAST(cells.j AS BIGINT) AS j,
+        |  sa.n, cells.g, sa.s AS s_i, sb.s AS s_j,
+        |  round(CAST(cells.g * sa.n - sa.s * sb.s AS DOUBLE)
+        |    / (sa.n * sa.n), 6) AS cov
+        |FROM cells JOIN sums sa ON sa.p = cells.i
+        |JOIN sums sb ON sb.p = cells.j
+        |ORDER BY i, j""".stripMargin,
 
     "x51_lsh_multiprobe" -> lshMultiProbeSql,
 

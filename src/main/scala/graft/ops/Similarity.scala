@@ -179,6 +179,122 @@ object Similarity {
       when(element_at(vec, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** X119 — EXACT integer Gram/covariance table of an embedding
+    * column: for every coordinate pair i ≤ j (1-based), the exact
+    * integer lanes (n, g = Σ q_i·q_j, s_i, s_j) and the sample
+    * covariance cov = (g·n − s_i·s_j)/n² as the one round-6 double.
+    * The d(d+1)/2-row second-moment summary every embedding
+    * post-processing step starts from (whitening, PCA, the x119 ABTT
+    * below) — and a corpus-QA artifact in its own right (anisotropy
+    * shows up as a dominant diagonal block).
+    *
+    * Shape at 100 TB: the nested coordinate explode emits d²/2 cells
+    * per row INSIDE the scan stage, and the single exchange carries
+    * d(d+1)/2 partial-sum rows per map task (map-side combine) — never
+    * row-count-sized. All lanes exact BIGINT: |q| ≤ 10³, so g fits
+    * for corpora up to ~10¹² rows.
+    */
+  def covarianceTable(emb: DataFrame, vecCol: String): DataFrame = {
+    val e = emb.filter(col(vecCol).isNotNull)
+      .select(quantize(col(vecCol)).as("q"))
+    val cells = e
+      .select(posexplode(col("q")).as(Seq("i0", "vi")), col("q"))
+      .select(col("i0"), col("vi"),
+        posexplode(col("q")).as(Seq("j0", "vj")))
+      .filter(col("j0") >= col("i0"))
+      .groupBy((col("i0") + 1).cast("long").as("i"),
+        (col("j0") + 1).cast("long").as("j"))
+      .agg(sum(col("vi").cast("long") * col("vj")).as("g"))
+    val sums = e.select(posexplode(col("q")).as(Seq("p0", "v")))
+      .groupBy((col("p0") + 1).cast("long").as("p"))
+      .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+    cells
+      .join(sums.select(col("p").as("i"), col("s").as("s_i"), col("n")),
+        Seq("i"))
+      .join(sums.select(col("p").as("j"), col("s").as("s_j")), Seq("j"))
+      .select(col("i"), col("j"), col("n"), col("g"), col("s_i"),
+        col("s_j"),
+        round((col("g") * col("n") - col("s_i") * col("s_j"))
+          .cast("double") / (col("n") * col("n")), 6).as("cov"))
+  }
+
+  /** The quantized top principal component of the most recent [[abtt]]
+    * run — (micro-unit vector, its squared norm), kept for the oracle
+    * to inline as literals (the [[lastIvfCentroids]] contract).
+    */
+  @volatile private[graft] var lastAbttPc: Option[(Array[Long], Long)] = None
+
+  /** X119 — "All-but-the-top" embedding post-processing (Mu &
+    * Viswanath 2018): embedding sets are anisotropic — a nonzero mean
+    * plus a few dominant directions carry most of the variance and
+    * wash out cosine contrast; removing them measurably improves
+    * similarity tasks. This is the AUDIT/projection pass: per vector,
+    * its exact projection score on the top principal component of the
+    * centered covariance, and the cosine between the centered vector
+    * and that component.
+    *
+    * Training is DRIVER-LOCAL on a bounded artifact (the IVF-codebook
+    * contract): the d(d+1)/2 exact covariance lanes collect (d = 64 →
+    * 2080 rows), 200 deterministic power-iteration sweeps from the
+    * fixed all-ones start extract the top eigenvector, and the vector
+    * re-enters the plan as ONE micro-unit integer literal. The
+    * per-vector pass is then row-local exact arithmetic — centered
+    * coordinates in n-scaled units (qc_i = q_i·n − s_i, integers, no
+    * rational mean), score = qc·v exact BIGINT, and the cosine one
+    * round-6 double — so the oracle replays it bit-for-bit from the
+    * inlined literal. Eigen-ness (Rayleigh dominance, residual) is
+    * spec-pinned; the oracle pins the distributed projection.
+    *
+    * Returns (idCol, pc1_score, cos_pc1) DENSE over the input.
+    */
+  def abtt(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val covRows = covarianceTable(emb, vecCol).collect()
+    require(covRows.nonEmpty, "abtt: empty embedding input")
+    val d = covRows.map(_.getLong(1)).max.toInt
+    val n = covRows.head.getLong(2)
+    val c = Array.ofDim[Double](d, d)
+    val sArr = new Array[Long](d)
+    covRows.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1)
+      val cov = (r.getLong(3).toDouble * n -
+        r.getLong(4).toDouble * r.getLong(5)) / (n.toDouble * n)
+      c(i)(j) = cov; c(j)(i) = cov
+      if (i == j) sArr(i) = r.getLong(4)
+    }
+    // deterministic power iteration: fixed start, fixed sweep count
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    var it = 0
+    while (it < 200) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      require(nrm > 0, "abtt: degenerate covariance (zero top eigenvalue)")
+      v = w.map(_ / nrm)
+      it += 1
+    }
+    val vq = v.map(x => math.floor(x * 1e6).toLong)
+    lastAbttPc = Some((vq, vq.map(x => x * x).sum))
+    val vLit = typedLit(vq.toSeq)
+    val sLit = typedLit(sArr.toSeq)
+    val q = quantize(col(vecCol))
+    // centered in n-scaled integer units: qc_i = q_i*n - s_i
+    val qc = zip_with(q, sLit,
+      (qi, si) => qi.cast("long") * lit(n) - si)
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), qc.as("qc"))
+      .select(col(idCol),
+        expr("aggregate(zip_with(qc, " +
+          vq.mkString("array(", "L, ", "L)") +
+          ", (x, y) -> x * y), 0L, (a, x) -> a + x)").as("pc1_score"),
+        expr("aggregate(transform(qc, x -> x * x), 0L, (a, x) -> a + x)")
+          .as("qc2"))
+      .select(col(idCol), col("pc1_score"),
+        expr(s"""CASE WHEN qc2 = 0 THEN CAST(0 AS DOUBLE)
+                |ELSE round(CAST(pc1_score AS DOUBLE)
+                |  / (sqrt(qc2) * sqrt(${vq.map(x => x * x).sum})), 6)
+                |END""".stripMargin).as("cos_pc1"))
+  }
+
   /** Quantized centroids of the most recently trained IVF coarse
     * quantizer. Kept so the oracle SQL can inline them as literals:
     * `graft.Verify` runs every query first and dumps `oracleSql`
