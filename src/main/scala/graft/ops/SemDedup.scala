@@ -202,19 +202,45 @@ object SemDedup {
     */
   def semanticDecon(corpus: DataFrame, evalEmb: DataFrame, idCol: String,
                     vecCol: String, tauPpm: Long): DataFrame = {
+    // pin: the emptiness probe and the broadcast must see one
+    // materialization (the x87 nondeterministic-ref argument)
+    val ev = evalEmb.select(col(idCol).as("eval_id"),
+        Similarity.quantize(col(vecCol)).as("eq"))
+      .localCheckpoint(false)
+    require(!ev.isEmpty,
+      "semanticDecon: eval side is empty — nothing to gate against")
+    semanticDeconAgainst(corpus, ev, idCol, vecCol, tauPpm)
+  }
+
+  /** Sentinel `max_sim_ppm` emitted when the accumulated eval set is
+    * empty (streaming cold start): below any real cosine ppm, so it can
+    * never read as a similarity.
+    */
+  val NoEvalSentinelPpm: Long = -2000000L
+
+  /** The gate half of [[semanticDecon]], against a PREPARED
+    * (eval_id, eq) QUANTIZED eval frame — split out so the streaming
+    * twin ([[graft.streaming.SemDeconStream]]) can feed its accumulated
+    * state directly (the [[graft.ops.Dolma.paragraphDecontaminateAgainst]]
+    * contract). An EMPTY eval frame emits every corpus row as `keep`
+    * with [[NoEvalSentinelPpm]] and a null nearest_eval — the streaming
+    * cold start, where the batch wrapper's loud require would be wrong.
+    */
+  def semanticDeconAgainst(corpus: DataFrame, evalPrepared: DataFrame,
+                           idCol: String, vecCol: String,
+                           tauPpm: Long): DataFrame = {
     require(tauPpm >= 1 && tauPpm <= 1000000,
       s"tauPpm $tauPpm out of [1, 1000000]")
     val c = corpus.select(col(idCol),
         Similarity.quantize(col(vecCol)).as("q"))
       .withColumn("n2", Similarity.sqNorm(col("q")))
-    // pin: the emptiness probe and the broadcast must see one
-    // materialization (the x87 nondeterministic-ref argument)
-    val ev = evalEmb.select(col(idCol).as("eval_id"),
-        Similarity.quantize(col(vecCol)).as("eq"))
+    val ev = evalPrepared.select(col("eval_id"), col("eq"))
       .withColumn("en2", Similarity.sqNorm(col("eq")))
-      .localCheckpoint(false)
-    require(!ev.isEmpty,
-      "semanticDecon: eval side is empty — nothing to gate against")
+    if (ev.isEmpty)
+      return c.select(col(idCol),
+        lit(NoEvalSentinelPpm).as("max_sim_ppm"),
+        lit(null).cast("long").as("nearest_eval"),
+        lit("keep").as("verdict"))
     val scored = c.join(broadcast(ev), col("eval_id") =!= col(idCol))
       .select(col(idCol), col("eval_id"),
         floor(Similarity.cosine(
