@@ -1139,6 +1139,13 @@ object ExtQueries {
       Similarity.abtt(Tables.embeddings(s, dir), "vec_id", "embedding")
         .orderBy("vec_id")),
 
+    // X121 corpus anisotropy summary: trace (exact integer numerator),
+    // Rayleigh lambda1 along the trained component in micro-unit
+    // BIGINT lanes, and the lambda1*d/trace ratio — the one-row
+    // diagnostic licensing (or not) the x119 ABTT pass
+    "x121_isotropy" -> ((s, dir) =>
+      Similarity.isotropy(Tables.embeddings(s, dir), "embedding")),
+
     // X117 semantic decontamination: the x13/x74/x87 lexical gates'
     // embedding-space complement — corpus vectors too cosine-close to
     // the bounded eval suite drop; eval block broadcasts, corpus never
@@ -3982,28 +3989,74 @@ object ExtQueries {
         "[graft] WARNING: x119_abtt oracle OMITTED — Similarity.abtt has " +
           "not run in this JVM, so there is no trained component to " +
           "inline. Run the queries before dumping oracleSql.")
-    Similarity.lastAbttPc.map { case (vq, vq2) =>
-      "x119_abtt" ->
-        s"""WITH e AS (SELECT vec_id,
-           |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))
-           |    AS q FROM embeddings WHERE embedding IS NOT NULL),
-           |ix AS (SELECT unnest(generate_series(1,
-           |  (SELECT max(len(q)) FROM e))) AS i),
-           |sums AS (SELECT ix.i AS p, CAST(sum(q[ix.i]) AS BIGINT) AS s,
-           |  CAST(count(*) AS BIGINT) AS n FROM e CROSS JOIN ix GROUP BY 1),
-           |v(p, vv) AS (SELECT unnest(generate_series(1, ${vq.length})),
-           |  unnest(${vq.mkString("[", ", ", "]")})),
-           |terms AS (SELECT e.vec_id,
-           |  (q[sums.p] * sums.n - sums.s) AS qc, v.vv
-           |  FROM e CROSS JOIN sums JOIN v ON v.p = sums.p),
-           |agg AS (SELECT vec_id,
-           |  CAST(sum(qc * vv) AS BIGINT) AS pc1_score,
-           |  CAST(sum(qc * qc) AS BIGINT) AS qc2 FROM terms GROUP BY 1)
-           |SELECT vec_id, pc1_score,
-           |  CASE WHEN qc2 = 0 THEN CAST(0 AS DOUBLE)
-           |       ELSE round(CAST(pc1_score AS DOUBLE)
-           |         / (sqrt(qc2) * sqrt($vq2)), 6) END AS cos_pc1
-           |FROM agg ORDER BY vec_id""".stripMargin
+    Similarity.lastAbttPc.toSeq.flatMap { case (vq, vq2) =>
+      Seq(
+        "x119_abtt" ->
+          s"""WITH e AS (SELECT vec_id,
+             |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))
+             |    AS q FROM embeddings WHERE embedding IS NOT NULL),
+             |ix AS (SELECT unnest(generate_series(1,
+             |  (SELECT max(len(q)) FROM e))) AS i),
+             |sums AS (SELECT ix.i AS p, CAST(sum(q[ix.i]) AS BIGINT) AS s,
+             |  CAST(count(*) AS BIGINT) AS n FROM e CROSS JOIN ix GROUP BY 1),
+             |v(p, vv) AS (SELECT unnest(generate_series(1, ${vq.length})),
+             |  unnest(${vq.mkString("[", ", ", "]")})),
+             |terms AS (SELECT e.vec_id,
+             |  (q[sums.p] * sums.n - sums.s) AS qc, v.vv
+             |  FROM e CROSS JOIN sums JOIN v ON v.p = sums.p),
+             |agg AS (SELECT vec_id,
+             |  CAST(sum(qc * vv) AS BIGINT) AS pc1_score,
+             |  CAST(sum(qc * qc) AS BIGINT) AS qc2 FROM terms GROUP BY 1)
+             |SELECT vec_id, pc1_score,
+             |  CASE WHEN qc2 = 0 THEN CAST(0 AS DOUBLE)
+             |       ELSE round(CAST(pc1_score AS DOUBLE)
+             |         / (sqrt(qc2) * sqrt($vq2)), 6) END AS cos_pc1
+             |FROM agg ORDER BY vec_id""".stripMargin,
+
+        // x121: same covariance CTEs + the same inlined component; the
+        // per-cell Rayleigh term is rounded to micro-unit BIGINT with
+        // the identical fixed parenthesization, then exactly summed
+        "x121_isotropy" ->
+          s"""WITH e AS (SELECT
+             |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))
+             |    AS q FROM embeddings WHERE embedding IS NOT NULL),
+             |ix AS (SELECT unnest(generate_series(1,
+             |  (SELECT max(len(q)) FROM e))) AS i),
+             |cells AS (SELECT a.i, b.i AS j,
+             |  CAST(sum(q[a.i] * q[b.i]) AS BIGINT) AS g
+             |  FROM e CROSS JOIN ix a CROSS JOIN ix b WHERE b.i >= a.i
+             |  GROUP BY 1, 2),
+             |sums AS (SELECT ix.i AS p, CAST(sum(q[ix.i]) AS BIGINT) AS s,
+             |  CAST(count(*) AS BIGINT) AS n FROM e CROSS JOIN ix GROUP BY 1),
+             |cv AS (SELECT cells.i, cells.j, sa.n,
+             |  (cells.g * sa.n - sa.s * sb.s) AS cnum
+             |  FROM cells JOIN sums sa ON sa.p = cells.i
+             |  JOIN sums sb ON sb.p = cells.j),
+             |v(p, vv) AS (SELECT unnest(generate_series(1, ${vq.length})),
+             |  unnest(${vq.mkString("[", ", ", "]")})),
+             |terms AS (SELECT cv.i, cv.j, cv.n, cv.cnum,
+             |  va.vv AS vi, vb.vv AS vj
+             |  FROM cv JOIN v va ON va.p = cv.i JOIN v vb ON vb.p = cv.j),
+             |agg AS (SELECT CAST(max(n) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN i = j THEN cnum ELSE 0 END) AS BIGINT)
+             |    AS trace_num,
+             |  CAST(sum(CAST(round(CAST(cnum AS DOUBLE)
+             |    * CAST(vi AS DOUBLE) * CAST(vj AS DOUBLE)
+             |    * (CASE WHEN i = j THEN 1.0 ELSE 2.0 END)
+             |    / $vq2.0 / CAST(n * n AS DOUBLE) * 1000000.0)
+             |    AS BIGINT)) AS BIGINT) AS l1_micro
+             |  FROM terms)
+             |SELECT n, CAST(${vq.length} AS BIGINT) AS d, trace_num,
+             |  l1_micro,
+             |  round(CAST(trace_num AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+             |    AS trace,
+             |  round(CAST(l1_micro AS DOUBLE) / 1000000.0, 6) AS lambda1,
+             |  CASE WHEN trace_num = 0 THEN CAST(0 AS DOUBLE)
+             |       ELSE round(CAST(l1_micro AS DOUBLE) / 1000000.0
+             |         * ${vq.length}
+             |         / (CAST(trace_num AS DOUBLE) / CAST(n * n AS DOUBLE)),
+             |         6) END AS anisotropy
+             |FROM agg""".stripMargin)
     }.toMap
   }
 

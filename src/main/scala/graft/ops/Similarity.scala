@@ -247,7 +247,15 @@ object Similarity {
     *
     * Returns (idCol, pc1_score, cos_pc1) DENSE over the input.
     */
-  def abtt(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** Driver-local top-PC training shared by [[abtt]] and [[isotropy]]:
+    * collect the exact covariance lanes (d² bounded artifact), 200
+    * deterministic power sweeps from the fixed all-ones start. Returns
+    * (micro-unit vector, its squared norm, coordinate sums, n, d);
+    * publishes [[lastAbttPc]]. Deterministic, so two queries training
+    * independently in one session produce the identical literal.
+    */
+  private def trainTopPc(emb: DataFrame, vecCol: String)
+      : (Array[Long], Long, Array[Long], Long, Int) = {
     val covRows = covarianceTable(emb, vecCol).collect()
     require(covRows.nonEmpty, "abtt: empty embedding input")
     val d = covRows.map(_.getLong(1)).max.toInt
@@ -273,7 +281,56 @@ object Similarity {
       it += 1
     }
     val vq = v.map(x => math.floor(x * 1e6).toLong)
-    lastAbttPc = Some((vq, vq.map(x => x * x).sum))
+    val vq2 = vq.map(x => x * x).sum
+    lastAbttPc = Some((vq, vq2))
+    (vq, vq2, sArr, n, d)
+  }
+
+  /** X121 — corpus ANISOTROPY summary: trace of the centered
+    * covariance (exact integer numerator over n²), the top
+    * eigenvalue's Rayleigh quotient along the trained component, and
+    * the anisotropy ratio λ₁·d/trace (1 = perfectly isotropic, d = all
+    * variance on one axis) — the one-row diagnostic that says whether
+    * [[abtt]] is worth running on a corpus at all (Mu & Viswanath
+    * 2018's motivation; Ethayarajh 2019 measures the same effect).
+    *
+    * λ₁ follows the PSI/zipf micro-unit discipline: each covariance
+    * cell's contribution v_i·C_ij·v_j is rounded to ONE micro-unit
+    * BIGINT row-locally (a fixed-parenthesization double product of
+    * exact integer lanes — IEEE-identical in any engine) and the sum
+    * is exact integer — no float ever crosses a partition. The trace
+    * numerator is exact BIGINT end to end.
+    */
+  def isotropy(emb: DataFrame, vecCol: String): DataFrame = {
+    val (vq, vq2, _, n, d) = trainTopPc(emb, vecCol)
+    val vLit = typedLit(vq.toSeq)
+    val cov = covarianceTable(emb, vecCol)
+    val cnum = col("g") * col("n") - col("s_i") * col("s_j")
+    val vi = element_at(vLit, col("i").cast("int")).cast("double")
+    val vj = element_at(vLit, col("j").cast("int")).cast("double")
+    val mult = when(col("i") === col("j"), lit(1.0)).otherwise(lit(2.0))
+    val rq = round(cnum.cast("double") * vi * vj * mult /
+      lit(vq2.toDouble) / lit((n * n).toDouble) * lit(1000000.0))
+      .cast("long")
+    cov.agg(
+        sum(when(col("i") === col("j"), cnum).otherwise(lit(0L)))
+          .as("trace_num"),
+        sum(rq).as("l1_micro"))
+      .select(lit(n).as("n"), lit(d.toLong).as("d"),
+        col("trace_num"), col("l1_micro"),
+        expr(s"round(CAST(trace_num AS DOUBLE) / ${n * n}.0, 6)")
+          .as("trace"),
+        expr("round(CAST(l1_micro AS DOUBLE) / 1000000.0, 6)")
+          .as("lambda1"),
+        expr(
+          s"""CASE WHEN trace_num = 0 THEN CAST(0 AS DOUBLE)
+             |ELSE round(CAST(l1_micro AS DOUBLE) / 1000000.0 * $d
+             |  / (CAST(trace_num AS DOUBLE) / ${n * n}.0), 6)
+             |END""".stripMargin).as("anisotropy"))
+  }
+
+  def abtt(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val (vq, vq2, sArr, n, _) = trainTopPc(emb, vecCol)
     val vLit = typedLit(vq.toSeq)
     val sLit = typedLit(sArr.toSeq)
     val q = quantize(col(vecCol))

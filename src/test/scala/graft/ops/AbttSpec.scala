@@ -66,6 +66,27 @@ class AbttSpec extends SparkSpec {
     assert(cos > 0.999, s"Cv not parallel to v: cos $cos")
   }
 
+  test("isotropy: a one-direction corpus reads anisotropy ~ d; trace " +
+    "numerator is exact") {
+    val emb = (0 until 40).map { i =>
+      val a = (i - 20) * 0.04f
+      (i.toLong, Seq(a, a))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.isotropy(emb, "embedding").collect().head
+    assert(r.getAs[Long]("n") === 40L && r.getAs[Long]("d") === 2L)
+    // every vector lies on (1,1): the two diagonal cells carry ALL the
+    // variance and lambda1 = trace, so the ratio is d = 2 (micro slack)
+    assert(math.abs(r.getAs[Double]("anisotropy") - 2.0) < 1e-3,
+      s"anisotropy ${r.getAs[Double]("anisotropy")}")
+    assert(r.getAs[Double]("lambda1") > 0)
+    // trace numerator replays exactly from the covariance lanes
+    val cov = Similarity.covarianceTable(emb, "embedding").collect()
+    val want = cov.filter(x => x.getLong(0) == x.getLong(1))
+      .map(x => x.getLong(3) * x.getLong(2) - x.getLong(4) * x.getLong(5))
+      .sum
+    assert(r.getAs[Long]("trace_num") === want)
+  }
+
   test("abtt fails loudly on empty input") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
