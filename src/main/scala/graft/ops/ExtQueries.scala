@@ -44,6 +44,10 @@ object ExtQueries {
   private val EvalHoldoutFrac = 0.1
   private val E2eCloneOffset = 1000000L
 
+  // X122 knobs: JL projection geometry (64-dim embeddings -> 16)
+  private val JlDIn = 64
+  private val JlDOut = 16
+
   // X117 knob: cosine micro-ppm threshold, calibrated to this synthetic
   // embedding corpus (max corpus-vs-eval cosine p75 ≈ 0.32, p99 ≈ 0.44
   // at sf0.01 — 0.35 exercises both verdicts; a real text-embedding
@@ -1138,6 +1142,20 @@ object ExtQueries {
     "x119_abtt" -> ((s, dir) =>
       Similarity.abtt(Tables.embeddings(s, dir), "vec_id", "embedding")
         .orderBy("vec_id")),
+
+    // X122 JL random sign projection: 64 -> 16 dims through the
+    // md5-derived ±1 matrix — row-local, zero trained state, exact
+    // BIGINT lanes (exploded rows, not arrays, for the hash compare)
+    "x122_jl_project" -> ((s, dir) =>
+      Similarity.jlProject(Tables.embeddings(s, dir), "vec_id",
+        "embedding", JlDIn, JlDOut).orderBy("vec_id", "dim")),
+
+    // X122 distortion audit on consecutive-id pairs: projected over
+    // original squared distance, dOut-normalized ppm — 1e6 in
+    // expectation by the JL lemma, exact integer lanes per pair
+    "x122_jl_distortion" -> ((s, dir) =>
+      Similarity.jlDistortion(Tables.embeddings(s, dir), "vec_id",
+        "embedding", JlDIn, JlDOut).orderBy("id_a")),
 
     // X121 corpus anisotropy summary: trace (exact integer numerator),
     // Rayleigh lambda1 along the trained component in micro-unit
@@ -6731,6 +6749,52 @@ object ExtQueries {
          |  CASE WHEN max_sim_ppm >= $SemDeconTauPpm THEN 'drop'
          |       ELSE 'keep' END AS verdict
          |FROM pick ORDER BY vec_id""".stripMargin,
+
+    // X122: the sign matrix re-derived from SQL md5 (a pure function
+    // of the dimension pair — no literals to inline), projection and
+    // distortion as exact integer sums
+    "x122_jl_project" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))
+         |    AS q FROM embeddings WHERE embedding IS NOT NULL),
+         |sg AS (SELECT a.i, b.j,
+         |  CASE WHEN ('0x' || substring(md5('jl|' || a.i || '|' || b.j),
+         |      1, 1))::INTEGER % 2 = 1 THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT unnest(generate_series(1, $JlDIn)) AS i) a
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $JlDOut)) AS j) b)
+         |SELECT e.vec_id, CAST(sg.j AS BIGINT) AS dim,
+         |  CAST(sum(q[sg.i] * sg.s) AS BIGINT) AS y
+         |FROM e CROSS JOIN sg GROUP BY 1, 2
+         |ORDER BY vec_id, dim""".stripMargin,
+
+    "x122_jl_distortion" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))
+         |    AS q FROM embeddings WHERE embedding IS NOT NULL),
+         |ix AS (SELECT unnest(generate_series(1, $JlDIn)) AS i),
+         |sg AS (SELECT a.i, b.j,
+         |  CASE WHEN ('0x' || substring(md5('jl|' || a.i || '|' || b.j),
+         |      1, 1))::INTEGER % 2 = 1 THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT unnest(generate_series(1, $JlDIn)) AS i) a
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $JlDOut)) AS j) b),
+         |t AS (SELECT e.vec_id, sg.j AS dim,
+         |  CAST(sum(q[sg.i] * sg.s) AS BIGINT) AS y
+         |  FROM e CROSS JOIN sg GROUP BY 1, 2),
+         |po AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  CAST(sum((a.q[ix.i] - b.q[ix.i]) * (a.q[ix.i] - b.q[ix.i]))
+         |    AS BIGINT) AS orig2
+         |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 CROSS JOIN ix
+         |  GROUP BY 1, 2),
+         |pd AS (SELECT ya.vec_id AS id_a,
+         |  CAST(sum((ya.y - yb.y) * (ya.y - yb.y)) AS BIGINT) AS proj2
+         |  FROM t ya JOIN t yb
+         |  ON yb.vec_id = ya.vec_id + 1 AND yb.dim = ya.dim
+         |  GROUP BY 1)
+         |SELECT po.id_a, po.id_b, po.orig2, pd.proj2,
+         |  CAST(pd.proj2 * 1000000 // ($JlDOut * po.orig2) AS BIGINT)
+         |    AS distortion_ppm
+         |FROM po JOIN pd ON pd.id_a = po.id_a
+         |WHERE po.orig2 > 0 ORDER BY po.id_a""".stripMargin,
 
     // X118: sketches re-derived by the naive min-k window (the x92
     // CTEs), then the identical (k-1)*2^48 div h_k integer estimator

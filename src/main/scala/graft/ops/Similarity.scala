@@ -247,6 +247,77 @@ object Similarity {
     *
     * Returns (idCol, pc1_score, cos_pc1) DENSE over the input.
     */
+  /** X122 — the deterministic ±1 JL sign: +1 iff the first hex digit
+    * of md5("jl|i|j") is odd (i = input dim, j = output dim, both
+    * 1-based). A pure function of the dimension pair — no trained
+    * state, no RNG — so Spark inlines it as literals and the oracle
+    * re-derives it from SQL md5, and any engine reproduces the
+    * projection bit-for-bit.
+    */
+  def jlSign(i: Int, j: Int): Int = {
+    val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"jl|$i|$j")
+    if ((Character.digit(h.charAt(0), 16) & 1) == 1) 1 else -1
+  }
+
+  /** X122 — Johnson-Lindenstrauss random sign projection (Achlioptas
+    * 2003's database-friendly ±1 form of the JL lemma): project the
+    * quantized d-dim embedding to `dOut` dims through the
+    * [[jlSign]] matrix. Output is EXPLODED (idCol, dim, y) rows with
+    * y = Σ_i q_i·s_ij exact BIGINT (the 1/√dOut normalization stays
+    * symbolic — consumers compare distances, where a constant factor
+    * cancels). The cheap dimension-reduction tier in front of any ANN
+    * index: row-local projection at the scan, zero shuffle, zero
+    * trained state, E[‖y‖²] = dOut·‖q‖².
+    */
+  def jlProject(emb: DataFrame, idCol: String, vecCol: String,
+                dIn: Int, dOut: Int): DataFrame = {
+    require(dIn >= 1 && dIn <= 4096, s"dIn $dIn out of [1, 4096]")
+    require(dOut >= 1 && dOut <= dIn, s"dOut $dOut out of [1, $dIn]")
+    val q = quantize(col(vecCol))
+    val ys = (1 to dOut).map { j =>
+      val signs = (1 to dIn).map(i => jlSign(i, j).toLong)
+      struct(lit(j.toLong).as("dim"),
+        (1 to dIn).map(i =>
+          element_at(q, i).cast("long") * lit(signs(i - 1)))
+          .reduce(_ + _).as("y"))
+    }
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), explode(array(ys: _*)).as("p"))
+      .select(col(idCol), col("p.dim").as("dim"), col("p.y").as("y"))
+  }
+
+  /** X122 — per-pair JL distortion audit on a deterministic pair set
+    * (consecutive ids): distortion_ppm = ‖y_a − y_b‖²·10⁶ div
+    * (dOut·‖q_a − q_b‖²) — exactly 10⁶ in expectation by the JL lemma,
+    * with spread ~1/√dOut. Every lane exact BIGINT (squared distances
+    * of integer vectors); identical-vector pairs (orig² = 0) are
+    * dropped — distortion of a zero distance is undefined. Audit-sized:
+    * one row per pair.
+    */
+  def jlDistortion(emb: DataFrame, idCol: String, vecCol: String,
+                   dIn: Int, dOut: Int): DataFrame = {
+    val base = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), quantize(col(vecCol)).as("q"))
+    val pairsO = base.as("a").join(base.as("b"),
+        col("b." + idCol) === col("a." + idCol) + 1)
+      .select(col("a." + idCol).as("id_a"), col("b." + idCol).as("id_b"),
+        sqNorm(zip_with(col("a.q"), col("b.q"),
+          (x, y) => (x - y).cast("int"))).as("orig2"))
+    // ‖y_a − y_b‖² from the exploded projection joined per (pair, dim)
+    val yp = jlProject(emb, idCol, vecCol, dIn, dOut)
+    val diff2 = yp.as("ya").join(yp.as("yb"),
+        col("yb." + idCol) === col("ya." + idCol) + 1
+          && col("yb.dim") === col("ya.dim"))
+      .groupBy(col("ya." + idCol).as("id_a"))
+      .agg(sum((col("ya.y") - col("yb.y")) * (col("ya.y") - col("yb.y")))
+        .as("proj2"))
+    pairsO.join(diff2, Seq("id_a"))
+      .filter(col("orig2") > 0)
+      .select(col("id_a"), col("id_b"), col("orig2"), col("proj2"),
+        expr(s"proj2 * 1000000 div (${dOut}L * orig2)")
+          .as("distortion_ppm"))
+  }
+
   /** Driver-local top-PC training shared by [[abtt]] and [[isotropy]]:
     * collect the exact covariance lanes (d² bounded artifact), 200
     * deterministic power sweeps from the fixed all-ones start. Returns

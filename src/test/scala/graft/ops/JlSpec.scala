@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** X122 — JL sign projection: engine output equals the rule-derived
+  * projection, distortion centers on 1e6 ppm, zero-distance pairs
+  * drop.
+  */
+class JlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dIn = 8
+  private val dOut = 4
+
+  /** Hash-mixed deterministic vectors: structured ramps would hit the
+    * fixed sign matrix with correlated differences and bias the
+    * distortion average (the JL guarantee is an expectation over
+    * well-mixed inputs for a FIXED matrix).
+    */
+  private def vecs(n: Int): Seq[(Long, Seq[Float])] =
+    (0 until n).map { v =>
+      (v.toLong, (0 until dIn).map { i =>
+        val h = org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"$v|$i").substring(0, 4)
+        ((Integer.parseInt(h, 16) % 2001) - 1000) / 1000.0f
+      })
+    }
+
+  test("projection equals the rule-derived signs exactly") {
+    val emb = vecs(20).toDF("vec_id", "embedding")
+    val got = Similarity.jlProject(emb, "vec_id", "embedding", dIn, dOut)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    for ((id, v) <- vecs(20); j <- 1 to dOut) {
+      // mirror quantize(): float -> DOUBLE -> *1000 -> floor (a float
+      // multiply first would floor e.g. -0.1f to -100, not -101)
+      val q = v.map(x => math.floor(x.toDouble * 1000).toLong)
+      val want = (1 to dIn).map(i =>
+        q(i - 1) * Similarity.jlSign(i, j)).sum
+      assert(got((id, j.toLong)) === want, s"vec $id dim $j")
+    }
+  }
+
+  test("distortion centers on 1e6 ppm; exact-duplicate pairs drop") {
+    val base = vecs(200)
+    // append a duplicate of the last vector: orig2 = 0 -> dropped
+    val emb = (base :+ ((200L, base.last._2))).toDF("vec_id", "embedding")
+    val rows = Similarity.jlDistortion(emb, "vec_id", "embedding",
+      dIn, dOut).collect()
+    assert(rows.length === 199) // 200 consecutive pairs minus the dup
+    assert(!rows.map(_.getLong(0)).contains(199L))
+    val ds = rows.map(_.getAs[Long]("distortion_ppm"))
+    // per-pair spread at dOut=4 is wide, but the mean is tight
+    val mean = ds.sum.toDouble / ds.length
+    assert(math.abs(mean - 1e6) < 0.25e6, s"mean $mean")
+    assert(ds.forall(_ >= 0L))
+  }
+
+  test("geometry guards") {
+    val emb = vecs(4).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.jlProject(emb, "vec_id", "embedding", dIn, dIn + 1)
+    }
+  }
+}
