@@ -273,15 +273,21 @@ object Similarity {
                 dIn: Int, dOut: Int): DataFrame = {
     require(dIn >= 1 && dIn <= 4096, s"dIn $dIn out of [1, 4096]")
     require(dOut >= 1 && dOut <= dIn, s"dOut $dOut out of [1, $dIn]")
-    val q = quantize(col(vecCol))
+    // one zip_with/aggregate per output dim over an array LITERAL of
+    // signs — a dIn-wide element_at chain per dim would put dIn·dOut
+    // extract nodes in the plan and dominate wall time with codegen
+    // compilation, not data work (measured: 6 s -> sub-second at
+    // dIn=64, dOut=16 on 2k vectors)
     val ys = (1 to dOut).map { j =>
-      val signs = (1 to dIn).map(i => jlSign(i, j).toLong)
+      val signsSql = (1 to dIn).map(i => jlSign(i, j))
+        .mkString("array(", ", ", ")")
       struct(lit(j.toLong).as("dim"),
-        (1 to dIn).map(i =>
-          element_at(q, i).cast("long") * lit(signs(i - 1)))
-          .reduce(_ + _).as("y"))
+        expr(s"aggregate(zip_with(__q, $signsSql, " +
+          "(x, s) -> CAST(x AS BIGINT) * s), 0L, (a, x) -> a + x)")
+          .as("y"))
     }
     emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), quantize(col(vecCol)).as("__q"))
       .select(col(idCol), explode(array(ys: _*)).as("p"))
       .select(col(idCol), col("p.dim").as("dim"), col("p.y").as("y"))
   }
