@@ -443,7 +443,7 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, StructType(Seq(
-      StructField("doc_id", LongType), StructField("width", IntegerType),
+      StructField(idCol, LongType), StructField("width", IntegerType),
       StructField("height", IntegerType), StructField("simhash", LongType))))
       .localCheckpoint(false)
   }
@@ -478,15 +478,15 @@ object Multimodal {
                             maxDist: Int): DataFrame = {
     val sig = imageSignatures(images, idCol)
     val canon = sig.groupBy(col("simhash"))
-      .agg(min(col("doc_id")).as("doc_id"),
+      .agg(min(col(idCol)).as(idCol),
         count(lit(1)).as("n_members"))
       .localCheckpoint(false) // feeds the band join twice + two rejoins
     val pairs = Dedup.hammingPairs(
-      canon.select(col("doc_id"), col("simhash")), idCol, maxDist)
+      canon.select(col(idCol), col("simhash")), idCol, maxDist)
     pairs
-      .join(canon.select(col("doc_id").as("d1"),
+      .join(canon.select(col(idCol).as("d1"),
         col("n_members").as("n1")), Seq("d1"))
-      .join(canon.select(col("doc_id").as("d2"),
+      .join(canon.select(col(idCol).as("d2"),
         col("n_members").as("n2")), Seq("d2"))
       .select(col("d1"), col("d2"), col("dist"), col("n1"), col("n2"))
   }
@@ -507,7 +507,7 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, StructType(Seq(
-      StructField("doc_id", LongType), StructField("h16", LongType),
+      StructField(idCol, LongType), StructField("h16", LongType),
       StructField("h64", LongType))))
       .localCheckpoint(false)
   }
@@ -538,7 +538,7 @@ object Multimodal {
     // products over the banded canonical pairs (one row per signature
     // pair within maxDist — the bounded enumeration)
     val cross = Dedup.hammingPairs(
-        g64.select(col("h64").as("doc_id"), col("h64").as("simhash")),
+        g64.select(col("h64").as(idCol), col("h64").as("simhash")),
         idCol, maxDist)
       .join(g64.select(col("h64").as("d1"), col("m").as("m1")), Seq("d1"))
       .join(g64.select(col("h64").as("d2"), col("m").as("m2")), Seq("d2"))
@@ -562,7 +562,12 @@ object Multimodal {
       .select(col("method"), col("n_pairs"), col("n_hits"), col("n_truth"),
         expr("CASE WHEN n_pairs > 0 THEN n_hits * 1000000L div n_pairs " +
           "ELSE 0L END").as("precision_ppm"),
-        expr("n_hits * 1000000L div n_truth").as("recall_ppm"))
+        // empty truth makes recall undefined: abort loudly like
+        // Dedup.pairAudit's require, not a silent NULL (non-ANSI div)
+        expr("CASE WHEN n_truth = 0 THEN CAST(raise_error(" +
+          "'imageTierAudit: exact-equality truth is empty — nothing " +
+          "to measure against') AS BIGINT) " +
+          "ELSE n_hits * 1000000L div n_truth END").as("recall_ppm"))
   }
 
   /** X109 — perceptual image dedup: group images by their exact aHash

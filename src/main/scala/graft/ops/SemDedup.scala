@@ -241,17 +241,26 @@ object SemDedup {
         lit(NoEvalSentinelPpm).as("max_sim_ppm"),
         lit(null).cast("long").as("nearest_eval"),
         lit("keep").as("verdict"))
-    val scored = c.join(broadcast(ev), col("eval_id") =!= col(idCol))
+    val cPinned = c.localCheckpoint(false) // the scored join and the
+    // density left-join below must read ONE materialization
+    val scored = cPinned.join(broadcast(ev), col("eval_id") =!= col(idCol))
       .select(col(idCol), col("eval_id"),
         floor(Similarity.cosine(
           Similarity.dot(col("q"), col("eq")), col("n2"), col("en2"))
           * 1000000).cast("long").as("sim_ppm"))
-    scored.groupBy(col(idCol))
+    val best = scored.groupBy(col(idCol))
       .agg(max(struct(col("sim_ppm"), (-col("eval_id")).as("nege"))).as("m"))
+    // DENSE over the corpus even when the disjointness contract is
+    // violated (a corpus row sharing the single eval row's id matches
+    // nothing under the defensive predicate) or the id is null — such
+    // rows come back through the left join with the cold-start
+    // sentinel instead of silently vanishing from the ledger
+    cPinned.select(col(idCol)).join(best, Seq(idCol), "left")
       .select(col(idCol),
-        col("m.sim_ppm").as("max_sim_ppm"),
+        coalesce(col("m.sim_ppm"), lit(NoEvalSentinelPpm))
+          .as("max_sim_ppm"),
         (-col("m.nege")).as("nearest_eval"),
-        when(col("m.sim_ppm") >= tauPpm, "drop").otherwise("keep")
-          .as("verdict"))
+        when(coalesce(col("m.sim_ppm"), lit(NoEvalSentinelPpm)) >= tauPpm,
+          "drop").otherwise("keep").as("verdict"))
   }
 }

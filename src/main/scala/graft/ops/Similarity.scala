@@ -191,9 +191,15 @@ object Similarity {
     * Shape at 100 TB: the nested coordinate explode emits d²/2 cells
     * per row INSIDE the scan stage, and the single exchange carries
     * d(d+1)/2 partial-sum rows per map task (map-side combine) — never
-    * row-count-sized. All lanes exact BIGINT: |q| ≤ 10³, so g fits
-    * for corpora up to ~10¹² rows.
+    * row-count-sized. EXACTNESS BOUND, asserted IN-PLAN (the x83/x89
+    * discipline): the cov numerator g·n − s_i·s_j reaches ~10⁶·n², so
+    * past [[CovMaxRows]] rows the BIGINT lane would wrap SILENTLY —
+    * the query aborts loudly instead (past that, shard the corpus and
+    * merge moment tables, which sum exactly).
     */
+  /** Row bound keeping g·n (≤ 10⁶·n²) inside BIGINT. */
+  val CovMaxRows: Long = 3000000L
+
   def covarianceTable(emb: DataFrame, vecCol: String): DataFrame = {
     val e = emb.filter(col(vecCol).isNotNull)
       .select(quantize(col(vecCol)).as("q"))
@@ -212,8 +218,17 @@ object Similarity {
       .join(sums.select(col("p").as("i"), col("s").as("s_i"), col("n")),
         Seq("i"))
       .join(sums.select(col("p").as("j"), col("s").as("s_j")), Seq("j"))
-      .select(col("i"), col("j"), col("n"), col("g"), col("s_i"),
-        col("s_j"),
+      .select(col("i"), col("j"),
+        // in-plan exactness guard: every consumer (abtt training,
+        // isotropy, the oracle row) reads n through this column, so a
+        // wrap-scale corpus aborts instead of training on garbage
+        expr(s"""CASE WHEN n > $CovMaxRows THEN
+                |  CAST(raise_error('covarianceTable: row count exceeds
+                | the BIGINT-exact bound $CovMaxRows — shard and merge
+                | moment tables instead') AS BIGINT)
+                |ELSE n END""".stripMargin.replace("\n", ""))
+          .as("n"),
+        col("g"), col("s_i"), col("s_j"),
         round((col("g") * col("n") - col("s_i") * col("s_j"))
           .cast("double") / (col("n") * col("n")), 6).as("cov"))
   }
@@ -281,10 +296,16 @@ object Similarity {
     val ys = (1 to dOut).map { j =>
       val signsSql = (1 to dIn).map(i => jlSign(i, j))
         .mkString("array(", ", ", ")")
+      // width guard IN-PLAN: zip_with null-pads a short vector and the
+      // aggregate would emit NULL while the oracle's q[i] indexing
+      // computes a partial sum — a silent engine/oracle divergence;
+      // abort loudly instead (the x83/x89 discipline)
       struct(lit(j.toLong).as("dim"),
-        expr(s"aggregate(zip_with(__q, $signsSql, " +
-          "(x, s) -> CAST(x AS BIGINT) * s), 0L, (a, x) -> a + x)")
-          .as("y"))
+        expr(s"CASE WHEN size(__q) = $dIn THEN " +
+          s"aggregate(zip_with(__q, $signsSql, " +
+          "(x, s) -> CAST(x AS BIGINT) * s), 0L, (a, x) -> a + x) " +
+          s"ELSE CAST(raise_error('jlProject: vector width <> $dIn') " +
+          "AS BIGINT) END").as("y"))
     }
     emb.filter(col(vecCol).isNotNull)
       .select(col(idCol), quantize(col(vecCol)).as("__q"))
@@ -302,6 +323,13 @@ object Similarity {
     */
   def jlDistortion(emb: DataFrame, idCol: String, vecCol: String,
                    dIn: Int, dOut: Int): DataFrame = {
+    // exactness bound for the ppm lane: proj2 <= dOut*(2000*dIn)^2 and
+    // proj2*10^6 must stay inside BIGINT — at the projection's maximal
+    // geometry (4096x4096) it would wrap silently, so refuse loudly
+    require(BigInt(4000000L) * dIn * dIn * dOut * 1000000L <=
+      BigInt(Long.MaxValue),
+      s"jlDistortion: dIn=$dIn, dOut=$dOut overflows the exact ppm " +
+        "lane (need 4e6*dIn^2*dOut*1e6 <= 2^63)")
     val base = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol), quantize(col(vecCol)).as("q"))
     val pairsO = base.as("a").join(base.as("b"),
@@ -333,6 +361,13 @@ object Similarity {
     */
   private def trainTopPc(emb: DataFrame, vecCol: String)
       : (Array[Long], Long, Array[Long], Long, Int) = {
+    val (vq, vq2, sArr, n, d, _) = trainTopPcRows(emb, vecCol)
+    (vq, vq2, sArr, n, d)
+  }
+
+  private def trainTopPcRows(emb: DataFrame, vecCol: String)
+      : (Array[Long], Long, Array[Long], Long, Int,
+         Array[org.apache.spark.sql.Row]) = {
     val covRows = covarianceTable(emb, vecCol).collect()
     require(covRows.nonEmpty, "abtt: empty embedding input")
     val d = covRows.map(_.getLong(1)).max.toInt
@@ -360,7 +395,7 @@ object Similarity {
     val vq = v.map(x => math.floor(x * 1e6).toLong)
     val vq2 = vq.map(x => x * x).sum
     lastAbttPc = Some((vq, vq2))
-    (vq, vq2, sArr, n, d)
+    (vq, vq2, sArr, n, d, covRows)
   }
 
   /** X121 — corpus ANISOTROPY summary: trace of the centered
@@ -379,9 +414,14 @@ object Similarity {
     * numerator is exact BIGINT end to end.
     */
   def isotropy(emb: DataFrame, vecCol: String): DataFrame = {
-    val (vq, vq2, _, n, d) = trainTopPc(emb, vecCol)
+    val (vq, vq2, _, n, d, covRows) = trainTopPcRows(emb, vecCol)
     val vLit = typedLit(vq.toSeq)
-    val cov = covarianceTable(emb, vecCol)
+    // the training collect already holds every cell — re-enter it as a
+    // local frame instead of paying a second corpus-wide explode scan
+    val spark = emb.sparkSession
+    val cov = spark.createDataFrame(
+      spark.sparkContext.parallelize(covRows.toSeq, 1),
+      covRows.head.schema)
     val cnum = col("g") * col("n") - col("s_i") * col("s_j")
     val vi = element_at(vLit, col("i").cast("int")).cast("double")
     val vj = element_at(vLit, col("j").cast("int")).cast("double")
@@ -414,13 +454,21 @@ object Similarity {
     // centered in n-scaled integer units: qc_i = q_i*n - s_i
     val qc = zip_with(q, sLit,
       (qi, si) => qi.cast("long") * lit(n) - si)
+    // width guard in-plan (the jlProject rationale: a short vector
+    // null-pads through zip_with and emits NULL where the oracle's
+    // positional indexing computes a partial sum)
+    val d = vq.length
+    def guarded(aggSql: String): String =
+      s"CASE WHEN __w = $d THEN $aggSql ELSE " +
+        s"CAST(raise_error('abtt: vector width <> $d') AS BIGINT) END"
     emb.filter(col(vecCol).isNotNull)
-      .select(col(idCol), qc.as("qc"))
+      .select(col(idCol), qc.as("qc"), size(q).as("__w"))
       .select(col(idCol),
-        expr("aggregate(zip_with(qc, " +
+        expr(guarded("aggregate(zip_with(qc, " +
           vq.mkString("array(", "L, ", "L)") +
-          ", (x, y) -> x * y), 0L, (a, x) -> a + x)").as("pc1_score"),
-        expr("aggregate(transform(qc, x -> x * x), 0L, (a, x) -> a + x)")
+          ", (x, y) -> x * y), 0L, (a, x) -> a + x)")).as("pc1_score"),
+        expr(guarded(
+          "aggregate(transform(qc, x -> x * x), 0L, (a, x) -> a + x)"))
           .as("qc2"))
       .select(col(idCol), col("pc1_score"),
         expr(s"""CASE WHEN qc2 = 0 THEN CAST(0 AS DOUBLE)

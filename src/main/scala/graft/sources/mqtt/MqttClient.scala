@@ -97,6 +97,13 @@ class MqttClient(host: String, port: Int, clientId: String,
   // 0 = no PINGRESP ever seen, so an unanswered FIRST ping also closes
   private val lastPingResp =
     new java.util.concurrent.atomic.AtomicLong(0L)
+  // the dead-link wait is CAPPED at keepalive/2 so the worst-case ping
+  // interval (keepalive/2 + wait <= keepalive) stays inside the
+  // broker's 1.5x-keepalive cutoff — an uncapped pingtimeout of 10 s
+  // against keepalive=5 would space pings 12.5 s apart and get the
+  // idle client dropped by the very mechanism this loop exists to feed
+  private val pingWaitMs =
+    math.min(pingTimeoutSecs * 1000L, keepAliveSecs * 1000L / 2)
   private val pinger = new Thread(() => {
     try {
       while (!socket.isClosed) {
@@ -104,7 +111,7 @@ class MqttClient(host: String, port: Int, clientId: String,
         if (!socket.isClosed) {
           val sentAt = System.nanoTime()
           ping()
-          Thread.sleep(pingTimeoutSecs * 1000L)
+          Thread.sleep(pingWaitMs)
           if (!socket.isClosed && lastPingResp.get() < sentAt)
             socket.close() // dead link: no PINGRESP inside the window
         }
