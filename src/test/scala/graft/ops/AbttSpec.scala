@@ -46,7 +46,7 @@ class AbttSpec extends SparkSpec {
       s"component ${vq.toSeq} not on the (1,1) line")
     assert(vq2 === vq.map(x => x * x).sum)
     // every centered vector lies ON the component line -> |cos| ~ 1
-    // (quantization slack only); vectors at the mean score ~0
+    // (quantization tolerance only); vectors at the mean score ~0
     val far = rows.filter(r => math.abs(r.getLong(0) - 20L) > 2)
     assert(far.forall(r => math.abs(math.abs(r.getDouble(2)) - 1.0) < 1e-3),
       far.map(r => (r.getLong(0), r.getDouble(2))).mkString(","))
@@ -75,7 +75,7 @@ class AbttSpec extends SparkSpec {
     val r = Similarity.isotropy(emb, "embedding").collect().head
     assert(r.getAs[Long]("n") === 40L && r.getAs[Long]("d") === 2L)
     // every vector lies on (1,1): the two diagonal cells carry ALL the
-    // variance and lambda1 = trace, so the ratio is d = 2 (micro slack)
+    // variance and lambda1 = trace, so the ratio is d = 2 (micro tolerance)
     assert(math.abs(r.getAs[Double]("anisotropy") - 2.0) < 1e-3,
       s"anisotropy ${r.getAs[Double]("anisotropy")}")
     assert(r.getAs[Double]("lambda1") > 0)
