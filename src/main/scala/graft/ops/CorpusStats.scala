@@ -296,4 +296,70 @@ object CorpusStats {
           .as("p_mass"))
     seen.unionByName(zero)
   }
+
+  /** X123 — vocabulary COVERAGE / OOV curve: for each candidate vocab
+    * size S, the fraction of corpus tokens covered by the S most
+    * frequent word types (rank order: frequency desc, then type asc) —
+    * the first number any tokenizer-vocab decision consults ("how much
+    * of the stream is OOV at 32k types?"), and the operational
+    * complement of the Heaps (x103) growth fit.
+    *
+    * COMPUTED AT FREQUENCY-GROUP GRAIN, never per-type: within one
+    * frequency every type contributes the same mass, so coverage at S
+    * = (mass of all freq groups wholly above the boundary) +
+    * (S − types above) · boundary_freq — all from the
+    * frequency-of-frequencies table. The cumulative windows run over
+    * DISTINCT frequencies per group (~√tokens rows under Zipf — the
+    * x85/x105 vocabulary-grain argument), and the per-type rank order's
+    * tie-break never matters because ties share a frequency. Every
+    * lane is an exact BIGINT; coverage_ppm/oov_ppm are integral ppm.
+    *
+    * Returns (grp, vocab_size, n_types_total, n_tokens, covered,
+    * coverage_ppm, oov_ppm) DENSE over every (group, size) — a size
+    * beyond the whole vocabulary covers everything.
+    */
+  def vocabCoverage(docs: DataFrame, grpCol: String, textCol: String,
+                    sizes: Seq[Long], gram: Int = 1): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(s => s >= 1),
+      s"sizes must be >= 1: $sizes")
+    require(gram >= 1 && gram <= 5, s"gram $gram out of range [1, 5]")
+    val types = docs.select(col(grpCol).as("grp"), explode(
+        Dedup.shingles(Dedup.tokens(col(textCol)), gram)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("grp", "w").agg(count(lit(1)).as("c"))
+    val fg = types.groupBy(col("grp"), col("c"))
+      .agg(count(lit(1)).as("n_types"))
+      .withColumn("mass", col("c") * col("n_types"))
+    val above = Window.partitionBy(col("grp")).orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = fg
+      .withColumn("t_above", coalesce(sum(col("n_types")).over(above),
+        lit(0L)))
+      .withColumn("m_above", coalesce(sum(col("mass")).over(above),
+        lit(0L)))
+    val tot = fg.groupBy(col("grp"))
+      .agg(sum(col("mass")).as("n_tokens"),
+        sum(col("n_types")).as("n_types_total"))
+    val ss = sizes.map(s => s"CAST($s AS BIGINT)").mkString(", ")
+    val grid = tot.select(col("grp"), col("n_tokens"),
+      col("n_types_total"),
+      explode(expr(s"array($ss)")).as("vocab_size"))
+    // each size matches its one boundary frequency group; sizes past
+    // the whole vocabulary fall through the left join to full coverage
+    val hit = grid.join(cum,
+        Seq("grp"), "left")
+      .filter(col("t_above") < col("vocab_size") &&
+        col("vocab_size") <= col("t_above") + col("n_types"))
+      .select(col("grp"), col("vocab_size"),
+        (col("m_above") +
+          (col("vocab_size") - col("t_above")) * col("c")).as("covered"))
+    grid.join(hit, Seq("grp", "vocab_size"), "left")
+      .select(col("grp"), col("vocab_size"), col("n_types_total"),
+        col("n_tokens"),
+        coalesce(col("covered"), col("n_tokens")).as("covered"))
+      .withColumn("coverage_ppm",
+        expr("covered * 1000000 div n_tokens"))
+      .withColumn("oov_ppm",
+        expr("(n_tokens - covered) * 1000000 div n_tokens"))
+  }
 }

@@ -48,6 +48,10 @@ object ExtQueries {
   private val JlDIn = 64
   private val JlDOut = 16
 
+  // X123 knob: candidate vocab sizes (the last exceeds every per-lang
+  // vocabulary at test SF — the full-coverage fallthrough case)
+  private val VocabSizes = Seq(100L, 1000L, 5000L, 20000L)
+
   // X117 knob: cosine micro-ppm threshold, calibrated to this synthetic
   // embedding corpus (max corpus-vs-eval cosine p75 ≈ 0.32, p99 ≈ 0.44
   // at sf0.01 — 0.35 exercises both verdicts; a real text-embedding
@@ -1156,6 +1160,14 @@ object ExtQueries {
     "x122_jl_distortion" -> ((s, dir) =>
       Similarity.jlDistortion(Tables.embeddings(s, dir), "vec_id",
         "embedding", JlDIn, JlDOut).orderBy("id_a")),
+
+    // X123 vocabulary coverage / OOV curve per language: corpus-token
+    // coverage of the S most frequent types at each candidate vocab
+    // size, computed at frequency-group grain (no per-type rank ever
+    // materializes) — exact integer ppm lanes
+    "x123_vocab_coverage" -> ((s, dir) =>
+      CorpusStats.vocabCoverage(Tables.documents(s, dir), "lang", "text",
+        VocabSizes).orderBy("grp", "vocab_size")),
 
     // X121 corpus anisotropy summary: trace (exact integer numerator),
     // Rayleigh lambda1 along the trained component in micro-unit
@@ -6749,6 +6761,49 @@ object ExtQueries {
          |  CASE WHEN max_sim_ppm >= $SemDeconTauPpm THEN 'drop'
          |       ELSE 'keep' END AS verdict
          |FROM pick ORDER BY vec_id""".stripMargin,
+
+    // X123: the same frequency-group-grain arithmetic — cumulative
+    // windows over distinct frequencies, one boundary group per size,
+    // full-coverage fallthrough past the vocabulary
+    "x123_vocab_coverage" -> {
+      val ss = VocabSizes.mkString("[", ", ", "]")
+      s"""WITH tk AS (SELECT grp, w FROM (SELECT lang AS grp,
+         |    unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0),
+         |ty AS (SELECT grp, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY 1, 2),
+         |fg AS (SELECT grp, c, CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(c * count(*) AS BIGINT) AS mass FROM ty GROUP BY 1, 2),
+         |cum AS (SELECT *,
+         |  CAST(coalesce(sum(n_types) OVER (PARTITION BY grp
+         |    ORDER BY c DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS t_above,
+         |  CAST(coalesce(sum(mass) OVER (PARTITION BY grp
+         |    ORDER BY c DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS m_above FROM fg),
+         |tot AS (SELECT grp, CAST(sum(mass) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_types) AS BIGINT) AS n_types_total
+         |  FROM fg GROUP BY 1),
+         |grid AS (SELECT grp, n_tokens, n_types_total,
+         |  CAST(unnest($ss) AS BIGINT) AS vocab_size FROM tot),
+         |hit AS (SELECT g.grp, g.vocab_size,
+         |  CAST(c2.m_above + (g.vocab_size - c2.t_above) * c2.c
+         |    AS BIGINT) AS covered
+         |  FROM grid g JOIN cum c2 ON c2.grp = g.grp
+         |  AND c2.t_above < g.vocab_size
+         |  AND g.vocab_size <= c2.t_above + c2.n_types)
+         |SELECT g.grp, g.vocab_size, g.n_types_total, g.n_tokens,
+         |  CAST(coalesce(hit.covered, g.n_tokens) AS BIGINT) AS covered,
+         |  CAST(coalesce(hit.covered, g.n_tokens) * 1000000 // g.n_tokens
+         |    AS BIGINT) AS coverage_ppm,
+         |  CAST((g.n_tokens - coalesce(hit.covered, g.n_tokens)) * 1000000
+         |    // g.n_tokens AS BIGINT) AS oov_ppm
+         |FROM grid g LEFT JOIN hit
+         |  ON hit.grp = g.grp AND hit.vocab_size = g.vocab_size
+         |ORDER BY g.grp, g.vocab_size""".stripMargin
+    },
 
     // X122: the sign matrix re-derived from SQL md5 (a pure function
     // of the dimension pair — no literals to inline), projection and

@@ -75,4 +75,26 @@ class CorpusStatsSpec extends SparkSpec {
       CorpusStats.zipfFit(one, "text").collect())
     assert(e.getMessage.contains("degenerate"))
   }
+
+  test("vocab coverage: boundary splits, frequency ties, and the " +
+    "past-vocabulary fallthrough") {
+    import spark.implicits._
+    val docs = Seq(("g", "a a a b b c"), ("t", "x x y y z"))
+      .toDF("lang", "text")
+    val got = CorpusStats.vocabCoverage(docs, "lang", "text",
+        Seq(1L, 2L, 3L, 10L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // g: freqs a=3 b=2 c=1 over 6 tokens, 3 types
+    assert(got(("g", 1L)) === ((3L, 6L, 3L, 500000L, 500000L)))
+    assert(got(("g", 2L)) === ((3L, 6L, 5L, 833333L, 166666L)))
+    assert(got(("g", 3L)) === ((3L, 6L, 6L, 1000000L, 0L)))
+    assert(got(("g", 10L)) === ((3L, 6L, 6L, 1000000L, 0L))) // fallthrough
+    // t: x=2 y=2 z=1 over 5 tokens — S=1 lands INSIDE the tied freq-2
+    // group: covered = 0 + 1*2 (the tie split never needs a type order)
+    assert(got(("t", 1L)) === ((3L, 5L, 2L, 400000L, 600000L)))
+    assert(got(("t", 2L)) === ((3L, 5L, 4L, 800000L, 200000L)))
+    assert(got(("t", 3L)) === ((3L, 5L, 5L, 1000000L, 0L)))
+  }
 }
