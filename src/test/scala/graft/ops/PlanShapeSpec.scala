@@ -454,6 +454,23 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the stage pins as RDD scans in:\n$plan")
   }
 
+  test("x117 semantic decon: the eval block broadcasts into the corpus " +
+    "scan — corpus vectors never shuffle into the scoring join") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = physical(SemDedup.semanticDecon(
+      emb.filter(col("vec_id") % 10 =!= 0),
+      emb.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", 350000L))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"eval block not broadcast in:\n$plan")
+    // the only permissible sort-merge join is the DENSITY left join of
+    // two id-grain tables (ids + 3 longs — narrow at any scale); the
+    // Inner scoring join itself must never shuffle corpus vectors
+    val smj = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(_.contains("LeftOuter")),
+      s"corpus shuffled into the scoring join in:\n$plan")
+  }
+
   test("span corruption is a pure scan-side projection: zero exchanges") {
     val plan = physical(Augment.spanCorrupt(
       Tables.documents(spark, sf), "doc_id", "text"))
