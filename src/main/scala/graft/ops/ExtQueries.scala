@@ -44,9 +44,11 @@ object ExtQueries {
   private val EvalHoldoutFrac = 0.1
   private val E2eCloneOffset = 1000000L
 
-  // X122 knobs: JL projection geometry (64-dim embeddings -> 16)
+  // X122 knobs: JL projection geometry (64-dim embeddings -> 16), and
+  // the coarse-cut width of the JL-fronted ANN tier (RefineR's sizing)
   private val JlDIn = 64
   private val JlDOut = 16
+  private val JlCandR = 50
 
   // X123 knob: candidate vocab sizes (the last exceeds every per-lang
   // vocabulary at test SF — the full-coverage fallthrough case)
@@ -1139,6 +1141,17 @@ object ExtQueries {
       Similarity.covarianceTable(Tables.embeddings(s, dir), "embedding")
         .orderBy("i", "j")),
 
+    // X119 sharded continuation: per-shard exact moment lanes merged
+    // by the exact lane fold (DECIMAL numerator — no CovMaxRows cap).
+    // The oracle is the SINGLE-PASS covariance SQL, so a green row IS
+    // the proof that merge(shards) ≡ single-pass at test SF
+    "x119_cov_merged" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mergeMoments(
+        Similarity.covarianceMoments(emb, "embedding", col("vec_id") % 3))
+        .orderBy("i", "j")
+    }),
+
     // X119 all-but-the-top audit: per-vector exact projection score on
     // the driver-trained top principal component (inlined as a
     // micro-unit literal — the IVF-centroid oracle contract) and the
@@ -1454,6 +1467,8 @@ object ExtQueries {
           numSub = PqNumSub, codes = PqCodes,
           trained = Some(ivfPqTrained(s, dir))),
         "ivf_pq_refine" -> ivfPqRefined(s, dir),
+        "jl_refine" -> Similarity.jlTopK(emb, qs, "vec_id", "embedding",
+          TopK, JlDIn, JlDOut, JlCandR),
         "lsh_multiprobe" -> Similarity.lshMultiProbeTopK(emb, qs, "vec_id",
           "embedding", TopK, bits = LshBits, probeDist = LshProbeDist),
         "pq_ann" -> Similarity.pqTopK(emb, qs, "vec_id", "embedding",
@@ -1468,6 +1483,17 @@ object ExtQueries {
     "x51_ann_refine" -> ((s, dir) =>
       ivfPqRefined(s, dir)
         .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")),
+
+    // X51 JL-fronted exact re-rank: the x122 sign projection as the
+    // coarse tier (row-local, zero trained state), candR nearest by
+    // exact projected L2, then the exact cosine re-rank — the
+    // projection composed into the ANN family it exists to front
+    "x51_jl_refine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.jlTopK(emb, emb.filter(col("vec_id") < NumQueries),
+        "vec_id", "embedding", TopK, JlDIn, JlDOut, JlCandR)
+        .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")
+    }),
 
     // X51 multi-probe sign-LSH: queries probe every bucket within
     // Hamming distance 2 — the recall recovery path for the cheapest tier
@@ -2265,6 +2291,8 @@ object ExtQueries {
           numSub = PqNumSub, codes = PqCodes,
           trained = Some(ivfPqTrained(s, dir))),
         "ivf_pq_refine" -> ivfPqRefined(s, dir),
+        "jl_refine" -> Similarity.jlTopK(emb, qs, "vec_id", "embedding",
+          TopK, JlDIn, JlDOut, JlCandR),
         "lsh_multiprobe" -> Similarity.lshMultiProbeTopK(emb, qs, "vec_id",
           "embedding", TopK, bits = LshBits, probeDist = LshProbeDist),
         "pq_ann" -> Similarity.pqTopK(emb, qs, "vec_id", "embedding",
@@ -2292,6 +2320,8 @@ object ExtQueries {
           numSub = PqNumSub, codes = PqCodes,
           trained = Some(ivfPqTrained(s, dir))),
         "ivf_pq_refine" -> ivfPqRefined(s, dir),
+        "jl_refine" -> Similarity.jlTopK(emb, qs, "vec_id", "embedding",
+          TopK, JlDIn, JlDOut, JlCandR),
         "lsh_multiprobe" -> Similarity.lshMultiProbeTopK(emb, qs, "vec_id",
           "embedding", TopK, bits = LshBits, probeDist = LshProbeDist),
         "pq_ann" -> Similarity.pqTopK(emb, qs, "vec_id", "embedding",
@@ -2861,6 +2891,41 @@ object ExtQueries {
        |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
 
+  /** JL-fronted exact re-rank SQL (x51_jl_refine and the x43/x112/x113
+    * audit arms): sign matrix re-derived from SQL md5, exact projected
+    * L2 coarse cut at [[JlCandR]], exact cosine re-rank. Fully STATIC —
+    * the one ANN tier with no trained artifacts to inline.
+    */
+  private def jlTopkSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))
+       |    AS q FROM embeddings WHERE embedding IS NOT NULL),
+       |sg AS (SELECT a.i, b.j,
+       |  CASE WHEN ('0x' || substring(md5('jl|' || a.i || '|' || b.j),
+       |      1, 1))::INTEGER % 2 = 1 THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(generate_series(1, $JlDIn)) AS i) a
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $JlDOut)) AS j) b),
+       |t AS (SELECT e.vec_id, sg.j AS dim,
+       |  CAST(sum(q[sg.i] * sg.s) AS BIGINT) AS y
+       |  FROM e CROSS JOIN sg GROUP BY 1, 2),
+       |pd AS (SELECT tq.vec_id AS qid, tc.vec_id AS cid,
+       |  CAST(sum((tc.y - tq.y) * (tc.y - tq.y)) AS BIGINT) AS pdist
+       |  FROM t tq JOIN t tc ON tc.dim = tq.dim AND tc.vec_id != tq.vec_id
+       |  WHERE tq.vec_id < $NumQueries GROUP BY 1, 2),
+       |cand AS (SELECT qid, cid FROM (SELECT qid, cid,
+       |  row_number() OVER (PARTITION BY qid ORDER BY pdist, cid) AS r
+       |  FROM pd) WHERE r <= $JlCandR),
+       |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+       |scored AS (SELECT cand.qid, cand.cid,
+       |  round(list_dot_product(qn.q, cn.q) / (sqrt(qn.n2) * sqrt(cn.n2)), 6) AS sim
+       |  FROM cand JOIN n qn ON qn.vec_id = cand.qid
+       |  JOIN n cn ON cn.vec_id = cand.cid),
+       |ranked AS (SELECT qid, cid, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
   /** Mixture-sampling SQL, shared verbatim by x31 (compiled-predicate
     * engine form) and x55 (join-based engine form): ONE oracle proving
     * the two execution shapes produce the identical row set.
@@ -2952,6 +3017,7 @@ object ExtQueries {
        |pqm AS (SELECT qid, cid FROM ($pq)),
        |ivfpqm AS (SELECT qid, cid FROM ($ivfpq)),
        |refm AS (SELECT qid, cid FROM ($refine)),
+       |jlm AS (SELECT qid, cid FROM ($jlTopkSql)),
        |t AS (SELECT count(*) AS n_truth FROM ex),
        |u AS (
        |  SELECT 'ann_ivf' AS method, count(*) AS n_hits
@@ -2959,6 +3025,7 @@ object ExtQueries {
        |  UNION ALL SELECT 'ann_lsh', count(*) FROM lshm JOIN ex USING (qid, cid)
        |  UNION ALL SELECT 'ivf_pq', count(*) FROM ivfpqm JOIN ex USING (qid, cid)
        |  UNION ALL SELECT 'ivf_pq_refine', count(*) FROM refm JOIN ex USING (qid, cid)
+       |  UNION ALL SELECT 'jl_refine', count(*) FROM jlm JOIN ex USING (qid, cid)
        |  UNION ALL SELECT 'lsh_multiprobe', count(*) FROM mpm JOIN ex USING (qid, cid)
        |  UNION ALL SELECT 'pq_ann', count(*) FROM pqm JOIN ex USING (qid, cid))
        |SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
@@ -2979,6 +3046,7 @@ object ExtQueries {
   } yield {
     val methods = Seq("ann_ivf" -> ivf, "ann_lsh" -> annLshSql,
       "ivf_pq" -> ivfpq, "ivf_pq_refine" -> refine,
+      "jl_refine" -> jlTopkSql,
       "lsh_multiprobe" -> lshMultiProbeSql, "pq_ann" -> pq)
     val mCtes = methods.zipWithIndex.map { case ((_, sql), i) =>
       s"""s$i AS (SELECT m.qid, m.cid, m.rank AS ra, ex.re
@@ -3023,6 +3091,7 @@ object ExtQueries {
   } yield {
     val methods = Seq("ann_ivf" -> ivf, "ann_lsh" -> annLshSql,
       "ivf_pq" -> ivfpq, "ivf_pq_refine" -> refine,
+      "jl_refine" -> jlTopkSql,
       "lsh_multiprobe" -> lshMultiProbeSql, "pq_ann" -> pq)
     val w = Eval.ndcgWeightsMicro(TopK)
     val wCase = (1 to TopK).map(i =>
@@ -4090,6 +4159,30 @@ object ExtQueries {
     }.toMap
   }
 
+  /** X119 single-pass covariance SQL — shared by `x119_embedding_cov`
+    * (pinning the single-pass engine path) and `x119_cov_merged`
+    * (pinning that the shard-then-merge fold reproduces it exactly).
+    */
+  private val covSinglePassSql: String =
+    """WITH e AS (SELECT
+      |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))
+      |    AS q FROM embeddings WHERE embedding IS NOT NULL),
+      |ix AS (SELECT unnest(generate_series(1,
+      |  (SELECT max(len(q)) FROM e))) AS i),
+      |cells AS (SELECT a.i, b.i AS j,
+      |  CAST(sum(q[a.i] * q[b.i]) AS BIGINT) AS g
+      |  FROM e CROSS JOIN ix a CROSS JOIN ix b WHERE b.i >= a.i
+      |  GROUP BY 1, 2),
+      |sums AS (SELECT ix.i AS p, CAST(sum(q[ix.i]) AS BIGINT) AS s,
+      |  CAST(count(*) AS BIGINT) AS n FROM e CROSS JOIN ix GROUP BY 1)
+      |SELECT CAST(cells.i AS BIGINT) AS i, CAST(cells.j AS BIGINT) AS j,
+      |  sa.n, cells.g, sa.s AS s_i, sb.s AS s_j,
+      |  round(CAST(cells.g * sa.n - sa.s * sb.s AS DOUBLE)
+      |    / (sa.n * sa.n), 6) AS cov
+      |FROM cells JOIN sums sa ON sa.p = cells.i
+      |JOIN sums sb ON sb.p = cells.j
+      |ORDER BY i, j""".stripMargin
+
   def oracle: Map[String, String] =
     ivfOracle ++ pqOracle ++ ivfPqOracle ++ semDedupOracle ++
       protoPruneOracle ++ d4Oracle ++
@@ -4099,27 +4192,16 @@ object ExtQueries {
 
     // X119: the covariance lanes re-derived by the naive coordinate
     // cross join — exact integers, one round-6 double
-    "x119_embedding_cov" ->
-      """WITH e AS (SELECT
-        |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))
-        |    AS q FROM embeddings WHERE embedding IS NOT NULL),
-        |ix AS (SELECT unnest(generate_series(1,
-        |  (SELECT max(len(q)) FROM e))) AS i),
-        |cells AS (SELECT a.i, b.i AS j,
-        |  CAST(sum(q[a.i] * q[b.i]) AS BIGINT) AS g
-        |  FROM e CROSS JOIN ix a CROSS JOIN ix b WHERE b.i >= a.i
-        |  GROUP BY 1, 2),
-        |sums AS (SELECT ix.i AS p, CAST(sum(q[ix.i]) AS BIGINT) AS s,
-        |  CAST(count(*) AS BIGINT) AS n FROM e CROSS JOIN ix GROUP BY 1)
-        |SELECT CAST(cells.i AS BIGINT) AS i, CAST(cells.j AS BIGINT) AS j,
-        |  sa.n, cells.g, sa.s AS s_i, sb.s AS s_j,
-        |  round(CAST(cells.g * sa.n - sa.s * sb.s AS DOUBLE)
-        |    / (sa.n * sa.n), 6) AS cov
-        |FROM cells JOIN sums sa ON sa.p = cells.i
-        |JOIN sums sb ON sb.p = cells.j
-        |ORDER BY i, j""".stripMargin,
+    "x119_embedding_cov" -> covSinglePassSql,
+
+    // X119 merged: the oracle is the SAME single-pass SQL — the row is
+    // green iff the engine's shard-then-merge fold reproduces the
+    // single-pass lanes and cov bit-for-bit
+    "x119_cov_merged" -> covSinglePassSql,
 
     "x51_lsh_multiprobe" -> lshMultiProbeSql,
+
+    "x51_jl_refine" -> jlTopkSql,
 
     "x44_bpe_merges" ->
       s"""WITH $bpeAllRounds

@@ -226,9 +226,20 @@ object SemDedup {
     * with [[NoEvalSentinelPpm]] and a null nearest_eval — the streaming
     * cold start, where the batch wrapper's loud require would be wrong.
     */
+  /** Cardinality cap on the force-broadcast eval block: ~300 B per
+    * quantized row keeps 10⁶ rows ≈ 300 MB — a real (if chunky)
+    * broadcast, where an unbounded "eval" frame would OOM the driver
+    * with no message. The x83/x89 discipline: the bounded-eval
+    * contract is ASSERTED (one cheap count on the already-pinned
+    * frame), not assumed. A corpus-scale decon target belongs in the
+    * lexical tiers (x13/x74/x87) or sharded eval passes, not here.
+    */
+  val MaxEvalRows: Long = 1000000L
+
   def semanticDeconAgainst(corpus: DataFrame, evalPrepared: DataFrame,
                            idCol: String, vecCol: String,
-                           tauPpm: Long): DataFrame = {
+                           tauPpm: Long,
+                           maxEvalRows: Long = MaxEvalRows): DataFrame = {
     require(tauPpm >= 1 && tauPpm <= 1000000,
       s"tauPpm $tauPpm out of [1, 1000000]")
     val c = corpus.select(col(idCol),
@@ -236,7 +247,13 @@ object SemDedup {
       .withColumn("n2", Similarity.sqNorm(col("q")))
     val ev = evalPrepared.select(col("eval_id"), col("eq"))
       .withColumn("en2", Similarity.sqNorm(col("eq")))
-    if (ev.isEmpty)
+    val nEval = ev.count()
+    require(nEval <= maxEvalRows,
+      s"semanticDecon: eval side has $nEval rows, over the broadcast " +
+        s"cap $maxEvalRows — the bounded-eval contract is violated; " +
+        "gate lexically (x13/x74/x87) or shard the eval set instead " +
+        "of broadcasting a corpus")
+    if (nEval == 0L)
       return c.select(col(idCol),
         lit(NoEvalSentinelPpm).as("max_sim_ppm"),
         lit(null).cast("long").as("nearest_eval"),

@@ -197,8 +197,20 @@ object Similarity {
     * the query aborts loudly instead (past that, shard the corpus and
     * merge moment tables, which sum exactly).
     */
-  /** Row bound keeping g·n (≤ 10⁶·n²) inside BIGINT. */
+  /** Row bound keeping g·n (≤ 10⁶·n²) inside BIGINT — the SINGLE-PASS
+    * [[covarianceTable]] bound, where the cov numerator is computed in
+    * BIGINT. The sharded path ([[covarianceMoments]] +
+    * [[mergeMoments]]) has no such product: its bound is the raw-lane
+    * one, [[MomentLaneMaxRows]].
+    */
   val CovMaxRows: Long = 3000000L
+
+  /** Row bound keeping the RAW moment lanes exact in BIGINT:
+    * |g| ≤ 10⁶·n (each quantized product ≤ 10³·10³), so n ≤ 9·10¹²
+    * keeps |g| ≤ 9·10¹⁸ < 2⁶³. The bound for the sharded/merged path —
+    * 3000× the single-pass cap, i.e. ~10¹² embeddings of corpus.
+    */
+  val MomentLaneMaxRows: Long = 9000000000000L
 
   def covarianceTable(emb: DataFrame, vecCol: String): DataFrame = {
     val e = emb.filter(col(vecCol).isNotNull)
@@ -224,13 +236,89 @@ object Similarity {
         // wrap-scale corpus aborts instead of training on garbage
         expr(s"""CASE WHEN n > $CovMaxRows THEN
                 |  CAST(raise_error('covarianceTable: row count exceeds
-                | the BIGINT-exact bound $CovMaxRows — shard and merge
-                | moment tables instead') AS BIGINT)
+                | the BIGINT-exact bound $CovMaxRows — use
+                | covarianceMoments(shardCol) + mergeMoments (exact
+                | lane merge, DECIMAL numerator) instead') AS BIGINT)
                 |ELSE n END""".stripMargin.replace("\n", ""))
           .as("n"),
         col("g"), col("s_i"), col("s_j"),
         round((col("g") * col("n") - col("s_i") * col("s_j"))
           .cast("double") / (col("n") * col("n")), 6).as("cov"))
+  }
+
+  /** X119 continuation past [[CovMaxRows]] — PER-SHARD exact moment
+    * lanes: for every (shard, coordinate pair i ≤ j), the exact BIGINT
+    * lanes (n, g = Σ q_i·q_j, s_i, s_j). The same cell-grain exchange
+    * as [[covarianceTable]], keyed additionally by `shardCol` — still
+    * d(d+1)/2 partial rows per map task per shard, never
+    * row-count-sized. NO cov column here: per-shard covariance does
+    * not merge, but the raw lanes SUM EXACTLY (the HLL
+    * pointwise-max-merge contract of [[Sketch]], in additive form), so
+    * a corpus of any size shards by any column, computes moments per
+    * shard, and folds them with [[mergeMoments]].
+    *
+    * Per-shard exactness guard in-plan: the g lane wraps past
+    * [[MomentLaneMaxRows]] rows in one shard (|g| ≤ 10⁶·n), so an
+    * oversized shard aborts loudly instead of summing garbage.
+    */
+  def covarianceMoments(emb: DataFrame, vecCol: String,
+                        shardCol: Column): DataFrame = {
+    val e = emb.filter(col(vecCol).isNotNull)
+      .select(shardCol.as("shard"), quantize(col(vecCol)).as("q"))
+    val cells = e
+      .select(col("shard"), posexplode(col("q")).as(Seq("i0", "vi")),
+        col("q"))
+      .select(col("shard"), col("i0"), col("vi"),
+        posexplode(col("q")).as(Seq("j0", "vj")))
+      .filter(col("j0") >= col("i0"))
+      .groupBy(col("shard"), (col("i0") + 1).cast("long").as("i"),
+        (col("j0") + 1).cast("long").as("j"))
+      .agg(sum(col("vi").cast("long") * col("vj")).as("g"))
+    val sums = e.select(col("shard"), posexplode(col("q")).as(Seq("p0", "v")))
+      .groupBy(col("shard"), (col("p0") + 1).cast("long").as("p"))
+      .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+    cells
+      .join(sums.select(col("shard"), col("p").as("i"),
+        col("s").as("s_i"), col("n")), Seq("shard", "i"))
+      .join(sums.select(col("shard"), col("p").as("j"),
+        col("s").as("s_j")), Seq("shard", "j"))
+      .select(col("shard"), col("i"), col("j"),
+        expr(s"""CASE WHEN n > $MomentLaneMaxRows THEN
+                |  CAST(raise_error('covarianceMoments: shard exceeds
+                | the lane-exact bound $MomentLaneMaxRows rows —
+                | shard finer') AS BIGINT)
+                |ELSE n END""".stripMargin.replace("\n", "")).as("n"),
+        col("g"), col("s_i"), col("s_j"))
+  }
+
+  /** X119 — the exact merge fold over [[covarianceMoments]] outputs:
+    * lanes (n, g, s_i, s_j) sum exactly per cell, and the covariance
+    * is recomputed from the MERGED lanes with a DECIMAL(38,0)
+    * numerator — g·n ≤ 10⁶·n² stays exact to n ~ 9·10¹² (≤ 8.1·10³¹,
+    * far inside 38 digits), so the merged table has NO [[CovMaxRows]]
+    * cap, only the lane bound [[MomentLaneMaxRows]] on the merged row
+    * count (guarded in-plan). Output schema is identical to
+    * [[covarianceTable]] (i, j, n, g, s_i, s_j, cov) and at any n
+    * where both paths are defined the values are bit-identical —
+    * merge(shards) ≡ single-pass, which the `x119_cov_merged` oracle
+    * row pins at test SF. [[abtt]] and [[isotropy]] train from a
+    * merged table via their `cov` parameter.
+    */
+  def mergeMoments(moments: DataFrame): DataFrame = {
+    val m = moments.groupBy(col("i"), col("j"))
+      .agg(sum(col("n")).as("n"), sum(col("g")).as("g"),
+        sum(col("s_i")).as("s_i"), sum(col("s_j")).as("s_j"))
+    m.select(col("i"), col("j"),
+      expr(s"""CASE WHEN n > $MomentLaneMaxRows THEN
+              |  CAST(raise_error('mergeMoments: merged row count
+              | exceeds the lane-exact bound $MomentLaneMaxRows')
+              | AS BIGINT)
+              |ELSE n END""".stripMargin.replace("\n", "")).as("n"),
+      col("g"), col("s_i"), col("s_j"),
+      round((col("g").cast("decimal(38,0)") * col("n")
+          - col("s_i").cast("decimal(38,0)") * col("s_j")).cast("double")
+        / (col("n").cast("double") * col("n").cast("double")), 6)
+        .as("cov"))
   }
 
   /** The quantized top principal component of the most recent [[abtt]]
@@ -284,33 +372,89 @@ object Similarity {
     * index: row-local projection at the scan, zero shuffle, zero
     * trained state, E[‖y‖²] = dOut·‖q‖².
     */
-  def jlProject(emb: DataFrame, idCol: String, vecCol: String,
-                dIn: Int, dOut: Int): DataFrame = {
+  /** The per-output-dim exact projection columns over a quantized
+    * vector column `__q` — one zip_with/aggregate per output dim over
+    * an array LITERAL of signs (a dIn-wide element_at chain per dim
+    * would put dIn·dOut extract nodes in the plan and dominate wall
+    * time with codegen compilation, not data work — measured 6 s →
+    * sub-second at dIn=64, dOut=16 on 2k vectors). Width guard
+    * IN-PLAN: zip_with null-pads a short vector and the aggregate
+    * would emit NULL while the oracle's q[i] indexing computes a
+    * partial sum — a silent engine/oracle divergence; abort loudly
+    * instead (the x83/x89 discipline). Shared by [[jlProject]]
+    * (exploded rows) and [[jlTopK]] (array form).
+    */
+  private def jlYExprs(dIn: Int, dOut: Int): Seq[Column] = {
     require(dIn >= 1 && dIn <= 4096, s"dIn $dIn out of [1, 4096]")
     require(dOut >= 1 && dOut <= dIn, s"dOut $dOut out of [1, $dIn]")
-    // one zip_with/aggregate per output dim over an array LITERAL of
-    // signs — a dIn-wide element_at chain per dim would put dIn·dOut
-    // extract nodes in the plan and dominate wall time with codegen
-    // compilation, not data work (measured: 6 s -> sub-second at
-    // dIn=64, dOut=16 on 2k vectors)
-    val ys = (1 to dOut).map { j =>
+    (1 to dOut).map { j =>
       val signsSql = (1 to dIn).map(i => jlSign(i, j))
         .mkString("array(", ", ", ")")
-      // width guard IN-PLAN: zip_with null-pads a short vector and the
-      // aggregate would emit NULL while the oracle's q[i] indexing
-      // computes a partial sum — a silent engine/oracle divergence;
-      // abort loudly instead (the x83/x89 discipline)
-      struct(lit(j.toLong).as("dim"),
-        expr(s"CASE WHEN size(__q) = $dIn THEN " +
-          s"aggregate(zip_with(__q, $signsSql, " +
-          "(x, s) -> CAST(x AS BIGINT) * s), 0L, (a, x) -> a + x) " +
-          s"ELSE CAST(raise_error('jlProject: vector width <> $dIn') " +
-          "AS BIGINT) END").as("y"))
+      expr(s"CASE WHEN size(__q) = $dIn THEN " +
+        s"aggregate(zip_with(__q, $signsSql, " +
+        "(x, s) -> CAST(x AS BIGINT) * s), 0L, (a, x) -> a + x) " +
+        s"ELSE CAST(raise_error('jlProject: vector width <> $dIn') " +
+        "AS BIGINT) END")
+    }
+  }
+
+  def jlProject(emb: DataFrame, idCol: String, vecCol: String,
+                dIn: Int, dOut: Int): DataFrame = {
+    val ys = jlYExprs(dIn, dOut).zipWithIndex.map { case (y, j0) =>
+      struct(lit((j0 + 1).toLong).as("dim"), y.as("y"))
     }
     emb.filter(col(vecCol).isNotNull)
       .select(col(idCol), quantize(col(vecCol)).as("__q"))
       .select(col(idCol), explode(array(ys: _*)).as("p"))
       .select(col(idCol), col("p.dim").as("dim"), col("p.y").as("y"))
+  }
+
+  /** X122→ANN composition: the JL sign projection fronting the exact
+    * re-rank — the tier the projection exists for. Corpus and queries
+    * project to `dOut` dims (row-local at the scan, exact BIGINT,
+    * zero trained state); the coarse cut keeps the `candR` nearest
+    * candidates per query by projected squared L2 distance (exact
+    * integer, ties to the lower cid — the distance the JL lemma
+    * preserves within ~1/√dOut); [[refineExact]] then rescores those
+    * candidates with the exact quantized cosine.
+    *
+    * Shape at 100 TB: projected queries broadcast into the projected
+    * corpus scan (corpus never shuffles — the x2 shape), with per-pair
+    * cost dOut instead of dIn multiplies and a corpus layout dIn/dOut
+    * × smaller if only projections are persisted; the candidate list
+    * is |Q|·candR rows (audit-sized) and the refine stage is the
+    * standard recipe. Every lane exact integer → fully
+    * oracle-checkable with a STATIC oracle (the sign matrix is a pure
+    * md5 function — no trained state to inline, unlike IVF/PQ).
+    * Recall priced by the x43 audit row alongside the other tiers.
+    */
+  def jlTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, dIn: Int, dOut: Int,
+             candR: Int): DataFrame = {
+    require(candR >= k, s"candR $candR < k $k — the coarse cut would " +
+      "truncate the exact re-rank")
+    // exactness bound for the coarse lane: |y| ≤ 2·10⁶·dIn, so the
+    // summed squared diff ≤ dOut·(4·10⁶·dIn)² must stay inside BIGINT
+    require(BigInt(16) * 1000000000000L * dIn * dIn * dOut <=
+      BigInt(Long.MaxValue),
+      s"jlTopK: dIn=$dIn, dOut=$dOut overflows the exact projected " +
+        "distance lane (need 16e12·dIn²·dOut <= 2^63)")
+    val ys = jlYExprs(dIn, dOut)
+    def projected(df: DataFrame, outId: String): DataFrame =
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol), quantize(col(vecCol)).as("__q"))
+        .select(col(idCol).as(outId), array(ys: _*).as(s"__y_$outId"))
+    val corpus = projected(emb, "cid")
+    val qs = projected(queries, "qid")
+    val scored = corpus.join(broadcast(qs), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        expr("aggregate(zip_with(__y_cid, __y_qid, " +
+          "(a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)")
+          .as("pdist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("pdist"), col("cid"))
+    val cands = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= candR).select(col("qid"), col("cid"))
+    refineExact(emb, queries, idCol, vecCol, k, cands)
   }
 
   /** X122 — per-pair JL distortion audit on a deterministic pair set
@@ -359,16 +503,23 @@ object Similarity {
     * publishes [[lastAbttPc]]. Deterministic, so two queries training
     * independently in one session produce the identical literal.
     */
-  private def trainTopPc(emb: DataFrame, vecCol: String)
+  private def trainTopPc(emb: DataFrame, vecCol: String,
+                         cov: Option[DataFrame])
       : (Array[Long], Long, Array[Long], Long, Int) = {
-    val (vq, vq2, sArr, n, d, _) = trainTopPcRows(emb, vecCol)
+    val (vq, vq2, sArr, n, d, _) = trainTopPcRows(emb, vecCol, cov)
     (vq, vq2, sArr, n, d)
   }
 
-  private def trainTopPcRows(emb: DataFrame, vecCol: String)
+  /** `cov` overrides the covariance source: pass a [[mergeMoments]]
+    * table (same schema) to train past the [[CovMaxRows]] single-pass
+    * cap — the driver-side fold below is double arithmetic, so the
+    * lanes only need to be exact, not BIGINT-product-safe.
+    */
+  private def trainTopPcRows(emb: DataFrame, vecCol: String,
+                             cov: Option[DataFrame] = None)
       : (Array[Long], Long, Array[Long], Long, Int,
          Array[org.apache.spark.sql.Row]) = {
-    val covRows = covarianceTable(emb, vecCol).collect()
+    val covRows = cov.getOrElse(covarianceTable(emb, vecCol)).collect()
     require(covRows.nonEmpty, "abtt: empty embedding input")
     val d = covRows.map(_.getLong(1)).max.toInt
     val n = covRows.head.getLong(2)
@@ -413,13 +564,14 @@ object Similarity {
     * is exact integer — no float ever crosses a partition. The trace
     * numerator is exact BIGINT end to end.
     */
-  def isotropy(emb: DataFrame, vecCol: String): DataFrame = {
-    val (vq, vq2, _, n, d, covRows) = trainTopPcRows(emb, vecCol)
+  def isotropy(emb: DataFrame, vecCol: String,
+               cov: Option[DataFrame] = None): DataFrame = {
+    val (vq, vq2, _, n, d, covRows) = trainTopPcRows(emb, vecCol, cov)
     val vLit = typedLit(vq.toSeq)
     // the training collect already holds every cell — re-enter it as a
     // local frame instead of paying a second corpus-wide explode scan
     val spark = emb.sparkSession
-    val cov = spark.createDataFrame(
+    val covLocal = spark.createDataFrame(
       spark.sparkContext.parallelize(covRows.toSeq, 1),
       covRows.head.schema)
     val cnum = col("g") * col("n") - col("s_i") * col("s_j")
@@ -429,7 +581,7 @@ object Similarity {
     val rq = round(cnum.cast("double") * vi * vj * mult /
       lit(vq2.toDouble) / lit((n * n).toDouble) * lit(1000000.0))
       .cast("long")
-    cov.agg(
+    covLocal.agg(
         sum(when(col("i") === col("j"), cnum).otherwise(lit(0L)))
           .as("trace_num"),
         sum(rq).as("l1_micro"))
@@ -446,8 +598,9 @@ object Similarity {
              |END""".stripMargin).as("anisotropy"))
   }
 
-  def abtt(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val (vq, vq2, sArr, n, _) = trainTopPc(emb, vecCol)
+  def abtt(emb: DataFrame, idCol: String, vecCol: String,
+           cov: Option[DataFrame] = None): DataFrame = {
+    val (vq, vq2, sArr, n, _) = trainTopPc(emb, vecCol, cov)
     val vLit = typedLit(vq.toSeq)
     val sLit = typedLit(sArr.toSeq)
     val q = quantize(col(vecCol))

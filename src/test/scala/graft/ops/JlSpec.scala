@@ -62,4 +62,37 @@ class JlSpec extends SparkSpec {
       Similarity.jlProject(emb, "vec_id", "embedding", dIn, dIn + 1)
     }
   }
+
+  test("jlTopK: a corpus-covering coarse cut recovers the exact top-k; " +
+    "a tight cut still ranks by the exact cosine") {
+    val emb = vecs(60).toDF("vec_id", "embedding")
+    val qs = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 4)
+      .select("qid", "cid", "rank", "sim").collect().toSet
+    // candR = corpus size: the coarse tier prunes nothing, so the
+    // refine stage must reproduce brute force exactly
+    val full = Similarity.jlTopK(emb, qs, "vec_id", "embedding", 4,
+        dIn, dOut, candR = 60)
+      .select("qid", "cid", "rank", "sim").collect().toSet
+    assert(full === exact)
+    // a tight cut returns k rows per query, ranked by exact sim
+    val tight = Similarity.jlTopK(emb, qs, "vec_id", "embedding", 4,
+        dIn, dOut, candR = 10).collect()
+    assert(tight.groupBy(_.getLong(0)).forall(_._2.length === 4))
+    tight.groupBy(_.getLong(0)).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      val sims = byRank.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // recall floor on well-mixed vectors: the measured x43 audit reads
+    // ~0.44 at sf0.001; this synthetic 60/10 cut must beat chance
+    val exactPairs = exact.map(r => (r.getLong(0), r.getLong(1)))
+    val gotPairs = tight.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs.intersect(exactPairs).size >= exactPairs.size / 4,
+      s"recall ${gotPairs.intersect(exactPairs).size}/${exactPairs.size}")
+    // candR below k is refused
+    intercept[IllegalArgumentException] {
+      Similarity.jlTopK(emb, qs, "vec_id", "embedding", 4, dIn, dOut, 3)
+    }
+  }
 }

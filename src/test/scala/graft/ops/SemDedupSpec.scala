@@ -124,4 +124,23 @@ class SemDedupSpec extends SparkSpec {
         ev.filter($"vec_id" < 0), "vec_id", "embedding", 900000L)
     }
   }
+
+  test("semanticDecon: an over-cap eval side aborts loudly before the " +
+    "forced broadcast") {
+    import spark.implicits._
+    val corpus = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val evPrep = (100L to 104L).map(i => (i, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id".as("eval_id"),
+        Similarity.quantize($"embedding").as("eq"))
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.semanticDeconAgainst(corpus, evPrep, "vec_id", "embedding",
+        tauPpm = 900000L, maxEvalRows = 3L)
+    }
+    assert(e.getMessage.contains("over the broadcast cap 3"), e.getMessage)
+    // at the cap it runs; the production default admits a real suite
+    assert(SemDedup.semanticDeconAgainst(corpus, evPrep.limit(3),
+      "vec_id", "embedding", 900000L, maxEvalRows = 3L).count() === 1L)
+    assert(SemDedup.MaxEvalRows >= 100000L)
+  }
 }
