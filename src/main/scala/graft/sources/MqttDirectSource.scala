@@ -65,18 +65,23 @@ class MqttDirectTable(options: CaseInsensitiveStringMap) extends Table with Supp
       options.getOrDefault("qos", "0").toInt,
       options.getOrDefault("cleansession", "true").toBoolean,
       options.getOrDefault("keepalive", "60").toInt,
-      options.getOrDefault("pingtimeout", "10").toInt)
+      options.getOrDefault("pingtimeout", "10").toInt,
+      options.getOrDefault("autoreconnect", "true").toBoolean,
+      options.getOrDefault("reconnectdelayms", "500").toLong)
 }
 
 class MqttDirectScan(host: String, port: Int, topics: Seq[String],
                      username: String = "", password: String = "",
                      qos: Int = 0, cleanSession: Boolean = true,
                      keepAliveSecs: Int = 60,
-                     pingTimeoutSecs: Int = 10) extends Scan {
+                     pingTimeoutSecs: Int = 10,
+                     autoReconnect: Boolean = true,
+                     reconnectDelayMs: Long = 500L) extends Scan {
   override def readSchema(): StructType = PumpMqttSource.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MqttDirectMicroBatchStream(host, port, topics, username, password,
-      qos, cleanSession, keepAliveSecs, pingTimeoutSecs)
+      qos, cleanSession, keepAliveSecs, pingTimeoutSecs, autoReconnect,
+      reconnectDelayMs)
 }
 
 /** Count offset over the driver-side delivery buffer. */
@@ -139,19 +144,61 @@ class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String],
                                  username: String = "", password: String = "",
                                  qos: Int = 0, cleanSession: Boolean = true,
                                  keepAliveSecs: Int = 60,
-                                 pingTimeoutSecs: Int = 10)
+                                 pingTimeoutSecs: Int = 10,
+                                 autoReconnect: Boolean = true,
+                                 reconnectDelayMs: Long = 500L)
     extends MicroBatchStream {
 
   // delivery buffer: (topic, payload, receivedTimeMicros), appended by the
   // client's reader thread, drained by micro-batches, trimmed on commit
   private val buffer = new DeliveryBuffer
-  private val client = new MqttClient(host, port,
-    s"graft-direct-${System.identityHashCode(this)}",
-    onMessage = (topic, payload) =>
-      buffer.append((topic, payload, System.currentTimeMillis() * 1000L)),
-    username = username, password = password, cleanSession = cleanSession,
-    keepAliveSecs = keepAliveSecs, pingTimeoutSecs = pingTimeoutSecs)
-  client.subscribe(topics, qos)
+  @volatile private var stopped = false
+
+  private def connect(): MqttClient = {
+    val c = new MqttClient(host, port,
+      s"graft-direct-${System.identityHashCode(this)}",
+      onMessage = (topic, payload) =>
+        buffer.append((topic, payload, System.currentTimeMillis() * 1000L)),
+      username = username, password = password, cleanSession = cleanSession,
+      keepAliveSecs = keepAliveSecs, pingTimeoutSecs = pingTimeoutSecs)
+    c.subscribe(topics, qos)
+    c
+  }
+
+  // the initial connect still fails FAST — a bad host/port/credential is
+  // a configuration error, not an outage to retry through
+  @volatile private var client = connect()
+
+  // Auto-reconnect, the reference's paho SetAutoReconnect(true)
+  // (`/root/reference/mqtt.go:41`): the client makes a dead link LOUD
+  // (reader/pinger close the socket on EOF, reset, or ping timeout) and
+  // this supervisor is the policy acting on it — reconnect with capped
+  // exponential backoff, then RE-SUBSCRIBE (the broker holds no session
+  // for us: cleansession QoS-0 by default). The delivery buffer is owned
+  // by the stream, not the client, so absolute offsets stay monotonic
+  // across client lives and in-flight batches are untouched; messages
+  // published while the link was down are gone — QoS-0 at-most-once,
+  // exactly the semantics the reference accepts.
+  private val supervisor = new Thread(() => {
+    try {
+      var delay = reconnectDelayMs
+      while (!stopped) {
+        Thread.sleep(200L)
+        if (!stopped && client.isClosed) {
+          try {
+            client = connect()
+            delay = reconnectDelayMs // healthy link: reset the backoff
+          } catch {
+            case _: InterruptedException => throw new InterruptedException
+            case _: Throwable =>
+              Thread.sleep(delay)
+              delay = math.min(delay * 2, reconnectDelayMs * 10)
+          }
+        }
+      }
+    } catch { case _: InterruptedException => /* stopping */ }
+  }, s"mqtt-reconnect-${System.identityHashCode(this)}")
+  if (autoReconnect) { supervisor.setDaemon(true); supervisor.start() }
 
   override def initialOffset(): Offset = CountOffset(0L)
   override def latestOffset(): Offset = CountOffset(buffer.end)
@@ -178,7 +225,11 @@ class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String],
 
   override def commit(end: Offset): Unit =
     buffer.trimTo(end.asInstanceOf[CountOffset].n)
-  override def stop(): Unit = client.close()
+  override def stop(): Unit = {
+    stopped = true
+    if (autoReconnect) supervisor.interrupt()
+    client.close()
+  }
 }
 
 /** Rows ship inside the partition (driver-buffered source, like Spark's

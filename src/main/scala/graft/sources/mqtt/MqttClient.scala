@@ -66,7 +66,12 @@ class MqttClient(host: String, port: Int, clientId: String,
           case _ => ()
         }
       }
-    } catch { case _: Throwable => /* closed */ }
+    } catch { case _: Throwable => /* closed or broken */ }
+    // the reader exits ONLY on a closed/broken link — close the socket
+    // so a REMOTE close (broker died: EOF/reset, socket.isClosed still
+    // false) becomes as loud as a local one; [[isClosed]] is what a
+    // reconnect supervisor polls
+    finally { try socket.close() catch { case _: Throwable => } }
   }, s"mqtt-client-$clientId")
   reader.setDaemon(true)
   reader.start()
@@ -116,10 +121,23 @@ class MqttClient(host: String, port: Int, clientId: String,
             socket.close() // dead link: no PINGRESP inside the window
         }
       }
-    } catch { case _: Throwable => /* closed */ }
+    }
+    // a PINGREQ write onto a reset connection throws — close instead of
+    // exiting silently with the socket half-open (the reader-thread
+    // rationale)
+    catch { case _: Throwable => () }
+    finally { try socket.close() catch { case _: Throwable => } }
   }, s"mqtt-ping-$clientId")
   pinger.setDaemon(true)
   pinger.start()
+
+  /** True once the link is down — locally closed, ping-timed-out, or
+    * remotely dropped (the reader/pinger close the socket on exit).
+    * The signal a reconnect policy acts on, mirroring what paho's
+    * SetAutoReconnect consumes internally (the reference enables it,
+    * `/root/reference/mqtt.go:41`).
+    */
+  def isClosed: Boolean = socket.isClosed
 
   def subscribe(topics: Seq[String], qos: Int = 0): Unit = {
     subAcked = new CountDownLatch(1)

@@ -45,6 +45,70 @@ class MqttDirectSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("auto-reconnect: broker dies mid-stream, restarts on the same " +
+    "port, delivery resumes through the same offsets") {
+    var server = new MqttMiniServer()
+    val port = server.port
+    try {
+      val df = spark.readStream.format("mqtt-direct")
+        .option("host", "127.0.0.1")
+        .option("port", port.toString)
+        .option("topics", "pump/data/0")
+        .option("keepalive", "2") // fast ping cadence: dead links surface quickly
+        .option("pingtimeout", "1")
+        .option("reconnectdelayms", "100")
+        .load()
+      val q = df.writeStream.format("memory").queryName("reconnect_sink")
+        .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+      try {
+        val initDeadline = System.currentTimeMillis() + 60000
+        while (q.lastProgress == null && System.currentTimeMillis() < initDeadline)
+          Thread.sleep(100)
+        assert(q.lastProgress != null, "stream never initialized")
+        def count() =
+          spark.sql("SELECT count(*) FROM reconnect_sink").head().getLong(0)
+        // phase 1: delivery over the first broker life
+        val pub1 = new MqttClient("127.0.0.1", port, "reconnect-pub1")
+        pub1.publish("pump/data/0", "before".getBytes(StandardCharsets.UTF_8))
+        pub1.close()
+        val d1 = System.currentTimeMillis() + 60000
+        while (count() < 1 && System.currentTimeMillis() < d1) Thread.sleep(200)
+        assert(count() === 1, "first-life delivery never arrived")
+        // phase 2: kill the broker — the subscriber's link drops (EOF)
+        server.close()
+        Thread.sleep(500)
+        // phase 3: restart on the SAME port (retry through TIME_WAIT)
+        val bindDeadline = System.currentTimeMillis() + 30000
+        var restarted: MqttMiniServer = null
+        while (restarted == null && System.currentTimeMillis() < bindDeadline) {
+          try restarted = new MqttMiniServer(port)
+          catch { case _: java.net.BindException => Thread.sleep(250) }
+        }
+        assert(restarted != null, s"could not rebind port $port")
+        server = restarted
+        // phase 4: QoS 0 keeps nothing, so publish probes until one lands
+        // through the re-subscribed client
+        val d2 = System.currentTimeMillis() + 60000
+        var i = 0
+        while (count() < 2 && System.currentTimeMillis() < d2) {
+          try {
+            val p = new MqttClient("127.0.0.1", port, s"reconnect-probe$i")
+            p.publish("pump/data/0", s"after$i".getBytes(StandardCharsets.UTF_8))
+            p.close()
+          } catch { case _: Throwable => /* broker still settling */ }
+          i += 1
+          Thread.sleep(300)
+        }
+        assert(count() >= 2, "delivery never resumed after broker restart")
+        val rows = spark.sql(
+            "SELECT CAST(payload AS STRING) FROM reconnect_sink")
+          .collect().map(_.getString(0))
+        assert(rows.contains("before"))
+        assert(rows.exists(_.startsWith("after")))
+      } finally q.stop()
+    } finally server.close()
+  }
+
   test("delivery buffer: commit trims the delivered prefix (bounded driver memory)") {
     val b = new DeliveryBuffer
     def msg(i: Int) = (s"t", Array[Byte](i.toByte), i.toLong)
