@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
+  /** The x116 curation-gate signal projection — ONE scan-side pass
+    * adding `quality` (distinct-token ratio), `n_ngrams` /
+    * `dup_ngram_ratio` (2-gram repetition), and `norm_fp` (normalized
+    * md5 fingerprint for exact dedup). Shared by the batch flagship
+    * pipeline and [[graft.streaming.CurateStream]] so the two cannot
+    * drift; all other columns pass through.
+    */
+  def gateSignals(docs: DataFrame, textCol: String): DataFrame = {
+    val ts = split(col(textCol), " ")
+    val sh2 = graft.functions.Shingles.shingles(ts, 2)
+    docs.select(docs.columns.map(col).toSeq ++ Seq(
+      round(size(array_distinct(ts)).cast("double") / size(ts), 6)
+        .as("quality"),
+      size(sh2).cast("long").as("n_ngrams"),
+      round(lit(1.0) -
+        size(array_distinct(sh2)).cast("double") / size(sh2), 6)
+        .as("dup_ngram_ratio"),
+      md5(TextAnalysis.normalize(col(textCol))).as("norm_fp")): _*)
+  }
+
+  /** The gate predicate over [[gateSignals]] columns. */
+  def gatePass(qualityMin: Double, dupMax: Double): Column =
+    col("n_ngrams") > 0 && col("quality") >= qualityMin &&
+      col("dup_ngram_ratio") <= dupMax
+
   /** The one hash-bucket expression, shared with [[Sample]] so the two
     * can never diverge.
     */

@@ -530,22 +530,11 @@ object ExtQueries {
       seed = "eval").localCheckpoint(false)
     val corpus = docs.join(evalDocs.select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-    // stage 1: gate signals — x22's one scan-side projection
-    val ts = split(col("text"), " ")
-    val sh2 = graft.functions.Shingles.shingles(ts, 2)
-    val sig = corpus.select(col("doc_id"), col("lang"), col("source"),
-        col("text"),
-        round(size(array_distinct(ts)).cast("double") / size(ts), 6)
-          .as("quality"),
-        size(sh2).cast("long").as("n_ngrams"),
-        round(lit(1.0) -
-          size(array_distinct(sh2)).cast("double") / size(sh2), 6)
-          .as("dup_ngram_ratio"),
-        md5(TextAnalysis.normalize(col("text"))).as("norm_fp"))
-      .localCheckpoint(false)
-    val gatePass = sig.filter(col("n_ngrams") > 0 &&
-      col("quality") >= CurateQualityMin &&
-      col("dup_ngram_ratio") <= CurateDupMax)
+    // stage 1: gate signals — x22's one scan-side projection (the
+    // definition lives in Curate.gateSignals, shared with the x116
+    // streaming twin so batch and stream gates cannot drift)
+    val sig = Curate.gateSignals(corpus, "text").localCheckpoint(false)
+    val gatePass = sig.filter(Curate.gatePass(CurateQualityMin, CurateDupMax))
     // stage 2: exact dedup — first occurrence per normalized fingerprint
     val ranked = gatePass.withColumn("rn", row_number().over(
       Window.partitionBy("norm_fp").orderBy("doc_id")))
