@@ -447,6 +447,37 @@ object ScaleProbe {
         "doc_id", "text", m = 1 << 18, k = 4)
         .write.format("noop").mode("overwrite").save()
     }
+
+    // round-14: the x119 sharded continuation at 10x — per-shard lanes
+    // plus the merge fold should cost ~1 cell-grain exchange more than
+    // the single-pass table (the exchange carries shards x d(d+1)/2
+    // rows, never vector-count-sized), and the JL-fronted ANN tier,
+    // whose scan cost is dOut/dIn of brute force plus the audit-sized
+    // refine
+    t("cov-moments-merge-20k-8shards") {
+      graft.ops.Similarity.mergeMoments(
+        graft.ops.Similarity.covarianceMoments(emb10, "embedding",
+          col("vec_id") % 8))
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("jl-topk-20k") {
+      graft.ops.Similarity.jlTopK(emb10,
+        emb10.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, dIn = 64, dOut = 16, candR = 50)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // the x116 streaming twin driven as ONE 50k-doc batch against empty
+    // state: per-batch cost must track the batch (one gate scan, one
+    // band probe, one shingle broadcast), which at steady state is the
+    // whole claim — state reads are sliver-sized
+    t("curate-stream-batch-50k") {
+      val curOut = java.nio.file.Files
+        .createTempDirectory("scaleprobe-curate").toString
+      graft.streaming.CurateStream.applyBatch(curOut, "doc_id", "text",
+        "is_eval", qualityMin = 0.2, dupMax = 0.8)(
+        docs10.select(col("doc_id"), col("text"),
+          (col("doc_id") % 10 === 0).as("is_eval")), 0L)
+    }
     spark.stop()
   }
 }

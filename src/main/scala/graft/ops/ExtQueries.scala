@@ -416,7 +416,10 @@ object ExtQueries {
       val ref = Curate.splitAssign(docs, "doc_id",
         Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
         seed = SplitSeed).filter(col("split") === "train")
-      NaiveBayes.classify(docs, ref, "doc_id", "text", "lang")
+      // margin carried for x124's reliability audit; x42/x46 project
+      // it away so their oracle-hashed output is unchanged
+      NaiveBayes.classify(docs, ref, "doc_id", "text", "lang",
+        withMargin = true)
     }
 
   /** X59 perceptron pipeline, cached per (session, dir): training (the
@@ -1141,6 +1144,14 @@ object ExtQueries {
         .orderBy("i", "j")
     }),
 
+    // X125 int8 scalar-quantization audit: the standard 4x embedding
+    // storage compression priced per vector — symmetric per-row scale,
+    // exact integer round-half-up codes, squared-L2 relative error in
+    // exact ppm lanes; row-local at the scan, zero shuffle
+    "x125_int8_quant" -> ((s, dir) =>
+      Similarity.int8Audit(Tables.embeddings(s, dir), "vec_id",
+        "embedding").orderBy("vec_id")),
+
     // X119 all-but-the-top audit: per-vector exact projection score on
     // the driver-trained top principal component (inlined as a
     // micro-unit literal — the IVF-centroid oracle contract) and the
@@ -1497,7 +1508,32 @@ object ExtQueries {
     // lex tie-break; trains on the deterministic train split, classes
     // from the corpus's lang labels (the labeled column the data ships)
     "x42_nb_quality" -> ((s, dir) =>
-      nbClassified(s, dir).orderBy("doc_id")),
+      nbClassified(s, dir).select("doc_id", "pred", "score_micro")
+        .orderBy("doc_id")),
+
+    // X124 margin-reliability audit: the trained classifier's verdicts
+    // grouped by confidence — margin_micro (winner minus runner-up,
+    // exact micro-nats) binned by DIGIT COUNT (exact log10 buckets, no
+    // float boundary), per-bin accuracy vs the declared label. The
+    // calibration question ("does a bigger margin mean a more reliable
+    // prediction?") answered in exact integer lanes; group-grain
+    // output, one corpus classify pass shared with x42/x46
+    "x124_margin_reliability" -> ((s, dir) => {
+      val declared = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+      nbClassified(s, dir)
+        .join(declared, Seq("doc_id"))
+        .select(col("margin_micro"),
+          (col("pred") === col("lang")).cast("long").as("hit"))
+        .groupBy(length(col("margin_micro").cast("string")).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("hit")).as("n_correct"),
+          sum(col("margin_micro")).as("sum_margin"))
+        .select(col("bin"), col("n"), col("n_correct"),
+          expr("n_correct * 1000000 div n").as("acc_ppm"),
+          col("sum_margin"))
+        .orderBy("bin")
+    }),
 
     // X46 language-mismatch audit — the NB gate composed: docs whose
     // predicted language disagrees with the declared label (mislabeled
@@ -3341,7 +3377,11 @@ object ExtQueries {
   /** x42 NB pipeline SQL — named so the x46 mismatch audit can embed the
     * identical pipeline as a subquery (the x43 composition pattern).
     */
-  private def nbQualitySql: String =
+  /** The NB scoring pipeline through the ranked per-(doc, class) score
+    * table `r` — shared by the x42 oracle (rn = 1 tail) and the x124
+    * margin-reliability oracle (rn = 1 minus rn = 2).
+    */
+  private def nbScoredCtes: String =
     s"""WITH sp AS (SELECT doc_id,
        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '$SplitSeed'), 1, 8)
        |           < '${Sample.threshold(SplitTrain)}' THEN 'train'
@@ -3371,9 +3411,30 @@ object ExtQueries {
        |  FROM agg JOIN pr ON pr.lang = agg.lang CROSS JOIN n),
        |r AS (SELECT doc_id, lang, score, row_number()
        |    OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
-       |  FROM sc)
+       |  FROM sc)""".stripMargin
+
+  private def nbQualitySql: String =
+    s"""$nbScoredCtes
        |SELECT doc_id, lang AS pred, score AS score_micro FROM r
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** x124 oracle: margin = rn1 − rn2 score from the shared NB ranked
+    * table, digit-count bins, per-bin accuracy vs the declared label.
+    */
+  private def marginReliabilitySql: String =
+    s"""$nbScoredCtes,
+       |mg AS (SELECT a.doc_id, a.lang AS pred, a.score - b.score AS margin
+       |  FROM r a JOIN r b ON b.doc_id = a.doc_id AND b.rn = 2
+       |  WHERE a.rn = 1),
+       |j AS (SELECT mg.margin,
+       |    CASE WHEN mg.pred = d.lang THEN 1 ELSE 0 END AS hit
+       |  FROM mg JOIN documents d USING (doc_id))
+       |SELECT CAST(length(CAST(margin AS VARCHAR)) AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(hit) AS BIGINT) AS n_correct,
+       |  CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+       |  CAST(sum(margin) AS BIGINT) AS sum_margin
+       |FROM j GROUP BY 1 ORDER BY bin""".stripMargin
 
   /** x59 oracle: the E perceptron epochs replayed from the raw data
     * alone (x37 discipline) — X39 feature hashing, zero-initialized
@@ -5192,6 +5253,35 @@ object ExtQueries {
     // counts over the train split, micro-nat ln seam per token, exact
     // BIGINT sums, argmax by (score DESC, lang ASC)
     "x42_nb_quality" -> nbQualitySql,
+
+    "x124_margin_reliability" -> marginReliabilitySql,
+
+    // X125: the int8 audit replayed with DuckDB list lambdas — same
+    // nonnegative integral-div rounding, HUGEINT ppm ratio
+    "x125_int8_quant" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |m AS (SELECT vec_id, q,
+        |  list_max(list_transform(q, y -> abs(y))) AS maxabs FROM e),
+        |t AS (SELECT vec_id, maxabs,
+        |  CASE WHEN maxabs = 0 THEN 0 ELSE
+        |    list_sum(list_transform(q, y ->
+        |      (127 * y - CAST(sign(y) AS BIGINT) *
+        |        ((254 * abs(y) + maxabs) // (2 * maxabs)) * maxabs)
+        |      * (127 * y - CAST(sign(y) AS BIGINT) *
+        |        ((254 * abs(y) + maxabs) // (2 * maxabs)) * maxabs)))
+        |  END AS err_num,
+        |  list_sum(list_transform(q, y -> y * y)) AS n2
+        |  FROM m)
+        |SELECT vec_id, CAST(maxabs AS BIGINT) AS maxabs,
+        |  CAST(err_num AS BIGINT) AS err_num,
+        |  CAST(CASE WHEN n2 = 0 THEN 0
+        |    ELSE (CAST(err_num AS HUGEINT) * 1000000)
+        |      // (16129 * CAST(n2 AS HUGEINT))
+        |  END AS BIGINT) AS err_ppm
+        |FROM t ORDER BY vec_id""".stripMargin,
 
     // the NB prediction disagreeing with the declared label — the
     // language-mismatch audit; embeds the full x42 pipeline

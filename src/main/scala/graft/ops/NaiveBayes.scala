@@ -42,8 +42,14 @@ object NaiveBayes {
     * `labelCol`). Output: (idCol, pred, score_micro) — winning label and
     * its total score in micro-nats (prior + token log-likelihoods).
     */
+  /** `withMargin = true` appends `margin_micro` — the exact micro-nat
+    * gap between the winning and runner-up class scores (0 on a tie,
+    * NULL when only one class exists), the confidence lane the x124
+    * reliability audit bins on. The base three columns are unchanged.
+    */
   def classify(docs: DataFrame, ref: DataFrame, idCol: String,
-               textCol: String, labelCol: String): DataFrame = {
+               textCol: String, labelCol: String,
+               withMargin: Boolean = false): DataFrame = {
     // every model statistic (priors, token counts, vocab) comes from the
     // same LABELED population: a null-labeled ref row belongs to no class,
     // and letting it into nDocs/vocab would skew every prior (and NPE the
@@ -101,9 +107,15 @@ object NaiveBayes {
       struct((col(s"s_$i") + lit(prior(i))).as("score"),
         lit(-i).as("neg_idx"))): _*)
     val best = array_max(cands)
-    scored.select(col(idCol),
+    val baseCols = Seq(col(idCol),
       element_at(array(labels.map(lit): _*), -best.getField("neg_idx") + 1)
         .as("pred"),
       best.getField("score").as("score_micro"))
+    val marginCol =
+      if (labels.size < 2) lit(null).cast("long").as("margin_micro")
+      else (best.getField("score") -
+        element_at(array_sort(cands), labels.size - 1).getField("score"))
+        .as("margin_micro")
+    scored.select(baseCols ++ (if (withMargin) Seq(marginCol) else Nil): _*)
   }
 }

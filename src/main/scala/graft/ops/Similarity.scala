@@ -496,6 +496,65 @@ object Similarity {
           .as("distortion_ppm"))
   }
 
+  /** X125 — symmetric per-vector INT8 scalar quantization audit: the
+    * standard 4× embedding-storage compression (one scale per vector,
+    * codes in [−127, 127]) priced per vector. scale = maxabs/127;
+    * code_i = round(127·q_i/maxabs) computed as EXACT integer
+    * round-half-up on nonnegative lanes with the sign reapplied —
+    * `(2·127·|q_i| + maxabs) div (2·maxabs)` — so codes are
+    * bit-identical in any engine (integral div on nonnegative operands
+    * is floor in both Spark and DuckDB; signed div would diverge).
+    * The reconstruction error multiplies through by 127² to stay
+    * integral: err_num = Σ (127·q_i − sign_i·code_i·maxabs)², and
+    * err_ppm = err_num·10⁶ div (127²·‖q‖²) — the squared-L2 relative
+    * error in exact BIGINT lanes end to end.
+    *
+    * Shape at 100 TB: one row-local projection at the scan — zero
+    * shuffle, zero trained state (the scale is per-row). Bounds: |q_i|
+    * ≤ 2·10⁶ (the quantize envelope), so 127·|q_i| ≤ 2.6·10⁸, each
+    * squared term ≤ ~2.7·10¹⁷... at dim ≤ 4096 the sum caps at ~10²¹
+    * — over BIGINT at the extreme envelope, but real embeddings are
+    * |x| ≤ ~2 (q_i ≤ 2000): terms ≤ 6.5·10¹⁰, dims·terms ≪ 2⁶³. The
+    * in-plan guard rejects maxabs beyond [[Int8MaxAbs]] loudly rather
+    * than wrapping (the x83/x89 discipline).
+    *
+    * Returns (idCol, maxabs, err_num, err_ppm) DENSE over non-null
+    * vectors; an all-zero vector quantizes exactly (err 0).
+    */
+  val Int8MaxAbs: Long = 2000000L
+
+  def int8Audit(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val base = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), quantize(col(vecCol)).as("q"))
+      .withColumn("maxabs",
+        expr("aggregate(q, 0L, (m, x) -> greatest(m, abs(CAST(x AS BIGINT))))"))
+    base
+      .withColumn("maxabs",
+        expr(s"""CASE WHEN maxabs > $Int8MaxAbs THEN
+                |  CAST(raise_error('int8Audit: |q| beyond the exact
+                | error-lane envelope $Int8MaxAbs') AS BIGINT)
+                |ELSE maxabs END""".stripMargin.replace("\n", "")))
+      .withColumn("err_num",
+        expr("""CASE WHEN maxabs = 0 THEN 0L ELSE
+                |aggregate(q, 0L, (a, x) -> a +
+                |  (127 * CAST(x AS BIGINT) - CAST(sign(x) AS BIGINT) *
+                |    ((254 * abs(CAST(x AS BIGINT)) + maxabs)
+                |      div (2 * maxabs)) * maxabs)
+                |  * (127 * CAST(x AS BIGINT) - CAST(sign(x) AS BIGINT) *
+                |    ((254 * abs(CAST(x AS BIGINT)) + maxabs)
+                |      div (2 * maxabs)) * maxabs))
+                |END""".stripMargin.replace("\n", " ")))
+      .withColumn("n2", sqNorm(col("q")))
+      // the ppm ratio multiplies err_num by 10⁶ and n2 by 127² — both
+      // can pass BIGINT at the envelope, so the ratio lanes are
+      // DECIMAL(38,0) (exact; the result is ppm-sized and cast back)
+      .select(col(idCol), col("maxabs"), col("err_num"),
+        expr("CASE WHEN n2 = 0 THEN 0L ELSE " +
+          "CAST((CAST(err_num AS DECIMAL(38,0)) * 1000000) div " +
+          "(16129 * CAST(n2 AS DECIMAL(38,0))) AS BIGINT) END")
+          .as("err_ppm"))
+  }
+
   /** Driver-local top-PC training shared by [[abtt]] and [[isotropy]]:
     * collect the exact covariance lanes (d² bounded artifact), 200
     * deterministic power sweeps from the fixed all-ones start. Returns

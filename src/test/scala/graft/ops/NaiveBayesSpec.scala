@@ -74,4 +74,30 @@ class NaiveBayesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("cap"))
   }
+
+  test("margin_micro is the exact winner-minus-runner-up gap; a tied " +
+    "doc margins 0; one class yields null; base columns unchanged") {
+    val train = Seq((1L, "x x y", "a"), (2L, "z z y", "b"))
+    val withM = NaiveBayes.classify(
+      Seq(10L -> "x y", 11L -> "q q").toDF("doc_id", "text"),
+      train.toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang", withMargin = true)
+      .orderBy("doc_id").collect()
+    def micro(p: Double): Long = math.round(math.log(p) * 1e6)
+    val sa = micro(0.5) + micro(0.5) + micro(1.0 / 3)
+    val sb = micro(0.5) + micro(1.0 / 6) + micro(1.0 / 3)
+    assert(withM.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq === Seq(
+      (10L, "a", sa, sa - sb), // margin = exact score gap
+      (11L, "a", micro(0.5) + 2 * micro(1.0 / 6), 0L))) // all-unseen tie
+    // the base projection is byte-identical with the margin dropped
+    assert(withM.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq === classify(train, Seq(10L -> "x y", 11L -> "q q")))
+    // a one-class model has no runner-up: margin is null, not 0
+    val one = NaiveBayes.classify(
+      Seq(10L -> "x").toDF("doc_id", "text"),
+      Seq((1L, "x", "a")).toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang", withMargin = true).collect().head
+    assert(one.isNullAt(3))
+  }
 }
