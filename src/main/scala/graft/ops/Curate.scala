@@ -121,6 +121,46 @@ object Curate {
       .drop("__hv", "__n", "__full")
   }
 
+  /** X126 — sequence-length decision audit: for each candidate context
+    * length L, the exact cost of the two standard regimes —
+    * PAD (one-or-more sequences per doc, ⌈t/L⌉ each, tail padded):
+    * `pad_waste_ppm` = padded-slot fraction wasted; TRUNCATE (one
+    * sequence per doc, overflow dropped): `trunc_loss_ppm` = token
+    * fraction lost. The table a max_seq_len decision reads before
+    * committing to [[seqPack]] (concat-and-chunk, which wastes ~0 but
+    * lets documents straddle cuts) or doc-boundary packing.
+    *
+    * Shape at 100 TB: token counts are one scan-side projection, the
+    * |grid|-way explode rides the same scan, and the single exchange
+    * carries |grid| partial-sum rows after map-side combine — never
+    * corpus-sized. The ppm ratios multiply corpus-scale token counts
+    * by 10⁶, so those lanes are DECIMAL(38,0) (exact at any corpus
+    * size; results are ppm-sized BIGINTs).
+    */
+  def seqLenAudit(docs: DataFrame, textCol: String,
+                  lens: Seq[Long]): DataFrame = {
+    require(lens.nonEmpty && lens.forall(_ >= 1),
+      s"candidate lengths must be >= 1: $lens")
+    require(lens.distinct.size == lens.size, s"duplicate lengths: $lens")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(size(split(col(textCol), " ")).cast("bigint").as("t"))
+    base.select(col("t"), explode(typedLit(lens)).as("seq_len"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_tokens"),
+        sum(expr("(t + seq_len - 1) div seq_len")).as("n_seqs"),
+        sum(least(col("t"), col("seq_len"))).as("n_tokens_kept"))
+      .select(col("seq_len"), col("n_docs"), col("n_tokens"),
+        col("n_seqs"),
+        expr("CAST((CAST(n_seqs AS DECIMAL(38,0)) * seq_len - n_tokens)" +
+          " * 1000000 div (CAST(n_seqs AS DECIMAL(38,0)) * seq_len)" +
+          " AS BIGINT)").as("pad_waste_ppm"),
+        col("n_tokens_kept"),
+        expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) - n_tokens_kept)" +
+          " * 1000000 div CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT)")
+          .as("trunc_loss_ppm"))
+  }
+
   /** X33 — overlapping token-window chunking: cut each document into
     * fixed-size token windows with a fixed stride (stride < size gives
     * the overlapping context windows retrieval/embedding pipelines feed

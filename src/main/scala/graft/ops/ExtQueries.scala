@@ -50,6 +50,10 @@ object ExtQueries {
   private val JlDOut = 16
   private val JlCandR = 50
 
+  // X126 knob: candidate context lengths (spanning shorter-than-most-
+  // docs through longer-than-every-doc at test SF)
+  private val SeqLenGrid = Seq(16L, 32L, 64L, 128L, 512L)
+
   // X123 knob: candidate vocab sizes (the last exceeds every per-lang
   // vocabulary at test SF — the full-coverage fallthrough case)
   private val VocabSizes = Seq(100L, 1000L, 5000L, 20000L)
@@ -1143,6 +1147,13 @@ object ExtQueries {
         Similarity.covarianceMoments(emb, "embedding", col("vec_id") % 3))
         .orderBy("i", "j")
     }),
+
+    // X126 sequence-length decision audit: exact pad-waste and
+    // truncation-loss ppm per candidate context length — group-grain
+    // (one row per L), the single exchange carries |grid| partials
+    "x126_seq_len_audit" -> ((s, dir) =>
+      Curate.seqLenAudit(Tables.documents(s, dir), "text", SeqLenGrid)
+        .orderBy("seq_len")),
 
     // X125 int8 scalar-quantization audit: the standard 4x embedding
     // storage compression priced per vector — symmetric per-row scale,
@@ -5255,6 +5266,28 @@ object ExtQueries {
     "x42_nb_quality" -> nbQualitySql,
 
     "x124_margin_reliability" -> marginReliabilitySql,
+
+    // X126: the pad/truncate table replayed over a lateral length grid
+    "x126_seq_len_audit" -> {
+      val grid = SeqLenGrid.mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+         |    AS t FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT t, CAST(l AS BIGINT) AS seq_len
+         |  FROM d, LATERAL unnest($grid) AS u(l)),
+         |g AS (SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t) AS BIGINT) AS n_tokens,
+         |  CAST(sum((t + seq_len - 1) // seq_len) AS BIGINT) AS n_seqs,
+         |  CAST(sum(least(t, seq_len)) AS BIGINT) AS n_tokens_kept
+         |  FROM c GROUP BY 1)
+         |SELECT seq_len, n_docs, n_tokens, n_seqs,
+         |  CAST((CAST(n_seqs AS HUGEINT) * seq_len - n_tokens) * 1000000
+         |    // (CAST(n_seqs AS HUGEINT) * seq_len) AS BIGINT)
+         |    AS pad_waste_ppm,
+         |  n_tokens_kept,
+         |  CAST((CAST(n_tokens AS HUGEINT) - n_tokens_kept) * 1000000
+         |    // CAST(n_tokens AS HUGEINT) AS BIGINT) AS trunc_loss_ppm
+         |FROM g ORDER BY seq_len""".stripMargin
+    },
 
     // X125: the int8 audit replayed with DuckDB list lambdas — same
     // nonnegative integral-div rounding, HUGEINT ppm ratio

@@ -257,4 +257,27 @@ class CurateSpec extends SparkSpec {
         col("last_start") =!= (col("n_chunks") - 1) * 8)
     assert(bad.count() === 0L)
   }
+
+  test("seqLenAudit: hand-worked pad/truncate table; boundary docs " +
+    "(t == L, t == L+1) land on the exact ceilings") {
+    // docs of 4, 8, 9, 20 tokens at L = 8:
+    //   pad:      1 + 1 + 2 + 3 = 7 seqs -> waste (56-41)/56
+    //   truncate: 4 + 8 + 8 + 8 = 28 kept -> loss (41-28)/41
+    val docs = Seq(4, 8, 9, 20).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(k => s"w$k").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Curate.seqLenAudit(docs, "text", Seq(8L, 64L))
+      .orderBy("seq_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got(0) === ((8L, 4L, 41L, 7L,
+      (BigInt(56 - 41) * 1000000 / 56).toLong, 28L,
+      (BigInt(41 - 28) * 1000000 / 41).toLong)))
+    // L = 64 swallows every doc whole: one seq each, zero truncation
+    assert(got(1) === ((64L, 4L, 41L, 4L,
+      (BigInt(4 * 64 - 41) * 1000000 / (4 * 64)).toLong, 41L, 0L)))
+    intercept[IllegalArgumentException] {
+      Curate.seqLenAudit(docs, "text", Seq(8L, 8L))
+    }
+  }
 }

@@ -629,4 +629,41 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
     }
   }
+
+  test("jl top-k: the coarse tier broadcasts QUERIES into the projected " +
+    "corpus scan — the corpus side never shuffles before the rank cut") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = physical(Similarity.jlTopK(emb,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, dIn = 64, dOut = 8, candR = 20))
+    // the scoring join must be the deliberate broadcast nested loop
+    // (non-equi qid != cid over broadcast queries)
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    // shuffles exist only AFTER the coarse cut (rank windows + refine
+    // joins on audit-sized frames): the projected-corpus side feeds the
+    // BNLJ straight from the scan, so no Exchange may appear between
+    // the parquet scan and the first join
+    val beforeJoin = plan.substring(plan.indexOf("BroadcastNestedLoopJoin"))
+    assert(beforeJoin.contains("Scan parquet"), s"plan:\n$plan")
+    assert(!beforeJoin.substring(0, beforeJoin.indexOf("Scan parquet"))
+      .contains("Exchange hashpartitioning"),
+      s"corpus shuffled before the coarse join:\n$plan")
+  }
+
+  test("x119 moments: per-shard lanes + merge stay at cell grain — " +
+    "every exchange is keyed, no single-partition stage") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = physical(Similarity.mergeMoments(
+      Similarity.covarianceMoments(emb, "embedding", col("vec_id") % 4)))
+    assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
+    // partial aggregation runs map-side before the first exchange: the
+    // shuffled rows are (shard, i, j) partials, never vector-count-sized
+    assert(plan.contains("HashAggregate"), s"plan:\n$plan")
+  }
+
+  test("int8 audit is a pure scan-side projection: zero exchanges") {
+    val plan = physical(Similarity.int8Audit(
+      Tables.embeddings(spark, sf), "vec_id", "embedding"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
