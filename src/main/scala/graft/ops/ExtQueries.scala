@@ -54,6 +54,10 @@ object ExtQueries {
   // docs through longer-than-every-doc at test SF)
   private val SeqLenGrid = Seq(16L, 32L, 64L, 128L, 512L)
 
+  // X127 knobs: the classic word2vec t = 1e-5 (in ppm) and the hash seed
+  private val SubsampleTPpm = 10L
+  private val SubsampleSeed = "w2v"
+
   // X123 knob: candidate vocab sizes (the last exceeds every per-lang
   // vocabulary at test SF — the full-coverage fallthrough case)
   private val VocabSizes = Seq(100L, 1000L, 5000L, 20000L)
@@ -1147,6 +1151,14 @@ object ExtQueries {
         Similarity.covarianceMoments(emb, "embedding", col("vec_id") % 3))
         .orderBy("i", "j")
     }),
+
+    // X127 word-frequency subsampling: word2vec's high-frequency
+    // damping over token occurrences — per-word integer cut from one
+    // fixed-parenthesization double, per-occurrence md5 keep decision,
+    // per-doc reassembly; dense (an all-dropped doc keeps empty text)
+    "x127_freq_subsample" -> ((s, dir) =>
+      Sample.freqSubsample(Tables.documents(s, dir), "doc_id", "text",
+        SubsampleTPpm, SubsampleSeed).orderBy("doc_id")),
 
     // X126 sequence-length decision audit: exact pad-waste and
     // truncation-loss ppm per candidate context length — group-grain
@@ -5266,6 +5278,32 @@ object ExtQueries {
     "x42_nb_quality" -> nbQualitySql,
 
     "x124_margin_reliability" -> marginReliabilitySql,
+
+    // X127: the subsampler replayed — same cut formula text, same
+    // md5(doc|pos|seed) occurrence hash, ORDER BY pos reassembly
+    "x127_freq_subsample" ->
+      s"""WITH tk AS (SELECT doc_id, ts[i] AS w, CAST(i AS BIGINT) AS pos
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+         |    FROM documents),
+         |  LATERAL unnest(generate_series(1, len(ts))) AS u(i)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tk),
+         |cu AS (SELECT w, CAST(round(least(CAST(1.0 AS DOUBLE),
+         |    sqrt(CAST($SubsampleTPpm * tot.total AS DOUBLE)
+         |      / CAST(1000000 * count(*) AS DOUBLE))
+         |    + CAST($SubsampleTPpm * tot.total AS DOUBLE)
+         |      / CAST(1000000 * count(*) AS DOUBLE))
+         |  * 4294967296.0) AS BIGINT) AS cut
+         |  FROM tk CROSS JOIN tot GROUP BY w, tot.total),
+         |k AS (SELECT tk.doc_id, tk.pos, tk.w,
+         |    ('0x' || substring(md5(CAST(tk.doc_id AS VARCHAR) || '|' ||
+         |      CAST(tk.pos AS VARCHAR) || '|$SubsampleSeed'), 1, 8))::BIGINT
+         |      < cu.cut AS keep
+         |  FROM tk JOIN cu USING (w))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(w, ' ' ORDER BY pos) FILTER (WHERE keep),
+         |    '') AS sub_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // X126: the pad/truncate table replayed over a lateral length grid
     "x126_seq_len_audit" -> {

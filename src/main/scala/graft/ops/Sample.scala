@@ -314,4 +314,62 @@ object Sample {
     }
     df.filter(bucket(col(keyCol), seed) < thr)
   }
+
+  /** X127 — word-frequency subsampling (Mikolov et al. 2013's word2vec
+    * recipe): each token OCCURRENCE of word w survives with probability
+    * p(w) = min(1, √(t/f(w)) + t/f(w)), f(w) = corpus frequency ratio —
+    * the standard high-frequency damping for embedding-training corpora
+    * (stopword occurrences mostly drop, rare words always keep,
+    * expectation-preserving in between). `tPpm` is the t threshold in
+    * parts-per-million (the classic t = 10⁻⁵ is tPpm = 10).
+    *
+    * DETERMINISTIC per occurrence: the keep decision hashes
+    * (doc_id|position|seed) through the [[bucket]] md5 convention
+    * against an integer cut per word — `round(p·2³²)` where p is ONE
+    * fixed-parenthesization double from exact BIGINT lanes (IEEE sqrt
+    * and divide are correctly rounded), so any engine reproduces the
+    * kept set bit-for-bit, and re-runs are stable (the reservoir-free
+    * analogue of [[weighted]]).
+    *
+    * Shape at 100 TB: one token explode (scan-side), a word-keyed join
+    * against the vocabulary-sized cut table, and the per-doc regroup —
+    * two keyed corpus-grain exchanges, no single-partition stage; the
+    * corpus-total scalar rides a 1-row broadcast. Returns (idCol,
+    * n_tokens, n_kept, sub_text) DENSE over the input — a doc whose
+    * every occurrence dropped keeps an empty sub_text rather than
+    * vanishing.
+    */
+  def freqSubsample(docs: DataFrame, idCol: String, textCol: String,
+                    tPpm: Long, seed: String = ""): DataFrame = {
+    require(tPpm >= 1 && tPpm <= 1000000, s"tPpm $tPpm out of [1, 1e6]")
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("w"))
+    val totals = toks.agg(count(lit(1)).as("total"))
+    val cuts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(totals))
+      // ONE fixed-parenthesization double: r = (tPpm·total)/(1e6·c),
+      // p = least(1, sqrt(r) + r), cut = round(p·2^32) — replayed
+      // verbatim by the oracle SQL
+      .select(col("w"), expr(
+        s"""CAST(round(least(CAST(1.0 AS DOUBLE),
+           |  sqrt(CAST($tPpm * total AS DOUBLE)
+           |    / CAST(1000000 * c AS DOUBLE))
+           |  + CAST($tPpm * total AS DOUBLE)
+           |    / CAST(1000000 * c AS DOUBLE))
+           |* 4294967296.0) AS BIGINT)""".stripMargin.replace("\n", " "))
+        .as("cut"))
+    val hv = conv(bucket(concat(col(idCol).cast("string"), lit("|"),
+      col("pos"), lit("|")), seed), 16, 10).cast("bigint")
+    toks.join(cuts, Seq("w"))
+      .withColumn("keep", hv < col("cut"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("w"))))),
+          x => x.getField("w")), " ").as("sub_text"))
+  }
 }
