@@ -1550,11 +1550,20 @@ object ExtQueries {
           (col("pred") === col("lang")).cast("long").as("hit"))
         .groupBy(length(col("margin_micro").cast("string")).cast("long")
           .as("bin"))
+        // corpus-scale lanes in DECIMAL (the x125/x126 rule): the ppm
+        // product and the margin sum would pass BIGINT around 10^13
+        // rows per bin; sum_margin casts back guarded — loud, not
+        // wrapped — keeping the test-SF schema BIGINT
         .agg(count(lit(1)).as("n"), sum(col("hit")).as("n_correct"),
-          sum(col("margin_micro")).as("sum_margin"))
+          sum(col("margin_micro").cast("decimal(38,0)")).as("__sm"))
         .select(col("bin"), col("n"), col("n_correct"),
-          expr("n_correct * 1000000 div n").as("acc_ppm"),
-          col("sum_margin"))
+          expr("CAST(CAST(n_correct AS DECIMAL(38,0)) * 1000000 div n " +
+            "AS BIGINT)").as("acc_ppm"),
+          expr(s"""CASE WHEN __sm > ${Long.MaxValue}BD THEN
+                  |  CAST(raise_error('x124: sum_margin exceeds BIGINT —
+                  | widen the lane') AS BIGINT)
+                  |ELSE CAST(__sm AS BIGINT) END"""
+            .stripMargin.replace("\n", " ")).as("sum_margin"))
         .orderBy("bin")
     }),
 
@@ -5284,7 +5293,7 @@ object ExtQueries {
     "x127_freq_subsample" ->
       s"""WITH tk AS (SELECT doc_id, ts[i] AS w, CAST(i AS BIGINT) AS pos
          |  FROM (SELECT doc_id, string_split(text, ' ') AS ts
-         |    FROM documents),
+         |    FROM documents WHERE text IS NOT NULL),
          |  LATERAL unnest(generate_series(1, len(ts))) AS u(i)),
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tk),
          |cu AS (SELECT w, CAST(round(least(CAST(1.0 AS DOUBLE),

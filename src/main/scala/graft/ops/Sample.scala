@@ -331,24 +331,30 @@ object Sample {
     * kept set bit-for-bit, and re-runs are stable (the reservoir-free
     * analogue of [[weighted]]).
     *
-    * Shape at 100 TB: one token explode (scan-side), a word-keyed join
-    * against the vocabulary-sized cut table, and the per-doc regroup —
-    * two keyed corpus-grain exchanges, no single-partition stage; the
-    * corpus-total scalar rides a 1-row broadcast. Returns (idCol,
-    * n_tokens, n_kept, sub_text) DENSE over the input — a doc whose
+    * Shape at 100 TB: the corpus pays the token explode twice — once
+    * to build the vocabulary-sized cut table, once as the probe side
+    * of the word-keyed join (a caller running several passes persists
+    * the token table upstream); the corpus-total scalar folds from the
+    * vocabulary table (vocab-sized, NOT a third corpus pass) and rides
+    * a 1-row broadcast; the per-doc regroup is the second keyed
+    * exchange. No single-partition stage. Returns (idCol, n_tokens,
+    * n_kept, sub_text) DENSE over non-null-text input — a doc whose
     * every occurrence dropped keeps an empty sub_text rather than
-    * vanishing.
+    * vanishing (null-text docs are excluded, the x126 rule).
     */
   def freqSubsample(docs: DataFrame, idCol: String, textCol: String,
                     tPpm: Long, seed: String = ""): DataFrame = {
     require(tPpm >= 1 && tPpm <= 1000000, s"tPpm $tPpm out of [1, 1e6]")
-    val toks = docs
+    val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(split(col(textCol), " ")))
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("w"))
-    val totals = toks.agg(count(lit(1)).as("total"))
-    val cuts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .crossJoin(broadcast(totals))
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // vocab-sized; feeds the total fold AND
+    // the cut projection — pin so the corpus explode backing it runs
+    // once, not twice
+    val totals = counts.agg(sum(col("c")).as("total"))
+    val cuts = counts.crossJoin(broadcast(totals))
       // ONE fixed-parenthesization double: r = (tPpm·total)/(1e6·c),
       // p = least(1, sqrt(r) + r), cut = round(p·2^32) — replayed
       // verbatim by the oracle SQL

@@ -633,33 +633,72 @@ object Similarity {
     val covLocal = spark.createDataFrame(
       spark.sparkContext.parallelize(covRows.toSeq, 1),
       covRows.head.schema)
-    val cnum = col("g") * col("n") - col("s_i") * col("s_j")
+    // cell lanes in DECIMAL(38,0): trained from merged moments the
+    // g·n product passes BIGINT right past CovMaxRows — the merge
+    // path's whole point — and a Long lane would wrap/throw. The
+    // micro-unit rounding reads the SAME integer value through the
+    // decimal→double cast, so the test-SF output is bit-identical.
+    val cnum = col("g").cast("decimal(38,0)") * col("n") -
+      col("s_i").cast("decimal(38,0)") * col("s_j")
     val vi = element_at(vLit, col("i").cast("int")).cast("double")
     val vj = element_at(vLit, col("j").cast("int")).cast("double")
     val mult = when(col("i") === col("j"), lit(1.0)).otherwise(lit(2.0))
+    // n² as a DOUBLE product: the Long n*n wraps past n ~ 3e9
+    val n2d = n.toDouble * n.toDouble
     val rq = round(cnum.cast("double") * vi * vj * mult /
-      lit(vq2.toDouble) / lit((n * n).toDouble) * lit(1000000.0))
+      lit(vq2.toDouble) / lit(n2d) * lit(1000000.0))
       .cast("long")
     covLocal.agg(
-        sum(when(col("i") === col("j"), cnum).otherwise(lit(0L)))
-          .as("trace_num"),
+        sum(when(col("i") === col("j"), cnum)
+          .otherwise(lit(0L).cast("decimal(38,0)"))).as("__tn"),
         sum(rq).as("l1_micro"))
       .select(lit(n).as("n"), lit(d.toLong).as("d"),
-        col("trace_num"), col("l1_micro"),
-        expr(s"round(CAST(trace_num AS DOUBLE) / ${n * n}.0, 6)")
+        // trace_num stays a BIGINT output column: cast back GUARDED —
+        // a corpus whose exact trace passes 2^63 aborts loudly instead
+        // of wrapping (the x83/x89 discipline)
+        expr(s"""CASE WHEN abs(__tn) > ${Long.MaxValue}BD THEN
+                |  CAST(raise_error('isotropy: trace_num exceeds BIGINT
+                | — report the DECIMAL lane instead') AS BIGINT)
+                |ELSE CAST(__tn AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")).as("trace_num"),
+        col("l1_micro"))
+      .select(col("n"), col("d"), col("trace_num"), col("l1_micro"),
+        expr(s"round(CAST(trace_num AS DOUBLE) / $n2d, 6)")
           .as("trace"),
         expr("round(CAST(l1_micro AS DOUBLE) / 1000000.0, 6)")
           .as("lambda1"),
         expr(
           s"""CASE WHEN trace_num = 0 THEN CAST(0 AS DOUBLE)
              |ELSE round(CAST(l1_micro AS DOUBLE) / 1000000.0 * $d
-             |  / (CAST(trace_num AS DOUBLE) / ${n * n}.0), 6)
+             |  / (CAST(trace_num AS DOUBLE) / $n2d), 6)
              |END""".stripMargin).as("anisotropy"))
   }
 
   def abtt(emb: DataFrame, idCol: String, vecCol: String,
            cov: Option[DataFrame] = None): DataFrame = {
     val (vq, vq2, sArr, n, _) = trainTopPc(emb, vecCol, cov)
+    // PROJECTION exactness envelope (distinct from the training one):
+    // the n-scaled centered coordinate qc_i = q_i·n − s_i reaches
+    // 2·maxabs·n, so qc2 = Σ qc_i² needs d·(2·maxabs·n)² ≤ 2^63 and
+    // pc1_score needs d·2·maxabs·n·10⁶ ≤ 2^63. Measured against the
+    // corpus's ACTUAL max |q_i| (one cheap scan) and asserted loudly —
+    // past it, train here from merged moments but center/project in
+    // floats downstream; the integer replay contract cannot hold.
+    val dDim = vq.length
+    val maxAbs = emb.filter(col(vecCol).isNotNull)
+      .select(quantize(col(vecCol)).as("__q"))
+      .agg(max(expr(
+        "aggregate(__q, 0L, (m, x) -> greatest(m, abs(CAST(x AS BIGINT))))")))
+      .collect().head.getLong(0)
+    require(
+      BigInt(dDim) * 4 * BigInt(maxAbs) * maxAbs * BigInt(n) * n <=
+        BigInt(Long.MaxValue) &&
+      BigInt(dDim) * 2 * BigInt(maxAbs) * BigInt(n) * 1000000L <=
+        BigInt(Long.MaxValue),
+      s"abtt: exact projection lanes exceed BIGINT at n=$n, " +
+        s"maxabs=$maxAbs, d=$dDim (need d·(2·maxabs·n)² and " +
+        "d·2·maxabs·n·1e6 within 2^63) — rescale the vectors or " +
+        "project in floats from moment-trained components")
     val vLit = typedLit(vq.toSeq)
     val sLit = typedLit(sArr.toSeq)
     val q = quantize(col(vecCol))

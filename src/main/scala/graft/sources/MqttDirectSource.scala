@@ -161,8 +161,14 @@ class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String],
         buffer.append((topic, payload, System.currentTimeMillis() * 1000L)),
       username = username, password = password, cleanSession = cleanSession,
       keepAliveSecs = keepAliveSecs, pingTimeoutSecs = pingTimeoutSecs)
-    c.subscribe(topics, qos)
-    c
+    // a broker that CONNACKs but never SUBACKs must not leak the
+    // connected client (socket + reader + pinger) per retry — the
+    // MqttClient constructor guards the CONNACK phase the same way
+    try { c.subscribe(topics, qos); c }
+    catch { case e: Throwable =>
+      try c.close() catch { case _: Throwable => }
+      throw e
+    }
   }
 
   // the initial connect still fails FAST — a bad host/port/credential is
@@ -186,8 +192,11 @@ class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String],
         Thread.sleep(200L)
         if (!stopped && client.isClosed) {
           try {
-            client = connect()
-            delay = reconnectDelayMs // healthy link: reset the backoff
+            val c = connect()
+            // stop() may have raced the (uninterruptible-socket-I/O)
+            // connect: a client adopted after stop would leak forever
+            if (stopped) c.close()
+            else { client = c; delay = reconnectDelayMs }
           } catch {
             case _: InterruptedException => throw new InterruptedException
             case _: Throwable =>
@@ -227,7 +236,13 @@ class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String],
     buffer.trimTo(end.asInstanceOf[CountOffset].n)
   override def stop(): Unit = {
     stopped = true
-    if (autoReconnect) supervisor.interrupt()
+    if (autoReconnect) {
+      supervisor.interrupt()
+      // wait out a connect already past the stopped check (bounded by
+      // the client's own 10 s CONNACK/SUBACK awaits) so the close below
+      // sees the final client reference
+      try supervisor.join(15000) catch { case _: InterruptedException => }
+    }
     client.close()
   }
 }

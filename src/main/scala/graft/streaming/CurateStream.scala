@@ -56,8 +56,11 @@ object CurateStream {
                  threshold: Double = 0.8, deconN: Int = 8)
                 (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // a NULL eval flag must not vanish the row from the ledger (both
+    // filters below would reject it): null reads as corpus
     val rows = batch
-      .select(col(idCol), col(textCol), col(evalCol).as("is_eval"))
+      .select(col(idCol), col(textCol),
+        coalesce(col(evalCol), lit(false)).as("is_eval"))
       .localCheckpoint(false)
 
     // eval side: novelty-append the distinct shingle set

@@ -104,6 +104,50 @@ class MomentMergeSpec extends SparkSpec {
       msg)
   }
 
+  test("isotropy from merged moments past the BIGINT trace aborts " +
+    "loudly (DECIMAL lanes carry the value; the cast back is guarded)") {
+    // the >BIGINT hand lanes from the merge test, fed through training:
+    // the exact trace numerator ~2e25 cannot land in the BIGINT output
+    // column — the guard must fire, never a wrapped number
+    val n1 = 3000000000L
+    val moments = Seq(
+      (0L, 1L, 1L, n1, 2000000000000000L, 1200000000000L, 1200000000000L),
+      (1L, 1L, 1L, n1, 1500000000000000L, -900000000000L, -900000000000L),
+      (0L, 2L, 2L, n1, 900000000000000L, 800000000000L, 800000000000L),
+      (1L, 2L, 2L, n1, 600000000000000L, 500000000000L, 500000000000L),
+      (0L, 1L, 2L, n1, -700000000000000L, 1200000000000L, 800000000000L),
+      (1L, 1L, 2L, n1, 400000000000000L, -900000000000L, 500000000000L))
+      .toDF("shard", "i", "j", "n", "g", "s_i", "s_j")
+    val merged = Similarity.mergeMoments(moments).localCheckpoint(false)
+    val emb = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.isotropy(emb, "embedding", Some(merged)).collect()
+    }
+    assert(messageChain(e).contains("trace_num exceeds BIGINT"),
+      messageChain(e))
+  }
+
+  test("abtt refuses when the projection lanes would pass BIGINT") {
+    // training succeeds from the merged frame, but the n-scaled
+    // centered projection cannot stay integer-exact at n = 6e9 —
+    // the loud precondition, not a wrapped score
+    val n1 = 3000000000L
+    val moments = Seq(
+      (0L, 1L, 1L, n1, 2000000000000000L, 1200000000000L, 1200000000000L),
+      (1L, 1L, 1L, n1, 1500000000000000L, -900000000000L, -900000000000L),
+      (0L, 2L, 2L, n1, 900000000000000L, 800000000000L, 800000000000L),
+      (1L, 2L, 2L, n1, 600000000000000L, 500000000000L, 500000000000L),
+      (0L, 1L, 2L, n1, -700000000000000L, 1200000000000L, 800000000000L),
+      (1L, 1L, 2L, n1, 400000000000000L, -900000000000L, 500000000000L))
+      .toDF("shard", "i", "j", "n", "g", "s_i", "s_j")
+    val merged = Similarity.mergeMoments(moments).localCheckpoint(false)
+    val emb = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.abtt(emb, "vec_id", "embedding", Some(merged))
+    }
+    assert(e.getMessage.contains("exact projection lanes"), e.getMessage)
+  }
+
   test("abtt and isotropy train identically from merged moments") {
     val emb = (0 until 40).map { i =>
       val a = (i - 20) * 0.04f
