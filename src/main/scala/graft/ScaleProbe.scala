@@ -478,6 +478,25 @@ object ScaleProbe {
         docs10.select(col("doc_id"), col("text"),
           (col("doc_id") % 10 === 0).as("is_eval")), 0L)
     }
+    // x128 over 50k docs with real cross-doc boilerplate (every even
+    // doc shares a footer): the df group-by carries doc-distinct
+    // digests only and the frequent probe must broadcast — the cost
+    // claim is two corpus passes, never a corpus-text shuffle
+    t("line-boilerplate-50k") {
+      val paged = docs10.select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 2 === 0,
+          lit("\nall rights reserved worldwide")).otherwise(lit("")))
+          .as("page"))
+      graft.ops.Boilerplate.removeFrequentLines(paged, "doc_id", "page",
+        docFracPpm = 100000L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x129 over 50k docs: a pure projection — the sorted-run fold must
+    // keep this scan-bound (zero exchange, no per-char explode)
+    t("char-entropy-50k") {
+      graft.ops.TextAnalysis.charEntropy(docs10, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -57,6 +57,14 @@ object ExtQueries {
   // X127 knobs: the classic word2vec t = 1e-5 (in ppm) and the hash seed
   private val SubsampleTPpm = 10L
   private val SubsampleSeed = "w2v"
+
+  // X128 knobs: 10% document-frequency removal threshold; the first
+  // two injected lines sit above it at both test SFs, the rare banner
+  // below it (the retention arm) — see [[boilerPage]]
+  private val BoilerFracPpm = 100000L
+  private val BoilerNewsletter = "subscribe to our newsletter today"
+  private val BoilerRights = "all rights reserved worldwide"
+  private val BoilerRare = "rare cookie banner text"
 
   // X123 knob: candidate vocab sizes (the last exceeds every per-lang
   // vocabulary at test SF — the full-coverage fallthrough case)
@@ -290,6 +298,28 @@ object ExtQueries {
       array_join(slice(ts, j * C4Width + 1, lit(C4Width)), " ")
     })
     Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
+  }
+
+  /** The x128 paged twin: natural width-[[C4Width]] lines plus
+    * cross-document boilerplate appended by doc_id arithmetic — the
+    * newsletter line on every even doc, the rights line on every
+    * third, and the rare banner on every 97th (below the
+    * [[BoilerFracPpm]] document-frequency threshold at both test SFs,
+    * so the retention arm fires).
+    */
+  private def boilerPage(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ts = split(col("text"), " ")
+    val nl = floor((size(ts) + lit(C4Width - 1)) / lit(C4Width)).cast("int")
+    val natural = transform(sequence(lit(0), nl - lit(1)), i =>
+      array_join(slice(ts, i * C4Width + 1, lit(C4Width)), " "))
+    def maybe(cond: Column, line: String): Column =
+      when(cond, array(lit(line))).otherwise(array().cast("array<string>"))
+    val page = array_join(concat(natural,
+      maybe(id % 2 === 0, BoilerNewsletter),
+      maybe(id % 3 === 0, BoilerRights),
+      maybe(id % 97 === 0, BoilerRare)), "\n")
+    Tables.documents(s, dir).select(id, page.as("page"))
   }
 
   /** The x73 script twin: the ASCII word-soup corpus is all-Latin, so
@@ -1159,6 +1189,21 @@ object ExtQueries {
     "x127_freq_subsample" -> ((s, dir) =>
       Sample.freqSubsample(Tables.documents(s, dir), "doc_id", "text",
         SubsampleTPpm, SubsampleSeed).orderBy("doc_id")),
+
+    // X128 corpus-frequency line removal (the CCNet/RefinedWeb
+    // boilerplate filter): doc-distinct digest grain into the
+    // document-frequency group-by, AQE-broadcast boilerplate-sized
+    // frequent set, row-local excision — corpus text never shuffles
+    "x128_line_boilerplate" -> ((s, dir) =>
+      Boilerplate.removeFrequentLines(boilerPage(s, dir), "doc_id",
+        "page", BoilerFracPpm).orderBy("doc_id")),
+
+    // X129 character-entropy quality signal: sorted-run fold in exact
+    // micro-nat integer lanes, zero shuffle; the oracle replays the
+    // relational explode+group twin (fold/explode equivalence per doc)
+    "x129_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id",
+        "text").orderBy("doc_id")),
 
     // X126 sequence-length decision audit: exact pad-waste and
     // truncation-loss ppm per candidate context length — group-grain
@@ -5313,6 +5358,87 @@ object ExtQueries {
          |  coalesce(string_agg(w, ' ' ORDER BY pos) FILTER (WHERE keep),
          |    '') AS sub_text
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x128: the boilerPage twin replayed (natural width-7 lines +
+    // arithmetic-injected boilerplate with cumulative append
+    // positions), then CCNet document-frequency removal relationally:
+    // distinct (doc, digest) -> df -> frequent set -> left-join excise
+    "x128_line_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents WHERE text IS NOT NULL),
+         |nat AS (SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+         |   array_to_string(ts[(i*$C4Width+1):(i*$C4Width+$C4Width)], ' ')
+         |     AS line
+         |  FROM t, LATERAL unnest(generate_series(0,
+         |    (len(ts) + ${C4Width - 1}) // $C4Width - 1)) AS u(i)),
+         |nl AS (SELECT doc_id,
+         |   CAST((len(ts) + ${C4Width - 1}) // $C4Width AS BIGINT) AS n
+         |  FROM t),
+         |inj AS (
+         |  SELECT doc_id, n + 1 AS pos, '$BoilerNewsletter' AS line
+         |    FROM nl WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    n + 1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END,
+         |    '$BoilerRights' FROM nl WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    n + 1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+         |      + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END,
+         |    '$BoilerRare' FROM nl WHERE doc_id % 97 = 0),
+         |l AS (SELECT * FROM nat UNION ALL SELECT * FROM inj),
+         |d AS (SELECT doc_id, pos, line, md5(line) AS dg FROM l),
+         |dd AS (SELECT DISTINCT doc_id, dg FROM d),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n FROM d),
+         |fr AS (SELECT dg FROM dd, nd GROUP BY dg, nd.n
+         |  HAVING count(*) * 1000000 >= nd.n * $BoilerFracPpm)
+         |SELECT d.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN fr.dg IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN fr.dg IS NULL THEN line END,
+         |    chr(10) ORDER BY pos), '') AS cleaned
+         |FROM d LEFT JOIN fr ON fr.dg = d.dg
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // x129: the relational explode+group twin of the sorted-run fold —
+    // per-codepoint slices, per-char counts, micro-nat terms rounded
+    // to BIGINT BEFORE summing (order-independent exact sum), dense
+    // over non-null input via the LEFT JOIN back to documents
+    "x129_char_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, t[i:i] AS ch
+         |  FROM (SELECT doc_id, text AS t FROM documents
+         |    WHERE text IS NOT NULL) b,
+         |  LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+         |ct AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+         |   CAST(count(*) AS BIGINT) AS n_distinct,
+         |   CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * c * 1000000)
+         |     AS BIGINT)) AS BIGINT) AS s_micro
+         |  FROM ct GROUP BY 1),
+         |ent AS (SELECT doc_id, n_chars, n_distinct, s_micro,
+         |   CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+         |   ELSE CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000)
+         |       AS BIGINT)
+         |     - s_micro // n_chars END AS entropy_micro
+         |  FROM agg),
+         |fin AS (SELECT doc_id, n_chars, n_distinct, s_micro,
+         |   entropy_micro,
+         |   CASE WHEN n_distinct > 1 AND entropy_micro > 0
+         |   THEN (entropy_micro * 1000000)
+         |     // CAST(round(ln(CAST(n_distinct AS DOUBLE)) * 1000000)
+         |       AS BIGINT)
+         |   ELSE CAST(0 AS BIGINT) END AS norm_ppm
+         |  FROM ent)
+         |SELECT doc.doc_id,
+         |  coalesce(f.n_chars, CAST(0 AS BIGINT)) AS n_chars,
+         |  coalesce(f.n_distinct, CAST(0 AS BIGINT)) AS n_distinct,
+         |  coalesce(f.s_micro, CAST(0 AS BIGINT)) AS s_micro,
+         |  coalesce(f.entropy_micro, CAST(0 AS BIGINT)) AS entropy_micro,
+         |  coalesce(f.norm_ppm, CAST(0 AS BIGINT)) AS norm_ppm
+         |FROM documents doc LEFT JOIN fin f USING (doc_id)
+         |WHERE doc.text IS NOT NULL
+         |ORDER BY doc.doc_id""".stripMargin,
 
     // X126: the pad/truncate table replayed over a lateral length grid
     "x126_seq_len_audit" -> {

@@ -201,6 +201,69 @@ object TextAnalysis {
     * Docs too short for an n-gram are excluded (no n-gram population to
     * measure).
     */
+  /** X129 — character-entropy quality signal: the Shannon entropy of a
+    * document's character unigram distribution, the classic cheap
+    * gibberish/encoding-noise detector (low entropy = repeated filler,
+    * high entropy near ln(alphabet) = random bytes; prose sits in a
+    * stable band). H = ln(n) − (Σ c·ln(c))/n over per-character counts
+    * c — computed in micro-nat integer lanes: each term rounds to a
+    * BIGINT BEFORE summing (round(ln(c)·c·10⁶), the X42/DSIR seam —
+    * both engines' own ln on the same exact integers), so the sum is
+    * order-independent and exact, never an unordered double fold. The
+    * per-term lane needs n·ln(n)·10⁶ ≤ 2^63 per DOCUMENT — holds to
+    * ~3·10¹¹ chars per doc, far past any real document.
+    *
+    * SHAPE AT 100 TB: a pure projection — the char array sorts
+    * row-locally and ONE aggregate fold counts runs and accumulates
+    * the micro-nat sum ([[repetition]]'s sorted-run kernel), so there
+    * is NO per-char explode and ZERO shuffle; the relational
+    * explode+groupBy(doc, char) twin is what the DuckDB oracle runs,
+    * checking the fold/explode equivalence per document (the x64
+    * discipline). Characters are CODEPOINT-grain on both engines
+    * (Spark `split("")` / DuckDB character slicing — the x98 pinned
+    * seam).
+    *
+    * Output: (idCol, n_chars, n_distinct, s_micro, entropy_micro,
+    * norm_ppm) — entropy in micro-nats, norm_ppm = H/ln(n_distinct)
+    * in ppm (0 for single-char alphabets, where H is exactly 0). DENSE
+    * over non-null input: an empty text keeps a zero row.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cs = array_sort(filter(split(col(textCol), ""), ch => length(ch) > 0))
+    def term(run: Column): Column =
+      round(log(run.cast("double")) * run * lit(1e6)).cast("long")
+    def flush(acc: Column): Column =
+      when(acc.getField("run") > 0, term(acc.getField("run"))).otherwise(lit(0L))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("s"))
+    val sMicro = aggregate(cs, zero,
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("s"))
+            .otherwise(acc.getField("s") + flush(acc)).as("s"))
+      },
+      acc => acc.getField("s") + flush(acc))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(cs).cast("long").as("n_chars"),
+        size(array_distinct(cs)).cast("long").as("n_distinct"),
+        sMicro.as("s_micro"))
+      .withColumn("entropy_micro", expr(
+        """CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+          |  - (s_micro div n_chars) END""".stripMargin.replace("\n", " ")))
+      // entropy_micro > 0 keeps the div non-negative (micro-rounding
+      // can land H at −1 µnat near 0, where floor-div and trunc-div
+      // engines would diverge)
+      .withColumn("norm_ppm", expr(
+        """CASE WHEN n_distinct > 1 AND entropy_micro > 0
+          |THEN (entropy_micro * 1000000)
+          |  div CAST(round(ln(CAST(n_distinct AS DOUBLE)) * 1000000)
+          |    AS BIGINT)
+          |ELSE CAST(0 AS BIGINT) END""".stripMargin.replace("\n", " ")))
+  }
+
   def repetition(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 2): DataFrame = {
     val sh = graft.functions.Shingles.shingles(split(col(textCol), " "), n)

@@ -69,6 +69,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("char entropy is a pure projection: zero exchanges (the sorted-" +
+    "run fold never explodes chars)") {
+    val plan = physical(TextAnalysis.charEntropy(
+      Tables.documents(spark, sf), "doc_id", "text"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("line boilerplate removal carries no forced broadcast: the " +
+    "frequent-side build is AQE's call (the x87 rule)") {
+    val df = Boilerplate.removeFrequentLines(
+      Tables.documents(spark, sf), "doc_id", "text", 100000L)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint") ||
+      // the 1-row corpus-count scalar is the only sanctioned hint
+      countOccurrences(analyzed, "ResolvedHint") === 1,
+      s"forced hint beyond the 1-row scalar in:\n$analyzed")
+  }
+
   test("split assignment is a pure scan-side projection: zero exchanges") {
     val plan = physical(Curate.splitAssign(Tables.documents(spark, sf),
       "doc_id", Seq("train" -> 0.8, "valid" -> 0.1), "test", "s"))
