@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** X128 in streaming form: ONLINE corpus-frequency line removal — the
+  * CCNet shard model as a stream, where each micro-batch of documents
+  * is cleaned against the line document-frequencies accumulated over
+  * everything ingested so far.
+  *
+  * STATE IS THE DF LEDGER: per batch, each document's line digests
+  * collapse row-locally (`array_distinct` — one count per document per
+  * line, [[graft.ops.Boilerplate]]'s grain) and the batch's per-digest
+  * document counts append as a DELTA partition; the accumulated
+  * document frequency of a line is the SUM of its deltas, and the
+  * corpus size the sum of per-batch doc counts (a 1-row meta
+  * partition). Both merge by addition — exactly why this streams. The
+  * state is digest-grain (one row per batch per distinct-in-batch
+  * line), the [[DedupStream]] sliver-size contract: digests, never
+  * text.
+  *
+  * POINT-IN-TIME CONTRACT: batch N's documents are cleaned against
+  * frequencies over batches 0..N INCLUSIVE — a single batch therefore
+  * equals [[graft.ops.Boilerplate.removeFrequentLines]] on the same
+  * rows exactly. Documents emitted by earlier batches are NOT
+  * retro-cleaned when a line later crosses the threshold (the
+  * [[DecontaminateStream]] point-in-time discipline; a re-clean pass
+  * over the ledger is a batch re-run). State is APPEND-ONLY and
+  * batchId-partitioned with the strict `batch_id < N` read rule:
+  * at-least-once replay recomputes the identical deltas and rewrites
+  * identical partitions — exactly-once, no pointer file.
+  */
+object BoilerplateStream {
+
+  /** One micro-batch: accumulate dfs, clean the batch against them,
+    * append the delta — exposed for direct unit testing of the replay
+    * contract.
+    */
+  def applyBatch(statePath: String, idCol: String, textCol: String,
+                 docFracPpm: Long)
+                (batch: DataFrame, batchId: Long): Unit = {
+    require(docFracPpm >= 1 && docFracPpm <= 1000000,
+      s"docFracPpm $docFracPpm out of [1, 1e6]")
+    val spark = batch.sparkSession
+    val base = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol)).localCheckpoint(false)
+    // the batch's per-digest document counts (one per doc per line)
+    val delta = base.select(
+        explode(array_distinct(transform(split(col(textCol), "\n"),
+          l => md5(l)))).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    val nDelta = base.agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(false)
+
+    val priorDf = DedupStream.readState(spark, s"$statePath/df",
+      delta, Seq("d", "df"), batchId)
+    val priorN = DedupStream.readState(spark, s"$statePath/meta",
+      nDelta, Seq("n_docs"), batchId)
+    // accumulated frequencies INCLUDING this batch (single batch ==
+    // the batch operator), merged by addition
+    val acc = priorDf.unionByName(delta)
+      .groupBy(col("d")).agg(sum(col("df")).as("df"))
+    val nTotal = priorN.unionByName(nDelta)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"))
+    val frequent = acc.crossJoin(broadcast(nTotal))
+      .filter(col("df") * lit(1000000L) >= col("n_docs") * lit(docFracPpm))
+      .select(col("d"))
+
+    // clean THIS batch's documents (the boilerplate-sized frequent set
+    // broadcasts under AQE un-hinted; corpus text never shuffles)
+    val ls = split(col(textCol), "\n")
+    val banned = base.select(col(idCol),
+        explode(array_distinct(transform(ls, l => md5(l)))).as("d"))
+      .join(frequent, Seq("d"))
+      .groupBy(col(idCol)).agg(collect_set(col("d")).as("bans"))
+    val cleaned = base.join(banned, Seq(idCol), "left")
+      .select(col(idCol), ls.as("ls"),
+        coalesce(col("bans"), array().cast("array<string>")).as("bans"))
+      .select(col(idCol),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(filter(col("ls"), l => array_contains(col("bans"), md5(l))))
+          .cast("long").as("n_removed"),
+        array_join(filter(col("ls"),
+          l => !array_contains(col("bans"), md5(l))), "\n").as("cleaned"))
+
+    cleaned.write.mode("overwrite")
+      .parquet(s"$statePath/out/batch_id=$batchId")
+    delta.write.mode("overwrite")
+      .parquet(s"$statePath/df/batch_id=$batchId")
+    nDelta.write.mode("overwrite")
+      .parquet(s"$statePath/meta/batch_id=$batchId")
+  }
+
+  /** The full cleaned-document ledger across every batch so far. */
+  def ledger(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/out")
+
+  /** Drain a streaming frame of (idCol, textCol) documents into the
+    * online boilerplate state under `statePath`.
+    */
+  def start(docs: DataFrame, statePath: String, idCol: String,
+            textCol: String, docFracPpm: Long,
+            checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch(applyBatch(statePath, idCol, textCol, docFracPpm) _)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
