@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions._
   * the per-doc distinct grain broadcasts under AQE (un-hinted — the
   * x87 rule: never force-broadcast a data-dependent side), and the
   * banned-set regroup touches only documents that contain at least one
-  * frequent line. Excision is row-local array surgery on a second scan
-  * of the text (a caller chaining passes persists the lined frame
-  * upstream, the x127 contract). No collect; the corpus-size scalar
-  * rides a 1-row broadcast.
+  * frequent line. Excision is row-local array surgery. The paged input
+  * is read four times (a count-only scan, the two digest explodes
+  * behind the frequency table and the banned probe, and the excision
+  * scan) — text leaves its scan only as md5 digests except in the
+  * excision projection; a caller chaining passes persists the paged
+  * frame upstream (the x127 contract). No collect; the corpus-size
+  * scalar rides a 1-row broadcast.
   *
   * Output: (idCol, n_lines, n_removed, cleaned) — DENSE over non-null
   * input: a document whose every line is boilerplate keeps an empty
@@ -41,40 +44,39 @@ object Boilerplate {
   private def lineDigests(page: Column): Column =
     transform(split(page, "\n"), l => md5(l))
 
-  /** The (digest, df, n_docs) document-frequency table of lines at or
-    * above the `docFracPpm` threshold — exposed for audits and for the
-    * streaming twin's state updates.
+  /** (idCol, d) pairs at per-document DISTINCT line grain — digests
+    * only, never text; the input of both the frequency table and the
+    * banned-set probe. Shared with the streaming twin's delta build.
     */
-  def frequentLines(docs: DataFrame, idCol: String, textCol: String,
-                    docFracPpm: Long): DataFrame = {
+  private[graft] def docDigests(base: DataFrame, idCol: String,
+                                textCol: String): DataFrame =
+    base.select(col(idCol),
+      explode(array_distinct(lineDigests(col(textCol)))).as("d"))
+
+  /** The ≥-threshold filter over a (d, df) frequency frame and a 1-row
+    * corpus size — the merge point the streaming twin feeds with
+    * accumulated deltas. Cross-multiplied integer compare (exact — no
+    * double ratio); df·10⁶ holds to ~9.2·10¹² documents.
+    */
+  private[graft] def thresholdFrequent(df: DataFrame, nDocs: DataFrame,
+                                       docFracPpm: Long): DataFrame = {
     require(docFracPpm >= 1 && docFracPpm <= 1000000,
       s"docFracPpm $docFracPpm out of [1, 1e6]")
-    val base = docs.filter(col(textCol).isNotNull)
-    val docDistinct = base.select(col(idCol),
-      explode(array_distinct(lineDigests(col(textCol)))).as("d"))
-    val nDocs = base.agg(count(lit(1)).as("n_docs"))
-    docDistinct.groupBy(col("d")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      // integer threshold: df/n_docs >= docFracPpm/1e6 cross-multiplied
-      // (exact — no double ratio); df·1e6 ≤ 9.2e12 docs before BIGINT
+    df.crossJoin(broadcast(nDocs))
       .filter(col("df") * lit(1000000L) >= col("n_docs") * lit(docFracPpm))
-      .select(col("d"), col("df"), col("n_docs"))
   }
 
-  /** Remove every occurrence of corpus-frequent lines (document
-    * frequency ≥ docFracPpm ppm of all documents) from every document.
+  /** Row-local excision of a frequent-digest set (a 1-column `d`
+    * frame) from every document — the banned-set probe, regroup, and
+    * array surgery shared verbatim by the streaming twin (its "single
+    * batch equals the batch operator" contract rests on this being one
+    * code path).
     */
-  def removeFrequentLines(docs: DataFrame, idCol: String, textCol: String,
-                          docFracPpm: Long): DataFrame = {
-    val base = docs.filter(col(textCol).isNotNull)
-    val frequent = frequentLines(docs, idCol, textCol, docFracPpm)
-    // banned digests per affected document — only documents containing
-    // a frequent line appear; everyone else takes the null arm below
-    val banned = base.select(col(idCol),
-        explode(array_distinct(lineDigests(col(textCol)))).as("d"))
+  private[graft] def excise(base: DataFrame, idCol: String,
+                            textCol: String, frequent: DataFrame): DataFrame = {
+    val banned = docDigests(base, idCol, textCol)
       .join(frequent.select("d"), Seq("d"))
-      .groupBy(col(idCol))
-      .agg(collect_set(col("d")).as("bans"))
+      .groupBy(col(idCol)).agg(collect_set(col("d")).as("bans"))
     val ls = split(col(textCol), "\n")
     base.join(banned, Seq(idCol), "left")
       .select(col(idCol), ls.as("ls"),
@@ -85,5 +87,31 @@ object Boilerplate {
           .cast("long").as("n_removed"),
         array_join(filter(col("ls"),
           l => !array_contains(col("bans"), md5(l))), "\n").as("cleaned"))
+  }
+
+  /** The (digest, df, n_docs) document-frequency table of lines at or
+    * above the `docFracPpm` threshold — exposed for audits and
+    * inspection.
+    */
+  def frequentLines(docs: DataFrame, idCol: String, textCol: String,
+                    docFracPpm: Long): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+    val df = docDigests(base, idCol, textCol)
+      .groupBy(col("d")).agg(count(lit(1)).as("df"))
+    thresholdFrequent(df, base.agg(count(lit(1)).as("n_docs")), docFracPpm)
+      .select(col("d"), col("df"), col("n_docs"))
+  }
+
+  /** Remove every occurrence of corpus-frequent lines (document
+    * frequency ≥ docFracPpm ppm of all documents) from every document.
+    */
+  def removeFrequentLines(docs: DataFrame, idCol: String, textCol: String,
+                          docFracPpm: Long): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+    val df = docDigests(base, idCol, textCol)
+      .groupBy(col("d")).agg(count(lit(1)).as("df"))
+    val frequent = thresholdFrequent(df,
+      base.agg(count(lit(1)).as("n_docs")), docFracPpm)
+    excise(base, idCol, textCol, frequent)
   }
 }

@@ -680,40 +680,42 @@ object Similarity {
     // PROJECTION exactness envelope (distinct from the training one):
     // the n-scaled centered coordinate qc_i = q_i·n − s_i reaches
     // 2·maxabs·n, so qc2 = Σ qc_i² needs d·(2·maxabs·n)² ≤ 2^63 and
-    // pc1_score needs d·2·maxabs·n·10⁶ ≤ 2^63. Measured against the
-    // corpus's ACTUAL max |q_i| (one cheap scan) and asserted loudly —
-    // past it, train here from merged moments but center/project in
-    // floats downstream; the integer replay contract cannot hold.
-    val dDim = vq.length
-    val maxAbs = emb.filter(col(vecCol).isNotNull)
-      .select(quantize(col(vecCol)).as("__q"))
-      .agg(max(expr(
-        "aggregate(__q, 0L, (m, x) -> greatest(m, abs(CAST(x AS BIGINT))))")))
-      .collect().head.getLong(0)
-    require(
-      BigInt(dDim) * 4 * BigInt(maxAbs) * maxAbs * BigInt(n) * n <=
-        BigInt(Long.MaxValue) &&
-      BigInt(dDim) * 2 * BigInt(maxAbs) * BigInt(n) * 1000000L <=
-        BigInt(Long.MaxValue),
-      s"abtt: exact projection lanes exceed BIGINT at n=$n, " +
-        s"maxabs=$maxAbs, d=$dDim (need d·(2·maxabs·n)² and " +
-        "d·2·maxabs·n·1e6 within 2^63) — rescale the vectors or " +
-        "project in floats from moment-trained components")
+    // pc1_score needs d·2·maxabs·n·10⁶ ≤ 2^63. Enforced IN-PLAN per
+    // row against the driver-derived |q_i| bound (zero extra corpus
+    // scans — the x83/x89 raise_error discipline; conservative floor
+    // chain): a row past the bound aborts loudly — rescale the vectors
+    // or project in floats from moment-trained components; the integer
+    // replay contract cannot hold there.
+    val dDim = math.max(vq.length, 1)
+    val nSafe = math.max(n, 1L)
+    val qBound = math.min(
+      BigInt(Long.MaxValue / dDim).bigInteger.sqrt().longValueExact() /
+        (2L * nSafe),
+      (BigInt(Long.MaxValue) /
+        (BigInt(dDim) * 2 * nSafe * 1000000L)).toLong)
     val vLit = typedLit(vq.toSeq)
     val sLit = typedLit(sArr.toSeq)
     val q = quantize(col(vecCol))
     // centered in n-scaled integer units: qc_i = q_i*n - s_i
     val qc = zip_with(q, sLit,
       (qi, si) => qi.cast("long") * lit(n) - si)
-    // width guard in-plan (the jlProject rationale: a short vector
-    // null-pads through zip_with and emits NULL where the oracle's
-    // positional indexing computes a partial sum)
+    // width + lane guards in-plan (the jlProject rationale: a short
+    // vector null-pads through zip_with and emits NULL where the
+    // oracle's positional indexing computes a partial sum; an
+    // over-wide coordinate would wrap the exact lanes silently)
     val d = vq.length
     def guarded(aggSql: String): String =
-      s"CASE WHEN __w = $d THEN $aggSql ELSE " +
-        s"CAST(raise_error('abtt: vector width <> $d') AS BIGINT) END"
+      s"CASE WHEN __w <> $d THEN " +
+        s"CAST(raise_error('abtt: vector width <> $d') AS BIGINT) " +
+        s"WHEN __m > $qBound THEN " +
+        "CAST(raise_error('abtt: exact projection lanes exceed BIGINT " +
+        s"at n=$n, d=$d (|q_i| bound $qBound) — rescale the vectors " +
+        "or project in floats from moment-trained components') " +
+        s"AS BIGINT) ELSE $aggSql END"
     emb.filter(col(vecCol).isNotNull)
-      .select(col(idCol), qc.as("qc"), size(q).as("__w"))
+      .select(col(idCol), qc.as("qc"), size(q).as("__w"),
+        aggregate(q, lit(0L),
+          (m, x) => greatest(m, abs(x.cast("long")))).as("__m"))
       .select(col(idCol),
         expr(guarded("aggregate(zip_with(qc, " +
           vq.mkString("array(", "L, ", "L)") +

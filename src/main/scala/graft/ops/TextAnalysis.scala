@@ -185,22 +185,6 @@ object TextAnalysis {
       .filter(col("weight") =!= 0L)
   }
 
-  /** Repetition quality gate (the Gopher/MassiveText-style filter): per
-    * document, the share of its n-grams taken by the single most repeated
-    * one (`top_ngram_ratio`) and the duplicate-n-gram share
-    * (`dup_ngram_ratio`) — the two classic knobs for dropping
-    * boilerplate/spam before training.
-    *
-    * Computed ROW-LOCALLY: the n-gram array is sorted so equal n-grams
-    * are adjacent, and one `aggregate` fold finds the longest run — no
-    * explode, no (doc, ngram) shuffle, which is what makes this a
-    * scan-side projection at 100 TB (the relational
-    * explode+groupBy(doc, ngram) twin computes the same numbers at the
-    * price of shuffling every n-gram occurrence; the DuckDB oracle runs
-    * that form, so the equivalence is checked per row).
-    * Docs too short for an n-gram are excluded (no n-gram population to
-    * measure).
-    */
   /** X129 — character-entropy quality signal: the Shannon entropy of a
     * document's character unigram distribution, the classic cheap
     * gibberish/encoding-noise detector (low entropy = repeated filler,
@@ -264,6 +248,22 @@ object TextAnalysis {
           |ELSE CAST(0 AS BIGINT) END""".stripMargin.replace("\n", " ")))
   }
 
+  /** Repetition quality gate (the Gopher/MassiveText-style filter): per
+    * document, the share of its n-grams taken by the single most repeated
+    * one (`top_ngram_ratio`) and the duplicate-n-gram share
+    * (`dup_ngram_ratio`) — the two classic knobs for dropping
+    * boilerplate/spam before training.
+    *
+    * Computed ROW-LOCALLY: the n-gram array is sorted so equal n-grams
+    * are adjacent, and one `aggregate` fold finds the longest run — no
+    * explode, no (doc, ngram) shuffle, which is what makes this a
+    * scan-side projection at 100 TB (the relational
+    * explode+groupBy(doc, ngram) twin computes the same numbers at the
+    * price of shuffling every n-gram occurrence; the DuckDB oracle runs
+    * that form, so the equivalence is checked per row).
+    * Docs too short for an n-gram are excluded (no n-gram population to
+    * measure).
+    */
   def repetition(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 2): DataFrame = {
     val sh = graft.functions.Shingles.shingles(split(col(textCol), " "), n)

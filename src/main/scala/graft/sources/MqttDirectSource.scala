@@ -240,8 +240,12 @@ class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String],
       supervisor.interrupt()
       // wait out a connect already past the stopped check (bounded by
       // the client's own 10 s CONNACK/SUBACK awaits) so the close below
-      // sees the final client reference
-      try supervisor.join(15000) catch { case _: InterruptedException => }
+      // sees the final client reference; re-assert our own interrupt if
+      // the join is cut short (the caller's shutdown signal must survive)
+      try supervisor.join(15000)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt()
+      }
     }
     client.close()
   }

@@ -45,10 +45,9 @@ object BoilerplateStream {
     val spark = batch.sparkSession
     val base = batch.filter(col(textCol).isNotNull)
       .select(col(idCol), col(textCol)).localCheckpoint(false)
-    // the batch's per-digest document counts (one per doc per line)
-    val delta = base.select(
-        explode(array_distinct(transform(split(col(textCol), "\n"),
-          l => md5(l)))).as("d"))
+    // the batch's per-digest document counts (one per doc per line) —
+    // the batch operator's distinct-grain kernel
+    val delta = graft.ops.Boilerplate.docDigests(base, idCol, textCol)
       .groupBy(col("d")).agg(count(lit(1)).as("df"))
       .localCheckpoint(false)
     val nDelta = base.agg(count(lit(1)).as("n_docs"))
@@ -59,31 +58,16 @@ object BoilerplateStream {
     val priorN = DedupStream.readState(spark, s"$statePath/meta",
       nDelta, Seq("n_docs"), batchId)
     // accumulated frequencies INCLUDING this batch (single batch ==
-    // the batch operator), merged by addition
+    // the batch operator), merged by addition, then the operator's own
+    // threshold + excision kernels — one code path, not a transcript
     val acc = priorDf.unionByName(delta)
       .groupBy(col("d")).agg(sum(col("df")).as("df"))
     val nTotal = priorN.unionByName(nDelta)
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"))
-    val frequent = acc.crossJoin(broadcast(nTotal))
-      .filter(col("df") * lit(1000000L) >= col("n_docs") * lit(docFracPpm))
-      .select(col("d"))
-
-    // clean THIS batch's documents (the boilerplate-sized frequent set
-    // broadcasts under AQE un-hinted; corpus text never shuffles)
-    val ls = split(col(textCol), "\n")
-    val banned = base.select(col(idCol),
-        explode(array_distinct(transform(ls, l => md5(l)))).as("d"))
-      .join(frequent, Seq("d"))
-      .groupBy(col(idCol)).agg(collect_set(col("d")).as("bans"))
-    val cleaned = base.join(banned, Seq(idCol), "left")
-      .select(col(idCol), ls.as("ls"),
-        coalesce(col("bans"), array().cast("array<string>")).as("bans"))
-      .select(col(idCol),
-        size(col("ls")).cast("long").as("n_lines"),
-        size(filter(col("ls"), l => array_contains(col("bans"), md5(l))))
-          .cast("long").as("n_removed"),
-        array_join(filter(col("ls"),
-          l => !array_contains(col("bans"), md5(l))), "\n").as("cleaned"))
+    val frequent = graft.ops.Boilerplate.thresholdFrequent(
+      acc, nTotal, docFracPpm)
+    val cleaned = graft.ops.Boilerplate.excise(base, idCol, textCol,
+      frequent)
 
     cleaned.write.mode("overwrite")
       .parquet(s"$statePath/out/batch_id=$batchId")

@@ -129,8 +129,9 @@ class MomentMergeSpec extends SparkSpec {
 
   test("abtt refuses when the projection lanes would pass BIGINT") {
     // training succeeds from the merged frame, but the n-scaled
-    // centered projection cannot stay integer-exact at n = 6e9 —
-    // the loud precondition, not a wrapped score
+    // centered projection cannot stay integer-exact at n = 6e9 — the
+    // in-plan per-row guard fires on execution (zero extra corpus
+    // scans), never a wrapped score
     val n1 = 3000000000L
     val moments = Seq(
       (0L, 1L, 1L, n1, 2000000000000000L, 1200000000000L, 1200000000000L),
@@ -142,10 +143,24 @@ class MomentMergeSpec extends SparkSpec {
       .toDF("shard", "i", "j", "n", "g", "s_i", "s_j")
     val merged = Similarity.mergeMoments(moments).localCheckpoint(false)
     val emb = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
-    val e = intercept[IllegalArgumentException] {
-      Similarity.abtt(emb, "vec_id", "embedding", Some(merged))
+    val e = intercept[Exception] {
+      Similarity.abtt(emb, "vec_id", "embedding", Some(merged)).collect()
     }
-    assert(e.getMessage.contains("exact projection lanes"), e.getMessage)
+    assert(messageChain(e).contains("exact projection lanes"),
+      messageChain(e))
+  }
+
+  test("abtt on an empty frame returns empty instead of throwing") {
+    val n1 = 3000L
+    val moments = Seq(
+      (0L, 1L, 1L, n1, 2000000L, 1200L, 1200L),
+      (0L, 2L, 2L, n1, 900000L, 800L, 800L),
+      (0L, 1L, 2L, n1, -700000L, 1200L, 800L))
+      .toDF("shard", "i", "j", "n", "g", "s_i", "s_j")
+    val merged = Similarity.mergeMoments(moments).localCheckpoint(false)
+    val emb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.abtt(emb, "vec_id", "embedding", Some(merged))
+      .collect().isEmpty)
   }
 
   test("abtt and isotropy train identically from merged moments") {
