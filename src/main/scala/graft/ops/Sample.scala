@@ -342,17 +342,37 @@ object Sample {
     * every occurrence dropped keeps an empty sub_text rather than
     * vanishing (null-text docs are excluded, the x126 rule).
     */
-  def freqSubsample(docs: DataFrame, idCol: String, textCol: String,
-                    tPpm: Long, seed: String = ""): DataFrame = {
-    require(tPpm >= 1 && tPpm <= 1000000, s"tPpm $tPpm out of [1, 1e6]")
-    val toks = docs.filter(col(textCol).isNotNull)
+  /** (idCol, pos, w) token occurrences of a space-tokenized corpus —
+    * the probe grain [[freqSubsample]] and its streaming twin share.
+    */
+  private[graft] def tokenize(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(split(col(textCol), " ")))
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("w"))
+
+  def freqSubsample(docs: DataFrame, idCol: String, textCol: String,
+                    tPpm: Long, seed: String = ""): DataFrame = {
+    val toks = tokenize(docs, idCol, textCol)
     val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint(false) // vocab-sized; feeds the total fold AND
     // the cut projection — pin so the corpus explode backing it runs
     // once, not twice
+    subsampleTokens(toks, idCol, counts, tPpm, seed)
+  }
+
+  /** The word2vec keep decision + per-doc reassembly over an
+    * already-built (w, c) frequency table — the kernel the streaming
+    * twin calls with ACCUMULATED counts (one code path, so its "single
+    * batch equals the batch operator" contract cannot drift). The
+    * corpus total folds from the vocab-sized table, never a third
+    * corpus pass.
+    */
+  private[graft] def subsampleTokens(toks: DataFrame, idCol: String,
+                                     counts: DataFrame, tPpm: Long,
+                                     seed: String): DataFrame = {
+    require(tPpm >= 1 && tPpm <= 1000000, s"tPpm $tPpm out of [1, 1e6]")
     val totals = counts.agg(sum(col("c")).as("total"))
     val cuts = counts.crossJoin(broadcast(totals))
       // ONE fixed-parenthesization double: r = (tPpm·total)/(1e6·c),
