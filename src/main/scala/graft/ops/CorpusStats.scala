@@ -362,4 +362,50 @@ object CorpusStats {
       .withColumn("oov_ppm",
         expr("(n_tokens - covered) * 1000000 div n_tokens"))
   }
+
+  /** X130 — word burstiness / dispersion audit (Church & Gale 1995,
+    * "Poisson Mixtures"): per word, the variance-to-mean ratio (Fano
+    * factor) of its per-document count across the corpus. VMR ≈ 1 is
+    * Poisson — function words spread evenly; VMR ≫ 1 is bursty —
+    * content words clump into few documents. The classic separator
+    * behind stopword induction and topicality weighting, and a cheap
+    * template-spam tell (a "content-looking" word with flat dispersion
+    * is boilerplate).
+    *
+    * EXACT RATIONAL LANES: with s1 = Σ_d c_wd, s2 = Σ_d c_wd² over
+    * the word's containing documents (absent documents contribute
+    * zero, entering only through N), VMR = (N·s2 − s1²)/(N·s1) —
+    * non-negative by Cauchy-Schwarz, computed as one DECIMAL(38,0)
+    * integral-divide in micro units: exact, order-independent, zero
+    * double steps (the oracle replays it in HUGEINT). The micro lane
+    * needs max per-doc count ≤ 9.2·10¹² — any real document.
+    *
+    * SHAPE AT 100 TB: one (word, doc) type-grain exchange (the x24
+    * tfidf grain) with map-side combine, then a vocab-grain fold; the
+    * corpus-size scalar rides a 1-row broadcast. `minDf` gates the
+    * output to recurring words — the df-1 tail is vocabulary-sized and
+    * its dispersion degenerate.
+    *
+    * Output: (w, df, n_occ, vmr_micro) for words with df ≥ minDf.
+    */
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+                 minDf: Long): DataFrame = {
+    require(minDf >= 1, s"minDf $minDf must be >= 1")
+    val base = docs.filter(col(textCol).isNotNull)
+    val cwd = base
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    cwd.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("n_occ"),
+        sum(col("c") * col("c")).as("s2"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"), col("df"), col("n_occ"),
+        expr("""CAST((CAST(n_docs AS DECIMAL(38,0)) * s2
+                |  - CAST(n_occ AS DECIMAL(38,0)) * n_occ) * 1000000
+                |div (CAST(n_docs AS DECIMAL(38,0)) * n_occ)
+                |AS BIGINT)""".stripMargin.replace("\n", " "))
+          .as("vmr_micro"))
+  }
 }

@@ -58,6 +58,10 @@ object ExtQueries {
   private val SubsampleTPpm = 10L
   private val SubsampleSeed = "w2v"
 
+  // X130 knob: dispersion reported for words in >= 5% of documents
+  // (25 docs at sf0.01) — the df-1 tail is vocabulary-sized noise
+  private val BurstMinDf = 25L
+
   // X128 knobs: 10% document-frequency removal threshold; the first
   // two injected lines sit above it at both test SFs, the rare banner
   // below it (the retention arm) — see [[boilerPage]]
@@ -1204,6 +1208,13 @@ object ExtQueries {
     "x129_char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id",
         "text").orderBy("doc_id")),
+
+    // X130 word burstiness (Church-Gale Fano factor): exact rational
+    // VMR in one DECIMAL integral-divide — (word, doc) type grain,
+    // vocab fold, 1-row corpus scalar
+    "x130_burstiness" -> ((s, dir) =>
+      CorpusStats.burstiness(Tables.documents(s, dir), "doc_id", "text",
+        BurstMinDf).orderBy("w")),
 
     // X126 sequence-length decision audit: exact pad-waste and
     // truncation-loss ppm per candidate context length — group-grain
@@ -5400,6 +5411,25 @@ object ExtQueries {
          |    chr(10) ORDER BY pos), '') AS cleaned
          |FROM d LEFT JOIN fr ON fr.dg = d.dg
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // x130: the VMR identity replayed in HUGEINT (both engines floor-
+    // divide non-negative lanes — Cauchy-Schwarz keeps the numerator
+    // >= 0, so floor == trunc)
+    "x130_burstiness" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |cwd AS (SELECT doc_id, w, count(*) AS c FROM tk GROUP BY 1, 2),
+         |nd AS (SELECT count(*) AS n FROM documents
+         |  WHERE text IS NOT NULL),
+         |ag AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
+         |   CAST(sum(c) AS BIGINT) AS n_occ,
+         |   CAST(sum(c * c) AS BIGINT) AS s2
+         |  FROM cwd GROUP BY 1)
+         |SELECT w, df, n_occ,
+         |  CAST((CAST(nd.n AS HUGEINT) * s2
+         |      - CAST(n_occ AS HUGEINT) * n_occ) * 1000000
+         |    // (CAST(nd.n AS HUGEINT) * n_occ) AS BIGINT) AS vmr_micro
+         |FROM ag, nd WHERE df >= $BurstMinDf ORDER BY w""".stripMargin,
 
     // x129: the relational explode+group twin of the sorted-run fold —
     // per-codepoint slices, per-char counts, micro-nat terms rounded

@@ -97,4 +97,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(("t", 2L)) === ((3L, 5L, 4L, 800000L, 200000L)))
     assert(got(("t", 3L)) === ((3L, 5L, 5L, 1000000L, 0L)))
   }
+
+  test("burstiness: hand-worked Fano factors — Poisson-like, bursty, " +
+    "and deterministic-uniform words; null text leaves the denominator") {
+    import spark.implicits._
+    // N = 4 non-null docs. a: counts [2,2,0,0] -> VMR (4*8-16)/(4*4)=1;
+    // b: [4,0,0,0] -> (4*16-16)/16 = 3 (bursty); c: [1,1,1,1] -> 0
+    // (every doc exactly once: zero variance, sub-Poisson)
+    val docs = Seq(
+      (1L, "a a b b b b c"), (2L, "a a c"), (3L, "c"), (4L, "c"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = CorpusStats.burstiness(docs, "doc_id", "text", minDf = 1L)
+      .orderBy("w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("a", 2L, 4L, 1000000L),
+      ("b", 1L, 4L, 3000000L),
+      ("c", 4L, 4L, 0L)))
+  }
+
+  test("burstiness minDf gates out the rare tail") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b b b b c"), (2L, "a a c"), (3L, "c"), (4L, "c"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.burstiness(docs, "doc_id", "text", minDf = 2L)
+      .orderBy("w").collect().map(_.getString(0))
+    assert(got.toSeq === Seq("a", "c")) // b (df = 1) gated
+  }
 }
