@@ -388,6 +388,59 @@ object CorpusStats {
     *
     * Output: (w, df, n_occ, vmr_micro) for words with df ≥ minDf.
     */
+  /** X131 — per-group unigram KL divergence against the corpus: how
+    * far each slice's (language's, source's) token distribution sits
+    * from the pooled mixture — the composition-skew diagnostic behind
+    * mixture reweighting (a slice with near-zero KL is redundant with
+    * the pool; a high-KL slice carries distinct vocabulary). KL(p_s ‖
+    * p_c) = Σ_w p_s(w)·ln(p_s(w)/p_c(w)); every slice token exists in
+    * the pool, so p_c > 0 and no smoothing is needed (the deliberate
+    * contrast with [[Dsir]]'s hashed-bucket +1 smoothing, which
+    * compares two DIFFERENT corpora).
+    *
+    * LANES: per (group, word) the log-ratio term rounds to a BIGINT
+    * micro-nat BEFORE the weighted sum (ln of one fixed-
+    * parenthesization double ratio of the four exact counts — the
+    * X42/DSIR seam), the weighted sum runs in DECIMAL(38,0) (slice
+    * tokens × 30e6 µnats passes BIGINT near 3·10¹¹ tokens), and the
+    * division by slice size lands back in BIGINT (bounded by the max
+    * |term|). The sum clamps at zero before dividing: true KL is
+    * non-negative, per-term rounding can dip the lane to −1·types, and
+    * trunc-vs-floor division would diverge on negatives.
+    *
+    * SHAPE AT 100 TB: one (group, word) type-grain exchange with
+    * map-side combine builds the count table (pinned — it feeds the
+    * pool fold, the slice fold, and the term join, the x127 contract);
+    * the pool-side join is vocab-keyed, slice totals broadcast
+    * group-sized, the corpus total rides a 1-row broadcast.
+    *
+    * Output: (grp, n_tokens, n_types, kl_micro), one row per group.
+    */
+  def unigramKl(docs: DataFrame, grpCol: String, textCol: String): DataFrame = {
+    val csw = docs.filter(col(textCol).isNotNull)
+      .select(col(grpCol).as("grp"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint(false)
+    val cw = csw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val ts = csw.groupBy(col("grp")).agg(sum(col("c_sw")).as("t_s"))
+    val tc = csw.agg(sum(col("c_sw")).as("t_c"))
+    csw.join(cw, Seq("w"))
+      .join(broadcast(ts), Seq("grp"))
+      .crossJoin(broadcast(tc))
+      .select(col("grp"), col("c_sw"), col("t_s"), expr(
+        """CAST(round(ln((CAST(c_sw AS DOUBLE) * t_c)
+          |  / (CAST(t_s AS DOUBLE) * c_w)) * 1000000) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("t"))
+      .groupBy(col("grp"), col("t_s"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(expr("CAST(c_sw AS DECIMAL(38,0)) * t")).as("__k"))
+      .select(col("grp"), col("t_s").as("n_tokens"), col("n_types"),
+        expr("""CAST(greatest(__k, CAST(0 AS DECIMAL(38,0)))
+               |div CAST(t_s AS DECIMAL(38,0)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("kl_micro"))
+  }
+
   def burstiness(docs: DataFrame, idCol: String, textCol: String,
                  minDf: Long): DataFrame = {
     require(minDf >= 1, s"minDf $minDf must be >= 1")

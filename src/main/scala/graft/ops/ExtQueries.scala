@@ -1216,6 +1216,13 @@ object ExtQueries {
       CorpusStats.burstiness(Tables.documents(s, dir), "doc_id", "text",
         BurstMinDf).orderBy("w")),
 
+    // X131 per-language unigram KL against the pooled corpus:
+    // micro-nat terms rounded before the DECIMAL weighted sum, clamped
+    // at zero before the slice-size divide
+    "x131_lang_kl" -> ((s, dir) =>
+      CorpusStats.unigramKl(Tables.documents(s, dir), "lang", "text")
+        .orderBy("grp")),
+
     // X126 sequence-length decision audit: exact pad-waste and
     // truncation-loss ppm per candidate context length — group-grain
     // (one row per L), the single exchange carries |grid| partials
@@ -5411,6 +5418,30 @@ object ExtQueries {
          |    chr(10) ORDER BY pos), '') AS cleaned
          |FROM d LEFT JOIN fr ON fr.dg = d.dg
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // x131: the micro-nat KL lanes replayed — the ln ratio is ONE
+    // fixed-parenthesization double of the four exact counts, terms
+    // round to BIGINT before the HUGEINT weighted sum, and the clamp
+    // keeps the final divide on non-negative lanes (floor == trunc)
+    "x131_lang_kl" ->
+      s"""WITH tk AS (SELECT lang AS grp,
+         |   unnest(string_split(text, ' ')) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |csw AS (SELECT grp, w, count(*) AS c_sw FROM tk GROUP BY 1, 2),
+         |cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w
+         |  FROM csw GROUP BY 1),
+         |ts AS (SELECT grp, CAST(sum(c_sw) AS BIGINT) AS t_s
+         |  FROM csw GROUP BY 1),
+         |tc AS (SELECT CAST(sum(c_sw) AS BIGINT) AS t_c FROM csw),
+         |term AS (SELECT csw.grp, csw.c_sw, ts.t_s,
+         |   CAST(round(ln((CAST(c_sw AS DOUBLE) * t_c)
+         |     / (CAST(t_s AS DOUBLE) * c_w)) * 1000000) AS BIGINT) AS t
+         |  FROM csw JOIN cw USING (w) JOIN ts USING (grp) CROSS JOIN tc)
+         |SELECT grp, t_s AS n_tokens, CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(greatest(sum(CAST(c_sw AS HUGEINT) * t),
+         |      CAST(0 AS HUGEINT))
+         |    // CAST(t_s AS HUGEINT) AS BIGINT) AS kl_micro
+         |FROM term GROUP BY grp, t_s ORDER BY grp""".stripMargin,
 
     // x130: the VMR identity replayed in HUGEINT (both engines floor-
     // divide non-negative lanes — Cauchy-Schwarz keeps the numerator

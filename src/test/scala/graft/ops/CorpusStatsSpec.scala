@@ -116,6 +116,31 @@ class CorpusStatsSpec extends SparkSpec {
       ("c", 4L, 4L, 0L)))
   }
 
+  test("unigramKl: hand-worked micro-nat lanes against the pooled " +
+    "corpus") {
+    import spark.implicits._
+    // g1: a2 b1 (t_s 3); g2: a1 c1 (t_s 2); pool a3 b1 c1, T_c 5
+    // g1 terms: a ln(10/9)->105361, b ln(5/3)->510826
+    //   -> (2*105361 + 510826) / 3 = 240516
+    // g2 terms: a ln(5/6)->-182322, c ln(5/2)->916291
+    //   -> (916291 - 182322) / 2 = 366984 (trunc of 366984.5)
+    val docs = Seq(("g1", "a a b"), ("g2", "a c"),
+      ("g2", null.asInstanceOf[String])).toDF("lang", "text")
+    val got = CorpusStats.unigramKl(docs, "lang", "text")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("g1", 3L, 2L, 240516L), ("g2", 2L, 2L, 366984L)))
+  }
+
+  test("unigramKl of a single group is exactly zero (the clamp's " +
+    "identity case: every term is ln(1))") {
+    import spark.implicits._
+    val docs = Seq(("g", "a a b"), ("g", "c")).toDF("lang", "text")
+    val got = CorpusStats.unigramKl(docs, "lang", "text").collect()
+    assert(got.map(_.getLong(3)).toSeq === Seq(0L))
+  }
+
   test("burstiness minDf gates out the rare tail") {
     import spark.implicits._
     val docs = Seq(
