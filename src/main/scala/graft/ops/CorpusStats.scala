@@ -441,18 +441,27 @@ object CorpusStats {
           .stripMargin.replace("\n", " ")).as("kl_micro"))
   }
 
-  def burstiness(docs: DataFrame, idCol: String, textCol: String,
-                 minDf: Long): DataFrame = {
-    require(minDf >= 1, s"minDf $minDf must be >= 1")
-    val base = docs.filter(col(textCol).isNotNull)
-    val cwd = base
-      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+  /** (w, df, n_occ, s2) per-word dispersion moments — each a sum over
+    * the word's containing documents, so moment tables from disjoint
+    * document slices MERGE BY ADDITION (a document lives wholly in one
+    * slice); the seam the streaming twin accumulates across.
+    */
+  private[graft] def wordMoments(base: DataFrame, idCol: String,
+                                 textCol: String): DataFrame =
+    base.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
-    val nDocs = base.agg(count(lit(1)).as("n_docs"))
-    cwd.groupBy(col("w"))
+      .groupBy(col("w"))
       .agg(count(lit(1)).as("df"), sum(col("c")).as("n_occ"),
         sum(col("c") * col("c")).as("s2"))
-      .filter(col("df") >= minDf)
+
+  /** The exact VMR projection over a (w, df, n_occ, s2) moment table
+    * and a 1-row corpus size — one code path for the batch operator
+    * and the streaming twin's snapshots.
+    */
+  private[graft] def vmrOf(moments: DataFrame, nDocs: DataFrame,
+                           minDf: Long): DataFrame = {
+    require(minDf >= 1, s"minDf $minDf must be >= 1")
+    moments.filter(col("df") >= minDf)
       .crossJoin(broadcast(nDocs))
       .select(col("w"), col("df"), col("n_occ"),
         expr("""CAST((CAST(n_docs AS DECIMAL(38,0)) * s2
@@ -460,5 +469,12 @@ object CorpusStats {
                 |div (CAST(n_docs AS DECIMAL(38,0)) * n_occ)
                 |AS BIGINT)""".stripMargin.replace("\n", " "))
           .as("vmr_micro"))
+  }
+
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+                 minDf: Long): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+    vmrOf(wordMoments(base, idCol, textCol),
+      base.agg(count(lit(1)).as("n_docs")), minDf)
   }
 }
