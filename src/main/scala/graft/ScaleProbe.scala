@@ -497,6 +497,17 @@ object ScaleProbe {
       graft.ops.TextAnalysis.charEntropy(docs10, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
+    // x130/x131 over 50k docs: both are (word|group, doc)-grain
+    // exchanges with map-side combine into vocab-sized folds — the
+    // claim is the cost tracks the token explode, nothing quadratic
+    t("burstiness-50k") {
+      graft.ops.CorpusStats.burstiness(docs10, "doc_id", "text", 100L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("unigram-kl-50k") {
+      graft.ops.CorpusStats.unigramKl(docs10, "lang", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
