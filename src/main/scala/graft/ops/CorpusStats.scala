@@ -377,8 +377,10 @@ object CorpusStats {
     * zero, entering only through N), VMR = (N·s2 − s1²)/(N·s1) —
     * non-negative by Cauchy-Schwarz, computed as one DECIMAL(38,0)
     * integral-divide in micro units: exact, order-independent, zero
-    * double steps (the oracle replays it in HUGEINT). The micro lane
-    * needs max per-doc count ≤ 9.2·10¹² — any real document.
+    * double steps (the oracle replays it in HUGEINT). Every square and
+    * sum runs in the DECIMAL lane from the start ([[wordMoments]]);
+    * only the OUTPUT cast needs a bound — vmr ≤ max per-doc count, so
+    * BIGINT micro holds to 9.2·10¹² same-word tokens in one document.
     *
     * SHAPE AT 100 TB: one (word, doc) type-grain exchange (the x24
     * tfidf grain) with map-side combine, then a vocab-grain fold; the
@@ -417,7 +419,11 @@ object CorpusStats {
     * Output: (grp, n_tokens, n_types, kl_micro), one row per group.
     */
   def unigramKl(docs: DataFrame, grpCol: String, textCol: String): DataFrame = {
-    val csw = docs.filter(col(textCol).isNotNull)
+    // null-GROUP docs are excluded from slice AND pool: an equi-join
+    // would drop the null slice's output row while its tokens skewed
+    // every other group's ratio — the pool must be the union of the
+    // scored slices (mirrored by the oracle's IS NOT NULL)
+    val csw = docs.filter(col(textCol).isNotNull && col(grpCol).isNotNull)
       .select(col(grpCol).as("grp"),
         explode(split(col(textCol), " ")).as("w"))
       .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("c_sw"))
@@ -444,7 +450,11 @@ object CorpusStats {
   /** (w, df, n_occ, s2) per-word dispersion moments — each a sum over
     * the word's containing documents, so moment tables from disjoint
     * document slices MERGE BY ADDITION (a document lives wholly in one
-    * slice); the seam the streaming twin accumulates across.
+    * slice); the seam the streaming twin accumulates across. s2 runs
+    * in a DECIMAL(38,0) lane from the first square: c² would pass
+    * BIGINT at ~3·10⁹ same-word tokens in one document, and the
+    * corpus-wide (and twin-accumulated) Σc² has no per-document bound
+    * at all — the oracle mirrors with HUGEINT.
     */
   private[graft] def wordMoments(base: DataFrame, idCol: String,
                                  textCol: String): DataFrame =
@@ -452,7 +462,7 @@ object CorpusStats {
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("df"), sum(col("c")).as("n_occ"),
-        sum(col("c") * col("c")).as("s2"))
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("s2"))
 
   /** The exact VMR projection over a (w, df, n_occ, s2) moment table
     * and a 1-row corpus size — one code path for the batch operator

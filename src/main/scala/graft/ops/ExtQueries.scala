@@ -5426,7 +5426,8 @@ object ExtQueries {
     "x131_lang_kl" ->
       s"""WITH tk AS (SELECT lang AS grp,
          |   unnest(string_split(text, ' ')) AS w
-         |  FROM documents WHERE text IS NOT NULL),
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND lang IS NOT NULL),
          |csw AS (SELECT grp, w, count(*) AS c_sw FROM tk GROUP BY 1, 2),
          |cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w
          |  FROM csw GROUP BY 1),
@@ -5454,7 +5455,7 @@ object ExtQueries {
          |  WHERE text IS NOT NULL),
          |ag AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
          |   CAST(sum(c) AS BIGINT) AS n_occ,
-         |   CAST(sum(c * c) AS BIGINT) AS s2
+         |   sum(CAST(c AS HUGEINT) * c) AS s2
          |  FROM cwd GROUP BY 1)
          |SELECT w, df, n_occ,
          |  CAST((CAST(nd.n AS HUGEINT) * s2

@@ -43,10 +43,12 @@ object SubsampleStream {
                 (batch: DataFrame, batchId: Long): Unit = {
     require(tPpm >= 1 && tPpm <= 1000000, s"tPpm $tPpm out of [1, 1e6]")
     val spark = batch.sparkSession
-    val base = batch.filter(col(textCol).isNotNull)
-      .select(col(idCol), col(textCol)).localCheckpoint(false)
-    val toks = graft.ops.Sample.tokenize(base, idCol, textCol)
-      .localCheckpoint(false) // batch-sized; feeds the delta AND the probe
+    // tokenize filters null text itself; only the token table needs
+    // pinning (it feeds the delta AND the keep probe — base has no
+    // second consumer here, unlike the x130 twin)
+    val toks = graft.ops.Sample.tokenize(
+        batch.select(col(idCol), col(textCol)), idCol, textCol)
+      .localCheckpoint(false)
     val delta = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
 

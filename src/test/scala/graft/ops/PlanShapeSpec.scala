@@ -76,6 +76,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("burstiness is two type-grain exchanges + the 1-row scalar " +
+    "broadcast — no cartesian, nothing corpus-keyed twice") {
+    val plan = physical(CorpusStats.burstiness(
+      Tables.documents(spark, sf), "doc_id", "text", 25L))
+    assert(countOccurrences(plan, "Exchange hashpartitioning") === 2,
+      s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
+  test("unigram KL joins its group totals and corpus scalar by " +
+    "broadcast — no cartesian product") {
+    val plan = physical(CorpusStats.unigramKl(
+      Tables.documents(spark, sf), "lang", "text"))
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(countOccurrences(plan, "BroadcastExchange") >= 2,
+      s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
   test("line boilerplate removal carries no forced broadcast: the " +
     "frequent-side build is AQE's call (the x87 rule)") {
     val df = Boilerplate.removeFrequentLines(
