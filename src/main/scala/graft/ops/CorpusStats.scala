@@ -418,16 +418,13 @@ object CorpusStats {
     *
     * Output: (grp, n_tokens, n_types, kl_micro), one row per group.
     */
-  def unigramKl(docs: DataFrame, grpCol: String, textCol: String): DataFrame = {
-    // null-GROUP docs are excluded from slice AND pool: an equi-join
-    // would drop the null slice's output row while its tokens skewed
-    // every other group's ratio — the pool must be the union of the
-    // scored slices (mirrored by the oracle's IS NOT NULL)
-    val csw = docs.filter(col(textCol).isNotNull && col(grpCol).isNotNull)
-      .select(col(grpCol).as("grp"),
-        explode(split(col(textCol), " ")).as("w"))
-      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("c_sw"))
-      .localCheckpoint(false)
+  /** The KL lanes over an already-built (grp, w, c_sw) count table —
+    * pool counts, slice totals, and the corpus total all fold from it,
+    * and the streaming twin calls this with accumulated counts (one
+    * code path for the rounding seam). The input must be pinned by the
+    * caller: it feeds three folds and the term join.
+    */
+  private[graft] def klOf(csw: DataFrame): DataFrame = {
     val cw = csw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
     val ts = csw.groupBy(col("grp")).agg(sum(col("c_sw")).as("t_s"))
     val tc = csw.agg(sum(col("c_sw")).as("t_c"))
@@ -445,6 +442,19 @@ object CorpusStats {
         expr("""CAST(greatest(__k, CAST(0 AS DECIMAL(38,0)))
                |div CAST(t_s AS DECIMAL(38,0)) AS BIGINT)"""
           .stripMargin.replace("\n", " ")).as("kl_micro"))
+  }
+
+  def unigramKl(docs: DataFrame, grpCol: String, textCol: String): DataFrame = {
+    // null-GROUP docs are excluded from slice AND pool: an equi-join
+    // would drop the null slice's output row while its tokens skewed
+    // every other group's ratio — the pool must be the union of the
+    // scored slices (mirrored by the oracle's IS NOT NULL)
+    val csw = docs.filter(col(textCol).isNotNull && col(grpCol).isNotNull)
+      .select(col(grpCol).as("grp"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint(false)
+    klOf(csw)
   }
 
   /** (w, df, n_occ, s2) per-word dispersion moments — each a sum over
