@@ -390,34 +390,21 @@ object CorpusStats {
     *
     * Output: (w, df, n_occ, vmr_micro) for words with df ≥ minDf.
     */
-  /** X131 — per-group unigram KL divergence against the corpus: how
-    * far each slice's (language's, source's) token distribution sits
-    * from the pooled mixture — the composition-skew diagnostic behind
-    * mixture reweighting (a slice with near-zero KL is redundant with
-    * the pool; a high-KL slice carries distinct vocabulary). KL(p_s ‖
-    * p_c) = Σ_w p_s(w)·ln(p_s(w)/p_c(w)); every slice token exists in
-    * the pool, so p_c > 0 and no smoothing is needed (the deliberate
-    * contrast with [[Dsir]]'s hashed-bucket +1 smoothing, which
-    * compares two DIFFERENT corpora).
-    *
-    * LANES: per (group, word) the log-ratio term rounds to a BIGINT
-    * micro-nat BEFORE the weighted sum (ln of one fixed-
-    * parenthesization double ratio of the four exact counts — the
-    * X42/DSIR seam), the weighted sum runs in DECIMAL(38,0) (slice
-    * tokens × 30e6 µnats passes BIGINT near 3·10¹¹ tokens), and the
-    * division by slice size lands back in BIGINT (bounded by the max
-    * |term|). The sum clamps at zero before dividing: true KL is
-    * non-negative, per-term rounding can dip the lane to −1·types, and
-    * trunc-vs-floor division would diverge on negatives.
-    *
-    * SHAPE AT 100 TB: one (group, word) type-grain exchange with
-    * map-side combine builds the count table (pinned — it feeds the
-    * pool fold, the slice fold, and the term join, the x127 contract);
-    * the pool-side join is vocab-keyed, slice totals broadcast
-    * group-sized, the corpus total rides a 1-row broadcast.
-    *
-    * Output: (grp, n_tokens, n_types, kl_micro), one row per group.
+  /** The (grp, w, c_sw) slice-grain count table — the tokenization
+    * both [[unigramKl]] and the streaming twin's delta build share
+    * (one code path: a delimiter or filter change cannot diverge the
+    * snapshot-equality contract). Null-group docs are excluded from
+    * slice AND pool: an equi-join would drop the null slice's output
+    * row while its tokens skewed every other group's ratio — the pool
+    * must be the union of the scored slices.
     */
+  private[graft] def groupWordCounts(docs: DataFrame, grpCol: String,
+                                     textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull && col(grpCol).isNotNull)
+      .select(col(grpCol).as("grp"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("c_sw"))
+
   /** The KL lanes over an already-built (grp, w, c_sw) count table —
     * pool counts, slice totals, and the corpus total all fold from it,
     * and the streaming twin calls this with accumulated counts (one
@@ -444,18 +431,38 @@ object CorpusStats {
           .stripMargin.replace("\n", " ")).as("kl_micro"))
   }
 
-  def unigramKl(docs: DataFrame, grpCol: String, textCol: String): DataFrame = {
-    // null-GROUP docs are excluded from slice AND pool: an equi-join
-    // would drop the null slice's output row while its tokens skewed
-    // every other group's ratio — the pool must be the union of the
-    // scored slices (mirrored by the oracle's IS NOT NULL)
-    val csw = docs.filter(col(textCol).isNotNull && col(grpCol).isNotNull)
-      .select(col(grpCol).as("grp"),
-        explode(split(col(textCol), " ")).as("w"))
-      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("c_sw"))
-      .localCheckpoint(false)
-    klOf(csw)
-  }
+  /** X131 — per-group unigram KL divergence against the corpus: how
+    * far each slice's (language's, source's) token distribution sits
+    * from the pooled mixture — the composition-skew diagnostic behind
+    * mixture reweighting (a slice with near-zero KL is redundant with
+    * the pool; a high-KL slice carries distinct vocabulary). KL(p_s ‖
+    * p_c) = Σ_w p_s(w)·ln(p_s(w)/p_c(w)); every slice token exists in
+    * the pool, so p_c > 0 and no smoothing is needed (the deliberate
+    * contrast with [[Dsir]]'s hashed-bucket +1 smoothing, which
+    * compares two DIFFERENT corpora).
+    *
+    * LANES: per (group, word) the log-ratio term rounds to a BIGINT
+    * micro-nat BEFORE the weighted sum (ln of one fixed-
+    * parenthesization double ratio of the four exact counts — the
+    * X42/DSIR seam), the weighted sum runs in DECIMAL(38,0) (slice
+    * tokens × 30e6 µnats passes BIGINT near 3·10¹¹ tokens), and the
+    * division by slice size lands back in BIGINT (bounded by the max
+    * |term|). The sum clamps at zero before dividing: true KL is
+    * non-negative, per-term rounding can dip the lane to −1·types, and
+    * trunc-vs-floor division would diverge on negatives.
+    *
+    * SHAPE AT 100 TB: one (group, word) type-grain exchange with
+    * map-side combine builds the count table (pinned — it feeds the
+    * pool fold, the slice fold, and the term join, the x127 contract);
+    * the pool-side join is vocab-keyed, slice totals broadcast
+    * group-sized, the corpus total rides a 1-row broadcast. Null
+    * groups are excluded from slice and pool (the oracle mirrors with
+    * IS NOT NULL).
+    *
+    * Output: (grp, n_tokens, n_types, kl_micro), one row per group.
+    */
+  def unigramKl(docs: DataFrame, grpCol: String, textCol: String): DataFrame =
+    klOf(groupWordCounts(docs, grpCol, textCol).localCheckpoint(false))
 
   /** (w, df, n_occ, s2) per-word dispersion moments — each a sum over
     * the word's containing documents, so moment tables from disjoint

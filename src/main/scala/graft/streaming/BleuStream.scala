@@ -56,11 +56,7 @@ object BleuStream {
     * (grp, counts, bleu) snapshot, so read the highest batch partition.
     */
   def latest(spark: SparkSession, statePath: String): DataFrame = {
-    val all = spark.read.parquet(s"$statePath/score")
-    val row = all.agg(max(col("batch_id").cast("long"))).collect()(0)
-    if (row.isNullAt(0)) all.drop("batch_id").limit(0)
-    else all.filter(col("batch_id").cast("long") === row.getLong(0))
-      .drop("batch_id")
+    DedupStream.latestSnapshot(spark, s"$statePath/score", Seq.empty)
   }
 
   /** Drain a streaming frame of aligned pairs into the online BLEU

@@ -67,14 +67,9 @@ object BurstinessStream {
   /** The LATEST dispersion snapshot: each batch rewrites the full
     * minDf-gated table, so read the highest batch partition.
     */
-  def latest(spark: SparkSession, statePath: String): DataFrame = {
-    val all = spark.read.parquet(s"$statePath/vmr")
-    val row = all.agg(max(col("batch_id").cast("long"))).collect()(0)
-    if (row.isNullAt(0))
-      all.select("w", "df", "n_occ", "vmr_micro").limit(0)
-    else all.filter(col("batch_id").cast("long") === row.getLong(0))
-      .select("w", "df", "n_occ", "vmr_micro")
-  }
+  def latest(spark: SparkSession, statePath: String): DataFrame =
+    DedupStream.latestSnapshot(spark, s"$statePath/vmr",
+      Seq("w", "df", "n_occ", "vmr_micro"))
 
   /** Drain a streaming frame of (idCol, textCol) documents into the
     * online dispersion state under `statePath`.

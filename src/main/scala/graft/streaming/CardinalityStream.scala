@@ -67,16 +67,9 @@ object CardinalityStream {
   /** The LATEST per-group estimates: each batch rewrites the full
     * (grp, filled, est) snapshot, so read the highest batch partition.
     */
-  def latest(spark: SparkSession, statePath: String): DataFrame = {
-    val all = spark.read.parquet(s"$statePath/card")
-    // partition-column type inference may read batch_id as int; a
-    // stream whose batches were all empty has snapshots with 0 rows —
-    // max() is then null and the answer is the empty frame, not an NPE
-    val row = all.agg(max(col("batch_id").cast("long"))).collect()(0)
-    if (row.isNullAt(0)) all.select("grp", "filled", "est").limit(0)
-    else all.filter(col("batch_id").cast("long") === row.getLong(0))
-      .select("grp", "filled", "est")
-  }
+  def latest(spark: SparkSession, statePath: String): DataFrame =
+    DedupStream.latestSnapshot(spark, s"$statePath/card",
+      Seq("grp", "filled", "est"))
 
   /** Drain a streaming frame of (groupCol, valueCol) rows into the
     * online cardinality state under `statePath`.

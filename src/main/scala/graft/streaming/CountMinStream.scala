@@ -59,11 +59,8 @@ object CountMinStream {
     * (token, est) snapshot, so read the highest batch partition.
     */
   def latest(spark: SparkSession, statePath: String): DataFrame = {
-    val all = spark.read.parquet(s"$statePath/watch")
-    val row = all.agg(max(col("batch_id").cast("long"))).collect()(0)
-    if (row.isNullAt(0)) all.select("token", "est").limit(0)
-    else all.filter(col("batch_id").cast("long") === row.getLong(0))
-      .select("token", "est")
+    DedupStream.latestSnapshot(spark, s"$statePath/watch",
+      Seq("token", "est"))
   }
 
   /** Drain a streaming frame of (tokenCol) rows into the online

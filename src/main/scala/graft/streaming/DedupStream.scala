@@ -28,6 +28,26 @@ import graft.ops.Dedup
   */
 object DedupStream {
 
+  /** The max-batch_id snapshot read shared by the snapshot-semantics
+    * twins (Bleu/Cardinality/CountMin/Hll/Kmv/Psi/Quantile/Burstiness/
+    * UnigramKl): each batch overwrites its full snapshot partition, so
+    * the LATEST state is the highest batch_id. Empty `cols` keeps
+    * every column except batch_id. Partition-column type inference may
+    * read batch_id as int, and a stream whose batches were all empty
+    * has 0-row snapshots — max() is then null and the answer is the
+    * empty frame, not an NPE.
+    */
+  private[streaming] def latestSnapshot(spark: SparkSession, dir: String,
+                                        cols: Seq[String]): DataFrame = {
+    val all = spark.read.parquet(dir)
+    def shape(df: DataFrame): DataFrame =
+      if (cols.isEmpty) df.drop("batch_id")
+      else df.select(cols.map(col): _*)
+    val row = all.agg(max(col("batch_id").cast("long"))).collect()(0)
+    if (row.isNullAt(0)) shape(all).limit(0)
+    else shape(all.filter(col("batch_id").cast("long") === row.getLong(0)))
+  }
+
   private[streaming] def readState(spark: SparkSession, dir: String,
                                    like: DataFrame, cols: Seq[String],
                                    batchId: Long): DataFrame = {

@@ -70,11 +70,8 @@ object HllStream {
     * (grp, filled, est) snapshot, so read the highest batch partition.
     */
   def latest(spark: SparkSession, statePath: String): DataFrame = {
-    val all = spark.read.parquet(s"$statePath/card")
-    val row = all.agg(max(col("batch_id").cast("long"))).collect()(0)
-    if (row.isNullAt(0)) all.select("grp", "filled", "est").limit(0)
-    else all.filter(col("batch_id").cast("long") === row.getLong(0))
-      .select("grp", "filled", "est")
+    DedupStream.latestSnapshot(spark, s"$statePath/card",
+      Seq("grp", "filled", "est"))
   }
 
   /** Drain a streaming frame of (groupCol, valueCol) rows into the

@@ -70,11 +70,8 @@ object KmvStream {
     * snapshots to [[Kmv.jaccardEst]] for the overlap estimate.
     */
   def latest(spark: SparkSession, statePath: String): DataFrame = {
-    val all = spark.read.parquet(s"$statePath/sketch")
-    val row = all.agg(max(col("batch_id").cast("long"))).collect()(0)
-    if (row.isNullAt(0)) all.select("grp", "h").limit(0)
-    else all.filter(col("batch_id").cast("long") === row.getLong(0))
-      .select("grp", "h")
+    DedupStream.latestSnapshot(spark, s"$statePath/sketch",
+      Seq("grp", "h"))
   }
 
   /** Drain a streaming frame of (groupCol, valueCol) rows into the

@@ -55,11 +55,7 @@ object PsiDriftStream {
 
   /** The LATEST per-group PSI snapshot. */
   def latest(spark: SparkSession, statePath: String): DataFrame = {
-    val all = spark.read.parquet(s"$statePath/psi")
-    val row = all.agg(max(col("batch_id").cast("long"))).collect()(0)
-    if (row.isNullAt(0)) all.drop("batch_id").limit(0)
-    else all.filter(col("batch_id").cast("long") === row.getLong(0))
-      .drop("batch_id")
+    DedupStream.latestSnapshot(spark, s"$statePath/psi", Seq.empty)
   }
 
   def start(docs: DataFrame, statePath: String, grpCol: String,

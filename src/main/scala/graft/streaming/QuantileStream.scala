@@ -63,12 +63,8 @@ object QuantileStream {
     * snapshot, so read the highest batch partition.
     */
   def latest(spark: SparkSession, statePath: String): DataFrame = {
-    val all = spark.read.parquet(s"$statePath/q")
-    val row = all.agg(max(col("batch_id").cast("long"))).collect()(0)
-    if (row.isNullAt(0))
-      all.select("grp", "n", "phi_ppm", "est", "target").limit(0)
-    else all.filter(col("batch_id").cast("long") === row.getLong(0))
-      .select("grp", "n", "phi_ppm", "est", "target")
+    DedupStream.latestSnapshot(spark, s"$statePath/q",
+      Seq("grp", "n", "phi_ppm", "est", "target"))
   }
 
   /** Drain a streaming frame into the online quantile state under

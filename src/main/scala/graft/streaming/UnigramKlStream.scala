@@ -34,11 +34,11 @@ object UnigramKlStream {
   def applyBatch(statePath: String, grpCol: String, textCol: String)
                 (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val delta = batch
-      .filter(col(textCol).isNotNull && col(grpCol).isNotNull)
-      .select(col(grpCol).as("grp"),
-        explode(split(col(textCol), " ")).as("w"))
-      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("c"))
+    // the batch operator's own tokenization (shared kernel — delimiter
+    // or filter changes cannot diverge the snapshot contract)
+    val delta = graft.ops.CorpusStats
+      .groupWordCounts(batch, grpCol, textCol)
+      .withColumnRenamed("c_sw", "c")
       .localCheckpoint(false)
 
     val prior = DedupStream.readState(spark, s"$statePath/counts",
@@ -59,14 +59,9 @@ object UnigramKlStream {
   /** The LATEST KL snapshot: each batch rewrites the full group-sized
     * table, so read the highest batch partition.
     */
-  def latest(spark: SparkSession, statePath: String): DataFrame = {
-    val all = spark.read.parquet(s"$statePath/kl")
-    val row = all.agg(max(col("batch_id").cast("long"))).collect()(0)
-    if (row.isNullAt(0))
-      all.select("grp", "n_tokens", "n_types", "kl_micro").limit(0)
-    else all.filter(col("batch_id").cast("long") === row.getLong(0))
-      .select("grp", "n_tokens", "n_types", "kl_micro")
-  }
+  def latest(spark: SparkSession, statePath: String): DataFrame =
+    DedupStream.latestSnapshot(spark, s"$statePath/kl",
+      Seq("grp", "n_tokens", "n_types", "kl_micro"))
 
   /** Drain a streaming frame of (grpCol, textCol) documents into the
     * online KL state under `statePath`.
