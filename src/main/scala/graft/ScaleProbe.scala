@@ -508,6 +508,48 @@ object ScaleProbe {
       graft.ops.CorpusStats.unigramKl(docs10, "lang", "text")
         .write.format("noop").mode("overwrite").save()
     }
+
+    // round-15: the remaining round-14 families at 10x.
+    // x124 margin-reliability over a 50k-doc classify: the classifier
+    // cost is the (doc, class)-grain score exchange; the audit on top
+    // adds ONE group-sized aggregate over row-local digit bins (and the
+    // x124 single-class rule drops null margins row-locally)
+    t("margin-reliability-50k") {
+      val ref = docs10.filter(col("doc_id") % 5 === 0)
+      graft.ops.NaiveBayes.classify(docs10, ref, "doc_id", "text",
+          "lang", withMargin = true)
+        .filter(col("margin_micro").isNotNull)
+        .groupBy(length(col("margin_micro").cast("string")).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x125 int8 audit over 20k vectors: one row-local projection at
+    // the scan — zero exchange; the in-plan envelope guard (maxabs <=
+    // 2e6) rides the same projection, so 10x vectors cost exactly 10x
+    // scan and nothing else
+    t("int8-audit-20k") {
+      graft.ops.Similarity.int8Audit(emb10, "vec_id", "embedding")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x126 seq-len decision audit over 50k docs: corpus-grain aggregate
+    // over row-local token counts crossed with the CANDIDATE list (a
+    // literal explode, |lens| rows per doc) — cost is |lens| x scan,
+    // never doc x doc
+    t("seq-len-audit-50k") {
+      graft.ops.Curate.seqLenAudit(docs10, "text",
+        Seq(64L, 128L, 256L, 512L, 1024L))
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x127 word-frequency subsampling over 50k docs: the TWO-PASS
+    // contract — pass 1 builds the vocab-sized count table (pinned),
+    // pass 2 applies the row-local keep rule; the corpus total folds
+    // from the count table, never a third corpus pass
+    t("freq-subsample-50k") {
+      graft.ops.Sample.freqSubsample(docs10, "doc_id", "text",
+        tPpm = 1000L)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -21,6 +21,14 @@ object Curate {
     * drift; all other columns pass through.
     */
   def gateSignals(docs: DataFrame, textCol: String): DataFrame = {
+    // the four output names are RESERVED: silently shadowing (or
+    // duplicating) a caller's same-named column would corrupt gatePass
+    // downstream with a confusing AnalysisException at best
+    val reserved = Seq("quality", "n_ngrams", "dup_ngram_ratio", "norm_fp")
+    val clash = docs.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"gateSignals: input already carries reserved output column(s) " +
+        s"${clash.mkString(", ")} — rename or drop them first")
     val ts = split(col(textCol), " ")
     val sh2 = graft.functions.Shingles.shingles(ts, 2)
     docs.select(docs.columns.map(col).toSeq ++ Seq(

@@ -48,7 +48,25 @@ object ExtQueries {
   // the coarse-cut width of the JL-fronted ANN tier (RefineR's sizing)
   private val JlDIn = 64
   private val JlDOut = 16
-  private val JlCandR = 50
+  // 150 (was 50): chosen from the x51_jl_sweep frontier — at fixed
+  // dOut=16, candR 50->150 lifts recall@5 0.40->0.76 at sf0.01 while
+  // costing only re-rank work (candR exact cosines per query); the
+  // dOut=32 arm buys 0.82 but doubles the CORPUS-sized projected scan,
+  // the term that dominates at 100 TB. candR is the cheap knob.
+  private val JlCandR = 150
+
+  /** x51_jl_sweep knob arms: (method name, dOut, candR) as LITERALS —
+    * the sweep prices fixed points of the frontier regardless of what
+    * the shipping default ([[JlDOut]], [[JlCandR]] — the d16_r150 arm)
+    * currently is. Width dOut prices the projected scan (dOut/dIn of
+    * brute force); radius candR prices the exact re-rank (candR/N of
+    * the corpus per query).
+    */
+  private val JlSweepArms: Seq[(String, Int, Int)] = Seq(
+    ("jl_d08_r050", 8, 50),
+    ("jl_d16_r050", 16, 50),
+    ("jl_d16_r150", 16, 150),
+    ("jl_d32_r100", 32, 100))
 
   // X126 knob: candidate context lengths (spanning shorter-than-most-
   // docs through longer-than-every-doc at test SF)
@@ -1570,6 +1588,22 @@ object ExtQueries {
       ivfPqRefined(s, dir)
         .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")),
 
+    // X51 JL knob sweep: the tier's two free knobs — projection width
+    // dOut (scan cost scales dOut/dIn) and coarse-cut radius candR
+    // (re-rank cost scales candR/N) — priced on the recall frontier
+    // against the shared exact truth; the audit that justifies the
+    // shipping default (see PLANS round 15). Names sort by cost arm.
+    "x51_jl_sweep" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < NumQueries)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id",
+        "embedding", TopK).select("qid", "cid").localCheckpoint(false)
+      Similarity.recallAudit(JlSweepArms.map { case (name, dOut, candR) =>
+        name -> Similarity.jlTopK(emb, qs, "vec_id", "embedding", TopK,
+          JlDIn, dOut, candR)
+      }, exact).orderBy("method")
+    }),
+
     // X51 JL-fronted exact re-rank: the x122 sign projection as the
     // coarse tier (row-local, zero trained state), candR nearest by
     // exact projected L2, then the exact cosine re-rank — the
@@ -1609,6 +1643,11 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"))
       nbClassified(s, dir)
         .join(declared, Seq("doc_id"))
+        // degenerate single-class corpus: classify emits NULL margin
+        // when there is no runner-up; the oracle's inner join on rn = 2
+        // drops those docs, so the engine drops them too (round-15
+        // review fix — both sides now agree on the single-class edge)
+        .filter(col("margin_micro").isNotNull)
         .select(col("margin_micro"),
           (col("pred") === col("lang")).cast("long").as("hit"))
         .groupBy(length(col("margin_micro").cast("string")).cast("long")
@@ -3016,7 +3055,12 @@ object ExtQueries {
     * L2 coarse cut at [[JlCandR]], exact cosine re-rank. Fully STATIC —
     * the one ANN tier with no trained artifacts to inline.
     */
-  private def jlTopkSql: String =
+  private def jlTopkSql: String = jlTopkSqlAt(JlDOut, JlCandR)
+
+  /** The same pipeline at arbitrary (dOut, candR) — the x51_jl_sweep
+    * knob arms price the recall/cost frontier against these replays.
+    */
+  private def jlTopkSqlAt(dOut: Int, candR: Int): String =
     s"""WITH e AS (SELECT vec_id,
        |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000))
        |    AS q FROM embeddings WHERE embedding IS NOT NULL),
@@ -3024,7 +3068,7 @@ object ExtQueries {
        |  CASE WHEN ('0x' || substring(md5('jl|' || a.i || '|' || b.j),
        |      1, 1))::INTEGER % 2 = 1 THEN 1 ELSE -1 END AS s
        |  FROM (SELECT unnest(generate_series(1, $JlDIn)) AS i) a
-       |  CROSS JOIN (SELECT unnest(generate_series(1, $JlDOut)) AS j) b),
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $dOut)) AS j) b),
        |t AS (SELECT e.vec_id, sg.j AS dim,
        |  CAST(sum(q[sg.i] * sg.s) AS BIGINT) AS y
        |  FROM e CROSS JOIN sg GROUP BY 1, 2),
@@ -3034,7 +3078,7 @@ object ExtQueries {
        |  WHERE tq.vec_id < $NumQueries GROUP BY 1, 2),
        |cand AS (SELECT qid, cid FROM (SELECT qid, cid,
        |  row_number() OVER (PARTITION BY qid ORDER BY pdist, cid) AS r
-       |  FROM pd) WHERE r <= $JlCandR),
+       |  FROM pd) WHERE r <= $candR),
        |n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
        |scored AS (SELECT cand.qid, cand.cid,
        |  round(list_dot_product(qn.q, cn.q) / (sqrt(qn.n2) * sqrt(cn.n2)), 6) AS sim
@@ -4347,6 +4391,27 @@ object ExtQueries {
     "x51_lsh_multiprobe" -> lshMultiProbeSql,
 
     "x51_jl_refine" -> jlTopkSql,
+
+    // the JL knob arms replayed at their own (dOut, candR) and
+    // intersected with the shared exact truth — the x43 audit shape
+    "x51_jl_sweep" -> {
+      val ctes = JlSweepArms.zipWithIndex.map { case ((_, d, r), i) =>
+        s"m$i AS (SELECT qid, cid FROM (${jlTopkSqlAt(d, r)}))"
+      }.mkString(",\n")
+      val arms = JlSweepArms.zipWithIndex.map { case ((name, _, _), i) =>
+        (if (i == 0) s"SELECT '$name' AS method, count(*) AS n_hits"
+         else s"UNION ALL SELECT '$name', count(*)") +
+          s" FROM m$i JOIN ex USING (qid, cid)"
+      }.mkString("\n")
+      s"""WITH ex AS (SELECT qid, cid FROM ($cosineTopkSql)),
+         |$ctes,
+         |t AS (SELECT count(*) AS n_truth FROM ex),
+         |u AS ($arms)
+         |SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(t.n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_hits * 1000000 // t.n_truth AS BIGINT) AS recall_ppm
+         |FROM u CROSS JOIN t ORDER BY method""".stripMargin
+    },
 
     "x44_bpe_merges" ->
       s"""WITH $bpeAllRounds

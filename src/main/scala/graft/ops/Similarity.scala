@@ -231,20 +231,35 @@ object Similarity {
         Seq("i"))
       .join(sums.select(col("p").as("j"), col("s").as("s_j")), Seq("j"))
       .select(col("i"), col("j"),
-        // in-plan exactness guard: every consumer (abtt training,
-        // isotropy, the oracle row) reads n through this column, so a
-        // wrap-scale corpus aborts instead of training on garbage
-        expr(s"""CASE WHEN n > $CovMaxRows THEN
-                |  CAST(raise_error('covarianceTable: row count exceeds
-                | the BIGINT-exact bound $CovMaxRows — use
-                | covarianceMoments(shardCol) + mergeMoments (exact
-                | lane merge, DECIMAL numerator) instead') AS BIGINT)
-                |ELSE n END""".stripMargin.replace("\n", ""))
-          .as("n"),
+        // in-plan exactness guard, repeated on BOTH n and cov: a
+        // consumer that selects only (i, j, cov) column-prunes the n
+        // CASE away, so the cov copy is what guarantees a wrap-scale
+        // corpus aborts instead of training on garbage no matter
+        // which columns the consumer keeps
+        covGuard(CovMaxRows, "covarianceTable: row count exceeds the " +
+          s"BIGINT-exact bound $CovMaxRows — use covarianceMoments" +
+          "(shardCol) + mergeMoments (exact lane merge, DECIMAL " +
+          "numerator) instead", "BIGINT", col("n")).as("n"),
         col("g"), col("s_i"), col("s_j"),
-        round((col("g") * col("n") - col("s_i") * col("s_j"))
-          .cast("double") / (col("n") * col("n")), 6).as("cov"))
+        covGuard(CovMaxRows, "covarianceTable: row count exceeds the " +
+          s"BIGINT-exact bound $CovMaxRows — use covarianceMoments" +
+          "(shardCol) + mergeMoments (exact lane merge, DECIMAL " +
+          "numerator) instead", "DOUBLE",
+          round((col("g") * col("n") - col("s_i") * col("s_j"))
+            .cast("double") / (col("n") * col("n")), 6)).as("cov"))
   }
+
+  /** The prunable-guard fix (round-15 review): a raise_error CASE keyed
+    * on `n` that wraps the GUARDED COLUMN'S OWN value, so the abort
+    * survives Catalyst column pruning on every consumed column instead
+    * of living only in `n` (a consumer selecting only cov used to prune
+    * the guard away and read wrapped lanes silently).
+    */
+  private def covGuard(bound: Long, msg: String, castTo: String,
+                       value: Column): Column =
+    when(col("n") > bound,
+      expr(s"CAST(raise_error('${msg.replace("'", "")}') AS $castTo)"))
+      .otherwise(value)
 
   /** X119 continuation past [[CovMaxRows]] — PER-SHARD exact moment
     * lanes: for every (shard, coordinate pair i ≤ j), the exact BIGINT
@@ -309,15 +324,18 @@ object Similarity {
       .agg(sum(col("n")).as("n"), sum(col("g")).as("g"),
         sum(col("s_i")).as("s_i"), sum(col("s_j")).as("s_j"))
     m.select(col("i"), col("j"),
-      expr(s"""CASE WHEN n > $MomentLaneMaxRows THEN
-              |  CAST(raise_error('mergeMoments: merged row count
-              | exceeds the lane-exact bound $MomentLaneMaxRows')
-              | AS BIGINT)
-              |ELSE n END""".stripMargin.replace("\n", "")).as("n"),
+      covGuard(MomentLaneMaxRows, "mergeMoments: merged row count " +
+        s"exceeds the lane-exact bound $MomentLaneMaxRows", "BIGINT",
+        col("n")).as("n"),
       col("g"), col("s_i"), col("s_j"),
-      round((col("g").cast("decimal(38,0)") * col("n")
-          - col("s_i").cast("decimal(38,0)") * col("s_j")).cast("double")
-        / (col("n").cast("double") * col("n").cast("double")), 6)
+      // the guard repeats on cov (the prunable-guard fix): the merged
+      // path is exactly the one marketed as uncapped, so a consumer
+      // selecting only (i, j, cov) must still abort past the lane bound
+      covGuard(MomentLaneMaxRows, "mergeMoments: merged row count " +
+        s"exceeds the lane-exact bound $MomentLaneMaxRows", "DOUBLE",
+        round((col("g").cast("decimal(38,0)") * col("n")
+            - col("s_i").cast("decimal(38,0)") * col("s_j")).cast("double")
+          / (col("n").cast("double") * col("n").cast("double")), 6))
         .as("cov"))
   }
 
@@ -510,13 +528,18 @@ object Similarity {
     * error in exact BIGINT lanes end to end.
     *
     * Shape at 100 TB: one row-local projection at the scan — zero
-    * shuffle, zero trained state (the scale is per-row). Bounds: |q_i|
-    * ≤ 2·10⁶ (the quantize envelope), so 127·|q_i| ≤ 2.6·10⁸, each
-    * squared term ≤ ~2.7·10¹⁷... at dim ≤ 4096 the sum caps at ~10²¹
-    * — over BIGINT at the extreme envelope, but real embeddings are
-    * |x| ≤ ~2 (q_i ≤ 2000): terms ≤ 6.5·10¹⁰, dims·terms ≪ 2⁶³. The
-    * in-plan guard rejects maxabs beyond [[Int8MaxAbs]] loudly rather
-    * than wrapping (the x83/x89 discipline).
+    * shuffle, zero trained state (the scale is per-row). Exactness
+    * (the TIGHT bound, round-15 review fix — the old analysis summed
+    * worst-case 127·q_i products and was ~10⁶× pessimistic): each
+    * lane's residue 127·q_i − sign_i·code_i·maxabs is the
+    * round-to-nearest remainder of 127·|q_i| against maxabs, so
+    * |residue| ≤ maxabs/2. [[quantize]] does NOT clamp (q_i =
+    * floor(1000·x) can reach INT range for corrupt inputs), so the
+    * in-plan guard enforces maxabs ≤ [[Int8MaxAbs]] = 2·10⁶ (|x| ≤
+    * 2000 — generous for any real embedding); under it residues are
+    * ≤ 10⁶, squared terms ≤ 10¹², and err_num ≤ d·10¹² ≈ 4.1·10¹⁵ at
+    * d = 4096 — BIGINT-exact to d ~ 9·10⁶. The guard is what makes
+    * the bound a contract instead of a hope (the x83/x89 discipline).
     *
     * Returns (idCol, maxabs, err_num, err_ppm) DENSE over non-null
     * vectors; an all-zero vector quantizes exactly (err 0).

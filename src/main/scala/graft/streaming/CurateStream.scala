@@ -39,10 +39,22 @@ import graft.ops.{Curate, Dedup}
   * STATE is append-only, batchId-partitioned, strictly `batch_id < N`
   * on read (the [[DedupStream]] replay rule — at-least-once replay
   * rewrites identical partitions, exactly-once without a pointer
-  * file), and every table is SLIVER-SIZED relative to the corpus:
-  *   - `fps/`    one (norm_fp) row per retained-at-exact-stage doc;
-  *   - `docs/` + `bands/` the near-dup index of stage-3 survivors
-  *     (per-batch cost scales with the batch, never the corpus);
+  * file). Sizes differ by table — the per-batch COST contract is
+  * "scales with retained corpus, never raw stream volume":
+  *   - `fps/`    one 16-byte digest per retained-at-exact-stage doc
+  *     (sliver-sized; the exact-dedup probe is a digest anti-join);
+  *   - `bands/`  the LSH band index of stage-3 survivors — fixed-width
+  *     rows, numSigs/rowsPerBand per doc (sliver-sized);
+  *   - `docs/`   RETAINED-CORPUS-SIZED: the full text of every kept
+  *     doc, because pair VERIFICATION (exact Jaccard above the LSH
+  *     candidate cut) needs the member text. Each batch's probe
+  *     re-scans it for the verify join, so per-batch cost grows with
+  *     the retained corpus — the price of exact verification; a
+  *     candidate-pruned read (semi-join on band-collision ids pushed
+  *     into the scan) is the documented refinement if that scan ever
+  *     dominates. [[StateMaintenance.compactState]] keeps its
+  *     PARTITION COUNT bounded so listing/footer overhead does not
+  *     also grow with stream length;
   *   - `evsh/`   the NOVEL distinct eval shingles (the
   *     [[KnLmStream]] novelty-append discipline — bounded by the eval
   *     suite, broadcasts into each batch's probe);

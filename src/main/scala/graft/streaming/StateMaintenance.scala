@@ -1,0 +1,215 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Maintenance for the streaming twins' batchId-partitioned state — the
+  * round-14 named scale seam. The append-only `batch_id=N` layout is
+  * what makes replay exactly-once (strict `batch_id < N` reads,
+  * overwrite-own-partition writes), but a long-lived stream gains one
+  * partition per micro-batch per state table: at a 5-second trigger
+  * that is ~17k partitions/day/table, and every probe's `batch_id < N`
+  * read must LIST and footer-read all of them — per-batch cost grows
+  * with partition COUNT even while data volume stays batch-sized.
+  *
+  * Two state shapes, two maintenance moves (both already proven
+  * in-repo for other tables):
+  *
+  *  - UNION-READ state (index rows, additive count/moment deltas,
+  *    emitted ledgers — everything consumed through
+  *    [[DedupStream.readState]] or a union-all external accessor):
+  *    [[compactState]] folds every `0 <= batch_id < watermark`
+  *    partition (plus any previous fold) into the `batch_id=-1`
+  *    SENTINEL partition — the [[Pump.compact]] contract. The sentinel
+  *    keeps partition depth uniform (mixed layouts break discovery),
+  *    and `-1 < N` for every real batch, so every strict `batch_id < N`
+  *    read naturally includes it: readers need NO change. Unlike the
+  *    sink fold, state rows are NOT deduplicated — additive deltas
+  *    from different batches are distinct contributions even when
+  *    bit-identical (two batches can each contribute `(word, n=5)`),
+  *    whereas sink rows carry unique mids. Replay safety comes from
+  *    the WATERMARK RULE below, not from dedup.
+  *
+  *  - SNAPSHOT state (each batch overwrites a FULL answer; only the
+  *    max batch_id is ever read, via [[DedupStream.latestSnapshot]]):
+  *    [[pruneSnapshots]] deletes superseded `batch_id < watermark`
+  *    partitions — the [[CdcApplyStream]] retention contract. The
+  *    latest snapshot always survives (the watermark clamps to it).
+  *
+  * THE WATERMARK RULE — never fold or prune a batch that an in-flight
+  * replay could still rewrite. A `foreachBatch` replay re-runs only
+  * batches NOT yet committed in the streaming checkpoint; a replayed
+  * batch N (a) re-reads strictly `batch_id < N` and (b) overwrites its
+  * own `batch_id=N` partition. Folding a batch that can still replay
+  * breaks both: its rows would sit in the sentinel (which every read
+  * includes) AND reappear in the recreated live partition — duplicates
+  * — and the sentinel would leak batches >= N into the replay's input.
+  * With `watermark <= smallest replayable batch id` neither can
+  * happen: the sentinel is a strict subset of `batch_id < N` for every
+  * replayable N, and no folded partition is ever rewritten.
+  * [[committedWatermark]] derives the safe value from the query's own
+  * checkpoint (last committed batch + 1). Like [[Pump.compact]], run
+  * maintenance from a schedule BETWEEN micro-batches (or with the
+  * stream paused): the swap has a brief window where a concurrent
+  * reader would see the table mid-rename.
+  */
+object StateMaintenance {
+
+  private def rm(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+  }
+
+  private def batchDirs(dir: File): Array[(Long, File)] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(f => (f.getName.stripPrefix("batch_id=").toLong, f))
+
+  /** Fold all `0 <= batch_id < watermark` partitions of one UNION-READ
+    * state dir (plus the previous sentinel, if any) into the
+    * `batch_id=-1` sentinel. Idempotent: a re-run with the same
+    * watermark finds no live partition below it and does nothing.
+    * Crash recovery is the [[Pump.compact]] idiom — a leftover
+    * `.compact_tmp` / `.compact_old` from a killed run fails loudly
+    * here rather than guessing (restore by renaming `.compact_old`'s
+    * contents back and deleting both staging dirs).
+    *
+    * @param filesPerFold output files for the folded sentinel; 1 is
+    *   right for sliver-sized state (digests, band rows, deltas) —
+    *   raise it for retained-corpus-sized dirs (e.g. CurateStream
+    *   `docs/`) so the fold itself stays parallel downstream.
+    * @return number of live partitions folded (0 = no-op)
+    */
+  def compactState(spark: SparkSession, dir: String, watermark: Long,
+                   filesPerFold: Int = 1): Int = {
+    require(watermark >= 0, s"watermark must be >= 0: $watermark")
+    val root = new File(dir)
+    val tmp = new File(root, ".compact_tmp")
+    val bak = new File(root, ".compact_old")
+    require(!tmp.exists() && !bak.exists(),
+      s"compactState: leftover staging dir under $dir from a crashed " +
+        "run — restore .compact_old contents and remove both staging " +
+        "dirs before re-running")
+    val all = batchDirs(root)
+    val folded = all.filter { case (id, _) => id >= 0 && id < watermark }
+    if (folded.isEmpty) return 0
+    val sentinel = all.find(_._1 == -1L).map(_._2)
+    // one read spans sentinel + live-below-watermark: -1 < watermark,
+    // so a single partition-pruned filter covers both. NO dropDuplicates
+    // (see the object doc — delta rows are contributions, not identity).
+    val rows = spark.read.parquet(dir)
+      .filter(col("batch_id") < watermark)
+      .drop("batch_id")
+    rows.repartition(filesPerFold).write.mode("overwrite")
+      .parquet(tmp.getPath)
+    require(bak.mkdirs(), s"compactState: mkdir $bak failed")
+    (sentinel.toSeq ++ folded.map(_._2)).foreach { p =>
+      require(p.renameTo(new File(bak, p.getName)),
+        s"compactState: rename away $p failed")
+    }
+    require(tmp.renameTo(new File(root, "batch_id=-1")),
+      s"compactState: rename in $tmp failed")
+    rm(bak)
+    folded.length
+  }
+
+  /** Delete superseded FULL-SNAPSHOT partitions strictly below the
+    * watermark. The newest snapshot is the table's answer
+    * ([[DedupStream.latestSnapshot]] reads the max batch_id), so the
+    * effective watermark clamps to it — it is never deleted. Snapshot
+    * partitions are never read by a replay (a replayed batch derives
+    * its snapshot from the DELTA dirs and overwrites `batch_id=N`
+    * whether or not it still exists), so the only watermark constraint
+    * is keeping the latest — but use the same [[committedWatermark]]
+    * anyway: it is always <= max+1 and keeps one mental model.
+    *
+    * @return number of snapshot partitions pruned
+    */
+  def pruneSnapshots(dir: String, watermark: Long): Int = {
+    val all = batchDirs(new File(dir))
+    if (all.isEmpty) return 0
+    // clamp: the newest snapshot survives any watermark (a watermark of
+    // lastCommitted+1 — the committedWatermark — names every committed
+    // batch prunable, but the newest one IS the table's answer)
+    val effective = math.min(watermark, all.map(_._1).max)
+    val doomed = all.filter { case (id, _) => id >= 0 && id < effective }
+    doomed.foreach { case (_, f) => rm(f) }
+    doomed.length
+  }
+
+  /** The safe fold/prune watermark for a streaming query: last
+    * committed batch id + 1, read from the checkpoint's `commits/`
+    * log. Batches below it can never replay under this checkpoint;
+    * the one batch that CAN still replay (lastCommitted + 1) stays
+    * live. 0 (fold nothing) when no batch has committed yet.
+    */
+  def committedWatermark(checkpointDir: String): Long = {
+    val d = new File(checkpointDir, "commits")
+    val ids = Option(d.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+    if (ids.isEmpty) 0L else ids.max + 1L
+  }
+
+  /** Per-twin state-shape registry: which subdirs under a twin's
+    * `statePath` are union-read (fold with [[compactState]]) vs
+    * full-snapshot (prune with [[pruneSnapshots]]). Derived from each
+    * twin's own reads — every `readState` target and union-all
+    * accessor is a fold dir; every `latestSnapshot` target is a prune
+    * dir.
+    */
+  val TwinStateShapes: Map[String, (Seq[String], Seq[String])] = Map(
+    // twin -> (fold dirs, prune dirs)
+    "DedupStream" -> (Seq("docs", "bands", "pairs"), Seq.empty),
+    "SimhashStream" -> (Seq("bands", "pairs"), Seq.empty),
+    "CurateStream" -> (Seq("fps", "docs", "bands", "evsh", "ledger"),
+      Seq.empty),
+    "SubstringStream" -> (Seq("windows", "runs"), Seq.empty),
+    "SemDedupStream" -> (Seq("vecs", "pairs"), Seq.empty),
+    "SemDeconStream" -> (Seq("ev", "out"), Seq.empty),
+    "ParagraphDedupStream" -> (Seq("pdig", "out"), Seq.empty),
+    "BoilerplateStream" -> (Seq("df", "meta", "out"), Seq.empty),
+    "DecontaminateStream" -> (Seq("evsh", "cleaned"), Seq.empty),
+    "BloomGateStream" -> (Seq("evsh", "contam"), Seq.empty),
+    "CdcChunkStream" -> (Seq("chunks", "ledger"), Seq.empty),
+    "SubsampleStream" -> (Seq("counts", "out"), Seq.empty),
+    "TokenBudgetStream" -> (Seq("spent", "admitted"), Seq.empty),
+    // alloc is VERSIONED point-in-time (allocation() reads one exact
+    // batch_id, default max) — folding would union every version under
+    // the sentinel and corrupt the max-read; it prunes like a snapshot
+    "UniMaxStream" -> (Seq("counts"), Seq("alloc")),
+    "PplBucketStream" -> (Seq("refsc", "buckets"), Seq.empty),
+    "KnLmStream" -> (Seq("c5", "t4", "t3", "t2", "t1", "c1k", "summary",
+      "scores"), Seq.empty),
+    "BleuStream" -> (Seq("counts"), Seq("score")),
+    "CardinalityStream" -> (Seq("buckets"), Seq("card")),
+    "CountMinStream" -> (Seq("sk"), Seq("watch")),
+    "HllStream" -> (Seq("regs"), Seq("card")),
+    "KmvStream" -> (Seq("mins"), Seq("sketch")),
+    "PsiDriftStream" -> (Seq("cur"), Seq("psi")),
+    "QuantileStream" -> (Seq("summ"), Seq("q")),
+    "BurstinessStream" -> (Seq("moments", "meta"), Seq("vmr")),
+    "UnigramKlStream" -> (Seq("counts"), Seq("kl")))
+
+  /** One-call maintenance for a twin's whole state root: fold every
+    * union-read subdir, prune every snapshot subdir, both at the same
+    * watermark. Subdirs that do not exist yet (a stream that never saw
+    * eval rows never creates `evsh/`) are skipped.
+    *
+    * @return (partitions folded, snapshots pruned)
+    */
+  def maintain(spark: SparkSession, statePath: String, twin: String,
+               watermark: Long, filesPerFold: Int = 1): (Int, Int) = {
+    val (foldDirs, pruneDirs) = TwinStateShapes.getOrElse(twin,
+      throw new IllegalArgumentException(
+        s"maintain: unknown twin '$twin' — known: " +
+          TwinStateShapes.keys.toSeq.sorted.mkString(", ")))
+    def existing(names: Seq[String]): Seq[String] =
+      names.map(n => s"$statePath/$n")
+        .filter(p => new File(p).isDirectory)
+    val folded = existing(foldDirs)
+      .map(compactState(spark, _, watermark, filesPerFold)).sum
+    val pruned = existing(pruneDirs).map(pruneSnapshots(_, watermark)).sum
+    (folded, pruned)
+  }
+}

@@ -1,0 +1,214 @@
+package graft.streaming
+
+import java.io.File
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** The streaming-state compaction/retention contract (the round-14
+  * scale seam): folding `batch_id < watermark` partitions into the
+  * `batch_id=-1` sentinel changes NOTHING a probe, a snapshot, or a
+  * replay can observe — it only bounds partition count.
+  */
+class StateMaintenanceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // the DedupStreamSpec fixtures: 40-token texts differing only in the
+  // last token near-dup at jaccard ~0.949; distinctText never collides
+  private def text(tail: String): String =
+    (1 to 39).map(i => s"tok$i").mkString(" ") + " " + tail
+  private def distinctText(seed: Int): String =
+    (1 to 40).map(i => s"other${seed}_$i").mkString(" ")
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def parts(dir: String): Set[String] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("batch_id=")).toSet
+
+  private def pairsSet(statePath: String): Set[(Long, Long)] =
+    DedupStream.pairs(spark, statePath)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+
+  private def b0 = docs(1L -> text("tailA"), 2L -> text("tailB"),
+    3L -> distinctText(1))
+  private def b1 = docs(4L -> text("tailC"), 5L -> distinctText(2))
+  private def b2 = docs(6L -> distinctText(3), 7L -> text("tailD"))
+  private def b3 = docs(8L -> text("tailE"), 9L -> distinctText(4))
+
+  private def dedupApply(statePath: String) =
+    DedupStream.applyBatch(statePath, "doc_id", "text", 16, 4, 0.8) _
+
+  test("index-state fold: sentinel-only layout, probe and pairs equality") {
+    val control = tmpDir("sm-dedup-control")
+    val folded = tmpDir("sm-dedup-folded")
+    for (p <- Seq(control, folded)) {
+      val apply = dedupApply(p)
+      apply(b0, 0L); apply(b1, 1L); apply(b2, 2L)
+    }
+    val before = pairsSet(folded)
+    val (nFold, nPrune) =
+      StateMaintenance.maintain(spark, folded, "DedupStream", 3L)
+    assert(nFold === 9) // docs, bands, pairs x 3 batches
+    assert(nPrune === 0)
+    for (d <- Seq("docs", "bands", "pairs"))
+      assert(parts(s"$folded/$d") === Set("batch_id=-1"), d)
+    assert(pairsSet(folded) === before)
+    assert(pairsSet(folded) === pairsSet(control))
+    // the NEXT batch probes the folded state and the live state alike
+    dedupApply(control)(b3, 3L)
+    dedupApply(folded)(b3, 3L)
+    assert(pairsSet(folded) === pairsSet(control))
+    assert(pairsSet(folded).contains((1L, 8L))) // cross-fold near-dup found
+  }
+
+  test("replay idempotence across a fold: the live batch rewrites itself") {
+    val control = tmpDir("sm-replay-control")
+    val folded = tmpDir("sm-replay-folded")
+    for (p <- Seq(control, folded)) {
+      val apply = dedupApply(p)
+      apply(b0, 0L); apply(b1, 1L); apply(b2, 2L); apply(b3, 3L)
+    }
+    // batches 0..2 committed, batch 3 still replayable -> watermark 3
+    StateMaintenance.maintain(spark, folded, "DedupStream", 3L)
+    assert(parts(s"$folded/docs") === Set("batch_id=-1", "batch_id=3"))
+    // at-least-once: batch 3 replays AFTER the fold — identical inputs
+    // (sentinel = exactly batches < 3), identical outputs
+    dedupApply(folded)(b3, 3L)
+    assert(pairsSet(folded) === pairsSet(control))
+    // and the stream continues over the mixed layout
+    val b4 = docs(10L -> text("tailF"), 11L -> distinctText(5))
+    dedupApply(control)(b4, 4L)
+    dedupApply(folded)(b4, 4L)
+    assert(pairsSet(folded) === pairsSet(control))
+  }
+
+  test("re-fold absorbs the existing sentinel; second run is a no-op") {
+    val control = tmpDir("sm-refold-control")
+    val folded = tmpDir("sm-refold-folded")
+    for (p <- Seq(control, folded)) {
+      val apply = dedupApply(p); apply(b0, 0L); apply(b1, 1L)
+    }
+    StateMaintenance.maintain(spark, folded, "DedupStream", 2L)
+    for (p <- Seq(control, folded)) {
+      val apply = dedupApply(p); apply(b2, 2L); apply(b3, 3L)
+    }
+    StateMaintenance.maintain(spark, folded, "DedupStream", 4L)
+    for (d <- Seq("docs", "bands", "pairs"))
+      assert(parts(s"$folded/$d") === Set("batch_id=-1"), d)
+    assert(pairsSet(folded) === pairsSet(control))
+    // idempotent: nothing below the watermark is live anymore
+    assert(StateMaintenance.compactState(spark, s"$folded/docs", 4L) === 0)
+    assert(pairsSet(folded) === pairsSet(control))
+  }
+
+  test("fold preserves bit-identical delta rows from different batches") {
+    val statePath = tmpDir("sm-kl")
+    val apply = UnigramKlStream.applyBatch(statePath, "grp", "text") _
+    val batch = Seq(("en", "a a b"), ("fr", "x y a")).toDF("grp", "text")
+    // two batches with IDENTICAL content -> identical (grp, w, c) delta
+    // rows; a fold that deduplicated would halve the counts
+    apply(batch, 0L); apply(batch, 1L)
+    val before = UnigramKlStream.latest(spark, statePath)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val (nFold, nPrune) =
+      StateMaintenance.maintain(spark, statePath, "UnigramKlStream", 2L)
+    assert(nFold === 2) // counts x 2 batches
+    assert(nPrune === 1) // kl snapshot 0; snapshot 1 survives (clamp)
+    assert(parts(s"$statePath/counts") === Set("batch_id=-1"))
+    assert(parts(s"$statePath/kl") === Set("batch_id=1"))
+    assert(UnigramKlStream.latest(spark, statePath)
+      .as[(String, Long, Long, Long)].collect().toSet === before)
+    // next batch accumulates ON TOP of the folded counts and still
+    // equals the batch operator over everything ingested
+    val batch2 = Seq(("en", "b b c"), (null: String, "zz")).toDF("grp", "text")
+    apply(batch2, 2L)
+    val expected = graft.ops.CorpusStats
+      .unigramKl(batch.union(batch).union(batch2), "grp", "text")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(UnigramKlStream.latest(spark, statePath)
+      .as[(String, Long, Long, Long)].collect().toSet === expected)
+  }
+
+  test("snapshot prune keeps the latest answer; the stream continues") {
+    val control = tmpDir("sm-hll-control")
+    val pruned = tmpDir("sm-hll-pruned")
+    def batchOf(ids: Range) = ids.map(i => ("g" + (i % 2), "v" + i))
+      .toDF("grp", "v")
+    for (p <- Seq(control, pruned)) {
+      val apply = HllStream.applyBatch(p, "grp", "v", 2) _
+      apply(batchOf(0 until 40), 0L)
+      apply(batchOf(30 until 80), 1L)
+      apply(batchOf(70 until 120), 2L)
+    }
+    def latest(p: String) = HllStream.latest(spark, p)
+      .as[(String, Long, Double)].collect().toSet
+    val before = latest(pruned)
+    val (nFold, nPrune) =
+      StateMaintenance.maintain(spark, pruned, "HllStream", 3L)
+    assert(nFold === 3) // regs x 3
+    assert(nPrune === 2) // card 0, 1; 2 survives the clamp
+    assert(parts(s"$pruned/card") === Set("batch_id=2"))
+    assert(latest(pruned) === before)
+    for (p <- Seq(control, pruned))
+      HllStream.applyBatch(p, "grp", "v", 2)(batchOf(110 until 150), 3L)
+    assert(latest(pruned) === latest(control))
+  }
+
+  test("leftover staging from a crashed fold fails loudly") {
+    val statePath = tmpDir("sm-crash")
+    dedupApply(statePath)(b0, 0L)
+    assert(new File(s"$statePath/docs/.compact_tmp").mkdirs())
+    val e = intercept[IllegalArgumentException] {
+      StateMaintenance.compactState(spark, s"$statePath/docs", 1L)
+    }
+    assert(e.getMessage.contains("crashed"))
+  }
+
+  test("committedWatermark reads the checkpoint commits log") {
+    val ckpt = tmpDir("sm-ckpt")
+    assert(StateMaintenance.committedWatermark(ckpt) === 0L)
+    val commits = new File(ckpt, "commits")
+    assert(commits.mkdirs())
+    for (n <- Seq("0", "1", "2", ".tmp-noise", "metadata"))
+      new File(commits, n).createNewFile()
+    assert(StateMaintenance.committedWatermark(ckpt) === 3L)
+  }
+
+  test("CurateStream: the five-table state folds, ledger and probe intact") {
+    val control = tmpDir("sm-curate-control")
+    val folded = tmpDir("sm-curate-folded")
+    def apply(p: String) = CurateStream.applyBatch(p, "doc_id", "text",
+      "is_eval", 0.5, 0.2) _
+    def rows(r: (Long, String, Boolean)*): DataFrame =
+      r.toDF("doc_id", "text", "is_eval")
+    val c0 = rows((100L, distinctText(10), true),
+      (1L, text("tailA"), false), (2L, text("tailB"), false),
+      (3L, distinctText(1), false))
+    val c1 = rows((4L, text("tailC"), false),
+      (5L, distinctText(1), false), // exact dup of doc 3
+      (6L, Seq.fill(30)("a").mkString(" "), false)) // gate reject
+    val c2 = rows((7L, text("tailD"), false), (8L, distinctText(6), false))
+    for (p <- Seq(control, folded)) {
+      apply(p)(c0, 0L); apply(p)(c1, 1L)
+    }
+    def ledgerSet(p: String): Set[(Long, String)] =
+      CurateStream.ledger(spark, p, "doc_id")
+        .select("doc_id", "verdict").as[(Long, String)].collect().toSet
+    val before = ledgerSet(folded)
+    assert(before.contains((5L, "exact_dup")))
+    assert(before.contains((4L, "near_dup")))
+    assert(before.contains((6L, "gate")))
+    StateMaintenance.maintain(spark, folded, "CurateStream", 2L)
+    for (d <- Seq("fps", "docs", "bands", "evsh", "ledger"))
+      assert(parts(s"$folded/$d") === Set("batch_id=-1"), d)
+    assert(ledgerSet(folded) === before)
+    // next batch probes folded fingerprints, bands, and eval shingles
+    for (p <- Seq(control, folded)) apply(p)(c2, 2L)
+    assert(ledgerSet(folded) === ledgerSet(control))
+    assert(ledgerSet(folded).contains((7L, "near_dup")))
+  }
+}
