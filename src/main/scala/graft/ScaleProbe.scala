@@ -550,6 +550,32 @@ object ScaleProbe {
         tPpm = 1000L)
         .write.format("noop").mode("overwrite").save()
     }
+    // x132 over 50k docs: the x131 type-grain exchange plus a 2x2 lane
+    // per (group, word) cell — vocab-keyed marginal join, group totals
+    // broadcast; nothing scales past the count table
+    t("keyness-50k") {
+      graft.ops.CorpusStats.dunningKeyness(docs10, "lang", "text",
+        minCount = 5L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x133 over 50k docs: one gate-signal scan + a group-grain fold;
+    // the interval math is a projection over source-count rows
+    t("wilson-gate-50k") {
+      graft.ops.Eval.wilsonRates(
+        graft.ops.Curate.gateSignals(
+          docs10.select(col("doc_id"), col("source"), col("text")), "text")
+          .withColumn("hit", graft.ops.Curate.gatePass(0.35, 0.05)),
+        "source", "hit")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x134 over 50k docs: one quasi-identifier-grain exchange; the
+    // class table is attribute-product-bounded, never corpus-sized
+    t("k-anonymity-50k") {
+      graft.ops.Pii.kAnonymity(
+        docs10.withColumn("len_bucket", expr("n_chars div 50")),
+        Seq("lang", "source", "len_bucket"), k = 5L)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -504,4 +504,90 @@ object CorpusStats {
     vmrOf(wordMoments(base, idCol, textCol),
       base.agg(count(lit(1)).as("n_docs")), minDf)
   }
+
+  /** The G² lanes over an already-built (grp, w, c_sw) count table —
+    * the kernel the streaming twin's snapshots share with the batch
+    * operator (one code path for every rounding seam). The caller pins
+    * the input: it feeds three folds and the cell join (the x127
+    * contract).
+    *
+    * Each of the four 2×2 contingency cells contributes
+    * O·round(ln(O·N / (rowTotal·colTotal))·10⁶): the ln of ONE
+    * fixed-parenthesization double ratio of exact BIGINT counts rounds
+    * to a micro-nat BIGINT (the x131 term seam), the O-weighted sum
+    * runs in DECIMAL(38,0), and the output doubles AFTER a guarded
+    * BIGINT cast-back (×2 outside the lane keeps the guard bound
+    * simple). A zero observed cell contributes exactly 0 — the CASE
+    * short-circuits before ln sees a 0 or a 0 denominator, which also
+    * makes the degenerate single-group corpus emit all-zero G² (every
+    * surviving term is ln(1)).
+    */
+  private[graft] def keynessOf(csw: DataFrame, minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount $minCount must be >= 1")
+    val cw = csw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val ts = csw.groupBy(col("grp")).agg(sum(col("c_sw")).as("t_s"))
+    val tc = csw.agg(sum(col("c_sw")).as("t_c"))
+    def cell(o: String, rowT: String, colT: String): String =
+      s"""CASE WHEN $o = 0 THEN CAST(0 AS DECIMAL(38,0))
+         |ELSE CAST($o AS DECIMAL(38,0)) *
+         |  CAST(round(ln((CAST($o AS DOUBLE) * t_c)
+         |    / (CAST($rowT AS DOUBLE) * ($colT))) * 1000000) AS BIGINT)
+         |END""".stripMargin.replace("\n", " ")
+    csw.join(cw, Seq("w"))
+      .join(broadcast(ts), Seq("grp"))
+      .crossJoin(broadcast(tc))
+      .filter(col("c_sw") >= minCount)
+      // the other three observed cells of the 2x2 table: ob = w in the
+      // rest of the corpus, oc = other tokens in the group, od = other
+      // tokens in the rest
+      .withColumn("ob", col("c_w") - col("c_sw"))
+      .withColumn("oc", col("t_s") - col("c_sw"))
+      .withColumn("od", col("t_c") - col("t_s") - col("c_w") + col("c_sw"))
+      .withColumn("__s", expr(
+        cell("c_sw", "t_s", "c_w") + " + " + cell("ob", "t_c - t_s", "c_w")
+          + " + " + cell("oc", "t_s", "t_c - c_w")
+          + " + " + cell("od", "t_c - t_s", "t_c - c_w")))
+      .select(col("grp"), col("w"), col("c_sw"),
+        // over/under-representation direction from the EXACT cross
+        // products (a·N vs rowTotal·colTotal — never the rounded lanes)
+        expr("""CASE
+               |WHEN CAST(c_sw AS DECIMAL(38,0)) * t_c
+               |   > CAST(t_s AS DECIMAL(38,0)) * c_w THEN 1
+               |WHEN CAST(c_sw AS DECIMAL(38,0)) * t_c
+               |   < CAST(t_s AS DECIMAL(38,0)) * c_w THEN -1
+               |ELSE 0 END""".stripMargin.replace("\n", " "))
+          .cast("long").as("dir"),
+        expr(s"""CASE WHEN abs(__s) > ${Long.MaxValue / 2}BD THEN
+                |  CAST(raise_error('keynessOf: G2 lane exceeds the
+                | BIGINT-exact bound — widen the output lane') AS BIGINT)
+                |ELSE 2 * CAST(__s AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")).as("g2_micro"))
+  }
+
+  /** X132 — Dunning log-likelihood keyness (Dunning 1993, "Accurate
+    * Methods for the Statistics of Surprise and Coincidence"): per
+    * (group, word), the G² statistic of the 2×2 contingency table
+    * (word-in-group vs word-in-rest) — the classic corpus-linguistics
+    * keyness measure, and the surprise-robust alternative to the x99
+    * PMI lane for SMALL counts (PMI explodes on rare words; G² is
+    * likelihood-calibrated). `dir` carries whether the word is over-
+    * (+1) or under- (−1) represented in its group, so the pair
+    * (dir, g2_micro) ranks signature vocabulary per slice — the
+    * domain-mixture fingerprint behind source reweighting.
+    *
+    * SHAPE AT 100 TB: identical to [[unigramKl]] — one (group, word)
+    * type-grain exchange with map-side combine builds the pinned count
+    * table; the word-marginal join is vocab-keyed, group totals
+    * broadcast group-sized, the corpus total rides a 1-row broadcast.
+    * `minCount` gates the output to recurring (group, word) cells.
+    * Null groups/texts are excluded from slice and pool (the x131
+    * rule; the oracle mirrors with IS NOT NULL).
+    *
+    * Output: (grp, w, c_sw, dir, g2_micro) for cells with c_sw ≥
+    * minCount.
+    */
+  def dunningKeyness(docs: DataFrame, grpCol: String, textCol: String,
+                     minCount: Long): DataFrame =
+    keynessOf(groupWordCounts(docs, grpCol, textCol)
+      .localCheckpoint(false), minCount)
 }

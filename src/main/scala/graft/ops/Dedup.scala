@@ -1052,4 +1052,39 @@ object Dedup {
       .select("d1", "d2", "i", "n1", "n2", "cont1_ppm", "cont2_ppm",
         "template")
   }
+
+  /** X135 — soft deduplication weights (the SoftDeDup recipe, He et
+    * al. 2024; also the D4/SlimPajama per-cluster downweighting): keep
+    * EVERY document but weight each near-dup cluster member by
+    * 1/cluster-size, so a passage duplicated 40× contributes the same
+    * expected training mass as a unique one. The actionable
+    * alternative to x9's keep-one canonical selection when duplicates
+    * carry formatting/context diversity worth sampling across — the
+    * sampler (x23/x31) consumes weight_ppm directly.
+    *
+    * SHAPE AT 100 TB: connected components over the (already bucketed)
+    * near-dup pairs — cost scales with duplicate density (the x9
+    * adjudicated iterative shape); cluster sizes are a component-grain
+    * fold; the corpus-sized left join is key-partitioned with no
+    * skew beyond the largest cluster. Singletons never enter the
+    * pair table and default to weight 1.
+    *
+    * Output: (idCol, n_members, weight_ppm) DENSE over the corpus —
+    * weight_ppm = 10⁶ div cluster size (exact integer div, identical
+    * in any engine).
+    */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+                       idCol: String): DataFrame = {
+    val comps = Cluster.components(pairs)
+      .select(col("id").as(idCol), col("component"))
+    val sizes = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("__n"))
+    docs.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .join(sizes, Seq("component"), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(1L)).as("n_members"),
+        expr("1000000 div coalesce(__n, CAST(1 AS BIGINT))")
+          .as("weight_ppm"))
+  }
 }

@@ -150,6 +150,52 @@ object Eval {
           |END""".stripMargin))
   }
 
+  /** X133 — Wilson score interval (Wilson 1927) for per-group binomial
+    * rates: the CI that stays calibrated at small n and extreme p̂,
+    * where the normal-approximation interval collapses or escapes
+    * [0, 1] — the right way to read "source X passes the gate 94% of
+    * the time" when X has 20 documents. lo/hi = (p̂ + z²/2n ∓
+    * z·sqrt(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n), computed in ONE fixed
+    * parenthesization over the exact (n, s) counts and rounded to 6 —
+    * replayable by any engine from the two integers.
+    *
+    * SHAPE AT 100 TB: one group-grain exchange (count + conditional
+    * count with map-side combine); the interval math is a projection
+    * over group-sized rows. Contrast with the x101 bootstrap: Wilson
+    * prices a BINOMIAL rate in closed form — no resampling, no
+    * per-replica lanes — which is exactly right for pass/fail gates
+    * and exactly wrong for BLEU-style sufficient statistics (where the
+    * bootstrap earns its cost).
+    *
+    * Output: (grp, n, n_hit, rate, lo, hi) per group, hitCol read as
+    * a boolean predicate column.
+    */
+  def wilsonRates(df: DataFrame, grpCol: String, hitCol: String,
+                  z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    df.groupBy(col(grpCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(hitCol).cast("long")).as("n_hit"))
+      .select(col("grp"), col("n"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n"), 6).as("rate"),
+        expr(wilsonSql(z, "-")).as("lo"),
+        expr(wilsonSql(z, "+")).as("hi"))
+  }
+
+  /** The Wilson bound as SQL text — ONE parenthesization, shared
+    * verbatim with the DuckDB oracle so the double seams cannot
+    * diverge. p̂ enters as the exact ratio n_hit/n; everything is
+    * arithmetic over (n, n_hit, z).
+    */
+  def wilsonSql(z: Double, sign: String): String = {
+    val z2 = s"($z * $z)"
+    s"""round(((CAST(n_hit AS DOUBLE) / n + $z2 / (2 * n))
+       |  $sign $z * sqrt((CAST(n_hit AS DOUBLE) / n)
+       |      * (1 - CAST(n_hit AS DOUBLE) / n) / n
+       |    + $z2 / (4 * CAST(n AS DOUBLE) * n)))
+       |  / (1 + $z2 / n), 6)""".stripMargin.replace("\n", " ")
+  }
+
   def aucExact(scored: DataFrame, grpCol: String, scoreCol: String,
                labelCol: String): DataFrame = {
     val sg = scored.select(col(grpCol).as("grp"),

@@ -106,6 +106,9 @@ object ExtQueries {
   // each stage really filters (quality median ~0.46, dup p75 ~0.047)
   private val CurateQualityMin = 0.35
   private val CurateDupMax = 0.05
+  private val KeynessMinCount = 5L
+  private val KAnonK = 5L
+  private val KAnonBucket = 50L
   private val PackShards = 8
   private val PackChunkTokens = 512
   private val RangeJoinWindowUs = 7L * 86400L * 1000000L // 7 days
@@ -1240,6 +1243,46 @@ object ExtQueries {
     "x131_lang_kl" -> ((s, dir) =>
       CorpusStats.unigramKl(Tables.documents(s, dir), "lang", "text")
         .orderBy("grp")),
+
+    // X132 Dunning G² keyness: per-(lang, word) log-likelihood-ratio
+    // over/under-representation vs the pooled corpus — the x131
+    // type-grain exchange with a 2x2 contingency lane per cell; exact
+    // micro-nat terms, DECIMAL weighted sum, guarded BIGINT cast-back
+    "x132_keyness" -> ((s, dir) =>
+      CorpusStats.dunningKeyness(Tables.documents(s, dir), "lang",
+        "text", minCount = KeynessMinCount).orderBy("grp", "w")),
+
+    // X133 Wilson score intervals for the per-source gate pass rate:
+    // one group-grain exchange over the x116 gate signals, closed-form
+    // CI from the exact (n, n_hit) pair — the calibrated way to read a
+    // small source's pass rate (contrast: the x101 bootstrap prices
+    // sufficient statistics, Wilson prices a binomial)
+    "x133_wilson_gate" -> ((s, dir) => {
+      val sig = Curate.gateSignals(Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text")), "text")
+      Eval.wilsonRates(sig.withColumn("hit",
+          Curate.gatePass(CurateQualityMin, CurateDupMax)),
+        "source", "hit").orderBy("grp")
+    }),
+
+    // X134 k-anonymity audit over the metadata quasi-identifiers
+    // (lang, source, coarse length bucket): equivalence classes below
+    // k are re-identification risks; one QI-grain exchange, class
+    // table bounded by the attribute cross product
+    "x134_k_anonymity" -> ((s, dir) =>
+      Pii.kAnonymity(Tables.documents(s, dir)
+          .withColumn("len_bucket", expr(s"n_chars div $KAnonBucket")),
+        Seq("lang", "source", "len_bucket"), k = KAnonK)
+        .orderBy("lang", "source", "len_bucket")),
+
+    // X135 soft-dedup weights: every near-dup cluster member kept at
+    // weight 1/cluster-size (the reweighting alternative to x9's
+    // keep-one); components over the session-cached LSH pairs, dense
+    // left join back onto the corpus
+    "x135_soft_dedup" -> ((s, dir) =>
+      Dedup.softDedupWeights(Tables.documents(s, dir),
+        lshPairs(s, dir).select("d1", "d2"), "doc_id")
+        .orderBy("doc_id")),
 
     // X126 sequence-length decision audit: exact pad-waste and
     // truncation-loss ppm per candidate context length — group-grain
@@ -4917,6 +4960,39 @@ object ExtQueries {
          |  UNION SELECT r.nd, e.b FROM r JOIN e ON r.m = e.a)
          |SELECT nd AS doc_id, min(m) AS component FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // same recursive closure as x9_components, folded to cluster sizes
+    // and joined dense onto the corpus — singletons weight 10^6
+    "x135_soft_dedup" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2),
+         |p AS (SELECT d1, d2 FROM j WHERE jac >= $JaccardThreshold),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION ALL SELECT d2 AS a, d1 AS b FROM p),
+         |nodes AS (SELECT DISTINCT a AS nd FROM e),
+         |r(nd, m) AS (SELECT nd, nd FROM nodes
+         |  UNION SELECT r.nd, e.b FROM r JOIN e ON r.m = e.a),
+         |comp AS (SELECT nd AS doc_id, min(m) AS component FROM r GROUP BY 1),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM comp GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(sz.n_members, CAST(1 AS BIGINT)) AS n_members,
+         |  CAST(1000000 // coalesce(sz.n_members, CAST(1 AS BIGINT))
+         |    AS BIGINT) AS weight_ppm
+         |FROM documents d
+         |LEFT JOIN comp ON comp.doc_id = d.doc_id
+         |LEFT JOIN sz ON sz.component = comp.component
+         |ORDER BY d.doc_id""".stripMargin,
+
     // same recursive closure as x9_components, extended with the quality
     // ranking (quality = the x3_text_stats type-token ratio)
     "x9_canonical" ->
@@ -5508,6 +5584,88 @@ object ExtQueries {
          |      CAST(0 AS HUGEINT))
          |    // CAST(t_s AS HUGEINT) AS BIGINT) AS kl_micro
          |FROM term GROUP BY grp, t_s ORDER BY grp""".stripMargin,
+
+    // x132: the G² identity replayed — same count CTEs as x131, the
+    // four contingency cells each as O·round(ln(fixed ratio)·1e6),
+    // HUGEINT weighted sum, ×2 after the BIGINT cast like the engine
+    "x132_keyness" -> {
+      def cell(o: String, rowT: String, colT: String): String =
+        s"""CASE WHEN $o = 0 THEN CAST(0 AS HUGEINT)
+           |ELSE CAST($o AS HUGEINT) *
+           |  CAST(round(ln((CAST($o AS DOUBLE) * t_c)
+           |    / (CAST($rowT AS DOUBLE) * ($colT))) * 1000000) AS BIGINT)
+           |END""".stripMargin.replace("\n", " ")
+      s"""WITH tk AS (SELECT lang AS grp,
+         |   unnest(string_split(text, ' ')) AS w
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |csw AS (SELECT grp, w, count(*) AS c_sw FROM tk GROUP BY 1, 2),
+         |cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w
+         |  FROM csw GROUP BY 1),
+         |ts AS (SELECT grp, CAST(sum(c_sw) AS BIGINT) AS t_s
+         |  FROM csw GROUP BY 1),
+         |tc AS (SELECT CAST(sum(c_sw) AS BIGINT) AS t_c FROM csw),
+         |cells AS (SELECT csw.grp, csw.w, csw.c_sw, cw.c_w, ts.t_s,
+         |   tc.t_c, cw.c_w - csw.c_sw AS ob, ts.t_s - csw.c_sw AS oc,
+         |   tc.t_c - ts.t_s - cw.c_w + csw.c_sw AS od
+         |  FROM csw JOIN cw USING (w) JOIN ts USING (grp) CROSS JOIN tc
+         |  WHERE csw.c_sw >= $KeynessMinCount),
+         |lane AS (SELECT grp, w, c_sw,
+         |   CASE WHEN CAST(c_sw AS HUGEINT) * t_c
+         |          > CAST(t_s AS HUGEINT) * c_w THEN 1
+         |        WHEN CAST(c_sw AS HUGEINT) * t_c
+         |          < CAST(t_s AS HUGEINT) * c_w THEN -1
+         |        ELSE 0 END AS dir,
+         |   ${cell("c_sw", "t_s", "c_w")}
+         |   + ${cell("ob", "t_c - t_s", "c_w")}
+         |   + ${cell("oc", "t_s", "t_c - c_w")}
+         |   + ${cell("od", "t_c - t_s", "t_c - c_w")} AS s
+         |  FROM cells)
+         |SELECT grp, w, CAST(c_sw AS BIGINT) AS c_sw,
+         |  CAST(dir AS BIGINT) AS dir,
+         |  2 * CAST(s AS BIGINT) AS g2_micro
+         |FROM lane ORDER BY grp, w""".stripMargin
+    },
+
+    // x133: the x22 gate-signal CTEs restricted to the pass predicate,
+    // then the Wilson bound from the SHARED SQL text (Eval.wilsonSql —
+    // one parenthesization, so the double seams cannot diverge)
+    "x133_wilson_gate" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |   string_split(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ts) - 1),
+         |  i -> ts[i] || ' ' || ts[i+1]) AS g FROM t),
+         |sig AS (SELECT t.doc_id, t.source,
+         |  round(CAST(len(list_distinct(t.ts)) AS DOUBLE) / len(t.ts), 6)
+         |    AS quality,
+         |  len(sh.g) AS n_ngrams,
+         |  round(1.0 - CAST(len(list_distinct(sh.g)) AS DOUBLE) / len(sh.g), 6)
+         |    AS dup_ngram_ratio
+         |  FROM t JOIN sh ON sh.doc_id = t.doc_id),
+         |g AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n,
+         |   CAST(count(*) FILTER (WHERE n_ngrams > 0
+         |     AND quality >= $CurateQualityMin
+         |     AND dup_ngram_ratio <= $CurateDupMax) AS BIGINT) AS n_hit
+         |  FROM sig GROUP BY 1)
+         |SELECT grp, n, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / n, 6) AS rate,
+         |  ${Eval.wilsonSql(1.96, "-")} AS lo,
+         |  ${Eval.wilsonSql(1.96, "+")} AS hi
+         |FROM g ORDER BY grp""".stripMargin,
+
+    // x134: quasi-identifier class sizes, the risk flag, and the
+    // suppression count broadcast onto every class row
+    "x134_k_anonymity" ->
+      s"""WITH cls AS (SELECT lang, source,
+         |   n_chars // $KAnonBucket AS len_bucket,
+         |   CAST(count(*) AS BIGINT) AS k_size
+         |  FROM documents GROUP BY 1, 2, 3),
+         |sup AS (SELECT CAST(coalesce(sum(k_size), 0) AS BIGINT)
+         |   AS n_suppressed FROM cls WHERE k_size < $KAnonK)
+         |SELECT lang, source, len_bucket, k_size,
+         |  k_size < $KAnonK AS at_risk, n_suppressed
+         |FROM cls CROSS JOIN sup
+         |ORDER BY lang, source, len_bucket""".stripMargin,
 
     // x130: the VMR identity replayed in HUGEINT (both engines floor-
     // divide non-negative lanes — Cauchy-Schwarz keeps the numerator

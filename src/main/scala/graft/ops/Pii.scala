@@ -120,6 +120,40 @@ object Pii {
     * totals — the datacard row a release audit wants. One row per
     * verdict; the exchange carries (verdict, 4 longs) per map task.
     */
+  /** X134 — k-anonymity risk audit (Sweeney 2002): group the corpus by
+    * a QUASI-IDENTIFIER tuple (the columns that jointly re-identify —
+    * language, source, a coarse length bucket) and flag equivalence
+    * classes smaller than k: a row in a size-1 class is uniquely
+    * re-identifiable from its quasi-identifiers alone, before any PII
+    * token appears in the text. The audit complements [[scan]]/
+    * [[policy]] (which find EXPLICIT identifiers): releasing a
+    * "scrubbed" corpus whose metadata still partitions users into
+    * singleton classes is the textbook re-identification failure.
+    *
+    * SHAPE AT 100 TB: one quasi-identifier-grain exchange with
+    * map-side combine (the class table is bounded by the attribute
+    * cross product, not the corpus), then a class-grain projection.
+    * Suppression-cost accounting (how many rows must drop to reach k)
+    * is a sum over the at-risk classes — no second corpus pass.
+    *
+    * Output: one row per equivalence class — the quasi-identifier
+    * columns, class size `k_size`, `at_risk` (k_size < k), plus the
+    * corpus-level suppression count broadcast onto every row (the
+    * datacard number: rows lost if at-risk classes are dropped).
+    */
+  def kAnonymity(docs: DataFrame, quasiIds: Seq[String],
+                 k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2: $k")
+    val classes = docs
+      .groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("k_size"))
+      .withColumn("at_risk", col("k_size") < k)
+    val suppressed = classes.filter(col("at_risk"))
+      .agg(coalesce(sum(col("k_size")), lit(0L)).as("n_suppressed"))
+    classes.crossJoin(broadcast(suppressed))
+  }
+
   def summary(docs: DataFrame, idCol: String, textCol: String,
               maxPii: Int): DataFrame =
     policy(docs, idCol, textCol, maxPii)

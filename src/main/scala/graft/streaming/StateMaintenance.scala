@@ -189,7 +189,8 @@ object StateMaintenance {
     "PsiDriftStream" -> (Seq("cur"), Seq("psi")),
     "QuantileStream" -> (Seq("summ"), Seq("q")),
     "BurstinessStream" -> (Seq("moments", "meta"), Seq("vmr")),
-    "UnigramKlStream" -> (Seq("counts"), Seq("kl")))
+    "UnigramKlStream" -> (Seq("counts"), Seq("kl")),
+    "KeynessStream" -> (Seq("counts"), Seq("key")))
 
   /** One-call maintenance for a twin's whole state root: fold every
     * union-read subdir, prune every snapshot subdir, both at the same

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The round-15 audit trio: x133 Wilson intervals, x134 k-anonymity,
+  * x135 soft-dedup weights — hand-worked fixtures plus naive replays.
+  */
+class AuditOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- x133 Wilson ----
+
+  /** The engine's parenthesization replayed in driver doubles with the
+    * same HALF_UP round-6 seam.
+    */
+  private def wilson(n: Long, nh: Long, z: Double,
+                     sign: Int): Double = {
+    val z2 = z * z
+    val p = nh.toDouble / n
+    val v = ((p + z2 / (2 * n)) + sign *
+      (z * math.sqrt(p * (1 - p) / n + z2 / (4 * n.toDouble * n)))) /
+      (1 + z2 / n)
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("wilsonRates: hand-counted groups match the closed form; the " +
+    "interval brackets the rate and stays inside [0, 1]") {
+    val df = Seq(("s1", true), ("s1", true), ("s1", true), ("s1", false),
+      ("s2", true), ("s2", false),
+      ("s3", false), ("s3", false), ("s3", false),
+      ("s4", true)).toDF("source", "hit")
+    val got = Eval.wilsonRates(df, "source", "hit")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) ===
+      Seq(("s1", 4L, 3L), ("s2", 2L, 1L), ("s3", 3L, 0L), ("s4", 1L, 1L)))
+    got.foreach { case (g, n, nh, rate, lo, hi) =>
+      assert(lo === wilson(n, nh, 1.96, -1), g)
+      assert(hi === wilson(n, nh, 1.96, +1), g)
+      assert(lo >= 0.0 && hi <= 1.0, g)
+      assert(lo <= rate && rate <= hi, g)
+    }
+    // extreme p-hat: the normal approximation would escape [0, 1];
+    // Wilson does not (s3 all-fail, s4 single all-pass)
+    val m = got.map(g => g._1 -> g).toMap
+    assert(m("s3")._4 === 0.0 && m("s3")._5 === 0.0 && m("s3")._6 > 0.0)
+    assert(m("s4")._4 === 1.0 && m("s4")._6 === 1.0 && m("s4")._5 < 1.0)
+    // more data at the same rate tightens the interval
+    val wide = Eval.wilsonRates(
+      Seq.fill(40)(("s", true)) ++ Seq.fill(10)(("s", false))
+        toDF("source", "hit"), "source", "hit").collect()(0)
+    assert(wide.getDouble(5) - wide.getDouble(4) <
+      m("s1")._6 - m("s1")._5)
+  }
+
+  // ---- x134 k-anonymity ----
+
+  test("kAnonymity: class sizes, the risk flag, and the suppression " +
+    "count over a hand-built quasi-identifier table") {
+    val docs = (Seq.fill(5)(("en", "src0")) ++ Seq.fill(3)(("en", "src1"))
+      ++ Seq(("fr", "src0")) ++ Seq.fill(2)(("de", "src2")))
+      .toDF("lang", "source")
+    val got = Pii.kAnonymity(docs, Seq("lang", "source"), k = 3L)
+      .orderBy("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      ("de", "src2", 2L, true, 3L),
+      ("en", "src0", 5L, false, 3L),
+      ("en", "src1", 3L, false, 3L),
+      ("fr", "src0", 1L, true, 3L)))
+  }
+
+  test("kAnonymity: no at-risk classes yields n_suppressed 0; " +
+    "degenerate k is refused") {
+    val docs = Seq.fill(4)(("en", "s")).toDF("lang", "source")
+    val got = Pii.kAnonymity(docs, Seq("lang", "source"), k = 3L).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(4) === 0L)
+    intercept[IllegalArgumentException] {
+      Pii.kAnonymity(docs, Seq("lang"), k = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Pii.kAnonymity(docs, Seq.empty, k = 3L)
+    }
+  }
+
+  // ---- x135 soft-dedup weights ----
+
+  test("softDedupWeights: cluster members weight 1/size, singletons 1, " +
+    "dense over the corpus") {
+    val docs = (1L to 9L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    // components: {1,2,3} via transitive pairs, {7,8}; 4,5,6,9 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("d1", "d2")
+    val got = Dedup.softDedupWeights(docs, pairs, "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (1L, 3L, 333333L), (2L, 3L, 333333L), (3L, 3L, 333333L),
+      (4L, 1L, 1000000L), (5L, 1L, 1000000L), (6L, 1L, 1000000L),
+      (7L, 2L, 500000L), (8L, 2L, 500000L), (9L, 1L, 1000000L)))
+    // expected training mass per cluster is one document's worth
+    assert(got.filter(_._2 === 3L).map(_._3).sum === 999999L)
+  }
+
+  test("softDedupWeights: empty pair table weights everything 1") {
+    val docs = (1L to 4L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val pairs = spark.emptyDataFrame
+      .select(lit(0L).as("d1"), lit(0L).as("d2")).limit(0)
+    val got = Dedup.softDedupWeights(docs, pairs, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got.length === 4)
+    assert(got.forall(r => r.getLong(1) === 1L && r.getLong(2) === 1000000L))
+  }
+}
