@@ -171,15 +171,23 @@ object Eval {
     * a boolean predicate column.
     */
   def wilsonRates(df: DataFrame, grpCol: String, hitCol: String,
-                  z: Double = 1.96): DataFrame = {
-    require(z > 0, s"z must be positive: $z")
-    df.groupBy(col(grpCol).as("grp"))
+                  z: Double = 1.96): DataFrame =
+    wilsonOf(df.groupBy(col(grpCol).as("grp"))
       .agg(count(lit(1)).as("n"),
-        sum(col(hitCol).cast("long")).as("n_hit"))
-      .select(col("grp"), col("n"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n"), 6).as("rate"),
-        expr(wilsonSql(z, "-")).as("lo"),
-        expr(wilsonSql(z, "+")).as("hi"))
+        sum(col(hitCol).cast("long")).as("n_hit")), z)
+
+  /** The interval projection over an already-built (grp, n, n_hit)
+    * count table — the kernel the streaming twin's snapshots share
+    * with the batch operator (counts from disjoint batches merge by
+    * pure addition, so one code path covers both).
+    */
+  private[graft] def wilsonOf(counts: DataFrame,
+                              z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    counts.select(col("grp"), col("n"), col("n_hit"),
+      round(col("n_hit").cast("double") / col("n"), 6).as("rate"),
+      expr(wilsonSql(z, "-")).as("lo"),
+      expr(wilsonSql(z, "+")).as("hi"))
   }
 
   /** The Wilson bound as SQL text — ONE parenthesization, shared

@@ -174,16 +174,38 @@ object CurateStream {
 
   /** Drain a streaming frame of (idCol, textCol, evalCol) rows into
     * the online curation state under `statePath`.
+    *
+    * @param maintainEvery when > 0, run [[StateMaintenance.maintain]]
+    *   after every `maintainEvery`-th batch, at the watermark the
+    *   checkpoint's own commits log proves safe
+    *   ([[StateMaintenance.committedWatermark]]) — the stream bounds
+    *   its own state partition count with no external scheduler. Safe
+    *   inside foreachBatch: the current batch has not committed, so
+    *   the watermark is always <= it, and no other batch can be
+    *   in flight. External state readers see the same brief swap
+    *   window as any [[Pump.compact]] run.
     */
   def start(docs: DataFrame, statePath: String, idCol: String,
             textCol: String, evalCol: String, qualityMin: Double,
             dupMax: Double, checkpointDir: String,
             numSigs: Int = 16, rowsPerBand: Int = 4,
-            threshold: Double = 0.8, deconN: Int = 8): StreamingQuery =
+            threshold: Double = 0.8, deconN: Int = 8,
+            maintainEvery: Int = 0): StreamingQuery = {
+    val step = applyBatch(statePath, idCol, textCol, evalCol,
+      qualityMin, dupMax, numSigs, rowsPerBand, threshold, deconN) _
+    def stepAndMaintain(batch: DataFrame, batchId: Long): Unit = {
+      step(batch, batchId)
+      if (maintainEvery > 0 && batchId % maintainEvery == 0) {
+        val wm = StateMaintenance.committedWatermark(checkpointDir)
+        if (wm > 0)
+          StateMaintenance.maintain(batch.sparkSession, statePath,
+            "CurateStream", wm)
+      }
+    }
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, idCol, textCol, evalCol,
-        qualityMin, dupMax, numSigs, rowsPerBand, threshold, deconN) _)
+      .foreachBatch(stepAndMaintain _)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

@@ -190,7 +190,8 @@ object StateMaintenance {
     "QuantileStream" -> (Seq("summ"), Seq("q")),
     "BurstinessStream" -> (Seq("moments", "meta"), Seq("vmr")),
     "UnigramKlStream" -> (Seq("counts"), Seq("kl")),
-    "KeynessStream" -> (Seq("counts"), Seq("key")))
+    "KeynessStream" -> (Seq("counts"), Seq("key")),
+    "GateRateStream" -> (Seq("counts"), Seq("rates")))
 
   /** One-call maintenance for a twin's whole state root: fold every
     * union-read subdir, prune every snapshot subdir, both at the same

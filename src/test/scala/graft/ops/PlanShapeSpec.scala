@@ -95,6 +95,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
   }
 
+  test("keyness joins its word marginals and totals like unigram KL: " +
+    "broadcast group/corpus sides, no cartesian product") {
+    val plan = physical(CorpusStats.dunningKeyness(
+      Tables.documents(spark, sf), "lang", "text", 5L))
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
+  test("wilson rates cost exactly one group-grain exchange; the " +
+    "interval math is a projection") {
+    val sig = Curate.gateSignals(Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")), "text")
+      .withColumn("hit", Curate.gatePass(0.35, 0.05))
+    val plan = physical(Eval.wilsonRates(sig, "source", "hit"))
+    assert(countOccurrences(plan, "Exchange hashpartitioning") === 1,
+      s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
+  test("k-anonymity costs one quasi-identifier exchange; the " +
+    "suppression scalar rides a broadcast, never a corpus re-scan") {
+    val plan = physical(Pii.kAnonymity(
+      Tables.documents(spark, sf)
+        .withColumn("len_bucket", expr("n_chars div 50")),
+      Seq("lang", "source", "len_bucket"), 5L))
+    assert(countOccurrences(plan, "Exchange hashpartitioning") <= 2,
+      s"plan:\n$plan") // QI agg (+ its reuse for the scalar fold)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"plan:\n$plan")
+  }
+
   test("line boilerplate removal carries no forced broadcast: the " +
     "frequent-side build is AQE's call (the x87 rule)") {
     val df = Boilerplate.removeFrequentLines(

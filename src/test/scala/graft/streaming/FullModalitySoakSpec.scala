@@ -81,12 +81,17 @@ class FullModalitySoakSpec extends SparkSpec {
                System.currentTimeMillis() < initDeadline) Thread.sleep(100)
         assert(q.lastProgress != null, "stream never initialized")
 
+        // transient-read tolerant: a poll racing an in-flight batch's
+        // partition write may throw — treat it as "not yet" and re-poll
         def ledger(): Map[Long, Seq[String]] =
-          if (!new java.io.File(s"$curState/ledger").isDirectory) Map.empty
-          else CurateStream.ledger(spark, curState, "doc_id")
-            .select("doc_id", "verdict").collect()
-            .map(r => (r.getLong(0), r.getString(1)))
-            .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+          try {
+            if (!new java.io.File(s"$curState/ledger").isDirectory)
+              Map.empty
+            else CurateStream.ledger(spark, curState, "doc_id")
+              .select("doc_id", "verdict").collect()
+              .map(r => (r.getLong(0), r.getString(1)))
+              .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+          } catch { case _: Exception => Map.empty }
 
         // ---- phase 1: first broker life — docs 1..3; 2 near-dups 1 ----
         val pub1 = new MqttClient("127.0.0.1", port, "soak-pub1")
@@ -94,7 +99,7 @@ class FullModalitySoakSpec extends SparkSpec {
         pub1.publish("pump/data/0", payload(2L, text("tailB")))
         pub1.publish("pump/data/0", payload(3L, distinctText(1)))
         pub1.close()
-        val d1 = System.currentTimeMillis() + 90000
+        val d1 = System.currentTimeMillis() + 180000
         while (ledger().size < 3 && System.currentTimeMillis() < d1)
           Thread.sleep(300)
         val l1 = ledger()
@@ -122,7 +127,7 @@ class FullModalitySoakSpec extends SparkSpec {
         // resume. Each probe pair: a near-dup of pre-kill doc 1 (id
         // 500+i — must be caught by state written BEFORE the kill) and
         // a fresh distinct doc (id 1000+i — must be kept).
-        val d2 = System.currentTimeMillis() + 90000
+        val d2 = System.currentTimeMillis() + 180000
         var i = 0
         def resumed(l: Map[Long, Seq[String]]): Boolean =
           l.keys.exists(_ >= 1000L)
@@ -136,8 +141,24 @@ class FullModalitySoakSpec extends SparkSpec {
           i += 1
           Thread.sleep(400)
         }
+        assert(resumed(ledger()), "delivery never resumed after restart")
+        // QUIESCE before the final cross-table assertions: publishing
+        // has stopped, but an in-flight batch landing between the
+        // ledger read and the sink count would skew the equality —
+        // poll until ledger and adapter agree across two quiet reads
+        def adapterCount(): Long =
+          try spark.read.parquet(sinks.adapterPath).count()
+          catch { case _: Exception => -1L }
+        val dq = System.currentTimeMillis() + 60000
+        var quiet = false
+        while (!quiet && System.currentTimeMillis() < dq) {
+          val (a1, n1) = (adapterCount(), ledger().size.toLong)
+          Thread.sleep(1500)
+          val (a2, n2) = (adapterCount(), ledger().size.toLong)
+          quiet = a1 === a2 && n1 === n2 && a2 === n2 && a2 > 0
+        }
+        assert(quiet, "pipeline never quiesced after publishing stopped")
         val l2 = ledger()
-        assert(resumed(l2), s"delivery never resumed after restart: $l2")
 
         // exactly-once across the reconnect: ONE verdict per doc, ever
         l2.foreach { case (doc, vs) =>

@@ -178,6 +178,38 @@ class StateMaintenanceSpec extends SparkSpec {
     assert(StateMaintenance.committedWatermark(ckpt) === 3L)
   }
 
+  test("self-maintaining CurateStream: maintainEvery folds committed " +
+    "batches from inside the stream, ledger identical to unmaintained") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ledgerSet(p: String): Set[(Long, String)] =
+      CurateStream.ledger(spark, p, "doc_id")
+        .select("doc_id", "verdict").as[(Long, String)].collect().toSet
+    def drive(maintainEvery: Int): (String, Set[(Long, String)]) = {
+      val state = tmpDir(s"sm-auto-$maintainEvery")
+      val ckpt = tmpDir(s"sm-auto-ckpt-$maintainEvery")
+      val in = MemoryStream[(Long, String, Boolean)]
+      def drain(): Unit = {
+        val q = CurateStream.start(in.toDF()
+            .toDF("doc_id", "text", "is_eval"), state, "doc_id", "text",
+          "is_eval", 0.5, 0.2, ckpt, maintainEvery = maintainEvery)
+        assert(q.awaitTermination(60000), "query did not terminate")
+      }
+      in.addData((1L, text("tailA"), false), (2L, text("tailB"), false))
+      drain() // batch 0: nothing committed yet -> watermark 0, no fold
+      in.addData((3L, text("tailC"), false), (4L, distinctText(1), false))
+      drain() // batch 1: commits={0} -> watermark 1 folds batch 0
+      (state, ledgerSet(state))
+    }
+    val (maintained, gotM) = drive(1)
+    val (plain, gotP) = drive(0)
+    assert(gotM === gotP)
+    assert(gotM.contains((3L, "near_dup"))) // cross-batch probe intact
+    // the maintained run folded batch 0 into the sentinel mid-stream
+    assert(parts(s"$maintained/ledger") === Set("batch_id=-1", "batch_id=1"))
+    assert(parts(s"$plain/ledger") === Set("batch_id=0", "batch_id=1"))
+  }
+
   test("CurateStream: the five-table state folds, ledger and probe intact") {
     val control = tmpDir("sm-curate-control")
     val folded = tmpDir("sm-curate-folded")
