@@ -576,6 +576,19 @@ object ScaleProbe {
         Seq("lang", "source", "len_bucket"), k = 5L)
         .write.format("noop").mode("overwrite").save()
     }
+    // x136 over 50k docs: two sorted-run folds per row — must stay a
+    // pure projection (zero exchange), the char-entropy claim doubled
+    t("digram-entropy-50k") {
+      graft.ops.TextAnalysis.digramEntropy(docs10, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x137 over 50k docs: one (group, value) exchange + the
+    // groups x jump-points grid under two per-group windows — the grid
+    // is attribute-bounded, never corpus-sized
+    t("ks-drift-50k") {
+      graft.ops.CorpusStats.ksDrift(docs10, "source", "n_chars")
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -590,4 +590,63 @@ object CorpusStats {
                      minCount: Long): DataFrame =
     keynessOf(groupWordCounts(docs, grpCol, textCol)
       .localCheckpoint(false), minCount)
+
+  /** X137 — exact two-sample Kolmogorov–Smirnov drift per group: for
+    * each slice (source), the KS statistic D = max_x |F_slice(x) −
+    * F_pool(x)| between the slice's value distribution and the pooled
+    * corpus — the BIN-FREE drift audit (x104 PSI needs a binning
+    * choice; KS evaluates every jump point exactly, so a shifted tail
+    * cannot hide inside a wide bin). Evaluated over the exact integer
+    * cross-difference |cum_s·n_pool − cum_pool·n_s| at every pool jump
+    * point, in DECIMAL(38,0) lanes (the products pass BIGINT near
+    * 3·10⁹ rows per side), then one integral divide to ppm. `at_val`
+    * is the SMALLEST value attaining the maximum (deterministic under
+    * ties) — where the distributions diverge most.
+    *
+    * SHAPE AT 100 TB: one (group, value) exchange with map-side
+    * combine builds the count table; the evaluation grid is groups ×
+    * distinct values (attribute-bounded, never corpus-sized), filled
+    * by TWO cumulative windows partitioned by group — no window ever
+    * sees corpus-grain rows. The pool marginal folds from the same
+    * pinned count table (the x127 contract).
+    *
+    * Output: (grp, n, d_ppm, at_val), one row per non-null group.
+    */
+  def ksDrift(docs: DataFrame, grpCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .filter(col(grpCol).isNotNull && col(valCol).isNotNull)
+      .select(col(grpCol).as("grp"), col(valCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds the pool fold, grid, and totals
+    val pool = counts.groupBy(col("v")).agg(sum(col("c")).as("pc"))
+    val groups = counts.groupBy(col("grp")).agg(sum(col("c")).as("n_s"))
+    val nPool = counts.agg(sum(col("c")).as("n_pool"))
+    // the evaluation grid: every group at every pool jump point, with
+    // this group's own count at exactly that point (0 where absent)
+    val grid = groups.crossJoin(broadcast(pool))
+      .join(counts, Seq("grp", "v"), "left")
+      .select(col("grp"), col("n_s"), col("v"), col("pc"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wGrp = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diffs = grid
+      .withColumn("cum_s", sum(col("c")).over(wGrp))
+      .withColumn("cum_p", sum(col("pc")).over(wGrp))
+      .crossJoin(broadcast(nPool))
+      .select(col("grp"), col("n_s"), col("v"), col("n_pool"),
+        expr("""abs(CAST(cum_s AS DECIMAL(38,0)) * n_pool
+               |  - CAST(cum_p AS DECIMAL(38,0)) * n_s)"""
+          .stripMargin.replace("\n", " ")).as("cross"))
+    val wRank = Window.partitionBy("grp")
+      .orderBy(col("cross").desc, col("v").asc)
+    diffs
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(col("grp"), col("n_s").as("n"),
+        expr("""CAST((cross * 1000000)
+               |div (CAST(n_s AS DECIMAL(38,0)) * n_pool) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("d_ppm"),
+        col("v").as("at_val"))
+  }
 }

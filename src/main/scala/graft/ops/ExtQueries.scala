@@ -1284,6 +1284,20 @@ object ExtQueries {
         lshPairs(s, dir).select("d1", "d2"), "doc_id")
         .orderBy("doc_id")),
 
+    // X136 digram conditional entropy H(Y|X): the loop/template
+    // detector unigram char entropy misses — two sorted-run folds per
+    // row (joint + prefix lanes), pure projection, zero shuffle
+    "x136_digram_entropy" -> ((s, dir) =>
+      TextAnalysis.digramEntropy(Tables.documents(s, dir), "doc_id",
+        "text").orderBy("doc_id")),
+
+    // X137 exact two-sample KS drift per source vs the pooled corpus
+    // over doc length — bin-free (the x104 PSI contrast); exact
+    // DECIMAL cross-difference at every pool jump point
+    "x137_ks_drift" -> ((s, dir) =>
+      CorpusStats.ksDrift(Tables.documents(s, dir), "source", "n_chars")
+        .orderBy("grp")),
+
     // X126 sequence-length decision audit: exact pad-waste and
     // truncation-loss ppm per candidate context length — group-grain
     // (one row per L), the single exchange carries |grid| partials
@@ -5652,6 +5666,68 @@ object ExtQueries {
          |  ${Eval.wilsonSql(1.96, "-")} AS lo,
          |  ${Eval.wilsonSql(1.96, "+")} AS hi
          |FROM g ORDER BY grp""".stripMargin,
+
+    // x136: the fold/explode equivalence — bigram and prefix counts
+    // relationally, the same per-run product-round term, dense over
+    // non-null text (short docs keep zero rows)
+    "x136_digram_entropy" ->
+      """WITH b AS (SELECT doc_id, text AS t FROM documents
+        |  WHERE text IS NOT NULL),
+        |bg AS (SELECT doc_id, t[i:i] || ' ' || t[i+1:i+1] AS g
+        |  FROM b, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        |pf AS (SELECT doc_id, t[i:i] AS ch
+        |  FROM b, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT doc_id, ch, count(*) AS c FROM pf GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS m,
+        |   CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * c * 1000000)
+        |     AS BIGINT)) AS BIGINT) AS s2m
+        |  FROM c2 GROUP BY 1),
+        |s1 AS (SELECT doc_id,
+        |   CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * c * 1000000)
+        |     AS BIGINT)) AS BIGINT) AS s1m
+        |  FROM c1 GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(coalesce(s2.m, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(s1.s1m, 0) AS BIGINT) AS s1_micro,
+        |  CAST(coalesce(s2.s2m, 0) AS BIGINT) AS s2_micro,
+        |  CASE WHEN coalesce(s2.m, 0) = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE greatest(s1.s1m - s2.s2m, CAST(0 AS BIGINT)) // s2.m
+        |  END AS cond_micro
+        |FROM b LEFT JOIN s2 USING (doc_id) LEFT JOIN s1 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // x137: the KS identity replayed — same grid, same cumulative
+    // windows, HUGEINT cross products, min-value tie-break
+    "x137_ks_drift" ->
+      """WITH base AS (SELECT source AS grp, n_chars AS v FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |counts AS (SELECT grp, v, count(*) AS c FROM base GROUP BY 1, 2),
+        |pool AS (SELECT v, CAST(sum(c) AS BIGINT) AS pc
+        |  FROM counts GROUP BY 1),
+        |grps AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_s
+        |  FROM counts GROUP BY 1),
+        |np AS (SELECT CAST(sum(c) AS BIGINT) AS n_pool FROM counts),
+        |grid AS (SELECT g.grp, g.n_s, p.v, p.pc, coalesce(c.c, 0) AS c
+        |  FROM grps g CROSS JOIN pool p
+        |  LEFT JOIN counts c ON c.grp = g.grp AND c.v = p.v),
+        |cum AS (SELECT grp, n_s, v,
+        |   sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum_s,
+        |   sum(pc) OVER (PARTITION BY grp ORDER BY v) AS cum_p
+        |  FROM grid),
+        |diffs AS (SELECT grp, n_s, v, n_pool,
+        |   abs(CAST(cum_s AS HUGEINT) * n_pool
+        |     - CAST(cum_p AS HUGEINT) * n_s) AS cr
+        |  FROM cum CROSS JOIN np),
+        |r AS (SELECT grp, n_s, v, cr, n_pool,
+        |   row_number() OVER (PARTITION BY grp ORDER BY cr DESC, v ASC)
+        |     AS rn
+        |  FROM diffs)
+        |SELECT grp, n_s AS n,
+        |  CAST((cr * 1000000) // (CAST(n_s AS HUGEINT) * n_pool)
+        |    AS BIGINT) AS d_ppm,
+        |  CAST(v AS BIGINT) AS at_val
+        |FROM r WHERE rn = 1 ORDER BY grp""".stripMargin,
 
     // x134: quasi-identifier class sizes, the risk flag, and the
     // suppression count broadcast onto every class row

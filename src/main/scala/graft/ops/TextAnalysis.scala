@@ -248,6 +248,68 @@ object TextAnalysis {
           |ELSE CAST(0 AS BIGINT) END""".stripMargin.replace("\n", " ")))
   }
 
+  /** X136 — character digram CONDITIONAL entropy H(Y|X): the
+    * sequence-structure quality signal the unigram entropy ([[charEntropy]])
+    * cannot see — "ababab…" has a full bit of unigram entropy but
+    * H(Y|X) = 0 (every character determines its successor), which is
+    * exactly the signature of generation loops, template filler, and
+    * encoding stutter. Via the chain rule H(Y|X) = H(XY) − H(X), and
+    * both joint and marginal are taken over the SAME m = n−1 bigram
+    * positions, so the ln(m) terms cancel:
+    * cond_micro = (s1_micro − s2_micro) div m, where s2 = Σ
+    * round(ln(c_xy)·c_xy·10⁶) over bigram counts and s1 the same over
+    * the bigram PREFIX counts (chars 1..n−1) — the [[charEntropy]]
+    * per-run product-round seam, order-independent and exact. The
+    * difference clamps at 0 before the divide (conditioning cannot
+    * raise entropy; per-run rounding can dip the lane by a few µnats,
+    * and floor-vs-trunc division diverges on negatives).
+    *
+    * SHAPE AT 100 TB: a pure projection — bigrams and prefix chars
+    * sort row-locally and two [[charEntropy]]-style run folds
+    * accumulate the lanes; NO explode, ZERO shuffle. The DuckDB oracle
+    * runs the relational explode+groupBy twin, checking the
+    * fold/explode equivalence per document. Codepoint grain on both
+    * engines (the x98 pinned seam).
+    *
+    * Output: (idCol, n_bigrams, s1_micro, s2_micro, cond_micro) DENSE
+    * over non-null input — docs under 2 chars keep an all-zero row.
+    */
+  def digramEntropy(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val cs = filter(split(col(textCol), ""), ch => length(ch) > 0)
+    val bigrams = graft.functions.Shingles.shingles(cs, 2)
+    val prefixes = slice(cs, lit(1), greatest(size(cs) - 1, lit(0)))
+    def runFold(arr: Column): Column = {
+      val sorted = array_sort(arr)
+      def term(run: Column): Column =
+        round(log(run.cast("double")) * run * lit(1e6)).cast("long")
+      def flush(acc: Column): Column =
+        when(acc.getField("run") > 0, term(acc.getField("run")))
+          .otherwise(lit(0L))
+      val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("s"))
+      aggregate(sorted, zero,
+        (acc, x) => {
+          val same = x === acc.getField("prev")
+          struct(x.as("prev"),
+            when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+              .as("run"),
+            when(same, acc.getField("s"))
+              .otherwise(acc.getField("s") + flush(acc)).as("s"))
+        },
+        acc => acc.getField("s") + flush(acc))
+    }
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(bigrams).cast("long").as("n_bigrams"),
+        runFold(prefixes).as("s1_micro"),
+        runFold(bigrams).as("s2_micro"))
+      .withColumn("cond_micro", expr(
+        """CASE WHEN n_bigrams = 0 THEN CAST(0 AS BIGINT)
+          |ELSE greatest(s1_micro - s2_micro, CAST(0 AS BIGINT))
+          |  div n_bigrams END""".stripMargin.replace("\n", " ")))
+  }
+
   /** Repetition quality gate (the Gopher/MassiveText-style filter): per
     * document, the share of its n-grams taken by the single most repeated
     * one (`top_ngram_ratio`) and the duplicate-n-gram share
