@@ -589,6 +589,21 @@ object ScaleProbe {
       graft.ops.CorpusStats.ksDrift(docs10, "source", "n_chars")
         .write.format("noop").mode("overwrite").save()
     }
+    // x138 over 50k docs: one source-grain fold to K rows, a K² pair
+    // join over those K rows, ONE output row — nothing corpus-sized
+    // past the first exchange
+    t("source-concentration-50k") {
+      graft.ops.Report.sourceConcentration(docs10, "source")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x139 over 50k docs: the pair table is duplicate-density-sized;
+    // one key-partitioned left join + a source-grain fold
+    t("source-dup-rate-50k") {
+      graft.ops.Dedup.sourceDupRate(docs10,
+        graft.ops.Dedup.minhashLshPairs(docs10, "doc_id", "text",
+          16, 4, 0.8).select("d1", "d2"), "doc_id", "source")
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -612,13 +612,26 @@ object CorpusStats {
     *
     * Output: (grp, n, d_ppm, at_val), one row per non-null group.
     */
-  def ksDrift(docs: DataFrame, grpCol: String, valCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = docs
-      .filter(col(grpCol).isNotNull && col(valCol).isNotNull)
+  def ksDrift(docs: DataFrame, grpCol: String, valCol: String): DataFrame =
+    ksOf(groupValueCounts(docs, grpCol, valCol).localCheckpoint(false))
+
+  /** The (grp, v, c) value-count table both [[ksDrift]] and the
+    * streaming twin's delta build share (one tokenization/cast path,
+    * the [[groupWordCounts]] contract).
+    */
+  private[graft] def groupValueCounts(docs: DataFrame, grpCol: String,
+                                      valCol: String): DataFrame =
+    docs.filter(col(grpCol).isNotNull && col(valCol).isNotNull)
       .select(col(grpCol).as("grp"), col(valCol).cast("long").as("v"))
       .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(false) // feeds the pool fold, grid, and totals
+
+  /** The KS lanes over an already-built (grp, v, c) count table — the
+    * kernel the streaming twin calls with ACCUMULATED counts (counts
+    * from disjoint batches merge by pure addition). The caller pins
+    * the input: it feeds the pool fold, the grid, and the totals.
+    */
+  private[graft] def ksOf(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pool = counts.groupBy(col("v")).agg(sum(col("c")).as("pc"))
     val groups = counts.groupBy(col("grp")).agg(sum(col("c")).as("n_s"))
     val nPool = counts.agg(sum(col("c")).as("n_pool"))

@@ -1073,6 +1073,36 @@ object Dedup {
     * weight_ppm = 10⁶ div cluster size (exact integer div, identical
     * in any engine).
     */
+  /** X139 — per-source near-dup participation: for each source, how
+    * many of its documents sit in at least one verified near-dup pair
+    * (either side), and that share in ppm — the data-card row that
+    * answers "which source is self-copying?" and the targeting signal
+    * for where x9/x135 deduplication actually bites. A document
+    * participates iff it appears in ANY pair, so no component closure
+    * is needed — the pair list's two id columns union directly.
+    *
+    * SHAPE AT 100 TB: the pair table is duplicate-density-sized (never
+    * corpus-scale); its distinct-id union is smaller still; one
+    * key-partitioned left join onto the corpus and a source-grain
+    * fold. Null sources are excluded (the x131 rule).
+    *
+    * Output: (src, n_docs, n_dup_docs, dup_ppm), one row per source.
+    */
+  def sourceDupRate(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    srcCol: String): DataFrame = {
+    val members = pairs.select(col("d1").as(idCol))
+      .union(pairs.select(col("d2").as(idCol))).distinct()
+      .withColumn("__dup", lit(1L))
+    docs.select(col(idCol), col(srcCol).as("src"))
+      .filter(col("src").isNotNull)
+      .join(members, Seq(idCol), "left")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__dup")), lit(0L)).as("n_dup_docs"))
+      .select(col("src"), col("n_docs"), col("n_dup_docs"),
+        expr("n_dup_docs * 1000000 div n_docs").as("dup_ppm"))
+  }
+
   def softDedupWeights(docs: DataFrame, pairs: DataFrame,
                        idCol: String): DataFrame = {
     val comps = Cluster.components(pairs)

@@ -1298,6 +1298,20 @@ object ExtQueries {
       CorpusStats.ksDrift(Tables.documents(s, dir), "source", "n_chars")
         .orderBy("grp")),
 
+    // X138 source-concentration datacard: HHI + Gini + top share over
+    // the K source counts in exact ppm — one source-grain fold, a K²
+    // self-join over K rows, ONE output row
+    "x138_source_concentration" -> ((s, dir) =>
+      Report.sourceConcentration(Tables.documents(s, dir), "source")),
+
+    // X139 per-source near-dup participation: which source is
+    // self-copying — docs appearing in any verified LSH pair (the
+    // session-cached stage), source-grain fold, ppm share
+    "x139_source_dup_rate" -> ((s, dir) =>
+      Dedup.sourceDupRate(Tables.documents(s, dir),
+        lshPairs(s, dir).select("d1", "d2"), "doc_id", "source")
+        .orderBy("src")),
+
     // X126 sequence-length decision audit: exact pad-waste and
     // truncation-loss ppm per candidate context length — group-grain
     // (one row per L), the single exchange carries |grid| partials
@@ -4974,6 +4988,32 @@ object ExtQueries {
          |  UNION SELECT r.nd, e.b FROM r JOIN e ON r.m = e.a)
          |SELECT nd AS doc_id, min(m) AS component FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the x9 pipeline up to the verified pair list (no closure needed:
+    // participation is membership in ANY pair), source-grain fold
+    "x139_source_dup_rate" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2),
+         |p AS (SELECT d1, d2 FROM j WHERE jac >= $JaccardThreshold),
+         |m AS (SELECT DISTINCT doc_id FROM (SELECT d1 AS doc_id FROM p
+         |  UNION ALL SELECT d2 AS doc_id FROM p))
+         |SELECT d.source AS src, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(m.doc_id) AS BIGINT) AS n_dup_docs,
+         |  CAST(count(m.doc_id) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+         |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+         |WHERE d.source IS NOT NULL
+         |GROUP BY 1 ORDER BY src""".stripMargin,
+
     // same recursive closure as x9_components, folded to cluster sizes
     // and joined dense onto the corpus — singletons weight 10^6
     "x135_soft_dedup" ->
@@ -5728,6 +5768,25 @@ object ExtQueries {
         |    AS BIGINT) AS d_ppm,
         |  CAST(v AS BIGINT) AS at_val
         |FROM r WHERE rn = 1 ORDER BY grp""".stripMargin,
+
+    // x138: the concentration identities replayed in HUGEINT
+    "x138_source_concentration" ->
+      """WITH c AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |   CAST(sum(c) AS BIGINT) AS n,
+        |   sum(CAST(c AS HUGEINT) * c) AS s2,
+        |   CAST(max(c) AS BIGINT) AS top FROM c),
+        |g AS (SELECT sum(abs(CAST(a.c AS HUGEINT) - b.c)) AS gn
+        |  FROM c a CROSS JOIN c b)
+        |SELECT t.k AS n_sources, t.n AS n_docs,
+        |  CAST((s2 * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+        |    AS hhi_ppm,
+        |  CAST((gn * 1000000) // (2 * CAST(k AS HUGEINT) * n) AS BIGINT)
+        |    AS gini_ppm,
+        |  CAST((CAST(top AS HUGEINT) * 1000000) // n AS BIGINT)
+        |    AS top_share_ppm
+        |FROM t CROSS JOIN g""".stripMargin,
 
     // x134: quasi-identifier class sizes, the risk flag, and the
     // suppression count broadcast onto every class row

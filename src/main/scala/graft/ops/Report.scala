@@ -72,4 +72,43 @@ object Report {
         col("n_distinct_texts"),
         (col("n_docs") - col("n_distinct_texts")).as("n_dup_docs"))
   }
+
+  /** X138 — corpus composition concentration: the Herfindahl–Hirschman
+    * index (Σ share²; 10⁶ ppm = a single source, 10⁶/K = perfectly
+    * even), the Gini coefficient over the K source counts (the
+    * inequality reading of the same table), and the largest single
+    * source's share — the three numbers a data card quotes when asked
+    * "is this corpus one crawl wearing twenty source labels?". All
+    * exact integer lanes: HHI's Σc² and Gini's Σ|c_i − c_j| run in
+    * DECIMAL(38,0) (c² passes BIGINT near 3·10⁹ docs per source), one
+    * integral divide each to ppm.
+    *
+    * SHAPE AT 100 TB: one source-grain exchange folds the corpus to K
+    * count rows; the Gini all-pairs self-join is K² over that K-row
+    * table (sources are dozens, never corpus-scale), and the output is
+    * ONE row. Null sources are excluded (the x131 rule).
+    *
+    * Output: (n_sources, n_docs, hhi_ppm, gini_ppm, top_share_ppm).
+    */
+  def sourceConcentration(docs: DataFrame, sourceCol: String): DataFrame = {
+    val counts = docs.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("src")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // K rows; feeds three folds + the pairs
+    val tot = counts.agg(count(lit(1)).as("k"), sum(col("c")).as("n"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).as("__s2"),
+      max(col("c")).as("__top"))
+    val giniNum = counts.as("a").crossJoin(counts.as("b"))
+      .agg(sum(abs(col("a.c").cast("decimal(38,0)") - col("b.c")))
+        .as("__g"))
+    tot.crossJoin(giniNum)
+      .select(col("k").as("n_sources"), col("n").as("n_docs"),
+        expr("""CAST((__s2 * 1000000)
+               |div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("hhi_ppm"),
+        expr("""CAST((__g * 1000000)
+               |div (2 * CAST(k AS DECIMAL(38,0)) * n) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("gini_ppm"),
+        expr("CAST((CAST(__top AS DECIMAL(38,0)) * 1000000) div n " +
+          "AS BIGINT)").as("top_share_ppm"))
+  }
 }

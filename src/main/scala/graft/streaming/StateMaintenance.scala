@@ -191,7 +191,8 @@ object StateMaintenance {
     "BurstinessStream" -> (Seq("moments", "meta"), Seq("vmr")),
     "UnigramKlStream" -> (Seq("counts"), Seq("kl")),
     "KeynessStream" -> (Seq("counts"), Seq("key")),
-    "GateRateStream" -> (Seq("counts"), Seq("rates")))
+    "GateRateStream" -> (Seq("counts"), Seq("rates")),
+    "KsDriftStream" -> (Seq("counts"), Seq("ks")))
 
   /** One-call maintenance for a twin's whole state root: fold every
     * union-read subdir, prune every snapshot subdir, both at the same

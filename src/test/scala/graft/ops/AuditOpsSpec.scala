@@ -106,6 +106,40 @@ class AuditOpsSpec extends SparkSpec {
     assert(got.filter(_._2 === 3L).map(_._3).sum === 999999L)
   }
 
+  // ---- x138 source concentration ----
+
+  test("sourceConcentration: hand-worked HHI/Gini/top-share lanes") {
+    // even corpus: 4 sources x 3 docs — HHI = 1/4, Gini = 0
+    val even = (1 to 4).flatMap(s => Seq.fill(3)(s"src$s"))
+      .toDF("source")
+    val e = Report.sourceConcentration(even, "source").collect()(0)
+    assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3),
+      e.getLong(4)) === ((4L, 12L, 250000L, 0L, 250000L)))
+    // dominated corpus: counts (8, 1, 1) + a null row (excluded) —
+    // HHI = 66/100, Gini num = 28 -> 28e6/(2*3*10), top = 8/10
+    val dom = (Seq.fill(8)("big") ++ Seq("s2", "s3",
+      null.asInstanceOf[String])).toDF("source")
+    val d = Report.sourceConcentration(dom, "source").collect()(0)
+    assert((d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3),
+      d.getLong(4)) === ((3L, 10L, 660000L, 466666L, 800000L)))
+  }
+
+  // ---- x139 per-source dup participation ----
+
+  test("sourceDupRate: membership in ANY pair counts once; sources " +
+    "with no pairs report zero; null sources drop") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"),
+      (5L, "b"), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "source")
+    // doc 2 appears in TWO pairs — still one participant
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val got = Dedup.sourceDupRate(docs, pairs, "doc_id", "source")
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(("a", 3L, 3L, 1000000L), ("b", 2L, 0L, 0L)))
+  }
+
   test("softDedupWeights: empty pair table weights everything 1") {
     val docs = (1L to 4L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val pairs = spark.emptyDataFrame
