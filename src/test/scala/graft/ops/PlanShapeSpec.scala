@@ -126,6 +126,37 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), s"plan:\n$plan")
   }
 
+  test("digram conditional entropy is a pure projection: zero " +
+    "exchanges (two run folds, no explode)") {
+    val plan = physical(TextAnalysis.digramEntropy(
+      Tables.documents(spark, sf), "doc_id", "text"))
+    assert(countOccurrences(plan, "Exchange hashpartitioning") === 0,
+      s"plan:\n$plan")
+  }
+
+  test("KS drift: the corpus shuffles once into the count table; the " +
+    "grid windows stay group-partitioned, no cartesian on data") {
+    val plan = physical(CorpusStats.ksDrift(
+      Tables.documents(spark, sf), "source", "n_chars"))
+    // count-table agg + the two window stages over the grid — every
+    // exchange is (grp)- or (grp, v)-keyed, none corpus-row-grain
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"plan:\n$plan")
+  }
+
+  test("source concentration: everything past the pinned K-row count " +
+    "table is single-partition folds + a broadcast pair join") {
+    // the corpus-grain source fold happens INSIDE the localCheckpoint
+    // pin; the visible plan must add no hash exchange and no cartesian
+    val plan = physical(Report.sourceConcentration(
+      Tables.documents(spark, sf), "source"))
+    assert(countOccurrences(plan, "Exchange hashpartitioning") === 0,
+      s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
+
   test("line boilerplate removal carries no forced broadcast: the " +
     "frequent-side build is AQE's call (the x87 rule)") {
     val df = Boilerplate.removeFrequentLines(
