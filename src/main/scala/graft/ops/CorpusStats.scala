@@ -617,13 +617,25 @@ object CorpusStats {
 
   /** The (grp, v, c) value-count table both [[ksDrift]] and the
     * streaming twin's delta build share (one tokenization/cast path,
-    * the [[groupWordCounts]] contract).
+    * the [[groupWordCounts]] contract). INTEGER-GRAIN by contract: the
+    * jump-point grid and the exact cross-difference lanes are defined
+    * over integral values (doc lengths, token counts, bucketed
+    * scores); a fractional column would silently truncate every value
+    * through the long cast and collapse the distributions, so it is
+    * refused loudly — pre-bucket continuous scores first.
     */
   private[graft] def groupValueCounts(docs: DataFrame, grpCol: String,
-                                      valCol: String): DataFrame =
+                                      valCol: String): DataFrame = {
+    val dt = docs.schema(valCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(dt.typeName),
+      s"ksDrift: value column '$valCol' is ${dt.typeName} — the KS " +
+        "grid is integer-grain; bucket continuous values first " +
+        "(e.g. CAST(score * 1000 AS BIGINT))")
     docs.filter(col(grpCol).isNotNull && col(valCol).isNotNull)
       .select(col(grpCol).as("grp"), col(valCol).cast("long").as("v"))
       .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+  }
 
   /** The KS lanes over an already-built (grp, v, c) count table — the
     * kernel the streaming twin calls with ACCUMULATED counts (counts

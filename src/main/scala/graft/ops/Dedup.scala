@@ -1073,13 +1073,30 @@ object Dedup {
     * weight_ppm = 10⁶ div cluster size (exact integer div, identical
     * in any engine).
     */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+                       idCol: String): DataFrame = {
+    val comps = Cluster.components(pairs)
+      .select(col("id").as(idCol), col("component"))
+    val sizes = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("__n"))
+    docs.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .join(sizes, Seq("component"), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(1L)).as("n_members"),
+        expr("1000000 div coalesce(__n, CAST(1 AS BIGINT))")
+          .as("weight_ppm"))
+  }
+
   /** X139 — per-source near-dup participation: for each source, how
     * many of its documents sit in at least one verified near-dup pair
     * (either side), and that share in ppm — the data-card row that
     * answers "which source is self-copying?" and the targeting signal
     * for where x9/x135 deduplication actually bites. A document
     * participates iff it appears in ANY pair, so no component closure
-    * is needed — the pair list's two id columns union directly.
+    * is needed — the pair list's two id columns union directly. The
+    * ppm product runs in DECIMAL(38,0) (the x125/x126 lane rule:
+    * n_dup·10⁶ would pass BIGINT near 9·10¹² docs per source).
     *
     * SHAPE AT 100 TB: the pair table is duplicate-density-sized (never
     * corpus-scale); its distinct-id union is smaller still; one
@@ -1100,21 +1117,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("__dup")), lit(0L)).as("n_dup_docs"))
       .select(col("src"), col("n_docs"), col("n_dup_docs"),
-        expr("n_dup_docs * 1000000 div n_docs").as("dup_ppm"))
-  }
-
-  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
-                       idCol: String): DataFrame = {
-    val comps = Cluster.components(pairs)
-      .select(col("id").as(idCol), col("component"))
-    val sizes = comps.groupBy(col("component"))
-      .agg(count(lit(1)).as("__n"))
-    docs.select(col(idCol))
-      .join(comps, Seq(idCol), "left")
-      .join(sizes, Seq("component"), "left")
-      .select(col(idCol),
-        coalesce(col("__n"), lit(1L)).as("n_members"),
-        expr("1000000 div coalesce(__n, CAST(1 AS BIGINT))")
-          .as("weight_ppm"))
+        expr("CAST(CAST(n_dup_docs AS DECIMAL(38,0)) * 1000000 " +
+          "div n_docs AS BIGINT)").as("dup_ppm"))
   }
 }

@@ -5009,7 +5009,8 @@ object ExtQueries {
          |  UNION ALL SELECT d2 AS doc_id FROM p))
          |SELECT d.source AS src, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(count(m.doc_id) AS BIGINT) AS n_dup_docs,
-         |  CAST(count(m.doc_id) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+         |  CAST(CAST(count(m.doc_id) AS HUGEINT) * 1000000 // count(*)
+         |    AS BIGINT) AS dup_ppm
          |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
          |WHERE d.source IS NOT NULL
          |GROUP BY 1 ORDER BY src""".stripMargin,

@@ -183,14 +183,24 @@ object CurateStream {
     *   inside foreachBatch: the current batch has not committed, so
     *   the watermark is always <= it, and no other batch can be
     *   in flight. External state readers see the same brief swap
-    *   window as any [[Pump.compact]] run.
+    *   window as any [[Pump.compact]] run. COST: a fold rewrites the
+    *   folded data (for `docs/`, the retained corpus), so pick a
+    *   cadence that amortizes it — maintainEvery should be hundreds
+    *   at production trigger rates, not 1 (1 is the spec's setting,
+    *   where the corpus is rows, not terabytes).
+    * @param maintainFilesPerFold output files per folded sentinel —
+    *   the [[StateMaintenance.compactState]] knob, defaulted for the
+    *   retained-corpus-sized `docs/` table: a 1-file fold would both
+    *   serialize the fold write through one task and strip every
+    *   later verify-join scan of its split parallelism.
     */
   def start(docs: DataFrame, statePath: String, idCol: String,
             textCol: String, evalCol: String, qualityMin: Double,
             dupMax: Double, checkpointDir: String,
             numSigs: Int = 16, rowsPerBand: Int = 4,
             threshold: Double = 0.8, deconN: Int = 8,
-            maintainEvery: Int = 0): StreamingQuery = {
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 32): StreamingQuery = {
     val step = applyBatch(statePath, idCol, textCol, evalCol,
       qualityMin, dupMax, numSigs, rowsPerBand, threshold, deconN) _
     def stepAndMaintain(batch: DataFrame, batchId: Long): Unit = {
@@ -199,7 +209,7 @@ object CurateStream {
         val wm = StateMaintenance.committedWatermark(checkpointDir)
         if (wm > 0)
           StateMaintenance.maintain(batch.sparkSession, statePath,
-            "CurateStream", wm)
+            "CurateStream", wm, filesPerFold = maintainFilesPerFold)
       }
     }
     docs.writeStream

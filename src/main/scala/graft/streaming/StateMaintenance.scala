@@ -70,15 +70,27 @@ object StateMaintenance {
     * state dir (plus the previous sentinel, if any) into the
     * `batch_id=-1` sentinel. Idempotent: a re-run with the same
     * watermark finds no live partition below it and does nothing.
-    * Crash recovery is the [[Pump.compact]] idiom — a leftover
-    * `.compact_tmp` / `.compact_old` from a killed run fails loudly
-    * here rather than guessing (restore by renaming `.compact_old`'s
-    * contents back and deleting both staging dirs).
+    *
+    * CRASH RECOVERY IS AUTOMATIC, keyed on the COMMIT POINT — the
+    * atomic rename of `.compact_tmp` to `batch_id=-1`:
+    *   - `.compact_tmp` still present => the commit never happened;
+    *     every original partition is intact under the root or
+    *     `.compact_old` (they were only MOVED), so the moved ones are
+    *     restored, the incomplete fold dropped, and this run folds
+    *     fresh. This covers crashes during the tmp write, during the
+    *     move-away phase, and just before the rename.
+    *   - `.compact_tmp` absent but `.compact_old` present => the
+    *     commit happened and only the cleanup was interrupted;
+    *     `.compact_old` holds nothing but superseded originals (their
+    *     rows already live in the new sentinel) and is deleted.
+    *     Restoring it by hand would DOUBLE-COUNT every folded delta —
+    *     which is exactly why recovery is code, not a doc instruction.
     *
     * @param filesPerFold output files for the folded sentinel; 1 is
     *   right for sliver-sized state (digests, band rows, deltas) —
     *   raise it for retained-corpus-sized dirs (e.g. CurateStream
-    *   `docs/`) so the fold itself stays parallel downstream.
+    *   `docs/`) so the fold write stays parallel and downstream scans
+    *   of the sentinel keep their split parallelism.
     * @return number of live partitions folded (0 = no-op)
     */
   def compactState(spark: SparkSession, dir: String, watermark: Long,
@@ -87,10 +99,13 @@ object StateMaintenance {
     val root = new File(dir)
     val tmp = new File(root, ".compact_tmp")
     val bak = new File(root, ".compact_old")
-    require(!tmp.exists() && !bak.exists(),
-      s"compactState: leftover staging dir under $dir from a crashed " +
-        "run — restore .compact_old contents and remove both staging " +
-        "dirs before re-running")
+    if (tmp.exists()) {
+      Option(bak.listFiles()).getOrElse(Array.empty).foreach { p =>
+        require(p.renameTo(new File(root, p.getName)),
+          s"compactState recovery: restore $p failed")
+      }
+      rm(tmp); rm(bak)
+    } else if (bak.exists()) rm(bak)
     val all = batchDirs(root)
     val folded = all.filter { case (id, _) => id >= 0 && id < watermark }
     if (folded.isEmpty) return 0

@@ -56,9 +56,24 @@ object UniMaxStream {
       .parquet(s"$statePath/alloc/batch_id=$batchId")
   }
 
-  /** The allocation as of batch `batchId` (default: the latest). */
+  /** The allocation as of batch `batchId` (default: the latest).
+    *
+    * Point-in-time reads fail LOUDLY when the requested version was
+    * retired by [[StateMaintenance.pruneSnapshots]] (alloc is a prune
+    * dir in [[StateMaintenance.TwinStateShapes]] — the
+    * [[CdcApplyStream]] retention contract): an empty frame here would
+    * silently sample nothing downstream.
+    */
   def allocation(spark: SparkSession, statePath: String,
                  batchId: Option[Long] = None): DataFrame = {
+    batchId.foreach { v =>
+      val dir = new java.io.File(s"$statePath/alloc/batch_id=$v")
+      require(dir.isDirectory,
+        s"UniMaxStream.allocation: version $v does not exist under " +
+          s"$statePath/alloc — it was never written or was pruned by " +
+          "state maintenance (retention keeps only versions >= the " +
+          "prune watermark)")
+    }
     val all = spark.read.parquet(s"$statePath/alloc")
     val at: Long = batchId.getOrElse(
       all.agg(max(col("batch_id").cast("long"))).head().getLong(0))

@@ -158,14 +158,51 @@ class StateMaintenanceSpec extends SparkSpec {
     assert(latest(pruned) === latest(control))
   }
 
-  test("leftover staging from a crashed fold fails loudly") {
-    val statePath = tmpDir("sm-crash")
-    dedupApply(statePath)(b0, 0L)
-    assert(new File(s"$statePath/docs/.compact_tmp").mkdirs())
-    val e = intercept[IllegalArgumentException] {
-      StateMaintenance.compactState(spark, s"$statePath/docs", 1L)
+  test("crash BEFORE the sentinel commit auto-recovers: moved " +
+    "partitions restore and the fold redoes cleanly") {
+    val control = tmpDir("sm-crash-control")
+    val crashed = tmpDir("sm-crash-pre")
+    for (p <- Seq(control, crashed)) {
+      val apply = dedupApply(p); apply(b0, 0L); apply(b1, 1L)
     }
-    assert(e.getMessage.contains("crashed"))
+    // simulate a crash mid-move: tmp exists (incomplete fold), one
+    // live partition already moved into .compact_old
+    val docs = s"$crashed/docs"
+    assert(new File(s"$docs/.compact_tmp").mkdirs())
+    assert(new File(s"$docs/.compact_old").mkdirs())
+    assert(new File(s"$docs/batch_id=0")
+      .renameTo(new File(s"$docs/.compact_old/batch_id=0")))
+    // the next maintenance run restores, drops the junk, folds fresh
+    StateMaintenance.maintain(spark, crashed, "DedupStream", 2L)
+    for (d <- Seq("docs", "bands", "pairs"))
+      assert(parts(s"$crashed/$d") === Set("batch_id=-1"), d)
+    assert(pairsSet(crashed) === pairsSet(control))
+    dedupApply(control)(b2, 2L)
+    dedupApply(crashed)(b2, 2L)
+    assert(pairsSet(crashed) === pairsSet(control))
+  }
+
+  test("crash AFTER the sentinel commit auto-recovers: superseded " +
+    "originals are discarded, never restored (no double-count)") {
+    val control = tmpDir("sm-crash2-control")
+    val crashed = tmpDir("sm-crash2-post")
+    for (p <- Seq(control, crashed)) {
+      val apply = dedupApply(p); apply(b0, 0L); apply(b1, 1L)
+    }
+    StateMaintenance.maintain(spark, crashed, "DedupStream", 2L)
+    // simulate the interrupted CLEANUP: .compact_old reappears holding
+    // an already-folded partition copy (its rows live in the sentinel)
+    val docs = s"$crashed/docs"
+    assert(new File(s"$docs/.compact_old").mkdirs())
+    spark.read.parquet(s"$docs/batch_id=-1").limit(1).write
+      .parquet(s"$docs/.compact_old/batch_id=0")
+    StateMaintenance.compactState(spark, docs, 2L) // recovery path
+    assert(parts(docs) === Set("batch_id=-1"))
+    assert(!new File(s"$docs/.compact_old").exists())
+    assert(pairsSet(crashed) === pairsSet(control))
+    dedupApply(control)(b2, 2L)
+    dedupApply(crashed)(b2, 2L)
+    assert(pairsSet(crashed) === pairsSet(control))
   }
 
   test("committedWatermark reads the checkpoint commits log") {
