@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Randomized full-snapshot-equality replay for the round-15 twins
+  * (Keyness, GateRate, KsDrift): a seeded random corpus is split into
+  * random batches (empty batches and at-least-once replays injected at
+  * random), and after EVERY batch the twin's snapshot must equal its
+  * batch operator over everything ingested — the strongest twin
+  * contract, checked across a wider input space than the fixed
+  * fixtures (the randomized naive-replay discipline applied to the
+  * streaming layer).
+  */
+class TwinRandomSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def randomSplit[T](rnd: scala.util.Random, rows: Seq[T],
+                             maxBatches: Int): Seq[Seq[T]] = {
+    val cuts = (0 until maxBatches - 1)
+      .map(_ => rnd.nextInt(rows.size + 1)).sorted
+    (Seq(0) ++ cuts ++ Seq(rows.size)).sliding(2)
+      .map { case Seq(a, b) => rows.slice(a, b) }.toSeq
+  }
+
+  /** Drive batches through `apply`, injecting replays; after each
+    * batch compare `snapshot()` with `expected(ingested so far)`.
+    */
+  private def drive[T](rnd: scala.util.Random, batches: Seq[Seq[T]],
+                       apply: (Seq[T], Long) => Unit,
+                       snapshot: () => Seq[Any],
+                       expected: Seq[T] => Seq[Any]): Unit = {
+    var seen = Seq.empty[T]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      apply(b, i.toLong)
+      if (rnd.nextInt(3) == 0) apply(b, i.toLong) // at-least-once
+      seen = seen ++ b
+      assert(snapshot() === expected(seen), s"after batch $i")
+    }
+  }
+
+  test("KeynessStream: random batches + replays keep full snapshot " +
+    "equality with dunningKeyness") {
+    val rnd = new scala.util.Random(3301)
+    val langs = Seq("en", "fr", null)
+    val vocab = (1 to 12).map(i => s"w$i")
+    val rows: Seq[(String, String)] = (0 until 60).map { _ =>
+      (langs(rnd.nextInt(langs.size)),
+        if (rnd.nextInt(15) == 0) null
+        else (0 until rnd.nextInt(8)).map(_ =>
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val state = tmpDir("twin-rnd-key")
+    drive[(String, String)](rnd, randomSplit(rnd, rows, 5),
+      (b, i) => KeynessStream.applyBatch(state, "lang", "text", 1L)(
+        b.toDF("lang", "text"), i),
+      () => KeynessStream.latest(spark, state)
+        .orderBy("grp", "w").collect().map(_.toSeq).toSeq,
+      seen => graft.ops.CorpusStats.dunningKeyness(
+          seen.toDF("lang", "text"), "lang", "text", 1L)
+        .orderBy("grp", "w").collect().map(_.toSeq).toSeq)
+  }
+
+  test("GateRateStream: random batches + replays keep full snapshot " +
+    "equality with wilsonRates over the gate") {
+    val rnd = new scala.util.Random(3302)
+    def text(): String =
+      if (rnd.nextBoolean()) (1 to 8).map(i => s"t${rnd.nextInt(999)}_$i").mkString(" ")
+      else Seq.fill(8)("a").mkString(" ")
+    val rows: Seq[(String, String)] =
+      (0 until 50).map(_ => (s"s${rnd.nextInt(4)}", text()))
+    val state = tmpDir("twin-rnd-rate")
+    drive[(String, String)](rnd, randomSplit(rnd, rows, 5),
+      (b, i) => GateRateStream.applyBatch(state, "source", "text",
+        0.5, 0.2)(b.toDF("source", "text"), i),
+      () => GateRateStream.latest(spark, state)
+        .orderBy("grp").collect().map(_.toSeq).toSeq,
+      seen => graft.ops.Eval.wilsonRates(
+          graft.ops.Curate.gateSignals(seen.toDF("source", "text"),
+            "text").withColumn("hit",
+            graft.ops.Curate.gatePass(0.5, 0.2)),
+          "source", "hit")
+        .orderBy("grp").collect().map(_.toSeq).toSeq)
+  }
+
+  test("KsDriftStream: random batches + replays keep full snapshot " +
+    "equality with ksDrift") {
+    val rnd = new scala.util.Random(3303)
+    val rows: Seq[(String, Long)] = (0 until 120).map { _ =>
+      val g = s"s${rnd.nextInt(4)}"
+      (g, if (g == "s2") 30L + rnd.nextInt(15)
+          else (1 + rnd.nextInt(25)).toLong)
+    }
+    val state = tmpDir("twin-rnd-ks")
+    drive[(String, Long)](rnd, randomSplit(rnd, rows, 5),
+      (b, i) => KsDriftStream.applyBatch(state, "grp", "v")(
+        b.toDF("grp", "v"), i),
+      () => KsDriftStream.latest(spark, state)
+        .orderBy("grp").collect().map(_.toSeq).toSeq,
+      seen => graft.ops.CorpusStats.ksDrift(
+          seen.toDF("grp", "v"), "grp", "v")
+        .orderBy("grp").collect().map(_.toSeq).toSeq)
+  }
+}
