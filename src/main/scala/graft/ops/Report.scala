@@ -90,10 +90,17 @@ object Report {
     *
     * Output: (n_sources, n_docs, hhi_ppm, gini_ppm, top_share_ppm).
     */
-  def sourceConcentration(docs: DataFrame, sourceCol: String): DataFrame = {
-    val counts = docs.filter(col(sourceCol).isNotNull)
+  def sourceConcentration(docs: DataFrame, sourceCol: String): DataFrame =
+    concentrationOf(docs.filter(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol).as("src")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(false) // K rows; feeds three folds + the pairs
+      .localCheckpoint(false)) // K rows; feeds three folds + the pairs
+
+  /** The concentration lanes over an already-built (src, c) count
+    * table — the kernel the streaming twin's snapshots share with the
+    * batch operator (counts from disjoint batches merge by pure
+    * addition). The caller pins the input.
+    */
+  private[graft] def concentrationOf(counts: DataFrame): DataFrame = {
     val tot = counts.agg(count(lit(1)).as("k"), sum(col("c")).as("n"),
       sum(col("c").cast("decimal(38,0)") * col("c")).as("__s2"),
       max(col("c")).as("__top"))

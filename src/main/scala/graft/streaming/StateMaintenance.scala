@@ -207,7 +207,8 @@ object StateMaintenance {
     "UnigramKlStream" -> (Seq("counts"), Seq("kl")),
     "KeynessStream" -> (Seq("counts"), Seq("key")),
     "GateRateStream" -> (Seq("counts"), Seq("rates")),
-    "KsDriftStream" -> (Seq("counts"), Seq("ks")))
+    "KsDriftStream" -> (Seq("counts"), Seq("ks")),
+    "ConcentrationStream" -> (Seq("counts"), Seq("conc")))
 
   /** One-call maintenance for a twin's whole state root: fold every
     * union-read subdir, prune every snapshot subdir, both at the same
