@@ -64,10 +64,15 @@ object BleuStream {
     */
   def start(pairs: DataFrame, statePath: String, grpCol: String,
             idCol: String, hypCol: String, refCol: String, maxN: Int,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     pairs.writeStream
-      .foreachBatch(applyBatch(statePath, grpCol, idCol, hypCol, refCol,
-        maxN) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("BleuStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, grpCol, idCol, hypCol, refCol,
+        maxN)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

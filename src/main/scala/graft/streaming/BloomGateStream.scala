@@ -82,9 +82,14 @@ object BloomGateStream {
     */
   def start(docs: DataFrame, statePath: String, idCol: String,
             textCol: String, evalCol: String, n: Int, m: Int, k: Int,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, idCol, textCol, evalCol, n, m, k) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("BloomGateStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, textCol, evalCol, n, m, k)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -86,9 +86,14 @@ object BoilerplateStream {
     */
   def start(docs: DataFrame, statePath: String, idCol: String,
             textCol: String, docFracPpm: Long,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, idCol, textCol, docFracPpm) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("BoilerplateStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, textCol, docFracPpm)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -76,9 +76,14 @@ object BurstinessStream {
     */
   def start(docs: DataFrame, statePath: String, idCol: String,
             textCol: String, minDf: Long,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, idCol, textCol, minDf) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("BurstinessStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, textCol, minDf)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -76,9 +76,14 @@ object CardinalityStream {
     */
   def start(rows: DataFrame, statePath: String, groupCol: String,
             valueCol: String, hexDigits: Int,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     rows.writeStream
-      .foreachBatch(applyBatch(statePath, groupCol, valueCol, hexDigits) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("CardinalityStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, groupCol, valueCol, hexDigits)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

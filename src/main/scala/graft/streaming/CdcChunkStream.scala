@@ -79,9 +79,14 @@ object CdcChunkStream {
     */
   def start(blobs: DataFrame, statePath: String, idCol: String,
             blobCol: String, checkpointDir: String, kb: Int = 8,
-            hexZeros: Int = 1): StreamingQuery =
+            hexZeros: Int = 1,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     blobs.writeStream
-      .foreachBatch(applyBatch(statePath, idCol, blobCol, kb, hexZeros) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("CdcChunkStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, blobCol, kb, hexZeros)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

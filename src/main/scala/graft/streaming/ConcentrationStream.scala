@@ -50,9 +50,14 @@ object ConcentrationStream {
     * concentration state under `statePath`.
     */
   def start(docs: DataFrame, statePath: String, sourceCol: String,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, sourceCol) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("ConcentrationStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, sourceCol)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

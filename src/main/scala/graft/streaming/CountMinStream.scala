@@ -68,10 +68,15 @@ object CountMinStream {
     */
   def start(rows: DataFrame, statePath: String, tokenCol: String,
             watch: Seq[String], depth: Int, hexDigits: Int,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     rows.writeStream
-      .foreachBatch(applyBatch(statePath, tokenCol, watch, depth,
-        hexDigits) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("CountMinStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, tokenCol, watch, depth,
+        hexDigits)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -201,19 +201,11 @@ object CurateStream {
             threshold: Double = 0.8, deconN: Int = 8,
             maintainEvery: Int = 0,
             maintainFilesPerFold: Int = 32): StreamingQuery = {
-    val step = applyBatch(statePath, idCol, textCol, evalCol,
-      qualityMin, dupMax, numSigs, rowsPerBand, threshold, deconN) _
-    def stepAndMaintain(batch: DataFrame, batchId: Long): Unit = {
-      step(batch, batchId)
-      if (maintainEvery > 0 && batchId % maintainEvery == 0) {
-        val wm = StateMaintenance.committedWatermark(checkpointDir)
-        if (wm > 0)
-          StateMaintenance.maintain(batch.sparkSession, statePath,
-            "CurateStream", wm, filesPerFold = maintainFilesPerFold)
-      }
-    }
     docs.writeStream
-      .foreachBatch(stepAndMaintain _)
+      .foreachBatch(StateMaintenance.selfMaintaining("CurateStream",
+        statePath, checkpointDir, maintainEvery, maintainFilesPerFold)(
+        applyBatch(statePath, idCol, textCol, evalCol, qualityMin,
+          dupMax, numSigs, rowsPerBand, threshold, deconN)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -74,9 +74,14 @@ object DecontaminateStream {
     */
   def start(docs: DataFrame, statePath: String, idCol: String,
             textCol: String, evalCol: String, n: Int,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, idCol, textCol, evalCol, n) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("DecontaminateStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, textCol, evalCol, n)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

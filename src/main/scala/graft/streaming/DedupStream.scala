@@ -100,10 +100,14 @@ object DedupStream {
     */
   def start(docs: DataFrame, statePath: String, idCol: String, textCol: String,
             checkpointDir: String, numSigs: Int = 16, rowsPerBand: Int = 4,
-            threshold: Double = 0.8): StreamingQuery =
+            threshold: Double = 0.8,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(
-        applyBatch(statePath, idCol, textCol, numSigs, rowsPerBand, threshold) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("DedupStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, textCol, numSigs, rowsPerBand, threshold)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

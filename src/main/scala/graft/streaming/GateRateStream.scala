@@ -69,10 +69,15 @@ object GateRateStream {
     */
   def start(docs: DataFrame, statePath: String, grpCol: String,
             textCol: String, qualityMin: Double, dupMax: Double,
-            checkpointDir: String, z: Double = 1.96): StreamingQuery =
+            checkpointDir: String, z: Double = 1.96,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, grpCol, textCol, qualityMin,
-        dupMax, z) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("GateRateStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, grpCol, textCol, qualityMin,
+        dupMax, z)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

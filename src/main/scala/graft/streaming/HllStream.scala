@@ -79,10 +79,15 @@ object HllStream {
     */
   def start(rows: DataFrame, statePath: String, groupCol: String,
             valueCol: String, hexDigits: Int,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     rows.writeStream
-      .foreachBatch(applyBatch(statePath, groupCol, valueCol,
-        hexDigits) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("HllStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, groupCol, valueCol,
+        hexDigits)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

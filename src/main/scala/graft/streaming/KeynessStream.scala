@@ -70,9 +70,14 @@ object KeynessStream {
     */
   def start(docs: DataFrame, statePath: String, grpCol: String,
             textCol: String, minCount: Long,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, grpCol, textCol, minCount) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("KeynessStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, grpCol, textCol, minCount)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -79,9 +79,14 @@ object KmvStream {
     */
   def start(rows: DataFrame, statePath: String, groupCol: String,
             valueCol: String, k: Int,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     rows.writeStream
-      .foreachBatch(applyBatch(statePath, groupCol, valueCol, k) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("KmvStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, groupCol, valueCol, k)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

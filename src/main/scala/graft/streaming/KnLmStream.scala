@@ -178,9 +178,14 @@ object KnLmStream {
     * online KN scorer state under `statePath`.
     */
   def start(docs: DataFrame, statePath: String, idCol: String,
-            textCol: String, checkpointDir: String): StreamingQuery =
+            textCol: String, checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, idCol, textCol) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("KnLmStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, textCol)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

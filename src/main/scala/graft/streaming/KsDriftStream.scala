@@ -51,9 +51,14 @@ object KsDriftStream {
     * drift state under `statePath`.
     */
   def start(rows: DataFrame, statePath: String, grpCol: String,
-            valCol: String, checkpointDir: String): StreamingQuery =
+            valCol: String, checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     rows.writeStream
-      .foreachBatch(applyBatch(statePath, grpCol, valCol) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("KsDriftStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, grpCol, valCol)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

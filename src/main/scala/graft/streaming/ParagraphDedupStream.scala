@@ -103,9 +103,14 @@ object ParagraphDedupStream {
     */
   def start(docs: DataFrame, statePath: String, idCol: String,
             textCol: String, m: Int, k: Int,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, idCol, textCol, m, k) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("ParagraphDedupStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, textCol, m, k)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -80,9 +80,14 @@ object PplBucketStream {
     * documents into the online bucketing state under `statePath`.
     */
   def start(scored: DataFrame, statePath: String, idCol: String,
-            refCol: String, checkpointDir: String): StreamingQuery =
+            refCol: String, checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     scored.writeStream
-      .foreachBatch(applyBatch(statePath, idCol, refCol) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("PplBucketStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, refCol)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

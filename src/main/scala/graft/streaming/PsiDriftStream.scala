@@ -60,9 +60,14 @@ object PsiDriftStream {
 
   def start(docs: DataFrame, statePath: String, grpCol: String,
             textCol: String, nBuckets: Int,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, grpCol, textCol, nBuckets) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("PsiDriftStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, grpCol, textCol, nBuckets)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -72,10 +72,15 @@ object QuantileStream {
     */
   def start(rows: DataFrame, statePath: String, groupCol: String,
             valueCol: String, idCol: String, shards: Int, k: Int,
-            phisPpm: Seq[Long], checkpointDir: String): StreamingQuery =
+            phisPpm: Seq[Long], checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     rows.writeStream
-      .foreachBatch(applyBatch(statePath, groupCol, valueCol, idCol,
-        shards, k, phisPpm) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("QuantileStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, groupCol, valueCol, idCol,
+        shards, k, phisPpm)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -73,10 +73,15 @@ object SemDeconStream {
     */
   def start(rows: DataFrame, statePath: String, idCol: String,
             vecCol: String, evalCol: String, tauPpm: Long,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     rows.writeStream
-      .foreachBatch(applyBatch(statePath, idCol, vecCol, evalCol,
-        tauPpm) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("SemDeconStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, vecCol, evalCol,
+        tauPpm)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

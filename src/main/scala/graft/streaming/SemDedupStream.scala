@@ -64,9 +64,14 @@ object SemDedupStream {
     */
   def start(emb: DataFrame, statePath: String, idCol: String, vecCol: String,
             checkpointDir: String, centroids: Array[Array[Int]],
-            threshold: Double = 0.95): StreamingQuery =
+            threshold: Double = 0.95,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     emb.writeStream
-      .foreachBatch(applyBatch(statePath, idCol, vecCol, centroids, threshold) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("SemDedupStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, vecCol, centroids, threshold)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -57,9 +57,14 @@ object SimhashStream {
     */
   def start(docs: DataFrame, statePath: String, idCol: String,
             textCol: String, checkpointDir: String, n: Int = 3,
-            maxDist: Int = 3): StreamingQuery =
+            maxDist: Int = 3,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, idCol, textCol, n, maxDist) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("SimhashStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, textCol, n, maxDist)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.io.File
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Maintenance for the streaming twins' batchId-partitioned state — the
@@ -61,6 +61,70 @@ object StateMaintenance {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
   }
 
+  /** Resolve a state path to a LOCAL directory, loudly. The fold/prune
+    * commit protocol is built on atomic local renames (`File.renameTo`);
+    * on an `hdfs://` or `s3a://` path `File` operations would silently
+    * see an empty directory — maintenance would no-op forever while
+    * partition counts grow unbounded, and existence probes would
+    * spuriously fail. Until the protocol goes through Hadoop
+    * `FileSystem` (object stores have no atomic rename, so that port
+    * needs a different commit point anyway), reject remote schemes at
+    * the door. Plain paths and `file:` URIs are accepted.
+    */
+  private[streaming] def localRoot(dir: String): File = {
+    if (dir.startsWith("file:")) new File(new java.net.URI(dir))
+    else {
+      require(!dir.matches("^[A-Za-z][A-Za-z0-9+.\\-]*://.*"),
+        s"StateMaintenance: '$dir' has a remote scheme — the rename-" +
+          "based fold/prune commit requires a local filesystem (plain " +
+          "path or file: URI); remote state needs a FileSystem-native " +
+          "commit protocol, not a silent no-op")
+      new File(dir)
+    }
+  }
+
+  /** Probe-and-repair one state dir for an interrupted fold, keyed on
+    * the commit point exactly as [[compactState]]'s doc describes:
+    * `.compact_tmp` present = not committed → restore the moved-away
+    * originals and drop the incomplete fold; tmp absent but
+    * `.compact_old` present = committed → discard the superseded
+    * originals (restoring them would double-count). Idempotent and
+    * cheap when healthy (two existence checks).
+    *
+    * @return true when a marker was found and repaired
+    */
+  private[streaming] def recoverDir(root: File): Boolean = {
+    val tmp = new File(root, ".compact_tmp")
+    val bak = new File(root, ".compact_old")
+    if (tmp.exists()) {
+      Option(bak.listFiles()).getOrElse(Array.empty).foreach { p =>
+        require(p.renameTo(new File(root, p.getName)),
+          s"compactState recovery: restore $p failed")
+      }
+      rm(tmp); rm(bak); true
+    } else if (bak.exists()) { rm(bak); true }
+    else false
+  }
+
+  /** Repair every interrupted fold under a twin's state root. MUST run
+    * before a batch READS state, not merely before the next fold: a
+    * fold that died in its move-away window leaves live partitions
+    * hidden inside dot-prefixed dirs that partition discovery skips —
+    * a replayed batch reading that state would compute wrong results
+    * against near-empty tables and COMMIT them before any later
+    * fold-side recovery ran. [[selfMaintaining]] calls this ahead of
+    * every step; out-of-band operators restarting a twin by hand
+    * should call it (or [[maintain]], which recovers per-dir) before
+    * the first external state read.
+    *
+    * @return number of state dirs that needed repair
+    */
+  def recover(statePath: String, twin: String): Int = {
+    val (foldDirs, _) = shapesOf(twin)
+    foldDirs.map(n => new File(localRoot(statePath), n))
+      .filter(_.isDirectory).count(recoverDir)
+  }
+
   private def batchDirs(dir: File): Array[(Long, File)] =
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
@@ -71,8 +135,10 @@ object StateMaintenance {
     * `batch_id=-1` sentinel. Idempotent: a re-run with the same
     * watermark finds no live partition below it and does nothing.
     *
-    * CRASH RECOVERY IS AUTOMATIC, keyed on the COMMIT POINT — the
-    * atomic rename of `.compact_tmp` to `batch_id=-1`:
+    * CRASH RECOVERY IS AUTOMATIC ([[recoverDir]], also run ahead of
+    * every batch by [[selfMaintaining]] so no read ever sees a
+    * half-moved table), keyed on the COMMIT POINT — the atomic rename
+    * of `.compact_tmp` to `batch_id=-1`:
     *   - `.compact_tmp` still present => the commit never happened;
     *     every original partition is intact under the root or
     *     `.compact_old` (they were only MOVED), so the moved ones are
@@ -96,16 +162,10 @@ object StateMaintenance {
   def compactState(spark: SparkSession, dir: String, watermark: Long,
                    filesPerFold: Int = 1): Int = {
     require(watermark >= 0, s"watermark must be >= 0: $watermark")
-    val root = new File(dir)
+    val root = localRoot(dir)
+    recoverDir(root)
     val tmp = new File(root, ".compact_tmp")
     val bak = new File(root, ".compact_old")
-    if (tmp.exists()) {
-      Option(bak.listFiles()).getOrElse(Array.empty).foreach { p =>
-        require(p.renameTo(new File(root, p.getName)),
-          s"compactState recovery: restore $p failed")
-      }
-      rm(tmp); rm(bak)
-    } else if (bak.exists()) rm(bak)
     val all = batchDirs(root)
     val folded = all.filter { case (id, _) => id >= 0 && id < watermark }
     if (folded.isEmpty) return 0
@@ -142,7 +202,7 @@ object StateMaintenance {
     * @return number of snapshot partitions pruned
     */
   def pruneSnapshots(dir: String, watermark: Long): Int = {
-    val all = batchDirs(new File(dir))
+    val all = batchDirs(localRoot(dir))
     if (all.isEmpty) return 0
     // clamp: the newest snapshot survives any watermark (a watermark of
     // lastCommitted+1 — the committedWatermark — names every committed
@@ -160,7 +220,7 @@ object StateMaintenance {
     * live. 0 (fold nothing) when no batch has committed yet.
     */
   def committedWatermark(checkpointDir: String): Long = {
-    val d = new File(checkpointDir, "commits")
+    val d = new File(localRoot(checkpointDir), "commits")
     val ids = Option(d.listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong)
     if (ids.isEmpty) 0L else ids.max + 1L
@@ -208,7 +268,9 @@ object StateMaintenance {
     "KeynessStream" -> (Seq("counts"), Seq("key")),
     "GateRateStream" -> (Seq("counts"), Seq("rates")),
     "KsDriftStream" -> (Seq("counts"), Seq("ks")),
-    "ConcentrationStream" -> (Seq("counts"), Seq("conc")))
+    "ConcentrationStream" -> (Seq("counts"), Seq("conc")),
+    "SourceDupStream" -> (Seq("docs", "bands", "pairs", "src"),
+      Seq("dup")))
 
   /** One-call maintenance for a twin's whole state root: fold every
     * union-read subdir, prune every snapshot subdir, both at the same
@@ -219,16 +281,58 @@ object StateMaintenance {
     */
   def maintain(spark: SparkSession, statePath: String, twin: String,
                watermark: Long, filesPerFold: Int = 1): (Int, Int) = {
-    val (foldDirs, pruneDirs) = TwinStateShapes.getOrElse(twin,
-      throw new IllegalArgumentException(
-        s"maintain: unknown twin '$twin' — known: " +
-          TwinStateShapes.keys.toSeq.sorted.mkString(", ")))
+    val (foldDirs, pruneDirs) = shapesOf(twin)
     def existing(names: Seq[String]): Seq[String] =
       names.map(n => s"$statePath/$n")
-        .filter(p => new File(p).isDirectory)
+        .filter(p => localRoot(p).isDirectory)
     val folded = existing(foldDirs)
       .map(compactState(spark, _, watermark, filesPerFold)).sum
     val pruned = existing(pruneDirs).map(pruneSnapshots(_, watermark)).sum
     (folded, pruned)
+  }
+
+  private def shapesOf(twin: String): (Seq[String], Seq[String]) =
+    TwinStateShapes.getOrElse(twin,
+      throw new IllegalArgumentException(
+        s"StateMaintenance: unknown twin '$twin' — known: " +
+          TwinStateShapes.keys.toSeq.sorted.mkString(", ")))
+
+  /** Wrap a twin's `applyBatch` step so the stream maintains its own
+    * state — the one hook every twin's `start()` routes through:
+    *
+    *   1. [[recover]] BEFORE the step, every batch: no batch can read
+    *      state while a crashed fold still hides partitions in its
+    *      move-away window (cheap when healthy — two existence checks
+    *      per state dir).
+    *   2. the twin's own step;
+    *   3. every `maintainEvery`-th batch, [[maintain]] at the
+    *      watermark the checkpoint's own commits log proves safe
+    *      ([[committedWatermark]]). Safe inside foreachBatch: the
+    *      current batch has not committed, so the watermark is always
+    *      <= it, and no other batch is in flight.
+    *
+    * `maintainEvery <= 0` disables step 3 (recovery still runs — a
+    * stream restarted WITHOUT maintenance after a crash mid-fold must
+    * still see whole state). COST: a fold rewrites the folded data, so
+    * pick a cadence that amortizes it — hundreds of batches at
+    * production trigger rates; 1 is a spec setting. `filesPerFold` is
+    * the [[compactState]] knob: leave 1 for sliver-sized state, raise
+    * it for retained-corpus-sized dirs (CurateStream `docs/`).
+    */
+  def selfMaintaining(twin: String, statePath: String,
+                      checkpointDir: String, maintainEvery: Int,
+                      filesPerFold: Int = 1)
+                     (step: (DataFrame, Long) => Unit)
+                     : (DataFrame, Long) => Unit = {
+    shapesOf(twin) // unknown twin fails at wiring time, not mid-stream
+    (batch: DataFrame, batchId: Long) => {
+      recover(statePath, twin)
+      step(batch, batchId)
+      if (maintainEvery > 0 && batchId % maintainEvery == 0) {
+        val wm = committedWatermark(checkpointDir)
+        if (wm > 0)
+          maintain(batch.sparkSession, statePath, twin, wm, filesPerFold)
+      }
+    }
   }
 }

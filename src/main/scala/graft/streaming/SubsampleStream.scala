@@ -76,9 +76,14 @@ object SubsampleStream {
     */
   def start(docs: DataFrame, statePath: String, idCol: String,
             textCol: String, tPpm: Long, seed: String,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, idCol, textCol, tPpm, seed) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("SubsampleStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, textCol, tPpm, seed)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

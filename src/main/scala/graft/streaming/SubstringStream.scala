@@ -100,10 +100,14 @@ object SubstringStream {
   def start(docs: DataFrame, statePath: String, idCol: String,
             textCol: String, checkpointDir: String, k: Int = 6,
             minSpan: Int = 8,
-            maxWindowFreq: Option[Int] = None): StreamingQuery =
+            maxWindowFreq: Option[Int] = None,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(
-        applyBatch(statePath, idCol, textCol, k, minSpan, maxWindowFreq) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("SubstringStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, textCol, k, minSpan, maxWindowFreq)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -71,10 +71,15 @@ object TokenBudgetStream {
 
   def start(docs: DataFrame, statePath: String, idCol: String,
             textCol: String, checkpointDir: String, budgetTokens: Long,
-            seed: String = ""): StreamingQuery =
+            seed: String = "",
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, idCol, textCol, budgetTokens,
-        seed) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("TokenBudgetStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, idCol, textCol, budgetTokens,
+        seed)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -67,7 +67,10 @@ object UniMaxStream {
   def allocation(spark: SparkSession, statePath: String,
                  batchId: Option[Long] = None): DataFrame = {
     batchId.foreach { v =>
-      val dir = new java.io.File(s"$statePath/alloc/batch_id=$v")
+      // localRoot: a remote-scheme path would make this existence probe
+      // spuriously reject every version — fail loudly at the door instead
+      val dir = new java.io.File(
+        StateMaintenance.localRoot(s"$statePath/alloc"), s"batch_id=$v")
       require(dir.isDirectory,
         s"UniMaxStream.allocation: version $v does not exist under " +
           s"$statePath/alloc — it was never written or was pruned by " +
@@ -82,10 +85,15 @@ object UniMaxStream {
 
   def start(docs: DataFrame, statePath: String, langCol: String,
             textCol: String, checkpointDir: String, budgetTokens: Long,
-            maxEpochs: Long): StreamingQuery =
+            maxEpochs: Long,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, langCol, textCol, budgetTokens,
-        maxEpochs) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("UniMaxStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, langCol, textCol, budgetTokens,
+        maxEpochs)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -67,9 +67,14 @@ object UnigramKlStream {
     * online KL state under `statePath`.
     */
   def start(docs: DataFrame, statePath: String, grpCol: String,
-            textCol: String, checkpointDir: String): StreamingQuery =
+            textCol: String, checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
     docs.writeStream
-      .foreachBatch(applyBatch(statePath, grpCol, textCol) _)
+      .foreachBatch(StateMaintenance.selfMaintaining("UnigramKlStream",
+        statePath, checkpointDir, maintainEvery,
+        maintainFilesPerFold)(
+        applyBatch(statePath, grpCol, textCol)))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

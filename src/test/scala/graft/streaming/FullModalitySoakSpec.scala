@@ -70,8 +70,13 @@ class FullModalitySoakSpec extends SparkSpec {
         .option("pingtimeout", "1")
         .option("reconnectdelayms", "100")
         .load()
+      // the soak also drives SELF-MAINTENANCE: every batch, crash-marker
+      // recovery before the step and a committed-watermark fold after it
+      // — asserting below that state actually folded mid-soak while the
+      // ledger stayed exactly-once
       val q = df.writeStream
-        .foreachBatch(step _)
+        .foreachBatch(StateMaintenance.selfMaintaining("CurateStream",
+          curState, sinks.checkpoint, maintainEvery = 1)(step))
         .option("checkpointLocation", sinks.checkpoint)
         .trigger(Trigger.ProcessingTime("250 milliseconds"))
         .start()
@@ -173,6 +178,13 @@ class FullModalitySoakSpec extends SparkSpec {
         // pre-kill verdicts untouched
         assert(l2(1L) === Seq("kept"))
         assert(l2(2L) === Seq("near_dup"))
+
+        // maintenance FIRED during the soak: committed batches folded
+        // into the sentinel (and the ledger equalities above held over
+        // the folded state)
+        val folded = Seq("fps", "docs", "bands", "ledger").filter(d =>
+          new java.io.File(s"$curState/$d/batch_id=-1").isDirectory)
+        assert(folded.nonEmpty, "maintenance never folded during the soak")
 
         // the dual sink stayed consistent: every adapter doc has a raw
         // message, mids are unique (T2/T3 across the reconnect)

@@ -205,6 +205,55 @@ class StateMaintenanceSpec extends SparkSpec {
     assert(pairsSet(crashed) === pairsSet(control))
   }
 
+  test("fold crashed mid-move: the wrapped step recovers BEFORE its " +
+    "state reads, so the batch never sees a half-moved table") {
+    val control = tmpDir("sm-prestep-control")
+    val crashed = tmpDir("sm-prestep-crashed")
+    for (p <- Seq(control, crashed)) {
+      val apply = dedupApply(p); apply(b0, 0L); apply(b1, 1L)
+    }
+    // crash window: a fold died after moving batches 0 AND 1 of docs/
+    // into .compact_old — partition discovery skips dot-dirs, so an
+    // unrecovered read would see an EMPTY docs table and miss every
+    // cross-batch near-dup (then commit that wrong answer forever)
+    val docs = s"$crashed/docs"
+    assert(new File(s"$docs/.compact_tmp").mkdirs())
+    assert(new File(s"$docs/.compact_old").mkdirs())
+    for (b <- Seq(0, 1))
+      assert(new File(s"$docs/batch_id=$b")
+        .renameTo(new File(s"$docs/.compact_old/batch_id=$b")))
+    // the self-maintaining wrapper (maintainEvery=0: recovery still
+    // runs) executes the NEXT batch — b3 holds a near-dup of doc 1,
+    // findable only if batch 0's docs were restored before the read
+    val ckpt = tmpDir("sm-prestep-ckpt")
+    val wrapped = StateMaintenance.selfMaintaining("DedupStream",
+      crashed, ckpt, maintainEvery = 0)(dedupApply(crashed))
+    wrapped(b3, 2L)
+    dedupApply(control)(b3, 2L)
+    assert(pairsSet(crashed) === pairsSet(control))
+    assert(pairsSet(crashed).contains((1L, 8L)))
+    assert(!new File(s"$docs/.compact_tmp").exists())
+    assert(!new File(s"$docs/.compact_old").exists())
+  }
+
+  test("remote-scheme state paths fail loudly instead of no-opping") {
+    val e = intercept[IllegalArgumentException] {
+      StateMaintenance.compactState(spark, "hdfs://nn/state/docs", 1L)
+    }
+    assert(e.getMessage.contains("remote scheme"))
+    intercept[IllegalArgumentException] {
+      StateMaintenance.pruneSnapshots("s3a://bucket/state/card", 1L)
+    }
+    // file: URIs are local and accepted (watermark 0 folds nothing)
+    val local = tmpDir("sm-fileuri")
+    assert(StateMaintenance.compactState(spark, s"file:$local", 0L) === 0)
+    // unknown twins fail at WIRING time, before any stream starts
+    intercept[IllegalArgumentException] {
+      StateMaintenance.selfMaintaining("NoSuchStream", local, local, 1)(
+        (_, _) => ())
+    }
+  }
+
   test("committedWatermark reads the checkpoint commits log") {
     val ckpt = tmpDir("sm-ckpt")
     assert(StateMaintenance.committedWatermark(ckpt) === 0L)
