@@ -84,6 +84,36 @@ class TwinRandomSpec extends SparkSpec {
         .orderBy("grp").collect().map(_.toSeq).toSeq)
   }
 
+  test("SourceDupStream: random batches + replays keep full snapshot " +
+    "equality with sourceDupRate over the batch LSH pairs") {
+    val rnd = new scala.util.Random(3304)
+    val sources = Seq("sA", "sB", "sC", null)
+    // tail-variant template texts collide at jaccard ~0.949; distinct
+    // texts never do — a random mix of both per doc
+    def template(tail: Int): String =
+      (1 to 39).map(i => s"tok$i").mkString(" ") + s" tail$tail"
+    def distinct(seed: Int): String =
+      (1 to 40).map(i => s"other${seed}_$i").mkString(" ")
+    val rows: Seq[(Long, String, String)] = (0 until 30).map { i =>
+      (i.toLong,
+        if (rnd.nextInt(3) == 0) template(rnd.nextInt(4)) else distinct(i),
+        sources(rnd.nextInt(sources.size)))
+    }
+    val state = tmpDir("twin-rnd-sdr")
+    drive[(Long, String, String)](rnd, randomSplit(rnd, rows, 5),
+      (b, i) => SourceDupStream.applyBatch(state, "doc_id", "text",
+        "source")(b.toDF("doc_id", "text", "source"), i),
+      () => SourceDupStream.latest(spark, state)
+        .orderBy("src").collect().map(_.toSeq).toSeq,
+      seen => {
+        val docs = seen.toDF("doc_id", "text", "source")
+        graft.ops.Dedup.sourceDupRate(docs,
+            graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+              16, 4, 0.8).select("d1", "d2"), "doc_id", "source")
+          .orderBy("src").collect().map(_.toSeq).toSeq
+      })
+  }
+
   test("KsDriftStream: random batches + replays keep full snapshot " +
     "equality with ksDrift") {
     val rnd = new scala.util.Random(3303)
