@@ -611,9 +611,20 @@ object CorpusStats {
     * pinned count table (the x127 contract).
     *
     * Output: (grp, n, d_ppm, at_val), one row per non-null group.
+    *
+    * @param scale 0 (default) = integer-grain contract: the value
+    *   column must already be integral, fractional columns are refused
+    *   loudly. > 0 = FIXED-POINT grain for continuous values: each
+    *   value maps to `floor(v * scale)` (micro-units at scale 10⁶) and
+    *   the KS grid runs over those exact integers — `at_val` is then in
+    *   scaled units. floor, not a long cast: Spark's fractional cast
+    *   truncates toward zero while other engines round, floor is the
+    *   one map every engine computes identically.
     */
-  def ksDrift(docs: DataFrame, grpCol: String, valCol: String): DataFrame =
-    ksOf(groupValueCounts(docs, grpCol, valCol).localCheckpoint(false))
+  def ksDrift(docs: DataFrame, grpCol: String, valCol: String,
+              scale: Long = 0L): DataFrame =
+    ksOf(groupValueCounts(docs, grpCol, valCol, scale)
+      .localCheckpoint(false))
 
   /** The (grp, v, c) value-count table both [[ksDrift]] and the
     * streaming twin's delta build share (one tokenization/cast path,
@@ -621,19 +632,29 @@ object CorpusStats {
     * jump-point grid and the exact cross-difference lanes are defined
     * over integral values (doc lengths, token counts, bucketed
     * scores); a fractional column would silently truncate every value
-    * through the long cast and collapse the distributions, so it is
-    * refused loudly — pre-bucket continuous scores first.
+    * through the long cast and collapse the distributions, so with
+    * `scale = 0` it is refused loudly. A positive `scale` serves the
+    * continuous case directly: `floor(v * scale)` fixed-point units
+    * (see [[ksDrift]] — floor is engine-identical, a fractional cast
+    * is not).
     */
   private[graft] def groupValueCounts(docs: DataFrame, grpCol: String,
-                                      valCol: String): DataFrame = {
+                                      valCol: String,
+                                      scale: Long = 0L): DataFrame = {
+    require(scale >= 0, s"ksDrift: scale must be >= 0: $scale")
     val dt = docs.schema(valCol).dataType
-    require(Seq("byte", "short", "integer", "long")
-        .contains(dt.typeName),
-      s"ksDrift: value column '$valCol' is ${dt.typeName} — the KS " +
-        "grid is integer-grain; bucket continuous values first " +
-        "(e.g. CAST(score * 1000 AS BIGINT))")
+    val v =
+      if (scale == 0L) {
+        require(Seq("byte", "short", "integer", "long")
+            .contains(dt.typeName),
+          s"ksDrift: value column '$valCol' is ${dt.typeName} — the " +
+            "KS grid is integer-grain; pass scale > 0 for fixed-point " +
+            "units (e.g. scale = 1000000 for micro-units) or bucket " +
+            "first (e.g. CAST(score * 1000 AS BIGINT))")
+        col(valCol).cast("long")
+      } else floor(col(valCol) * lit(scale)).cast("long")
     docs.filter(col(grpCol).isNotNull && col(valCol).isNotNull)
-      .select(col(grpCol).as("grp"), col(valCol).cast("long").as("v"))
+      .select(col(grpCol).as("grp"), v.as("v"))
       .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
   }
 

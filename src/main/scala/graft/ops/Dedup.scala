@@ -1120,4 +1120,120 @@ object Dedup {
         expr("CAST(CAST(n_dup_docs AS DECIMAL(38,0)) * 1000000 " +
           "div n_docs AS BIGINT)").as("dup_ppm"))
   }
+
+  /** X140 — cross-source near-dup matrix: WHO copies WHOM. Each
+    * verified near-dup pair is attributed to the unordered source pair
+    * of its two members — the diagonal (src_a = src_b) is a source
+    * self-copying, the off-diagonal is syndication/mirroring between
+    * feeds. x139 says "this source participates in duplication"; the
+    * matrix says against which other source, which is the difference
+    * between dropping a feed and deduplicating a mirror pair. Pairs
+    * with a null-source member are excluded (the x131 rule, applied by
+    * the inner joins).
+    *
+    * SHAPE AT 100 TB: the pair table is duplicate-density-sized; two
+    * key-partitioned joins attach member sources; the matrix fold is
+    * at source-pair grain (≤ K², sources are dozens). Nothing
+    * corpus-scale after the id→source join.
+    *
+    * Output: (src_a, src_b, n_pairs) with src_a <= src_b, one row per
+    * observed source pair.
+    */
+  def crossSourceDupMatrix(docs: DataFrame, pairs: DataFrame,
+                           idCol: String, srcCol: String): DataFrame = {
+    val src = docs.filter(col(srcCol).isNotNull)
+      .select(col(idCol), col(srcCol).as("__s"))
+    pairs
+      .join(src.select(col(idCol).as("d1"), col("__s").as("s1")),
+        Seq("d1"))
+      .join(src.select(col(idCol).as("d2"), col("__s").as("s2")),
+        Seq("d2"))
+      .groupBy(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** X141 — dup-cluster size histogram: how big are the near-dup
+    * clusters. The shape of duplication decides the remedy — a corpus
+    * whose mass sits in 2-doc clusters wants pair-level keep-one; one
+    * 40,000-member template cluster wants the template removed at the
+    * extractor. Connected components over the verified pairs, a
+    * component-grain size fold, then a size-grain histogram; every
+    * document NOT in any pair is a size-1 cluster (the singleton row
+    * folds from the corpus count minus the member count — no second
+    * corpus pass).
+    *
+    * Output: (cluster_size, n_clusters, n_docs, docs_ppm) — docs_ppm
+    * the share of the corpus living at that cluster size, in a
+    * DECIMAL(38,0) lane. Zero-cluster sizes are absent.
+    */
+  def dupClusterHistogram(docs: DataFrame, pairs: DataFrame,
+                          idCol: String): DataFrame = {
+    val sizes = Cluster.components(pairs)
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    val multi = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+    // ONE row each; the cross joins below are 1x1
+    val total = docs.agg(count(lit(1)).as("__total"))
+    val members = sizes.agg(
+      coalesce(sum(col("cluster_size")), lit(0L)).as("__members"))
+    val singleton = total.crossJoin(members)
+      .select(lit(1L).as("cluster_size"),
+        (col("__total") - col("__members")).as("n_clusters"),
+        (col("__total") - col("__members")).as("n_docs"))
+      .filter(col("n_clusters") > 0)
+    multi.unionByName(singleton)
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 " +
+          "div __total AS BIGINT)").as("docs_ppm"))
+  }
+
+  /** X142 — deduplication token savings, attributed per source: under
+    * the x9 keep-one rule (the min-id member of each component is
+    * canonical), how many TOKENS does each source lose — the number
+    * that prices dedup in training-budget units rather than document
+    * counts (a source shedding 40% of its documents but 2% of its
+    * tokens was duplicating boilerplate stubs, not content). Null
+    * sources are excluded (the x131 rule); null texts count 0 tokens.
+    *
+    * SHAPE AT 100 TB: components over the duplicate-density pair list,
+    * a component-grain min fold picks canonicals, one key-partitioned
+    * join flags removed docs, then a source-grain fold over one
+    * corpus-side projection (whitespace token counts computed in the
+    * scan, never materialized). `savings_ppm` uses a DECIMAL(38,0)
+    * lane and is 0 for a source with zero tokens (both engines would
+    * otherwise diverge on integral division by zero).
+    *
+    * Output: (src, n_docs, n_removed, tokens_total, tokens_removed,
+    * savings_ppm), one row per source.
+    */
+  def dedupSavings(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   srcCol: String, textCol: String): DataFrame = {
+    val comps = Cluster.components(pairs)
+      .select(col("id").as(idCol), col("component"))
+    val canon = comps.groupBy(col("component"))
+      .agg(min(col(idCol)).as("__keep"))
+    val removed = comps.join(canon, Seq("component"))
+      .filter(col(idCol) =!= col("__keep"))
+      .select(col(idCol), lit(1L).as("__rm"))
+    docs.filter(col(srcCol).isNotNull)
+      .select(col(idCol), col(srcCol).as("src"),
+        coalesce(when(col(textCol).isNotNull,
+          size(split(col(textCol), " ")).cast("long")), lit(0L))
+          .as("__toks"))
+      .join(removed, Seq(idCol), "left")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__rm")), lit(0L)).as("n_removed"),
+        sum(col("__toks")).as("tokens_total"),
+        coalesce(sum(when(col("__rm").isNotNull, col("__toks"))),
+          lit(0L)).as("tokens_removed"))
+      .select(col("src"), col("n_docs"), col("n_removed"),
+        col("tokens_total"), col("tokens_removed"),
+        expr("CASE WHEN tokens_total = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(CAST(tokens_removed AS DECIMAL(38,0)) * 1000000 " +
+          "div tokens_total AS BIGINT) END").as("savings_ppm"))
+  }
 }

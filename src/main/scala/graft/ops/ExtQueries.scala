@@ -1258,7 +1258,10 @@ object ExtQueries {
     // small source's pass rate (contrast: the x101 bootstrap prices
     // sufficient statistics, Wilson prices a binomial)
     "x133_wilson_gate" -> ((s, dir) => {
+      // null sources excluded (the x131 rule — a null group would also
+      // sort differently across engines: Spark NULLS FIRST, DuckDB LAST)
       val sig = Curate.gateSignals(Tables.documents(s, dir)
+        .filter(col("source").isNotNull)
         .select(col("doc_id"), col("source"), col("text")), "text")
       Eval.wilsonRates(sig.withColumn("hit",
           Curate.gatePass(CurateQualityMin, CurateDupMax)),
@@ -1270,7 +1273,12 @@ object ExtQueries {
     // k are re-identification risks; one QI-grain exchange, class
     // table bounded by the attribute cross product
     "x134_k_anonymity" -> ((s, dir) =>
+      // any-null quasi-identifier rows excluded (the x131 rule): a null
+      // class is not a re-identifiable equivalence class, and the two
+      // engines order NULLs on opposite ends
       Pii.kAnonymity(Tables.documents(s, dir)
+          .filter(col("lang").isNotNull && col("source").isNotNull &&
+            col("n_chars").isNotNull)
           .withColumn("len_bucket", expr(s"n_chars div $KAnonBucket")),
         Seq("lang", "source", "len_bucket"), k = KAnonK)
         .orderBy("lang", "source", "len_bucket")),
@@ -1298,6 +1306,19 @@ object ExtQueries {
       CorpusStats.ksDrift(Tables.documents(s, dir), "source", "n_chars")
         .orderBy("grp")),
 
+    // X137 over a CONTINUOUS column (per-doc mean token length, a
+    // double): scale=10⁶ maps each value to floor(v·10⁶) fixed-point
+    // micro-units — the exact integer grid the KS lanes need, no
+    // pre-bucketing; both engines compute the identical single IEEE
+    // divide, multiply, and floor
+    "x137_ks_frac" -> ((s, dir) =>
+      CorpusStats.ksDrift(Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .withColumn("avg_tok_len", col("n_chars").cast("double") /
+            size(split(col("text"), " "))),
+        "source", "avg_tok_len", scale = 1000000L)
+        .orderBy("grp")),
+
     // X138 source-concentration datacard: HHI + Gini + top share over
     // the K source counts in exact ppm — one source-grain fold, a K²
     // self-join over K rows, ONE output row
@@ -1311,6 +1332,30 @@ object ExtQueries {
       Dedup.sourceDupRate(Tables.documents(s, dir),
         lshPairs(s, dir).select("d1", "d2"), "doc_id", "source")
         .orderBy("src")),
+
+    // X140 cross-source dup matrix: each verified pair attributed to
+    // the unordered source pair of its members — who copies whom
+    // (diagonal = self-copying, off-diagonal = mirroring); pair-
+    // density-sized joins, source-pair-grain fold
+    "x140_cross_dup_matrix" -> ((s, dir) =>
+      Dedup.crossSourceDupMatrix(Tables.documents(s, dir),
+        lshPairs(s, dir).select("d1", "d2"), "doc_id", "source")
+        .orderBy("src_a", "src_b")),
+
+    // X141 dup-cluster size histogram: the SHAPE of duplication —
+    // components over the session-cached pairs, size-grain fold,
+    // singletons from the corpus count minus the member count
+    "x141_cluster_histogram" -> ((s, dir) =>
+      Dedup.dupClusterHistogram(Tables.documents(s, dir),
+        lshPairs(s, dir).select("d1", "d2"), "doc_id")
+        .orderBy("cluster_size")),
+
+    // X142 dedup token savings per source: the x9 keep-one rule priced
+    // in TOKENS — which source's budget share is duplication
+    "x142_dedup_savings" -> ((s, dir) =>
+      Dedup.dedupSavings(Tables.documents(s, dir),
+        lshPairs(s, dir).select("d1", "d2"), "doc_id", "source",
+        "text").orderBy("src")),
 
     // X126 sequence-length decision audit: exact pad-waste and
     // truncation-loss ppm per candidate context length — group-grain
@@ -5015,6 +5060,112 @@ object ExtQueries {
          |WHERE d.source IS NOT NULL
          |GROUP BY 1 ORDER BY src""".stripMargin,
 
+    // the x9 pipeline up to the pair list, each pair attributed to the
+    // unordered source pair of its members (null-source members drop)
+    "x140_cross_dup_matrix" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2),
+         |p AS (SELECT d1, d2 FROM j WHERE jac >= $JaccardThreshold),
+         |sp AS (SELECT da.source AS s1, db.source AS s2
+         |  FROM p JOIN documents da ON da.doc_id = p.d1
+         |  JOIN documents db ON db.doc_id = p.d2
+         |  WHERE da.source IS NOT NULL AND db.source IS NOT NULL)
+         |SELECT least(s1, s2) AS src_a, greatest(s1, s2) AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM sp GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // the x9 component closure folded to a size-grain histogram; the
+    // singleton row is corpus count minus member count
+    "x141_cluster_histogram" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2),
+         |p AS (SELECT d1, d2 FROM j WHERE jac >= $JaccardThreshold),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION ALL SELECT d2 AS a, d1 AS b FROM p),
+         |nodes AS (SELECT DISTINCT a AS nd FROM e),
+         |r(nd, m) AS (SELECT nd, nd FROM nodes
+         |  UNION SELECT r.nd, e.b FROM r JOIN e ON r.m = e.a),
+         |comp AS (SELECT nd AS doc_id, min(m) AS component FROM r GROUP BY 1),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY 1),
+         |multi AS (SELECT cluster_size,
+         |   CAST(count(*) AS BIGINT) AS n_clusters,
+         |   CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         |  FROM sz GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+         |mem AS (SELECT CAST(coalesce(sum(cluster_size), 0) AS BIGINT)
+         |   AS members FROM sz),
+         |uni AS (SELECT * FROM multi UNION ALL
+         |  SELECT CAST(1 AS BIGINT), total - members, total - members
+         |  FROM tot CROSS JOIN mem WHERE total - members > 0)
+         |SELECT cluster_size, n_clusters, n_docs,
+         |  CAST(CAST(n_docs AS HUGEINT) * 1000000 // total AS BIGINT)
+         |    AS docs_ppm
+         |FROM uni CROSS JOIN tot ORDER BY cluster_size""".stripMargin,
+
+    // the x9 keep-one rule priced in whitespace tokens, source grain
+    "x142_dedup_savings" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2),
+         |p AS (SELECT d1, d2 FROM j WHERE jac >= $JaccardThreshold),
+         |e AS (SELECT d1 AS a, d2 AS b FROM p UNION ALL SELECT d2 AS a, d1 AS b FROM p),
+         |nodes AS (SELECT DISTINCT a AS nd FROM e),
+         |r(nd, m) AS (SELECT nd, nd FROM nodes
+         |  UNION SELECT r.nd, e.b FROM r JOIN e ON r.m = e.a),
+         |comp AS (SELECT nd AS doc_id, min(m) AS component FROM r GROUP BY 1),
+         |canon AS (SELECT component, min(doc_id) AS keep
+         |  FROM comp GROUP BY 1),
+         |rm AS (SELECT comp.doc_id FROM comp JOIN canon USING (component)
+         |  WHERE comp.doc_id <> canon.keep),
+         |d AS (SELECT doc_id, source AS src,
+         |   CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT)
+         |     AS toks
+         |  FROM documents WHERE source IS NOT NULL)
+         |SELECT src, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(rm.doc_id) AS BIGINT) AS n_removed,
+         |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+         |  CAST(coalesce(sum(toks)
+         |     FILTER (WHERE rm.doc_id IS NOT NULL), 0) AS BIGINT)
+         |    AS tokens_removed,
+         |  CASE WHEN sum(toks) = 0 THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(CAST(coalesce(sum(toks)
+         |       FILTER (WHERE rm.doc_id IS NOT NULL), 0) AS HUGEINT)
+         |     * 1000000 // sum(toks) AS BIGINT) END AS savings_ppm
+         |FROM d LEFT JOIN rm ON rm.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY src""".stripMargin,
+
     // same recursive closure as x9_components, folded to cluster sizes
     // and joined dense onto the corpus — singletons weight 10^6
     "x135_soft_dedup" ->
@@ -5687,7 +5838,8 @@ object ExtQueries {
     // one parenthesization, so the double seams cannot diverge)
     "x133_wilson_gate" ->
       s"""WITH t AS (SELECT doc_id, source, text,
-         |   string_split(text, ' ') AS ts FROM documents),
+         |   string_split(text, ' ') AS ts FROM documents
+         |   WHERE source IS NOT NULL),
          |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ts) - 1),
          |  i -> ts[i] || ' ' || ts[i+1]) AS g FROM t),
          |sig AS (SELECT t.doc_id, t.source,
@@ -5770,6 +5922,43 @@ object ExtQueries {
         |  CAST(v AS BIGINT) AS at_val
         |FROM r WHERE rn = 1 ORDER BY grp""".stripMargin,
 
+    // x137_frac: the same KS identity over the micro-unit fixed-point
+    // map of a continuous column — floor((n_chars/ntok)·10⁶), one IEEE
+    // divide+multiply+floor, engine-identical (a fractional CAST would
+    // not be: DuckDB rounds, Spark truncates)
+    "x137_ks_frac" ->
+      """WITH base AS (SELECT source AS grp,
+        |   CAST(floor((CAST(n_chars AS DOUBLE)
+        |     / len(string_split(text, ' '))) * 1000000) AS BIGINT) AS v
+        |  FROM documents WHERE source IS NOT NULL
+        |   AND text IS NOT NULL AND n_chars IS NOT NULL),
+        |counts AS (SELECT grp, v, count(*) AS c FROM base GROUP BY 1, 2),
+        |pool AS (SELECT v, CAST(sum(c) AS BIGINT) AS pc
+        |  FROM counts GROUP BY 1),
+        |grps AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_s
+        |  FROM counts GROUP BY 1),
+        |np AS (SELECT CAST(sum(c) AS BIGINT) AS n_pool FROM counts),
+        |grid AS (SELECT g.grp, g.n_s, p.v, p.pc, coalesce(c.c, 0) AS c
+        |  FROM grps g CROSS JOIN pool p
+        |  LEFT JOIN counts c ON c.grp = g.grp AND c.v = p.v),
+        |cum AS (SELECT grp, n_s, v,
+        |   sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum_s,
+        |   sum(pc) OVER (PARTITION BY grp ORDER BY v) AS cum_p
+        |  FROM grid),
+        |diffs AS (SELECT grp, n_s, v, n_pool,
+        |   abs(CAST(cum_s AS HUGEINT) * n_pool
+        |     - CAST(cum_p AS HUGEINT) * n_s) AS cr
+        |  FROM cum CROSS JOIN np),
+        |r AS (SELECT grp, n_s, v, cr, n_pool,
+        |   row_number() OVER (PARTITION BY grp ORDER BY cr DESC, v ASC)
+        |     AS rn
+        |  FROM diffs)
+        |SELECT grp, n_s AS n,
+        |  CAST((cr * 1000000) // (CAST(n_s AS HUGEINT) * n_pool)
+        |    AS BIGINT) AS d_ppm,
+        |  CAST(v AS BIGINT) AS at_val
+        |FROM r WHERE rn = 1 ORDER BY grp""".stripMargin,
+
     // x138: the concentration identities replayed in HUGEINT
     "x138_source_concentration" ->
       """WITH c AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS c
@@ -5795,7 +5984,9 @@ object ExtQueries {
       s"""WITH cls AS (SELECT lang, source,
          |   n_chars // $KAnonBucket AS len_bucket,
          |   CAST(count(*) AS BIGINT) AS k_size
-         |  FROM documents GROUP BY 1, 2, 3),
+         |  FROM documents WHERE lang IS NOT NULL
+         |   AND source IS NOT NULL AND n_chars IS NOT NULL
+         |  GROUP BY 1, 2, 3),
          |sup AS (SELECT CAST(coalesce(sum(k_size), 0) AS BIGINT)
          |   AS n_suppressed FROM cls WHERE k_size < $KAnonK)
          |SELECT lang, source, len_bucket, k_size,

@@ -116,10 +116,6 @@ object Pii {
           .otherwise(col(textCol)).as("out_text"))
   }
 
-  /** Corpus-level PII report: per-verdict document counts and category
-    * totals — the datacard row a release audit wants. One row per
-    * verdict; the exchange carries (verdict, 4 longs) per map task.
-    */
   /** X134 — k-anonymity risk audit (Sweeney 2002): group the corpus by
     * a QUASI-IDENTIFIER tuple (the columns that jointly re-identify —
     * language, source, a coarse length bucket) and flag equivalence
@@ -154,6 +150,10 @@ object Pii {
     classes.crossJoin(broadcast(suppressed))
   }
 
+  /** Corpus-level PII report: per-verdict document counts and category
+    * totals — the datacard row a release audit wants. One row per
+    * verdict; the exchange carries (verdict, 4 longs) per map task.
+    */
   def summary(docs: DataFrame, idCol: String, textCol: String,
               maxPii: Int): DataFrame =
     policy(docs, idCol, textCol, maxPii)

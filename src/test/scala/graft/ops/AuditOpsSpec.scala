@@ -140,6 +140,73 @@ class AuditOpsSpec extends SparkSpec {
     assert(got === Seq(("a", 3L, 3L, 1000000L), ("b", 2L, 0L, 0L)))
   }
 
+  // ---- x140 cross-source dup matrix ----
+
+  test("crossSourceDupMatrix: pairs attribute to unordered source " +
+    "pairs; null-source members drop the pair") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "source")
+    // (1,2) diagonal a-a; (1,3) cross a-b; (3,1) must land in the SAME
+    // unordered cell; (4,5) has a null member and drops
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 2L), (4L, 5L))
+      .toDF("d1", "d2")
+    val got = Dedup.crossSourceDupMatrix(docs, pairs, "doc_id", "source")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(("a", "a", 1L), ("a", "b", 2L)))
+  }
+
+  // ---- x141 dup-cluster size histogram ----
+
+  test("dupClusterHistogram: hand-worked size lanes; singletons fold " +
+    "from corpus minus members") {
+    val docs = (1L to 9L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    // {1,2,3} size 3, {7,8} size 2, four singletons (4,5,6,9)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("d1", "d2")
+    val got = Dedup.dupClusterHistogram(docs, pairs, "doc_id")
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq((1L, 4L, 4L, 444444L), (2L, 1L, 2L, 222222L),
+      (3L, 1L, 3L, 333333L)))
+    // corpus mass is fully attributed
+    assert(got.map(_._3).sum === 9L)
+  }
+
+  test("dupClusterHistogram: empty pair table is one all-singleton row") {
+    val docs = (1L to 4L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val pairs = spark.emptyDataFrame
+      .select(lit(0L).as("d1"), lit(0L).as("d2")).limit(0)
+    val got = Dedup.dupClusterHistogram(docs, pairs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq((1L, 4L, 4L, 1000000L)))
+  }
+
+  // ---- x142 dedup token savings ----
+
+  test("dedupSavings: keep-one canonicals priced in tokens; null " +
+    "texts count zero; a zero-token source reports 0 ppm") {
+    val docs = Seq(
+      (1L, "a", "w w w w"), (2L, "a", "w w"), (3L, "a", "x"),
+      (4L, "b", "y y y"), (5L, "b", null),
+      (6L, null, "z"),
+      (7L, "c", null), (8L, "c", null))
+      .toDF("doc_id", "source", "text")
+    // {1,2}: canon 1, removed 2 (2 toks); {4,5}: canon 4, removed 5
+    // (null text, 0 toks); {7,8}: canon 7, removed 8 — source c has
+    // ZERO total tokens, the ppm lane must not divide by zero
+    val pairs = Seq((1L, 2L), (4L, 5L), (7L, 8L)).toDF("d1", "d2")
+    val got = Dedup.dedupSavings(docs, pairs, "doc_id", "source", "text")
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      ("a", 3L, 1L, 7L, 2L, 285714L),
+      ("b", 2L, 1L, 3L, 0L, 0L),
+      ("c", 2L, 1L, 0L, 0L, 0L)))
+  }
+
   test("softDedupWeights: empty pair table weights everything 1") {
     val docs = (1L to 4L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val pairs = spark.emptyDataFrame
