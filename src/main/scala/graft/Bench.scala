@@ -59,7 +59,8 @@ object Bench {
       val reruns = Iterator.continually(())
         .takeWhile(_ => System.nanoTime() - benchStart < wallBudgetNanos)
         .take(runsPerQuery - 1).map(_ => once()).toSeq
-      val sorted = (cold +: reruns).sorted
+      val runs = cold +: reruns
+      val sorted = runs.sorted
       // true median: middle element for odd counts, mean of the middle
       // pair for even counts — a budget-truncated 2-run query reports the
       // average of its runs, not the optimistic min; its actual run count
@@ -68,19 +69,26 @@ object Bench {
       val median =
         if (n % 2 == 1) sorted(n / 2)
         else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
-      (name, median, cold, n)
+      (name, median, cold, runs)
     }
     // Locale.ROOT: a comma-decimal default locale would render invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val rc = results.map { case (k, _, _, n) => "\"" + k + "\":" + n }
+    val rc = results.map { case (k, _, _, r) => "\"" + k + "\":" + r.size }
       .mkString("{", ",", "}")
+    // per-run times make a contended host SELF-IDENTIFYING in the
+    // artifact: a real regression moves every run, machine contention
+    // shows as one outlier run inside a wide spread — without these, a
+    // noisy run's median is indistinguishable from a code regression
+    val runsJson = results.map { case (k, _, _, r) =>
+      "\"" + k + "\":" + r.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"runs_per_query":$runsPerQuery,"run_counts":$rc,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cold_total":${fmt(coldTotal)},"runs_per_query":$runsPerQuery,"run_counts":$rc,"runs":$runsJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The driver's round artifact stores only a truncated stdout tail, so
     // the per-query map's head is unrecoverable from it. Persist the full

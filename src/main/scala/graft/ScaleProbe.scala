@@ -604,6 +604,51 @@ object ScaleProbe {
           16, 4, 0.8).select("d1", "d2"), "doc_id", "source")
         .write.format("noop").mode("overwrite").save()
     }
+    // x140/x141/x142 over 50k docs at 10x pair density: all three ride
+    // the duplicate-density pair list — two id->source joins and a
+    // source-pair fold (x140), the components closure + a size-grain
+    // histogram (x141), the keep-one min fold + one corpus-side token
+    // projection (x142)
+    t("cross-dup-matrix-50k") {
+      graft.ops.Dedup.crossSourceDupMatrix(docs10,
+        graft.ops.Dedup.minhashLshPairs(docs10, "doc_id", "text",
+          16, 4, 0.8).select("d1", "d2"), "doc_id", "source")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("cluster-histogram-50k") {
+      graft.ops.Dedup.dupClusterHistogram(docs10,
+        graft.ops.Dedup.minhashLshPairs(docs10, "doc_id", "text",
+          16, 4, 0.8).select("d1", "d2"), "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("dedup-savings-50k") {
+      graft.ops.Dedup.dedupSavings(docs10,
+        graft.ops.Dedup.minhashLshPairs(docs10, "doc_id", "text",
+          16, 4, 0.8).select("d1", "d2"), "doc_id", "source", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x135 over 50k docs at 10x pair density: the components closure
+    // rides the pair list (duplicate-density-sized, never the corpus);
+    // cluster sizes are a component-grain fold and the only corpus-
+    // sized step is the key-partitioned weight join back
+    t("soft-dedup-50k") {
+      graft.ops.Dedup.softDedupWeights(docs10,
+        graft.ops.Dedup.minhashLshPairs(docs10, "doc_id", "text",
+          16, 4, 0.8).select("d1", "d2"), "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x137 fixed-point over 50k docs: the fractional-scale map is one
+    // extra projection lane ahead of the same (group, value) exchange;
+    // the micro-unit grid widens the jump-point table but stays
+    // attribute-bounded
+    t("ks-frac-50k") {
+      graft.ops.CorpusStats.ksDrift(docs10
+          .filter(col("text").isNotNull)
+          .withColumn("avg_tok_len", col("n_chars").cast("double") /
+            size(split(col("text"), " "))),
+        "source", "avg_tok_len", scale = 1000000L)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
