@@ -621,6 +621,15 @@ object ScaleProbe {
           16, 4, 0.8).select("d1", "d2"), "doc_id")
         .write.format("noop").mode("overwrite").save()
     }
+    // x143 over 50k docs at 10x pair density: one fold over the pair
+    // table to <= 101 bucket rows; the cumulative window never sees
+    // more than those rows
+    t("pair-histogram-50k") {
+      graft.ops.Dedup.pairSimilarityHistogram(
+        graft.ops.Dedup.minhashLshPairs(docs10, "doc_id", "text",
+          16, 4, 0.8))
+        .write.format("noop").mode("overwrite").save()
+    }
     t("dedup-savings-50k") {
       graft.ops.Dedup.dedupSavings(docs10,
         graft.ops.Dedup.minhashLshPairs(docs10, "doc_id", "text",

@@ -1190,6 +1190,32 @@ object Dedup {
           "div __total AS BIGINT)").as("docs_ppm"))
   }
 
+  /** X143 — pair-similarity histogram: the verified near-dup pairs
+    * bucketed by Jaccard at centi grain, with the cumulative
+    * at-or-above count — the THRESHOLD-SENSITIVITY curve. The 0.8 cut
+    * is a konvention, not a law; this table prices moving it ("raising
+    * to 0.9 keeps only n_at_or_above(90) pairs") and shows whether the
+    * corpus's duplication is borderline (mass hugging the cut) or
+    * structural (mass at 95–100). Buckets derive from the pair list's
+    * own `jac` lane (already rounded to 1e-6 when the pairs were
+    * verified), so floor at 1e-2 is engine-identical.
+    *
+    * SHAPE AT 100 TB: one fold over the duplicate-density pair table
+    * to ≤ 101 bucket rows; the cumulative window runs over those
+    * bucket rows only. Output: (jac_centi, n_pairs, n_at_or_above),
+    * ordered naturally by bucket.
+    */
+  def pairSimilarityHistogram(pairs: DataFrame,
+                              jacCol: String = "jac"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = pairs
+      .groupBy(floor(col(jacCol) * 100).cast("long").as("jac_centi"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("jac_centi").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
+  }
+
   /** X142 — deduplication token savings, attributed per source: under
     * the x9 keep-one rule (the min-id member of each component is
     * canonical), how many TOKENS does each source lose — the number

@@ -1357,6 +1357,13 @@ object ExtQueries {
         lshPairs(s, dir).select("d1", "d2"), "doc_id", "source",
         "text").orderBy("src")),
 
+    // X143 threshold-sensitivity histogram: verified pairs bucketed by
+    // Jaccard at centi grain + the cumulative at-or-above lane — what
+    // moving the 0.8 cut would keep; one fold to <= 101 bucket rows
+    "x143_pair_histogram" -> ((s, dir) =>
+      Dedup.pairSimilarityHistogram(lshPairs(s, dir))
+        .orderBy("jac_centi")),
+
     // X126 sequence-length decision audit: exact pad-waste and
     // truncation-loss ppm per candidate context length — group-grain
     // (one row per L), the single exchange carries |grid| partials
@@ -5123,6 +5130,32 @@ object ExtQueries {
          |  CAST(CAST(n_docs AS HUGEINT) * 1000000 // total AS BIGINT)
          |    AS docs_ppm
          |FROM uni CROSS JOIN tot ORDER BY cluster_size""".stripMargin,
+
+    // the x9 pair list bucketed by its own rounded jac lane; the
+    // cumulative window runs over <= 101 bucket rows
+    "x143_pair_histogram" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2),
+         |p AS (SELECT d1, d2, jac FROM j WHERE jac >= $JaccardThreshold),
+         |h AS (SELECT CAST(floor(jac * 100) AS BIGINT) AS jac_centi,
+         |   CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM p GROUP BY 1)
+         |SELECT jac_centi, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY jac_centi DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS n_at_or_above
+         |FROM h ORDER BY jac_centi""".stripMargin,
 
     // the x9 keep-one rule priced in whitespace tokens, source grain
     "x142_dedup_savings" ->

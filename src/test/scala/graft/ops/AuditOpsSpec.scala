@@ -183,6 +183,19 @@ class AuditOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 4L, 4L, 1000000L)))
   }
 
+  // ---- x143 pair-similarity histogram ----
+
+  test("pairSimilarityHistogram: centi buckets with the cumulative " +
+    "at-or-above lane (the threshold-sensitivity curve)") {
+    val pairs = Seq((1L, 2L, 0.80), (3L, 4L, 0.83), (5L, 6L, 0.837),
+      (7L, 8L, 0.95), (9L, 10L, 1.0)).toDF("d1", "d2", "jac")
+    val got = Dedup.pairSimilarityHistogram(pairs)
+      .orderBy("jac_centi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((80L, 1L, 5L), (83L, 2L, 4L), (95L, 1L, 2L),
+      (100L, 1L, 1L)))
+  }
+
   // ---- x142 dedup token savings ----
 
   test("dedupSavings: keep-one canonicals priced in tokens; null " +

@@ -3,11 +3,12 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 
-/** Randomized full-snapshot-equality replay for the round-15 twins
-  * (Keyness, GateRate, KsDrift): a seeded random corpus is split into
-  * random batches (empty batches and at-least-once replays injected at
-  * random), and after EVERY batch the twin's snapshot must equal its
-  * batch operator over everything ingested — the strongest twin
+/** Randomized full-snapshot-equality replay for the newest twins
+  * (Keyness, GateRate, KsDrift, SourceDup): a seeded random corpus is
+  * split into random batches (empty batches, at-least-once replays,
+  * and MID-STREAM STATE FOLDS injected at random), and after every
+  * batch, fold, and post-fold replay the twin's snapshot must equal
+  * its batch operator over everything ingested — the strongest twin
   * contract, checked across a wider input space than the fixed
   * fixtures (the randomized naive-replay discipline applied to the
   * streaming layer).
@@ -24,19 +25,37 @@ class TwinRandomSpec extends SparkSpec {
       .map { case Seq(a, b) => rows.slice(a, b) }.toSeq
   }
 
-  /** Drive batches through `apply`, injecting replays; after each
-    * batch compare `snapshot()` with `expected(ingested so far)`.
+  /** Drive batches through `apply`, injecting replays — and, when the
+    * twin is registered for maintenance, random MID-STREAM FOLDS at
+    * the watermark the replay discipline proves safe (batch i can
+    * still replay, so watermark = i): after every batch AND after
+    * every injected fold, `snapshot()` must equal
+    * `expected(ingested so far)`.
     */
   private def drive[T](rnd: scala.util.Random, batches: Seq[Seq[T]],
                        apply: (Seq[T], Long) => Unit,
                        snapshot: () => Seq[Any],
-                       expected: Seq[T] => Seq[Any]): Unit = {
+                       expected: Seq[T] => Seq[Any],
+                       maintainAs: Option[(String, String)] = None)
+      : Unit = {
     var seen = Seq.empty[T]
     batches.zipWithIndex.foreach { case (b, i) =>
       apply(b, i.toLong)
       if (rnd.nextInt(3) == 0) apply(b, i.toLong) // at-least-once
       seen = seen ++ b
       assert(snapshot() === expected(seen), s"after batch $i")
+      maintainAs.foreach { case (twin, state) =>
+        if (rnd.nextInt(3) == 0) {
+          StateMaintenance.maintain(spark, state, twin, i.toLong)
+          assert(snapshot() === expected(seen), s"after fold at $i")
+          // the live batch may still replay over the folded state
+          if (rnd.nextBoolean()) {
+            apply(b, i.toLong)
+            assert(snapshot() === expected(seen),
+              s"after post-fold replay at $i")
+          }
+        }
+      }
     }
   }
 
@@ -59,7 +78,8 @@ class TwinRandomSpec extends SparkSpec {
         .orderBy("grp", "w").collect().map(_.toSeq).toSeq,
       seen => graft.ops.CorpusStats.dunningKeyness(
           seen.toDF("lang", "text"), "lang", "text", 1L)
-        .orderBy("grp", "w").collect().map(_.toSeq).toSeq)
+        .orderBy("grp", "w").collect().map(_.toSeq).toSeq,
+      maintainAs = Some(("KeynessStream", state)))
   }
 
   test("GateRateStream: random batches + replays keep full snapshot " +
@@ -81,7 +101,8 @@ class TwinRandomSpec extends SparkSpec {
             "text").withColumn("hit",
             graft.ops.Curate.gatePass(0.5, 0.2)),
           "source", "hit")
-        .orderBy("grp").collect().map(_.toSeq).toSeq)
+        .orderBy("grp").collect().map(_.toSeq).toSeq,
+      maintainAs = Some(("GateRateStream", state)))
   }
 
   test("SourceDupStream: random batches + replays keep full snapshot " +
@@ -111,7 +132,7 @@ class TwinRandomSpec extends SparkSpec {
             graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
               16, 4, 0.8).select("d1", "d2"), "doc_id", "source")
           .orderBy("src").collect().map(_.toSeq).toSeq
-      })
+      }, maintainAs = Some(("SourceDupStream", state)))
   }
 
   test("KsDriftStream: random batches + replays keep full snapshot " +
@@ -130,6 +151,7 @@ class TwinRandomSpec extends SparkSpec {
         .orderBy("grp").collect().map(_.toSeq).toSeq,
       seen => graft.ops.CorpusStats.ksDrift(
           seen.toDF("grp", "v"), "grp", "v")
-        .orderBy("grp").collect().map(_.toSeq).toSeq)
+        .orderBy("grp").collect().map(_.toSeq).toSeq,
+      maintainAs = Some(("KsDriftStream", state)))
   }
 }

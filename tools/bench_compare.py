@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Audit a bench pair the way the committed-pair rule reads it.
+
+Usage: python3 tools/bench_compare.py <BENCH_A.json> <BENCH_B.json>
+       python3 tools/bench_compare.py <BENCH.json>           # solo audit
+
+The committed-pair acceptance rule (PLANS.md, round 16):
+  1. PAIR AGREEMENT — every query whose median exceeds 0.3 s in either
+     run must agree within 2x between the runs (real regressions move
+     the median; adjacent clean runs do not).
+  2. INTERNAL SPREAD — any query whose own run array spreads more than
+     3x min-to-max (above the 0.3 s floor) marks its run as CONTENDED:
+     a real regression moves every run, machine contention shows as
+     one outlier inside a wide spread. A contended run is re-run, not
+     committed.
+
+Exit code 0 = the pair (or run) is committable; 1 = re-run needed.
+Requires the "runs" per-query arrays the bench emits since round 16;
+older artifacts degrade to the pair-agreement check only.
+"""
+import json
+import sys
+
+FLOOR_SECS = 0.3
+PAIR_RATIO = 2.0
+SPREAD_RATIO = 3.0
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def spread_violations(bench, label):
+    bad = []
+    for name, runs in (bench.get("runs") or {}).items():
+        if not runs or max(runs) < FLOOR_SECS:
+            continue
+        lo = min(runs)
+        if lo > 0 and max(runs) / lo > SPREAD_RATIO:
+            bad.append((name, label, runs))
+    return bad
+
+
+def main(argv):
+    benches = [load(p) for p in argv[1:3]]
+    if not benches:
+        print(__doc__)
+        return 2
+    ok = True
+
+    for b, p in zip(benches, argv[1:3]):
+        for name, label, runs in spread_violations(b, p):
+            ok = False
+            print(f"CONTENDED {name} in {label}: runs {runs} "
+                  f"spread {max(runs) / min(runs):.1f}x")
+
+    if len(benches) == 2:
+        qa, qb = benches[0]["queries"], benches[1]["queries"]
+        for name in sorted(set(qa) & set(qb)):
+            a, b = qa[name], qb[name]
+            if max(a, b) < FLOOR_SECS:
+                continue
+            if min(a, b) > 0 and max(a, b) / min(a, b) > PAIR_RATIO:
+                ok = False
+                print(f"DISAGREE {name}: medians {a:.2f} vs {b:.2f} "
+                      f"({max(a, b) / min(a, b):.1f}x)")
+        only = set(qa) ^ set(qb)
+        if only:
+            print(f"NOTE roster differs by {len(only)} queries: "
+                  + ", ".join(sorted(only)[:8]))
+        print(f"totals: {benches[0]['value']} vs {benches[1]['value']} s "
+              f"over {len(set(qa) & set(qb))} shared queries")
+
+    print("COMMITTABLE" if ok else "RE-RUN NEEDED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
