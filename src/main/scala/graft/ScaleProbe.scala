@@ -618,7 +618,7 @@ object ScaleProbe {
     t("cluster-histogram-50k") {
       graft.ops.Dedup.dupClusterHistogram(docs10,
         graft.ops.Dedup.minhashLshPairs(docs10, "doc_id", "text",
-          16, 4, 0.8).select("d1", "d2"), "doc_id")
+          16, 4, 0.8).select("d1", "d2"))
         .write.format("noop").mode("overwrite").save()
     }
     // x143 over 50k docs at 10x pair density: one fold over the pair

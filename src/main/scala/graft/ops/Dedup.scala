@@ -1167,8 +1167,8 @@ object Dedup {
     * the share of the corpus living at that cluster size, in a
     * DECIMAL(38,0) lane. Zero-cluster sizes are absent.
     */
-  def dupClusterHistogram(docs: DataFrame, pairs: DataFrame,
-                          idCol: String): DataFrame = {
+  def dupClusterHistogram(docs: DataFrame,
+                          pairs: DataFrame): DataFrame = {
     val sizes = Cluster.components(pairs)
       .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
     val multi = sizes.groupBy(col("cluster_size"))
@@ -1196,9 +1196,13 @@ object Dedup {
     * is a konvention, not a law; this table prices moving it ("raising
     * to 0.9 keeps only n_at_or_above(90) pairs") and shows whether the
     * corpus's duplication is borderline (mass hugging the cut) or
-    * structural (mass at 95–100). Buckets derive from the pair list's
-    * own `jac` lane (already rounded to 1e-6 when the pairs were
-    * verified), so floor at 1e-2 is engine-identical.
+    * structural (mass at 95–100). The bucket re-quantizes through the
+    * jac lane's OWN 1e-6 grain — `round(jac·10⁶) div 10⁴` — because a
+    * direct `floor(jac·100)` misbuckets exact centi boundaries that
+    * are not double-representable (floor(0.57·100) = 56): the round
+    * recovers the integer the pair verification meant, the integral
+    * div then buckets exactly, and both steps are engine-identical for
+    * positive values.
     *
     * SHAPE AT 100 TB: one fold over the duplicate-density pair table
     * to ≤ 101 bucket rows; the cumulative window runs over those
@@ -1209,7 +1213,9 @@ object Dedup {
                               jacCol: String = "jac"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = pairs
-      .groupBy(floor(col(jacCol) * 100).cast("long").as("jac_centi"))
+      .withColumn("__jac_micro",
+        round(col(jacCol) * 1000000).cast("long"))
+      .groupBy(expr("__jac_micro div 10000").as("jac_centi"))
       .agg(count(lit(1)).as("n_pairs"))
     val w = Window.orderBy(col("jac_centi").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

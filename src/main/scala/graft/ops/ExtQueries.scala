@@ -1347,7 +1347,7 @@ object ExtQueries {
     // singletons from the corpus count minus the member count
     "x141_cluster_histogram" -> ((s, dir) =>
       Dedup.dupClusterHistogram(Tables.documents(s, dir),
-        lshPairs(s, dir).select("d1", "d2"), "doc_id")
+        lshPairs(s, dir).select("d1", "d2"))
         .orderBy("cluster_size")),
 
     // X142 dedup token savings per source: the x9 keep-one rule priced
@@ -5148,7 +5148,8 @@ object ExtQueries {
          |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
          |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2),
          |p AS (SELECT d1, d2, jac FROM j WHERE jac >= $JaccardThreshold),
-         |h AS (SELECT CAST(floor(jac * 100) AS BIGINT) AS jac_centi,
+         |h AS (SELECT CAST(round(jac * 1000000) AS BIGINT) // 10000
+         |     AS jac_centi,
          |   CAST(count(*) AS BIGINT) AS n_pairs
          |  FROM p GROUP BY 1)
          |SELECT jac_centi, n_pairs,

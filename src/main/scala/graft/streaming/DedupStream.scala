@@ -102,7 +102,10 @@ object DedupStream {
             checkpointDir: String, numSigs: Int = 16, rowsPerBand: Int = 4,
             threshold: Double = 0.8,
             maintainEvery: Int = 0,
-            maintainFilesPerFold: Int = 1): StreamingQuery =
+            // docs/ is retained-corpus-sized: a 1-file fold would both
+            // serialize the fold write and strip later probe scans of
+            // their split parallelism (the CurateStream default)
+            maintainFilesPerFold: Int = 32): StreamingQuery =
     docs.writeStream
       .foreachBatch(StateMaintenance.selfMaintaining("DedupStream",
         statePath, checkpointDir, maintainEvery,

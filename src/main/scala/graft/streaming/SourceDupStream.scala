@@ -88,7 +88,10 @@ object SourceDupStream {
             numSigs: Int = 16, rowsPerBand: Int = 4,
             threshold: Double = 0.8,
             maintainEvery: Int = 0,
-            maintainFilesPerFold: Int = 1): StreamingQuery =
+            // docs/ and src/ are retained-corpus-sized: keep the fold
+            // write and later snapshot scans parallel (the CurateStream
+            // default, not the sliver-state 1)
+            maintainFilesPerFold: Int = 32): StreamingQuery =
     docs.writeStream
       .foreachBatch(StateMaintenance.selfMaintaining("SourceDupStream",
         statePath, checkpointDir, maintainEvery,

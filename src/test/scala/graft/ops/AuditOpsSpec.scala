@@ -163,7 +163,7 @@ class AuditOpsSpec extends SparkSpec {
     val docs = (1L to 9L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     // {1,2,3} size 3, {7,8} size 2, four singletons (4,5,6,9)
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("d1", "d2")
-    val got = Dedup.dupClusterHistogram(docs, pairs, "doc_id")
+    val got = Dedup.dupClusterHistogram(docs, pairs)
       .orderBy("cluster_size").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSeq
@@ -177,7 +177,7 @@ class AuditOpsSpec extends SparkSpec {
     val docs = (1L to 4L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val pairs = spark.emptyDataFrame
       .select(lit(0L).as("d1"), lit(0L).as("d2")).limit(0)
-    val got = Dedup.dupClusterHistogram(docs, pairs, "doc_id").collect()
+    val got = Dedup.dupClusterHistogram(docs, pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSeq
     assert(got === Seq((1L, 4L, 4L, 1000000L)))
@@ -187,13 +187,16 @@ class AuditOpsSpec extends SparkSpec {
 
   test("pairSimilarityHistogram: centi buckets with the cumulative " +
     "at-or-above lane (the threshold-sensitivity curve)") {
+    // 0.57 is NOT double-representable (0.5699999...): floor(jac*100)
+    // would misbucket it to 56 — the micro-grain round must not
     val pairs = Seq((1L, 2L, 0.80), (3L, 4L, 0.83), (5L, 6L, 0.837),
-      (7L, 8L, 0.95), (9L, 10L, 1.0)).toDF("d1", "d2", "jac")
+      (7L, 8L, 0.95), (9L, 10L, 1.0), (11L, 12L, 0.57))
+      .toDF("d1", "d2", "jac")
     val got = Dedup.pairSimilarityHistogram(pairs)
       .orderBy("jac_centi").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(got === Seq((80L, 1L, 5L), (83L, 2L, 4L), (95L, 1L, 2L),
-      (100L, 1L, 1L)))
+    assert(got === Seq((57L, 1L, 6L), (80L, 1L, 5L), (83L, 2L, 4L),
+      (95L, 1L, 2L), (100L, 1L, 1L)))
   }
 
   // ---- x142 dedup token savings ----

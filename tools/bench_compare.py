@@ -36,8 +36,10 @@ def spread_violations(bench, label):
     for name, runs in (bench.get("runs") or {}).items():
         if not runs or max(runs) < FLOOR_SECS:
             continue
+        # a zero run under a >floor max is an INFINITE spread — the
+        # worst contention signal, never a skip
         lo = min(runs)
-        if lo > 0 and max(runs) / lo > SPREAD_RATIO:
+        if lo <= 0 or max(runs) / lo > SPREAD_RATIO:
             bad.append((name, label, runs))
     return bad
 
@@ -52,8 +54,9 @@ def main(argv):
     for b, p in zip(benches, argv[1:3]):
         for name, label, runs in spread_violations(b, p):
             ok = False
-            print(f"CONTENDED {name} in {label}: runs {runs} "
-                  f"spread {max(runs) / min(runs):.1f}x")
+            print(f"CONTENDED {name} in {label}: runs {runs} spread "
+                  + ("inf" if min(runs) <= 0
+                     else f"{max(runs) / min(runs):.1f}x"))
 
     if len(benches) == 2:
         qa, qb = benches[0]["queries"], benches[1]["queries"]
@@ -61,10 +64,12 @@ def main(argv):
             a, b = qa[name], qb[name]
             if max(a, b) < FLOOR_SECS:
                 continue
-            if min(a, b) > 0 and max(a, b) / min(a, b) > PAIR_RATIO:
+            lo = min(a, b)
+            if lo <= 0 or max(a, b) / lo > PAIR_RATIO:
                 ok = False
+                ratio = "inf" if lo <= 0 else f"{max(a, b) / lo:.1f}x"
                 print(f"DISAGREE {name}: medians {a:.2f} vs {b:.2f} "
-                      f"({max(a, b) / min(a, b):.1f}x)")
+                      f"({ratio})")
         only = set(qa) ^ set(qb)
         if only:
             print(f"NOTE roster differs by {len(only)} queries: "
