@@ -32,14 +32,20 @@ def load(path):
 
 
 def spread_violations(bench, label):
+    """Contention shows as an outlier among the WARM re-runs. The
+    FIRST run is the cold one (plan codegen + JIT, reported separately
+    as cold_total) and legitimately dwarfs the re-runs — x93's
+    iterative plan compiles 1700x its warm cost — so it is excluded;
+    a query with fewer than two warm runs has no spread to audit."""
     bad = []
     for name, runs in (bench.get("runs") or {}).items():
-        if not runs or max(runs) < FLOOR_SECS:
+        warm = runs[1:]
+        if len(warm) < 2 or max(warm) < FLOOR_SECS:
             continue
         # a zero run under a >floor max is an INFINITE spread — the
         # worst contention signal, never a skip
-        lo = min(runs)
-        if lo <= 0 or max(runs) / lo > SPREAD_RATIO:
+        lo = min(warm)
+        if lo <= 0 or max(warm) / lo > SPREAD_RATIO:
             bad.append((name, label, runs))
     return bad
 
