@@ -621,6 +621,22 @@ object ScaleProbe {
           16, 4, 0.8).select("d1", "d2"))
         .write.format("noop").mode("overwrite").save()
     }
+    // x144 over 50k docs: the x133 scan-side signal projection with
+    // three more counting lanes in the same source-grain exchange
+    t("gate-attribution-50k") {
+      graft.ops.Curate.gateAttribution(docs10, "source", "text",
+        0.35, 0.05)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x145 over 50k docs at 10x pair AND exact-dup density: one
+    // fingerprint-grain exchange + the pair union + two membership
+    // joins, one output row
+    t("tier-overlap-50k") {
+      graft.ops.Dedup.dedupTierOverlap(docs10,
+        graft.ops.Dedup.minhashLshPairs(docs10, "doc_id", "text",
+          16, 4, 0.8).select("d1", "d2"), "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
     // x143 over 50k docs at 10x pair density: one fold over the pair
     // table to <= 101 bucket rows; the cumulative window never sees
     // more than those rows

@@ -35,8 +35,12 @@ object Curate {
       round(size(array_distinct(ts)).cast("double") / size(ts), 6)
         .as("quality"),
       size(sh2).cast("long").as("n_ngrams"),
-      round(lit(1.0) -
-        size(array_distinct(sh2)).cast("double") / size(sh2), 6)
+      // guarded: a 1-token doc has zero bigrams, and under ANSI mode
+      // the unguarded divide is a runtime DIVIDE_BY_ZERO (non-ANSI it
+      // was already null) — the gate never reads the ratio at
+      // n_ngrams = 0, so null is the one value both modes agree on
+      when(size(sh2) > 0, round(lit(1.0) -
+        size(array_distinct(sh2)).cast("double") / size(sh2), 6))
         .as("dup_ngram_ratio"),
       md5(TextAnalysis.normalize(col(textCol))).as("norm_fp")): _*)
   }
@@ -45,6 +49,46 @@ object Curate {
   def gatePass(qualityMin: Double, dupMax: Double): Column =
     col("n_ngrams") > 0 && col("quality") >= qualityMin &&
       col("dup_ngram_ratio") <= dupMax
+
+  /** X144 — per-source gate-RULE attribution: not just how much each
+    * source loses at the gate (x133's rate) but to WHICH rule — a
+    * source dying on `too_short` wants its extractor fixed, one dying
+    * on `repetitive` wants template stripping, one dying on
+    * `low_quality` may just be a different register. Rules are counted
+    * INDEPENDENTLY (a document can trip several), `n_failed` is the
+    * any-rule count (n_docs − passed, so a null-signal document —
+    * null text — fails without being attributed to a rule it never
+    * evaluated). Null sources are excluded (the x131 rule).
+    *
+    * SHAPE AT 100 TB: the [[gateSignals]] scan-side projection plus
+    * one source-grain exchange with map-side combine — the x133 shape
+    * with three more counting lanes; nothing new materializes.
+    *
+    * Output: (src, n_docs, n_too_short, n_low_quality, n_repetitive,
+    * n_failed, fail_ppm), one row per source.
+    */
+  def gateAttribution(docs: DataFrame, srcCol: String, textCol: String,
+                      qualityMin: Double, dupMax: Double): DataFrame = {
+    val sig = gateSignals(docs.filter(col(srcCol).isNotNull)
+      .select(col(srcCol).as("src"), col(textCol)), textCol)
+    sig.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("n_ngrams") === 0, 1L)), lit(0L))
+          .as("n_too_short"),
+        coalesce(sum(when(col("n_ngrams") > 0 &&
+          col("quality") < qualityMin, 1L)), lit(0L))
+          .as("n_low_quality"),
+        coalesce(sum(when(col("n_ngrams") > 0 &&
+          col("dup_ngram_ratio") > dupMax, 1L)), lit(0L))
+          .as("n_repetitive"),
+        coalesce(sum(when(gatePass(qualityMin, dupMax), 1L)), lit(0L))
+          .as("__passed"))
+      .select(col("src"), col("n_docs"), col("n_too_short"),
+        col("n_low_quality"), col("n_repetitive"),
+        (col("n_docs") - col("__passed")).as("n_failed"),
+        expr("CAST(CAST(n_docs - __passed AS DECIMAL(38,0)) * 1000000 " +
+          "div n_docs AS BIGINT)").as("fail_ppm"))
+  }
 
   /** The one hash-bucket expression, shared with [[Sample]] so the two
     * can never diverge.

@@ -1190,6 +1190,54 @@ object Dedup {
           "div __total AS BIGINT)").as("docs_ppm"))
   }
 
+  /** X145 — dedup-tier overlap audit: how much of the NEAR-dup
+    * problem the cheap EXACT tier already catches. Exact membership =
+    * sharing a normalized fingerprint (the [[graft.ops.Curate
+    * .gateSignals]] norm_fp seam) with at least one other document;
+    * near membership = appearing in any verified LSH pair. The one-row
+    * answer prices the pipeline choice: `exact_covers_near_ppm` near
+    * 10⁶ says hash-dedup suffices and the MinHash stage is paying for
+    * a sliver (`n_near_only`); a low value says the corpus's
+    * duplication is genuinely fuzzy. Null texts are never exact
+    * members (their fingerprint is null, and null is not a group).
+    *
+    * SHAPE AT 100 TB: one fingerprint-grain exchange (the x2 exact-
+    * dedup shape), the duplicate-density pair union, two
+    * key-partitioned membership joins, ONE output row.
+    *
+    * Output: (n_docs, n_exact, n_near, n_both, n_exact_only,
+    * n_near_only, exact_covers_near_ppm).
+    */
+  def dedupTierOverlap(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val fp = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        md5(TextAnalysis.normalize(col(textCol))).as("__fp"))
+    val dupFps = fp.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(col("__fp"))
+    val exactIds = fp.join(dupFps, Seq("__fp"))
+      .select(col(idCol), lit(1L).as("__ex"))
+    val nearIds = pairs.select(col("d1").as(idCol))
+      .union(pairs.select(col("d2").as(idCol))).distinct()
+      .withColumn("__nr", lit(1L))
+    docs.select(col(idCol))
+      .join(exactIds, Seq(idCol), "left")
+      .join(nearIds, Seq(idCol), "left")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__ex")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("__nr")), lit(0L)).as("n_near"),
+        coalesce(sum(when(col("__ex").isNotNull &&
+          col("__nr").isNotNull, 1L)), lit(0L)).as("n_both"))
+      .select(col("n_docs"), col("n_exact"), col("n_near"),
+        col("n_both"),
+        (col("n_exact") - col("n_both")).as("n_exact_only"),
+        (col("n_near") - col("n_both")).as("n_near_only"),
+        expr("CASE WHEN n_near = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(CAST(n_both AS DECIMAL(38,0)) * 1000000 " +
+          "div n_near AS BIGINT) END").as("exact_covers_near_ppm"))
+  }
+
   /** X143 — pair-similarity histogram: the verified near-dup pairs
     * bucketed by Jaccard at centi grain, with the cumulative
     * at-or-above count — the THRESHOLD-SENSITIVITY curve. The 0.8 cut

@@ -1364,6 +1364,21 @@ object ExtQueries {
       Dedup.pairSimilarityHistogram(lshPairs(s, dir))
         .orderBy("jac_centi")),
 
+    // X144 per-source gate-RULE attribution: x133 said how much each
+    // source loses at the gate; this says to WHICH rule (too_short /
+    // low_quality / repetitive) — the x133 shape with three more
+    // counting lanes in the same source-grain exchange
+    "x144_gate_attribution" -> ((s, dir) =>
+      Curate.gateAttribution(Tables.documents(s, dir), "source",
+        "text", CurateQualityMin, CurateDupMax).orderBy("src")),
+
+    // X145 dedup-tier overlap: how much of the near-dup problem the
+    // cheap exact tier already catches — one fingerprint exchange, the
+    // pair union, two membership joins, ONE row
+    "x145_tier_overlap" -> ((s, dir) =>
+      Dedup.dedupTierOverlap(Tables.documents(s, dir),
+        lshPairs(s, dir).select("d1", "d2"), "doc_id", "text")),
+
     // X126 sequence-length decision audit: exact pad-waste and
     // truncation-loss ppm per candidate context length — group-grain
     // (one row per L), the single exchange carries |grid| partials
@@ -5130,6 +5145,79 @@ object ExtQueries {
          |  CAST(CAST(n_docs AS HUGEINT) * 1000000 // total AS BIGINT)
          |    AS docs_ppm
          |FROM uni CROSS JOIN tot ORDER BY cluster_size""".stripMargin,
+
+    // the x133 sig CTE with per-rule counting lanes; null-signal rows
+    // (null text) count in n_docs and n_failed but no specific rule
+    "x144_gate_attribution" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |   string_split(text, ' ') AS ts FROM documents
+         |   WHERE source IS NOT NULL),
+         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ts) - 1),
+         |  i -> ts[i] || ' ' || ts[i+1]) AS g FROM t),
+         |sig AS (SELECT t.doc_id, t.source,
+         |  round(CAST(len(list_distinct(t.ts)) AS DOUBLE) / len(t.ts), 6)
+         |    AS quality,
+         |  len(sh.g) AS n_ngrams,
+         |  round(1.0 - CAST(len(list_distinct(sh.g)) AS DOUBLE) / len(sh.g), 6)
+         |    AS dup_ngram_ratio
+         |  FROM t JOIN sh ON sh.doc_id = t.doc_id)
+         |SELECT source AS src, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE n_ngrams = 0) AS BIGINT)
+         |    AS n_too_short,
+         |  CAST(count(*) FILTER (WHERE n_ngrams > 0
+         |    AND quality < $CurateQualityMin) AS BIGINT) AS n_low_quality,
+         |  CAST(count(*) FILTER (WHERE n_ngrams > 0
+         |    AND dup_ngram_ratio > $CurateDupMax) AS BIGINT)
+         |    AS n_repetitive,
+         |  CAST(count(*) - count(*) FILTER (WHERE n_ngrams > 0
+         |    AND quality >= $CurateQualityMin
+         |    AND dup_ngram_ratio <= $CurateDupMax) AS BIGINT) AS n_failed,
+         |  CAST(CAST(count(*) - count(*) FILTER (WHERE n_ngrams > 0
+         |     AND quality >= $CurateQualityMin
+         |     AND dup_ngram_ratio <= $CurateDupMax) AS HUGEINT)
+         |    * 1000000 // count(*) AS BIGINT) AS fail_ppm
+         |FROM sig GROUP BY 1 ORDER BY src""".stripMargin,
+
+    // the x9 pair list's member-id union against the normalized-
+    // fingerprint exact groups — one overlap row
+    "x145_tier_overlap" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2),
+         |p AS (SELECT d1, d2 FROM j WHERE jac >= $JaccardThreshold),
+         |m AS (SELECT DISTINCT doc_id FROM (SELECT d1 AS doc_id FROM p
+         |  UNION ALL SELECT d2 AS doc_id FROM p)),
+         |fp AS (SELECT doc_id,
+         |   md5(trim(regexp_replace(regexp_replace(lower(text),
+         |     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS f
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 1),
+         |ex AS (SELECT fp.doc_id FROM fp JOIN g USING (f)),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(count(ex.doc_id) AS BIGINT) AS n_exact,
+         |   CAST(count(m.doc_id) AS BIGINT) AS n_near,
+         |   CAST(count(CASE WHEN ex.doc_id IS NOT NULL
+         |     AND m.doc_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_both
+         |  FROM documents d
+         |  LEFT JOIN ex ON ex.doc_id = d.doc_id
+         |  LEFT JOIN m ON m.doc_id = d.doc_id)
+         |SELECT n_docs, n_exact, n_near, n_both,
+         |  n_exact - n_both AS n_exact_only,
+         |  n_near - n_both AS n_near_only,
+         |  CASE WHEN n_near = 0 THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(CAST(n_both AS HUGEINT) * 1000000 // n_near
+         |    AS BIGINT) END AS exact_covers_near_ppm
+         |FROM agg""".stripMargin,
 
     // the x9 pair list bucketed by its own rounded jac lane; the
     // cumulative window runs over <= 101 bucket rows

@@ -183,6 +183,57 @@ class AuditOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 4L, 4L, 1000000L)))
   }
 
+  // ---- x144 gate-rule attribution ----
+
+  test("gateAttribution: rules counted independently, a doc can trip " +
+    "several, n_failed is the any-rule count; null sources drop") {
+    val good = (1 to 8).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      ("a", good),                              // passes
+      ("a", Seq.fill(8)("w").mkString(" ")),    // low_quality AND repetitive
+      ("a", "x"),                               // too_short (0 bigrams)
+      ("b", good), ("b", good + " t9"),         // both pass
+      (null.asInstanceOf[String], "dropped"))
+      .toDF("source", "text")
+    val got = Curate.gateAttribution(docs, "source", "text", 0.5, 0.2)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === Seq(
+      ("a", 3L, 1L, 1L, 1L, 2L, 666666L),
+      ("b", 2L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  // ---- x145 dedup-tier overlap ----
+
+  test("dedupTierOverlap: exact membership via normalized fingerprint " +
+    "groups, near via the pair union; null text never exact") {
+    val docs = Seq(
+      (1L, "dup text a"), (2L, "dup text a"),   // exact group
+      (3L, "foo bar"), (4L, "baz qux"),         // near-only (pairs below)
+      (5L, "unique here"),
+      (6L, null.asInstanceOf[String]),          // null text: never exact
+      (7L, "Dup, TEXT a!"))                     // normalizes into the group
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("d1", "d2")
+    val got = Dedup.dedupTierOverlap(docs, pairs, "doc_id", "text")
+      .collect()(0)
+    assert((0 to 6).map(got.getLong) ===
+      Seq(7L, 3L, 4L, 2L, 1L, 2L, 500000L))
+  }
+
+  test("dedupTierOverlap: empty pair table reports zero near and " +
+    "zero ppm (no division by zero)") {
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val pairs = spark.emptyDataFrame
+      .select(lit(0L).as("d1"), lit(0L).as("d2")).limit(0)
+    val got = Dedup.dedupTierOverlap(docs, pairs, "doc_id", "text")
+      .collect()(0)
+    assert((0 to 6).map(got.getLong) ===
+      Seq(3L, 2L, 0L, 0L, 2L, 0L, 0L))
+  }
+
   // ---- x143 pair-similarity histogram ----
 
   test("pairSimilarityHistogram: centi buckets with the cumulative " +
