@@ -765,4 +765,41 @@ class PlanShapeSpec extends SparkSpec {
       Tables.embeddings(spark, sf), "vec_id", "embedding"))
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("x144 gate attribution is ONE source-grain exchange over the " +
+    "scan-side signal projection (the x133 shape, more lanes)") {
+    val plan = physical(Curate.gateAttribution(
+      Tables.documents(spark, sf), "source", "text", 0.35, 0.05))
+    assert(countOccurrences(plan, "Exchange") === 1, s"plan:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
+  test("x143 pair histogram: the bucket fold pays one exchange; the " +
+    "cumulative window's single-partition exchange sees only the " +
+    "<= 101 bucket rows, never the pair table") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.85), (3L, 4L, 0.92)).toDF("d1", "d2", "jac")
+    val plan = physical(Dedup.pairSimilarityHistogram(pairs))
+    // exactly two: the centi-grain aggregation exchange (pair-table
+    // sized input, bucket-sized output) and the global-window
+    // SinglePartition exchange that follows it (bucket-sized input)
+    assert(countOccurrences(plan, "Exchange") === 2, s"plan:\n$plan")
+    assert(plan.contains("SinglePartition"), s"plan:\n$plan")
+  }
+
+  test("x140/x145 pair-attribution joins carry no cartesian product " +
+    "and no planted broadcast hint") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("d1", "d2")
+    for (df <- Seq(
+        Dedup.crossSourceDupMatrix(Tables.documents(spark, sf), pairs,
+          "doc_id", "source"),
+        Dedup.dedupTierOverlap(Tables.documents(spark, sf), pairs,
+          "doc_id", "text"))) {
+      assert(!physical(df).contains("CartesianProduct"),
+        s"cartesian in:\n${physical(df)}")
+      assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "planted broadcast hint")
+    }
+  }
 }
