@@ -68,7 +68,20 @@ object Curate {
     * n_failed, fail_ppm), one row per source.
     */
   def gateAttribution(docs: DataFrame, srcCol: String, textCol: String,
-                      qualityMin: Double, dupMax: Double): DataFrame = {
+                      qualityMin: Double, dupMax: Double): DataFrame =
+    attributionOf(attributionCounts(docs, srcCol, textCol, qualityMin,
+      dupMax))
+
+  /** The ADDITIVE per-source rule-count lanes both [[gateAttribution]]
+    * and the streaming twin's delta build share (counts from disjoint
+    * batches merge by pure addition — the [[graft.ops.CorpusStats]]
+    * `keynessOf` discipline). One tokenization/threshold path, so the
+    * batch and streaming seams cannot drift.
+    */
+  private[graft] def attributionCounts(docs: DataFrame, srcCol: String,
+                                       textCol: String,
+                                       qualityMin: Double,
+                                       dupMax: Double): DataFrame = {
     val sig = gateSignals(docs.filter(col(srcCol).isNotNull)
       .select(col(srcCol).as("src"), col(textCol)), textCol)
     sig.groupBy(col("src"))
@@ -82,13 +95,16 @@ object Curate {
           col("dup_ngram_ratio") > dupMax, 1L)), lit(0L))
           .as("n_repetitive"),
         coalesce(sum(when(gatePass(qualityMin, dupMax), 1L)), lit(0L))
-          .as("__passed"))
-      .select(col("src"), col("n_docs"), col("n_too_short"),
-        col("n_low_quality"), col("n_repetitive"),
-        (col("n_docs") - col("__passed")).as("n_failed"),
-        expr("CAST(CAST(n_docs - __passed AS DECIMAL(38,0)) * 1000000 " +
-          "div n_docs AS BIGINT)").as("fail_ppm"))
+          .as("n_passed"))
   }
+
+  /** The derived lanes over already-accumulated attribution counts. */
+  private[graft] def attributionOf(counts: DataFrame): DataFrame =
+    counts.select(col("src"), col("n_docs"), col("n_too_short"),
+      col("n_low_quality"), col("n_repetitive"),
+      (col("n_docs") - col("n_passed")).as("n_failed"),
+      expr("CAST(CAST(n_docs - n_passed AS DECIMAL(38,0)) * 1000000 " +
+        "div n_docs AS BIGINT)").as("fail_ppm"))
 
   /** The one hash-bucket expression, shared with [[Sample]] so the two
     * can never diverge.

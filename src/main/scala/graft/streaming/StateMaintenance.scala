@@ -270,7 +270,8 @@ object StateMaintenance {
     "KsDriftStream" -> (Seq("counts"), Seq("ks")),
     "ConcentrationStream" -> (Seq("counts"), Seq("conc")),
     "SourceDupStream" -> (Seq("docs", "bands", "pairs", "src"),
-      Seq("dup")))
+      Seq("dup")),
+    "GateAttributionStream" -> (Seq("counts"), Seq("attr")))
 
   /** One-call maintenance for a twin's whole state root: fold every
     * union-read subdir, prune every snapshot subdir, both at the same

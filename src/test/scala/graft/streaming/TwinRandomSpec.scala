@@ -105,6 +105,29 @@ class TwinRandomSpec extends SparkSpec {
       maintainAs = Some(("GateRateStream", state)))
   }
 
+  test("GateAttributionStream: random batches + replays keep full " +
+    "snapshot equality with gateAttribution") {
+    val rnd = new scala.util.Random(3305)
+    def text(): String = rnd.nextInt(4) match {
+      case 0 => (1 to 8).map(i => s"t${rnd.nextInt(999)}_$i").mkString(" ")
+      case 1 => Seq.fill(8)("a").mkString(" ")   // low quality + repetitive
+      case 2 => "solo"                            // too_short (0 bigrams)
+      case _ => (1 to 6).map(i => s"u$i").mkString(" ")
+    }
+    val rows: Seq[(String, String)] =
+      (0 until 50).map(_ => (s"s${rnd.nextInt(4)}", text()))
+    val state = tmpDir("twin-rnd-gas")
+    drive[(String, String)](rnd, randomSplit(rnd, rows, 5),
+      (b, i) => GateAttributionStream.applyBatch(state, "source",
+        "text", 0.5, 0.2)(b.toDF("source", "text"), i),
+      () => GateAttributionStream.latest(spark, state)
+        .orderBy("src").collect().map(_.toSeq).toSeq,
+      seen => graft.ops.Curate.gateAttribution(
+          seen.toDF("source", "text"), "source", "text", 0.5, 0.2)
+        .orderBy("src").collect().map(_.toSeq).toSeq,
+      maintainAs = Some(("GateAttributionStream", state)))
+  }
+
   test("SourceDupStream: random batches + replays keep full snapshot " +
     "equality with sourceDupRate over the batch LSH pairs") {
     val rnd = new scala.util.Random(3304)
