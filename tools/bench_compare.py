@@ -8,10 +8,12 @@ The committed-pair acceptance rule (PLANS.md, round 16):
   1. PAIR AGREEMENT — every query whose median exceeds 0.3 s in either
      run must agree within 2x between the runs (real regressions move
      the median; adjacent clean runs do not).
-  2. INTERNAL SPREAD — any query whose own run array spreads more than
-     3x min-to-max (above the 0.3 s floor) marks its run as CONTENDED:
-     a real regression moves every run, machine contention shows as
-     one outlier inside a wide spread. A contended run is re-run, not
+  2. INTERNAL SPREAD — any query whose WARM re-runs (the run array
+     minus its first, cold entry — cold pays one-off plan codegen/JIT
+     and legitimately dwarfs warm cost) spread more than 3x min-to-max
+     above the 0.3 s floor marks its run as CONTENDED: a real
+     regression moves every warm run, machine contention shows as one
+     outlier inside a wide spread. A contended run is re-run, not
      committed.
 
 Exit code 0 = the pair (or run) is committable; 1 = re-run needed.
@@ -60,9 +62,10 @@ def main(argv):
     for b, p in zip(benches, argv[1:3]):
         for name, label, runs in spread_violations(b, p):
             ok = False
-            print(f"CONTENDED {name} in {label}: runs {runs} spread "
-                  + ("inf" if min(runs) <= 0
-                     else f"{max(runs) / min(runs):.1f}x"))
+            warm = runs[1:]
+            print(f"CONTENDED {name} in {label}: runs {runs} warm spread "
+                  + ("inf" if min(warm) <= 0
+                     else f"{max(warm) / min(warm):.1f}x"))
 
     if len(benches) == 2:
         qa, qb = benches[0]["queries"], benches[1]["queries"]
