@@ -637,6 +637,12 @@ object ScaleProbe {
           16, 4, 0.8).select("d1", "d2"), "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     }
+    // x146 over 50k docs at 10x exact-dup density (every doc has 10
+    // copies): one fingerprint exchange folded to size grain
+    t("exact-histogram-50k") {
+      graft.ops.Dedup.exactClusterHistogram(docs10, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
     // x143 over 50k docs at 10x pair density: one fold over the pair
     // table to <= 101 bucket rows; the cumulative window never sees
     // more than those rows

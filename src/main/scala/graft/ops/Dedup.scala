@@ -1168,9 +1168,36 @@ object Dedup {
     * DECIMAL(38,0) lane. Zero-cluster sizes are absent.
     */
   def dupClusterHistogram(docs: DataFrame,
-                          pairs: DataFrame): DataFrame = {
-    val sizes = Cluster.components(pairs)
+                          pairs: DataFrame): DataFrame =
+    histogramOf(Cluster.components(pairs)
       .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .select(col("cluster_size")), docs)
+
+  /** X146 — EXACT-cluster size histogram: [[dupClusterHistogram]]'s
+    * companion for the cheap tier — normalized-fingerprint group sizes
+    * instead of near-dup components. Read beside x141 and the x145
+    * overlap row, the three answer the tier question in full: how big
+    * are the exact clusters, how big the fuzzy ones, and how much of
+    * the second the first already covers. Null texts have no
+    * fingerprint and fold into the singleton row.
+    *
+    * SHAPE AT 100 TB: ONE fingerprint-grain exchange (the x2 exact-
+    * dedup shape) folded to size grain — no pair table, no closure.
+    */
+  def exactClusterHistogram(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    histogramOf(docs.filter(col(textCol).isNotNull)
+      .select(md5(TextAnalysis.normalize(col(textCol))).as("__fp"))
+      .groupBy(col("__fp")).agg(count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") > 1)
+      .select(col("cluster_size")), docs)
+
+  /** The shared size-grain histogram fold: `sizes` carries one
+    * `cluster_size` row per multi-member cluster (every size >= 2 by
+    * construction on both call paths); singletons derive from the
+    * corpus count minus the member count — no second corpus pass.
+    */
+  private def histogramOf(sizes: DataFrame, docs: DataFrame): DataFrame = {
     val multi = sizes.groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("cluster_size")).as("n_docs"))

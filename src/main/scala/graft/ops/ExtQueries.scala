@@ -1379,6 +1379,12 @@ object ExtQueries {
       Dedup.dedupTierOverlap(Tables.documents(s, dir),
         lshPairs(s, dir).select("d1", "d2"), "doc_id", "text")),
 
+    // X146 exact-cluster histogram: x141's companion for the cheap
+    // tier — fingerprint group sizes, one exchange, no pair table
+    "x146_exact_histogram" -> ((s, dir) =>
+      Dedup.exactClusterHistogram(Tables.documents(s, dir), "doc_id",
+        "text").orderBy("cluster_size")),
+
     // X126 sequence-length decision audit: exact pad-waste and
     // truncation-loss ppm per candidate context length — group-grain
     // (one row per L), the single exchange carries |grid| partials
@@ -5177,6 +5183,31 @@ object ExtQueries {
          |     AND dup_ngram_ratio <= $CurateDupMax) AS HUGEINT)
          |    * 1000000 // count(*) AS BIGINT) AS fail_ppm
          |FROM sig GROUP BY 1 ORDER BY src""".stripMargin,
+
+    // the fingerprint group sizes folded exactly like x141's component
+    // sizes; singletons (including null-text docs) from corpus minus
+    // members
+    "x146_exact_histogram" ->
+      s"""WITH fp AS (SELECT
+         |   md5(trim(regexp_replace(regexp_replace(lower(text),
+         |     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS f
+         |  FROM documents WHERE text IS NOT NULL),
+         |sz AS (SELECT f, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM fp GROUP BY 1 HAVING count(*) > 1),
+         |multi AS (SELECT cluster_size,
+         |   CAST(count(*) AS BIGINT) AS n_clusters,
+         |   CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         |  FROM sz GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+         |mem AS (SELECT CAST(coalesce(sum(cluster_size), 0) AS BIGINT)
+         |   AS members FROM sz),
+         |uni AS (SELECT * FROM multi UNION ALL
+         |  SELECT CAST(1 AS BIGINT), total - members, total - members
+         |  FROM tot CROSS JOIN mem WHERE total - members > 0)
+         |SELECT cluster_size, n_clusters, n_docs,
+         |  CAST(CAST(n_docs AS HUGEINT) * 1000000 // total AS BIGINT)
+         |    AS docs_ppm
+         |FROM uni CROSS JOIN tot ORDER BY cluster_size""".stripMargin,
 
     // the x9 pair list's member-id union against the normalized-
     // fingerprint exact groups — one overlap row

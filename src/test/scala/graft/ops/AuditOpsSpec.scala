@@ -234,6 +234,26 @@ class AuditOpsSpec extends SparkSpec {
       Seq(3L, 2L, 0L, 0L, 2L, 0L, 0L))
   }
 
+  // ---- x146 exact-cluster histogram ----
+
+  test("exactClusterHistogram: fingerprint group sizes; null texts " +
+    "and normalization-distinct docs are singletons") {
+    val docs = Seq(
+      (1L, "dup text a"), (2L, "dup text a"), (3L, "Dup, TEXT a!"),
+      (4L, "same b"), (5L, "same b"),
+      (6L, "unique"), (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactClusterHistogram(docs, "doc_id", "text")
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // one 3-cluster (1,2,3 normalize together), one 2-cluster (4,5),
+    // two singletons (6 and the null-text 7)
+    assert(got === Seq((1L, 2L, 2L, 285714L), (2L, 1L, 2L, 285714L),
+      (3L, 1L, 3L, 428571L)))
+    assert(got.map(_._3).sum === 7L)
+  }
+
   // ---- x143 pair-similarity histogram ----
 
   test("pairSimilarityHistogram: centi buckets with the cumulative " +
