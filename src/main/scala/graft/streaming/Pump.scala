@@ -161,31 +161,41 @@ object Pump {
   def compact(spark: SparkSession, sinkPath: String,
               isClosed: String => Boolean = _ => true,
               filesPerDate: Int = 1): Int = {
-    val root = new java.io.File(sinkPath)
-    val dates = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("collect_date="))
-      .map(_.getName.stripPrefix("collect_date="))
-      .filter(isClosed)
-      .sorted
-    dates.foreach { d =>
-      val part = s"$sinkPath/collect_date=$d"
+    // the fold rides StateMaintenance's manifest-committed protocol
+    // with each DATE PARTITION as the fold root: stage the rewritten
+    // rows in a hidden dir, commit with one small manifest object,
+    // roll forward with per-file idempotent moves. Works unchanged on
+    // hdfs:// and s3a:// sinks (no atomic directory rename anywhere),
+    // and a crash at any point either vanishes (pre-commit) or
+    // completes on the next call (recoverDir below runs for EVERY
+    // date, open or closed — a crashed fold repairs even if its date
+    // is no longer selected).
+    val (fs, root) = StateMaintenance.fsRoot(sinkPath)
+    if (!fs.exists(root)) return 0
+    val dateDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("collect_date="))
+      .map(_.getPath).sortBy(_.getName)
+    dateDirs.foreach(StateMaintenance.recoverDir(fs, _))
+    val dates = dateDirs
+      .filter(p => isClosed(p.getName.stripPrefix("collect_date=")))
+    dates.foreach { dateRoot =>
+      val part = dateRoot.toString
       val rows = spark.read.parquet(part) // batch_id=* dirs under one date
         .drop("batch_id")
         .dropDuplicates() // folds a replayed batch's (bit-identical) rows
-      val tmp = s"$sinkPath/.compact_tmp_collect_date=$d"
-      rows.repartition(filesPerDate).write.mode("overwrite").parquet(tmp)
-      // atomic-enough swap on a filesystem with cheap rename; object
-      // stores would commit via their own atomic-rename layer
-      val dst = new java.io.File(part)
-      val bak = new java.io.File(s"$sinkPath/.compact_old_collect_date=$d")
-      require(dst.renameTo(bak), s"rename away $part failed")
-      require(dst.mkdirs(), s"recreate $part failed")
-      require(new java.io.File(tmp).renameTo(new java.io.File(dst, "batch_id=-1")),
-        s"rename in $tmp failed")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-      }
-      rm(bak)
+      val tmp = new org.apache.hadoop.fs.Path(dateRoot, ".fold_tmp")
+      rows.repartition(filesPerDate).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val staged = fs.listStatus(tmp).map(_.getPath.getName)
+        .filter(n => !n.startsWith(".") && !n.startsWith("_")).toSeq
+      val drop = fs.listStatus(dateRoot)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch_id=") &&
+          st.getPath.getName != "batch_id=-1")
+        .map(_.getPath.getName).toSeq
+      StateMaintenance.commitManifest(fs, dateRoot, staged, drop)
+      StateMaintenance.recoverDir(fs, dateRoot) // rolls the commit forward
     }
     dates.length
   }

@@ -64,8 +64,12 @@ object SourceDupStream {
           .select(cols.map(col): _*))
     val docsAll = through("src",
       batch.select(col(idCol), col(srcCol).as("src")), Seq(idCol, "src"))
-    val pairsLike = spark.range(0)
-      .select(lit(0L).as("d1"), lit(0L).as("d2"))
+    // empty-pairs schema derives d1/d2 from the id column's OWN type:
+    // pair partitions carry whatever type idCol has, and a hardcoded
+    // LongType would silently widen (bigint vs string) or fail at
+    // runtime on the union for non-long ids
+    val pairsLike = batch
+      .select(col(idCol).as("d1"), col(idCol).as("d2")).limit(0)
     val pairsAll = through("pairs", pairsLike, Seq("d1", "d2"))
 
     Dedup.sourceDupRate(docsAll, pairsAll, idCol, "src")

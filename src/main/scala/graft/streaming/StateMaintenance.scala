@@ -1,7 +1,9 @@
 package graft.streaming
 
-import java.io.File
+import java.nio.charset.StandardCharsets
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,23 +16,22 @@ import org.apache.spark.sql.functions._
   * read must LIST and footer-read all of them — per-batch cost grows
   * with partition COUNT even while data volume stays batch-sized.
   *
-  * Two state shapes, two maintenance moves (both already proven
-  * in-repo for other tables):
+  * Two state shapes, two maintenance moves:
   *
   *  - UNION-READ state (index rows, additive count/moment deltas,
   *    emitted ledgers — everything consumed through
   *    [[DedupStream.readState]] or a union-all external accessor):
   *    [[compactState]] folds every `0 <= batch_id < watermark`
   *    partition (plus any previous fold) into the `batch_id=-1`
-  *    SENTINEL partition — the [[Pump.compact]] contract. The sentinel
-  *    keeps partition depth uniform (mixed layouts break discovery),
-  *    and `-1 < N` for every real batch, so every strict `batch_id < N`
-  *    read naturally includes it: readers need NO change. Unlike the
-  *    sink fold, state rows are NOT deduplicated — additive deltas
-  *    from different batches are distinct contributions even when
-  *    bit-identical (two batches can each contribute `(word, n=5)`),
-  *    whereas sink rows carry unique mids. Replay safety comes from
-  *    the WATERMARK RULE below, not from dedup.
+  *    SENTINEL partition. The sentinel keeps partition depth uniform
+  *    (mixed layouts break discovery), and `-1 < N` for every real
+  *    batch, so every strict `batch_id < N` read naturally includes
+  *    it: readers need NO change. Unlike the sink fold, state rows are
+  *    NOT deduplicated — additive deltas from different batches are
+  *    distinct contributions even when bit-identical (two batches can
+  *    each contribute `(word, n=5)`), whereas sink rows carry unique
+  *    mids. Replay safety comes from the WATERMARK RULE below, not
+  *    from dedup.
   *
   *  - SNAPSHOT state (each batch overwrites a FULL answer; only the
   *    max batch_id is ever read, via [[DedupStream.latestSnapshot]]):
@@ -38,119 +39,235 @@ import org.apache.spark.sql.functions._
   *    partitions — the [[CdcApplyStream]] retention contract. The
   *    latest snapshot always survives (the watermark clamps to it).
   *
+  * EVERY filesystem touch goes through the Hadoop [[FileSystem]] API
+  * resolved from the path's own scheme — plain paths, `file:`,
+  * `hdfs://`, and `s3a://` state roots all self-maintain. The commit
+  * protocol deliberately does NOT rely on atomic directory rename
+  * (object stores have none; S3A "rename" is a per-object copy+delete
+  * that can be observed half-done). Instead the fold is
+  * MANIFEST-COMMITTED:
+  *
+  *   1. STAGE — the folded rows are written to the hidden
+  *      `.fold_tmp/` (partition discovery skips dot-dirs). No live
+  *      partition is touched: a crash anywhere in this phase leaves
+  *      the table bit-identical to before the fold.
+  *   2. COMMIT — a single small `.fold_manifest` file is published
+  *      (written inside the staging dir, then renamed up one level).
+  *      One object, written whole: a single-file PUT/rename is the
+  *      one mutation every production filesystem exposes atomically
+  *      enough — the manifest either exists with full content or not
+  *      at all. It names the staged data files and the superseded
+  *      `batch_id=N` partitions.
+  *   3. ROLL FORWARD — superseded sentinel files are deleted, each
+  *      staged file is moved into `batch_id=-1/` (per-file,
+  *      idempotent: a file already at its destination was moved by a
+  *      previous attempt; staged part names carry write-job UUIDs so
+  *      generations never collide), the manifest's `drop` partitions
+  *      are deleted, the staging dir is removed, and the manifest is
+  *      deleted LAST — its absence IS "fold complete".
+  *
+  * Crash recovery ([[recoverDir]], run ahead of every batch by
+  * [[selfMaintaining]]) is therefore two existence probes: manifest
+  * present → the fold committed, roll it forward to completion (every
+  * step above is idempotent at every crash point); staging present
+  * without a manifest → the fold never committed, delete the staging
+  * dir — the live partitions were never touched, so there is nothing
+  * to restore. Restoring a `drop`-listed partition by hand after the
+  * commit would DOUBLE-COUNT every folded delta — which is exactly
+  * why recovery is code, not a doc instruction.
+  *
   * THE WATERMARK RULE — never fold or prune a batch that an in-flight
   * replay could still rewrite. A `foreachBatch` replay re-runs only
   * batches NOT yet committed in the streaming checkpoint; a replayed
   * batch N (a) re-reads strictly `batch_id < N` and (b) overwrites its
   * own `batch_id=N` partition. Folding a batch that can still replay
   * breaks both: its rows would sit in the sentinel (which every read
-  * includes) AND reappear in the recreated live partition — duplicates
-  * — and the sentinel would leak batches >= N into the replay's input.
-  * With `watermark <= smallest replayable batch id` neither can
-  * happen: the sentinel is a strict subset of `batch_id < N` for every
-  * replayable N, and no folded partition is ever rewritten.
-  * [[committedWatermark]] derives the safe value from the query's own
-  * checkpoint (last committed batch + 1). Like [[Pump.compact]], run
-  * maintenance from a schedule BETWEEN micro-batches (or with the
-  * stream paused): the swap has a brief window where a concurrent
-  * reader would see the table mid-rename.
+  * includes) AND reappear in the recreated live partition —
+  * duplicates — and the sentinel would leak batches >= N into the
+  * replay's input. With `watermark <= smallest replayable batch id`
+  * neither can happen. [[committedWatermark]] derives the safe value
+  * from the query's own checkpoint (last committed batch + 1).
+  *
+  * CONCURRENT EXTERNAL READERS: the stream itself never races its own
+  * maintenance ([[selfMaintaining]] folds inside `foreachBatch`, after
+  * the step, when no batch is in flight), but an OUT-OF-BAND reader —
+  * a dashboard calling `pairs()`/`latest()` while the stream runs —
+  * can list the state dir inside the roll-forward or prune window and
+  * transiently fail (`FileNotFoundException` on a just-dropped
+  * partition) or observe a partial union. Committed stream state is
+  * never affected. External readers that poll a live twin should
+  * retry on listing errors (or read with
+  * `spark.sql.files.ignoreMissingFiles`), or run at a `maintainEvery`
+  * cadence boundary they control.
   */
 object StateMaintenance {
 
-  private def rm(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+  private val TmpName = ".fold_tmp"
+  private val ManifestName = ".fold_manifest"
+  private val SentinelName = "batch_id=-1"
+  private val ManifestHeader = "graft-fold v1"
+
+  /** Resolve a state path to its Hadoop [[FileSystem]] — local for
+    * plain paths and `file:` URIs, the scheme's filesystem otherwise.
+    * The active session's Hadoop conf carries cluster addresses and
+    * object-store credentials; the bare default conf only ever serves
+    * local paths in practice.
+    */
+  private[streaming] def fsRoot(dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+    (p.getFileSystem(conf), p)
   }
 
-  /** Resolve a state path to a LOCAL directory, loudly. The fold/prune
-    * commit protocol is built on atomic local renames (`File.renameTo`);
-    * on an `hdfs://` or `s3a://` path `File` operations would silently
-    * see an empty directory — maintenance would no-op forever while
-    * partition counts grow unbounded, and existence probes would
-    * spuriously fail. Until the protocol goes through Hadoop
-    * `FileSystem` (object stores have no atomic rename, so that port
-    * needs a different commit point anyway), reject remote schemes at
-    * the door. Plain paths and `file:` URIs are accepted.
+  /** Existence-probe a directory through the path's own filesystem —
+    * shared with [[UniMaxStream.allocation]]'s retired-version check so
+    * a remote-scheme path probes the REMOTE store, never a same-named
+    * local directory.
     */
-  private[streaming] def localRoot(dir: String): File = {
-    if (dir.startsWith("file:")) new File(new java.net.URI(dir))
-    else {
-      require(!dir.matches("^[A-Za-z][A-Za-z0-9+.\\-]*://.*"),
-        s"StateMaintenance: '$dir' has a remote scheme — the rename-" +
-          "based fold/prune commit requires a local filesystem (plain " +
-          "path or file: URI); remote state needs a FileSystem-native " +
-          "commit protocol, not a silent no-op")
-      new File(dir)
+  private[streaming] def isDir(dir: String): Boolean = {
+    val (fs, p) = fsRoot(dir)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  /** Data files of one directory: not a subdir, not dot- or
+    * underscore-prefixed (checksums, `_SUCCESS`, our own markers).
+    */
+  private def dataFiles(fs: FileSystem, dir: Path): Array[Path] =
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }.map(_.getPath)
+
+  private def batchDirs(fs: FileSystem, root: Path): Array[(Long, Path)] =
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .map(st => (st.getPath.getName.stripPrefix("batch_id=").toLong,
+        st.getPath))
+
+  private def readManifest(fs: FileSystem, man: Path): Seq[String] = {
+    val in = fs.open(man)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
+        .foreach(n => buf.write(chunk, 0, n))
+      new String(buf.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    body.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Publish the fold manifest — THE commit point. The body is written
+    * whole into the staging dir (a crash there aborts with the rest of
+    * staging), then renamed up to `root/.fold_manifest`: one small
+    * object, so on HDFS/local the rename is atomic and on an object
+    * store the copy half of copy+delete is a single atomic PUT (a
+    * leftover source copy dies with the staging dir on recovery).
+    * Exposed `private[streaming]` so the crash specs can reproduce the
+    * exact committed-but-not-rolled-forward window.
+    */
+  private[streaming] def commitManifest(fs: FileSystem, root: Path,
+                                        files: Seq[String],
+                                        dropDirs: Seq[String]): Unit = {
+    val body = (ManifestHeader +: (files.map("file " + _) ++
+      dropDirs.map("drop " + _))).mkString("\n")
+    val staged = new Path(new Path(root, TmpName), ".MANIFEST")
+    val out = fs.create(staged, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    require(fs.rename(staged, new Path(root, ManifestName)),
+      s"compactState: committing manifest under $root failed")
+  }
+
+  /** Complete a committed fold. Idempotent at every crash point:
+    * deleting a superseded file twice is a no-op; a manifest file
+    * already at its destination was moved by a previous attempt (its
+    * staging copy, if a non-atomic rename left one, is deleted); drop
+    * and cleanup deletes are no-ops when re-run. The manifest is
+    * deleted LAST, so recovery re-enters here until everything held.
+    */
+  private def rollForward(fs: FileSystem, root: Path): Unit = {
+    val man = new Path(root, ManifestName)
+    val tmp = new Path(root, TmpName)
+    val sentinel = new Path(root, SentinelName)
+    val lines = readManifest(fs, man)
+    require(lines.headOption.contains(ManifestHeader),
+      s"compactState: unrecognized manifest header in $man: " +
+        lines.headOption.getOrElse("<empty>"))
+    val keep = lines.collect {
+      case s if s.startsWith("file ") => s.stripPrefix("file ")
+    }.toSet
+    val drop = lines.collect {
+      case s if s.startsWith("drop ") => s.stripPrefix("drop ")
     }
+    fs.mkdirs(sentinel)
+    dataFiles(fs, sentinel).filterNot(p => keep(p.getName))
+      .foreach(p => fs.delete(p, false))
+    keep.foreach { name =>
+      val src = new Path(tmp, name)
+      val dst = new Path(sentinel, name)
+      if (fs.exists(dst)) { if (fs.exists(src)) fs.delete(src, false) }
+      else {
+        require(fs.exists(src),
+          s"compactState roll-forward: manifest names $name but neither " +
+            s"$src nor $dst exists — the staging dir was tampered with " +
+            "between commit and completion")
+        require(fs.rename(src, dst),
+          s"compactState roll-forward: move $src -> $dst failed")
+      }
+    }
+    drop.foreach(n => fs.delete(new Path(root, n), true))
+    fs.delete(tmp, true)
+    fs.delete(man, false)
   }
 
   /** Probe-and-repair one state dir for an interrupted fold, keyed on
-    * the commit point exactly as [[compactState]]'s doc describes:
-    * `.compact_tmp` present = not committed → restore the moved-away
-    * originals and drop the incomplete fold; tmp absent but
-    * `.compact_old` present = committed → discard the superseded
-    * originals (restoring them would double-count). Idempotent and
-    * cheap when healthy (two existence checks).
+    * the commit point: manifest present = committed → [[rollForward]]
+    * to completion; staging present without a manifest = never
+    * committed → delete the staging dir (the live partitions were
+    * never touched, so the pre-fold table is already whole).
+    * Idempotent and cheap when healthy (two existence checks).
     *
     * @return true when a marker was found and repaired
     */
-  private[streaming] def recoverDir(root: File): Boolean = {
-    val tmp = new File(root, ".compact_tmp")
-    val bak = new File(root, ".compact_old")
-    if (tmp.exists()) {
-      Option(bak.listFiles()).getOrElse(Array.empty).foreach { p =>
-        require(p.renameTo(new File(root, p.getName)),
-          s"compactState recovery: restore $p failed")
-      }
-      rm(tmp); rm(bak); true
-    } else if (bak.exists()) { rm(bak); true }
+  private[streaming] def recoverDir(fs: FileSystem, root: Path): Boolean = {
+    val man = new Path(root, ManifestName)
+    val tmp = new Path(root, TmpName)
+    if (fs.exists(man)) { rollForward(fs, root); true }
+    else if (fs.exists(tmp)) { fs.delete(tmp, true); true }
     else false
   }
 
   /** Repair every interrupted fold under a twin's state root. MUST run
     * before a batch READS state, not merely before the next fold: a
-    * fold that died in its move-away window leaves live partitions
-    * hidden inside dot-prefixed dirs that partition discovery skips —
-    * a replayed batch reading that state would compute wrong results
-    * against near-empty tables and COMMIT them before any later
-    * fold-side recovery ran. [[selfMaintaining]] calls this ahead of
-    * every step; out-of-band operators restarting a twin by hand
-    * should call it (or [[maintain]], which recovers per-dir) before
-    * the first external state read.
+    * fold that crashed mid-roll-forward can have deleted some
+    * superseded sentinel files while their replacements still sit
+    * hidden in `.fold_tmp/` — a replayed batch reading that state
+    * would compute wrong results against partial tables and COMMIT
+    * them before any later fold-side recovery ran. [[selfMaintaining]]
+    * calls this ahead of every step; out-of-band operators restarting
+    * a twin by hand should call it (or [[maintain]], which recovers
+    * per-dir) before the first external state read.
     *
     * @return number of state dirs that needed repair
     */
   def recover(statePath: String, twin: String): Int = {
     val (foldDirs, _) = shapesOf(twin)
-    foldDirs.map(n => new File(localRoot(statePath), n))
-      .filter(_.isDirectory).count(recoverDir)
+    foldDirs.count { n =>
+      val (fs, p) = fsRoot(s"$statePath/$n")
+      fs.exists(p) && fs.getFileStatus(p).isDirectory && recoverDir(fs, p)
+    }
   }
-
-  private def batchDirs(dir: File): Array[(Long, File)] =
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-      .map(f => (f.getName.stripPrefix("batch_id=").toLong, f))
 
   /** Fold all `0 <= batch_id < watermark` partitions of one UNION-READ
     * state dir (plus the previous sentinel, if any) into the
-    * `batch_id=-1` sentinel. Idempotent: a re-run with the same
-    * watermark finds no live partition below it and does nothing.
-    *
-    * CRASH RECOVERY IS AUTOMATIC ([[recoverDir]], also run ahead of
-    * every batch by [[selfMaintaining]] so no read ever sees a
-    * half-moved table), keyed on the COMMIT POINT — the atomic rename
-    * of `.compact_tmp` to `batch_id=-1`:
-    *   - `.compact_tmp` still present => the commit never happened;
-    *     every original partition is intact under the root or
-    *     `.compact_old` (they were only MOVED), so the moved ones are
-    *     restored, the incomplete fold dropped, and this run folds
-    *     fresh. This covers crashes during the tmp write, during the
-    *     move-away phase, and just before the rename.
-    *   - `.compact_tmp` absent but `.compact_old` present => the
-    *     commit happened and only the cleanup was interrupted;
-    *     `.compact_old` holds nothing but superseded originals (their
-    *     rows already live in the new sentinel) and is deleted.
-    *     Restoring it by hand would DOUBLE-COUNT every folded delta —
-    *     which is exactly why recovery is code, not a doc instruction.
+    * `batch_id=-1` sentinel, with the manifest-committed protocol in
+    * the object doc. Idempotent: a re-run with the same watermark
+    * finds no live partition below it and does nothing. Crash recovery
+    * is automatic ([[recoverDir]], also run ahead of every batch by
+    * [[selfMaintaining]] so no read ever sees a half-rolled table).
     *
     * @param filesPerFold output files for the folded sentinel; 1 is
     *   right for sliver-sized state (digests, band rows, deltas) —
@@ -162,14 +279,12 @@ object StateMaintenance {
   def compactState(spark: SparkSession, dir: String, watermark: Long,
                    filesPerFold: Int = 1): Int = {
     require(watermark >= 0, s"watermark must be >= 0: $watermark")
-    val root = localRoot(dir)
-    recoverDir(root)
-    val tmp = new File(root, ".compact_tmp")
-    val bak = new File(root, ".compact_old")
-    val all = batchDirs(root)
+    val (fs, root) = fsRoot(dir)
+    recoverDir(fs, root)
+    val all = batchDirs(fs, root)
     val folded = all.filter { case (id, _) => id >= 0 && id < watermark }
     if (folded.isEmpty) return 0
-    val sentinel = all.find(_._1 == -1L).map(_._2)
+    val tmp = new Path(root, TmpName)
     // one read spans sentinel + live-below-watermark: -1 < watermark,
     // so a single partition-pruned filter covers both. NO dropDuplicates
     // (see the object doc — delta rows are contributions, not identity).
@@ -177,15 +292,10 @@ object StateMaintenance {
       .filter(col("batch_id") < watermark)
       .drop("batch_id")
     rows.repartition(filesPerFold).write.mode("overwrite")
-      .parquet(tmp.getPath)
-    require(bak.mkdirs(), s"compactState: mkdir $bak failed")
-    (sentinel.toSeq ++ folded.map(_._2)).foreach { p =>
-      require(p.renameTo(new File(bak, p.getName)),
-        s"compactState: rename away $p failed")
-    }
-    require(tmp.renameTo(new File(root, "batch_id=-1")),
-      s"compactState: rename in $tmp failed")
-    rm(bak)
+      .parquet(tmp.toString)
+    commitManifest(fs, root, dataFiles(fs, tmp).map(_.getName).toSeq,
+      folded.map { case (id, _) => s"batch_id=$id" }.toSeq)
+    rollForward(fs, root)
     folded.length
   }
 
@@ -197,19 +307,23 @@ object StateMaintenance {
     * its snapshot from the DELTA dirs and overwrites `batch_id=N`
     * whether or not it still exists), so the only watermark constraint
     * is keeping the latest — but use the same [[committedWatermark]]
-    * anyway: it is always <= max+1 and keeps one mental model.
+    * anyway: it is always <= max+1 and keeps one mental model. Plain
+    * recursive deletes: no commit point needed, because a
+    * half-deleted non-max snapshot is never read and the next prune
+    * finishes it.
     *
     * @return number of snapshot partitions pruned
     */
   def pruneSnapshots(dir: String, watermark: Long): Int = {
-    val all = batchDirs(localRoot(dir))
+    val (fs, root) = fsRoot(dir)
+    val all = batchDirs(fs, root)
     if (all.isEmpty) return 0
     // clamp: the newest snapshot survives any watermark (a watermark of
     // lastCommitted+1 — the committedWatermark — names every committed
     // batch prunable, but the newest one IS the table's answer)
     val effective = math.min(watermark, all.map(_._1).max)
     val doomed = all.filter { case (id, _) => id >= 0 && id < effective }
-    doomed.foreach { case (_, f) => rm(f) }
+    doomed.foreach { case (_, p) => fs.delete(p, true) }
     doomed.length
   }
 
@@ -220,9 +334,11 @@ object StateMaintenance {
     * live. 0 (fold nothing) when no batch has committed yet.
     */
   def committedWatermark(checkpointDir: String): Long = {
-    val d = new File(localRoot(checkpointDir), "commits")
-    val ids = Option(d.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+    val (fs, root) = fsRoot(checkpointDir)
+    val d = new Path(root, "commits")
+    if (!fs.exists(d)) return 0L
+    val ids = fs.listStatus(d).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
     if (ids.isEmpty) 0L else ids.max + 1L
   }
 
@@ -271,7 +387,8 @@ object StateMaintenance {
     "ConcentrationStream" -> (Seq("counts"), Seq("conc")),
     "SourceDupStream" -> (Seq("docs", "bands", "pairs", "src"),
       Seq("dup")),
-    "GateAttributionStream" -> (Seq("counts"), Seq("attr")))
+    "GateAttributionStream" -> (Seq("counts"), Seq("attr")),
+    "KAnonymityStream" -> (Seq("counts"), Seq("risk")))
 
   /** One-call maintenance for a twin's whole state root: fold every
     * union-read subdir, prune every snapshot subdir, both at the same
@@ -284,8 +401,7 @@ object StateMaintenance {
                watermark: Long, filesPerFold: Int = 1): (Int, Int) = {
     val (foldDirs, pruneDirs) = shapesOf(twin)
     def existing(names: Seq[String]): Seq[String] =
-      names.map(n => s"$statePath/$n")
-        .filter(p => localRoot(p).isDirectory)
+      names.map(n => s"$statePath/$n").filter(isDir)
     val folded = existing(foldDirs)
       .map(compactState(spark, _, watermark, filesPerFold)).sum
     val pruned = existing(pruneDirs).map(pruneSnapshots(_, watermark)).sum
@@ -302,9 +418,8 @@ object StateMaintenance {
     * state — the one hook every twin's `start()` routes through:
     *
     *   1. [[recover]] BEFORE the step, every batch: no batch can read
-    *      state while a crashed fold still hides partitions in its
-    *      move-away window (cheap when healthy — two existence checks
-    *      per state dir).
+    *      state while a crashed fold sits half-rolled-forward (cheap
+    *      when healthy — two existence checks per state dir);
     *   2. the twin's own step;
     *   3. every `maintainEvery`-th batch, [[maintain]] at the
     *      watermark the checkpoint's own commits log proves safe

@@ -67,11 +67,9 @@ object UniMaxStream {
   def allocation(spark: SparkSession, statePath: String,
                  batchId: Option[Long] = None): DataFrame = {
     batchId.foreach { v =>
-      // localRoot: a remote-scheme path would make this existence probe
-      // spuriously reject every version — fail loudly at the door instead
-      val dir = new java.io.File(
-        StateMaintenance.localRoot(s"$statePath/alloc"), s"batch_id=$v")
-      require(dir.isDirectory,
+      // isDir resolves the path's OWN filesystem (file/hdfs/s3a), so a
+      // remote state root probes the remote store, never a local shadow
+      require(StateMaintenance.isDir(s"$statePath/alloc/batch_id=$v"),
         s"UniMaxStream.allocation: version $v does not exist under " +
           s"$statePath/alloc — it was never written or was pruned by " +
           "state maintenance (retention keeps only versions >= the " +

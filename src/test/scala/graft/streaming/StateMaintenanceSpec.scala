@@ -158,73 +158,103 @@ class StateMaintenanceSpec extends SparkSpec {
     assert(latest(pruned) === latest(control))
   }
 
-  test("crash BEFORE the sentinel commit auto-recovers: moved " +
-    "partitions restore and the fold redoes cleanly") {
+  // Hadoop FS handle for crash-window simulation — the same resolution
+  // the protocol itself uses (LocalFileSystem for these plain paths)
+  private def hfs(dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  // reproduce compactState's STAGE phase by hand (fold batches < wm of
+  // one dir into .fold_tmp) and return the staged data-file names —
+  // the building block for simulating crashes at exact protocol points
+  private def stageFold(dir: String, wm: Long, files: Int): Seq[String] = {
+    spark.read.parquet(dir)
+      .filter($"batch_id" < wm).drop("batch_id")
+      .repartition(files).write.mode("overwrite")
+      .parquet(s"$dir/.fold_tmp")
+    new File(s"$dir/.fold_tmp").listFiles()
+      .map(_.getName).filter(n => !n.startsWith(".") && !n.startsWith("_"))
+      .toSeq
+  }
+
+  test("crash BEFORE the manifest commit auto-recovers: staging is " +
+    "discarded, the untouched originals fold fresh") {
     val control = tmpDir("sm-crash-control")
     val crashed = tmpDir("sm-crash-pre")
     for (p <- Seq(control, crashed)) {
       val apply = dedupApply(p); apply(b0, 0L); apply(b1, 1L)
     }
-    // simulate a crash mid-move: tmp exists (incomplete fold), one
-    // live partition already moved into .compact_old
+    // crash window: staging written (even a garbage half-write), no
+    // manifest — the commit never happened, so the live partitions are
+    // still the whole truth and staging is junk to drop
     val docs = s"$crashed/docs"
-    assert(new File(s"$docs/.compact_tmp").mkdirs())
-    assert(new File(s"$docs/.compact_old").mkdirs())
-    assert(new File(s"$docs/batch_id=0")
-      .renameTo(new File(s"$docs/.compact_old/batch_id=0")))
-    // the next maintenance run restores, drops the junk, folds fresh
+    stageFold(docs, 2L, files = 1)
+    assert(new File(s"$docs/.fold_tmp").exists())
     StateMaintenance.maintain(spark, crashed, "DedupStream", 2L)
     for (d <- Seq("docs", "bands", "pairs"))
       assert(parts(s"$crashed/$d") === Set("batch_id=-1"), d)
+    assert(!new File(s"$docs/.fold_tmp").exists())
     assert(pairsSet(crashed) === pairsSet(control))
     dedupApply(control)(b2, 2L)
     dedupApply(crashed)(b2, 2L)
     assert(pairsSet(crashed) === pairsSet(control))
   }
 
-  test("crash AFTER the sentinel commit auto-recovers: superseded " +
-    "originals are discarded, never restored (no double-count)") {
+  test("crash AFTER the manifest commit auto-recovers by rolling " +
+    "FORWARD: staged files land, drop-listed originals are deleted, " +
+    "never restored (no double-count)") {
     val control = tmpDir("sm-crash2-control")
     val crashed = tmpDir("sm-crash2-post")
     for (p <- Seq(control, crashed)) {
       val apply = dedupApply(p); apply(b0, 0L); apply(b1, 1L)
     }
-    StateMaintenance.maintain(spark, crashed, "DedupStream", 2L)
-    // simulate the interrupted CLEANUP: .compact_old reappears holding
-    // an already-folded partition copy (its rows live in the sentinel)
+    // crash window: the manifest IS published (the commit point) but
+    // the roll-forward never ran — originals still live, replacements
+    // still hidden in staging
     val docs = s"$crashed/docs"
-    assert(new File(s"$docs/.compact_old").mkdirs())
-    spark.read.parquet(s"$docs/batch_id=-1").limit(1).write
-      .parquet(s"$docs/.compact_old/batch_id=0")
-    StateMaintenance.compactState(spark, docs, 2L) // recovery path
-    assert(parts(docs) === Set("batch_id=-1"))
-    assert(!new File(s"$docs/.compact_old").exists())
+    val staged = stageFold(docs, 2L, files = 1)
+    val (fs, root) = hfs(docs)
+    StateMaintenance.commitManifest(fs, root, staged,
+      Seq("batch_id=0", "batch_id=1"))
+    assert(new File(s"$docs/.fold_manifest").exists())
+    StateMaintenance.maintain(spark, crashed, "DedupStream", 2L)
+    for (d <- Seq("docs", "bands", "pairs"))
+      assert(parts(s"$crashed/$d") === Set("batch_id=-1"), d)
+    assert(!new File(s"$docs/.fold_manifest").exists())
+    assert(!new File(s"$docs/.fold_tmp").exists())
     assert(pairsSet(crashed) === pairsSet(control))
     dedupApply(control)(b2, 2L)
     dedupApply(crashed)(b2, 2L)
     assert(pairsSet(crashed) === pairsSet(control))
   }
 
-  test("fold crashed mid-move: the wrapped step recovers BEFORE its " +
-    "state reads, so the batch never sees a half-moved table") {
+  test("fold crashed mid-roll-forward: the wrapped step recovers " +
+    "BEFORE its state reads, so the batch never sees a partial table") {
     val control = tmpDir("sm-prestep-control")
     val crashed = tmpDir("sm-prestep-crashed")
     for (p <- Seq(control, crashed)) {
       val apply = dedupApply(p); apply(b0, 0L); apply(b1, 1L)
     }
-    // crash window: a fold died after moving batches 0 AND 1 of docs/
-    // into .compact_old — partition discovery skips dot-dirs, so an
-    // unrecovered read would see an EMPTY docs table and miss every
-    // cross-batch near-dup (then commit that wrong answer forever)
+    // crash window: committed fold died half-rolled-forward — one
+    // staged file already moved into the sentinel, one still hidden in
+    // staging, batch_id=0 already dropped. An unrecovered read would
+    // see HALF the folded docs and miss cross-batch near-dups (then
+    // commit that wrong answer forever).
     val docs = s"$crashed/docs"
-    assert(new File(s"$docs/.compact_tmp").mkdirs())
-    assert(new File(s"$docs/.compact_old").mkdirs())
-    for (b <- Seq(0, 1))
-      assert(new File(s"$docs/batch_id=$b")
-        .renameTo(new File(s"$docs/.compact_old/batch_id=$b")))
+    val staged = stageFold(docs, 2L, files = 2)
+    assert(staged.size === 2)
+    val (fs, root) = hfs(docs)
+    StateMaintenance.commitManifest(fs, root, staged,
+      Seq("batch_id=0", "batch_id=1"))
+    assert(new File(s"$docs/batch_id=-1").mkdirs())
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$docs/.fold_tmp/${staged.head}"),
+      new org.apache.hadoop.fs.Path(s"$docs/batch_id=-1/${staged.head}")))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$docs/batch_id=0"), true)
     // the self-maintaining wrapper (maintainEvery=0: recovery still
     // runs) executes the NEXT batch — b3 holds a near-dup of doc 1,
-    // findable only if batch 0's docs were restored before the read
+    // findable only if the roll-forward completed before the read
     val ckpt = tmpDir("sm-prestep-ckpt")
     val wrapped = StateMaintenance.selfMaintaining("DedupStream",
       crashed, ckpt, maintainEvery = 0)(dedupApply(crashed))
@@ -232,21 +262,49 @@ class StateMaintenanceSpec extends SparkSpec {
     dedupApply(control)(b3, 2L)
     assert(pairsSet(crashed) === pairsSet(control))
     assert(pairsSet(crashed).contains((1L, 8L)))
-    assert(!new File(s"$docs/.compact_tmp").exists())
-    assert(!new File(s"$docs/.compact_old").exists())
+    assert(!new File(s"$docs/.fold_tmp").exists())
+    assert(!new File(s"$docs/.fold_manifest").exists())
   }
 
-  test("remote-scheme state paths fail loudly instead of no-opping") {
-    val e = intercept[IllegalArgumentException] {
-      StateMaintenance.compactState(spark, "hdfs://nn/state/docs", 1L)
+  test("re-recovery is idempotent: rolling forward twice changes nothing") {
+    val control = tmpDir("sm-idem-control")
+    val crashed = tmpDir("sm-idem-crashed")
+    for (p <- Seq(control, crashed)) {
+      val apply = dedupApply(p); apply(b0, 0L); apply(b1, 1L)
     }
-    assert(e.getMessage.contains("remote scheme"))
-    intercept[IllegalArgumentException] {
-      StateMaintenance.pruneSnapshots("s3a://bucket/state/card", 1L)
+    val docs = s"$crashed/docs"
+    val staged = stageFold(docs, 2L, files = 1)
+    val (fs, root) = hfs(docs)
+    StateMaintenance.commitManifest(fs, root, staged,
+      Seq("batch_id=0", "batch_id=1"))
+    assert(StateMaintenance.recover(crashed, "DedupStream") === 1)
+    val after = spark.read.parquet(docs).count()
+    // a second recover finds healthy dirs (two existence probes, no-op)
+    assert(StateMaintenance.recover(crashed, "DedupStream") === 0)
+    assert(spark.read.parquet(docs).count() === after)
+    assert(parts(docs) === Set("batch_id=-1"))
+  }
+
+  test("scheme-ful file:// state paths fold through the path's own " +
+    "Hadoop FileSystem") {
+    val control = tmpDir("sm-scheme-control")
+    val local = tmpDir("sm-scheme")
+    for (p <- Seq(control, local)) {
+      val apply = dedupApply(p); apply(b0, 0L); apply(b1, 1L)
     }
-    // file: URIs are local and accepted (watermark 0 folds nothing)
-    val local = tmpDir("sm-fileuri")
-    assert(StateMaintenance.compactState(spark, s"file:$local", 0L) === 0)
+    // same directory, addressed through an explicit file:// URI — the
+    // whole fold protocol (stage, manifest commit, roll-forward) runs
+    // through LocalFileSystem resolved FROM THE PATH, the exact code
+    // path an hdfs:// or s3a:// state root takes on a cluster
+    val (nFold, _) =
+      StateMaintenance.maintain(spark, s"file://$local", "DedupStream", 2L)
+    assert(nFold === 6) // docs, bands, pairs x 2 batches
+    for (d <- Seq("docs", "bands", "pairs"))
+      assert(parts(s"$local/$d") === Set("batch_id=-1"), d)
+    assert(pairsSet(local) === pairsSet(control))
+    dedupApply(control)(b2, 2L)
+    dedupApply(local)(b2, 2L)
+    assert(pairsSet(local) === pairsSet(control))
     // unknown twins fail at WIRING time, before any stream starts
     intercept[IllegalArgumentException] {
       StateMaintenance.selfMaintaining("NoSuchStream", local, local, 1)(
