@@ -52,7 +52,12 @@ object Monitor {
   /** G3 — average rate since start: `(succeed+fail) / runtime_seconds`
     * (`monitor.go:138-146`). Runtime is (max ts - min ts) of the event
     * stream in the deterministic batch form; rounded for cross-engine
-    * float parity.
+    * float parity. Guarded: a stream whose events all share one second
+    * (a single event, a single-instant batch) has runtime 0, and the
+    * unguarded divide is an ANSI DIVIDE_BY_ZERO — the rate is
+    * undefined over a zero-length window, so null is the one value
+    * both ANSI and legacy modes agree on (the oracle SQL carries the
+    * same CASE guard).
     */
   def avgRates(events: DataFrame, ts: Column, stage: Column): DataFrame = {
     val span = events.agg(
@@ -62,7 +67,9 @@ object Monitor {
       .agg(count(lit(1)).as("total"))
       .crossJoin(broadcast(span))
       .select(col("stage"), col("total"),
-        round(col("total").cast("double") / col("runtime_secs"), 6).as("avg_mps"))
+        when(col("runtime_secs") > 0,
+          round(col("total").cast("double") / col("runtime_secs"), 6))
+          .as("avg_mps"))
   }
 
   /** G4 — queue-lag derivation: pairwise differences of cumulative totals
@@ -85,12 +92,14 @@ object Monitor {
   /** G5 — per-interval rate normalization: counter / window seconds
     * (`monitor.go:151-173`).
     */
-  def normalizeRates(windowed: DataFrame, windowSeconds: Int): DataFrame =
+  def normalizeRates(windowed: DataFrame, windowSeconds: Int): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be > 0: $windowSeconds")
     windowed
       .withColumn("events_per_sec",
         round(col("events").cast("double") / lit(windowSeconds.toDouble), 6))
       .withColumn("bytes_per_sec",
         round(col("bytes").cast("double") / lit(windowSeconds.toDouble), 6))
+  }
 
   /** G6 — metrics JSON document assembly (`monitor.go:130-176`): nests the
     * aggregates into one document per group via `to_json(struct(...))`.
@@ -132,11 +141,18 @@ object Monitor {
     *    `check_errors`.
     */
   def fullMetricsDoc(df: DataFrame, intervalSecs: Int): DataFrame = {
+    require(intervalSecs > 0, s"intervalSecs must be > 0: $intervalSecs")
     // %.1f with engine-agnostic midpoint handling (see scaladoc)
     def fd(x: Column): Column = format_string("%.1f", round(x.cast("double"), 1))
     def rate(c: Column): Column = fd(c.cast("double") / lit(intervalSecs.toDouble))
+    // runtime clamps to >= 1 s: at the startup instant runtime_secs is
+    // 0 and the unguarded divide is an ANSI DIVIDE_BY_ZERO, while a
+    // null would void the whole concat-assembled doc — the reference's
+    // first tick publishes after one full interval anyway, so the
+    // clamp only ever changes a window the reference never reports
     def avg(s: String): Column =
-      fd((col(s + "_succeed") + col(s + "_failed")).cast("double") / col("runtime_secs"))
+      fd((col(s + "_succeed") + col(s + "_failed")).cast("double") /
+        greatest(col("runtime_secs"), lit(1L)))
     def d(c: Column): Column = c.cast("long").cast("string")
     def obj(fields: (String, Column)*): Column =
       concat(lit("{") +: fields.zipWithIndex.flatMap { case ((k, v), i) =>

@@ -385,7 +385,9 @@ object PumpQueries {
         |  - CAST(floor(date_part('epoch', CAST(min(ts) AS TIMESTAMP))) AS BIGINT) AS runtime_secs
         |  FROM events)
         |SELECT event_type AS stage, count(*) AS total,
-        |  round(CAST(count(*) AS DOUBLE) / runtime_secs, 6) AS avg_mps
+        |  CASE WHEN runtime_secs > 0
+        |    THEN round(CAST(count(*) AS DOUBLE) / runtime_secs, 6)
+        |  END AS avg_mps
         |FROM events, span GROUP BY 1, runtime_secs ORDER BY 1""".stripMargin,
 
     "g4_stage_lags" -> {
@@ -474,7 +476,10 @@ object PumpQueries {
 
     def fd(x: String) = s"printf('%.1f', round(CAST($x AS DOUBLE), 1))"
     def rate(c: String) = fd(s"CAST($c AS DOUBLE) / 300.0")
-    def avg(st: String) = fd(s"CAST(${st}_succeed + ${st}_failed AS DOUBLE) / runtime_secs")
+    // greatest-1 clamp mirrors Monitor.fullMetricsDoc's startup-instant
+    // divide guard (runtime_secs = 0)
+    def avg(st: String) = fd(s"CAST(${st}_succeed + ${st}_failed AS DOUBLE)" +
+      " / greatest(runtime_secs, 1)")
     def d(c: String) = s"CAST(CAST($c AS BIGINT) AS VARCHAR)"
     // variadic concat, not || chains: DuckDB binds || left-nested and the
     // full document exceeds its 128-deep expression recursion limit

@@ -45,11 +45,21 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorOps.dot_long(a, b)
 
-  /** Cosine from quantized ints: dot / (sqrt(n2a) * sqrt(n2b)) — the
+  /** Guarded: a ZERO VECTOR has squared norm 0 and the unguarded
+    * divide is an ANSI DIVIDE_BY_ZERO crashing every ANN/margin op on
+    * the first degenerate embedding (the x144 gateSignals class);
+    * cosine against the zero vector is mathematically undefined, so
+    * null is the one value ANSI and legacy modes agree on. Null sims
+    * sort LAST under every top-k window here (desc ordering), so a
+    * zero vector can never displace a real neighbor, and bitextMargin's
+    * cmicro >= 0 filter drops its null rows before the margin division.
+    *
+    * Cosine from quantized ints: dot / (sqrt(n2a) * sqrt(n2b)) — the
     * association is fixed and must match any external verifier's SQL.
     */
   def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
-    dotCol.cast("double") / (sqrt(n2a) * sqrt(n2b))
+    when(n2a > 0 && n2b > 0,
+      dotCol.cast("double") / (sqrt(n2a) * sqrt(n2b)))
 
   private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol), quantize(col(vecCol)).as("q"))
