@@ -60,6 +60,12 @@ def main(argv):
     ok = True
 
     for b, p in zip(benches, argv[1:3]):
+        # the bench self-stamps since round 17; trust a true stamp even
+        # if this tool's recomputation were to drift from the embedded rule
+        if b.get("contended"):
+            ok = False
+            print(f"SELF-STAMPED CONTENDED {p}: "
+                  + ", ".join(b.get("contended_queries", [])))
         for name, label, runs in spread_violations(b, p):
             ok = False
             warm = runs[1:]
