@@ -138,16 +138,37 @@ object Pii {
     * datacard number: rows lost if at-risk classes are dropped).
     */
   def kAnonymity(docs: DataFrame, quasiIds: Seq[String],
-                 k: Long): DataFrame = {
+                 k: Long): DataFrame =
+    kAnonymityOf(classCounts(docs, quasiIds), quasiIds, k)
+
+  /** The ADDITIVE lane of [[kAnonymity]]: per-equivalence-class row
+    * counts. Counts from disjoint batches merge by pure addition on the
+    * quasi-identifier tuple (null attribute values group as their own
+    * class, identically in every engine), so one code path serves the
+    * batch operator and [[graft.streaming.KAnonymityStream]]'s
+    * accumulated ledger — the GateAttributionStream seam discipline.
+    */
+  private[graft] def classCounts(docs: DataFrame,
+                                 quasiIds: Seq[String]): DataFrame = {
     require(quasiIds.nonEmpty, "need at least one quasi-identifier")
+    docs.groupBy(quasiIds.map(col): _*).agg(count(lit(1)).as("k_size"))
+  }
+
+  /** The DERIVED projection of [[kAnonymity]] over a class-count table
+    * (from [[classCounts]] or a streaming ledger): at-risk flags plus
+    * the corpus-level suppression count broadcast onto every row. The
+    * class table is attribute-cross-product-sized, so the 1-row cross
+    * join broadcasts.
+    */
+  private[graft] def kAnonymityOf(classes: DataFrame, quasiIds: Seq[String],
+                                  k: Long): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
-    val classes = docs
-      .groupBy(quasiIds.map(col): _*)
-      .agg(count(lit(1)).as("k_size"))
+    val flagged = classes
+      .select(quasiIds.map(col) :+ col("k_size"): _*)
       .withColumn("at_risk", col("k_size") < k)
-    val suppressed = classes.filter(col("at_risk"))
+    val suppressed = flagged.filter(col("at_risk"))
       .agg(coalesce(sum(col("k_size")), lit(0L)).as("n_suppressed"))
-    classes.crossJoin(broadcast(suppressed))
+    flagged.crossJoin(broadcast(suppressed))
   }
 
   /** Corpus-level PII report: per-verdict document counts and category

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.Pii
+
+/** X134 in streaming form: ONLINE k-anonymity release audit — the
+  * re-identification alarm beside [[GateAttributionStream]]'s gate
+  * alarm ("source X just started shipping quasi-identifier SINGLETON
+  * classes — stop the release and look"). Each micro-batch counts its
+  * equivalence classes through the shared [[Pii.classCounts]] lane
+  * (the SAME grouping/null semantics as the batch operator) and
+  * merges by pure addition.
+  *
+  * STATE IS THE (quasi-identifier tuple, k_size) LEDGER — class-grain,
+  * bounded by the attribute cross product, never corpus-sized. The
+  * accumulated counts ARE the batch operator's aggregation state, so
+  * batch N's snapshot equals [[Pii.kAnonymity]] over ALL documents of
+  * batches 0..N — full snapshot equality through the shared
+  * [[Pii.kAnonymityOf]] projection (at-risk flags + the broadcast
+  * suppression total). Note the direction of the alarm: a class can
+  * only GROW, so `at_risk` rows heal as the stream ingests — the
+  * operational read is "these classes are still below k as of now;
+  * releasing the corpus ingested so far leaks them".
+  *
+  * State is APPEND-ONLY with the strict `batch_id < N` read rule:
+  * at-least-once replay recomputes identical deltas and rewrites
+  * identical partitions — exactly-once, no pointer file. Maintenance:
+  * counts fold, risk snapshots prune
+  * ([[StateMaintenance.TwinStateShapes]]).
+  */
+object KAnonymityStream {
+
+  /** One micro-batch: count classes, accumulate, snapshot — exposed
+    * for direct unit testing of the replay contract.
+    */
+  def applyBatch(statePath: String, quasiIds: Seq[String], k: Long)
+                (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val delta = Pii.classCounts(batch.select(quasiIds.map(col): _*),
+      quasiIds).localCheckpoint(false)
+    val prior = DedupStream.readState(spark, s"$statePath/counts",
+      delta, quasiIds :+ "k_size", batchId)
+    val acc = prior.unionByName(delta)
+      .groupBy(quasiIds.map(col): _*)
+      .agg(sum(col("k_size")).as("k_size"))
+    val snapshot = Pii.kAnonymityOf(acc, quasiIds, k)
+
+    snapshot.write.mode("overwrite")
+      .parquet(s"$statePath/risk/batch_id=$batchId")
+    delta.write.mode("overwrite")
+      .parquet(s"$statePath/counts/batch_id=$batchId")
+  }
+
+  /** The LATEST class-grain risk table (quasi-identifier columns,
+    * k_size, at_risk, n_suppressed). Empty `cols` keeps every column:
+    * the quasi-identifier tuple is caller-chosen, so the snapshot's
+    * own schema is the contract.
+    */
+  def latest(spark: SparkSession, statePath: String): DataFrame =
+    DedupStream.latestSnapshot(spark, s"$statePath/risk", Seq.empty)
+
+  /** Drain a streaming frame carrying the quasi-identifier columns
+    * into the online risk state under `statePath`.
+    */
+  def start(docs: DataFrame, statePath: String, quasiIds: Seq[String],
+            k: Long, checkpointDir: String,
+            maintainEvery: Int = 0,
+            maintainFilesPerFold: Int = 1): StreamingQuery =
+    docs.writeStream
+      .foreachBatch(StateMaintenance.selfMaintaining(
+        "KAnonymityStream", statePath, checkpointDir,
+        maintainEvery, maintainFilesPerFold)(
+        applyBatch(statePath, quasiIds, k)))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

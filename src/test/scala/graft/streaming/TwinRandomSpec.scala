@@ -128,6 +128,29 @@ class TwinRandomSpec extends SparkSpec {
       maintainAs = Some(("GateAttributionStream", state)))
   }
 
+  test("KAnonymityStream: random batches + replays keep full " +
+    "snapshot equality with kAnonymity") {
+    val rnd = new scala.util.Random(3306)
+    val langs = Seq("en", "fr", "de", null)
+    val sources = Seq("webA", "webB", null)
+    // skewed draws so the class-size spectrum spans singletons through
+    // healthy classes, and classes HEAL mid-stream as they recur
+    val rows: Seq[(String, String)] = (0 until 60).map { _ =>
+      (langs(rnd.nextInt(langs.size)),
+        sources(math.min(rnd.nextInt(4), sources.size - 1)))
+    }
+    val state = tmpDir("twin-rnd-kas")
+    drive[(String, String)](rnd, randomSplit(rnd, rows, 5),
+      (b, i) => KAnonymityStream.applyBatch(state,
+        Seq("lang", "source"), 3L)(b.toDF("lang", "source"), i),
+      () => KAnonymityStream.latest(spark, state)
+        .orderBy("lang", "source").collect().map(_.toSeq).toSeq,
+      seen => graft.ops.Pii.kAnonymity(seen.toDF("lang", "source"),
+          Seq("lang", "source"), 3L)
+        .orderBy("lang", "source").collect().map(_.toSeq).toSeq,
+      maintainAs = Some(("KAnonymityStream", state)))
+  }
+
   test("SourceDupStream: random batches + replays keep full snapshot " +
     "equality with sourceDupRate over the batch LSH pairs") {
     val rnd = new scala.util.Random(3304)
