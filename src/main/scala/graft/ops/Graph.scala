@@ -275,10 +275,25 @@ object Graph {
     * therefore the whole count are deterministic, engine-independent
     * integer facts the oracle re-derives relationally.
     *
+    * THE INTERSECTION FORM IS THE COST DESIGN (round 17; the
+    * edge-iterator of Schank & Wagner's forward algorithm): the
+    * oriented out-neighborhoods are collected into per-node arrays
+    * once, and each edge (u, v) closes its triangles ROW-LOCALLY as
+    * `array_intersect(adj(u), adj(v))` — the O(m^1.5) wedge work
+    * happens inside a codegen'd array intersection instead of
+    * materializing every wedge as a row through a shuffle + semi-join
+    * (at sf0.1 co-purchase: 41M wedge rows collapsed to 1.2M edge rows
+    * carrying 1.9M exploded triangles — the wedge:triangle ratio is
+    * pure shuffle waste in the row form). The adjacency table is
+    * node-grain (out-degree is bounded by O(sqrt m) under the degree
+    * order, so arrays stay small even at hub nodes); its two joins
+    * back to the edge table are key-partitioned, never broadcast by
+    * hint — AQE broadcasts the node-grain side when it fits.
+    *
     * Input: (u, v) pairs in any orientation; self-loops and duplicate
     * edges are dropped. Output: (node, deg, tri) for every node. The
     * oriented edge table is pinned once and feeds all three of its
-    * consumers (both wedge sides + the closing semi-join).
+    * consumers (the adjacency build + the two endpoint joins).
     */
   def triangles(pairs: DataFrame): DataFrame = {
     val und = pairs.select(least(col("u"), col("v")).as("u"),
@@ -294,17 +309,20 @@ object Graph {
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
       .select(
         when(lower, col("u")).otherwise(col("v")).as("src"),
-        when(lower, col("v")).otherwise(col("u")).as("dst"),
-        when(lower, struct(col("dv").as("d"), col("v").as("n")))
-          .otherwise(struct(col("du").as("d"), col("u").as("n")))
-          .as("dk"))
+        when(lower, col("v")).otherwise(col("u")).as("dst"))
       .localCheckpoint(false)
-    val tri = ord.as("x").join(ord.as("y"),
-        col("x.src") === col("y.src") && col("x.dk") < col("y.dk"))
-      .select(col("x.src").as("a1"), col("x.dst").as("a2"),
-        col("y.dst").as("a3"))
-      .join(ord.select(col("src").as("a2"), col("dst").as("a3")),
-        Seq("a2", "a3"), "left_semi")
+    // out-neighborhoods under the total (degree, id) order; a triangle
+    // a<b<c (in that order) is found exactly once, at edge (a, b), as
+    // c ∈ adj(a) ∩ adj(b) — adj(c) holds only nodes ABOVE c, so the
+    // other two edges of the triangle close nothing
+    val adj = ord.groupBy(col("src")).agg(collect_list(col("dst")).as("ns"))
+    val tri = ord
+      .join(adj.select(col("src"), col("ns").as("nu")), Seq("src"))
+      // inner: a sink dst has no out-list and closes no triangles
+      .join(adj.select(col("src").as("dst"), col("ns").as("nv")),
+        Seq("dst"))
+      .select(col("src").as("a1"), col("dst").as("a2"),
+        explode(array_intersect(col("nu"), col("nv"))).as("a3"))
     val per = tri.select(col("a1").as("node"))
       .unionAll(tri.select(col("a2").as("node")))
       .unionAll(tri.select(col("a3").as("node")))
