@@ -109,6 +109,9 @@ object ExtQueries {
   private val KeynessMinCount = 5L
   private val KAnonK = 5L
   private val KAnonBucket = 50L
+  // x147: the sweep's candidate release thresholds (KAnonK included so
+  // the single-k audit row is reproducible from the curve)
+  private val KAnonSweepKs = Seq(2L, 5L, 10L)
   private val PackShards = 8
   private val PackChunkTokens = 512
   private val RangeJoinWindowUs = 7L * 86400L * 1000000L // 7 days
@@ -1282,6 +1285,17 @@ object ExtQueries {
           .withColumn("len_bucket", expr(s"n_chars div $KAnonBucket")),
         Seq("lang", "source", "len_bucket"), k = KAnonK)
         .orderBy("lang", "source", "len_bucket")),
+
+    // X147 k-anonymity sweep: suppression cost as a function of k —
+    // one classCounts exchange, then a broadcast cross join against
+    // the k list; same quasi-identifier tuple and null rule as x134
+    "x147_kanon_sweep" -> ((s, dir) =>
+      Pii.kAnonymitySweep(Tables.documents(s, dir)
+          .filter(col("lang").isNotNull && col("source").isNotNull &&
+            col("n_chars").isNotNull)
+          .withColumn("len_bucket", expr(s"n_chars div $KAnonBucket")),
+        Seq("lang", "source", "len_bucket"), KAnonSweepKs)
+        .orderBy("k")),
 
     // X135 soft-dedup weights: every near-dup cluster member kept at
     // weight 1/cluster-size (the reweighting alternative to x9's
@@ -6146,6 +6160,27 @@ object ExtQueries {
          |  k_size < $KAnonK AS at_risk, n_suppressed
          |FROM cls CROSS JOIN sup
          |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    // x147: the same cls CTE as x134, swept over the k list via a
+    // cross join; ppm in HUGEINT floor division (both lanes >= 0)
+    "x147_kanon_sweep" ->
+      s"""WITH cls AS (SELECT lang, source,
+         |   n_chars // $KAnonBucket AS len_bucket,
+         |   CAST(count(*) AS BIGINT) AS k_size
+         |  FROM documents WHERE lang IS NOT NULL
+         |   AND source IS NOT NULL AND n_chars IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |ks(k) AS (SELECT CAST(v AS BIGINT)
+         |  FROM (VALUES ${KAnonSweepKs.map("(" + _ + ")").mkString(", ")})
+         |    t(v))
+         |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+         |  CAST(count(*) FILTER (WHERE k_size < k) AS BIGINT) AS n_at_risk,
+         |  CAST(coalesce(sum(k_size) FILTER (WHERE k_size < k), 0)
+         |    AS BIGINT) AS n_suppressed,
+         |  CAST(CAST(coalesce(sum(k_size) FILTER (WHERE k_size < k), 0)
+         |    AS HUGEINT) * 1000000 // sum(k_size) AS BIGINT)
+         |    AS suppressed_ppm
+         |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
 
     // x130: the VMR identity replayed in HUGEINT (both engines floor-
     // divide non-negative lanes — Cauchy-Schwarz keeps the numerator

@@ -171,6 +171,40 @@ object Pii {
     flagged.crossJoin(broadcast(suppressed))
   }
 
+  /** X147 — the k-anonymity SWEEP: suppression cost as a FUNCTION of k
+    * (one row per candidate k), the datacard curve behind [[kAnonymity]]'s
+    * single-k audit — "how much corpus do we lose at k=2 vs 5 vs 10"
+    * is the number that decides the release threshold, and computing it
+    * per-k with separate audits would rescan the corpus once per k.
+    *
+    * SHAPE AT 100 TB: the corpus is folded ONCE through the shared
+    * [[classCounts]] exchange; the sweep is a broadcast cross join of
+    * the class-grain table (attribute-cross-product-sized) against the
+    * tiny k list plus one more class-grain fold — no second corpus
+    * pass, whatever the k count. The ppm lane is DECIMAL-exact
+    * (floor division, the repo ppm discipline); its denominator is the
+    * total row count, structurally >= 1 whenever any class row exists.
+    */
+  def kAnonymitySweep(docs: DataFrame, quasiIds: Seq[String],
+                      ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty, "need at least one k to sweep")
+    ks.foreach(k => require(k >= 2, s"every k must be >= 2: $k"))
+    val spark = docs.sparkSession
+    val kDf = spark.createDataset(ks)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("k")
+    classCounts(docs, quasiIds).crossJoin(broadcast(kDf))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        count_if(col("k_size") < col("k")).as("n_at_risk"),
+        sum(when(col("k_size") < col("k"), col("k_size"))
+          .otherwise(0L)).as("n_suppressed"),
+        sum(col("k_size")).as("n_docs"))
+      .select(col("k"), col("n_classes"), col("n_at_risk"),
+        col("n_suppressed"),
+        expr("CAST(CAST(n_suppressed AS DECIMAL(38,0)) * 1000000 " +
+          "div n_docs AS BIGINT)").as("suppressed_ppm"))
+  }
+
   /** Corpus-level PII report: per-verdict document counts and category
     * totals — the datacard row a release audit wants. One row per
     * verdict; the exchange carries (verdict, 4 longs) per map task.

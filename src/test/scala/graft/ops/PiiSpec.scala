@@ -89,6 +89,30 @@ class PiiSpec extends SparkSpec {
       && r(0).getLong(4) === 2)  // drop row: 2 emails, 1 phone, 2 ips
   }
 
+  test("kAnonymitySweep: one row per k, counts and exact ppm agree " +
+    "with a driver-side reference") {
+    import spark.implicits._
+    // class sizes by (lang, src): (en,a)=3, (en,b)=2, (fr,a)=1 -> 6 rows
+    val d = Seq(("en", "a"), ("en", "a"), ("en", "a"),
+      ("en", "b"), ("en", "b"), ("fr", "a")).toDF("lang", "src")
+    val r = Pii.kAnonymitySweep(d, Seq("lang", "src"), Seq(2L, 3L, 10L))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(r === Seq(
+      Seq(2L, 3L, 1L, 1L, 166666L),   // only the singleton below k=2
+      Seq(3L, 3L, 2L, 3L, 500000L),   // singleton + the pair
+      Seq(10L, 3L, 3L, 6L, 1000000L)))// everything suppressed
+    // the single-k audit is reproducible from the curve at the same k
+    val single = Pii.kAnonymity(d, Seq("lang", "src"), 3L)
+      .select("n_suppressed").distinct().as[Long].collect()
+    assert(single.toSeq === Seq(3L))
+    intercept[IllegalArgumentException] {
+      Pii.kAnonymitySweep(d, Seq("lang", "src"), Seq(1L))
+    }
+    intercept[IllegalArgumentException] {
+      Pii.kAnonymitySweep(d, Seq("lang", "src"), Seq.empty)
+    }
+  }
+
   test("scan is a single zero-shuffle projection (no Exchange in plan)") {
     val d = docs(1L -> "a@b.example")
     val plan = Pii.policy(d, "doc_id", "text", 4)
