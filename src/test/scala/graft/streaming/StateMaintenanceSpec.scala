@@ -266,6 +266,21 @@ class StateMaintenanceSpec extends SparkSpec {
     assert(!new File(s"$docs/.fold_manifest").exists())
   }
 
+  test("an all-empty fold still publishes a readable sentinel (the " +
+    "empty-write file is the manifest's one entry)") {
+    val state = tmpDir("sm-empty")
+    val docs = s"$state/docs"
+    val like = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    like.write.parquet(s"$docs/batch_id=0")
+    like.write.parquet(s"$docs/batch_id=1")
+    assert(StateMaintenance.compactState(spark, docs, 2L) === 2)
+    assert(parts(docs) === Set("batch_id=-1"))
+    // schema survives (SPARK-23271 writes one empty file), reads are 0-row
+    val folded = spark.read.parquet(docs)
+    assert(folded.count() === 0L)
+    assert(folded.columns.toSet === Set("doc_id", "text", "batch_id"))
+  }
+
   test("re-recovery is idempotent: rolling forward twice changes nothing") {
     val control = tmpDir("sm-idem-control")
     val crashed = tmpDir("sm-idem-crashed")
