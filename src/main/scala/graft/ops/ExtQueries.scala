@@ -112,6 +112,10 @@ object ExtQueries {
   // x147: the sweep's candidate release thresholds (KAnonK included so
   // the single-k audit row is reproducible from the curve)
   private val KAnonSweepKs = Seq(2L, 5L, 10L)
+  // x148: candidate length-bucket widths, multiples of KAnonBucket so
+  // coarser class tables roll up from the finest (one corpus pass)
+  private val KAnonGenBuckets = Seq(KAnonBucket, 2 * KAnonBucket,
+    4 * KAnonBucket, 8 * KAnonBucket)
   private val PackShards = 8
   private val PackChunkTokens = 512
   private val RangeJoinWindowUs = 7L * 86400L * 1000000L // 7 days
@@ -1296,6 +1300,17 @@ object ExtQueries {
           .withColumn("len_bucket", expr(s"n_chars div $KAnonBucket")),
         Seq("lang", "source", "len_bucket"), KAnonSweepKs)
         .orderBy("k")),
+
+    // X148 generalization sweep: suppression at fixed k as a function
+    // of bucket COARSENESS — one corpus exchange at the finest bucket,
+    // coarser class tables rolled up class-grain (counts are additive
+    // under coarsening)
+    "x148_kanon_generalize" -> ((s, dir) =>
+      Pii.kAnonymityGeneralize(Tables.documents(s, dir)
+          .filter(col("lang").isNotNull && col("source").isNotNull &&
+            col("n_chars").isNotNull),
+        Seq("lang", "source"), "n_chars", KAnonGenBuckets, k = KAnonK)
+        .orderBy("bucket")),
 
     // X135 soft-dedup weights: every near-dup cluster member kept at
     // weight 1/cluster-size (the reweighting alternative to x9's
@@ -6181,6 +6196,34 @@ object ExtQueries {
          |    AS HUGEINT) * 1000000 // sum(k_size) AS BIGINT)
          |    AS suppressed_ppm
          |FROM cls CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
+
+    // x148: the finest class table once, each coarser grain rolled up
+    // from it (n_chars >= 0, so // matches Spark's div on the bucket
+    // lanes); one UNION ALL branch per bucket width
+    "x148_kanon_generalize" -> {
+      val branches = KAnonGenBuckets.map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n_classes,
+           |  CAST(count(*) FILTER (WHERE k_size < $KAnonK) AS BIGINT)
+           |    AS n_at_risk,
+           |  CAST(coalesce(sum(k_size) FILTER (WHERE k_size < $KAnonK), 0)
+           |    AS BIGINT) AS n_suppressed,
+           |  CAST(CAST(coalesce(sum(k_size) FILTER (WHERE k_size < $KAnonK),
+           |    0) AS HUGEINT) * 1000000 // sum(k_size) AS BIGINT)
+           |    AS suppressed_ppm
+           |FROM (SELECT lang, source, lb // ${b / KAnonBucket} AS cb,
+           |    CAST(sum(k_size) AS BIGINT) AS k_size
+           |  FROM cls0 GROUP BY 1, 2, 3)""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH cls0 AS (SELECT lang, source,
+         |   n_chars // $KAnonBucket AS lb,
+         |   CAST(count(*) AS BIGINT) AS k_size
+         |  FROM documents WHERE lang IS NOT NULL
+         |   AND source IS NOT NULL AND n_chars IS NOT NULL
+         |  GROUP BY 1, 2, 3)
+         |$branches
+         |ORDER BY bucket""".stripMargin
+    },
 
     // x130: the VMR identity replayed in HUGEINT (both engines floor-
     // divide non-negative lanes — Cauchy-Schwarz keeps the numerator

@@ -205,6 +205,65 @@ object Pii {
           "div n_docs AS BIGINT)").as("suppressed_ppm"))
   }
 
+  /** X148 — the GENERALIZATION sweep: suppression cost at a fixed k as
+    * a function of quasi-identifier COARSENESS (the other axis of the
+    * release tradeoff — [[kAnonymitySweep]] varies the threshold, this
+    * varies the attribute granularity, the first generalization move of
+    * Sweeney's k-anonymity model: widen the bucket until enough classes
+    * reach k). One row per candidate bucket width: how many classes,
+    * how many at risk, how many rows would drop.
+    *
+    * SHAPE AT 100 TB: the corpus is folded ONCE at the FINEST bucket;
+    * every coarser class table is a ROLLUP of that class-grain table
+    * (bucket `b` = finest-bucket div (b/b0), and class counts are
+    * additive under coarsening), so the sweep costs one corpus exchange
+    * plus `buckets.size - 1` class-grain folds — never a second corpus
+    * pass. This is why the bucket list must be multiples of its head.
+    */
+  def kAnonymityGeneralize(docs: DataFrame, quasiIds: Seq[String],
+                           lenCol: String, buckets: Seq[Long],
+                           k: Long): DataFrame = {
+    require(buckets.nonEmpty, "need at least one bucket width")
+    require(buckets.head >= 1, s"bucket widths must be >= 1: ${buckets.head}")
+    require(k >= 2, s"k must be >= 2: $k")
+    val b0 = buckets.head
+    buckets.foreach(b => require(b % b0 == 0,
+      s"bucket $b is not a multiple of the finest bucket $b0 — the " +
+        "coarser class tables roll up from the finest, which needs " +
+        "aligned boundaries"))
+    // integral div throughout: `/` on longs is DOUBLE division in
+    // Spark, and floor-through-double drifts at large lengths. The
+    // finest class table is PINNED: every bucket branch folds from
+    // this one materialization (class-grain, cross-product-bounded),
+    // so the corpus is exchanged once however long the bucket list —
+    // without the pin each union branch re-plans its own corpus scan
+    // (exchange reuse across union branches is best-effort, not
+    // guaranteed)
+    val finest = classCounts(
+      docs.withColumn("__lb",
+        expr(s"CAST($lenCol AS BIGINT) div $b0")),
+      quasiIds :+ "__lb").localCheckpoint(false)
+    buckets.map { b =>
+      finest
+        .groupBy((quasiIds.map(col) :+
+          expr(s"__lb div ${b / b0}").as("__cb")): _*)
+        .agg(sum(col("k_size")).as("k_size"))
+        .agg(count(lit(1)).as("n_classes"),
+          count_if(col("k_size") < k).as("n_at_risk"),
+          coalesce(sum(when(col("k_size") < k, col("k_size"))
+            .otherwise(0L)), lit(0L)).as("n_suppressed"),
+          coalesce(sum(col("k_size")), lit(0L)).as("n_docs"))
+        .select(lit(b).as("bucket"), col("n_classes"), col("n_at_risk"),
+          col("n_suppressed"), col("n_docs"))
+    }.reduce(_.unionByName(_))
+      .select(col("bucket"), col("n_classes"), col("n_at_risk"),
+        col("n_suppressed"),
+        // n_docs = 0 only for an empty corpus: no rows, no risk — 0 ppm
+        when(col("n_docs") > 0,
+          expr("CAST(CAST(n_suppressed AS DECIMAL(38,0)) * 1000000 " +
+            "div n_docs AS BIGINT)")).otherwise(0L).as("suppressed_ppm"))
+  }
+
   /** Corpus-level PII report: per-verdict document counts and category
     * totals — the datacard row a release audit wants. One row per
     * verdict; the exchange carries (verdict, 4 longs) per map task.

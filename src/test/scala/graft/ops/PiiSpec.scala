@@ -113,6 +113,29 @@ class PiiSpec extends SparkSpec {
     }
   }
 
+  test("kAnonymityGeneralize: rolled-up buckets match a driver-side " +
+    "reference, and coarsening never increases suppression") {
+    import spark.implicits._
+    val d = Seq(("en", 10L), ("en", 60L), ("en", 110L), ("en", 160L),
+      ("fr", 10L), ("fr", 20L)).toDF("lang", "len")
+    // b=50: en splits into four singletons (all at risk at k=2), fr is
+    // a safe pair; b=100 merges en into two safe pairs; b=200 into one
+    val r = Pii.kAnonymityGeneralize(d, Seq("lang"), "len",
+        Seq(50L, 100L, 200L), 2L)
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(r === Seq(
+      Seq(50L, 5L, 4L, 4L, 666666L),
+      Seq(100L, 3L, 0L, 0L, 0L),
+      Seq(200L, 2L, 0L, 0L, 0L)))
+    // the monotonicity the curve exists for: a coarse at-risk class is
+    // made of fine classes that were each already at risk
+    val sup = r.map(_(3).asInstanceOf[Long])
+    assert(sup === sup.sorted.reverse)
+    intercept[IllegalArgumentException] { // misaligned bucket boundaries
+      Pii.kAnonymityGeneralize(d, Seq("lang"), "len", Seq(50L, 75L), 2L)
+    }
+  }
+
   test("scan is a single zero-shuffle projection (no Exchange in plan)") {
     val d = docs(1L -> "a@b.example")
     val plan = Pii.policy(d, "doc_id", "text", 4)

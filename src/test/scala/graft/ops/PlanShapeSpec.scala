@@ -774,6 +774,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
   }
 
+  test("x148 generalization sweep: every bucket branch folds the " +
+    "PINNED finest class table — no parquet scan in the sweep plan") {
+    val plan = physical(graft.ops.Pii.kAnonymityGeneralize(
+      Tables.documents(spark, sf), Seq("lang", "source"), "n_chars",
+      Seq(50L, 100L, 200L), 5L))
+    // the corpus is exchanged once, at the checkpoint the branches
+    // share; the sweep plan itself only ever sees class-grain rows
+    assert(!plan.contains("Scan parquet"), s"corpus rescan in:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
   test("x143 pair histogram: the bucket fold pays one exchange; the " +
     "cumulative window's single-partition exchange sees only the " +
     "<= 101 bucket rows, never the pair table") {
