@@ -151,6 +151,9 @@ object Pii {
   private[graft] def classCounts(docs: DataFrame,
                                  quasiIds: Seq[String]): DataFrame = {
     require(quasiIds.nonEmpty, "need at least one quasi-identifier")
+    require(!quasiIds.contains("k_size"),
+      "'k_size' is the class-count output column — rename that " +
+        "quasi-identifier")
     docs.groupBy(quasiIds.map(col): _*).agg(count(lit(1)).as("k_size"))
   }
 

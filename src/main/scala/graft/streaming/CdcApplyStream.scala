@@ -1,8 +1,8 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import java.nio.charset.StandardCharsets
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -24,6 +24,17 @@ import graft.ops.Cdc
   * window are pruned (retention must be >= 2 so a replay can still see
   * its predecessor).
   *
+  * Every filesystem touch goes through the path's own Hadoop
+  * [[FileSystem]] (the [[StateMaintenance]] resolution), so the
+  * versioned state lives as happily on `hdfs://`/`s3a://` as on a
+  * local disk. The pointer swap is object-store-safe: the new value is
+  * fully written to `_LATEST.tmp` first, then moved over `_LATEST`
+  * (delete + single-object rename — each step atomic per object), and
+  * [[snapshot]] falls back to the tmp pointer in the one window where
+  * `_LATEST` is momentarily absent, so an external reader always
+  * resolves a COMMITTED version (the tmp pointer is only ever written
+  * after its version's parquet commit).
+  *
   * Shape at 100 TB: the merge itself is one key exchange with a
   * map-side rank-1 (WindowGroupLimit) — see [[Cdc.applyChanges]]. The
   * full-snapshot rewrite per batch is the parquet-native equivalent of
@@ -33,23 +44,24 @@ import graft.ops.Cdc
   */
 object CdcApplyStream {
 
-  private def versions(statePath: String): Seq[Long] = {
-    val d = Paths.get(statePath)
-    if (!Files.isDirectory(d)) return Seq.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val s = Files.list(d)
-    try s.forEach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("v=")) out += n.stripPrefix("v=").toLong
-    } finally s.close()
-    out.toSeq.sorted
-  }
+  private def versions(fs: FileSystem, root: Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .toSeq.sorted
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-      finally s.close()
+  private def readPointer(fs: FileSystem, p: Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](64)
+        Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
+          .foreach(n => buf.write(chunk, 0, n))
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8)
+          .trim.toLong)
+      } finally in.close()
     }
 
   /** The merge applied to one micro-batch — exposed so the replay
@@ -60,7 +72,8 @@ object CdcApplyStream {
                  keepVersions: Int)(batch: DataFrame, batchId: Long): Unit = {
     require(keepVersions >= 2, s"keepVersions must be >= 2 for replay: $keepVersions")
     val spark = batch.sparkSession
-    val prev = versions(statePath).filter(_ < batchId).lastOption match {
+    val (fs, root) = StateMaintenance.fsRoot(statePath)
+    val prev = versions(fs, root).filter(_ < batchId).lastOption match {
       case Some(v) => spark.read.parquet(s"$statePath/v=$v")
       case None => seed
     }
@@ -71,22 +84,30 @@ object CdcApplyStream {
       else prev.withColumn(opCol, org.apache.spark.sql.functions.lit("U"))
     Cdc.applyChanges(prevTagged, batch, keyCol, tsCol, tieCol, opCol)
       .write.mode("overwrite").parquet(s"$statePath/v=$batchId")
-    // atomic pointer swap: a concurrent snapshot() reader must never see
-    // a truncated/half-written _LATEST
-    val tmp = Paths.get(statePath, "_LATEST.tmp")
-    Files.writeString(tmp, batchId.toString)
-    Files.move(tmp, Paths.get(statePath, "_LATEST"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val all = versions(statePath)
+    // pointer swap: tmp fully written (readers in the delete->rename
+    // window fall back to it), then moved over _LATEST
+    val tmp = new Path(root, "_LATEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val latest = new Path(root, "_LATEST")
+    fs.delete(latest, false)
+    require(fs.rename(tmp, latest),
+      s"CdcApplyStream: pointer swap $tmp -> $latest failed")
+    val all = versions(fs, root)
     all.dropRight(keepVersions).foreach { v =>
-      deleteRecursively(Paths.get(statePath, s"v=$v"))
+      fs.delete(new Path(root, s"v=$v"), true)
     }
   }
 
   /** Current materialized snapshot (the newest committed version). */
   def snapshot(spark: SparkSession, statePath: String): DataFrame = {
-    val v = Files.readString(Paths.get(statePath, "_LATEST")).trim.toLong
+    val (fs, root) = StateMaintenance.fsRoot(statePath)
+    val v = readPointer(fs, new Path(root, "_LATEST"))
+      .orElse(readPointer(fs, new Path(root, "_LATEST.tmp")))
+      .getOrElse(throw new IllegalStateException(
+        s"CdcApplyStream: no committed snapshot under $statePath — " +
+          "neither _LATEST nor _LATEST.tmp exists"))
     spark.read.parquet(s"$statePath/v=$v")
   }
 

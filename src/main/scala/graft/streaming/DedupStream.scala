@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -51,13 +49,14 @@ object DedupStream {
   private[streaming] def readState(spark: SparkSession, dir: String,
                                    like: DataFrame, cols: Seq[String],
                                    batchId: Long): DataFrame = {
+    // the existence probe goes through the path's OWN filesystem (the
+    // StateMaintenance resolution): a local-only probe on an hdfs://
+    // or s3a:// state root would return false forever and every batch
+    // would silently accumulate against an empty prior
     val hasData = {
-      val p = Paths.get(dir)
-      Files.isDirectory(p) && {
-        val s = Files.list(p)
-        try s.anyMatch(q => q.getFileName.toString.startsWith("batch_id="))
-        finally s.close()
-      }
+      val (fs, p) = StateMaintenance.fsRoot(dir)
+      fs.exists(p) && fs.listStatus(p)
+        .exists(_.getPath.getName.startsWith("batch_id="))
     }
     if (!hasData) like.select(cols.map(col): _*).limit(0)
     else spark.read.parquet(dir)
