@@ -189,13 +189,23 @@ object Pii {
     * total row count, structurally >= 1 whenever any class row exists.
     */
   def kAnonymitySweep(docs: DataFrame, quasiIds: Seq[String],
-                      ks: Seq[Long]): DataFrame = {
+                      ks: Seq[Long]): DataFrame =
+    sweepOf(classCounts(docs, quasiIds), ks)
+
+  /** The sweep PROJECTION over any class-count table — shared by
+    * [[kAnonymitySweep]] and the streaming twin's accumulated-ledger
+    * accessor ([[graft.streaming.KAnonymityStream.sweep]]), the same
+    * one-kernel seam as [[kAnonymityOf]]. Output schema is fixed
+    * regardless of the quasi-identifier tuple.
+    */
+  private[graft] def sweepOf(classes: DataFrame,
+                             ks: Seq[Long]): DataFrame = {
     require(ks.nonEmpty, "need at least one k to sweep")
     ks.foreach(k => require(k >= 2, s"every k must be >= 2: $k"))
-    val spark = docs.sparkSession
+    val spark = classes.sparkSession
     val kDf = spark.createDataset(ks)(
       org.apache.spark.sql.Encoders.scalaLong).toDF("k")
-    classCounts(docs, quasiIds).crossJoin(broadcast(kDf))
+    classes.crossJoin(broadcast(kDf))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_classes"),
         count_if(col("k_size") < col("k")).as("n_at_risk"),

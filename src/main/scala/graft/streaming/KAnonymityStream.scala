@@ -62,6 +62,29 @@ object KAnonymityStream {
   def latest(spark: SparkSession, statePath: String): DataFrame =
     DedupStream.latestSnapshot(spark, s"$statePath/risk", Seq.empty)
 
+  /** Threshold SWEEP over the ACCUMULATED class ledger (the x147 curve
+    * computed online): suppression cost at each candidate k for
+    * everything committed so far, WITHOUT restarting the stream at a
+    * different k — the twin's fixed start-time k only shapes the
+    * at-risk snapshot, the ledger itself is threshold-free. Reads
+    * every committed counts partition (sentinel included), so like all
+    * external accessors it can transiently race an in-flight batch or
+    * fold; returns the fixed 5-column sweep schema, empty when no
+    * batch has committed yet.
+    */
+  def sweep(spark: SparkSession, statePath: String, quasiIds: Seq[String],
+            ks: Seq[Long]): DataFrame = {
+    val dir = s"$statePath/counts"
+    if (!StateMaintenance.isDir(dir))
+      return Pii.sweepOf(
+        spark.createDataset(Seq.empty[Long])(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("k_size"), ks)
+    val classes = spark.read.parquet(dir).drop("batch_id")
+      .groupBy(quasiIds.map(col): _*)
+      .agg(sum(col("k_size")).as("k_size"))
+    Pii.sweepOf(classes, ks)
+  }
+
   /** Drain a streaming frame carrying the quasi-identifier columns
     * into the online risk state under `statePath`.
     */

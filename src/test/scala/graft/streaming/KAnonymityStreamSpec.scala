@@ -81,6 +81,23 @@ class KAnonymityStreamSpec extends SparkSpec {
     assert(snap(state) === batchOp(batch0 ++ batch1 :+ (("de", "webC"))))
   }
 
+  test("sweep over the accumulated ledger equals the batch sweep over " +
+    "everything ingested, before and after a fold; empty pre-ingest") {
+    val state = tmpDir("kas-sweep")
+    val ksList = Seq(2L, 3L)
+    def sweepNow() = KAnonymityStream.sweep(spark, state, qids, ksList)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(sweepNow() === Seq.empty) // fixed schema, no committed batch
+    run(state, batch0, 0L)
+    run(state, batch1, 1L)
+    val want = graft.ops.Pii.kAnonymitySweep(
+        (batch0 ++ batch1).toDF("lang", "source"), qids, ksList)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(sweepNow() === want)
+    StateMaintenance.maintain(spark, state, "KAnonymityStream", 2L)
+    assert(sweepNow() === want) // the fold changes nothing observable
+  }
+
   test("end-to-end through a self-maintaining streaming query") {
     implicit val sqlCtx = spark.sqlContext
     val state = tmpDir("kas-e2e")
