@@ -1312,6 +1312,18 @@ object ExtQueries {
         Seq("lang", "source"), "n_chars", KAnonGenBuckets, k = KAnonK)
         .orderBy("bucket")),
 
+    // X149 joint re-identifiability x PII audit: do the at-risk
+    // quasi-identifier classes coincide with the mask/drop set? Same
+    // quasi tuple and null rule as x134, same augmented text and
+    // thresholds as x94
+    "x149_risk_pii_joint" -> ((s, dir) =>
+      Pii.riskPiiJoint(piiAugmented(Tables.documents(s, dir)
+          .filter(col("lang").isNotNull && col("source").isNotNull &&
+            col("n_chars").isNotNull))
+          .withColumn("len_bucket", expr(s"n_chars div $KAnonBucket")),
+        Seq("lang", "source", "len_bucket"), "aug", KAnonK, PiiMaxHits)
+        .orderBy("at_risk", "verdict")),
+
     // X135 soft-dedup weights: every near-dup cluster member kept at
     // weight 1/cluster-size (the reweighting alternative to x9's
     // keep-one); components over the session-cached LSH pairs, dense
@@ -2734,7 +2746,9 @@ object ExtQueries {
   private val PiiMaxHits = 4
   private def piiAugmented(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
-    docs.select(col("doc_id"), concat(
+    // every input column rides along (x149 keeps its quasi-identifiers;
+    // x94's policy projection is insensitive to the extras)
+    docs.select(docs.columns.map(col).toSeq :+ concat(
       col("text"),
       lit(" id 12345-678-9012 v1.2 beta"),
       when(id % 3 === 0, concat(lit(" reach user"), id.cast("string"),
@@ -2749,7 +2763,7 @@ object ExtQueries {
       when(id % 9 === 0, lit(" mail 415-555-0199@example.org ok"))
         .otherwise(lit("")),
       when(id % 17 === 0, lit(PiiDirectoryTail)).otherwise(lit(""))
-    ).as("aug"))
+    ).as("aug"): _*)
   }
   // 3 phones (one dot-separated — the IP-vs-phone ordering case) + 2
   // IPs = 5 extra hits, > PiiMaxHits on its own
@@ -6224,6 +6238,38 @@ object ExtQueries {
          |$branches
          |ORDER BY bucket""".stripMargin
     },
+
+    // x149: x134's class CTE joined onto x94's verdict chain over the
+    // same filtered + augmented corpus; share in HUGEINT floor ppm
+    "x149_risk_pii_joint" ->
+      s"""WITH base AS (SELECT doc_id, lang, source,
+         |   n_chars // $KAnonBucket AS len_bucket, $piiAugmentSql AS t
+         |  FROM documents WHERE lang IS NOT NULL
+         |   AND source IS NOT NULL AND n_chars IS NOT NULL),
+         |cls AS (SELECT lang, source, len_bucket,
+         |   CAST(count(*) AS BIGINT) AS k_size
+         |  FROM base GROUP BY 1, 2, 3),
+         |em AS (SELECT lang, source, len_bucket, t,
+         |  regexp_replace(t, '${Pii.EmailPattern}', '${Pii.EmailToken}',
+         |    'g') AS te FROM base),
+         |v AS (SELECT lang, source, len_bucket,
+         |  CASE WHEN n_pii > $PiiMaxHits THEN 'drop'
+         |       WHEN n_pii > 0 THEN 'mask' ELSE 'keep' END AS verdict
+         |  FROM (SELECT lang, source, len_bucket,
+         |    len(regexp_extract_all(t, '${Pii.EmailPattern}'))
+         |    + len(regexp_extract_all(
+         |        regexp_replace(te, '${Pii.Ipv4Pattern}',
+         |          '${Pii.IpToken}', 'g'), '${Pii.PhonePattern}'))
+         |    + len(regexp_extract_all(te, '${Pii.Ipv4Pattern}'))
+         |      AS n_pii FROM em)),
+         |j AS (SELECT cls.k_size < $KAnonK AS at_risk, v.verdict
+         |  FROM v JOIN cls USING (lang, source, len_bucket)),
+         |tot AS (SELECT count(*) AS t FROM j)
+         |SELECT at_risk, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(CAST(count(*) AS HUGEINT) * 1000000 // t AS BIGINT)
+         |    AS share_ppm
+         |FROM j CROSS JOIN tot GROUP BY 1, 2, t
+         |ORDER BY at_risk, verdict""".stripMargin,
 
     // x130: the VMR identity replayed in HUGEINT (both engines floor-
     // divide non-negative lanes — Cauchy-Schwarz keeps the numerator

@@ -71,15 +71,19 @@ object Pii {
     * projection — the shape that runs at any corpus size.
     */
   def scan(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    scanned(docs, idCol, textCol).drop(textCol)
+    scanned(docs, textCol).drop(textCol)
 
   /** [[scan]] with the text column carried through — the single-pass
     * base [[policy]] builds on (recomputing the counts in a second pass
     * or, worse, joining scan output back to the corpus would double the
     * corpus work for nothing).
     */
-  private def scanned(docs: DataFrame, idCol: String,
-                      textCol: String): DataFrame = {
+  private def scanned(docs: DataFrame, textCol: String): DataFrame = {
+    val reserved = Set("n_email", "n_phone", "n_ip", "n_pii")
+    val clash = docs.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"Pii scan: input already carries reserved output column(s) " +
+        s"${clash.mkString(", ")} — rename or drop them first")
     val t = col(textCol)
     // counts mirror [[mask]]'s category-priority order (email -> IP ->
     // phone): each later category counts on text with the EARLIER
@@ -88,11 +92,14 @@ object Pii {
     // exactly one category and can never flip the verdict to `drop`
     // for text mask() would have rendered fully clean
     val em = regexp_replace(t, EmailPattern, EmailToken)
-    docs.select(col(idCol), t,
+    // every input column rides through (the gateSignals discipline) so
+    // callers like [[riskPiiJoint]] keep their quasi-identifiers;
+    // [[policy]]'s fixed projection is unchanged by the extra columns
+    docs.select(docs.columns.map(col).toSeq ++ Seq(
       hits(t, EmailPattern).cast("long").as("n_email"),
       hits(regexp_replace(em, Ipv4Pattern, IpToken), PhonePattern)
         .cast("long").as("n_phone"),
-      hits(em, Ipv4Pattern).cast("long").as("n_ip"))
+      hits(em, Ipv4Pattern).cast("long").as("n_ip")): _*)
       .withColumn("n_pii", col("n_email") + col("n_phone") + col("n_ip"))
   }
 
@@ -105,7 +112,7 @@ object Pii {
   def policy(docs: DataFrame, idCol: String, textCol: String,
              maxPii: Int): DataFrame = {
     require(maxPii >= 1, "maxPii must be >= 1 (0 would drop any hit)")
-    scanned(docs, idCol, textCol)
+    scanned(docs, textCol)
       .select(col(idCol), col("n_email"), col("n_phone"), col("n_ip"),
         col("n_pii"),
         when(col("n_pii") > maxPii, "drop")
@@ -275,6 +282,46 @@ object Pii {
         when(col("n_docs") > 0,
           expr("CAST(CAST(n_suppressed AS DECIMAL(38,0)) * 1000000 " +
             "div n_docs AS BIGINT)")).otherwise(0L).as("suppressed_ppm"))
+  }
+
+  /** X149 — the JOINT re-identifiability × explicit-PII audit: one row
+    * per (at_risk, verdict) cell with document counts and corpus share.
+    * The release question the two single-axis audits cannot answer:
+    * do the uniquely re-identifiable rows (quasi-identifier class
+    * below k) COINCIDE with the PII-dense ones (the mask/drop set)?
+    * If yes, the drop policy already covers the k-anonymity exposure;
+    * if the at-risk mass sits in `keep`, the corpus leaks through
+    * metadata that no amount of text scrubbing touches.
+    *
+    * SHAPE AT 100 TB: two corpus-side stages — the classCounts
+    * exchange (class-grain output) and ONE scan-side projection
+    * computing the verdict with the quasi-identifiers riding along —
+    * joined on the quasi-identifier tuple (class table is
+    * cross-product-bounded; AQE broadcasts it when it fits), then one
+    * cell-grain fold. The share denominator rides the same fold via a
+    * 1-row broadcast (the kAnonymityOf pattern).
+    */
+  def riskPiiJoint(docs: DataFrame, quasiIds: Seq[String],
+                   textCol: String, k: Long, maxPii: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(maxPii >= 1, "maxPii must be >= 1 (0 would drop any hit)")
+    val classes = classCounts(docs.select(quasiIds.map(col): _*), quasiIds)
+      .withColumn("at_risk", col("k_size") < k)
+      .drop("k_size")
+    val verdicts = scanned(
+        docs.select((quasiIds :+ textCol).map(col): _*), textCol)
+      .select(quasiIds.map(col) :+
+        when(col("n_pii") > maxPii, "drop")
+          .when(col("n_pii") > 0, "mask")
+          .otherwise("keep").as("verdict"): _*)
+    val cells = verdicts.join(classes, quasiIds)
+      .groupBy(col("at_risk"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = cells.agg(coalesce(sum(col("n_docs")), lit(0L)).as("__t"))
+    cells.crossJoin(broadcast(total))
+      .select(col("at_risk"), col("verdict"), col("n_docs"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div __t " +
+          "AS BIGINT)").as("share_ppm"))
   }
 
   /** Corpus-level PII report: per-verdict document counts and category

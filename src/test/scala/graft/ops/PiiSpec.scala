@@ -136,6 +136,24 @@ class PiiSpec extends SparkSpec {
     }
   }
 
+  test("riskPiiJoint: cells and shares match a driver-side reference") {
+    import spark.implicits._
+    // (en,a) is a safe class of 2 (one clean, one masked); (fr,b) an
+    // at-risk singleton whose doc is PII-dense enough to drop
+    val d = Seq(
+      ("en", "a", "plain prose"),
+      ("en", "a", "mail a@b.example now"),
+      ("fr", "b", "a@b.example c@d.example 10.0.0.1 10.0.0.2")
+    ).toDF("lang", "src", "text")
+    val r = Pii.riskPiiJoint(d, Seq("lang", "src"), "text",
+        k = 2L, maxPii = 3)
+      .orderBy("at_risk", "verdict").collect().map(_.toSeq).toSeq
+    assert(r === Seq(
+      Seq(false, "keep", 1L, 333333L),
+      Seq(false, "mask", 1L, 333333L),
+      Seq(true, "drop", 1L, 333333L)))
+  }
+
   test("scan is a single zero-shuffle projection (no Exchange in plan)") {
     val d = docs(1L -> "a@b.example")
     val plan = Pii.policy(d, "doc_id", "text", 4)
