@@ -1105,6 +1105,46 @@ object Dedup {
     *
     * Output: (src, n_docs, n_dup_docs, dup_ppm), one row per source.
     */
+  /** X150 — the JOINT near-dup × quality-gate audit: one row per
+    * (is_dup, passed) cell with document counts and corpus share. The
+    * pipeline-ordering question the two single-axis audits cannot
+    * answer: does the gate already remove the near-duplicates (dups
+    * concentrated in passed=false → dedup after the gate is cheap), or
+    * do duplicates sail through it (dups in passed=true → the dedup
+    * stage is load-bearing and must not be skipped)? The x142 savings
+    * number prices dedup; this is the number that says whether the
+    * gate would have collected those savings anyway.
+    *
+    * SHAPE AT 100 TB: ONE scan-side gate projection over the corpus
+    * (the x116/x144 gateSignals lane), a left join against the
+    * duplicate-density-sized pair-member set, one 4-cell fold; the
+    * share denominator rides a 1-row broadcast. Null-text documents
+    * fail the gate closed (the x144 rule), identically in both
+    * engines (Spark null-AND and DuckDB null-division both coalesce
+    * to false).
+    */
+  def dupGateJoint(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   textCol: String, qualityMin: Double,
+                   dupMax: Double): DataFrame = {
+    val members = pairs.select(col("d1").as(idCol))
+      .union(pairs.select(col("d2").as(idCol))).distinct()
+      .withColumn("__dup", lit(true))
+    val gated = Curate.gateSignals(
+        docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol),
+        coalesce(Curate.gatePass(qualityMin, dupMax), lit(false))
+          .as("passed"))
+    val cells = gated.join(members, Seq(idCol), "left")
+      .groupBy(coalesce(col("__dup"), lit(false)).as("is_dup"),
+        col("passed"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = cells.agg(coalesce(sum(col("n_docs")), lit(0L)).as("__t"))
+    cells.crossJoin(broadcast(total))
+      .select(col("is_dup"), col("passed"), col("n_docs"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div __t " +
+          "AS BIGINT)").as("share_ppm"))
+  }
+
   def sourceDupRate(docs: DataFrame, pairs: DataFrame, idCol: String,
                     srcCol: String): DataFrame = {
     val members = pairs.select(col("d1").as(idCol))

@@ -1420,6 +1420,15 @@ object ExtQueries {
       Dedup.dedupTierOverlap(Tables.documents(s, dir),
         lshPairs(s, dir).select("d1", "d2"), "doc_id", "text")),
 
+    // X150 joint near-dup x gate audit: does the quality gate already
+    // remove the near-duplicates? Rides the session-cached LSH pair
+    // stage + one gateSignals scan projection
+    "x150_dup_gate_joint" -> ((s, dir) =>
+      Dedup.dupGateJoint(Tables.documents(s, dir),
+          lshPairs(s, dir).select("d1", "d2"), "doc_id", "text",
+          CurateQualityMin, CurateDupMax)
+        .orderBy("is_dup", "passed")),
+
     // X146 exact-cluster histogram: x141's companion for the cheap
     // tier — fingerprint group sizes, one exchange, no pair table
     "x146_exact_histogram" -> ((s, dir) =>
@@ -5292,6 +5301,46 @@ object ExtQueries {
          |  ELSE CAST(CAST(n_both AS HUGEINT) * 1000000 // n_near
          |    AS BIGINT) END AS exact_covers_near_ppm
          |FROM agg""".stripMargin,
+
+    // x150: x145's full MinHash pair pipeline for the member set, the
+    // x133 signal lanes for the gate (null text fails closed — DuckDB
+    // null-division and Spark null-AND both coalesce to false)
+    "x150_dup_gate_joint" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |jp AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2),
+         |p AS (SELECT d1, d2 FROM jp WHERE jac >= $JaccardThreshold),
+         |m AS (SELECT DISTINCT doc_id FROM (SELECT d1 AS doc_id FROM p
+         |  UNION ALL SELECT d2 AS doc_id FROM p)),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |bg AS (SELECT doc_id, list_transform(generate_series(1, len(ts) - 1),
+         |  i -> ts[i] || ' ' || ts[i+1]) AS g FROM tok),
+         |gate AS (SELECT tok.doc_id,
+         |  coalesce(len(bg.g) > 0
+         |    AND round(CAST(len(list_distinct(tok.ts)) AS DOUBLE)
+         |      / len(tok.ts), 6) >= $CurateQualityMin
+         |    AND round(1.0 - CAST(len(list_distinct(bg.g)) AS DOUBLE)
+         |      / len(bg.g), 6) <= $CurateDupMax, false) AS passed
+         |  FROM tok JOIN bg ON bg.doc_id = tok.doc_id),
+         |cells AS (SELECT m.doc_id IS NOT NULL AS is_dup, passed,
+         |   CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM gate LEFT JOIN m ON m.doc_id = gate.doc_id GROUP BY 1, 2),
+         |tot AS (SELECT sum(n_docs) AS t FROM cells)
+         |SELECT is_dup, passed, n_docs,
+         |  CAST(CAST(n_docs AS HUGEINT) * 1000000 // t AS BIGINT)
+         |    AS share_ppm
+         |FROM cells CROSS JOIN tot ORDER BY is_dup, passed""".stripMargin,
 
     // the x9 pair list bucketed by its own rounded jac lane; the
     // cumulative window runs over <= 101 bucket rows

@@ -126,6 +126,26 @@ class AuditOpsSpec extends SparkSpec {
 
   // ---- x139 per-source dup participation ----
 
+  test("dupGateJoint: cells and shares hand-worked; null text fails " +
+    "the gate closed; dup membership from either pair side") {
+    val good = (1 to 8).map(i => s"t$i").mkString(" ")
+    val repetitive = Seq.fill(8)("w").mkString(" ")
+    val docs = Seq(
+      (1L, good),                         // clean, passes
+      (2L, good + " t9"),                 // clean, passes, dup member
+      (3L, repetitive),                   // fails (quality + dup lanes)
+      (4L, null.asInstanceOf[String]),    // null text: fails CLOSED
+      (5L, good + " t9 t10")              // passes, dup member (d2 side)
+    ).toDF("doc_id", "text")
+    val pairs = Seq((2L, 5L)).toDF("d1", "d2")
+    val r = Dedup.dupGateJoint(docs, pairs, "doc_id", "text", 0.5, 0.2)
+      .orderBy("is_dup", "passed").collect().map(_.toSeq).toSeq
+    assert(r === Seq(
+      Seq(false, false, 2L, 400000L), // repetitive + null text
+      Seq(false, true, 1L, 200000L),  // doc 1
+      Seq(true, true, 2L, 400000L)))  // docs 2 and 5
+  }
+
   test("sourceDupRate: membership in ANY pair counts once; sources " +
     "with no pairs report zero; null sources drop") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"),
