@@ -668,6 +668,33 @@ object ScaleProbe {
           16, 4, 0.8).select("d1", "d2"), "doc_id")
         .write.format("noop").mode("overwrite").save()
     }
+    // x147/x148 over 50k docs: the class table stays attribute-cross-
+    // product-bounded whatever the corpus size (the 10x union grows
+    // class SIZES, not class COUNT), so the sweeps' post-exchange work
+    // is constant in corpus scale — the k list and bucket list only
+    // touch class-grain rows
+    t("kanon-sweeps-50k") {
+      graft.ops.Pii.kAnonymitySweep(docs10
+          .filter(col("lang").isNotNull && col("source").isNotNull &&
+            col("n_chars").isNotNull)
+          .withColumn("len_bucket", expr("n_chars div 50")),
+        Seq("lang", "source", "len_bucket"), Seq(2L, 5L, 10L))
+        .write.format("noop").mode("overwrite").save()
+      graft.ops.Pii.kAnonymityGeneralize(docs10
+          .filter(col("lang").isNotNull && col("source").isNotNull &&
+            col("n_chars").isNotNull),
+        Seq("lang", "source"), "n_chars", Seq(50L, 100L, 200L, 400L), 5L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x150 over 50k docs at 10x pair density: the member set is
+    // duplicate-density-sized; the gate projection is scan-side; the
+    // fold output is 4 rows whatever the corpus
+    t("dup-gate-joint-50k") {
+      graft.ops.Dedup.dupGateJoint(docs10,
+        graft.ops.Dedup.minhashLshPairs(docs10, "doc_id", "text",
+          16, 4, 0.8).select("d1", "d2"), "doc_id", "text", 0.35, 0.05)
+        .write.format("noop").mode("overwrite").save()
+    }
     // x137 fixed-point over 50k docs: the fractional-scale map is one
     // extra projection lane ahead of the same (group, value) exchange;
     // the micro-unit grid widens the jump-point table but stays
