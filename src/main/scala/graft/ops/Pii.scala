@@ -314,7 +314,14 @@ object Pii {
         when(col("n_pii") > maxPii, "drop")
           .when(col("n_pii") > 0, "mask")
           .otherwise("keep").as("verdict"): _*)
-    val cells = verdicts.join(classes, quasiIds)
+    // null-safe equality on every quasi-identifier: [[kAnonymity]]
+    // groups null attribute values as their own class, and a plain
+    // inner join would silently DROP those documents from the cells
+    // (null keys never match) — callers following the x131 null rule
+    // filter upstream, but the op must not lose rows either way
+    val joinCond = quasiIds.map(q =>
+      verdicts(q) <=> classes(q)).reduce(_ && _)
+    val cells = verdicts.join(classes, joinCond)
       .groupBy(col("at_risk"), col("verdict"))
       .agg(count(lit(1)).as("n_docs"))
     val total = cells.agg(coalesce(sum(col("n_docs")), lit(0L)).as("__t"))

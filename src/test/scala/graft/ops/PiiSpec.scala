@@ -152,6 +152,14 @@ class PiiSpec extends SparkSpec {
       Seq(false, "keep", 1L, 333333L),
       Seq(false, "mask", 1L, 333333L),
       Seq(true, "drop", 1L, 333333L)))
+    // null quasi-identifiers form their own class (the kAnonymity
+    // grouping rule) — the null-safe join must not lose those rows
+    val withNull = d.union(Seq(
+      (null.asInstanceOf[String], "a", "plain")).toDF("lang", "src", "text"))
+    val rn = Pii.riskPiiJoint(withNull, Seq("lang", "src"), "text",
+        k = 2L, maxPii = 3)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()
+    assert(rn(0).getLong(0) === 4L) // every row lands in a cell
   }
 
   test("scan is a single zero-shuffle projection (no Exchange in plan)") {
