@@ -74,7 +74,7 @@ object BloomGateStream {
   /** All (idCol, n_eval_matches) scores emitted so far. */
   def scores(spark: SparkSession, statePath: String,
              idCol: String): DataFrame =
-    spark.read.parquet(s"$statePath/contam")
+    StateMaintenance.stableRead(spark, s"$statePath/contam")
       .select(col(idCol), col("n_eval_matches"))
 
   /** Drain a streaming frame of (idCol, textCol, evalCol) rows into

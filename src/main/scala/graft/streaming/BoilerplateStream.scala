@@ -79,7 +79,7 @@ object BoilerplateStream {
 
   /** The full cleaned-document ledger across every batch so far. */
   def ledger(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(s"$statePath/out")
+    StateMaintenance.stableRead(spark, s"$statePath/out")
 
   /** Drain a streaming frame of (idCol, textCol) documents into the
     * online boilerplate state under `statePath`.

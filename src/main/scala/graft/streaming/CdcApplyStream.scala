@@ -50,18 +50,29 @@ object CdcApplyStream {
       .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
       .toSeq.sorted
 
+  /** Read one pointer file, absorbing the two transient states a
+    * concurrent swap can expose: the file vanishing between any probe
+    * and the open (open directly, map FileNotFoundException to None —
+    * an exists-then-open pair would race the writer's delete), and a
+    * created-but-not-yet-written file (a local FS makes `create`d
+    * files visible before their content lands; blank content is
+    * mid-write, not corruption). Non-blank content is written
+    * whole-then-closed by [[applyBatch]] before the file is ever at a
+    * readable name, so it parses or the state really is corrupt.
+    */
   private def readPointer(fs: FileSystem, p: Path): Option[Long] =
-    if (!fs.exists(p)) None
-    else {
+    try {
       val in = fs.open(p)
-      try {
+      val body = try {
         val buf = new java.io.ByteArrayOutputStream()
         val chunk = new Array[Byte](64)
         Iterator.continually(in.read(chunk)).takeWhile(_ >= 0)
           .foreach(n => buf.write(chunk, 0, n))
-        Some(new String(buf.toByteArray, StandardCharsets.UTF_8)
-          .trim.toLong)
+        new String(buf.toByteArray, StandardCharsets.UTF_8).trim
       } finally in.close()
+      if (body.isEmpty) None else Some(body.toLong)
+    } catch {
+      case _: java.io.FileNotFoundException => None
     }
 
   /** The merge applied to one micro-batch — exposed so the replay
@@ -100,15 +111,34 @@ object CdcApplyStream {
     }
   }
 
-  /** Current materialized snapshot (the newest committed version). */
+  /** Current materialized snapshot (the newest committed version).
+    *
+    * The probe pair is RE-PROBED in a short bounded loop: a writer
+    * completing the delete-then-rename swap between this reader's
+    * `_LATEST` probe and its `_LATEST.tmp` probe makes BOTH probes
+    * miss even though a committed pointer existed throughout — one
+    * re-probe of `_LATEST` (which the completed swap just populated)
+    * resolves it. The loop only spins when state LOOKS committed (a
+    * `v=` version dir exists) but neither pointer resolves — the
+    * legitimately-empty case (no batch has ever run) throws
+    * immediately, unslowed.
+    */
   def snapshot(spark: SparkSession, statePath: String): DataFrame = {
     val (fs, root) = StateMaintenance.fsRoot(statePath)
-    val v = readPointer(fs, new Path(root, "_LATEST"))
-      .orElse(readPointer(fs, new Path(root, "_LATEST.tmp")))
-      .getOrElse(throw new IllegalStateException(
-        s"CdcApplyStream: no committed snapshot under $statePath — " +
-          "neither _LATEST nor _LATEST.tmp exists"))
-    spark.read.parquet(s"$statePath/v=$v")
+    def probe(): Option[Long] =
+      readPointer(fs, new Path(root, "_LATEST"))
+        .orElse(readPointer(fs, new Path(root, "_LATEST.tmp")))
+    var v = probe()
+    var attempts = 0
+    while (v.isEmpty && attempts < 20 && versions(fs, root).nonEmpty) {
+      Thread.sleep(25)
+      v = probe()
+      attempts += 1
+    }
+    val resolved = v.getOrElse(throw new IllegalStateException(
+      s"CdcApplyStream: no committed snapshot under $statePath — " +
+        "neither _LATEST nor _LATEST.tmp resolves"))
+    StateMaintenance.stableRead(spark, s"$statePath/v=$resolved")
   }
 
   /** Drain `changes` (a streaming frame with the [[Cdc.applyChanges]]

@@ -65,12 +65,12 @@ object CdcChunkStream {
 
   /** All chunk rows appended so far. */
   def chunks(spark: SparkSession, statePath: String, idCol: String): DataFrame =
-    spark.read.parquet(s"$statePath/chunks")
+    StateMaintenance.stableRead(spark, s"$statePath/chunks")
       .select((idCol +: ChunkCols).map(col): _*)
 
   /** All ledger rows emitted so far. */
   def ledger(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(s"$statePath/ledger")
+    StateMaintenance.stableRead(spark, s"$statePath/ledger")
       .select("chunk_md5", "clen", "n_new_copies", "n_new_docs",
         "n_prior_copies")
 

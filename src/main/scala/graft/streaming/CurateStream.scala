@@ -169,7 +169,7 @@ object CurateStream {
   /** The full ledger emitted so far (idCol, verdict, batch_id). */
   def ledger(spark: SparkSession, statePath: String,
              idCol: String): DataFrame =
-    spark.read.parquet(s"$statePath/ledger")
+    StateMaintenance.stableRead(spark, s"$statePath/ledger")
       .select(col(idCol), col("verdict"), col("batch_id"))
 
   /** Drain a streaming frame of (idCol, textCol, evalCol) rows into

@@ -66,7 +66,7 @@ object DecontaminateStream {
   /** All cleaned corpus rows emitted so far. */
   def cleaned(spark: SparkSession, statePath: String,
               idCol: String): DataFrame =
-    spark.read.parquet(s"$statePath/cleaned")
+    StateMaintenance.stableRead(spark, s"$statePath/cleaned")
       .select(col(idCol), col("clean_text"), col("n_removed"))
 
   /** Drain a streaming frame of (idCol, textCol, evalCol) rows into

@@ -37,7 +37,11 @@ object DedupStream {
     */
   private[streaming] def latestSnapshot(spark: SparkSession, dir: String,
                                         cols: Seq[String]): DataFrame = {
-    val all = spark.read.parquet(dir)
+    // the shared external-accessor entry point: route through the
+    // maintenance-race-absorbing read (marker wait + FNF retry +
+    // relation-scoped ignoreMissingFiles). In-batch callers pay two
+    // existence probes and never wait (no fold runs mid-batch).
+    val all = StateMaintenance.stableRead(spark, dir)
     def shape(df: DataFrame): DataFrame =
       if (cols.isEmpty) df.drop("batch_id")
       else df.select(cols.map(col): _*)
@@ -92,7 +96,7 @@ object DedupStream {
 
   /** All pairs emitted so far (d1, d2, jac). */
   def pairs(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(s"$statePath/pairs").select("d1", "d2", "jac")
+    StateMaintenance.stableRead(spark, s"$statePath/pairs").select("d1", "d2", "jac")
 
   /** Drain a streaming frame of (idCol, textCol) documents into the
     * online dedup state under `statePath`.

@@ -79,7 +79,7 @@ object KAnonymityStream {
       return Pii.sweepOf(
         spark.createDataset(Seq.empty[Long])(
           org.apache.spark.sql.Encoders.scalaLong).toDF("k_size"), ks)
-    val classes = spark.read.parquet(dir).drop("batch_id")
+    val classes = StateMaintenance.stableRead(spark, dir).drop("batch_id")
       .groupBy(quasiIds.map(col): _*)
       .agg(sum(col("k_size")).as("k_size"))
     Pii.sweepOf(classes, ks)

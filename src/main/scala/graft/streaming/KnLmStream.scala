@@ -170,7 +170,7 @@ object KnLmStream {
 
   /** All per-batch scores emitted so far. */
   def scores(spark: SparkSession, statePath: String, idCol: String): DataFrame =
-    spark.read.parquet(s"$statePath/scores")
+    StateMaintenance.stableRead(spark, s"$statePath/scores")
       .select(col(idCol), col("n_ngrams"), col("n_unseen"),
         col("sum_p_fix"), col("avg_p_fix"))
 

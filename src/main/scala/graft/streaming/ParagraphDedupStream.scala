@@ -95,7 +95,7 @@ object ParagraphDedupStream {
   /** All cleaned documents emitted so far. */
   def cleaned(spark: SparkSession, statePath: String,
               idCol: String): DataFrame =
-    spark.read.parquet(s"$statePath/out")
+    StateMaintenance.stableRead(spark, s"$statePath/out")
       .select(col(idCol), col("n_pars"), col("n_removed"), col("cleaned"))
 
   /** Drain a streaming frame of (idCol, textCol) rows through the

@@ -73,7 +73,7 @@ object PplBucketStream {
   /** All per-batch bucket assignments emitted so far. */
   def buckets(spark: SparkSession, statePath: String,
               idCol: String): DataFrame =
-    spark.read.parquet(s"$statePath/buckets")
+    StateMaintenance.stableRead(spark, s"$statePath/buckets")
       .select(col(idCol), col("avg_p_fix"), col("bucket"))
 
   /** Drain a streaming frame of (idCol, avg_p_fix, refCol) scored

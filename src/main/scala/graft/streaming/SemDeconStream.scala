@@ -64,7 +64,7 @@ object SemDeconStream {
   /** All verdicts emitted so far. */
   def verdicts(spark: SparkSession, statePath: String,
                idCol: String): DataFrame =
-    spark.read.parquet(s"$statePath/out")
+    StateMaintenance.stableRead(spark, s"$statePath/out")
       .select(col(idCol), col("max_sim_ppm"), col("nearest_eval"),
         col("verdict"))
 

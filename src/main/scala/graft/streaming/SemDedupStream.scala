@@ -57,7 +57,7 @@ object SemDedupStream {
 
   /** All pairs emitted so far (d1, d2, sim). */
   def pairs(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(s"$statePath/pairs").select("d1", "d2", "sim")
+    StateMaintenance.stableRead(spark, s"$statePath/pairs").select("d1", "d2", "sim")
 
   /** Drain a streaming frame of (idCol, vecCol) embeddings into the
     * online semantic-dedup state under `statePath`.

@@ -50,7 +50,7 @@ object SimhashStream {
 
   /** All pairs emitted so far (d1, d2, dist). */
   def pairs(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(s"$statePath/pairs").select("d1", "d2", "dist")
+    StateMaintenance.stableRead(spark, s"$statePath/pairs").select("d1", "d2", "dist")
 
   /** Drain a streaming frame of (idCol, textCol) documents into the
     * online near-dup state under `statePath`.

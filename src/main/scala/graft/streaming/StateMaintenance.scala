@@ -95,10 +95,13 @@ import org.apache.spark.sql.functions._
   * can list the state dir inside the roll-forward or prune window and
   * transiently fail (`FileNotFoundException` on a just-dropped
   * partition) or observe a partial union. Committed stream state is
-  * never affected. External readers that poll a live twin should
-  * retry on listing errors (or read with
-  * `spark.sql.files.ignoreMissingFiles`), or run at a `maintainEvery`
-  * cadence boundary they control.
+  * never affected — and the accessors ABSORB the race themselves:
+  * every twin's `latest()`/`pairs()`/`sweep()` routes through
+  * [[stableRead]] (marker wait + bounded listing retry +
+  * relation-scoped `ignoreMissingFiles`), so a dashboard polling a
+  * live twin never sees a transient failure. Readers that bypass the
+  * accessors and `spark.read.parquet` the state dirs directly take
+  * the race back onto themselves.
   */
 object StateMaintenance {
 
@@ -158,6 +161,63 @@ object StateMaintenance {
       new String(buf.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
     body.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Read a state dir the way an OUT-OF-BAND reader must: every twin's
+    * `latest()`/`pairs()`/`sweep()` accessor routes through here so the
+    * maintenance race in the object doc is absorbed by the LIBRARY, not
+    * pushed onto every dashboard author. Three layers:
+    *
+    *   1. MARKER WAIT — while a fold is in flight or committed-but-not-
+    *      rolled-forward (`.fold_tmp` or `.fold_manifest` present), the
+    *      table is transiently inconsistent by design; wait it out in a
+    *      short bounded loop (folds over sliver-sized state complete in
+    *      well under the budget). On a HEALTHY dir this is two existence
+    *      probes and zero sleeps. If markers persist past the budget
+    *      (a stream crashed mid-fold and has not restarted), proceed —
+    *      a possibly-partial read beats an accessor that hangs; the
+    *      reader must NOT roll the fold forward itself because
+    *      [[rollForward]] is idempotent across RETRIES, not safe under
+    *      two CONCURRENT executions (both would race the same renames).
+    *   2. LISTING RETRY — `spark.read.parquet` lists and footer-reads
+    *      eagerly; a partition dropped between the marker probe and the
+    *      listing surfaces as FileNotFoundException. Retry the read,
+    *      bounded.
+    *   3. `ignoreMissingFiles` AS A READ OPTION (relation-scoped, not a
+    *      session conf — it survives composition into any caller
+    *      query): a file dropped AFTER listing but before the task
+    *      opens it is skipped instead of failing the action, which can
+    *      fire long after the accessor returned.
+    *
+    * Committed stream state is never affected by any of this (the
+    * stream itself never races its own maintenance); the absorbed
+    * failure modes are strictly the external-reader races.
+    */
+  def stableRead(spark: SparkSession, dir: String,
+                 attempts: Int = 40, backoffMs: Long = 50): DataFrame = {
+    val (fs, root) = fsRoot(dir)
+    val man = new Path(root, ManifestName)
+    val tmp = new Path(root, TmpName)
+    var waited = 0
+    while (waited < attempts && (fs.exists(man) || fs.exists(tmp))) {
+      Thread.sleep(backoffMs)
+      waited += 1
+    }
+    def transientMissing(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[java.io.FileNotFoundException])
+    var out: Option[DataFrame] = None
+    var tries = 0
+    while (out.isEmpty) {
+      try out = Some(
+        spark.read.option("ignoreMissingFiles", "true").parquet(dir))
+      catch {
+        case e: Throwable if transientMissing(e) && tries < attempts =>
+          tries += 1
+          Thread.sleep(backoffMs)
+      }
+    }
+    out.get
   }
 
   /** Publish the fold manifest — THE commit point. The body is written

@@ -69,7 +69,7 @@ object SubsampleStream {
 
   /** The full subsampled-document ledger across every batch so far. */
   def ledger(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(s"$statePath/out")
+    StateMaintenance.stableRead(spark, s"$statePath/out")
 
   /** Drain a streaming frame of (idCol, textCol) documents into the
     * online subsampling state under `statePath`.

@@ -94,7 +94,7 @@ object SubstringStream {
 
   /** All runs emitted so far (d1, d2, a_start, b_start, span_len). */
   def runs(spark: SparkSession, statePath: String): DataFrame =
-    spark.read.parquet(s"$statePath/runs")
+    StateMaintenance.stableRead(spark, s"$statePath/runs")
       .select("d1", "d2", "a_start", "b_start", "span_len")
 
   def start(docs: DataFrame, statePath: String, idCol: String,

@@ -66,7 +66,7 @@ object TokenBudgetStream {
   /** All admitted rows so far: (idCol, n_tokens, cum_before). */
   def admitted(spark: SparkSession, statePath: String,
                idCol: String): DataFrame =
-    spark.read.parquet(s"$statePath/admitted")
+    StateMaintenance.stableRead(spark, s"$statePath/admitted")
       .select(col(idCol), col("n_tokens"), col("cum_before"))
 
   def start(docs: DataFrame, statePath: String, idCol: String,

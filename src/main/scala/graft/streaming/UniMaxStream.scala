@@ -75,7 +75,7 @@ object UniMaxStream {
           "state maintenance (retention keeps only versions >= the " +
           "prune watermark)")
     }
-    val all = spark.read.parquet(s"$statePath/alloc")
+    val all = StateMaintenance.stableRead(spark, s"$statePath/alloc")
     val at: Long = batchId.getOrElse(
       all.agg(max(col("batch_id").cast("long"))).head().getLong(0))
     all.filter(col("batch_id").cast("long") === at).drop("batch_id")
