@@ -41,6 +41,15 @@ object Bench {
     // 8+ runs of a few queries); the driver never sets it.
     val runsPerQuery =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt
+    // Queries with a MEASURED warm ramp deeper than the default three
+    // re-runs get more, so their median lands at (or near) the plateau
+    // instead of at a ramp position that varies with compile-thread
+    // luck. Round-18 experiment, 9 runs x 2 JVMs after the typed-encoder
+    // rewrite removed the mid-bench deopt: x4_ppm_decode still decays
+    // 0.45 -> 0.26 over 8 warm runs (the render+decode lambdas' own
+    // ramp); everything else flattens by run 3. Per-query counts are
+    // honest in the artifact via run_counts.
+    val deepRampRuns = Map("x4_ppm_decode" -> math.max(runsPerQuery, 9))
     // Sized so the FULL map re-runs: 128 queries at sf0.1 cost ~200 s
     // cold + ~2x150 s warm re-runs; the old 300 s budget expired
     // mid-map in round 11, silently downgrading 34 late-alphabet
@@ -66,7 +75,8 @@ object Bench {
       val cold = once()
       val reruns = Iterator.continually(())
         .takeWhile(_ => System.nanoTime() - benchStart < wallBudgetNanos)
-        .take(runsPerQuery - 1).map(_ => once()).toSeq
+        .take(deepRampRuns.getOrElse(name, runsPerQuery) - 1)
+        .map(_ => once()).toSeq
       val runs = cold +: reruns
       // median of the WARM runs only (see above — the cold run pays
       // one-off plan analysis/codegen and would drag the median onto

@@ -6271,9 +6271,10 @@ object ExtQueries {
            |    AS n_at_risk,
            |  CAST(coalesce(sum(k_size) FILTER (WHERE k_size < $KAnonK), 0)
            |    AS BIGINT) AS n_suppressed,
-           |  CAST(CAST(coalesce(sum(k_size) FILTER (WHERE k_size < $KAnonK),
-           |    0) AS HUGEINT) * 1000000 // sum(k_size) AS BIGINT)
-           |    AS suppressed_ppm
+           |  CASE WHEN coalesce(sum(k_size), 0) > 0 THEN
+           |    CAST(CAST(coalesce(sum(k_size) FILTER (WHERE k_size < $KAnonK),
+           |      0) AS HUGEINT) * 1000000 // sum(k_size) AS BIGINT)
+           |  ELSE CAST(0 AS BIGINT) END AS suppressed_ppm
            |FROM (SELECT lang, source, lb // ${b / KAnonBucket} AS cb,
            |    CAST(sum(k_size) AS BIGINT) AS k_size
            |  FROM cls0 GROUP BY 1, 2, 3)""".stripMargin

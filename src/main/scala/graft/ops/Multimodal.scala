@@ -147,15 +147,19 @@ object Multimodal {
     */
   def renderPpm(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select(col(idCol)).rdd.map { r =>
-      val id = r.getLong(0)
+    import spark.implicits._
+    // typed Dataset boundary, not .rdd + createDataFrame: the encoder
+    // generates QUERY-SPECIFIC (de)serializer code, where the generic
+    // CatalystTypeConverters path is a megamorphic call site shared by
+    // every RDD-boundary query in a long benchmark run — round 18
+    // caught it deoptimizing MID-RUN (x4 warm runs 0.29 s -> 0.83 s in
+    // one JVM) and never recovering
+    docs.select(col(idCol)).as[Long].mapPartitions(_.map { id =>
       val w = (id % 8 + 1).toInt; val h = (id % 5 + 1).toInt
       val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
       val px = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
-      Row(id, header ++ px)
-    }
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("doc_id", LongType), StructField("image", BinaryType))))
+      (id, header ++ px)
+    }).toDF("doc_id", "image")
   }
 
   /** REAL binary decode of the P6 PPM header: (width, height, maxval,
@@ -176,20 +180,17 @@ object Multimodal {
     if (w <= 0 || h <= 0) None else Some((w, h, mx, blob.length - i))
   }
 
-  /** Decode PPM headers across a table of image blobs via mapPartitions. */
+  /** Decode PPM headers across a table of image blobs — a typed
+    * mapPartitions (encoder-specialized boundary, see [[renderPpm]]).
+    */
   def decodeImages(images: DataFrame): DataFrame = {
     val spark = images.sparkSession
-    val rdd = images.select(col("doc_id"), col("image")).rdd.mapPartitions { rows =>
-      rows.flatMap { r =>
-        decodePpmHeader(r.getAs[Array[Byte]](1)).map { case (w, h, mx, n) =>
-          Row(r.getLong(0), w, h, mx, n)
-        }
-      }
-    }
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("doc_id", LongType), StructField("width", IntegerType),
-      StructField("height", IntegerType), StructField("maxval", IntegerType),
-      StructField("n_pixel_bytes", IntegerType))))
+    import spark.implicits._
+    images.select(col("doc_id"), col("image")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        decodePpmHeader(blob).map { case (w, h, mx, n) => (id, w, h, mx, n) }
+      })
+      .toDF("doc_id", "width", "height", "maxval", "n_pixel_bytes")
   }
 
   /** Render a deterministic PCM WAV blob per document: the standard
@@ -199,8 +200,8 @@ object Multimodal {
     */
   def renderWav(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select(col(idCol)).rdd.map { r =>
-      val id = r.getLong(0)
+    import spark.implicits._
+    docs.select(col(idCol)).as[Long].mapPartitions(_.map { id =>
       val channels = (id % 2 + 1).toInt
       val sampleRate = Seq(8000, 16000, 44100)((id % 3).toInt)
       val bits = 16
@@ -218,10 +219,8 @@ object Multimodal {
       b.putShort(blockAlign.toShort).putShort(bits.toShort)
       b.put("data".getBytes("US-ASCII")).putInt(dataLen)
       (0 until dataLen / 2).foreach(i => b.putShort(((id * 131 + i * 17) % 65536 - 32768).toShort))
-      Row(id, b.array())
-    }
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("doc_id", LongType), StructField("audio", BinaryType))))
+      (id, b.array())
+    }).toDF("doc_id", "audio")
   }
 
   /** REAL RIFF/WAVE header decode: (channels, sample_rate,
@@ -289,17 +288,15 @@ object Multimodal {
     */
   def decodeAudio(audio: DataFrame): DataFrame = {
     val spark = audio.sparkSession
-    val rdd = audio.select(col("doc_id"), col("audio")).rdd.mapPartitions { rows =>
-      rows.flatMap { r =>
-        decodeWavHeader(r.getAs[Array[Byte]](1)).map { case (c, sr, bits, n, us) =>
-          Row(r.getLong(0), c, sr, bits, n, us)
+    import spark.implicits._
+    audio.select(col("doc_id"), col("audio")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        decodeWavHeader(blob).map { case (c, sr, bits, n, us) =>
+          (id, c, sr, bits, n, us)
         }
-      }
-    }
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("doc_id", LongType), StructField("channels", IntegerType),
-      StructField("sample_rate", IntegerType), StructField("bits", IntegerType),
-      StructField("n_samples", LongType), StructField("duration_us", LongType))))
+      })
+      .toDF("doc_id", "channels", "sample_rate", "bits", "n_samples",
+        "duration_us")
   }
 
   /** Metadata-level query (oracle-checkable): blob length, digest, and the

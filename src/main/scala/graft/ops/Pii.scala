@@ -244,13 +244,7 @@ object Pii {
                            lenCol: String, buckets: Seq[Long],
                            k: Long): DataFrame = {
     require(buckets.nonEmpty, "need at least one bucket width")
-    require(buckets.head >= 1, s"bucket widths must be >= 1: ${buckets.head}")
-    require(k >= 2, s"k must be >= 2: $k")
-    val b0 = buckets.head
-    buckets.foreach(b => require(b % b0 == 0,
-      s"bucket $b is not a multiple of the finest bucket $b0 — the " +
-        "coarser class tables roll up from the finest, which needs " +
-        "aligned boundaries"))
+    val b0 = buckets.head // generalizeOf enforces the rest of the contract
     // integral div throughout: `/` on longs is DOUBLE division in
     // Spark, and floor-through-double drifts at large lengths. The
     // finest class table is PINNED: every bucket branch folds from
@@ -263,10 +257,32 @@ object Pii {
       docs.withColumn("__lb",
         expr(s"CAST($lenCol AS BIGINT) div $b0")),
       quasiIds :+ "__lb").localCheckpoint(false)
+    generalizeOf(finest, quasiIds, "__lb", b0, buckets, k)
+  }
+
+  /** The generalization-curve PROJECTION over a FINEST-bucket class
+    * table — the rollup half of [[kAnonymityGeneralize]], split out so
+    * the streaming twin's accumulated ledger gets the x148 curve
+    * through the SAME kernel ([[graft.streaming.KAnonymityStream.generalize]]
+    * — the [[sweepOf]]/[[kAnonymityOf]] seam discipline). `lbCol` holds
+    * the finest bucket index (length div `b0`); every requested bucket
+    * must be a multiple of `b0` because coarser tables are class-grain
+    * ROLLUPS of the finest, never a rescan.
+    */
+  private[graft] def generalizeOf(finest: DataFrame, quasiIds: Seq[String],
+                                  lbCol: String, b0: Long,
+                                  buckets: Seq[Long], k: Long): DataFrame = {
+    require(buckets.nonEmpty, "need at least one bucket width")
+    require(b0 >= 1, s"finest bucket width must be >= 1: $b0")
+    require(k >= 2, s"k must be >= 2: $k")
+    buckets.foreach(b => require(b % b0 == 0,
+      s"bucket $b is not a multiple of the finest bucket $b0 — the " +
+        "coarser class tables roll up from the finest, which needs " +
+        "aligned boundaries"))
     buckets.map { b =>
       finest
         .groupBy((quasiIds.map(col) :+
-          expr(s"__lb div ${b / b0}").as("__cb")): _*)
+          expr(s"`$lbCol` div ${b / b0}").as("__cb")): _*)
         .agg(sum(col("k_size")).as("k_size"))
         .agg(count(lit(1)).as("n_classes"),
           count_if(col("k_size") < k).as("n_at_risk"),

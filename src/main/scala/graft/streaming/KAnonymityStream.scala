@@ -85,6 +85,40 @@ object KAnonymityStream {
     Pii.sweepOf(classes, ks)
   }
 
+  /** Generalization CURVE over the accumulated ledger (the x148 curve
+    * computed online, completing the privacy face beside [[sweep]]'s
+    * x147): suppression cost at fixed `k` as a function of bucket
+    * coarseness, for everything committed so far. Requires the twin to
+    * have been STARTED with the finest length bucket in its
+    * quasi-identifier tuple (`lbCol` = length div `b0`, one of
+    * `quasiIds` at [[start]] time) — the ledger is then the finest
+    * class table, and every coarser width is a class-grain rollup
+    * through the SAME [[Pii.generalizeOf]] kernel as the batch
+    * operator, so the two cannot drift. `quasiIds` here is the tuple
+    * WITHOUT the bucket column. Returns the fixed 5-column x148 schema,
+    * empty-corpus-safe (0 ppm), without restarting the stream for a
+    * different bucket list.
+    */
+  def generalize(spark: SparkSession, statePath: String,
+                 quasiIds: Seq[String], lbCol: String, b0: Long,
+                 buckets: Seq[Long], k: Long): DataFrame = {
+    val dir = s"$statePath/counts"
+    val finest =
+      if (!StateMaintenance.isDir(dir)) {
+        // fixed output schema even before the first commit: an empty
+        // finest table with the caller's tuple + bucket + k_size
+        val cols = (quasiIds :+ lbCol).map(c => col(c)) :+ col("k_size")
+        spark.createDataset(Seq.empty[Long])(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("k_size")
+          .withColumns((quasiIds :+ lbCol).map(c =>
+            c -> lit(null).cast("bigint")).toMap)
+          .select(cols: _*)
+      } else StateMaintenance.stableRead(spark, dir).drop("batch_id")
+        .groupBy((quasiIds :+ lbCol).map(col): _*)
+        .agg(sum(col("k_size")).as("k_size"))
+    Pii.generalizeOf(finest, quasiIds, lbCol, b0, buckets, k)
+  }
+
   /** Drain a streaming frame carrying the quasi-identifier columns
     * into the online risk state under `statePath`.
     */

@@ -98,6 +98,46 @@ class KAnonymityStreamSpec extends SparkSpec {
     assert(sweepNow() === want) // the fold changes nothing observable
   }
 
+  test("generalize over the accumulated ledger equals the batch " +
+    "generalization curve over everything ingested, before and after " +
+    "a fold (finest bucket in the twin's tuple)") {
+    val state = tmpDir("kas-gen")
+    val b0 = 5L
+    val buckets = Seq(5L, 10L, 20L)
+    // the twin's tuple carries the FINEST bucket (len div 5)
+    val gqids = Seq("lang", "len_b")
+    def docs(rows: Seq[(String, Long)]) = rows.toDF("lang", "len")
+    def ingest(rows: Seq[(String, Long)], id: Long): Unit =
+      KAnonymityStream.applyBatch(state, gqids, 2L)(
+        docs(rows).withColumn("len_b",
+          org.apache.spark.sql.functions.expr("len div 5")), id)
+    def genNow() = KAnonymityStream.generalize(spark, state,
+        Seq("lang"), "len_b", b0, buckets, 2L)
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    def want(rows: Seq[(String, Long)]) =
+      graft.ops.Pii.kAnonymityGeneralize(docs(rows), Seq("lang"), "len",
+        buckets, 2L).orderBy("bucket").collect().map(_.toSeq).toSeq
+    // fixed schema before any commit: the all-zero curve
+    assert(genNow() === want(Seq.empty))
+    val rows0 = Seq(("en", 12L), ("en", 13L), ("en", 27L), ("fr", 8L),
+      (null.asInstanceOf[String], 40L))
+    // en spans finest buckets 2, 5 and 7 — bucket width 20 merges 27
+    // and 38 into one class, so the curve is non-trivial
+    val rows1 = Seq(("fr", 9L), ("de", 33L), ("en", 14L), ("en", 38L))
+    ingest(rows0, 0L)
+    ingest(rows1, 1L)
+    assert(genNow() === want(rows0 ++ rows1))
+    // the curve is non-trivial: coarser buckets merge classes
+    assert(genNow().map(_(1)).distinct.size > 1) // n_classes varies
+    StateMaintenance.maintain(spark, state, "KAnonymityStream", 2L)
+    assert(genNow() === want(rows0 ++ rows1)) // fold changes nothing
+    // a misaligned bucket fails loudly, same contract as the batch op
+    intercept[IllegalArgumentException] {
+      KAnonymityStream.generalize(spark, state, Seq("lang"), "len_b",
+        b0, Seq(7L), 2L).collect()
+    }
+  }
+
   test("end-to-end through a self-maintaining streaming query") {
     implicit val sqlCtx = spark.sqlContext
     val state = tmpDir("kas-e2e")

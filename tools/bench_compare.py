@@ -74,6 +74,16 @@ def main(argv):
                      else f"{max(warm) / min(warm):.1f}x"))
 
     if len(benches) == 2:
+        # the per-query value's basis changed in round 17 (median over
+        # warm re-runs, cold excluded; older artifacts are cold-inclusive
+        # and systematically HIGHER) — comparing across bases silently
+        # reads as a spurious speedup, so a mixed pair is never committable
+        bases = [b.get("median_basis", "cold_inclusive") for b in benches]
+        if bases[0] != bases[1]:
+            ok = False
+            print(f"BASIS MISMATCH: {argv[1]} is {bases[0]}, "
+                  f"{argv[2]} is {bases[1]} — per-query medians are not "
+                  "comparable across bases")
         qa, qb = benches[0]["queries"], benches[1]["queries"]
         for name in sorted(set(qa) & set(qb)):
             a, b = qa[name], qb[name]
