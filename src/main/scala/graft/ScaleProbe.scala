@@ -695,6 +695,26 @@ object ScaleProbe {
           16, 4, 0.8).select("d1", "d2"), "doc_id", "text", 0.35, 0.05)
         .write.format("noop").mode("overwrite").save()
     }
+    // x151/x152 over 50k docs: one (class, sensitive-value) exchange,
+    // everything after it class-grain — the 10x union grows ledger
+    // COUNTS, not ledger rows (attribute cross product x 3 verdicts),
+    // so the l sweep and the classes-x-values EMD grid are constant in
+    // corpus scale. Sensitive attribute kept cheap here (a text-length
+    // parity class) — the probe prices the diversity kernels, not the
+    // x94 regex chain the oracle queries share with x149
+    t("l-div-t-close-50k") {
+      val sdocs = docs10
+        .filter(col("lang").isNotNull && col("source").isNotNull &&
+          col("n_chars").isNotNull)
+        .withColumn("len_bucket", expr("n_chars div 50"))
+        .withColumn("sv", expr("CAST(n_chars % 3 AS STRING)"))
+      graft.ops.Pii.lDiversity(sdocs,
+        Seq("lang", "source", "len_bucket"), "sv", Seq(2L, 3L))
+        .write.format("noop").mode("overwrite").save()
+      graft.ops.Pii.tCloseness(sdocs,
+        Seq("lang", "source", "len_bucket"), "sv", 200000L)
+        .write.format("noop").mode("overwrite").save()
+    }
     // x137 fixed-point over 50k docs: the fractional-scale map is one
     // extra projection lane ahead of the same (group, value) exchange;
     // the micro-unit grid widens the jump-point table but stays

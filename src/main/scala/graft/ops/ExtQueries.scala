@@ -116,6 +116,11 @@ object ExtQueries {
   // coarser class tables roll up from the finest (one corpus pass)
   private val KAnonGenBuckets = Seq(KAnonBucket, 2 * KAnonBucket,
     4 * KAnonBucket, 8 * KAnonBucket)
+  // x151: candidate l values (the sensitive attribute is the 3-valued
+  // x94 verdict, so l=3 is the maximum achievable diversity)
+  private val LDivLs = Seq(2L, 3L)
+  // x152: t-closeness breach threshold, ppm of total-variation EMD
+  private val TClosePpm = 200000L
   private val PackShards = 8
   private val PackChunkTokens = 512
   private val RangeJoinWindowUs = 7L * 86400L * 1000000L // 7 days
@@ -1428,6 +1433,23 @@ object ExtQueries {
           lshPairs(s, dir).select("d1", "d2"), "doc_id", "text",
           CurateQualityMin, CurateDupMax)
         .orderBy("is_dup", "passed")),
+
+    // X151 distinct l-diversity sweep: the x134 quasi tuple with the
+    // x94 PII verdict as the SENSITIVE attribute — a k-anonymous class
+    // whose members are all 'mask' still discloses PII status for
+    // every member; one corpus exchange, class-grain rollups
+    "x151_l_diversity" -> ((s, dir) =>
+      Pii.lDiversity(piiVerdictDocs(s, dir),
+        Seq("lang", "source", "len_bucket"), "verdict", LDivLs)
+        .orderBy("l")),
+
+    // X152 t-closeness audit: per-class EMD (total variation, integer
+    // ppm) between the class's verdict distribution and the corpus
+    // global — even a diverse class leaks when its distribution skews
+    "x152_t_closeness" -> ((s, dir) =>
+      Pii.tCloseness(piiVerdictDocs(s, dir),
+        Seq("lang", "source", "len_bucket"), "verdict", TClosePpm)
+        .orderBy("lang", "source", "len_bucket")),
 
     // X146 exact-cluster histogram: x141's companion for the cheap
     // tier — fingerprint group sizes, one exchange, no pair table
@@ -2753,6 +2775,18 @@ object ExtQueries {
   // a PII-dense "directory page" tail that must cross PiiMaxHits and
   // draw the drop verdict.
   private val PiiMaxHits = 4
+  /** The x151/x152 input: the x134 quasi tuple + the x94 verdict over
+    * augmented text as the sensitive attribute — all three privacy
+    * audits share their upstream exactly (same filters, same bucket,
+    * same thresholds), so the curves are about the SAME release.
+    */
+  private def piiVerdictDocs(s: SparkSession, dir: String): DataFrame =
+    Pii.withVerdict(piiAugmented(Tables.documents(s, dir)
+        .filter(col("lang").isNotNull && col("source").isNotNull &&
+          col("n_chars").isNotNull))
+        .withColumn("len_bucket", expr(s"n_chars div $KAnonBucket")),
+      "aug", PiiMaxHits)
+
   private def piiAugmented(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     // every input column rides along (x149 keeps its quasi-identifiers;
@@ -6320,6 +6354,93 @@ object ExtQueries {
          |    AS share_ppm
          |FROM j CROSS JOIN tot GROUP BY 1, 2, t
          |ORDER BY at_risk, verdict""".stripMargin,
+
+    // x151: x149's verdict chain feeding the class-value ledger; n_sv
+    // counts LEDGER ROWS per class (groupBy-null semantics, never
+    // count(DISTINCT)), the l sweep is the x147 FILTER pattern
+    "x151_l_diversity" ->
+      s"""WITH base AS (SELECT lang, source,
+         |   n_chars // $KAnonBucket AS len_bucket, $piiAugmentSql AS t
+         |  FROM documents WHERE lang IS NOT NULL
+         |   AND source IS NOT NULL AND n_chars IS NOT NULL),
+         |em AS (SELECT lang, source, len_bucket, t,
+         |  regexp_replace(t, '${Pii.EmailPattern}', '${Pii.EmailToken}',
+         |    'g') AS te FROM base),
+         |v AS (SELECT lang, source, len_bucket,
+         |  CASE WHEN n_pii > $PiiMaxHits THEN 'drop'
+         |       WHEN n_pii > 0 THEN 'mask' ELSE 'keep' END AS sv
+         |  FROM (SELECT lang, source, len_bucket,
+         |    len(regexp_extract_all(t, '${Pii.EmailPattern}'))
+         |    + len(regexp_extract_all(
+         |        regexp_replace(te, '${Pii.Ipv4Pattern}',
+         |          '${Pii.IpToken}', 'g'), '${Pii.PhonePattern}'))
+         |    + len(regexp_extract_all(te, '${Pii.Ipv4Pattern}'))
+         |      AS n_pii FROM em)),
+         |svc AS (SELECT lang, source, len_bucket, sv,
+         |   CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2, 3, 4),
+         |cls AS (SELECT lang, source, len_bucket,
+         |   CAST(sum(cnt) AS BIGINT) AS k_size,
+         |   CAST(count(*) AS BIGINT) AS n_sv FROM svc GROUP BY 1, 2, 3),
+         |ls AS (SELECT unnest(ARRAY[${LDivLs.mkString(", ")}]) AS l)
+         |SELECT CAST(l AS BIGINT) AS l,
+         |  CAST(count(*) AS BIGINT) AS n_classes,
+         |  CAST(count(*) FILTER (WHERE n_sv < l) AS BIGINT) AS n_low_div,
+         |  CAST(coalesce(sum(k_size) FILTER (WHERE n_sv < l), 0)
+         |    AS BIGINT) AS n_docs_low,
+         |  CAST(CAST(coalesce(sum(k_size) FILTER (WHERE n_sv < l), 0)
+         |    AS HUGEINT) * 1000000 // sum(k_size) AS BIGINT)
+         |    AS low_div_ppm
+         |FROM cls CROSS JOIN ls GROUP BY l ORDER BY l""".stripMargin,
+
+    // x152: the same ledger, three rollups (class sizes, global
+    // distribution, total), classes x values grid, NULL-SAFE left join
+    // back onto the ledger, HUGEINT total-variation ppm per class
+    "x152_t_closeness" ->
+      s"""WITH base AS (SELECT lang, source,
+         |   n_chars // $KAnonBucket AS len_bucket, $piiAugmentSql AS t
+         |  FROM documents WHERE lang IS NOT NULL
+         |   AND source IS NOT NULL AND n_chars IS NOT NULL),
+         |em AS (SELECT lang, source, len_bucket, t,
+         |  regexp_replace(t, '${Pii.EmailPattern}', '${Pii.EmailToken}',
+         |    'g') AS te FROM base),
+         |v AS (SELECT lang, source, len_bucket,
+         |  CASE WHEN n_pii > $PiiMaxHits THEN 'drop'
+         |       WHEN n_pii > 0 THEN 'mask' ELSE 'keep' END AS sv
+         |  FROM (SELECT lang, source, len_bucket,
+         |    len(regexp_extract_all(t, '${Pii.EmailPattern}'))
+         |    + len(regexp_extract_all(
+         |        regexp_replace(te, '${Pii.Ipv4Pattern}',
+         |          '${Pii.IpToken}', 'g'), '${Pii.PhonePattern}'))
+         |    + len(regexp_extract_all(te, '${Pii.Ipv4Pattern}'))
+         |      AS n_pii FROM em)),
+         |svc AS (SELECT lang, source, len_bucket, sv,
+         |   CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2, 3, 4),
+         |cls AS (SELECT lang, source, len_bucket,
+         |   CAST(sum(cnt) AS BIGINT) AS n_c FROM svc GROUP BY 1, 2, 3),
+         |gdist AS (SELECT sv, CAST(sum(cnt) AS BIGINT) AS g
+         |  FROM svc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total FROM gdist),
+         |grid AS (SELECT cls.lang, cls.source, cls.len_bucket, cls.n_c,
+         |   gdist.sv, gdist.g, tot.n_total
+         |  FROM cls CROSS JOIN gdist CROSS JOIN tot),
+         |cv AS (SELECT grid.lang, grid.source, grid.len_bucket,
+         |   grid.n_c, grid.n_total, grid.g, coalesce(svc.cnt, 0) AS cnt
+         |  FROM grid LEFT JOIN svc
+         |   ON grid.lang IS NOT DISTINCT FROM svc.lang
+         |   AND grid.source IS NOT DISTINCT FROM svc.source
+         |   AND grid.len_bucket IS NOT DISTINCT FROM svc.len_bucket
+         |   AND grid.sv IS NOT DISTINCT FROM svc.sv)
+         |SELECT lang, source, len_bucket, n_c AS k_size,
+         |  CAST(sum(abs(CAST(cnt AS HUGEINT) * n_total
+         |      - CAST(g AS HUGEINT) * n_c)) * 1000000
+         |    // (2 * CAST(n_c AS HUGEINT) * n_total) AS BIGINT)
+         |    AS emd_ppm,
+         |  CAST(sum(abs(CAST(cnt AS HUGEINT) * n_total
+         |      - CAST(g AS HUGEINT) * n_c)) * 1000000
+         |    // (2 * CAST(n_c AS HUGEINT) * n_total) AS BIGINT)
+         |    > $TClosePpm AS breach
+         |FROM cv GROUP BY 1, 2, 3, 4, n_total
+         |ORDER BY lang, source, len_bucket""".stripMargin,
 
     // x130: the VMR identity replayed in HUGEINT (both engines floor-
     // divide non-negative lanes — Cauchy-Schwarz keeps the numerator

@@ -324,12 +324,9 @@ object Pii {
     val classes = classCounts(docs.select(quasiIds.map(col): _*), quasiIds)
       .withColumn("at_risk", col("k_size") < k)
       .drop("k_size")
-    val verdicts = scanned(
-        docs.select((quasiIds :+ textCol).map(col): _*), textCol)
-      .select(quasiIds.map(col) :+
-        when(col("n_pii") > maxPii, "drop")
-          .when(col("n_pii") > 0, "mask")
-          .otherwise("keep").as("verdict"): _*)
+    val verdicts = withVerdict(
+        docs.select((quasiIds :+ textCol).map(col): _*), textCol, maxPii)
+      .select((quasiIds :+ "verdict").map(col): _*)
     // null-safe equality on every quasi-identifier: [[kAnonymity]]
     // groups null attribute values as their own class, and a plain
     // inner join would silently DROP those documents from the cells
@@ -359,4 +356,157 @@ object Pii {
         sum(col("n_email")).as("n_email"),
         sum(col("n_phone")).as("n_phone"),
         sum(col("n_ip")).as("n_ip"))
+
+  /** [[policy]]'s verdict column carried ALONGSIDE the caller's own
+    * columns (the gateSignals discipline) — shared by [[riskPiiJoint]]
+    * and the diversity audits below, so the verdict semantics cannot
+    * drift between them.
+    */
+  private[graft] def withVerdict(docs: DataFrame, textCol: String,
+                                 maxPii: Int): DataFrame = {
+    require(maxPii >= 1, "maxPii must be >= 1 (0 would drop any hit)")
+    scanned(docs, textCol)
+      .withColumn("verdict",
+        when(col("n_pii") > maxPii, "drop")
+          .when(col("n_pii") > 0, "mask")
+          .otherwise("keep"))
+      .drop("n_email", "n_phone", "n_ip", "n_pii")
+  }
+
+  /** The (quasi-identifier tuple, sensitive value) class-value ledger —
+    * the ONE corpus exchange behind [[lDiversity]] and [[tCloseness]]:
+    * class sizes, per-class value multiplicities, and the corpus-global
+    * sensitive distribution are all class-grain ROLLUPS of it (the
+    * [[classCounts]] seam, one attribute wider). NULL sensitive values
+    * group as their own value — the x134 null discipline, identical in
+    * both engines because it is groupBy-null, never count(DISTINCT).
+    */
+  private[graft] def sensitiveClassCounts(docs: DataFrame,
+                                          quasiIds: Seq[String],
+                                          sensitiveCol: String): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier")
+    require(!quasiIds.contains(sensitiveCol),
+      s"'$sensitiveCol' cannot be both a quasi-identifier and the " +
+        "sensitive attribute — diversity of a grouping column is 1 by " +
+        "construction")
+    val reserved = Set("sv_count", "k_size", "n_sv")
+    val clash = (quasiIds :+ sensitiveCol).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"reserved output column(s) used as input: ${clash.mkString(", ")}" +
+        " — rename them first")
+    docs.groupBy((quasiIds :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("sv_count"))
+  }
+
+  /** X151 — DISTINCT l-DIVERSITY sweep (Machanavajjhala et al., "l-
+    * Diversity: Privacy Beyond k-Anonymity", 2006): a k-anonymous
+    * class whose members all SHARE one sensitive value still leaks
+    * that value for everyone in it — k-anonymity bounds
+    * re-identification, not attribute disclosure. One row per
+    * candidate l: how many equivalence classes carry fewer than l
+    * distinct sensitive values, and how much corpus sits in them
+    * (the release decision's other curve, beside x147's k sweep).
+    *
+    * SHAPE AT 100 TB: one corpus exchange ([[sensitiveClassCounts]]),
+    * then class-grain rollups and a broadcast cross join against the
+    * tiny l list — the [[sweepOf]] pattern; DECIMAL-exact ppm.
+    */
+  def lDiversity(docs: DataFrame, quasiIds: Seq[String],
+                 sensitiveCol: String, ls: Seq[Long]): DataFrame =
+    lDiversityOf(sensitiveClassCounts(docs, quasiIds, sensitiveCol),
+      quasiIds, ls)
+
+  /** The l-diversity sweep PROJECTION over any class-value ledger
+    * (`quasiIds` columns + sensitive + `sv_count`) — shared by
+    * [[lDiversity]] and the streaming twin's accumulated-ledger
+    * accessor ([[graft.streaming.KAnonymityStream.lDiversity]]), the
+    * [[sweepOf]] seam discipline.
+    */
+  private[graft] def lDiversityOf(svc: DataFrame, quasiIds: Seq[String],
+                                  ls: Seq[Long]): DataFrame = {
+    require(ls.nonEmpty, "need at least one l to sweep")
+    ls.foreach(l => require(l >= 2, s"every l must be >= 2: $l"))
+    val spark = svc.sparkSession
+    val cls = svc.groupBy(quasiIds.map(col): _*)
+      .agg(sum(col("sv_count")).as("k_size"), count(lit(1)).as("n_sv"))
+    val lDf = spark.createDataset(ls)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("l")
+    cls.crossJoin(broadcast(lDf))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"),
+        count_if(col("n_sv") < col("l")).as("n_low_div"),
+        sum(when(col("n_sv") < col("l"), col("k_size"))
+          .otherwise(0L)).as("n_docs_low"),
+        sum(col("k_size")).as("n_docs"))
+      .select(col("l"), col("n_classes"), col("n_low_div"),
+        col("n_docs_low"),
+        expr("CAST(CAST(n_docs_low AS DECIMAL(38,0)) * 1000000 " +
+          "div n_docs AS BIGINT)").as("low_div_ppm"))
+  }
+
+  /** X152 — t-CLOSENESS audit (Li, Li & Venkatasubramanian, "t-
+    * Closeness: Privacy Beyond k-Anonymity and l-Diversity", 2007):
+    * even a diverse class leaks when its sensitive DISTRIBUTION skews
+    * far from the corpus-global one. Distance is the Earth Mover's
+    * Distance under uniform ground distance — for categorical
+    * attributes that is total variation: emd = sum_v |p_class(v) -
+    * p_global(v)| / 2 — computed INTEGER-EXACT in ppm (the repo ppm
+    * discipline): emd_ppm = floor(1e6 * sum_v |cnt_v*N - g_v*n_c| /
+    * (2*n_c*N)), all DECIMAL(38,0) lanes, no float sums.
+    *
+    * Output: one row per equivalence class — the quasi-identifier
+    * columns, class size `k_size`, `emd_ppm`, and `breach`
+    * (emd_ppm > tPpm).
+    *
+    * SHAPE AT 100 TB: one corpus exchange ([[sensitiveClassCounts]],
+    * pinned so its three rollup lanes share the materialization); the
+    * grid is classes x sensitive values — class-grain times a tiny
+    * value set — with the global side BROADCAST, and the class-value
+    * join NULL-SAFE per attribute (the x149 lesson: null
+    * quasi-identifiers and null sensitive values are real classes).
+    */
+  def tCloseness(docs: DataFrame, quasiIds: Seq[String],
+                 sensitiveCol: String, tPpm: Long): DataFrame =
+    tClosenessOf(sensitiveClassCounts(docs, quasiIds, sensitiveCol),
+      quasiIds, sensitiveCol, tPpm)
+
+  /** The t-closeness PROJECTION over any class-value ledger — the
+    * [[lDiversityOf]] seam for the EMD audit; shared with the
+    * streaming twin ([[graft.streaming.KAnonymityStream.tCloseness]]).
+    */
+  private[graft] def tClosenessOf(ledger: DataFrame, quasiIds: Seq[String],
+                                  sensitiveCol: String,
+                                  tPpm: Long): DataFrame = {
+    require(tPpm >= 0 && tPpm <= 1000000L,
+      s"tPpm is a ppm threshold in [0, 1000000]: $tPpm")
+    val svc = ledger.localCheckpoint(false)
+    val classes = svc.groupBy(quasiIds.map(col): _*)
+      .agg(sum(col("sv_count")).as("n_c"))
+    val global = svc.groupBy(col(sensitiveCol))
+      .agg(sum(col("sv_count")).as("g"))
+    val total = global.agg(coalesce(sum(col("g")), lit(0L)).as("n_total"))
+    val grid = classes.crossJoin(broadcast(global))
+      .crossJoin(broadcast(total))
+    // the ledger re-enters the plan here (grid is classes x global,
+    // BOTH rollups of it) — re-alias its join columns to fresh names
+    // so the three lineages cannot collide in the join condition
+    val probe = svc.select((quasiIds :+ sensitiveCol)
+      .map(c => col(c).as(s"__r_$c")) :+ col("sv_count").as("__r_cnt"): _*)
+    val joinCond = (quasiIds :+ sensitiveCol)
+      .map(c => grid(c) <=> probe(s"__r_$c")).reduce(_ && _)
+    val gridCols = quasiIds.map(grid(_)) ++
+      Seq(grid("n_c"), grid("g"), grid("n_total"))
+    val cv = grid.join(probe, joinCond, "left")
+      .select(gridCols :+
+        coalesce(probe("__r_cnt"), lit(0L)).as("cnt"): _*)
+    cv.groupBy((quasiIds.map(col) :+ col("n_c") :+ col("n_total")): _*)
+      .agg(sum(abs(expr("CAST(cnt AS DECIMAL(38,0)) * n_total - " +
+        "CAST(g AS DECIMAL(38,0)) * n_c"))).as("emd_num"))
+      .select(quasiIds.map(col) ++ Seq(
+        col("n_c").as("k_size"),
+        expr("CAST(emd_num * 1000000 div " +
+          "(2 * CAST(n_c AS DECIMAL(38,0)) * n_total) AS BIGINT)")
+          .as("emd_ppm")): _*)
+      .withColumn("breach", col("emd_ppm") > tPpm)
+  }
 }

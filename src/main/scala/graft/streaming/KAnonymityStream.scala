@@ -119,6 +119,61 @@ object KAnonymityStream {
     Pii.generalizeOf(finest, quasiIds, lbCol, b0, buckets, k)
   }
 
+  /** The accumulated ledger rolled up to one class table over
+    * `groupCols` — the shared read behind [[sweep]], [[generalize]],
+    * [[lDiversity]] and [[tCloseness]]: a twin started with tuple T
+    * can answer any audit whose grouping is a subset of T, because
+    * class counts are additive under coarsening.
+    */
+  private def ledgerClasses(spark: SparkSession, statePath: String,
+                            groupCols: Seq[String]): Option[DataFrame] = {
+    val dir = s"$statePath/counts"
+    if (!StateMaintenance.isDir(dir)) None
+    else Some(StateMaintenance.stableRead(spark, dir).drop("batch_id")
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("k_size")).as("sv_count")))
+  }
+
+  /** An empty class-value ledger with the caller's column shape — the
+    * fixed-schema answer for every pre-first-commit accessor below.
+    */
+  private def emptyLedger(spark: SparkSession,
+                          groupCols: Seq[String]): DataFrame = {
+    val cols = groupCols.map(col) :+ col("sv_count")
+    spark.createDataset(Seq.empty[Long])(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("sv_count")
+      .withColumns(groupCols.map(c =>
+        c -> lit(null).cast("string")).toMap)
+      .select(cols: _*)
+  }
+
+  /** X151 ONLINE: the distinct l-diversity sweep over the accumulated
+    * ledger. Requires the twin to have been STARTED with the sensitive
+    * attribute in its tuple (`quasiIds :+ sensitiveCol` at [[start]]
+    * time) — the ledger is then exactly [[Pii.sensitiveClassCounts]]'
+    * shape, and the sweep runs through the SAME [[Pii.lDiversityOf]]
+    * kernel as the batch operator (no corpus access, no restart).
+    */
+  def lDiversity(spark: SparkSession, statePath: String,
+                 quasiIds: Seq[String], sensitiveCol: String,
+                 ls: Seq[Long]): DataFrame = {
+    val svc = ledgerClasses(spark, statePath, quasiIds :+ sensitiveCol)
+      .getOrElse(emptyLedger(spark, quasiIds :+ sensitiveCol))
+    Pii.lDiversityOf(svc, quasiIds, ls)
+  }
+
+  /** X152 ONLINE: the t-closeness audit over the accumulated ledger —
+    * same started-tuple contract as [[lDiversity]], same
+    * [[Pii.tClosenessOf]] kernel as the batch operator.
+    */
+  def tCloseness(spark: SparkSession, statePath: String,
+                 quasiIds: Seq[String], sensitiveCol: String,
+                 tPpm: Long): DataFrame = {
+    val svc = ledgerClasses(spark, statePath, quasiIds :+ sensitiveCol)
+      .getOrElse(emptyLedger(spark, quasiIds :+ sensitiveCol))
+    Pii.tClosenessOf(svc, quasiIds, sensitiveCol, tPpm)
+  }
+
   /** Drain a streaming frame carrying the quasi-identifier columns
     * into the online risk state under `statePath`.
     */

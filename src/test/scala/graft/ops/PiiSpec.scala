@@ -168,4 +168,64 @@ class PiiSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  // x151/x152 fixture: class (en,a) = {s1,s1,s2} diverse, (en,b) =
+  // {s1,s1} homogeneous, (fr,a) = {null} (null sensitive is a VALUE),
+  // (null,a) = {s2} (null quasi-identifier is a CLASS)
+  private def divDocs = {
+    import spark.implicits._
+    Seq(("en", "a", "s1"), ("en", "a", "s1"), ("en", "a", "s2"),
+      ("en", "b", "s1"), ("en", "b", "s1"),
+      ("fr", "a", null.asInstanceOf[String]),
+      (null.asInstanceOf[String], "a", "s2")).toDF("lang", "src", "sv")
+  }
+
+  test("lDiversity: distinct-value sweep with null classes and values, " +
+    "exact ppm") {
+    val got = Pii.lDiversity(divDocs, Seq("lang", "src"), "sv",
+        Seq(2L, 3L)).orderBy("l").collect().map(_.toSeq).toSeq
+    // classes: (en,a) n_sv=2 k=3; (en,b) n_sv=1 k=2; (fr,a) n_sv=1 k=1
+    // (null IS a value); (null,a) n_sv=1 k=1 (null IS a class)
+    // l=2: low-div = 3 classes, 4 docs of 7 -> 571428 ppm
+    // l=3: all 4 classes low, 7 docs -> 1000000 ppm
+    assert(got === Seq(
+      Seq(2L, 4L, 3L, 4L, 571428L),
+      Seq(3L, 4L, 4L, 7L, 1000000L)))
+    // sensitive-as-quasi-identifier and bad l fail loudly
+    intercept[IllegalArgumentException] {
+      Pii.lDiversity(divDocs, Seq("lang", "sv"), "sv", Seq(2L))
+    }
+    intercept[IllegalArgumentException] {
+      Pii.lDiversity(divDocs, Seq("lang"), "sv", Seq(1L))
+    }
+  }
+
+  test("tCloseness: per-class total-variation ppm vs the global " +
+    "distribution, null-safe, breach flag") {
+    // global over 7 docs: s1=4, s2=2, null=1
+    // (en,a) {s1:2,s2:1}: |2*7-4*3| + |1*7-2*3| + |0*7-1*3| = 2+1+3 = 6
+    //   -> 6*1e6/(2*3*7) = 142857 ppm
+    // (en,b) {s1:2}: |2*7-4*2| + |0-2*2| + |0-1*2| = 6+4+2 = 12
+    //   -> 12*1e6/(2*2*7) = 428571 ppm
+    // (fr,a) {null:1}: |0-4| + |0-2| + |1*7-1| = 12 -> 857142 ppm
+    // (null,a) {s2:1}: |0-4| + |1*7-2| + |0-1| = 10 -> 714285 ppm
+    val got = Pii.tCloseness(divDocs, Seq("lang", "src"), "sv",
+        tPpm = 500000L)
+      .orderBy("lang", "src").collect().map(_.toSeq).toSeq
+    assert(got === Seq(
+      Seq(null, "a", 1L, 714285L, true),
+      Seq("en", "a", 3L, 142857L, false),
+      Seq("en", "b", 2L, 428571L, false),
+      Seq("fr", "a", 1L, 857142L, true)))
+  }
+
+  test("tCloseness and lDiversity ride ONE class-value exchange " +
+    "(plan-shape pin: a single scan of the input)") {
+    val svc = Pii.sensitiveClassCounts(divDocs, Seq("lang", "src"), "sv")
+      .orderBy("lang", "src", "sv").collect().map(_.toSeq).toSeq
+    // the ledger itself: additive counts, null groups preserved
+    assert(svc.length === 5)
+    assert(svc.contains(Seq("en", "a", "s1", 2L)))
+    assert(svc.contains(Seq("fr", "a", null, 1L)))
+  }
 }

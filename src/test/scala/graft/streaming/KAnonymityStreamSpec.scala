@@ -138,6 +138,47 @@ class KAnonymityStreamSpec extends SparkSpec {
     }
   }
 
+  test("lDiversity and tCloseness over the accumulated ledger equal " +
+    "the batch operators over everything ingested, before and after a " +
+    "fold (sensitive attribute in the twin's tuple)") {
+    val state = tmpDir("kas-ldiv")
+    // twin started with tuple (lang, source, sv): its ledger IS the
+    // sensitiveClassCounts shape for quasi tuple (lang, source)
+    val tuple = Seq("lang", "source", "sv")
+    def docs(rows: Seq[(String, String, String)]) =
+      rows.toDF("lang", "source", "sv")
+    def ingest(rows: Seq[(String, String, String)], id: Long): Unit =
+      KAnonymityStream.applyBatch(state, tuple, 2L)(docs(rows), id)
+    val ls = Seq(2L, 3L)
+    def ldNow() = KAnonymityStream.lDiversity(spark, state,
+      Seq("lang", "source"), "sv", ls).orderBy("l")
+      .collect().map(_.toSeq).toSeq
+    def tcNow() = KAnonymityStream.tCloseness(spark, state,
+      Seq("lang", "source"), "sv", 300000L)
+      .orderBy("lang", "source").collect().map(_.toSeq).toSeq
+    // fixed schemas before any commit
+    assert(ldNow() === Seq.empty)
+    assert(tcNow() === Seq.empty)
+    val rows0 = Seq(("en", "webA", "s1"), ("en", "webA", "s1"),
+      ("fr", "webB", "s2"), (null.asInstanceOf[String], "webA", "s1"))
+    val rows1 = Seq(("en", "webA", "s2"), ("fr", "webB", "s2"),
+      ("en", "webA", null.asInstanceOf[String]))
+    ingest(rows0, 0L)
+    ingest(rows1, 1L)
+    val all = rows0 ++ rows1
+    def ldWant() = graft.ops.Pii.lDiversity(docs(all),
+      Seq("lang", "source"), "sv", ls).orderBy("l")
+      .collect().map(_.toSeq).toSeq
+    def tcWant() = graft.ops.Pii.tCloseness(docs(all),
+      Seq("lang", "source"), "sv", 300000L)
+      .orderBy("lang", "source").collect().map(_.toSeq).toSeq
+    assert(ldNow() === ldWant())
+    assert(tcNow() === tcWant())
+    StateMaintenance.maintain(spark, state, "KAnonymityStream", 2L)
+    assert(ldNow() === ldWant()) // the fold changes nothing observable
+    assert(tcNow() === tcWant())
+  }
+
   test("end-to-end through a self-maintaining streaming query") {
     implicit val sqlCtx = spark.sqlContext
     val state = tmpDir("kas-e2e")
