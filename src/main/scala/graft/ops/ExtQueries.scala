@@ -116,6 +116,8 @@ object ExtQueries {
   // coarser class tables roll up from the finest (one corpus pass)
   private val KAnonGenBuckets = Seq(KAnonBucket, 2 * KAnonBucket,
     4 * KAnonBucket, 8 * KAnonBucket)
+  // x153: keyword list depth for the corpus TextRank
+  private val TextRankTopK = 50
   // x151: candidate l values (the sensitive attribute is the 3-valued
   // x94 verdict, so l=3 is the maximum achievable diversity)
   private val LDivLs = Seq(2L, 3L)
@@ -1450,6 +1452,30 @@ object ExtQueries {
       Pii.tCloseness(piiVerdictDocs(s, dir),
         Seq("lang", "source", "len_bucket"), "verdict", TClosePpm)
         .orderBy("lang", "source", "len_bucket")),
+
+    // X153 corpus keyword extraction — TextRank (Mihalcea & Tarau,
+    // "TextRank: Bringing Order into Text", 2004) over the corpus
+    // word co-occurrence graph (adjacent-token window, symmetric
+    // unweighted edges), ranked by the SAME fixed-point integer
+    // PageRank kernel as x28 (Graph.Scale micro-units — deterministic
+    // in both engines, no float drift). Vocabulary-grain graph: the
+    // corpus pass ends at the DISTINCT bigram exchange; every
+    // iteration after it touches vocab-sized tables only
+    "x153_textrank" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(split(col("text"), " ").as("ts"))
+        .select(explode(expr(
+          "zip_with(slice(ts, 1, size(ts)-1), slice(ts, 2, size(ts)-1)," +
+            " (a, b) -> struct(a, b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b") && col("a") =!= "" &&
+          col("b") =!= "")
+      val edges = bg.select(col("a").as("src"), col("b").as("dst"))
+        .union(bg.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+      Graph.pageRank(edges, PageRankIters)
+        .orderBy(col("rank").desc, col("node")).limit(TextRankTopK)
+    }),
 
     // X146 exact-cluster histogram: x141's companion for the cheap
     // tier — fingerprint group sizes, one exchange, no pair table
@@ -6441,6 +6467,37 @@ object ExtQueries {
          |    > $TClosePpm AS breach
          |FROM cv GROUP BY 1, 2, 3, 4, n_total
          |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    // x153: the x28 fixed-point iteration chain over the word
+    // co-occurrence graph; zipped parallel unnests give the adjacent
+    // bigrams, UNION (not UNION ALL) dedups the symmetric edge set
+    "x153_textrank" -> {
+      val iter = (k: Int) =>
+        s"""i$k AS (SELECT e.dst AS node,
+           |  sum(r.rank * 85 // (od.outdeg * 100)) AS inflow
+           |  FROM e JOIN r${k - 1} r ON r.node = e.src
+           |  JOIN od ON od.src = e.src GROUP BY 1),
+           |r$k AS (SELECT nodes.node, b.b + coalesce(i$k.inflow, 0) AS rank
+           |  FROM nodes LEFT JOIN i$k USING (node) CROSS JOIN base b)""".stripMargin
+      s"""WITH tk AS (SELECT string_split(text, ' ') AS ts
+         |  FROM documents WHERE text IS NOT NULL),
+         |bg AS (SELECT unnest(ts[1:len(ts)-1]) AS a,
+         |   unnest(ts[2:len(ts)]) AS b FROM tk),
+         |bf AS (SELECT a, b FROM bg
+         |  WHERE a <> b AND a <> '' AND b <> ''),
+         |e AS (SELECT a AS src, b AS dst FROM bf
+         |  UNION SELECT b AS src, a AS dst FROM bf),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+         |n AS (SELECT count(*) AS n FROM nodes),
+         |base AS (SELECT 15 * ${Graph.Scale} // (100 * n) AS b FROM n),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, ${Graph.Scale} // n.n AS rank
+         |  FROM nodes CROSS JOIN n),
+         |${(1 to PageRankIters).map(iter).mkString(",\n")}
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r$PageRankIters
+         |ORDER BY rank DESC, node LIMIT $TextRankTopK""".stripMargin
+    },
 
     // x130: the VMR identity replayed in HUGEINT (both engines floor-
     // divide non-negative lanes — Cauchy-Schwarz keeps the numerator

@@ -65,4 +65,37 @@ class GraphSpec extends SparkSpec {
     r.unpersist(true)
     assert(sc.getPersistentRDDs.size <= before)
   }
+
+  test("TextRank shape (x153): symmetric co-occurrence edges rank the " +
+    "hub word first; self-pairs and duplicate bigrams collapse") {
+    import spark.implicits._
+    // 'hub' is adjacent to every other word; 'rare' appears once.
+    // The duplicated 'hub x' bigram and the 'y y' self-pair exercise
+    // the DISTINCT and self-loop guards in the x153 edge construction.
+    val docs = Seq(
+      "hub x hub y hub z",
+      "x hub x",
+      "y y hub rare").toDF("text")
+    val bg = docs
+      .select(org.apache.spark.sql.functions.split($"text", " ").as("ts"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          "zip_with(slice(ts, 1, size(ts)-1), slice(ts, 2, size(ts)-1)," +
+            " (a, b) -> struct(a, b))")).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .filter($"a" =!= $"b" && $"a" =!= "" && $"b" =!= "")
+    val edges = bg.select($"a".as("src"), $"b".as("dst"))
+      .union(bg.select($"b".as("src"), $"a".as("dst")))
+      .distinct()
+    // no self loops survive, and each undirected pair appears exactly twice
+    val e = edges.as[(String, String)].collect().toSet
+    assert(e.forall { case (s0, d0) => s0 != d0 })
+    assert(e.map { case (s0, d0) => Set(s0, d0) }.size * 2 === e.size)
+    val top = Graph.pageRank(edges, 3)
+      .orderBy(org.apache.spark.sql.functions.col("rank").desc,
+        org.apache.spark.sql.functions.col("node"))
+      .as[(String, Long)].collect()
+    assert(top.head._1 === "hub") // degree-4 hub outranks everything
+    assert(top.map(_._1).toSet === Set("hub", "x", "y", "z", "rare"))
+  }
 }
