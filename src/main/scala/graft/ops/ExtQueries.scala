@@ -1477,6 +1477,16 @@ object ExtQueries {
         .orderBy(col("rank").desc, col("node")).limit(TextRankTopK)
     }),
 
+    // X154 inter-gate agreement: Cohen's kappa + McNemar between the
+    // x116 curation gate (raw text) and the x94 PII-clean predicate
+    // (augmented text) per source — x150's joint question answered
+    // with the chance-corrected statistic; one scan projection, one
+    // source-grain exchange, DECIMAL(38,0) lanes
+    "x154_gate_agreement" -> ((s, dir) =>
+      Agreement.gatePiiAgreement(piiAugmented(Tables.documents(s, dir)),
+        "source", "text", "aug", CurateQualityMin, CurateDupMax)
+        .orderBy("src")),
+
     // X146 exact-cluster histogram: x141's companion for the cheap
     // tier — fingerprint group sizes, one exchange, no pair table
     "x146_exact_histogram" -> ((s, dir) =>
@@ -6467,6 +6477,71 @@ object ExtQueries {
          |    > $TClosePpm AS breach
          |FROM cv GROUP BY 1, 2, 3, 4, n_total
          |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    // x154: the x144 gate-signal lanes (raw text) joined to the x151
+    // PII-count chain (augmented text), per-source contingency cells,
+    // then kappa/McNemar in HUGEINT with the sign CASE made explicit
+    // (mirrors the Spark DECIMAL(38,0) projection term for term)
+    "x154_gate_agreement" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |   string_split(text, ' ') AS ts, $piiAugmentSql AS aug
+         |  FROM documents WHERE source IS NOT NULL),
+         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ts) - 1),
+         |  i -> ts[i] || ' ' || ts[i+1]) AS g FROM t),
+         |em AS (SELECT doc_id, aug,
+         |  regexp_replace(aug, '${Pii.EmailPattern}', '${Pii.EmailToken}',
+         |    'g') AS te FROM t),
+         |pii AS (SELECT doc_id,
+         |  len(regexp_extract_all(aug, '${Pii.EmailPattern}'))
+         |  + len(regexp_extract_all(
+         |      regexp_replace(te, '${Pii.Ipv4Pattern}',
+         |        '${Pii.IpToken}', 'g'), '${Pii.PhonePattern}'))
+         |  + len(regexp_extract_all(te, '${Pii.Ipv4Pattern}')) AS n_pii
+         |  FROM em),
+         |r AS (SELECT t.source AS src,
+         |  coalesce(len(sh.g) > 0
+         |    AND round(CAST(len(list_distinct(t.ts)) AS DOUBLE)
+         |      / len(t.ts), 6) >= $CurateQualityMin
+         |    AND round(1.0 - CAST(len(list_distinct(sh.g)) AS DOUBLE)
+         |      / len(sh.g), 6) <= $CurateDupMax, false) AS a_pass,
+         |  coalesce(pii.n_pii = 0, false) AS b_pass
+         |  FROM t JOIN sh USING (doc_id) JOIN pii USING (doc_id)),
+         |c AS (SELECT src, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE a_pass) AS BIGINT) AS n_a_pass,
+         |  CAST(count(*) FILTER (WHERE b_pass) AS BIGINT) AS n_b_pass,
+         |  CAST(count(*) FILTER (WHERE a_pass AND b_pass) AS BIGINT)
+         |    AS n_both
+         |  FROM r GROUP BY 1),
+         |d AS (SELECT *,
+         |  n_docs - n_a_pass - n_b_pass + 2 * n_both AS n_agree,
+         |  CAST(n_a_pass AS HUGEINT) * n_b_pass
+         |    + CAST(n_docs - n_a_pass AS HUGEINT) * (n_docs - n_b_pass)
+         |    AS pe_num
+         |  FROM c)
+         |SELECT src, n_docs, n_a_pass, n_b_pass, n_both,
+         |  n_a_pass - n_both AS n_only_a,
+         |  n_b_pass - n_both AS n_only_b,
+         |  CAST(CAST(n_agree AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+         |    AS po_ppm,
+         |  CAST(pe_num * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs)
+         |    AS BIGINT) AS pe_ppm,
+         |  CASE WHEN CAST(n_docs AS HUGEINT) * n_docs = pe_num
+         |    THEN CAST(NULL AS BIGINT)
+         |  WHEN CAST(n_docs AS HUGEINT) * n_agree >= pe_num
+         |    THEN CAST((CAST(n_docs AS HUGEINT) * n_agree - pe_num)
+         |      * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs - pe_num)
+         |      AS BIGINT)
+         |  ELSE -CAST((pe_num - CAST(n_docs AS HUGEINT) * n_agree)
+         |      * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs - pe_num)
+         |      AS BIGINT)
+         |  END AS kappa_micro,
+         |  CASE WHEN n_a_pass + n_b_pass - 2 * n_both = 0
+         |    THEN CAST(NULL AS BIGINT)
+         |  ELSE CAST(CAST(n_a_pass - n_b_pass AS HUGEINT)
+         |      * (n_a_pass - n_b_pass) * 1000000
+         |      // (n_a_pass + n_b_pass - 2 * n_both) AS BIGINT)
+         |  END AS mcnemar_micro
+         |FROM d ORDER BY src""".stripMargin,
 
     // x153: the x28 fixed-point iteration chain over the word
     // co-occurrence graph; zipped parallel unnests give the adjacent
