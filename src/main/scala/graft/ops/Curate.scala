@@ -281,6 +281,74 @@ object Curate {
     * Emits per document: its shard, token span `[tok_start, tok_end)`
     * within the shard's stream, and the chunk range it lands in.
     */
+  /** X155 — Gini information gain of metadata fields on the gate
+    * outcome (the CART split criterion, Breiman et al. 1984): for each
+    * candidate field, how much of the pass/fail impurity does knowing
+    * the field's value remove? The curation-debug question "which
+    * metadata dimension PREDICTS gate failure" answered with the
+    * decision-tree number — a field with high gain means the gate is
+    * really a proxy for that dimension (fix the extractor for that
+    * slice instead of tightening the gate); all-zero gains mean the
+    * gate cuts orthogonally to every dimension you track.
+    *
+    * Gini is used instead of entropy deliberately: with two outcome
+    * classes, impurity = 2·p·(n−p)/n² is pure RATIONAL arithmetic —
+    * ppm-exact in DECIMAL(38,0)/HUGEINT with no ln() seam to keep
+    * bit-equal across engines. Per-value terms floor individually
+    * (the x136 per-term discipline):
+    *   base_ppm = ⌊1e6·2·p·(n−p) / n²⌋
+    *   cond_ppm = Σ_v ⌊1e6·2·p_v·(n_v−p_v) / (n_v·n)⌋
+    *   gain_ppm = base_ppm − cond_ppm   (can floor to −1; deterministic)
+    * Null field values are REAL groups (a missing language is a
+    * slice); null text fails the gate closed.
+    *
+    * SHAPE AT 100 TB: the [[gateSignals]] scan projection folds ONCE
+    * to the fields' cross grain (attribute-cross-product-bounded,
+    * never corpus-sized — the x148 argument), pinned via
+    * localCheckpoint; every per-field table is a rollup of that one
+    * exchange, and the 1-row total broadcasts.
+    *
+    * Output: one row per field — (field, n_values, n_docs, n_pass,
+    * gini_base_ppm, gini_cond_ppm, gain_ppm).
+    */
+  def giniGain(docs: DataFrame, textCol: String, fields: Seq[String],
+               qualityMin: Double, dupMax: Double): DataFrame = {
+    require(fields.nonEmpty, "need at least one candidate field")
+    require(!fields.contains(textCol),
+      s"textCol '$textCol' cannot also be a candidate field")
+    val sig = gateSignals(
+      docs.select(fields.map(col) :+ col(textCol): _*), textCol)
+    val pass = coalesce(gatePass(qualityMin, dupMax), lit(false))
+    val cross = sig.groupBy(fields.map(col): _*)
+      .agg(count(lit(1)).as("n_v"), count_if(pass).as("p_v"))
+      .localCheckpoint(false)
+    val tot = broadcast(cross.agg(
+      coalesce(sum(col("n_v")), lit(0L)).as("n"),
+      coalesce(sum(col("p_v")), lit(0L)).as("p")))
+    fields.map { f =>
+      cross.groupBy(col(f))
+        .agg(sum(col("n_v")).as("n_v"), sum(col("p_v")).as("p_v"))
+        .crossJoin(tot)
+        .select(col("n"), col("p"),
+          expr("CAST(CAST(2 AS DECIMAL(38,0)) * p_v * (n_v - p_v)" +
+            " * 1000000 div (CAST(n_v AS DECIMAL(38,0)) * n) AS BIGINT)")
+            .as("term"))
+        .agg(count(lit(1)).as("n_values"),
+          coalesce(max(col("n")), lit(0L)).as("n_docs"),
+          coalesce(max(col("p")), lit(0L)).as("n_pass"),
+          coalesce(sum(col("term")), lit(0L)).as("gini_cond_ppm"))
+        .select(lit(f).as("field"), col("n_values"), col("n_docs"),
+          col("n_pass"),
+          expr("CASE WHEN n_docs = 0 THEN CAST(0 AS BIGINT)" +
+            " ELSE CAST(CAST(2 AS DECIMAL(38,0)) * n_pass" +
+            " * (n_docs - n_pass) * 1000000" +
+            " div (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)" +
+            " END").as("gini_base_ppm"),
+          col("gini_cond_ppm"))
+        .withColumn("gain_ppm", col("gini_base_ppm") - col("gini_cond_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   def seqPack(docs: DataFrame, idCol: String, textCol: String,
               shards: Int, chunkTokens: Int): DataFrame = {
     require(shards >= 1 && chunkTokens >= 1)

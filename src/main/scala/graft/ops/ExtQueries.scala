@@ -1487,6 +1487,16 @@ object ExtQueries {
         "source", "text", "aug", CurateQualityMin, CurateDupMax)
         .orderBy("src")),
 
+    // X155 Gini information gain: which metadata dimension (lang /
+    // source / length bucket) PREDICTS gate failure — the CART split
+    // criterion in ppm-exact rational arithmetic (no entropy ln seam);
+    // one corpus fold to the attribute cross grain, per-field rollups
+    "x155_gini_gain" -> ((s, dir) =>
+      Curate.giniGain(Tables.documents(s, dir)
+          .withColumn("len_bucket", expr(s"n_chars div $KAnonBucket")),
+        "text", Seq("lang", "source", "len_bucket"),
+        CurateQualityMin, CurateDupMax).orderBy("field")),
+
     // X146 exact-cluster histogram: x141's companion for the cheap
     // tier — fingerprint group sizes, one exchange, no pair table
     "x146_exact_histogram" -> ((s, dir) =>
@@ -6542,6 +6552,63 @@ object ExtQueries {
          |      // (n_a_pass + n_b_pass - 2 * n_both) AS BIGINT)
          |  END AS mcnemar_micro
          |FROM d ORDER BY src""".stripMargin,
+
+    // x155: per-field (value, pass) rollups off one gate-signal CTE,
+    // per-value Gini terms floored individually in HUGEINT, and the
+    // field list LEFT-JOINED from a literal array so an empty corpus
+    // still yields one all-zero row per field (the x148 empty-parity
+    // lesson applied up front)
+    "x155_gini_gain" ->
+      s"""WITH t AS (SELECT doc_id, lang, source,
+         |   n_chars // $KAnonBucket AS len_bucket,
+         |   string_split(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ts) - 1),
+         |  i -> ts[i] || ' ' || ts[i+1]) AS g FROM t),
+         |sig AS (SELECT t.lang, t.source, t.len_bucket,
+         |  coalesce(len(sh.g) > 0
+         |    AND round(CAST(len(list_distinct(t.ts)) AS DOUBLE)
+         |      / len(t.ts), 6) >= $CurateQualityMin
+         |    AND round(1.0 - CAST(len(list_distinct(sh.g)) AS DOUBLE)
+         |      / len(sh.g), 6) <= $CurateDupMax, false) AS pass
+         |  FROM t JOIN sh USING (doc_id)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) FILTER (WHERE pass) AS BIGINT) AS p FROM sig),
+         |pv AS (
+         |  SELECT 'lang' AS field, CAST(lang AS VARCHAR) AS v,
+         |    CAST(count(*) AS BIGINT) AS n_v,
+         |    CAST(count(*) FILTER (WHERE pass) AS BIGINT) AS p_v
+         |  FROM sig GROUP BY 2
+         |  UNION ALL SELECT 'len_bucket', CAST(len_bucket AS VARCHAR),
+         |    CAST(count(*) AS BIGINT),
+         |    CAST(count(*) FILTER (WHERE pass) AS BIGINT)
+         |  FROM sig GROUP BY 2
+         |  UNION ALL SELECT 'source', source,
+         |    CAST(count(*) AS BIGINT),
+         |    CAST(count(*) FILTER (WHERE pass) AS BIGINT)
+         |  FROM sig GROUP BY 2),
+         |terms AS (SELECT field,
+         |  CAST(CAST(2 AS HUGEINT) * p_v * (n_v - p_v) * 1000000
+         |    // (CAST(n_v AS HUGEINT) * tot.n) AS BIGINT) AS term
+         |  FROM pv CROSS JOIN tot),
+         |agg AS (SELECT field, CAST(count(*) AS BIGINT) AS n_values,
+         |  CAST(coalesce(sum(term), 0) AS BIGINT) AS gini_cond_ppm
+         |  FROM terms GROUP BY field),
+         |flds AS (SELECT unnest(
+         |  ARRAY['lang', 'len_bucket', 'source']) AS field)
+         |SELECT flds.field,
+         |  coalesce(agg.n_values, 0) AS n_values,
+         |  tot.n AS n_docs, tot.p AS n_pass,
+         |  CASE WHEN tot.n = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(CAST(2 AS HUGEINT) * tot.p * (tot.n - tot.p)
+         |      * 1000000 // (CAST(tot.n AS HUGEINT) * tot.n) AS BIGINT)
+         |  END AS gini_base_ppm,
+         |  coalesce(agg.gini_cond_ppm, 0) AS gini_cond_ppm,
+         |  CASE WHEN tot.n = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(CAST(2 AS HUGEINT) * tot.p * (tot.n - tot.p)
+         |      * 1000000 // (CAST(tot.n AS HUGEINT) * tot.n) AS BIGINT)
+         |  END - coalesce(agg.gini_cond_ppm, 0) AS gain_ppm
+         |FROM flds LEFT JOIN agg ON agg.field = flds.field
+         |CROSS JOIN tot ORDER BY flds.field""".stripMargin,
 
     // x153: the x28 fixed-point iteration chain over the word
     // co-occurrence graph; zipped parallel unnests give the adjacent
