@@ -260,6 +260,72 @@ case class CentroidArgmin(child: Expression, cents: Array[Array[Int]])
     copy(child = newChild)
 }
 
+/** [[CentroidArgmin]] with the SECOND-smallest distance carried along:
+  * `struct(list_id int, dist long, dist2 long)` — the one extra lane
+  * the simplified-silhouette audit needs (a = own-centroid distance =
+  * the min, b = nearest OTHER centroid = the second min, because the
+  * final assignment IS the argmin over the same centroid matrix). One
+  * fused loop, same tie rule (first minimum wins, so an exact tie
+  * lands in dist2 and the silhouette reads 0). Requires >= 2 centroids
+  * — there is no "other cluster" at k = 1.
+  */
+case class CentroidArgmin2(child: Expression, cents: Array[Array[Int]])
+    extends UnaryExpression {
+  require(cents.length >= 2,
+    s"centroid_argmin2 needs >= 2 centroids, got ${cents.length}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("list_id", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("dist", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("dist2", LongType, nullable = false)))
+  override def prettyName: String = "centroid_argmin2"
+
+  @transient private lazy val c2: Array[Long] =
+    cents.map(_.map(v => v.toLong * v).sum)
+
+  def argmin2(q: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = cents(0).length
+    require(q.numElements() == dim,
+      s"vector dim ${q.numElements()} != centroid dim $dim")
+    var n2 = 0L
+    var i = 0
+    while (i < dim) { val v = q.getInt(i).toLong; n2 += v * v; i += 1 }
+    var best = 0
+    var bestDist = Long.MaxValue
+    var secondDist = Long.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var dot = 0L
+      var k = 0
+      while (k < dim) { dot += q.getInt(k).toLong * c(k); k += 1 }
+      val dist = n2 - 2L * dot + c2(j)
+      // strict < keeps the FIRST minimum (ties to the lower list id);
+      // a displaced previous best is by construction the running second
+      if (dist < bestDist) {
+        secondDist = bestDist; bestDist = dist; best = j
+      } else if (dist < secondDist) {
+        secondDist = dist
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestDist, secondDist)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    argmin2(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidArgmin2", this,
+      classOf[CentroidArgmin2].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.argmin2($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native residual: `q - cents(listId)` over quantized ints — the
   * IVF-PQ encoding step. The centroid index arrives as a COLUMN (each
   * row subtracts its own list's centroid), which a static literal
@@ -320,4 +386,11 @@ object VectorOps {
     */
   def centroid_argmin(q: Column, cents: Array[Array[Int]]): Column =
     GraftBridge.column(CentroidArgmin(GraftBridge.expression(q), cents))
+
+  /** centroid_argmin2(q, cents): struct(list_id, dist, dist2) — the
+    * nearest centroid plus the second-nearest distance (the
+    * simplified-silhouette lanes) in the same fused loop.
+    */
+  def centroid_argmin2(q: Column, cents: Array[Array[Int]]): Column =
+    GraftBridge.column(CentroidArgmin2(GraftBridge.expression(q), cents))
 }

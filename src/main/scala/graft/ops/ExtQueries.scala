@@ -1769,6 +1769,15 @@ object ExtQueries {
         k = KMeansK, iters = KMeansIters).orderBy("vec_id")
     }),
 
+    // X156 simplified-silhouette cluster audit over the SAME Lloyd
+    // rounds as x37 (shared trainer, shared knobs): per cluster, the
+    // integer-exact (b-a)/max(a,b) separation in micro units — a and b
+    // from ONE fused centroid_argmin2 sweep, no pairwise distances
+    "x156_silhouette" -> ((s, dir) =>
+      KMeansOp.silhouette(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = KMeansK, iters = KMeansIters)
+        .orderBy("cluster")),
+
     // X40 temperature-flattened mixture — weights ∝ count^0.3 derived
     // driver-side from the domain-count dim table, then the same exact
     // scan-side keep-cut machinery as x31. The test corpus's sources are
@@ -2885,6 +2894,45 @@ object ExtQueries {
       .mkString(", ")
 
   private def bandUnion: String = bandUnionW(4)
+
+  /** One k-means assignment CTE pair (all-pairs distances from
+    * `centsCte`, then rn = 1 argmin with ties to the lower cluster id)
+    * — shared by the x37 and x156 oracles so the replayed Lloyd rounds
+    * cannot drift between the two.
+    */
+  private def kmeansAssignCte(centsCte: String, out: String,
+                              keepDist: Boolean): String = {
+    val distCols = if (keepDist) ", dist" else ""
+    s"""d$out AS (SELECT e.vec_id, e.q, $centsCte.cl,
+       |  list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, $centsCte.cq)
+       |    + list_dot_product($centsCte.cq, $centsCte.cq) AS dist
+       |  FROM e CROSS JOIN $centsCte),
+       |a$out AS (SELECT vec_id, q, cl$distCols FROM (
+       |  SELECT vec_id, q, cl, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |  FROM d$out) WHERE rn = 1)""".stripMargin
+  }
+
+  /** The x37 Lloyd-round replay up to the FINAL centroid table `c1`:
+    * quantize, lowest-id init, one assignment round, floor-div
+    * centroid update (empty cluster keeps its centroid).
+    */
+  private def kmeansRoundsPrefix: String =
+    s"""e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, q AS cq
+       |  FROM e ORDER BY vec_id LIMIT $KMeansK),
+       |${kmeansAssignCte("c0", "1", keepDist = false)},
+       |u1 AS (SELECT cl, unnest(generate_series(1, len(q))) AS d, q FROM a1),
+       |s1 AS (SELECT cl, d, sum(CAST(q[d] AS BIGINT)) AS sv, count(*) AS n
+       |  FROM u1 GROUP BY 1, 2),
+       |m1 AS (SELECT cl, list(CAST(
+       |    (sv // n) - CASE WHEN sv < 0 AND sv % n <> 0 THEN 1 ELSE 0 END
+       |    AS DOUBLE) ORDER BY d) AS cq
+       |  FROM s1 GROUP BY cl),
+       |c1 AS (SELECT c0.cl, coalesce(m1.cq, c0.cq) AS cq
+       |  FROM c0 LEFT JOIN m1 ON m1.cl = c0.cl)""".stripMargin
 
   /** [[bandUnion]] at any band width (mirrors Dedup.bandRows: 16 sigs
     * split into 16/w bands of w, key = md5 of the comma-joined lane).
@@ -5983,38 +6031,41 @@ object ExtQueries {
     // (ties to the lower cluster), element-wise floor-div centroid
     // update (empty cluster keeps its centroid via the LEFT JOIN), all
     // in integer-exact arithmetic — no inlined literals at all
-    "x37_kmeans" -> {
-      def assignCte(centsCte: String, out: String, keepDist: Boolean) = {
-        val distCols = if (keepDist) ", dist" else ""
-        s"""d$out AS (SELECT e.vec_id, e.q, $centsCte.cl,
-           |  list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, $centsCte.cq)
-           |    + list_dot_product($centsCte.cq, $centsCte.cq) AS dist
-           |  FROM e CROSS JOIN $centsCte),
-           |a$out AS (SELECT vec_id, q, cl$distCols FROM (
-           |  SELECT vec_id, q, cl, dist,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
-           |  FROM d$out) WHERE rn = 1)""".stripMargin
-      }
-      s"""WITH e AS (SELECT vec_id,
-         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
-         |  FROM embeddings),
-         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, q AS cq
-         |  FROM e ORDER BY vec_id LIMIT $KMeansK),
-         |${assignCte("c0", "1", keepDist = false)},
-         |u1 AS (SELECT cl, unnest(generate_series(1, len(q))) AS d, q FROM a1),
-         |s1 AS (SELECT cl, d, sum(CAST(q[d] AS BIGINT)) AS sv, count(*) AS n
-         |  FROM u1 GROUP BY 1, 2),
-         |m1 AS (SELECT cl, list(CAST(
-         |    (sv // n) - CASE WHEN sv < 0 AND sv % n <> 0 THEN 1 ELSE 0 END
-         |    AS DOUBLE) ORDER BY d) AS cq
-         |  FROM s1 GROUP BY cl),
-         |c1 AS (SELECT c0.cl, coalesce(m1.cq, c0.cq) AS cq
-         |  FROM c0 LEFT JOIN m1 ON m1.cl = c0.cl),
-         |${assignCte("c1", "2", keepDist = true)}
+    "x37_kmeans" ->
+      s"""WITH $kmeansRoundsPrefix,
+         |${kmeansAssignCte("c1", "2", keepDist = true)}
          |SELECT vec_id, CAST(cl AS INTEGER) AS cluster,
          |  CAST(dist AS BIGINT) AS dist
-         |FROM a2 ORDER BY vec_id""".stripMargin
-    },
+         |FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // x156: the x37 round chain replayed verbatim (shared prefix),
+    // then a = the rn=1 distance, b = min distance over the OTHER
+    // final centroids, and the same micro floor as the Spark side
+    "x156_silhouette" ->
+      s"""WITH $kmeansRoundsPrefix,
+         |d2 AS (SELECT e.vec_id, c1.cl,
+         |  list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c1.cq)
+         |    + list_dot_product(c1.cq, c1.cq) AS dist
+         |  FROM e CROSS JOIN c1),
+         |a2 AS (SELECT vec_id, cl, dist FROM (
+         |  SELECT vec_id, cl, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+         |  FROM d2) WHERE rn = 1),
+         |b2 AS (SELECT d2.vec_id, min(d2.dist) AS b
+         |  FROM d2 JOIN a2 ON a2.vec_id = d2.vec_id AND d2.cl <> a2.cl
+         |  GROUP BY 1),
+         |s AS (SELECT a2.cl AS cluster, CAST(a2.dist AS BIGINT) AS a,
+         |  CAST(b2.b AS BIGINT) AS b FROM a2 JOIN b2 USING (vec_id)),
+         |sm AS (SELECT cluster,
+         |  CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(CAST(b - a AS HUGEINT) * 1000000
+         |    // greatest(a, b) AS BIGINT) END AS sm FROM s)
+         |SELECT CAST(cluster AS INTEGER) AS cluster,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(sm) // count(*) AS BIGINT) AS avg_sil_micro,
+         |  CAST(min(sm) AS BIGINT) AS min_sil_micro,
+         |  CAST(max(sm) AS BIGINT) AS max_sil_micro
+         |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Laplace NB replayed from the data alone: per-(token, class)
     // counts over the train split, micro-nat ln seam per token, exact

@@ -71,8 +71,14 @@ object KMeansOp {
         }.toArray
     }
 
-  def fit(emb: DataFrame, idCol: String, vecCol: String,
-          k: Int, iters: Int): DataFrame = {
+  /** The Lloyd rounds alone: deterministic lowest-id init, `iters - 1`
+    * centroid updates, FINAL centroid matrix returned — the shared
+    * trainer behind [[fit]] and [[silhouette]] (one loop, so the
+    * assignment and the audit can never see different centroids).
+    */
+  private[ops] def trainCentroids(emb: DataFrame, idCol: String,
+                                  vecCol: String, k: Int,
+                                  iters: Int): Array[Array[Int]] = {
     require(k >= 1 && iters >= 1, s"k/iters must be >= 1: $k/$iters")
     val q = emb.select(col(idCol), Similarity.quantize(col(vecCol)).as("q"))
     // deterministic init: the k lowest-id vectors (tiny bounded collect —
@@ -82,11 +88,9 @@ object KMeansOp {
     require(cents.length == k, s"corpus has fewer than k=$k rows")
     val dim = cents(0).length
 
-    def assigned: DataFrame =
-      Similarity.assignLists(emb, idCol, vecCol, cents)
-
     for (_ <- 1 until iters) {
       // one map-side-combined aggregation: k rows of (count, dim sums)
+      val assigned = Similarity.assignLists(emb, idCol, vecCol, cents)
       val sums = componentSums(assigned, dim, dim > ExplodeDimThreshold)
       val next = cents.map(_.clone()) // empty cluster keeps its centroid
       sums.foreach { case (cl, n, s) =>
@@ -94,6 +98,13 @@ object KMeansOp {
       }
       cents = next
     }
+    cents
+  }
+
+  def fit(emb: DataFrame, idCol: String, vecCol: String,
+          k: Int, iters: Int): DataFrame = {
+    val cents = trainCentroids(emb, idCol, vecCol, k, iters)
+    val q = emb.select(col(idCol), Similarity.quantize(col(vecCol)).as("q"))
     // Final pass: ONE fused argmin evaluation yields both fields. The
     // struct lands in its own projection step; CollapseProject refuses to
     // inline a non-cheap expression into two use-sites, so the plan keeps
@@ -102,5 +113,58 @@ object KMeansOp {
     q.select(col(idCol), am.as("am"))
       .select(col(idCol), col("am").getField("list_id").as("cluster"),
         col("am").getField("dist").as("dist"))
+  }
+
+  /** X156 — simplified-silhouette cluster audit (Rousseeuw 1987;
+    * the centroid-based simplification per Hruschka et al. 2004 /
+    * Vendramin et al. 2010): per final cluster, how SEPARATED are its
+    * members — s(i) = (b − a) / max(a, b) with a = |q − c_own|² and
+    * b = min over other clusters |q − c_j|², both exact integers over
+    * the same quantized vectors as [[fit]]. Because the assignment IS
+    * the argmin against the final centroids, a is the minimum and b
+    * the second minimum of one distance sweep — [[graft.functions
+    * .VectorOps.centroid_argmin2]]'s fused loop — so a >= 0, b >= a,
+    * and s_micro sits in [0, 1e6] (an exact tie reads 0: the point is
+    * on the decision boundary). The true silhouette's O(n²) pairwise
+    * distances never materialize — at 100 TB this is the only
+    * silhouette there is.
+    *
+    * ARITHMETIC: s_micro = ⌊1e6·(b − a) / max(a, b)⌋ per point
+    * (0 when max(a,b) = 0 — a point exactly ON its centroid with a
+    * tied other centroid); per-cluster mean is ⌊Σ s_micro / n⌋. All
+    * lanes DECIMAL(38,0)-exact; the oracle replays the identical Lloyd
+    * rounds and the identical floors.
+    *
+    * SHAPE AT 100 TB: the Lloyd rounds are [[fit]]'s (one map-side-
+    * combined aggregation each); the audit itself is ONE scan-side
+    * fused-loop projection plus a k-group fold — no join, no pairwise
+    * anything, nothing driver-side beyond the k×dim centroid matrix.
+    *
+    * Output: (cluster, n_vecs, avg_sil_micro, min_sil_micro,
+    * max_sil_micro), one row per non-empty cluster.
+    */
+  def silhouette(emb: DataFrame, idCol: String, vecCol: String,
+                 k: Int, iters: Int): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2 (no 'other' cluster): $k")
+    val cents = trainCentroids(emb, idCol, vecCol, k, iters)
+    val q = emb.select(col(idCol), Similarity.quantize(col(vecCol)).as("q"))
+    val am = graft.functions.VectorOps.centroid_argmin2(col("q"), cents)
+    q.select(am.as("am"))
+      .select(col("am").getField("list_id").as("cluster"),
+        col("am").getField("dist").as("a"),
+        col("am").getField("dist2").as("b"))
+      .select(col("cluster"), expr(
+        """CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(CAST(b - a AS DECIMAL(38,0)) * 1000000
+          |  div greatest(a, b) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")).as("sm"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sm")).as("__s"),
+        min(col("sm")).as("min_sil_micro"),
+        max(col("sm")).as("max_sil_micro"))
+      .select(col("cluster"), col("n_vecs"),
+        expr("CAST(CAST(__s AS DECIMAL(38,0)) div n_vecs AS BIGINT)")
+          .as("avg_sil_micro"),
+        col("min_sil_micro"), col("max_sil_micro"))
   }
 }

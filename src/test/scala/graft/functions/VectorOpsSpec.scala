@@ -97,6 +97,49 @@ class VectorOpsSpec extends SparkSpec {
     assert(got2 === 0) // ...and a true tie resolves to the lower id
   }
 
+  test("centroid_argmin2: dist matches centroid_argmin and dist2 is " +
+    "the true second minimum on real data") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents: Array[Array[Int]] = emb.orderBy("vec_id").limit(5).collect()
+      .map(_.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toInt).toArray)
+    val q = transform($"embedding", x => floor(x.cast("double") * 1000).cast("int"))
+    val base = emb.select($"vec_id", q.as("q"))
+      .withColumn("n2", VectorOps.dot_long($"q", $"q"))
+    val dists = array(cents.map { c =>
+      val c2 = c.map(v => v.toLong * v).sum
+      $"n2" - lit(2L) * VectorOps.dot_long($"q", typedLit(c.toSeq)) + lit(c2)
+    }: _*)
+    // declarative twin: sort the k distances, take positions 1 and 2
+    val declarative = base.select($"vec_id",
+        element_at(array_sort(dists), 1).as("d1"),
+        element_at(array_sort(dists), 2).as("d2"))
+      .orderBy("vec_id").as[(Long, Long, Long)].collect()
+    val native = base.select($"vec_id",
+        VectorOps.centroid_argmin2($"q", cents).getField("dist").as("d1"),
+        VectorOps.centroid_argmin2($"q", cents).getField("dist2").as("d2"))
+      .orderBy("vec_id").as[(Long, Long, Long)].collect()
+    assert(declarative.toSeq === native.toSeq)
+    // and the argmin lane agrees with centroid_argmin
+    val ids = base.select(
+        VectorOps.centroid_argmin($"q", cents).getField("list_id"),
+        VectorOps.centroid_argmin2($"q", cents).getField("list_id"))
+      .collect()
+    ids.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("centroid_argmin2: an exact duplicate centroid makes dist2 " +
+    "equal dist (the silhouette-0 boundary case); k < 2 is refused") {
+    val df = Seq((1L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = transform($"embedding", x => floor(x.cast("double") * 1000).cast("int"))
+    val dup = Array(Array(500, 500), Array(500, 500))
+    val r = df.select(VectorOps.centroid_argmin2(q, dup).as("am"))
+      .select($"am.list_id", $"am.dist", $"am.dist2").head()
+    assert(r.getInt(0) === 0 && r.getLong(1) === r.getLong(2))
+    intercept[IllegalArgumentException] {
+      VectorOps.centroid_argmin2(q, Array(Array(0, 0)))
+    }
+  }
+
   test("centroid_argmin rejects a dimension mismatch loudly") {
     val df = Seq((1L, Seq(1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
     val q = transform($"embedding", x => floor(x.cast("double") * 1000).cast("int"))

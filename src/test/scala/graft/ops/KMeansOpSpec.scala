@@ -54,6 +54,56 @@ class KMeansOpSpec extends SparkSpec {
     }
   }
 
+  // ---- x156 simplified silhouette ----
+
+  test("silhouette: hand-computed per-point lanes over a nearest-seed " +
+    "assignment, including the tie-on-the-boundary zero") {
+    // iters=1: centroids are vecs 0 and 1 -> (0,0) and (10000,0).
+    // v0/v1 sit ON their centroid (s = 1e6); v2/v3 at a=1e6,
+    // b=1.01e8 -> s = 990099; v4 = (5000,0) ties both (a=b=25e6,
+    // lower cluster wins) -> s = 0
+    val vecs = Seq(
+      0L -> Seq(0.0f, 0.0f),
+      1L -> Seq(10.0f, 0.0f),
+      2L -> Seq(0.0f, 1.0f),
+      3L -> Seq(10.0f, 1.0f),
+      4L -> Seq(5.0f, 0.0f))
+    val got = KMeansOp.silhouette(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 2, iters = 1)
+      .orderBy("cluster").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === Seq(
+      (0, 3L, 663366L, 0L, 1000000L),     // sum 1990099 div 3
+      (1, 2L, 995049L, 990099L, 1000000L) // sum 1990099 div 2
+    ))
+  }
+
+  test("silhouette rides the SAME trained centroids as fit: cluster " +
+    "populations match across both entry points") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sizes = KMeansOp.fit(emb, "vec_id", "embedding", k = 3, iters = 2)
+      .groupBy("cluster").count()
+      .orderBy("cluster").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val sil = KMeansOp.silhouette(emb, "vec_id", "embedding",
+        k = 3, iters = 2)
+      .orderBy("cluster").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(sil.toSeq === sizes.toSeq)
+    // the audit's invariant under argmin assignment: s in [0, 1e6]
+    KMeansOp.silhouette(emb, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().foreach { r =>
+        assert(r.getLong(3) >= 0L && r.getLong(4) <= 1000000L)
+        assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(4))
+      }
+  }
+
+  test("silhouette refuses k = 1 (no 'other cluster' to separate from)") {
+    intercept[IllegalArgumentException] {
+      KMeansOp.silhouette(fourPoints.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1, iters = 1)
+    }
+  }
+
   test("explode-form component sums equal the scalar-column form exactly") {
     // wide dims switch the per-round update to a posexplode aggregation
     // (the dim-wide scalar expression tree is the JIT-cliff shape); both
