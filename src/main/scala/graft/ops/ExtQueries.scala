@@ -118,6 +118,10 @@ object ExtQueries {
     4 * KAnonBucket, 8 * KAnonBucket)
   // x153: keyword list depth for the corpus TextRank
   private val TextRankTopK = 50
+  // x157: Zermelo fixed-point iterations for the Bradley-Terry
+  // strength scale (oracle unrolls them, x153-style); 5 rounds move
+  // the sf0.01 scale well past visible convergence drift
+  private val BtIters = 5
   // x151: candidate l values (the sensitive attribute is the 3-valued
   // x94 verdict, so l=3 is the maximum achievable diversity)
   private val LDivLs = Seq(2L, 3L)
@@ -1496,6 +1500,17 @@ object ExtQueries {
           .withColumn("len_bucket", expr(s"n_chars div $KAnonBucket")),
         "text", Seq("lang", "source", "len_bucket"),
         CurateQualityMin, CurateDupMax).orderBy("field")),
+
+    // X157 Bradley-Terry source strength: every verified CROSS-source
+    // near-dup pair is a head-to-head on shared content, won by the
+    // higher-quality copy; the Zermelo fixed point turns the win
+    // matrix into the keep-WHOSE-copy scale. Rides the session-cached
+    // pair stage; only the source-pair win matrix is collected
+    "x157_bradley_terry" -> ((s, dir) =>
+      Preference.bradleyTerry(Tables.documents(s, dir),
+        lshPairs(s, dir).select("d1", "d2"), "doc_id", "source",
+        "text", BtIters)
+        .orderBy(col("strength_micro").desc, col("src"))),
 
     // X146 exact-cluster histogram: x141's companion for the cheap
     // tier — fingerprint group sizes, one exchange, no pair table
@@ -6660,6 +6675,80 @@ object ExtQueries {
          |  END - coalesce(agg.gini_cond_ppm, 0) AS gain_ppm
          |FROM flds LEFT JOIN agg ON agg.field = flds.field
          |CROSS JOIN tot ORDER BY flds.field""".stripMargin,
+
+    // x157: the x139 verified-pair chain, quality-win fold to the
+    // source-pair matrix, then the Zermelo fixed point unrolled
+    // x153-style — HUGEINT per-edge floors mirroring the BigInt
+    // driver iteration lane for lane. The edge matrix and every p_k
+    // are MATERIALIZED: each d_k references p_{k-1} twice, and under
+    // DuckDB's default CTE inlining that doubles the expansion per
+    // level — 2^iters copies of the whole upstream LSH pipeline
+    // (measured: fd exhaustion at iters = 5 before the keyword)
+    "x157_bradley_terry" -> {
+      val iter = (k: Int) =>
+        s"""d$k AS (SELECT e.i AS src,
+           |  sum((CAST(e.n_ij AS HUGEINT) * 1000000 * 1000000)
+           |    // (pi.p + pj.p)) AS denom
+           |  FROM e JOIN p${k - 1} pi ON pi.src = e.i
+           |  JOIN p${k - 1} pj ON pj.src = e.j GROUP BY 1),
+           |r$k AS (SELECT d$k.src,
+           |  (wt.w * 1000000 * 1000000 * 1000000) // d$k.denom AS raw
+           |  FROM d$k JOIN wt ON wt.src = d$k.src),
+           |t$k AS (SELECT sum(raw) AS tot FROM r$k),
+           |p$k AS MATERIALIZED (SELECT r$k.src,
+           |    (r$k.raw * ns.s * 1000000) // t$k.tot AS p
+           |  FROM r$k CROSS JOIN t$k CROSS JOIN ns)""".stripMargin
+      s"""WITH $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2),
+         |p AS (SELECT d1, d2 FROM j WHERE jac >= $JaccardThreshold),
+         |qual AS (SELECT doc_id, source,
+         |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / len(string_split(text, ' ')), 6) AS quality
+         |  FROM documents WHERE source IS NOT NULL),
+         |m AS (SELECT a.source AS s1, b.source AS s2,
+         |   a.quality AS q1, b.quality AS q2
+         |  FROM p JOIN qual a ON a.doc_id = p.d1
+         |  JOIN qual b ON b.doc_id = p.d2
+         |  WHERE a.source <> b.source AND a.quality <> b.quality),
+         |wm AS (SELECT CASE WHEN q1 > q2 THEN s1 ELSE s2 END AS w,
+         |   CASE WHEN q1 > q2 THEN s2 ELSE s1 END AS l,
+         |   CAST(count(*) AS BIGINT) AS n_w
+         |  FROM m GROUP BY 1, 2),
+         |up AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+         |   CAST(coalesce(sum(CASE WHEN w < l THEN n_w END), 0)
+         |     AS BIGINT) AS w_ab,
+         |   CAST(coalesce(sum(CASE WHEN w > l THEN n_w END), 0)
+         |     AS BIGINT) AS w_ba
+         |  FROM wm GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT a AS i, b AS j, w_ab + 1 AS w_ij,
+         |    w_ab + w_ba + 2 AS n_ij FROM up
+         |  UNION ALL SELECT b, a, w_ba + 1, w_ab + w_ba + 2 FROM up),
+         |srcs AS (SELECT DISTINCT i AS src FROM e),
+         |ns AS (SELECT CAST(count(*) AS HUGEINT) AS s FROM srcs),
+         |wt AS (SELECT i AS src, CAST(sum(w_ij) AS HUGEINT) AS w
+         |  FROM e GROUP BY 1),
+         |p0 AS MATERIALIZED (SELECT src, CAST(1000000 AS HUGEINT) AS p
+         |  FROM srcs),
+         |${(1 to BtIters).map(iter).mkString(",\n")},
+         |ragg AS (SELECT i AS src, CAST(sum(n_ij - 2) AS BIGINT)
+         |    AS n_comps,
+         |  CAST(sum(w_ij - 1) AS BIGINT) AS n_wins FROM e GROUP BY 1)
+         |SELECT ragg.src, ragg.n_comps, ragg.n_wins,
+         |  CAST(p$BtIters.p AS BIGINT) AS strength_micro
+         |FROM ragg JOIN p$BtIters ON p$BtIters.src = ragg.src
+         |ORDER BY strength_micro DESC, ragg.src""".stripMargin
+    },
 
     // x153: the x28 fixed-point iteration chain over the word
     // co-occurrence graph; zipped parallel unnests give the adjacent
