@@ -448,7 +448,8 @@ object StateMaintenance {
     "SourceDupStream" -> (Seq("docs", "bands", "pairs", "src"),
       Seq("dup")),
     "GateAttributionStream" -> (Seq("counts"), Seq("attr")),
-    "KAnonymityStream" -> (Seq("counts"), Seq("risk")))
+    "KAnonymityStream" -> (Seq("counts"), Seq("risk")),
+    "GateAgreementStream" -> (Seq("counts"), Seq("agree")))
 
   /** One-call maintenance for a twin's whole state root: fold every
     * union-read subdir, prune every snapshot subdir, both at the same

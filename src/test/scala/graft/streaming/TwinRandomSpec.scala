@@ -128,6 +128,35 @@ class TwinRandomSpec extends SparkSpec {
       maintainAs = Some(("GateAttributionStream", state)))
   }
 
+  test("GateAgreementStream: random batches + replays keep full " +
+    "snapshot equality with gatePiiAgreement") {
+    val rnd = new scala.util.Random(3307)
+    def text(): String = rnd.nextInt(4) match {
+      case 0 => (1 to 8).map(i => s"t${rnd.nextInt(999)}_$i").mkString(" ")
+      case 1 => Seq.fill(8)("a").mkString(" ") // fails the curate gate
+      case 2 => null                            // fails both closed
+      case _ => (1 to 6).map(i => s"u$i").mkString(" ")
+    }
+    def aug(): String = rnd.nextInt(3) match {
+      case 0 => s"reach u${rnd.nextInt(99)}@example.org now" // PII hit
+      case 1 => "clean prose tail"
+      case _ => s"node 10.${rnd.nextInt(200)}.0.1 up"        // PII hit
+    }
+    val rows: Seq[(String, String, String)] =
+      (0 until 50).map(_ => (s"s${rnd.nextInt(4)}", text(), aug()))
+    val state = tmpDir("twin-rnd-gagr")
+    drive[(String, String, String)](rnd, randomSplit(rnd, rows, 5),
+      (b, i) => GateAgreementStream.applyBatch(state, "source",
+        "text", "aug", 0.5, 0.2)(b.toDF("source", "text", "aug"), i),
+      () => GateAgreementStream.latest(spark, state)
+        .orderBy("src").collect().map(_.toSeq).toSeq,
+      seen => graft.ops.Agreement.gatePiiAgreement(
+          seen.toDF("source", "text", "aug"), "source", "text", "aug",
+          0.5, 0.2)
+        .orderBy("src").collect().map(_.toSeq).toSeq,
+      maintainAs = Some(("GateAgreementStream", state)))
+  }
+
   test("KAnonymityStream: random batches + replays keep full " +
     "snapshot equality with kAnonymity") {
     val rnd = new scala.util.Random(3306)
