@@ -281,6 +281,68 @@ object Curate {
     * Emits per document: its shard, token span `[tok_start, tok_end)`
     * within the shard's stream, and the chunk range it lands in.
     */
+  /** X158 — gate-threshold sensitivity sweep: the x116 gate priced at
+    * every (qualityMin, dupMax) arm of a literal grid — docs and
+    * TOKENS retained per arm, the tuning curve behind the shipping
+    * thresholds (x143 answers "what would moving the near-dup cut
+    * keep"; this answers the same question for the quality gate's own
+    * two knobs). Token counts matter more than doc counts here: a
+    * gate arm that keeps 90% of documents but drops the long tail can
+    * still cost a third of the training budget.
+    *
+    * SHAPE AT 100 TB: ONE [[gateSignals]] scan projection folded by
+    * ONE aggregation whose |grid|×2 conditional lanes are all
+    * map-side-combined counters — no row expansion, no grid cross
+    * join against the corpus, no second pass however many arms. The
+    * lanes-to-rows reshape happens on the 1-row aggregate via a
+    * literal-grid explode. Every arm applies the EXACT gate
+    * predicate ([[gatePass]] at that arm), so the shipping (0.35,
+    * 0.05) point on the curve is the x116 gate to the bit.
+    *
+    * Output: (quality_min, dup_max, n_docs, n_docs_kept,
+    * docs_kept_ppm, n_tokens, n_tokens_kept, tokens_kept_ppm), one
+    * row per grid arm.
+    */
+  def gateSweep(docs: DataFrame, textCol: String,
+                qualityArms: Seq[Double],
+                dupArms: Seq[Double]): DataFrame = {
+    require(qualityArms.nonEmpty && dupArms.nonEmpty,
+      "need at least one arm on each axis")
+    val arms = for (q <- qualityArms; d <- dupArms) yield (q, d)
+    val sig = gateSignals(docs.select(col(textCol)), textCol)
+      .withColumn("__tok",
+        coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L)))
+    val laneCols = arms.zipWithIndex.flatMap { case ((q, d), i) =>
+      val pass = coalesce(gatePass(q, d), lit(false))
+      Seq(count_if(pass).as(s"__d$i"),
+        coalesce(sum(when(pass, col("__tok")).otherwise(0L)), lit(0L))
+          .as(s"__t$i"))
+    }
+    val allLanes = Seq(count(lit(1)).as("__n"),
+      coalesce(sum(col("__tok")), lit(0L)).as("__nt")) ++ laneCols
+    val folded = sig.agg(allLanes.head, allLanes.tail: _*)
+    val rows = arms.zipWithIndex.map { case ((q, d), i) =>
+      s"struct(CAST($q AS DOUBLE) AS quality_min," +
+        s" CAST($d AS DOUBLE) AS dup_max," +
+        s" __d$i AS kept, __t$i AS kept_tok)"
+    }.mkString("array(", ", ", ")")
+    folded
+      .select(col("__n"), col("__nt"),
+        explode(expr(rows)).as("arm"))
+      .select(col("arm.quality_min").as("quality_min"),
+        col("arm.dup_max").as("dup_max"),
+        col("__n").as("n_docs"),
+        col("arm.kept").as("n_docs_kept"),
+        expr("CASE WHEN __n = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE CAST(CAST(arm.kept AS DECIMAL(38,0)) * 1000000" +
+          " div __n AS BIGINT) END").as("docs_kept_ppm"),
+        col("__nt").as("n_tokens"),
+        col("arm.kept_tok").as("n_tokens_kept"),
+        expr("CASE WHEN __nt = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE CAST(CAST(arm.kept_tok AS DECIMAL(38,0)) * 1000000" +
+          " div __nt AS BIGINT) END").as("tokens_kept_ppm"))
+  }
+
   /** X155 — Gini information gain of metadata fields on the gate
     * outcome (the CART split criterion, Breiman et al. 1984): for each
     * candidate field, how much of the pass/fail impurity does knowing

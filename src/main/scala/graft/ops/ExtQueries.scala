@@ -122,6 +122,11 @@ object ExtQueries {
   // strength scale (oracle unrolls them, x153-style); 5 rounds move
   // the sf0.01 scale well past visible convergence drift
   private val BtIters = 5
+  // x158: the gate-sweep grid — the shipping (CurateQualityMin,
+  // CurateDupMax) point is ON the grid so the curve prices the x116
+  // gate itself alongside a looser and a tighter arm per axis
+  private val QualitySweepArms = Seq(0.25, CurateQualityMin, 0.5)
+  private val DupSweepArms = Seq(0.02, CurateDupMax, 0.1)
   // x151: candidate l values (the sensitive attribute is the 3-valued
   // x94 verdict, so l=3 is the maximum achievable diversity)
   private val LDivLs = Seq(2L, 3L)
@@ -1511,6 +1516,22 @@ object ExtQueries {
         lshPairs(s, dir).select("d1", "d2"), "doc_id", "source",
         "text", BtIters)
         .orderBy(col("strength_micro").desc, col("src"))),
+
+    // X158 gate-threshold sweep: docs AND tokens retained at every
+    // (quality_min, dup_max) grid arm — one gateSignals pass, all
+    // arms as map-side-combined conditional lanes, no grid cross join
+    // against the corpus; the shipping gate point sits on the grid
+    "x158_gate_sweep" -> ((s, dir) =>
+      Curate.gateSweep(Tables.documents(s, dir), "text",
+        QualitySweepArms, DupSweepArms)
+        .orderBy("quality_min", "dup_max")),
+
+    // X159 readability lanes per language: vowel-group syllable
+    // heuristic + Gunning-Fog complex-word share — scan-side token
+    // work, one language-grain exchange
+    "x159_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir), "lang",
+        "text").orderBy("lang")),
 
     // X146 exact-cluster histogram: x141's companion for the cheap
     // tier — fingerprint group sizes, one exchange, no pair table
@@ -6675,6 +6696,79 @@ object ExtQueries {
          |  END - coalesce(agg.gini_cond_ppm, 0) AS gain_ppm
          |FROM flds LEFT JOIN agg ON agg.field = flds.field
          |CROSS JOIN tot ORDER BY flds.field""".stripMargin,
+
+    // x158: the x144 signal CTE priced per grid arm — arms LEFT JOIN
+    // the signal rows (not inner: an empty corpus keeps one all-zero
+    // row per arm, the x155 empty-parity lesson), exact gate
+    // predicate per arm, HUGEINT ppm floors
+    "x158_gate_sweep" -> {
+      val qArr = QualitySweepArms
+        .map(q => s"CAST($q AS DOUBLE)").mkString(", ")
+      val dArr = DupSweepArms
+        .map(d => s"CAST($d AS DOUBLE)").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ts) - 1),
+         |  i -> ts[i] || ' ' || ts[i+1]) AS g FROM t),
+         |sig AS (SELECT coalesce(len(t.ts), 0) AS tok,
+         |  len(sh.g) AS n_ngrams,
+         |  round(CAST(len(list_distinct(t.ts)) AS DOUBLE)
+         |    / len(t.ts), 6) AS quality,
+         |  round(1.0 - CAST(len(list_distinct(sh.g)) AS DOUBLE)
+         |    / len(sh.g), 6) AS dup
+         |  FROM t JOIN sh USING (doc_id)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(coalesce(sum(tok), 0) AS BIGINT) AS nt FROM sig),
+         |arms AS (SELECT q.quality_min, d.dup_max
+         |  FROM (SELECT unnest(ARRAY[$qArr]) AS quality_min) q
+         |  CROSS JOIN (SELECT unnest(ARRAY[$dArr]) AS dup_max) d),
+         |k AS (SELECT a.quality_min, a.dup_max,
+         |  CAST(count(*) FILTER (WHERE coalesce(s.n_ngrams > 0
+         |    AND s.quality >= a.quality_min
+         |    AND s.dup <= a.dup_max, false)) AS BIGINT) AS kept,
+         |  CAST(coalesce(sum(s.tok) FILTER (WHERE coalesce(
+         |    s.n_ngrams > 0 AND s.quality >= a.quality_min
+         |    AND s.dup <= a.dup_max, false)), 0) AS BIGINT) AS kept_tok
+         |  FROM arms a LEFT JOIN sig s ON true GROUP BY 1, 2)
+         |SELECT k.quality_min, k.dup_max, tot.n AS n_docs,
+         |  k.kept AS n_docs_kept,
+         |  CASE WHEN tot.n = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(CAST(k.kept AS HUGEINT) * 1000000 // tot.n
+         |      AS BIGINT) END AS docs_kept_ppm,
+         |  tot.nt AS n_tokens, k.kept_tok AS n_tokens_kept,
+         |  CASE WHEN tot.nt = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(CAST(k.kept_tok AS HUGEINT) * 1000000 // tot.nt
+         |      AS BIGINT) END AS tokens_kept_ppm
+         |FROM k CROSS JOIN tot
+         |ORDER BY quality_min, dup_max""".stripMargin
+    },
+
+    // x159: the per-word vowel-group fold replayed relationally —
+    // list_transform/list_filter on the same lowercased regex, HUGEINT
+    // ppm floors, zero-guarded like the Spark projection
+    "x159_readability" ->
+      s"""WITH t AS (SELECT lang, string_split(text, ' ') AS ts
+         |  FROM documents WHERE lang IS NOT NULL),
+         |d AS (SELECT lang,
+         |  CAST(coalesce(len(ts), 0) AS BIGINT) AS w,
+         |  CAST(coalesce(list_sum(list_transform(ts, x ->
+         |    greatest(1, len(regexp_extract_all(lower(x),
+         |      '[aeiouy]+'))))), 0) AS BIGINT) AS s,
+         |  CAST(coalesce(len(list_filter(ts, x ->
+         |    len(regexp_extract_all(lower(x), '[aeiouy]+')) >= 3)), 0)
+         |    AS BIGINT) AS c
+         |  FROM t)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS n_words,
+         |  CAST(sum(s) AS BIGINT) AS n_syllables,
+         |  CASE WHEN sum(w) = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(CAST(sum(s) AS HUGEINT) * 1000000 // sum(w)
+         |      AS BIGINT) END AS syll_per_word_micro,
+         |  CAST(sum(c) AS BIGINT) AS n_complex,
+         |  CASE WHEN sum(w) = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(CAST(sum(c) AS HUGEINT) * 1000000 // sum(w)
+         |      AS BIGINT) END AS complex_ppm
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     // x157: the x139 verified-pair chain, quality-win fold to the
     // source-pair matrix, then the Zermelo fixed point unrolled

@@ -310,6 +310,61 @@ object TextAnalysis {
           |  div n_bigrams END""".stripMargin.replace("\n", " ")))
   }
 
+  /** X159 — readability lanes per language (the syllable-heuristic
+    * components of Flesch 1948 / Gunning 1952): average syllables per
+    * word and the complex-word share (>= 3 syllables — the Gunning-Fog
+    * "hard word" rule). Syllables use the classic vowel-GROUP count
+    * (runs of `[aeiouy]+` on the lowercased word, clamped to >= 1 —
+    * every word has a nucleus), the standard machine approximation.
+    * The corpus has no sentence structure, so the words-per-sentence
+    * term of the composite grades is deliberately NOT faked; the two
+    * lanes shipped are the ones token streams support, and they are
+    * the ones that move when a source starts shipping jargon, OCR
+    * noise, or vowelless garbage. Null languages are excluded (the
+    * x131 rule); null text contributes a zero-word document.
+    *
+    * ARITHMETIC: per-word counts are exact integers; the per-language
+    * ratios are DECIMAL(38,0) micro/ppm floors (syllables·1e6 div
+    * words; complex·1e6 div words), zero-guarded for an all-null-text
+    * language.
+    *
+    * SHAPE AT 100 TB: pure scan-side row-local array work (split,
+    * per-token regex, one fold) into ONE language-grain exchange with
+    * map-side combine — the x131 shape.
+    *
+    * Output: (lang, n_docs, n_words, n_syllables, syll_per_word_micro,
+    * n_complex, complex_ppm), one row per language.
+    */
+  def readability(docs: DataFrame, langCol: String,
+                  textCol: String): DataFrame = {
+    val ts = split(col(textCol), " ")
+    def groups(t: Column): Column =
+      size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+    val syl = transform(ts, t =>
+      greatest(lit(1L), groups(t).cast("long")))
+    docs.filter(col(langCol).isNotNull)
+      .select(col(langCol).as("lang"),
+        coalesce(size(ts).cast("long"), lit(0L)).as("__w"),
+        coalesce(aggregate(syl, lit(0L), (acc, x) => acc + x), lit(0L))
+          .as("__s"),
+        coalesce(size(filter(ts, t => groups(t) >= 3)).cast("long"),
+          lit(0L)).as("__c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__s")).as("n_syllables"),
+        sum(col("__c")).as("n_complex"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_syllables"),
+        expr("CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE CAST(CAST(n_syllables AS DECIMAL(38,0)) * 1000000" +
+          " div n_words AS BIGINT) END").as("syll_per_word_micro"),
+        col("n_complex"),
+        expr("CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE CAST(CAST(n_complex AS DECIMAL(38,0)) * 1000000" +
+          " div n_words AS BIGINT) END").as("complex_ppm"))
+  }
+
   /** Repetition quality gate (the Gopher/MassiveText-style filter): per
     * document, the share of its n-grams taken by the single most repeated
     * one (`top_ngram_ratio`) and the duplicate-n-gram share
