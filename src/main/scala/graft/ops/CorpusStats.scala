@@ -621,6 +621,82 @@ object CorpusStats {
     *   truncates toward zero while other engines round, floor is the
     *   one map every engine computes identically.
     */
+  /** X160 — metadata field ASSOCIATION audit: Pearson's chi-square and
+    * Cramér's V (Cramér 1946) for each candidate field PAIR — "are
+    * language, source, and length independent dimensions of this
+    * corpus, or shadows of one another?" The complement of x155: Gini
+    * gain asks what predicts the GATE; this asks what predicts WHAT,
+    * which is the first question of any stratified sampling or
+    * quota design (quota on source ≈ quota on language when V is
+    * high — the strata are not really separate).
+    *
+    * ARITHMETIC: margins and cell counts are exact integers; each
+    * grid cell contributes round(1e6·(O−E)²/E) with E = r·c/n in
+    * DOUBLE — per-cell micro rounding (the x136 per-term seam) so the
+    * distributed sum is an INTEGER sum, order-insensitive; no double
+    * ever crosses an exchange. (O−E)²/E and the final
+    * sqrt(chi2 / (n·min(r−1,c−1))) are IEEE arithmetic — identical in
+    * any engine, unlike ln (division, multiplication and sqrt are
+    * correctly rounded by the standard). ZERO cells of the full
+    * margin grid contribute E exactly ((0−E)²/E = E), so the grid is
+    * margins × margins LEFT-JOINED to observed cells (the x152 grid
+    * discipline). Single-valued fields give dof = 0: chi2 is 0 and V
+    * is NULL (undefined, not zero). Null field values are REAL groups.
+    *
+    * SHAPE AT 100 TB: ONE corpus fold to the fields' cross grain
+    * (attribute-cross-product-bounded, localCheckpoint-pinned, the
+    * x155/x148 shape); per pair, margins and the grid are rollups of
+    * that one exchange — cells are dozens×dozens, nothing corpus-scale
+    * repeats per pair.
+    *
+    * Output: (field_a, field_b, n_docs, n_a, n_b, dof, chi2_micro,
+    * cramers_v_micro), one row per pair, fields in given order.
+    */
+  def fieldAssociation(docs: DataFrame,
+                       pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one field pair")
+    val fields = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val cross = docs.select(fields.map(col): _*)
+      .groupBy(fields.map(col): _*)
+      .agg(count(lit(1)).as("n_c"))
+      .localCheckpoint(false)
+    pairs.map { case (fa, fb) =>
+      val obs = cross.groupBy(col(fa), col(fb))
+        .agg(sum(col("n_c")).as("o"))
+      val ra = cross.groupBy(col(fa)).agg(sum(col("n_c")).as("r"))
+      val rb = cross.groupBy(col(fb)).agg(sum(col("n_c")).as("c"))
+      val tot = broadcast(cross.agg(
+        coalesce(sum(col("n_c")), lit(0L)).as("n")))
+      // margins × margins LEFT JOIN observed — null-safe per
+      // attribute: null field values are real classes (the x149 rule)
+      val cells = ra.crossJoin(rb)
+        .join(obs, ra(fa) <=> obs(fa) && rb(fb) <=> obs(fb), "left")
+        .select(col("r"), col("c"), coalesce(col("o"), lit(0L)).as("o"))
+        .crossJoin(tot)
+        .select(expr(
+          """CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+            |  * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+            |  / (CAST(r AS DOUBLE) * c / n) * 1000000) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("term"))
+      cells
+        .agg(coalesce(sum(col("term")), lit(0L)).as("chi2_micro"))
+        .crossJoin(tot)
+        .crossJoin(broadcast(ra.agg(count(lit(1)).as("n_a"))))
+        .crossJoin(broadcast(rb.agg(count(lit(1)).as("n_b"))))
+        .select(lit(fa).as("field_a"), lit(fb).as("field_b"),
+          col("n").as("n_docs"), col("n_a"), col("n_b"),
+          expr("CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(0 AS BIGINT)" +
+            " ELSE (n_a - 1) * (n_b - 1) END").as("dof"),
+          col("chi2_micro"))
+        .withColumn("cramers_v_micro", expr(
+          """CASE WHEN dof = 0 OR n_docs = 0 THEN CAST(NULL AS BIGINT)
+            |ELSE CAST(round(sqrt((CAST(chi2_micro AS DOUBLE) / 1000000)
+            |  / (CAST(n_docs AS DOUBLE)
+            |     * least(n_a - 1, n_b - 1))) * 1000000) AS BIGINT)
+            |END""".stripMargin.replace("\n", " ")))
+    }.reduce(_ unionByName _)
+  }
+
   def ksDrift(docs: DataFrame, grpCol: String, valCol: String,
               scale: Long = 0L): DataFrame =
     ksOf(groupValueCounts(docs, grpCol, valCol, scale)

@@ -1533,6 +1533,26 @@ object ExtQueries {
       TextAnalysis.readability(Tables.documents(s, dir), "lang",
         "text").orderBy("lang")),
 
+    // X160 field-association audit: chi-square + Cramér's V for each
+    // metadata field pair — are the sampling strata independent
+    // dimensions? One corpus fold to the cross grain (x155's shape),
+    // margins x margins grids per pair, per-cell micro rounding so
+    // only integers cross the exchanges
+    "x160_cramers_v" -> ((s, dir) =>
+      CorpusStats.fieldAssociation(Tables.documents(s, dir)
+          .withColumn("len_bucket", expr(s"n_chars div $KAnonBucket")),
+        Seq(("lang", "source"), ("lang", "len_bucket"),
+          ("source", "len_bucket")))
+        .orderBy("field_a", "field_b")),
+
+    // X161 supervised label-separation audit: the silhouette geometry
+    // against the dataset's OWN label centroids — negative separation
+    // = closer to another label's centroid (confusable/mislabeled);
+    // one centroid exchange + one fused scan projection
+    "x161_label_separation" -> ((s, dir) =>
+      KMeansOp.labelSeparation(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label").orderBy("label")),
+
     // X146 exact-cluster histogram: x141's companion for the cheap
     // tier — fingerprint group sizes, one exchange, no pair table
     "x146_exact_histogram" -> ((s, dir) =>
@@ -6696,6 +6716,103 @@ object ExtQueries {
          |  END - coalesce(agg.gini_cond_ppm, 0) AS gain_ppm
          |FROM flds LEFT JOIN agg ON agg.field = flds.field
          |CROSS JOIN tot ORDER BY flds.field""".stripMargin,
+
+    // x161: label centroids via the m1 floorDiv rule, all-pairs label
+    // distances, a = own-label dist, b = min over others, the signed
+    // micro floor mirrored branch for branch (negatives are real here)
+    "x161_label_separation" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q
+         |  FROM embeddings WHERE label IS NOT NULL),
+         |u AS (SELECT label, unnest(generate_series(1, len(q))) AS d, q
+         |  FROM e),
+         |s AS (SELECT label, d, sum(CAST(q[d] AS BIGINT)) AS sv,
+         |   count(*) AS n FROM u GROUP BY 1, 2),
+         |c AS (SELECT label, list(CAST(
+         |    (sv // n) - CASE WHEN sv < 0 AND sv % n <> 0 THEN 1 ELSE 0 END
+         |    AS DOUBLE) ORDER BY d) AS cq
+         |  FROM s GROUP BY 1),
+         |dall AS (SELECT e.vec_id, e.label, c.label AS cl,
+         |  list_dot_product(e.q, e.q) - 2 * list_dot_product(e.q, c.cq)
+         |    + list_dot_product(c.cq, c.cq) AS dist
+         |  FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, label, CAST(dist AS BIGINT) AS a
+         |  FROM dall WHERE cl = label),
+         |b AS (SELECT vec_id, CAST(min(dist) AS BIGINT) AS b
+         |  FROM dall WHERE cl <> label GROUP BY 1),
+         |sm AS (SELECT a.label, a.a, b.b,
+         |  CASE WHEN greatest(a.a, b.b) = 0 THEN CAST(0 AS BIGINT)
+         |  WHEN b.b >= a.a THEN CAST(CAST(b.b - a.a AS HUGEINT)
+         |    * 1000000 // greatest(a.a, b.b) AS BIGINT)
+         |  ELSE -CAST(CAST(a.a - b.b AS HUGEINT) * 1000000
+         |    // greatest(a.a, b.b) AS BIGINT) END AS sm
+         |  FROM a JOIN b USING (vec_id))
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(count(*) FILTER (WHERE b < a) AS BIGINT) AS n_confused,
+         |  CAST(CAST(count(*) FILTER (WHERE b < a) AS HUGEINT)
+         |    * 1000000 // count(*) AS BIGINT) AS confused_ppm,
+         |  CASE WHEN sum(sm) >= 0
+         |    THEN CAST(CAST(sum(sm) AS HUGEINT) // count(*) AS BIGINT)
+         |    ELSE -CAST(CAST(-sum(sm) AS HUGEINT) // count(*) AS BIGINT)
+         |  END AS avg_sep_micro,
+         |  CAST(min(sm) AS BIGINT) AS min_sep_micro,
+         |  CAST(max(sm) AS BIGINT) AS max_sep_micro
+         |FROM sm GROUP BY label ORDER BY label""".stripMargin,
+
+    // x160: the cross-grain fold shared across three scoped-WITH
+    // branches; margins x margins LEFT JOIN observed (NULL-SAFE per
+    // attribute), per-cell round(1e6·(O-E)²/E) summed as integers,
+    // IEEE sqrt for V — every double op mirrored term for term
+    "x160_cramers_v" -> {
+      def pairSql(fa: String, fb: String) =
+        s"""(WITH ra AS (SELECT $fa AS va, CAST(sum(n_c) AS BIGINT) AS r
+           |    FROM crossg GROUP BY 1),
+           |  rb AS (SELECT $fb AS vb, CAST(sum(n_c) AS BIGINT) AS c
+           |    FROM crossg GROUP BY 1),
+           |  obs AS (SELECT $fa AS va, $fb AS vb,
+           |    CAST(sum(n_c) AS BIGINT) AS o FROM crossg GROUP BY 1, 2),
+           |  cells AS (SELECT ra.r, rb.c, coalesce(obs.o, 0) AS o
+           |    FROM ra CROSS JOIN rb LEFT JOIN obs
+           |    ON obs.va IS NOT DISTINCT FROM ra.va
+           |    AND obs.vb IS NOT DISTINCT FROM rb.vb),
+           |  chi AS (SELECT CAST(coalesce(sum(CAST(round(
+           |      (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / tot.n)
+           |      * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / tot.n)
+           |      / (CAST(r AS DOUBLE) * c / tot.n) * 1000000)
+           |      AS BIGINT)), 0) AS BIGINT) AS chi2_micro
+           |    FROM cells CROSS JOIN tot),
+           |  na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM ra),
+           |  nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM rb)
+           |  SELECT '$fa' AS field_a, '$fb' AS field_b, tot.n AS n_docs,
+           |    na.n_a, nb.n_b,
+           |    CASE WHEN na.n_a = 0 OR nb.n_b = 0 THEN CAST(0 AS BIGINT)
+           |      ELSE (na.n_a - 1) * (nb.n_b - 1) END AS dof,
+           |    chi.chi2_micro,
+           |    CASE WHEN (CASE WHEN na.n_a = 0 OR nb.n_b = 0
+           |        THEN 0 ELSE (na.n_a - 1) * (nb.n_b - 1) END) = 0
+           |        OR tot.n = 0 THEN CAST(NULL AS BIGINT)
+           |      ELSE CAST(round(sqrt(
+           |        (CAST(chi.chi2_micro AS DOUBLE) / 1000000)
+           |        / (CAST(tot.n AS DOUBLE)
+           |           * least(na.n_a - 1, nb.n_b - 1))) * 1000000)
+           |        AS BIGINT) END AS cramers_v_micro
+           |  FROM chi CROSS JOIN tot CROSS JOIN na CROSS JOIN nb)"""
+          .stripMargin
+      s"""WITH base AS (SELECT lang, source,
+         |   n_chars // $KAnonBucket AS len_bucket FROM documents),
+         |crossg AS (SELECT lang, source, len_bucket,
+         |   CAST(count(*) AS BIGINT) AS n_c
+         |  FROM base GROUP BY 1, 2, 3),
+         |tot AS (SELECT CAST(coalesce(sum(n_c), 0) AS BIGINT) AS n
+         |  FROM crossg)
+         |SELECT * FROM (
+         |${pairSql("lang", "source")}
+         |UNION ALL
+         |${pairSql("lang", "len_bucket")}
+         |UNION ALL
+         |${pairSql("source", "len_bucket")}
+         |) ORDER BY field_a, field_b""".stripMargin
+    },
 
     // x158: the x144 signal CTE priced per grid arm — arms LEFT JOIN
     // the signal rows (not inner: an empty corpus keeps one all-zero

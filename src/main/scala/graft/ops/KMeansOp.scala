@@ -143,6 +143,92 @@ object KMeansOp {
     * Output: (cluster, n_vecs, avg_sil_micro, min_sil_micro,
     * max_sil_micro), one row per non-empty cluster.
     */
+  /** X161 — SUPERVISED label-separation audit over an embedding
+    * column: the [[silhouette]] geometry with the cluster REPLACED by
+    * the dataset's own label — a = |q − c_own|² to the point's LABEL
+    * centroid, b = min over OTHER label centroids. Unlike the
+    * unsupervised audit, a is NOT the argmin, so the separation can
+    * go NEGATIVE: b < a means the point sits closer to another
+    * label's centroid than its own — the classic
+    * confusable-or-mislabeled signal (the centroid form of Fisher's
+    * criterion, and the audit a labeled training set runs before
+    * anyone trains on the labels).
+    *
+    * ARITHMETIC: label centroids use the exact [[fit]] update rule
+    * (floorDiv of integer component sums); a comes from the
+    * [[graft.functions.VectorOps.vec_sub_centroid]]+dot residual, b
+    * from the same fused [[graft.functions.VectorOps
+    * .centroid_argmin2]] sweep (dist2 when the argmin IS the own
+    * label, dist otherwise); sep_micro = ±⌊1e6·|b−a| / max(a,b)⌋
+    * with the sign branch explicit (negatives are the payload here).
+    *
+    * SHAPE AT 100 TB: ONE map-side-combined (label, dim) aggregation
+    * for the centroids (labels × dim longs — bounded model state,
+    * the [[fit]] discipline), then one scan-side fused projection and
+    * a label-grain fold. No pairwise distances, no joins.
+    *
+    * Output: (label, n_vecs, n_confused, confused_ppm,
+    * avg_sep_micro, min_sep_micro, max_sep_micro) per label —
+    * `n_confused` counts b < a strictly.
+    */
+  def labelSeparation(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val q = emb.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("int").as("label"),
+        Similarity.quantize(col(vecCol)).as("q"))
+    // label centroids: the explode-form component sums (one exchange,
+    // labels x dim rows), floorDiv update — exact integers
+    val sums = q.select(col("label"), posexplode(col("q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(sums.nonEmpty, "labelSeparation: no labeled vectors")
+    val byLabel = sums.groupBy(_.getInt(0))
+    val labels = byLabel.keys.toSeq.sorted
+    require(labels.size >= 2,
+      s"labelSeparation needs >= 2 labels, got ${labels.size}")
+    val cents: Array[Array[Int]] = labels.map { l =>
+      val rows = byLabel(l)
+      val dim = rows.map(_.getInt(1)).max + 1
+      val c = new Array[Int](dim)
+      rows.foreach(r =>
+        c(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)).toInt)
+      c
+    }.toArray
+    val idx = typedLit(labels.zipWithIndex.toMap)
+    val am = graft.functions.VectorOps.centroid_argmin2(col("q"), cents)
+    val own = element_at(idx, col("label"))
+    val res = graft.functions.VectorOps.vec_sub_centroid(col("q"),
+      own, cents)
+    q.select(col("label"), own.as("own"), am.as("am"),
+        graft.functions.VectorOps.dot_long(res, res).as("a"))
+      .select(col("label"), col("a"),
+        when(col("am").getField("list_id") === col("own"),
+          col("am").getField("dist2"))
+          .otherwise(col("am").getField("dist")).as("b"))
+      .select(col("label"), col("a"), col("b"), expr(
+        """CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+          |WHEN b >= a THEN CAST(CAST(b - a AS DECIMAL(38,0)) * 1000000
+          |  div greatest(a, b) AS BIGINT)
+          |ELSE -CAST(CAST(a - b AS DECIMAL(38,0)) * 1000000
+          |  div greatest(a, b) AS BIGINT) END"""
+          .stripMargin.replace("\n", " ")).as("sm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count_if(col("b") < col("a")).as("n_confused"),
+        sum(col("sm")).as("__s"),
+        min(col("sm")).as("min_sep_micro"),
+        max(col("sm")).as("max_sep_micro"))
+      .select(col("label"), col("n_vecs"), col("n_confused"),
+        expr("CAST(CAST(n_confused AS DECIMAL(38,0)) * 1000000" +
+          " div n_vecs AS BIGINT)").as("confused_ppm"),
+        expr("CASE WHEN __s >= 0" +
+          " THEN CAST(CAST(__s AS DECIMAL(38,0)) div n_vecs AS BIGINT)" +
+          " ELSE -CAST(CAST(-__s AS DECIMAL(38,0)) div n_vecs AS BIGINT)" +
+          " END").as("avg_sep_micro"),
+        col("min_sep_micro"), col("max_sep_micro"))
+  }
+
   def silhouette(emb: DataFrame, idCol: String, vecCol: String,
                  k: Int, iters: Int): DataFrame = {
     require(k >= 2, s"silhouette needs k >= 2 (no 'other' cluster): $k")
