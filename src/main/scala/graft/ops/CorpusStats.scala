@@ -697,6 +697,51 @@ object CorpusStats {
     }.reduce(_ unionByName _)
   }
 
+  /** X163 — source VOCABULARY overlap: type-level Jaccard between
+    * every source pair — do two feeds write with the same words?
+    * x140's who-copies-whom matrix fires only on near-identical
+    * DOCUMENTS; vocabulary overlap sees the softer relationship
+    * (same register, same template family, same upstream wire
+    * service) that survives paraphrase. High lexical overlap between
+    * nominally distinct sources is the classic sign that a "diverse"
+    * mixture is not — the number a UniMax/temperature mixture design
+    * wants before trusting its source boundaries.
+    *
+    * SHAPE AT 100 TB: ONE (source, word) DISTINCT exchange
+    * (vocabulary-grain, localCheckpoint-pinned); the pair
+    * intersection self-joins ON THE WORD, so the quadratic factor is
+    * sources-per-word — bounded by K² per word with K in the dozens,
+    * never corpus-sized. The pair grid derives from the size table so
+    * zero-overlap pairs still get a row (fixed K·(K−1)/2 output).
+    *
+    * Output: (src_a, src_b, v_a, v_b, n_shared, jaccard_ppm) with
+    * src_a < src_b; null sources excluded (the x131 rule), null texts
+    * contribute no vocabulary.
+    */
+  def vocabOverlap(docs: DataFrame, srcCol: String,
+                   textCol: String): DataFrame = {
+    val sw = docs
+      .filter(col(srcCol).isNotNull && col(textCol).isNotNull)
+      .select(col(srcCol).as("src"),
+        explode(split(col(textCol), " ")).as("w"))
+      .distinct()
+      .localCheckpoint(false)
+    val sizes = sw.groupBy(col("src")).agg(count(lit(1)).as("v"))
+    val inter = sw.as("a").join(sw.as("b"),
+        col("a.w") === col("b.w") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    sizes.as("sa").join(sizes.as("sb"), col("sa.src") < col("sb.src"))
+      .select(col("sa.src").as("src_a"), col("sb.src").as("src_b"),
+        col("sa.v").as("v_a"), col("sb.v").as("v_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("v_a"), col("v_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("jaccard_ppm", expr(
+        "CAST(CAST(n_shared AS DECIMAL(38,0)) * 1000000" +
+          " div (v_a + v_b - n_shared) AS BIGINT)"))
+  }
+
   def ksDrift(docs: DataFrame, grpCol: String, valCol: String,
               scale: Long = 0L): DataFrame =
     ksOf(groupValueCounts(docs, grpCol, valCol, scale)

@@ -328,6 +328,69 @@ object Dedup {
     * [[incrementalLshPairsIndexed]] (one copy, so the spec-pinned
     * equivalence between the two cannot drift).
     */
+  /** X162 — MinHash ESTIMATOR fidelity audit: for every LSH candidate
+    * pair, the signature-agreement estimate (matching lanes / numSigs
+    * — the Broder 1997 estimator) priced against the EXACT shingle
+    * Jaccard, folded by agreement level. The x43 recall-audit genre
+    * applied to the dedup sketch itself: before trusting a 16-lane
+    * signature at 100 TB, measure what |est − true| actually is on
+    * YOUR corpus (the binomial error of k lanes is theory; shingle
+    * skew and short docs move it). Read beside x32's group-sketch
+    * overlap: same estimator, audited here at pair grain against
+    * ground truth.
+    *
+    * Candidates that share a band but zero shingles (an md5 band-key
+    * collision — astronomically rare) drop out with the verify join;
+    * the audit covers candidates sharing >= 1 shingle.
+    *
+    * ARITHMETIC: est_micro = ⌊1e6·lanes/numSigs⌋ exact; true jac is
+    * the engine's round-6 double, micro'd via round(jac·1e6) (a
+    * near-integer double — deterministic in both engines); the error
+    * lanes are integer |est − true| folded per agreement level, so
+    * ≤ numSigs+1 rows come out.
+    *
+    * SHAPE AT 100 TB: the signature table is the persisted LSH index
+    * (localCheckpoint-pinned here, shared by the candidate and
+    * agreement joins); everything after the band self-join is
+    * candidate-density-sized.
+    *
+    * Output: (n_agree, est_jac_micro, n_pairs, avg_jac_micro,
+    * avg_abs_err_micro, max_abs_err_micro), one row per observed
+    * agreement level.
+    */
+  def minhashFidelity(docs: DataFrame, idCol: String, textCol: String,
+                      numSigs: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = docSignatures(docs, idCol, textCol, numSigs)
+      .localCheckpoint(false)
+    val cands = lshCandidates(sigs, idCol, numSigs, rowsPerBand)
+    val truth = verifyCandidates(docs.select(col(idCol), col(textCol)),
+      cands, idCol, textCol, threshold = 0.0)
+    val agree = (0 until numSigs)
+      .map(i => when(col(s"a.sig$i") === col(s"b.sig$i"), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    truth
+      .join(sigs.as("a"), col("d1") === col(s"a.$idCol"))
+      .join(sigs.as("b"), col("d2") === col(s"b.$idCol"))
+      .select(agree.as("n_agree"),
+        expr(s"CAST(CAST(round(jac * 1000000) AS BIGINT) AS BIGINT)")
+          .as("jac_micro"))
+      .withColumn("est_micro",
+        expr(s"CAST(n_agree * 1000000 div $numSigs AS BIGINT)"))
+      .withColumn("err", abs(col("est_micro") - col("jac_micro")))
+      .groupBy(col("n_agree"))
+      .agg(max(col("est_micro")).as("est_jac_micro"),
+        count(lit(1)).as("n_pairs"),
+        sum(col("jac_micro")).as("__j"),
+        sum(col("err")).as("__e"),
+        max(col("err")).as("max_abs_err_micro"))
+      .select(col("n_agree"), col("est_jac_micro"), col("n_pairs"),
+        expr("CAST(CAST(__j AS DECIMAL(38,0)) div n_pairs AS BIGINT)")
+          .as("avg_jac_micro"),
+        expr("CAST(CAST(__e AS DECIMAL(38,0)) div n_pairs AS BIGINT)")
+          .as("avg_abs_err_micro"),
+        col("max_abs_err_micro"))
+  }
+
   private def verifyCandidates(members: DataFrame, cands: DataFrame,
                                idCol: String, textCol: String,
                                threshold: Double): DataFrame = {

@@ -1553,6 +1553,22 @@ object ExtQueries {
       KMeansOp.labelSeparation(Tables.embeddings(s, dir), "vec_id",
         "embedding", "label").orderBy("label")),
 
+    // X162 MinHash fidelity audit: the 16-lane estimator priced
+    // against exact Jaccard on every LSH candidate pair, folded by
+    // agreement level — the x43 recall-audit genre for the dedup
+    // sketch itself
+    "x162_minhash_fidelity" -> ((s, dir) =>
+      Dedup.minhashFidelity(Tables.documents(s, dir), "doc_id",
+        "text", numSigs = 16, rowsPerBand = 4).orderBy("n_agree")),
+
+    // X163 source vocabulary overlap: type-level Jaccard per source
+    // pair — the soft syndication signal x140's document matrix
+    // cannot see; one (source, word) distinct exchange, word-keyed
+    // pair join bounded by sources-per-word
+    "x163_vocab_overlap" -> ((s, dir) =>
+      CorpusStats.vocabOverlap(Tables.documents(s, dir), "source",
+        "text").orderBy("src_a", "src_b")),
+
     // X146 exact-cluster histogram: x141's companion for the cheap
     // tier — fingerprint group sizes, one exchange, no pair table
     "x146_exact_histogram" -> ((s, dir) =>
@@ -6716,6 +6732,66 @@ object ExtQueries {
          |  END - coalesce(agg.gini_cond_ppm, 0) AS gain_ppm
          |FROM flds LEFT JOIN agg ON agg.field = flds.field
          |CROSS JOIN tot ORDER BY flds.field""".stripMargin,
+
+    // x162: the x139 chain WITHOUT the threshold cut, joined back to
+    // the signature table for the lane-agreement estimate; per-pair
+    // integer error lanes folded by agreement level
+    "x162_minhash_fidelity" ->
+      s"""WITH $ShingleCte,
+         |sig AS (SELECT doc_id, $minhashSigCols FROM sh GROUP BY doc_id),
+         |band AS ($bandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM band a JOIN band b
+         |  ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.d1
+         |  JOIN sh sb ON sb.doc_id = c.d2 AND sa.s = sb.s GROUP BY 1, 2),
+         |j AS (SELECT d1, d2,
+         |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jac
+         |  FROM inter JOIN n na ON na.doc_id = d1 JOIN n nb ON nb.doc_id = d2),
+         |ag AS (SELECT j.d1, j.d2,
+         |  CAST(round(j.jac * 1000000) AS BIGINT) AS jac_micro,
+         |  ${(0 until 16).map(i =>
+             s"CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END")
+             .mkString(" + ")} AS n_agree
+         |  FROM j JOIN sig a ON a.doc_id = j.d1
+         |  JOIN sig b ON b.doc_id = j.d2),
+         |er AS (SELECT CAST(n_agree AS BIGINT) AS n_agree, jac_micro,
+         |  CAST(n_agree AS BIGINT) * 1000000 // 16 AS est_micro,
+         |  abs(CAST(n_agree AS BIGINT) * 1000000 // 16 - jac_micro)
+         |    AS err FROM ag)
+         |SELECT n_agree, CAST(max(est_micro) AS BIGINT) AS est_jac_micro,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(CAST(sum(jac_micro) AS HUGEINT) // count(*) AS BIGINT)
+         |    AS avg_jac_micro,
+         |  CAST(CAST(sum(err) AS HUGEINT) // count(*) AS BIGINT)
+         |    AS avg_abs_err_micro,
+         |  CAST(max(err) AS BIGINT) AS max_abs_err_micro
+         |FROM er GROUP BY n_agree ORDER BY n_agree""".stripMargin,
+
+    // x163: the (source, word) distinct exchange, word-keyed pair
+    // intersections, pair grid from the size table so zero-overlap
+    // pairs keep a row
+    "x163_vocab_overlap" ->
+      s"""WITH sw AS (SELECT DISTINCT source AS src,
+         |   unnest(string_split(text, ' ')) AS w
+         |  FROM documents
+         |  WHERE source IS NOT NULL AND text IS NOT NULL),
+         |sz AS (SELECT src, CAST(count(*) AS BIGINT) AS v
+         |  FROM sw GROUP BY 1),
+         |iv AS (SELECT a.src AS src_a, b.src AS src_b,
+         |   CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM sw a JOIN sw b ON a.w = b.w AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT sa.src AS src_a, sb.src AS src_b, sa.v AS v_a,
+         |  sb.v AS v_b, coalesce(iv.n_shared, 0) AS n_shared,
+         |  CAST(CAST(coalesce(iv.n_shared, 0) AS HUGEINT) * 1000000
+         |    // (sa.v + sb.v - coalesce(iv.n_shared, 0)) AS BIGINT)
+         |    AS jaccard_ppm
+         |FROM sz sa JOIN sz sb ON sa.src < sb.src
+         |LEFT JOIN iv ON iv.src_a = sa.src AND iv.src_b = sb.src
+         |ORDER BY src_a, src_b""".stripMargin,
 
     // x161: label centroids via the m1 floorDiv rule, all-pairs label
     // distances, a = own-label dist, b = min over others, the signed
