@@ -727,6 +727,66 @@ object ScaleProbe {
         "source", "avg_tok_len", scale = 1000000L)
         .write.format("noop").mode("overwrite").save()
     }
+    // x154/x155/x158/x160 over 50k docs: every one is scan-side
+    // signal work into an attribute-bounded fold — the 10x union
+    // grows counts, never post-exchange rows. x154 adds the x94 regex
+    // chain per row; x158 carries |grid|x2 counter lanes through ONE
+    // aggregate; x160's grids are margins x margins
+    t("gate-agreement-50k") {
+      val aug = docs10.withColumn("aug", concat(col("text"),
+        when(col("doc_id") % 3 === 0, " u@example.org").otherwise("")))
+      graft.ops.Agreement.gatePiiAgreement(aug, "source", "text",
+        "aug", 0.35, 0.05)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("gini-gain-50k") {
+      graft.ops.Curate.giniGain(docs10
+          .withColumn("len_bucket", expr("n_chars div 50")),
+        "text", Seq("lang", "source", "len_bucket"), 0.35, 0.05)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("gate-sweep-50k") {
+      graft.ops.Curate.gateSweep(docs10, "text",
+        Seq(0.25, 0.35, 0.5), Seq(0.02, 0.05, 0.1))
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("cramers-v-50k") {
+      graft.ops.CorpusStats.fieldAssociation(docs10
+          .withColumn("len_bucket", expr("n_chars div 50")),
+        Seq(("lang", "source"), ("lang", "len_bucket"),
+          ("source", "len_bucket")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x163 over 50k docs: the (source, word) distinct exchange is
+    // vocabulary-grain; the word-keyed pair join's quadratic factor is
+    // sources-per-word (<= 20 here), so 10x docs grows the distinct
+    // table sublinearly and the join linearly in vocabulary
+    t("vocab-overlap-50k") {
+      graft.ops.CorpusStats.vocabOverlap(docs10, "source", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x156/x161 over 20k vectors: both are one fused scan projection
+    // + a k/label-grain fold after the bounded centroid state
+    t("silhouette-20k") {
+      graft.ops.KMeansOp.silhouette(emb10, "vec_id", "embedding",
+        k = 8, iters = 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("label-separation-20k") {
+      graft.ops.KMeansOp.labelSeparation(emb10, "vec_id", "embedding",
+        "label")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // x157 over 50k docs at 10x pair density: quality joins are
+    // pair-density-sized; the win matrix stays <= K^2; the Zermelo
+    // iteration never touches the corpus
+    t("bradley-terry-50k") {
+      graft.ops.Preference.bradleyTerry(docs10,
+        graft.ops.Dedup.minhashLshPairs(docs10, "doc_id", "text",
+          16, 4, 0.8).select("d1", "d2"), "doc_id", "source", "text",
+        iters = 5)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
