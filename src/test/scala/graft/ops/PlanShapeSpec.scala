@@ -785,6 +785,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
   }
 
+  test("x158 gate sweep: one corpus scan, one aggregation exchange, " +
+    "no join — the whole grid rides conditional lanes") {
+    val plan = physical(Curate.gateSweep(Tables.documents(spark, sf),
+      "text", Seq(0.25, 0.35, 0.5), Seq(0.02, 0.05, 0.1)))
+    assert(countOccurrences(plan, "Scan parquet") === 1, s"plan:\n$plan")
+    assert(countOccurrences(plan, "Exchange") === 1, s"plan:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
+  test("x155 gini gain: every field branch rolls up the PINNED cross " +
+    "table — no parquet rescan in the audit plan") {
+    val plan = physical(Curate.giniGain(Tables.documents(spark, sf)
+        .withColumn("len_bucket", expr("n_chars div 50")),
+      "text", Seq("lang", "source", "len_bucket"), 0.35, 0.05))
+    assert(!plan.contains("Scan parquet"), s"corpus rescan in:\n$plan")
+  }
+
+  test("x160 field association: every pair branch rolls up the PINNED " +
+    "cross table — no parquet rescan, cells joined without cartesian " +
+    "of anything corpus-sized") {
+    val plan = physical(CorpusStats.fieldAssociation(
+      Tables.documents(spark, sf)
+        .withColumn("len_bucket", expr("n_chars div 50")),
+      Seq(("lang", "source"), ("lang", "len_bucket"))))
+    assert(!plan.contains("Scan parquet"), s"corpus rescan in:\n$plan")
+  }
+
+  test("x161 label separation: one corpus scan and one label-grain " +
+    "exchange after the eager centroid fold; no join") {
+    val plan = physical(KMeansOp.labelSeparation(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", "label"))
+    assert(countOccurrences(plan, "Scan parquet") === 1, s"plan:\n$plan")
+    assert(countOccurrences(plan, "Exchange") <= 2, s"plan:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
   test("x143 pair histogram: the bucket fold pays one exchange; the " +
     "cumulative window's single-partition exchange sees only the " +
     "<= 101 bucket rows, never the pair table") {

@@ -4,7 +4,7 @@ import graft.SparkSpec
 
 /** X157 Bradley-Terry: the driver-side Zermelo iteration on
   * hand-solvable matrices (symmetric stability, an exact 3:2 fixed
-  * point, dominance ordering, floor-slack normalization) and the
+  * point, dominance ordering, floor-bounded normalization) and the
   * end-to-end wiring rules (same-source and tie pairs carry no
   * preference).
   */
