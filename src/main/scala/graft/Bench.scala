@@ -63,6 +63,17 @@ object Bench {
     // Local-iteration filter (same contract as Verify's): the driver
     // never sets it, so driver benches always cover every query.
     val selected = QueryFilter.selected()
+    // Absolute host yardstick (see BenchCanary): warmed onto the C2
+    // plateau, then sampled before the first query, every CanaryEveryN
+    // queries, and after the last. The samples land in the artifact so
+    // a uniformly slow window — invisible to the relative warm-spread
+    // and pair-agreement rules by construction — convicts itself
+    // against the quiet-window reference recorded in bench_compare.py.
+    val canaryEveryN = 25
+    BenchCanary.warmup(spark)
+    val canarySamples = scala.collection.mutable.ArrayBuffer(
+      BenchCanary.sample(spark))
+    var sinceCanary = 0
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -89,8 +100,14 @@ object Bench {
       val median =
         if (n % 2 == 1) sorted(n / 2)
         else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+      sinceCanary += 1
+      if (sinceCanary >= canaryEveryN) {
+        canarySamples += BenchCanary.sample(spark)
+        sinceCanary = 0
+      }
       (name, median, cold, runs)
     }
+    canarySamples += BenchCanary.sample(spark)
     // Locale.ROOT: a comma-decimal default locale would render invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
@@ -124,12 +141,52 @@ object Bench {
     val contendedJson = s""""contended":${contendedQueries.nonEmpty},""" +
       s""""contended_queries":${
         contendedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    // Canary stamp: per-sample levels plus p50s and the within-run
+    // spread. A spread above 1.3x on either probe means the HOST moved
+    // mid-run — the exact class (whole-query-window contention, r18
+    // run B's x16) the warm-spread stamp cannot see; such a run is
+    // re-run, never committed, same as "contended". The p50 levels are
+    // what bench_compare.py holds against its quiet-window reference
+    // and uses to refuse canary-mismatched pairs.
+    val cpuMs = canarySamples.map(_.cpuMs).toSeq
+    val sparkMs = canarySamples.map(_.sparkMs).toSeq
+    def spreadOf(xs: Seq[Double]): Double =
+      if (xs.isEmpty || xs.min <= 0) Double.PositiveInfinity
+      else xs.max / xs.min
+    // Instability rules differ per probe because their benign drift
+    // differs. The cpu loop is drift-free (same 100M dependent steps,
+    // flat after 2 warmups — measured), so ANY >1.3x spread is host
+    // movement. The spark probe can drift DOWNWARD over a long bench
+    // as workload queries compile shared scheduler/codegen paths —
+    // benign and monotone — while contention only ever pushes it UP;
+    // so it flags only an upward excursion: a sample AFTER the run's
+    // minimum exceeding 1.5x that minimum. A monotone ramp-down never
+    // flags; a quiet start with a contended tail does.
+    def upwardExcursion(xs: Seq[Double], ratio: Double): Boolean = {
+      if (xs.isEmpty || xs.min <= 0) return true
+      val minIdx = xs.indexOf(xs.min)
+      xs.drop(minIdx + 1).exists(_ / xs.min > ratio)
+    }
+    val canaryUnstable =
+      spreadOf(cpuMs) > 1.3 || upwardExcursion(sparkMs, 1.5)
+    val canaryJson =
+      s""""canary":{"cpu_ms":${cpuMs.map(fmt).mkString("[", ",", "]")},""" +
+      s""""spark_ms":${sparkMs.map(fmt).mkString("[", ",", "]")},""" +
+      s""""p50_cpu_ms":${fmt(BenchCanary.p50(cpuMs))},""" +
+      s""""p50_spark_ms":${fmt(BenchCanary.p50(sparkMs))},""" +
+      s""""spread_cpu":${fmt(spreadOf(cpuMs))},""" +
+      s""""spread_spark":${fmt(spreadOf(sparkMs))},""" +
+      s""""every_n":$canaryEveryN,"unstable":$canaryUnstable}"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$contendedJson,"cold_total":${fmt(coldTotal)},"median_basis":"warm_reruns","runs_per_query":$runsPerQuery,"run_counts":$rc,"runs":$runsJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$contendedJson,$canaryJson,"cold_total":${fmt(coldTotal)},"median_basis":"warm_reruns","runs_per_query":$runsPerQuery,"run_counts":$rc,"runs":$runsJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     if (contendedQueries.nonEmpty) System.err.println(
       s"[bench] CONTENDED run (warm spread >3x): ${
         contendedQueries.mkString(", ")} — re-run, do not commit")
+    if (canaryUnstable) System.err.println(
+      s"[bench] CANARY UNSTABLE (within-run spread cpu=${
+        fmt(spreadOf(cpuMs))}x spark=${fmt(spreadOf(sparkMs))}x > 1.3x):" +
+        " the host moved mid-run — re-run, do not commit")
     // The driver's round artifact stores only a truncated stdout tail, so
     // the per-query map's head is unrecoverable from it. Persist the full
     // line next to the build so every round-over-round comparison can read

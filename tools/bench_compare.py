@@ -16,16 +16,63 @@ The committed-pair acceptance rule (PLANS.md, round 16):
      outlier inside a wide spread. A contended run is re-run, not
      committed.
 
+  3. CANARY PARITY (round 19) — the bench stamps an absolute host
+     yardstick (BenchCanary: a sealed 100M-step ALU loop + a fixed
+     fixed-seed 32-way Spark hash-agg, min-of-3). Rules:
+       a. a run self-stamped canary-unstable (host moved mid-run) is
+          refused — this is the whole-query-window contention class
+          (r18 run B's x16) the warm-spread stamp cannot see;
+       b. a pair whose canary levels disagree (>15% on the cpu p50,
+          >30% on the spark min — the spark probe carries ~16%
+          benign cross-JVM variance, measured) is refused: the two
+          runs saw different hosts, their medians are not comparable;
+       c. each run's level is held against the quiet-window REFERENCE
+          below; a run >15% (cpu) / >30% (spark) above it ran in a
+          degraded window — the r17-run-4 / r18-final-pair class that
+          relative checks pass by construction — and is refused unless
+          BENCH_ALLOW_DEGRADED=1 (which downgrades to a loud warning
+          and prints canary-normalized values so the artifact is still
+          interpretable).
+     Canary-normalized totals (total / host-slowness-factor) are
+     reported for any run whose canary is elevated.
+
 Exit code 0 = the pair (or run) is committable; 1 = re-run needed.
 Requires the "runs" per-query arrays the bench emits since round 16;
-older artifacts degrade to the pair-agreement check only.
+older artifacts degrade to the pair-agreement check only (and have no
+canary — noted, not refused).
 """
 import json
+import os
 import sys
 
 FLOOR_SECS = 0.3
 PAIR_RATIO = 2.0
 SPREAD_RATIO = 3.0
+
+# Quiet-window reference canary levels, measured 2026-08-16 on the
+# bench host (local[32], idle): cpu p50 ~187-193 ms over 10 fresh
+# JVMs, spark min-of-3 ~430-500 ms over 6. Re-measure and update if
+# the host hardware changes; PLANS.md carries the measurement log.
+REF_CPU_MS = 189.0
+REF_SPARK_MS = 450.0
+CPU_TOL = 1.15
+SPARK_TOL = 1.30
+
+
+def canary_level(bench):
+    """(cpu_p50, spark_min) or None for pre-canary artifacts."""
+    c = bench.get("canary")
+    if not c:
+        return None
+    cpu = c.get("cpu_ms") or []
+    spark = c.get("spark_ms") or []
+    if not cpu or not spark:
+        return None
+    cpu_sorted = sorted(cpu)
+    n = len(cpu_sorted)
+    p50 = (cpu_sorted[n // 2] if n % 2 == 1
+           else (cpu_sorted[n // 2 - 1] + cpu_sorted[n // 2]) / 2.0)
+    return p50, min(spark)
 
 
 def load(path):
@@ -59,6 +106,8 @@ def main(argv):
         return 2
     ok = True
 
+    allow_degraded = os.environ.get("BENCH_ALLOW_DEGRADED") == "1"
+    levels = []
     for b, p in zip(benches, argv[1:3]):
         # the bench self-stamps since round 17; trust a true stamp even
         # if this tool's recomputation were to drift from the embedded rule
@@ -72,6 +121,48 @@ def main(argv):
             print(f"CONTENDED {name} in {label}: runs {runs} warm spread "
                   + ("inf" if min(warm) <= 0
                      else f"{max(warm) / min(warm):.1f}x"))
+        # canary rules (round 19)
+        lvl = canary_level(b)
+        levels.append(lvl)
+        if lvl is None:
+            print(f"NOTE {p}: pre-canary artifact (no absolute host "
+                  "yardstick — degraded-window slowness undetectable)")
+            continue
+        if (b.get("canary") or {}).get("unstable"):
+            ok = False
+            print(f"CANARY UNSTABLE {p}: host moved mid-run "
+                  f"(cpu spread {b['canary'].get('spread_cpu')}x, "
+                  f"spark samples {b['canary'].get('spark_ms')})")
+        cpu, spark = lvl
+        cpu_f, spark_f = cpu / REF_CPU_MS, spark / REF_SPARK_MS
+        if cpu_f > CPU_TOL or spark_f > SPARK_TOL:
+            factor = max(cpu_f, spark_f)
+            norm = b["value"] / factor
+            msg = (f"DEGRADED WINDOW {p}: canary cpu {cpu:.0f} ms "
+                   f"({cpu_f:.2f}x ref {REF_CPU_MS:.0f}), spark "
+                   f"{spark:.0f} ms ({spark_f:.2f}x ref "
+                   f"{REF_SPARK_MS:.0f}) — canary-normalized total "
+                   f"~{norm:.1f} s (measured {b['value']} s)")
+            if allow_degraded:
+                print("WARNING (allowed) " + msg)
+            else:
+                ok = False
+                print(msg + " — re-run in a quiet window, or set "
+                      "BENCH_ALLOW_DEGRADED=1 to accept with the "
+                      "normalized caveat on record")
+
+    if len(benches) == 2 and all(levels):
+        (ca, sa), (cb, sb) = levels
+        if max(ca, cb) / min(ca, cb) > CPU_TOL:
+            ok = False
+            print(f"CANARY PAIR MISMATCH (cpu): {ca:.0f} vs {cb:.0f} ms "
+                  f"({max(ca, cb) / min(ca, cb):.2f}x > {CPU_TOL}) — the "
+                  "runs saw different hosts; medians not comparable")
+        if max(sa, sb) / min(sa, sb) > SPARK_TOL:
+            ok = False
+            print(f"CANARY PAIR MISMATCH (spark): {sa:.0f} vs {sb:.0f} ms "
+                  f"({max(sa, sb) / min(sa, sb):.2f}x > {SPARK_TOL}) — the "
+                  "runs saw different hosts; medians not comparable")
 
     if len(benches) == 2:
         # the per-query value's basis changed in round 17 (median over
