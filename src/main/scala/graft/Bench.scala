@@ -62,7 +62,15 @@ object Bench {
     val benchStart = System.nanoTime()
     // Local-iteration filter (same contract as Verify's): the driver
     // never sets it, so driver benches always cover every query.
-    val selected = QueryFilter.selected()
+    // Correctness-only rows (SparkEntry.benchExcluded — the
+    // driver-block embedding-dedup comparison kernel) are dropped from
+    // the roster unless explicitly named via SPARK_GRAFT_ONLY; the
+    // artifact records what was excluded so a roster diff is always
+    // explainable from the JSON alone.
+    val explicitOnly = sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty)
+    val selected =
+      if (explicitOnly) QueryFilter.selected()
+      else QueryFilter.selected() -- SparkEntry.benchExcluded
     // Absolute host yardstick (see BenchCanary): warmed onto the C2
     // plateau, then sampled before the first query, every CanaryEveryN
     // queries, and after the last. The samples land in the artifact so
@@ -176,7 +184,9 @@ object Bench {
       s""""p50_spark_ms":${fmt(BenchCanary.p50(sparkMs))},""" +
       s""""spread_cpu":${fmt(spreadOf(cpuMs))},""" +
       s""""spread_spark":${fmt(spreadOf(sparkMs))},""" +
-      s""""every_n":$canaryEveryN,"unstable":$canaryUnstable}"""
+      s""""every_n":$canaryEveryN,"unstable":$canaryUnstable}""" +
+      s""","bench_excluded":${SparkEntry.benchExcluded.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$contendedJson,$canaryJson,"cold_total":${fmt(coldTotal)},"median_basis":"warm_reruns","runs_per_query":$runsPerQuery,"run_counts":$rc,"runs":$runsJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)

@@ -33,4 +33,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     PumpQueries.oracle ++ graft.ops.ExtQueries.oracle ++
       graft.engine.AnalyticsQueries.oracle
+
+  /** Correctness-only rows: verified by Verify + the DuckDB oracle but
+    * EXCLUDED from the bench roster. x1_embedding_dup is the
+    * deliberately-kept driver-block comparison kernel
+    * (Dedup.scala block form — the one corpus-facing collect in the
+    * codebase, documented driver-bounded); its fully distributed
+    * sign-bucket twin x1_embedding_dup_bucket is the shipping 100 TB
+    * operator and the row the bench prices. Benching both forever
+    * would let roster time accrue to a pedagogical kernel and let the
+    * collect path masquerade as a shipping path (r18 verdict #3).
+    */
+  val benchExcluded: Set[String] = Set("x1_embedding_dup")
 }
