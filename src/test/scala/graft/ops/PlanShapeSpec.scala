@@ -849,4 +849,50 @@ class PlanShapeSpec extends SparkSpec {
         "planted broadcast hint")
     }
   }
+
+  // ---- the eval trio (x58/x96/x98): 3 of the top-10 roster costs.
+  // Their design claim is "the corpus is scanned once; n-gram orders
+  // are projections of one pass, never per-order rescans" — a refactor
+  // that exploded per order would pass every value test (the counts
+  // are identical) while multiplying the 100 TB scan bill by maxN.
+  // The pairs input below is a no-join projection of one parquet read,
+  // so "Scan parquet" counts exactly the corpus passes.
+
+  test("x96 BLEU: orders 1..4 are projections of ONE corpus pass — " +
+    "one scan, one group-grain aggregation exchange, no join") {
+    val pairs = Tables.documents(spark, sf).select(
+      col("lang"), col("doc_id").as("pid"),
+      col("text").as("hyp"), col("text").as("ref"))
+    val plan = physical(
+      Bleu.corpusBleu(pairs, "lang", "pid", "hyp", "ref", maxN = 4))
+    assert(countOccurrences(plan, "Scan parquet") === 1, s"plan:\n$plan")
+    assert(countOccurrences(plan, "Exchange") === 1, s"plan:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
+  test("x98 chrF: orders 1..6 are projections of ONE corpus pass — " +
+    "one scan, one group-grain aggregation exchange, no join") {
+    val pairs = Tables.documents(spark, sf).select(
+      col("lang"), col("doc_id").as("pid"),
+      col("text").as("hyp"), col("text").as("ref"))
+    val plan = physical(
+      Chrf.corpusChrf(pairs, "lang", "pid", "hyp", "ref", maxN = 6,
+        beta = 2))
+    assert(countOccurrences(plan, "Scan parquet") === 1, s"plan:\n$plan")
+    assert(countOccurrences(plan, "Exchange") === 1, s"plan:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
+  test("x58 modified KN: the scored corpus is read ONCE — every order's " +
+    "key is a projection of the single 5-gram explode, never a " +
+    "per-order corpus rescan (train-side passes run over the in-memory " +
+    "ref here, so parquet scans count only the corpus side)") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b c d e f g"), (2L, "a b c d x y z"))
+      .toDF("doc_id", "text")
+    val plan = physical(KneserNey.scoreModified(
+      Tables.documents(spark, sf), ref, "doc_id", "text"))
+    assert(countOccurrences(plan, "Scan parquet") === 1, s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
 }
