@@ -31,13 +31,15 @@ object MqttBridge {
             clientId: String = s"graft-pump-${System.nanoTime()}",
             username: String = "", password: String = "",
             cleanSession: Boolean = true, keepAliveSecs: Int = 60,
-            pingTimeoutSecs: Int = 10): Bridge = {
+            pingTimeoutSecs: Int = 10, scheme: String = "tcp",
+            sslTrustStore: Option[(String, String)] = None): Bridge = {
     val log = MemoryBroker.get(brokerName)
     val client = new MqttClient(host, port, clientId,
       onMessage = (topic, payload) =>
         log.publish(topic, payload, System.currentTimeMillis() * 1000L),
       username = username, password = password, cleanSession = cleanSession,
-      keepAliveSecs = keepAliveSecs, pingTimeoutSecs = pingTimeoutSecs)
+      keepAliveSecs = keepAliveSecs, pingTimeoutSecs = pingTimeoutSecs,
+      scheme = scheme, sslTrustStore = sslTrustStore)
     client.subscribe(topics)
     new Bridge(client)
   }

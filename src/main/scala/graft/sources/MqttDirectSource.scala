@@ -67,7 +67,10 @@ class MqttDirectTable(options: CaseInsensitiveStringMap) extends Table with Supp
       options.getOrDefault("keepalive", "60").toInt,
       options.getOrDefault("pingtimeout", "10").toInt,
       options.getOrDefault("autoreconnect", "true").toBoolean,
-      options.getOrDefault("reconnectdelayms", "500").toLong)
+      options.getOrDefault("reconnectdelayms", "500").toLong,
+      options.getOrDefault("scheme", "tcp"),
+      Option(options.get("ssltruststore")).map(p =>
+        (p, options.getOrDefault("ssltruststorepassword", ""))))
 }
 
 class MqttDirectScan(host: String, port: Int, topics: Seq[String],
@@ -76,12 +79,14 @@ class MqttDirectScan(host: String, port: Int, topics: Seq[String],
                      keepAliveSecs: Int = 60,
                      pingTimeoutSecs: Int = 10,
                      autoReconnect: Boolean = true,
-                     reconnectDelayMs: Long = 500L) extends Scan {
+                     reconnectDelayMs: Long = 500L,
+                     scheme: String = "tcp",
+                     sslTrustStore: Option[(String, String)] = None) extends Scan {
   override def readSchema(): StructType = PumpMqttSource.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MqttDirectMicroBatchStream(host, port, topics, username, password,
       qos, cleanSession, keepAliveSecs, pingTimeoutSecs, autoReconnect,
-      reconnectDelayMs)
+      reconnectDelayMs, scheme, sslTrustStore)
 }
 
 /** Count offset over the driver-side delivery buffer. */
@@ -146,7 +151,9 @@ class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String],
                                  keepAliveSecs: Int = 60,
                                  pingTimeoutSecs: Int = 10,
                                  autoReconnect: Boolean = true,
-                                 reconnectDelayMs: Long = 500L)
+                                 reconnectDelayMs: Long = 500L,
+                                 scheme: String = "tcp",
+                                 sslTrustStore: Option[(String, String)] = None)
     extends MicroBatchStream {
 
   // delivery buffer: (topic, payload, receivedTimeMicros), appended by the
@@ -160,7 +167,8 @@ class MqttDirectMicroBatchStream(host: String, port: Int, topics: Seq[String],
       onMessage = (topic, payload) =>
         buffer.append((topic, payload, System.currentTimeMillis() * 1000L)),
       username = username, password = password, cleanSession = cleanSession,
-      keepAliveSecs = keepAliveSecs, pingTimeoutSecs = pingTimeoutSecs)
+      keepAliveSecs = keepAliveSecs, pingTimeoutSecs = pingTimeoutSecs,
+      scheme = scheme, sslTrustStore = sslTrustStore)
     // a broker that CONNACKs but never SUBACKs must not leak the
     // connected client (socket + reader + pinger) per retry — the
     // MqttClient constructor guards the CONNACK phase the same way

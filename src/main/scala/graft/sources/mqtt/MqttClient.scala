@@ -24,13 +24,18 @@ class MqttClient(host: String, port: Int, clientId: String,
                  onMessage: (String, Array[Byte]) => Unit = (_, _) => (),
                  username: String = "", password: String = "",
                  cleanSession: Boolean = true, keepAliveSecs: Int = 60,
-                 pingTimeoutSecs: Int = 10) {
+                 pingTimeoutSecs: Int = 10,
+                 scheme: String = "tcp",
+                 sslTrustStore: Option[(String, String)] = None) {
   require(keepAliveSecs >= 2 && keepAliveSecs <= 0xffff,
     s"keepalive $keepAliveSecs out of [2, 65535]")
   require(pingTimeoutSecs >= 1 && pingTimeoutSecs <= 255,
     s"pingtimeout $pingTimeoutSecs out of [1, 255] (reference uint8)")
 
-  private val socket = new Socket(host, port)
+  // scheme parity with the reference's free-form broker-URL scheme
+  // (`conf.go:26-27`): tcp = plain socket, ssl = JSSE TLS — the MQTT
+  // protocol layer below is transport-agnostic byte streams either way
+  private val socket = MqttTransport.connect(scheme, host, port, sslTrustStore)
   private val out = new DataOutputStream(socket.getOutputStream)
   private val in = new DataInputStream(socket.getInputStream)
   private val packetIds = new AtomicInteger(1)

@@ -22,9 +22,14 @@ import MqttCodec._
   *   (username, password) credentials; mismatches are refused with
   *   CONNACK rc=4 (bad user name or password) and the connection closed.
   */
-class MqttMiniServer(port0: Int = 0, auth: Option[(String, String)] = None) {
+class MqttMiniServer(port0: Int = 0, auth: Option[(String, String)] = None,
+                     serverSocketFactory: Option[javax.net.ServerSocketFactory] = None) {
 
-  private val server = new ServerSocket(port0)
+  // an injected factory turns the listener into a TLS endpoint (the
+  // ssl:// test path: an SSLServerSocketFactory over a test keystore);
+  // the MQTT session logic below is transport-agnostic either way
+  private val server = serverSocketFactory
+    .map(_.createServerSocket(port0)).getOrElse(new ServerSocket(port0))
   private val running = new AtomicBoolean(true)
   private val sessions = new ConcurrentHashMap[Socket, Session]()
 

@@ -190,6 +190,59 @@ class MqttDirectSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("ssl:// end-to-end: TLS mini-server, TLS publisher, TLS DSv2 " +
+    "source — scheme parity with the reference's free-form broker " +
+    "scheme (conf.go:26-27)") {
+    // throwaway PKI via the JDK's keytool (graft.TlsTestPki — no binary
+    // blobs in the repo)
+    val pki = graft.TlsTestPki.create()
+    val truststore = pki.truststore
+    val pw = pki.password
+
+    val server = new MqttMiniServer(
+      serverSocketFactory = Some(pki.serverSocketFactory))
+    try {
+      val df = spark.readStream.format("mqtt-direct")
+        .option("host", "127.0.0.1")
+        .option("port", server.port.toString)
+        .option("scheme", "ssl")
+        .option("ssltruststore", truststore)
+        .option("ssltruststorepassword", pw)
+        .option("topics", "pump/data/0")
+        .load()
+      val q = df.writeStream.format("memory").queryName("direct_ssl_sink")
+        .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+      try {
+        val initDeadline = System.currentTimeMillis() + 60000
+        while (q.lastProgress == null && System.currentTimeMillis() < initDeadline)
+          Thread.sleep(100)
+        assert(q.lastProgress != null, "stream never initialized")
+        val pub = new MqttClient("127.0.0.1", server.port, "ssl-pub",
+          scheme = "ssl", sslTrustStore = Some((truststore, pw)))
+        (0 until 6).foreach { i =>
+          pub.publish("pump/data/0", s"s$i".getBytes(StandardCharsets.UTF_8))
+        }
+        pub.close()
+        val deadline = System.currentTimeMillis() + 60000
+        def count() = spark.sql("SELECT count(*) FROM direct_ssl_sink")
+          .head().getLong(0)
+        while (count() < 6 && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        assert(count() === 6)
+        assert(spark.sql(
+          "SELECT CAST(payload AS STRING) FROM direct_ssl_sink")
+          .collect().map(_.getString(0)).toSet ===
+          (0 until 6).map(i => s"s$i").toSet)
+      } finally q.stop()
+      // a plain-tcp client against the TLS listener must fail loudly,
+      // not hang: the handshake-or-CONNACK guard turns it into a
+      // constructor failure
+      intercept[Throwable] {
+        new MqttClient("127.0.0.1", server.port, "plain-against-tls")
+      }
+    } finally server.close()
+  }
+
   test("delivery buffer: rebase keeps fresh deliveries buffered before restore") {
     val b = new DeliveryBuffer
     // the reconnected client delivered 3 messages BEFORE the checkpointed
