@@ -54,7 +54,8 @@ object Main {
       spark.streams.addListener(new MonitorListener(cfg, brokerName))
       val sinks = Pump.Sinks(s"$outDir/raw", s"$outDir/adapter", s"$outDir/ckpt")
       val trigger = if (availableNow) Trigger.AvailableNow() else null
-      val q = Pump.start(spark, cfg, sinks, brokerName, trigger)
+      val q = Pump.start(spark, cfg, sinks, brokerName, trigger,
+        live = liveSink(cfg))
       var mon: org.apache.spark.sql.streaming.StreamingQuery = null
       try {
         // the reference's run also starts its monitor goroutine
@@ -71,6 +72,40 @@ object Main {
       System.err.println("usage: graft.Main (show|check) <conf.ini> | run <conf.ini> <outDir> [--available-now]")
       sys.exit(2)
   }
+
+  /** A [clickhouse] hostname in the INI engages the LIVE dual sink
+    * beside the parquet system of record — the reference's dbstore
+    * topology (connect-time DDL bootstrap, then batched inserts,
+    * `data_dbstore.go:122-147,336-421`). This implementation speaks the
+    * HTTP interface: scheme must be http/https and port the server's
+    * HTTP port (8123), not the native-TCP 9000 — a tcp INI fails
+    * loudly at startup rather than hanging against the wrong protocol.
+    */
+  private[graft] def liveSink(cfg: PumpConfig)
+      : Option[(org.apache.spark.sql.DataFrame,
+          Option[org.apache.spark.sql.DataFrame]) => Unit] =
+    Option(cfg.db.hostname).filter(_.nonEmpty).map { host =>
+      require(cfg.db.scheme == "http" || cfg.db.scheme == "https",
+        s"clickhouse scheme '${cfg.db.scheme}' unsupported: this sink " +
+          "speaks the HTTP interface (http/https, port 8123) — the " +
+          "native-TCP 'tcp' scheme of the reference's Go driver has " +
+          "no JVM-side counterpart here")
+      val ep = graft.sinks.ClickHouseHttpSink.Endpoint(
+        s"${cfg.db.scheme}://$host:${cfg.db.port}",
+        cfg.db.username, cfg.db.password, cfg.db.compress)
+      val inf = graft.engine.JsonInference.inferFromSample(cfg.jsonSample)
+      graft.sinks.ClickHouseHttpSink.ensureTables(
+        ep, cfg.db.database, cfg.db.rawTable, cfg.db.adapterTable, inf)
+      val rawFq = s"${cfg.db.database}.${cfg.db.rawTable}"
+      val adapterFq = s"${cfg.db.database}.${cfg.db.adapterTable}"
+      (raw: org.apache.spark.sql.DataFrame,
+       adapter: Option[org.apache.spark.sql.DataFrame]) => {
+        graft.sinks.ClickHouseHttpSink.appendBatch(
+          raw.drop("collect_date"), ep, rawFq)
+        adapter.foreach(a => graft.sinks.ClickHouseHttpSink.appendBatch(
+          a, ep, adapterFq))
+      }
+    }
 
   private def loadCfg(path: String): PumpConfig =
     if (path == "-") PumpConfig() else IniConfig.fromFile(path)

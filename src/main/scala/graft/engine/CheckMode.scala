@@ -60,6 +60,8 @@ object CheckMode {
        |  publishinterval=${cfg.monitor.publishIntervalSecs}s buffer=${cfg.monitor.bufferSize}
        |[dbstore] db=${cfg.db.database} raw=${cfg.db.rawTable} adapter=${cfg.db.adapterTable}
        |  commit=${cfg.db.commitIntervalSecs}s/${cfg.db.commitItems}items compress=${cfg.db.compress}
+       |  endpoint=${if (cfg.db.hostname.isEmpty) "(parquet only)"
+         else s"${cfg.db.scheme}://${cfg.db.hostname}:${cfg.db.port}"}
        |[adapter] jsonsample=${cfg.jsonSample.take(60)}...
        |[processor] midlength=${cfg.midLength}""".stripMargin
 }

@@ -114,7 +114,13 @@ object IniConfig {
         compress = getBool("clickhouse", "compress", d.db.compress),
         commitIntervalSecs = d.db.commitIntervalSecs,
         commitItems = d.db.commitItems,
-        bufferSize = getInt("dbstore-info", "buffersize", d.db.bufferSize)),
+        bufferSize = getInt("dbstore-info", "buffersize", d.db.bufferSize),
+        scheme = get("clickhouse", "scheme", d.db.scheme),
+        hostname = get("clickhouse", "hostname", d.db.hostname),
+        port = getInt("clickhouse", "port", d.db.port),
+        username = get("clickhouse", "username", d.db.username),
+        password = get("clickhouse", "password", d.db.password),
+        debug = getBool("clickhouse", "debug", d.db.debug)),
       jsonSample = get("adapter-info", "jsonsample", d.jsonSample),
       midLength = getInt("processor-info", "messageidlength", d.midLength),
       pipeBufferSize = getInt("pipe-info", "buffersize", d.pipeBufferSize),

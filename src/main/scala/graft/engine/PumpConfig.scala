@@ -44,7 +44,19 @@ final case class DbStore(
     compress: Boolean = true,
     commitIntervalSecs: Int = 5, // DBCommitInterval (data_dbstore.go:19)
     commitItems: Int = 64,       // DBObjectItemsSize (data_dbstore.go:18)
-    bufferSize: Int = 8)
+    bufferSize: Int = 8,
+    // the reference's full ClickHouseConf (conf.go:46-55). hostname ""
+    // (no [clickhouse] endpoint in the INI) = parquet sinks only — the
+    // live HTTP writer engages from Main.run only when one is named.
+    // This implementation speaks the HTTP interface, so the scheme is
+    // http/https (the reference's native-TCP driver DSN would say tcp;
+    // point the INI at the server's HTTP port, default 8123).
+    scheme: String = "http",
+    hostname: String = "",
+    port: Int = 8123,
+    username: String = "",
+    password: String = "",
+    debug: Boolean = false)
 
 final case class PumpConfig(
     source: SourceMqtt = SourceMqtt(),

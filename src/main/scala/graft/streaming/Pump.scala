@@ -50,7 +50,8 @@ object Pump {
     * layout; the periodic [[compact]] job folds them per date partition.
     */
   def writeBatch(cfg: PumpConfig, inf: JsonInference.Inferred, sinks: Sinks,
-                 rawOnly: Boolean = false)(
+                 rawOnly: Boolean = false,
+                 live: Option[(DataFrame, Option[DataFrame]) => Unit] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     // T3: both branches must observe the same (row, mid) pairs (SURVEY
     // §7.3 dual-sink). mid is batchId-seeded so recomputation would be
@@ -71,10 +72,11 @@ object Pump {
       // dates tiny files — the classic partitioned-write mistake at
       // scale). A small mid-derived salt caps per-date skew at 2 writers
       // (salt trades writer parallelism against file count per date).
+      val rawFrame = Adapter.rawProjection(withMid,
+        mid = col("mid"), topic = col("topic"), payload = col("payload"),
+        receivedTime = col("received_time"))
       def writeRaw(): Unit =
-        Adapter.rawProjection(withMid,
-            mid = col("mid"), topic = col("topic"), payload = col("payload"),
-            receivedTime = col("received_time"))
+        rawFrame
           .withColumn("batch_id", lit(batchId))
           .repartition(col("collect_date"), pmod(crc32(col("mid")), lit(2)))
           .write.mode("overwrite")
@@ -82,12 +84,12 @@ object Pump {
           .partitionBy("collect_date", "batch_id").parquet(sinks.rawPath)
 
       // K5 — adapter path: A1 parse -> A3 reject -> A2 explode -> A4/A5 flatten
+      lazy val adapterFrame = Adapter.adapt(
+        withMid.select(col("mid"), col("payload"),
+          col("received_time").cast("timestamp").as("collect_datetime")),
+        "payload", inf, carry = Seq("mid", "collect_datetime"))
       def writeAdapter(): Unit = {
-        val adapted = Adapter.adapt(
-          withMid.select(col("mid"), col("payload"),
-            col("received_time").cast("timestamp").as("collect_datetime")),
-          "payload", inf, carry = Seq("mid", "collect_datetime"))
-        adapted
+        adapterFrame
           .withColumn("collect_date", to_date(col("collect_datetime")))
           .withColumn("batch_id", lit(batchId))
           .repartition(col("collect_date"), pmod(crc32(col("mid")), lit(2)))
@@ -122,6 +124,14 @@ object Pump {
         rawDone.get
         adapterDone.get
       }
+      // the optional LIVE dual sink (K4/K5's ClickHouse form) runs
+      // after the parquet commit, off the same persisted micro-batch
+      // and the same (row, mid) pairs. Delivery there is at-least-once
+      // on replay (HTTP inserts have no batch_id partition to
+      // overwrite) — the reference's own dbstore is at-least-once with
+      // a failed-commit counter, so this is parity; the parquet sinks
+      // beside it remain the exactly-once system of record.
+      live.foreach(f => f(rawFrame, if (rawOnly) None else Some(adapterFrame)))
     } finally withMid.unpersist()
   }
 
@@ -215,7 +225,8 @@ object Pump {
             brokerName: String = "default",
             trigger: Trigger = null,
             rawOnly: Boolean = false,
-            dedupeWindow: Option[String] = None): StreamingQuery = {
+            dedupeWindow: Option[String] = None,
+            live: Option[(DataFrame, Option[DataFrame]) => Unit] = None): StreamingQuery = {
     val inf = JsonInference.inferFromSample(cfg.jsonSample)
     val raw = spark.readStream
       .format("pump-mqtt")
@@ -236,7 +247,7 @@ object Pump {
       .queryName("graft-pump")
       .trigger(t)
       .option("checkpointLocation", sinks.checkpoint)
-      .foreachBatch(writeBatch(cfg, inf, sinks, rawOnly) _)
+      .foreachBatch(writeBatch(cfg, inf, sinks, rawOnly, live) _)
       .start()
   }
 }

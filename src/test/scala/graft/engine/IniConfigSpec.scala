@@ -30,6 +30,10 @@ class IniConfigSpec extends AnyFunSuite {
     assert(cfg.db.adapterTable === "json_message")
     assert(cfg.db.compress)
     assert(cfg.db.bufferSize === 8)
+    // the full ClickHouseConf surface (conf.go:46-55) carries through
+    assert(cfg.db.scheme === "tcp" && cfg.db.hostname === "127.0.0.1"
+      && cfg.db.port === 19000 && cfg.db.username === ""
+      && cfg.db.password === "" && !cfg.db.debug)
     assert(cfg.midLength === 8)
     assert(cfg.pipeBufferSize === 8)
     assert(cfg.processorBufferSize === 16)
