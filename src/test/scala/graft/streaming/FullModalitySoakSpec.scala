@@ -148,22 +148,37 @@ class FullModalitySoakSpec extends SparkSpec {
         }
         assert(resumed(ledger()), "delivery never resumed after restart")
         // QUIESCE before the final cross-table assertions: publishing
-        // has stopped, but an in-flight batch landing between the
-        // ledger read and the sink count would skew the equality —
-        // poll until ledger and adapter agree across two quiet reads
+        // has stopped, but batches can run MULTI-SECOND here (composed
+        // maintenance + dual sink + curate at a 250 ms trigger), so two
+        // polls straddling one long in-flight batch read equal STALE
+        // values and a naive stability check passes mid-drain — the
+        // later batch then lands between the quiesce exit and the
+        // final reads (observed: adapter 21-25 vs ledger snapshot 5).
+        // The barrier therefore also requires the stream itself to be
+        // IDLE: the most recent completed trigger saw ZERO input rows.
+        // The delivery buffer only drains via triggers, so a 0-row
+        // trigger after publishing stopped means nothing is queued,
+        // and value stability across two such observations is sound.
         def adapterCount(): Long =
           try spark.read.parquet(sinks.adapterPath).count()
           catch { case _: Exception => -1L }
-        val dq = System.currentTimeMillis() + 60000
+        def idle(): Boolean =
+          Option(q.lastProgress).exists(_.numInputRows == 0) &&
+            !q.status.isTriggerActive
+        val dq = System.currentTimeMillis() + 120000
         var quiet = false
+        var snap = (adapterCount(), ledger())
         while (!quiet && System.currentTimeMillis() < dq) {
-          val (a1, n1) = (adapterCount(), ledger().size.toLong)
-          Thread.sleep(1500)
-          val (a2, n2) = (adapterCount(), ledger().size.toLong)
-          quiet = a1 === a2 && n1 === n2 && a2 === n2 && a2 > 0
+          val i1 = idle()
+          Thread.sleep(2000)
+          val next = (adapterCount(), ledger())
+          quiet = i1 && idle() && next._1 === snap._1 &&
+            next._2 === snap._2 && next._1 === next._2.size.toLong &&
+            next._1 > 0
+          snap = next
         }
         assert(quiet, "pipeline never quiesced after publishing stopped")
-        val l2 = ledger()
+        val l2 = snap._2
 
         // exactly-once across the reconnect: ONE verdict per doc, ever
         l2.foreach { case (doc, vs) =>
