@@ -175,8 +175,9 @@ object Bench {
       val minIdx = xs.indexOf(xs.min)
       xs.drop(minIdx + 1).exists(_ / xs.min > ratio)
     }
-    val canaryUnstable =
-      spreadOf(cpuMs) > 1.3 || upwardExcursion(sparkMs, 1.5)
+    val cpuUnstable = spreadOf(cpuMs) > 1.3
+    val sparkUnstable = upwardExcursion(sparkMs, 1.5)
+    val canaryUnstable = cpuUnstable || sparkUnstable
     val canaryJson =
       s""""canary":{"cpu_ms":${cpuMs.map(fmt).mkString("[", ",", "]")},""" +
       s""""spark_ms":${sparkMs.map(fmt).mkString("[", ",", "]")},""" +
@@ -193,10 +194,24 @@ object Bench {
     if (contendedQueries.nonEmpty) System.err.println(
       s"[bench] CONTENDED run (warm spread >3x): ${
         contendedQueries.mkString(", ")} — re-run, do not commit")
-    if (canaryUnstable) System.err.println(
-      s"[bench] CANARY UNSTABLE (within-run spread cpu=${
-        fmt(spreadOf(cpuMs))}x spark=${fmt(spreadOf(sparkMs))}x > 1.3x):" +
-        " the host moved mid-run — re-run, do not commit")
+    // name the rule that actually fired: the two probes have different
+    // instability rules (cpu: any spread >1.3x; spark: upward excursion
+    // >1.5x after the run minimum — a benign monotone ramp-down never
+    // flags), and reporting the wrong one misleads the re-run decision
+    if (canaryUnstable) {
+      val fired = Seq(
+        if (cpuUnstable)
+          Some(s"cpu spread ${fmt(spreadOf(cpuMs))}x > 1.3x") else None,
+        if (sparkUnstable)
+          Some(s"spark upward excursion > 1.5x after min ${
+            fmt(sparkMs.min)}ms (max after min ${
+            fmt(sparkMs.drop(sparkMs.indexOf(sparkMs.min) + 1)
+              .maxOption.getOrElse(0.0))}ms)") else None
+      ).flatten.mkString("; ")
+      System.err.println(
+        s"[bench] CANARY UNSTABLE ($fired): the host moved mid-run — " +
+          "re-run, do not commit")
+    }
     // The driver's round artifact stores only a truncated stdout tail, so
     // the per-query map's head is unrecoverable from it. Persist the full
     // line next to the build so every round-over-round comparison can read

@@ -90,12 +90,26 @@ object ClickHouseHttpSink {
               case _: DecimalType => o.put(f.name, r.getDecimal(i))
               case TimestampType =>
                 // ClickHouse DateTime literal (second precision, like
-                // the reference's collect_datetime)
-                o.put(f.name, r.getTimestamp(i).toLocalDateTime
+                // the reference's collect_datetime), rendered under an
+                // EXPLICIT UTC zone — `toLocalDateTime` would use the
+                // executor JVM's default zone, silently shifting rows
+                // away from the UTC-session parquet system of record on
+                // any non-UTC host
+                o.put(f.name, r.getTimestamp(i).toInstant
+                  .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
                   .format(DateTimeFmt))
               case DateType => o.put(f.name, r.getDate(i).toString)
-              case BinaryType => o.put(f.name,
-                new String(r.getAs[Array[Byte]](i), StandardCharsets.UTF_8))
+              case BinaryType =>
+                // JSONEachRow cannot carry raw bytes: a UTF-8 String
+                // round-trip corrupts arbitrary binary via replacement
+                // characters (lossy, silent). Refuse loudly — callers
+                // cast/encode upstream (rawProjection casts payload to
+                // String); the native-TCP sink's String columns are
+                // byte-safe and take binary as-is.
+                throw new IllegalArgumentException(
+                  s"binary column ${f.name} cannot ride JSONEachRow " +
+                    "losslessly - cast to string or base64-encode " +
+                    "upstream, or use the native-TCP sink")
               case other => throw new IllegalArgumentException(
                 s"unsupported ClickHouse sink type $other for ${f.name}")
             }

@@ -43,6 +43,15 @@ object MqttTransport {
             SSLSocketFactory.getDefault.asInstanceOf[SSLSocketFactory]
         }
         val s = factory.createSocket(host, port).asInstanceOf[SSLSocket]
+        // Endpoint identification: chain validation alone accepts ANY
+        // trusted certificate for ANY hostname — the classic JSSE
+        // raw-socket MITM hole. "HTTPS" turns on RFC 2818 hostname
+        // matching against the certificate's SANs, which is what the
+        // reference's Go tls.Dial does by default (crypto/tls verifies
+        // the ServerName unless InsecureSkipVerify is set).
+        val params = s.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        s.setSSLParameters(params)
         s.startHandshake()
         s
       case other => throw new IllegalArgumentException(

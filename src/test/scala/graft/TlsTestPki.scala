@@ -10,7 +10,15 @@ object TlsTestPki {
   final case class Pki(serverSocketFactory: javax.net.ServerSocketFactory,
                        truststore: String, password: String)
 
-  def create(): Pki = {
+  /** @param san the certificate's SubjectAlternativeName list. Endpoint
+    *   identification (RFC 2818, enabled on the client socket) matches
+    *   the target against SANs — for an IP target an `ip:` SAN entry is
+    *   REQUIRED (JSSE never falls back to the CN for IPs), so the
+    *   default carries the loopback address tests connect to. Passing a
+    *   non-matching SAN builds the MITM-shaped cert the negative test
+    *   wants: validly signed, trusted, wrong host.
+    */
+  def create(san: String = "ip:127.0.0.1,dns:localhost"): Pki = {
     val dir = java.nio.file.Files.createTempDirectory("graft-tls")
     val keystore = s"$dir/server.p12"
     val truststore = s"$dir/trust.p12"
@@ -26,7 +34,8 @@ object TlsTestPki {
     }
     keytool("-genkeypair", "-alias", "broker", "-keyalg", "RSA",
       "-keysize", "2048", "-validity", "3650",
-      "-dname", "CN=127.0.0.1", "-storetype", "PKCS12",
+      "-dname", "CN=127.0.0.1", "-ext", s"SAN=$san",
+      "-storetype", "PKCS12",
       "-keystore", keystore, "-storepass", pw, "-keypass", pw)
     keytool("-exportcert", "-alias", "broker", "-keystore", keystore,
       "-storepass", pw, "-file", cert)

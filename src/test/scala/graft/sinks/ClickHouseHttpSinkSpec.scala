@@ -113,6 +113,50 @@ class ClickHouseHttpSinkSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("DateTime encoding is pinned to UTC regardless of the executor " +
+    "JVM's default zone (parity with the UTC-session parquet system of " +
+    "record)") {
+    val server = new ClickHouseMiniServer()
+    val saved = java.util.TimeZone.getDefault
+    try {
+      val ep = ClickHouseHttpSink.Endpoint(server.url)
+      ClickHouseHttpSink.ensureTables(ep, "pump", "Raw_Message",
+        "Json_Message", inf)
+      val (raw, _) = goldenFrames()
+      // local[*] executors share this JVM: a non-UTC default zone here
+      // IS the non-UTC-executor deployment. The old toLocalDateTime
+      // encoding rendered 2020-01-06 06:31:00 (+10) under this default.
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("Australia/Brisbane"))
+      ClickHouseHttpSink.appendBatch(raw, ep, "pump.Raw_Message")
+      val rows = server.tableRows("pump.Raw_Message")
+      assert(rows.size === 2)
+      assert(rows.forall(_.get("collect_datetime")
+        .contains("2020-01-05 20:31:00")))
+      assert(rows.forall(_.get("collect_date").contains("2020-01-05")))
+    } finally { java.util.TimeZone.setDefault(saved); server.close() }
+  }
+
+  test("binary columns are refused loudly (JSONEachRow cannot carry " +
+    "raw bytes losslessly)") {
+    val server = new ClickHouseMiniServer()
+    try {
+      val ep = ClickHouseHttpSink.Endpoint(server.url)
+      ClickHouseHttpSink.ensureTables(ep, "pump", "Raw_Message",
+        "Json_Message", inf)
+      val bin = Seq(("b1", Array[Byte](0, -1, 127))).toDF("mid", "payload")
+      val e = intercept[org.apache.spark.SparkException] {
+        ClickHouseHttpSink.appendBatch(bin.coalesce(1), ep,
+          "pump.Raw_Message")
+      }
+      def hasMsg(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("JSONEachRow")) ||
+          hasMsg(t.getCause))
+      assert(hasMsg(e))
+      assert(server.tableRows("pump.Raw_Message").isEmpty)
+    } finally server.close()
+  }
+
   test("streaming foreachBatch drives the dual HTTP writer (K3 commit " +
     "policy: one insert transaction per micro-batch)") {
     val server = new ClickHouseMiniServer()

@@ -243,6 +243,31 @@ class MqttDirectSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("ssl:// endpoint identification: a trusted certificate for the " +
+    "WRONG host is refused at handshake (the Go tls.Dial default — " +
+    "chain validation alone would accept any trusted cert, MITM-style)") {
+    // validly signed and in the client's trust store, but its SAN names
+    // a different host than the one we connect to
+    val pki = graft.TlsTestPki.create(san = "dns:broker.elsewhere.example")
+    val ss = pki.serverSocketFactory.createServerSocket(0)
+    val accepter = new Thread(() => try {
+      val s = ss.accept() // handshake fails client-side; just hold the socket
+      try s.getInputStream.read() catch { case _: Throwable => }
+      s.close()
+    } catch { case _: Throwable => })
+    accepter.setDaemon(true); accepter.start()
+    try {
+      val e = intercept[javax.net.ssl.SSLHandshakeException] {
+        graft.sources.mqtt.MqttTransport.connect("ssl", "127.0.0.1",
+          ss.getLocalPort, Some((pki.truststore, pki.password)))
+      }
+      // JSSE's identity-check failure, not a chain failure
+      assert(e.getMessage.contains("subject alternative names") ||
+        e.getMessage.contains("No name matching") ||
+        e.getMessage.contains("identification"))
+    } finally ss.close()
+  }
+
   test("delivery buffer: rebase keeps fresh deliveries buffered before restore") {
     val b = new DeliveryBuffer
     // the reconnected client delivered 3 messages BEFORE the checkpointed
