@@ -76,35 +76,55 @@ object Main {
   /** A [clickhouse] hostname in the INI engages the LIVE dual sink
     * beside the parquet system of record — the reference's dbstore
     * topology (connect-time DDL bootstrap, then batched inserts,
-    * `data_dbstore.go:122-147,336-421`). This implementation speaks the
-    * HTTP interface: scheme must be http/https and port the server's
-    * HTTP port (8123), not the native-TCP 9000 — a tcp INI fails
-    * loudly at startup rather than hanging against the wrong protocol.
+    * `data_dbstore.go:122-147,336-421`). The scheme picks the protocol:
+    * `tcp` is the NATIVE wire protocol on port 9000 — the reference
+    * DSN's own scheme (`data_dbstore.go:85`), so the shipped INIs work
+    * verbatim — and `http`/`https` is the HTTP interface on 8123.
+    *
+    * Failure policy is the reference's counted-and-dropped
+    * (`data_dbstore.go:150-155` checkError: G8 counter + log, never a
+    * crash): a failed live insert increments
+    * [[graft.sinks.LiveSinkErrors]] and the batch proceeds — the
+    * parquet system of record beside this sink stays exactly-once, and
+    * the pump must not stall because the analytics store is down.
     */
   private[graft] def liveSink(cfg: PumpConfig)
       : Option[(org.apache.spark.sql.DataFrame,
           Option[org.apache.spark.sql.DataFrame]) => Unit] =
     Option(cfg.db.hostname).filter(_.nonEmpty).map { host =>
-      require(cfg.db.scheme == "http" || cfg.db.scheme == "https",
-        s"clickhouse scheme '${cfg.db.scheme}' unsupported: this sink " +
-          "speaks the HTTP interface (http/https, port 8123) — the " +
-          "native-TCP 'tcp' scheme of the reference's Go driver has " +
-          "no JVM-side counterpart here")
-      val ep = graft.sinks.ClickHouseHttpSink.Endpoint(
-        s"${cfg.db.scheme}://$host:${cfg.db.port}",
-        cfg.db.username, cfg.db.password, cfg.db.compress)
       val inf = graft.engine.JsonInference.inferFromSample(cfg.jsonSample)
-      graft.sinks.ClickHouseHttpSink.ensureTables(
-        ep, cfg.db.database, cfg.db.rawTable, cfg.db.adapterTable, inf)
       val rawFq = s"${cfg.db.database}.${cfg.db.rawTable}"
       val adapterFq = s"${cfg.db.database}.${cfg.db.adapterTable}"
-      (raw: org.apache.spark.sql.DataFrame,
-       adapter: Option[org.apache.spark.sql.DataFrame]) => {
-        graft.sinks.ClickHouseHttpSink.appendBatch(
-          raw.drop("collect_date"), ep, rawFq)
-        adapter.foreach(a => graft.sinks.ClickHouseHttpSink.appendBatch(
-          a, ep, adapterFq))
+      val (writeRaw, writeAdapter):
+          (org.apache.spark.sql.DataFrame => Unit,
+           org.apache.spark.sql.DataFrame => Unit) = cfg.db.scheme match {
+        case "http" | "https" =>
+          val ep = graft.sinks.ClickHouseHttpSink.Endpoint(
+            s"${cfg.db.scheme}://$host:${cfg.db.port}",
+            cfg.db.username, cfg.db.password, cfg.db.compress)
+          graft.sinks.ClickHouseHttpSink.ensureTables(
+            ep, cfg.db.database, cfg.db.rawTable, cfg.db.adapterTable, inf)
+          (df => graft.sinks.ClickHouseHttpSink.appendBatch(df, ep, rawFq),
+           df => graft.sinks.ClickHouseHttpSink.appendBatch(df, ep, adapterFq))
+        case "tcp" =>
+          val ep = graft.sinks.ClickHouseNativeSink.Endpoint(
+            host, cfg.db.port,
+            if (cfg.db.username.nonEmpty) cfg.db.username else "default",
+            cfg.db.password)
+          graft.sinks.ClickHouseNativeSink.ensureTables(
+            ep, cfg.db.database, cfg.db.rawTable, cfg.db.adapterTable, inf)
+          (df => graft.sinks.ClickHouseNativeSink.appendBatch(df, ep, rawFq),
+           df => graft.sinks.ClickHouseNativeSink.appendBatch(df, ep, adapterFq))
+        case other => throw new IllegalArgumentException(
+          s"clickhouse scheme '$other' unsupported (tcp = native protocol " +
+            "port 9000, http/https = HTTP interface port 8123)")
       }
+      (raw: org.apache.spark.sql.DataFrame,
+       adapter: Option[org.apache.spark.sql.DataFrame]) =>
+        graft.sinks.LiveSinkErrors.countedAndDropped {
+          writeRaw(raw.drop("collect_date"))
+          adapter.foreach(writeAdapter)
+        }
     }
 
   private def loadCfg(path: String): PumpConfig =

@@ -47,10 +47,10 @@ final case class DbStore(
     bufferSize: Int = 8,
     // the reference's full ClickHouseConf (conf.go:46-55). hostname ""
     // (no [clickhouse] endpoint in the INI) = parquet sinks only — the
-    // live HTTP writer engages from Main.run only when one is named.
-    // This implementation speaks the HTTP interface, so the scheme is
-    // http/https (the reference's native-TCP driver DSN would say tcp;
-    // point the INI at the server's HTTP port, default 8123).
+    // live writer engages from Main.run only when one is named. Scheme
+    // picks the protocol: `tcp` = the native wire protocol on port 9000
+    // (the reference DSN's own scheme, data_dbstore.go:85 — the shipped
+    // INIs work verbatim), `http`/`https` = the HTTP interface on 8123.
     scheme: String = "http",
     hostname: String = "",
     port: Int = 8123,

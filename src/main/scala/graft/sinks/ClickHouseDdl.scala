@@ -38,6 +38,43 @@ object ClickHouseDdl {
        |  collect_date Date MATERIALIZED toDate(collect_datetime)
        |) ENGINE = MergeTree(collect_date, (mid, collect_date), 8192)""".stripMargin
 
+  /** The LIVE sinks' raw-table DDL: same columns as the reference's
+    * (`data_dbstore.go:127-133`), but ENGINE = ReplacingMergeTree keyed
+    * on the message identity — a deliberate deviation from the
+    * reference's plain MergeTree, because the live sinks deliver
+    * at-least-once on micro-batch replay (no batch_id partition to
+    * overwrite, unlike the parquet system of record) and ReplacingMergeTree
+    * is ClickHouse's own idiom for converging replayed duplicates: the
+    * background merge keeps one row per ORDER BY key, and `SELECT ...
+    * FINAL` guarantees the deduplicated view before merges complete.
+    * The reference-exact MergeTree DDL above remains the K1 golden
+    * surface; this variant is what [[ClickHouseHttpSink.ensureTables]]
+    * and [[ClickHouseNativeSink.ensureTables]] execute.
+    */
+  def createRawTableReplacing(db: String, table: String): String =
+    s"""CREATE TABLE IF NOT EXISTS $db.$table (
+       |  mid String, topic String, payload String,
+       |  collect_datetime DateTime,
+       |  collect_date Date MATERIALIZED toDate(collect_datetime)
+       |) ENGINE = ReplacingMergeTree PARTITION BY collect_date ORDER BY (mid, topic)""".stripMargin
+
+  /** Adapter-table twin of [[createRawTableReplacing]]. The adapter fans
+    * one message into multiple records, so `mid` alone would collapse
+    * them; the replacing key is `(mid, every inferred column)` — the
+    * full record identity. A replayed batch regenerates byte-identical
+    * records, so replays converge to one row each; two genuinely
+    * IDENTICAL records inside one message also collapse (a documented
+    * edge the parquet system of record does not share — its batch_id
+    * overwrite keeps both).
+    */
+  def createAdapterTableReplacing(db: String, table: String,
+                                  inf: JsonInference.Inferred): String =
+    s"""CREATE TABLE IF NOT EXISTS $db.$table (
+       |  mid String${JsonInference.ddlFragment(inf)},
+       |  collect_datetime DateTime,
+       |  collect_date Date MATERIALIZED toDate(collect_datetime)
+       |) ENGINE = ReplacingMergeTree PARTITION BY collect_date ORDER BY (mid, ${inf.sortedKeys.mkString(", ")})""".stripMargin
+
   /** Spark-catalog equivalents: derived `collect_date` column + parquet
     * partitioning replaces the MATERIALIZED MergeTree key.
     */

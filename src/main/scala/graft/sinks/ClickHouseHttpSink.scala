@@ -50,15 +50,19 @@ object ClickHouseHttpSink {
   def query(ep: Endpoint, sql: String): String =
     post(ep, None, sql.getBytes(StandardCharsets.UTF_8), gzip = false)
 
-  /** Create database + raw/adapter MergeTree tables, the reference's
-    * connect-time bootstrap (`data_dbstore.go:122-147`).
+  /** Create database + raw/adapter tables, the reference's connect-time
+    * bootstrap (`data_dbstore.go:122-147`) — with ReplacingMergeTree in
+    * place of the reference's plain MergeTree, so the at-least-once
+    * micro-batch replays this sink delivers converge to one row per
+    * message instead of accumulating duplicates (see
+    * [[ClickHouseDdl.createRawTableReplacing]]).
     */
   def ensureTables(ep: Endpoint, db: String, rawTable: String,
                    adapterTable: String,
                    inf: graft.engine.JsonInference.Inferred): Unit = {
     exec(ep, ClickHouseDdl.createDatabase(db))
-    exec(ep, ClickHouseDdl.createRawTableClickHouse(db, rawTable))
-    exec(ep, ClickHouseDdl.createAdapterTableClickHouse(db, adapterTable, inf))
+    exec(ep, ClickHouseDdl.createRawTableReplacing(db, rawTable))
+    exec(ep, ClickHouseDdl.createAdapterTableReplacing(db, adapterTable, inf))
   }
 
   /** Append a DataFrame to `table`: each partition posts its rows in

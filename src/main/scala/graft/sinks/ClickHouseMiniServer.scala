@@ -37,7 +37,8 @@ class ClickHouseMiniServer(port0: Int = 0,
 
   private case class Column(name: String, chType: String,
                             materializedFrom: Option[String])
-  private case class Table(columns: Seq[Column]) {
+  private case class Table(columns: Seq[Column],
+                           replacingKey: Option[Seq[String]]) {
     val rows = new ArrayBuffer[ObjectNode]()
   }
 
@@ -132,9 +133,11 @@ class ClickHouseMiniServer(port0: Int = 0,
   }
 
   private val CreateDbRe = """(?is)^CREATE\s+DATABASE\s+IF\s+NOT\s+EXISTS\s+([\w.]+)\s*$""".r
-  private val CreateTableRe = """(?is)^CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\s+([\w.]+)\s*\((.*)\)\s*ENGINE\s*=.*$""".r
+  private val CreateTableRe = """(?is)^CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\s+([\w.]+)\s*\((.*)\)\s*(ENGINE\s*=.*)$""".r
   private val InsertRe = """(?is)INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*FORMAT\s+JSONEachRow""".r
-  private val SelectRe = """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s*(?:FORMAT\s+JSONEachRow)?\s*$""".r
+  private val SelectRe = """(?is)^SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s*(FINAL)?\s*(?:FORMAT\s+JSONEachRow)?\s*$""".r
+  private val ReplacingKeyRe =
+    """(?is).*ReplacingMergeTree.*ORDER\s+BY\s+\(?([\w,\s]+?)\)?\s*$""".r
 
   /** Split a column-definition list on top-level commas only. */
   private def splitCols(s: String): Seq[String] = {
@@ -153,7 +156,7 @@ class ClickHouseMiniServer(port0: Int = 0,
   private def execute(sql: String, data: Array[Byte]): Either[String, String] =
     sql match {
       case CreateDbRe(db) => databases.add(db); Right("")
-      case CreateTableRe(name, colDefs) =>
+      case CreateTableRe(name, colDefs, engine) =>
         val cols = splitCols(colDefs).map { d =>
           val toks = d.split("\\s+")
           val mat = """(?is).*MATERIALIZED\s+toDate\((\w+)\).*""".r
@@ -162,7 +165,13 @@ class ClickHouseMiniServer(port0: Int = 0,
             case _        => Column(toks(0), toks(1), None)
           }
         }
-        tables.putIfAbsent(name, Table(cols)); Right("")
+        // ReplacingMergeTree: remember the ORDER BY key for FINAL reads
+        val key = engine match {
+          case ReplacingKeyRe(k) =>
+            Some(k.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          case _ => None
+        }
+        tables.putIfAbsent(name, Table(cols, key)); Right("")
       case InsertRe(name, colList) =>
         val t = tables.get(name)
         if (t == null) Left(s"Code: 60. Table $name does not exist")
@@ -191,19 +200,33 @@ class ClickHouseMiniServer(port0: Int = 0,
           }
           Right("")
         }
-      case SelectRe(sel, name) =>
+      case SelectRe(sel, name, finalKw) =>
         val t = tables.get(name)
         if (t == null) Left(s"Code: 60. Table $name does not exist")
         else t.synchronized {
+          // FINAL over a ReplacingMergeTree key: one row per key, last
+          // inserted wins — what real ClickHouse guarantees before the
+          // background merge has collapsed the duplicates
+          val rows = (finalKw, t.replacingKey) match {
+            case (f, Some(key)) if f != null =>
+              val seen = scala.collection.mutable
+                .LinkedHashMap[Seq[String], ObjectNode]()
+              t.rows.foreach { r =>
+                seen.put(key.map(k =>
+                  if (r.has(k)) r.get(k).asText() else "NULL"), r)
+              }
+              seen.values.toSeq
+            case _ => t.rows.toSeq
+          }
           val selTrim = sel.trim
           if (selTrim.equalsIgnoreCase("count()") || selTrim.equalsIgnoreCase("count(*)")) {
-            val o = mapper.createObjectNode(); o.put("count()", t.rows.size)
+            val o = mapper.createObjectNode(); o.put("count()", rows.size)
             Right(o.toString + "\n")
           } else {
             val cols =
               if (selTrim == "*") t.columns.map(_.name)
               else selTrim.split(",").map(_.trim).toSeq
-            Right(t.rows.map { r =>
+            Right(rows.map { r =>
               val o = mapper.createObjectNode()
               cols.foreach(c => if (r.has(c)) { o.set[JsonNode](c, r.get(c)); () })
               o.toString

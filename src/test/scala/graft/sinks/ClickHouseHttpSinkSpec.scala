@@ -113,6 +113,25 @@ class ClickHouseHttpSinkSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("replay convergence: the tables are ReplacingMergeTree, so a " +
+    "replayed micro-batch accumulates in storage but SELECT FINAL " +
+    "reads one row per message (at-least-once delivery, converged read)") {
+    val server = new ClickHouseMiniServer()
+    try {
+      val ep = ClickHouseHttpSink.Endpoint(server.url)
+      ClickHouseHttpSink.ensureTables(ep, "pump", "Raw_Message",
+        "Json_Message", inf)
+      val (raw, _) = goldenFrames()
+      ClickHouseHttpSink.appendBatch(raw, ep, "pump.Raw_Message")
+      ClickHouseHttpSink.appendBatch(raw, ep, "pump.Raw_Message") // replay
+      assert(server.tableRows("pump.Raw_Message").size === 4)
+      val finalMids = ClickHouseHttpSink.query(ep,
+        "SELECT mid FROM pump.Raw_Message FINAL FORMAT JSONEachRow")
+        .split("\n").filter(_.nonEmpty).sorted
+      assert(finalMids.toSeq === Seq("{\"mid\":\"m1\"}", "{\"mid\":\"m2\"}"))
+    } finally server.close()
+  }
+
   test("DateTime encoding is pinned to UTC regardless of the executor " +
     "JVM's default zone (parity with the UTC-session parquet system of " +
     "record)") {

@@ -122,15 +122,15 @@ class ReferenceTopologySpec extends SparkSpec {
            |rawtablename     = raw_message
            |adaptertablename = json_message
            |""".stripMargin)
-      // a tcp endpoint (the reference's native driver DSN) fails loudly
-      val tcpCfg = graft.engine.IniConfig.fromString(
+      // an unknown scheme still fails loudly at startup
+      val badCfg = graft.engine.IniConfig.fromString(
         s"""[clickhouse]
-           |scheme   = tcp
+           |scheme   = gopher
            |hostname = 127.0.0.1
            |port     = 19000
            |""".stripMargin)
-      val err = intercept[IllegalArgumentException](graft.Main.liveSink(tcpCfg))
-      assert(err.getMessage.contains("HTTP interface"))
+      val err = intercept[IllegalArgumentException](graft.Main.liveSink(badCfg))
+      assert(err.getMessage.contains("unsupported"))
       // no hostname -> parquet only, no live sink
       assert(graft.Main.liveSink(graft.engine.PumpConfig()).isEmpty)
 
@@ -159,6 +159,39 @@ class ReferenceTopologySpec extends SparkSpec {
       assert(chRaw.flatMap(_.get("mid")).toSet === parquetMids)
       assert(chAd.flatMap(_.get("mid")).toSet === parquetMids)
       assert(chRaw.forall(_.get("collect_date").contains("2020-01-05")))
+    } finally ch.close()
+  }
+
+  test("the reference's SHIPPED INI (scheme = tcp) drives the native-" +
+    "protocol sink verbatim — no config edits beyond pointing the port " +
+    "at the in-process server (data_dbstore.go:85 DSN parity)") {
+    val ch = new graft.sinks.ClickHouseNativeMiniServer()
+    try {
+      val shipped = graft.engine.IniConfig.fromFile(
+        "/root/reference/docker/2020.01.28/conf/pump-plus-emqx-example.ini")
+      assert(shipped.db.scheme === "tcp") // the line that used to refuse
+      assert(shipped.db.database === "SimTest")
+      val cfg = shipped.copy(db = shipped.db.copy(port = ch.port,
+        hostname = "127.0.0.1"))
+      val live = graft.Main.liveSink(cfg)
+      assert(live.nonEmpty)
+      val inf = JsonInference.inferFromSample(cfg.jsonSample)
+      val out = tmpDir("topo-ini-tcp")
+      val sinks = Pump.Sinks(s"$out/raw", s"$out/adapter", s"$out/ckpt")
+      import spark.implicits._
+      val batch = Seq(
+        ("pump/data/0", PumpConfig.GoldenSample.getBytes(StandardCharsets.UTF_8),
+          java.sql.Timestamp.valueOf("2020-01-05 20:31:00")))
+        .toDF("topic", "payload", "received_time")
+      Pump.writeBatch(cfg, inf, sinks, live = live)(batch, 3L)
+      val chRaw = ch.tableRows("SimTest.raw_message")
+      val chAd = ch.tableRows("SimTest.json_message")
+      assert(chRaw.size === 1)
+      assert(chAd.size === 2)
+      assert(chRaw.forall(_.get("collect_date").contains("2020-01-05")))
+      val parquetMids = spark.read.parquet(sinks.rawPath)
+        .select("mid").as[String].collect().toSet
+      assert(chRaw.flatMap(_.get("mid")).toSet === parquetMids)
     } finally ch.close()
   }
 }
