@@ -211,4 +211,103 @@ class FullModalitySoakSpec extends SparkSpec {
       } finally q.stop()
     } finally server.close()
   }
+
+  test("live ClickHouse sink survives a db KILL/RESTART mid-stream: " +
+    "pump never stalls, parquet stays exactly-once, outage batches are " +
+    "counted-and-dropped (G8, data_dbstore.go:150-155), post-recovery " +
+    "batches land") {
+    var ch = new graft.sinks.ClickHouseMiniServer()
+    val chPort = ch.port
+    val out = tmpDir("soak-ch")
+    val sinks = Pump.Sinks(s"$out/raw", s"$out/adapter", s"$out/ckpt")
+    val cfg = graft.engine.IniConfig.fromString(
+      s"""[clickhouse]
+         |scheme   = http
+         |hostname = 127.0.0.1
+         |port     = $chPort
+         |database = pump
+         |[adapter-info]
+         |rawtablename     = raw_message
+         |adaptertablename = json_message
+         |jsonsample       = "${sample.replace("\"", "\\\"")}"
+         |""".stripMargin)
+    val inf = JsonInference.inferFromSample(cfg.jsonSample)
+    graft.sinks.LiveSinkErrors.reset()
+    val live = graft.Main.liveSink(cfg)
+    assert(live.nonEmpty)
+
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Array[Byte], java.sql.Timestamp)]
+    val q = mem.toDF().toDF("topic", "payload", "received_time")
+      .writeStream
+      .foreachBatch(Pump.writeBatch(cfg, inf, sinks, live = live) _)
+      .option("checkpointLocation", sinks.checkpoint)
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      val ts = java.sql.Timestamp.valueOf("2020-01-05 20:31:00")
+      def send(ids: Range): Unit =
+        mem.addData(ids.map(i =>
+          ("pump/data/0", payload(i.toLong, distinctText(i)), ts)))
+      def parquetCount(): Long =
+        try spark.read.parquet(sinks.rawPath).count()
+        catch { case _: Exception => 0L }
+      def await(cond: () => Boolean, what: String, ms: Long = 120000): Unit = {
+        val deadline = System.currentTimeMillis() + ms
+        while (!cond() && System.currentTimeMillis() < deadline)
+          Thread.sleep(250)
+        assert(cond(), s"timed out: $what")
+      }
+
+      // ---- phase 1: db up — both stores land ----
+      send(1 to 3)
+      await(() => parquetCount() == 3L &&
+        ch.tableRows("pump.raw_message").size == 3, "phase-1 landing")
+
+      // ---- phase 2: KILL the db mid-stream ----
+      ch.close()
+      send(4 to 6)
+      // the pump must NOT stall: parquet (the exactly-once system of
+      // record) keeps committing while the live sink fails, and every
+      // failed live write lands on the G8-style error counter
+      await(() => parquetCount() == 6L, "parquet progress during outage")
+      await(() => graft.sinks.LiveSinkErrors.count >= 1L,
+        "outage counted on the error path")
+      val outageErrors = graft.sinks.LiveSinkErrors.count
+
+      // ---- phase 3: RESTART on the same port; re-bootstrap the DDL
+      // (the in-memory mini-server stands in for a durable ClickHouse,
+      // so the connect-time bootstrap is replayed — exactly what the
+      // reference's reconnect does, data_dbstore.go:122-147) ----
+      val bindDeadline = System.currentTimeMillis() + 30000
+      var restarted: graft.sinks.ClickHouseMiniServer = null
+      while (restarted == null && System.currentTimeMillis() < bindDeadline) {
+        try restarted = new graft.sinks.ClickHouseMiniServer(chPort)
+        catch { case _: java.io.IOException => Thread.sleep(250) }
+      }
+      assert(restarted != null, s"could not rebind port $chPort")
+      ch = restarted
+      graft.sinks.ClickHouseHttpSink.ensureTables(
+        graft.sinks.ClickHouseHttpSink.Endpoint(s"http://127.0.0.1:$chPort"),
+        "pump", "raw_message", "json_message", inf)
+      send(7 to 9)
+      await(() => parquetCount() == 9L, "phase-3 parquet landing")
+      await(() => ch.tableRows("pump.raw_message").size >= 3,
+        "post-recovery ClickHouse landing")
+
+      // the outage window: parquet has ALL nine docs exactly once;
+      // ClickHouse is missing exactly the counted-and-dropped ones
+      val raw = spark.read.parquet(sinks.rawPath)
+      assert(raw.count() === 9L)
+      assert(raw.select("mid").distinct().count() === 9L)
+      val chMids = ch.tableRows("pump.raw_message").flatMap(_.get("mid")).toSet
+      val allMids = raw.select("mid").collect().map(_.getString(0)).toSet
+      assert(chMids.subsetOf(allMids))
+      assert(chMids.size >= 3) // the post-recovery batches landed
+      assert(graft.sinks.LiveSinkErrors.count >= outageErrors)
+      assert(graft.sinks.LiveSinkErrors.count >= 1L)
+    } finally { q.stop(); ch.close() }
+  }
 }
