@@ -82,15 +82,18 @@ object Bench {
     val canarySamples = scala.collection.mutable.ArrayBuffer(
       BenchCanary.sample(spark))
     var sinceCanary = 0
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Double = timeOnce(name, fn)
       val cold = once()
       val reruns = Iterator.continually(())
         .takeWhile(_ => System.nanoTime() - benchStart < wallBudgetNanos)
@@ -119,7 +122,70 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would render invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+    // ---- in-session pair tie-break (round 20) ----
+    // SPARK_GRAFT_BENCH_PAIR_REF names the pair's FIRST-leg artifact.
+    // Any query whose median disagrees with the reference leg by the
+    // pair rule (>2x above the 0.3 s floor) is re-run a THIRD leg right
+    // here, in the same warmed session, and the three measurements
+    // vote: if the re-run agrees with the reference (and the first
+    // measurement did not), the first measurement was a transient
+    // contention episode — the re-run median is ADOPTED as this leg's
+    // value, with the full audit trail (ref/first/rerun runs/adopted)
+    // in the artifact's "tiebreak" object. If the re-run instead
+    // corroborates THIS leg's level, the value stands and the pair
+    // still fails loudly — the other leg is the suspect then, and no
+    // in-session evidence here can repair it. Before this rule, one
+    // sub-second episode could doom a 17-minute pair (r19: 2 of 217).
+    val pairRef: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_BENCH_PAIR_REF")
+        .map(java.nio.file.Paths.get(_))
+        .filter(java.nio.file.Files.isReadable(_))
+        .map { p =>
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readAllBytes(p))
+          val q = node.get("queries")
+          if (q == null) Map.empty[String, Double]
+          else {
+            val it = q.properties().iterator()
+            val m = Map.newBuilder[String, Double]
+            while (it.hasNext) {
+              val e = it.next(); m += (e.getKey -> e.getValue.asDouble())
+            }
+            m.result()
+          }
+        }.getOrElse(Map.empty)
+    def pairDisagrees(a: Double, b: Double): Boolean =
+      math.max(a, b) >= 0.3 &&
+        (math.min(a, b) <= 0 || math.max(a, b) / math.min(a, b) > 2.0)
+    val tiebreak = scala.collection.mutable.LinkedHashMap[String, String]()
+    val adjudicated = results.map { case tup @ (name, median, cold, runs) =>
+      pairRef.get(name) match {
+        case Some(ref) if pairDisagrees(ref, median) &&
+            selected.contains(name) =>
+          val n = deepRampRuns.getOrElse(name, runsPerQuery)
+          val rerunRuns = (1 to n).map(_ => timeOnce(name, selected(name)))
+          // all third-leg runs are warm; drop the first anyway (it can
+          // pay re-JIT after code-cache churn), mirroring the main rule
+          val basis = (if (rerunRuns.size > 1) rerunRuns.tail
+                       else rerunRuns).sorted
+          val rerun =
+            if (basis.size % 2 == 1) basis(basis.size / 2)
+            else (basis(basis.size / 2 - 1) + basis(basis.size / 2)) / 2.0
+          val adopted = !pairDisagrees(ref, rerun)
+          tiebreak(name) = s"""{"ref":${fmt(ref)},"first":${fmt(median)},""" +
+            s""""rerun":${fmt(rerun)},"rerun_runs":${
+              rerunRuns.map(fmt).mkString("[", ",", "]")},""" +
+            s""""adopted":$adopted}"""
+          System.err.println(s"[bench] TIEBREAK $name: ref ${fmt(ref)} vs " +
+            s"first ${fmt(median)} -> in-session rerun ${fmt(rerun)} (" +
+            (if (adopted) "adopted: first was an episode"
+             else "kept first: this leg's level reproduces; the other " +
+               "leg is suspect") + ")")
+          if (adopted) (name, rerun, cold, runs) else tup
+        case _ => tup
+      }
+    }
+    val qs = adjudicated.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val rc = results.map { case (k, _, _, r) => "\"" + k + "\":" + r.size }
       .mkString("{", ",", "}")
@@ -130,8 +196,10 @@ object Bench {
     val runsJson = results.map { case (k, _, _, r) =>
       "\"" + k + "\":" + r.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val coldTotal = results.map(_._3).sum
+    val total = adjudicated.map(_._2).sum
+    val coldTotal = adjudicated.map(_._3).sum
+    val tiebreakJson = tiebreak
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // the tools/bench_compare.py warm-spread rule, embedded so a
     // contended artifact CONVICTS ITSELF without anyone running the
     // tool: a query whose warm re-runs (cold first run excluded — it
@@ -189,7 +257,7 @@ object Bench {
       s""","bench_excluded":${SparkEntry.benchExcluded.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$contendedJson,$canaryJson,"cold_total":${fmt(coldTotal)},"median_basis":"warm_reruns","runs_per_query":$runsPerQuery,"run_counts":$rc,"runs":$runsJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$contendedJson,$canaryJson,"tiebreak":$tiebreakJson,"cold_total":${fmt(coldTotal)},"median_basis":"warm_reruns","runs_per_query":$runsPerQuery,"run_counts":$rc,"runs":$runsJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     if (contendedQueries.nonEmpty) System.err.println(
       s"[bench] CONTENDED run (warm spread >3x): ${

@@ -176,6 +176,7 @@ def main(argv):
                   f"{argv[2]} is {bases[1]} — per-query medians are not "
                   "comparable across bases")
         qa, qb = benches[0]["queries"], benches[1]["queries"]
+        tb = [benches[0].get("tiebreak") or {}, benches[1].get("tiebreak") or {}]
         for name in sorted(set(qa) & set(qb)):
             a, b = qa[name], qb[name]
             if max(a, b) < FLOOR_SECS:
@@ -184,8 +185,23 @@ def main(argv):
             if lo <= 0 or max(a, b) / lo > PAIR_RATIO:
                 ok = False
                 ratio = "inf" if lo <= 0 else f"{max(a, b) / lo:.1f}x"
+                extra = ""
+                for t, p in zip(tb, argv[1:3]):
+                    if name in t:
+                        extra = (f" [in-session tiebreak in {p}: rerun "
+                                 f"{t[name]['rerun']} corroborated first "
+                                 f"{t[name]['first']} — other leg suspect]")
                 print(f"DISAGREE {name}: medians {a:.2f} vs {b:.2f} "
-                      f"({ratio})")
+                      f"({ratio}){extra}")
+        # adjudicated queries no longer disagree — surface the audit
+        # trail so a passing pair still shows what the third leg decided
+        for t, p in zip(tb, argv[1:3]):
+            for name, rec in sorted(t.items()):
+                if rec.get("adopted"):
+                    print(f"ADJUDICATED {name} in {p}: first "
+                          f"{rec['first']} was a transient episode; "
+                          f"in-session third leg {rec['rerun']} agrees "
+                          f"with the pair reference {rec['ref']} — adopted")
         only = set(qa) ^ set(qb)
         if only:
             print(f"NOTE roster differs by {len(only)} queries: "
