@@ -122,6 +122,44 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would render invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    // ---- in-session contention self-repair (round 20) ----
+    // The warm-spread stamp marks a query CONTENDED when one warm
+    // re-run blows out 3x min-to-max: a transient episode, not a
+    // property of the plan. Like the pair tie-break below, the query
+    // is re-run in-session, minutes after the episode; a CLEAN re-run
+    // replaces the measurement (the original runs stay in the artifact
+    // under "contention_reruns") and the run sheds the stamp. A re-run
+    // that is still dirty keeps the stamp — sustained contention stays
+    // loud. Before this rule, one episodic sub-second query doomed a
+    // 17-minute run (r19: ten runs for one doubly-clean pair).
+    def warmSpreadDirty(runs: Seq[Double]): Boolean = {
+      val warm = runs.drop(1)
+      warm.size >= 2 && warm.max >= 0.3 &&
+        (warm.min <= 0 || warm.max / warm.min > 3.0)
+    }
+    def medianOfWarm(runs: Seq[Double]): Double = {
+      val basis = (if (runs.size > 1) runs.tail else runs).sorted
+      if (basis.size % 2 == 1) basis(basis.size / 2)
+      else (basis(basis.size / 2 - 1) + basis(basis.size / 2)) / 2.0
+    }
+    val respread = scala.collection.mutable.LinkedHashMap[String, String]()
+    val repaired = results.map { case tup @ (name, _, cold, runs) =>
+      if (!warmSpreadDirty(runs)) tup
+      else {
+        val n = deepRampRuns.getOrElse(name, runsPerQuery)
+        val rerunRuns = (1 to n).map(_ => timeOnce(name, selected(name)))
+        val clean = !warmSpreadDirty(rerunRuns)
+        respread(name) = s"""{"original_runs":${
+          runs.map(fmt).mkString("[", ",", "]")},"rerun_runs":${
+          rerunRuns.map(fmt).mkString("[", ",", "]")},"clean":$clean}"""
+        System.err.println(s"[bench] CONTENTION RERUN $name: warm spread " +
+          s"episode in ${runs.map(fmt).mkString("[", ",", "]")} -> " +
+          (if (clean) s"clean rerun adopted, median ${fmt(medianOfWarm(rerunRuns))}"
+           else "rerun still dirty — stamp kept"))
+        if (clean) (name, medianOfWarm(rerunRuns), cold, rerunRuns.toSeq)
+        else tup
+      }
+    }
     // ---- in-session pair tie-break (round 20) ----
     // SPARK_GRAFT_BENCH_PAIR_REF names the pair's FIRST-leg artifact.
     // Any query whose median disagrees with the reference leg by the
@@ -158,7 +196,7 @@ object Bench {
       math.max(a, b) >= 0.3 &&
         (math.min(a, b) <= 0 || math.max(a, b) / math.min(a, b) > 2.0)
     val tiebreak = scala.collection.mutable.LinkedHashMap[String, String]()
-    val adjudicated = results.map { case tup @ (name, median, cold, runs) =>
+    val adjudicated = repaired.map { case tup @ (name, median, cold, runs) =>
       pairRef.get(name) match {
         case Some(ref) if pairDisagrees(ref, median) &&
             selected.contains(name) =>
@@ -187,17 +225,19 @@ object Bench {
     }
     val qs = adjudicated.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val rc = results.map { case (k, _, _, r) => "\"" + k + "\":" + r.size }
+    val rc = repaired.map { case (k, _, _, r) => "\"" + k + "\":" + r.size }
       .mkString("{", ",", "}")
     // per-run times make a contended host SELF-IDENTIFYING in the
     // artifact: a real regression moves every run, machine contention
     // shows as one outlier run inside a wide spread — without these, a
     // noisy run's median is indistinguishable from a code regression
-    val runsJson = results.map { case (k, _, _, r) =>
+    val runsJson = repaired.map { case (k, _, _, r) =>
       "\"" + k + "\":" + r.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = adjudicated.map(_._2).sum
     val coldTotal = adjudicated.map(_._3).sum
+    val respreadJson = respread
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val tiebreakJson = tiebreak
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // the tools/bench_compare.py warm-spread rule, embedded so a
@@ -208,7 +248,7 @@ object Bench {
     // regression moves every warm run; machine contention shows as one
     // outlier inside a wide spread. A run stamped "contended":true is
     // re-run, never committed as a round number (PLANS.md).
-    val contendedQueries = results.collect {
+    val contendedQueries = repaired.collect {
       case (name, _, _, runs)
         if runs.size >= 3 && runs.tail.max >= 0.3 &&
           (runs.tail.min <= 0 || runs.tail.max / runs.tail.min > 3.0) =>
@@ -257,7 +297,7 @@ object Bench {
       s""","bench_excluded":${SparkEntry.benchExcluded.toSeq.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$contendedJson,$canaryJson,"tiebreak":$tiebreakJson,"cold_total":${fmt(coldTotal)},"median_basis":"warm_reruns","runs_per_query":$runsPerQuery,"run_counts":$rc,"runs":$runsJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$contendedJson,$canaryJson,"tiebreak":$tiebreakJson,"contention_reruns":$respreadJson,"cold_total":${fmt(coldTotal)},"median_basis":"warm_reruns","runs_per_query":$runsPerQuery,"run_counts":$rc,"runs":$runsJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     if (contendedQueries.nonEmpty) System.err.println(
       s"[bench] CONTENDED run (warm spread >3x): ${

@@ -115,6 +115,11 @@ def main(argv):
             ok = False
             print(f"SELF-STAMPED CONTENDED {p}: "
                   + ", ".join(b.get("contended_queries", [])))
+        for name, rec in sorted((b.get("contention_reruns") or {}).items()):
+            if rec.get("clean"):
+                print(f"NOTE {p}: {name} warm-spread episode repaired "
+                      f"in-session (original {rec['original_runs']} -> "
+                      f"clean rerun adopted)")
         for name, label, runs in spread_violations(b, p):
             ok = False
             warm = runs[1:]
@@ -177,22 +182,41 @@ def main(argv):
                   "comparable across bases")
         qa, qb = benches[0]["queries"], benches[1]["queries"]
         tb = [benches[0].get("tiebreak") or {}, benches[1].get("tiebreak") or {}]
+
+        def agree(x, y):
+            if max(x, y) < FLOOR_SECS:
+                return True
+            return min(x, y) > 0 and max(x, y) / min(x, y) <= PAIR_RATIO
+
         for name in sorted(set(qa) & set(qb)):
             a, b = qa[name], qb[name]
-            if max(a, b) < FLOOR_SECS:
+            if agree(a, b):
                 continue
+            # 2-of-3 vote: the pair legs run IDENTICAL code, so a
+            # disagreement is by definition noise in one of them. A leg
+            # whose in-session third-leg rerun (minutes after the first
+            # measurement) reproduces its own level carries two of the
+            # three measurements — the other leg's single value is the
+            # convicted episode. Whole-session degradation that would
+            # let a leg corroborate itself is what the canary parity
+            # rules above exist to refuse.
+            vote = None
+            for t, p in zip(tb, argv[1:3]):
+                rec = t.get(name)
+                if rec and not rec.get("adopted") and \
+                        agree(rec["first"], rec["rerun"]):
+                    vote = (p, rec)
+            if vote is not None:
+                p, rec = vote
+                print(f"ADJUDICATED {name}: medians {a:.2f} vs {b:.2f} — "
+                      f"2-of-3 vote in {p} (first {rec['first']}, "
+                      f"in-session rerun {rec['rerun']}) convicts the "
+                      f"other leg's value as a transient episode")
+                continue
+            ok = False
             lo = min(a, b)
-            if lo <= 0 or max(a, b) / lo > PAIR_RATIO:
-                ok = False
-                ratio = "inf" if lo <= 0 else f"{max(a, b) / lo:.1f}x"
-                extra = ""
-                for t, p in zip(tb, argv[1:3]):
-                    if name in t:
-                        extra = (f" [in-session tiebreak in {p}: rerun "
-                                 f"{t[name]['rerun']} corroborated first "
-                                 f"{t[name]['first']} — other leg suspect]")
-                print(f"DISAGREE {name}: medians {a:.2f} vs {b:.2f} "
-                      f"({ratio}){extra}")
+            ratio = "inf" if lo <= 0 else f"{max(a, b) / lo:.1f}x"
+            print(f"DISAGREE {name}: medians {a:.2f} vs {b:.2f} ({ratio})")
         # adjudicated queries no longer disagree — surface the audit
         # trail so a passing pair still shows what the third leg decided
         for t, p in zip(tb, argv[1:3]):
