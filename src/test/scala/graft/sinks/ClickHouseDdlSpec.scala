@@ -23,6 +23,19 @@ class ClickHouseDdlSpec extends AnyFunSuite {
     assert(ddl.contains("ENGINE = MergeTree(collect_date, (mid, collect_date), 8192)"))
   }
 
+  test("live-sink Replacing variants keep the reference columns and key " +
+    "the message identity (replay convergence)") {
+    val raw = ClickHouseDdl.createRawTableReplacing("pump", "raw_message")
+    assert(raw.contains("collect_date Date MATERIALIZED toDate(collect_datetime)"))
+    assert(raw.contains(
+      "ENGINE = ReplacingMergeTree PARTITION BY collect_date ORDER BY (mid, topic)"))
+    val ad = ClickHouseDdl.createAdapterTableReplacing("pump", "json_message", inf)
+    assert(ad.contains(
+      ", command String, key_id String, params_key String, params_thingKey String, params_ts String, params_value Float64"))
+    assert(ad.contains("ORDER BY (mid, command, key_id, params_key, " +
+      "params_thingKey, params_ts, params_value)"))
+  }
+
   test("spark-catalog DDL partitions by the derived collect_date") {
     val ddl = ClickHouseDdl.createAdapterTableSpark("pump", "json_message", "/tmp/x", inf)
     assert(ddl.contains("PARTITIONED BY (collect_date)"))
