@@ -187,9 +187,16 @@ object MonitorStream {
           val runtimeSecs =
             math.max(1L, (System.currentTimeMillis() - startedAtMs) / 1000)
           import spark.implicits._
+          // check_errors IS the reference's DBStoreErrNum: every live
+          // db-store failure lands on the doc's DataDBStoreInfo
+          // .CheckErrors field (monitor.go:176 binds DBStoreErrNum
+          // there; :256-258 the G8 error channel increments it) — the
+          // counted-and-dropped counter LiveSinkErrors carries for the
+          // live ClickHouse sinks
           val base = rows.map { case (topic, n, b) =>
             (topic, counters.cumulative(topic)._1, n, b, runtimeSecs,
-              counters.topicCount.toLong, pubs.value.longValue(), 0L, 0L)
+              counters.topicCount.toLong, pubs.value.longValue(), 0L,
+              graft.sinks.LiveSinkErrors.count)
           }.toDF("topic", "cum", "win", "bytes_win", "runtime_secs",
             "pipe_num", "pub_succeed", "pub_failed", "check_errors")
           // every stage carries the same committed count (atomic batch)
