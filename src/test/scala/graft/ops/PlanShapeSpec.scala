@@ -895,4 +895,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOccurrences(plan, "Scan parquet") === 1, s"plan:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
   }
+
+  test("x94 PII summary: one PRUNED corpus scan into the typed fold, " +
+    "map-side partial agg before the verdict-grain exchange, no join " +
+    "(the round-20 single-level shape)") {
+    val df = Pii.summary(Tables.documents(spark, sf), "doc_id", "text", 4)
+    val plan = physical(df)
+    assert(countOccurrences(plan, "Scan parquet") === 1, s"plan:\n$plan")
+    assert(plan.contains("MapPartitions"), s"plan:\n$plan")
+    // partial + final HashAggregate around one verdict-grain exchange
+    assert(countOccurrences(plan, "HashAggregate") >= 2, s"plan:\n$plan")
+    assert(!plan.contains("Join"), s"plan:\n$plan")
+    // column pruning reached the scan: the fold reads text only
+    val scanLine = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("text"), s"scan line: $scanLine")
+    assert(!scanLine.contains("lang"), s"scan not pruned: $scanLine")
+  }
 }

@@ -106,6 +106,82 @@ class ReferenceTopologySpec extends SparkSpec {
     } finally { mqtt.close(); ch.close() }
   }
 
+  test("the same topology over the NATIVE protocol: broker -> source " +
+    "-> adapter -> column-oriented block inserts on port 9000 — the " +
+    "reference DSN's own interface (data_dbstore.go:85)") {
+    val mqtt = new MqttMiniServer()
+    val ch = new graft.sinks.ClickHouseNativeMiniServer()
+    try {
+      val inf = JsonInference.inferFromSample(PumpConfig.GoldenSample)
+      val ep = graft.sinks.ClickHouseNativeSink.Endpoint("127.0.0.1", ch.port)
+      graft.sinks.ClickHouseNativeSink.ensureTables(ep, "pump",
+        "Raw_Message", "Json_Message", inf)
+
+      val df = spark.readStream.format("mqtt-direct")
+        .option("host", "127.0.0.1")
+        .option("port", mqtt.port.toString)
+        .option("topics", "pump/data/0")
+        .load()
+      val q = df.writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          if (!batch.isEmpty) {
+            val withMid = batch.withColumn("mid",
+              RandomId.random_id(8, seed = bid))
+              .persist()
+            try {
+              val raw = Adapter.rawProjection(withMid, col("mid"),
+                col("topic"), col("payload"), col("received_time"))
+                .drop("collect_date")
+              val adapter = Adapter.adapt(withMid, "payload", inf, Seq("mid"))
+                .join(withMid.select(col("mid"),
+                  col("received_time").as("collect_datetime")), Seq("mid"))
+              graft.sinks.ClickHouseNativeSink.dualWriter(ep,
+                "pump.Raw_Message", "pump.Json_Message")(raw, adapter)
+            } finally { withMid.unpersist(); () }
+          }
+        }
+        .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+      try {
+        val initDeadline = System.currentTimeMillis() + 60000
+        while (q.lastProgress == null && System.currentTimeMillis() < initDeadline)
+          Thread.sleep(100)
+        assert(q.lastProgress != null, "stream never initialized")
+
+        val pub = new MqttClient("127.0.0.1", mqtt.port, "topo-pub-tcp")
+        (0 until 3).foreach { _ =>
+          pub.publish("pump/data/0",
+            PumpConfig.GoldenSample.getBytes(StandardCharsets.UTF_8))
+        }
+        pub.close()
+
+        val deadline = System.currentTimeMillis() + 60000
+        def rawRows() = ch.tableRows("pump.Raw_Message")
+        def adRows() = ch.tableRows("pump.Json_Message")
+        while ((rawRows().size < 3 || adRows().size < 6) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+
+        assert(rawRows().size === 3)
+        assert(adRows().size === 6)
+        assert(adRows().count(_.get("params_value")
+          .exists(_.toDouble == 564.0)) === 3)
+        assert(adRows().count(_.get("params_value")
+          .exists(_.toDouble == 128.0)) === 3)
+        assert(rawRows().forall(_.get("topic").contains("pump/data/0")))
+        assert(rawRows().forall(_.get("collect_date").exists(_.nonEmpty)))
+        val rawMids = rawRows().flatMap(_.get("mid")).toSet
+        assert(rawMids.size === 3)
+        assert(adRows().flatMap(_.get("mid")).toSet === rawMids)
+        // the native read-back agrees with the driver-side inspection
+        val c = new graft.sinks.ClickHouseNativeClient("127.0.0.1", ch.port)
+        try {
+          val cnt = c.query("SELECT count() FROM pump.Raw_Message")
+            .map(_.data.head.head).map(graft.sinks.ClickHouseWire.asString)
+          assert(cnt === Seq("3"))
+        } finally c.close()
+      } finally q.stop()
+    } finally { mqtt.close(); ch.close() }
+  }
+
   test("an INI [clickhouse] endpoint engages the live dual sink through " +
     "the pump (Main.liveSink): parquet system of record AND batched " +
     "HTTP inserts off one micro-batch") {
