@@ -142,9 +142,15 @@ object Bench {
       if (basis.size % 2 == 1) basis(basis.size / 2)
       else (basis(basis.size / 2 - 1) + basis(basis.size / 2)) / 2.0
     }
+    // both rerun passes share the main loop's wall guard (plus slack for
+    // the passes themselves): a pathological run where everything is
+    // contended must still finish inside an external timeout — skipped
+    // reruns simply leave the original measurement and stamp in place
+    def rerunBudgetLeft(): Boolean =
+      System.nanoTime() - benchStart < wallBudgetNanos * 1.2
     val respread = scala.collection.mutable.LinkedHashMap[String, String]()
     val repaired = results.map { case tup @ (name, _, cold, runs) =>
-      if (!warmSpreadDirty(runs)) tup
+      if (!warmSpreadDirty(runs) || !rerunBudgetLeft()) tup
       else {
         val n = deepRampRuns.getOrElse(name, runsPerQuery)
         val rerunRuns = (1 to n).map(_ => timeOnce(name, selected(name)))
@@ -199,7 +205,7 @@ object Bench {
     val adjudicated = repaired.map { case tup @ (name, median, cold, runs) =>
       pairRef.get(name) match {
         case Some(ref) if pairDisagrees(ref, median) &&
-            selected.contains(name) =>
+            selected.contains(name) && rerunBudgetLeft() =>
           val n = deepRampRuns.getOrElse(name, runsPerQuery)
           val rerunRuns = (1 to n).map(_ => timeOnce(name, selected(name)))
           // all third-leg runs are warm; drop the first anyway (it can
