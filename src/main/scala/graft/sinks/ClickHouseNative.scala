@@ -258,9 +258,15 @@ object ClickHouseWire {
     case "DateTime" => (0 until nRows).map(_ => readInt32LE(in).toLong & 0xffffffffL)
     case "Date" => (0 until nRows).map(_ => readInt16LE(in))
     case "Int64" | "UInt64" => (0 until nRows).map(_ => readInt64LE(in))
-    case "Int32" | "UInt32" => (0 until nRows).map(_ => readInt32LE(in))
-    case "Int16" | "UInt16" => (0 until nRows).map(_ => readInt16LE(in))
-    case "Int8" | "UInt8" => (0 until nRows).map(_ => readUInt8(in))
+    case "Int32" => (0 until nRows).map(_ => readInt32LE(in))
+    // unsigned widths decode into the next-wider signed type; signed
+    // widths sign-extend — without this a Short of -32768 would read
+    // back as 32768
+    case "UInt32" => (0 until nRows).map(_ => readInt32LE(in).toLong & 0xffffffffL)
+    case "Int16" => (0 until nRows).map(_ => readInt16LE(in).toShort.toInt)
+    case "UInt16" => (0 until nRows).map(_ => readInt16LE(in))
+    case "Int8" => (0 until nRows).map(_ => readUInt8(in).toByte.toInt)
+    case "UInt8" => (0 until nRows).map(_ => readUInt8(in))
     case "Bool" => (0 until nRows).map(_ => readUInt8(in) != 0)
     case "Float64" => (0 until nRows).map(_ =>
       java.lang.Double.longBitsToDouble(readInt64LE(in)))
