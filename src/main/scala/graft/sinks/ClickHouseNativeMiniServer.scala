@@ -83,8 +83,11 @@ class ClickHouseNativeMiniServer(port0: Int = 0,
         h.setDaemon(true)
         h.start()
       } catch {
-        case _: SocketException => // closed
-        case _: IOException if closed =>
+        // a transient accept failure must not silently kill the loop
+        // while the server is live — tests would hang on connect
+        case _: SocketException => // close() interrupts accept this way
+        case _: IOException if !closed => Thread.sleep(10)
+        case _: IOException => // closing
       }
     }
 
