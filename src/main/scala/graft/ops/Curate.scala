@@ -24,25 +24,34 @@ object Curate {
     // the four output names are RESERVED: silently shadowing (or
     // duplicating) a caller's same-named column would corrupt gatePass
     // downstream with a confusing AnalysisException at best
-    val reserved = Seq("quality", "n_ngrams", "dup_ngram_ratio", "norm_fp")
+    val reserved = Seq("quality", "n_ngrams", "dup_ngram_ratio", "norm_fp",
+      "__gs_ts", "__gs_sh2")
     val clash = docs.columns.filter(reserved.contains)
     require(clash.isEmpty,
       s"gateSignals: input already carries reserved output column(s) " +
         s"${clash.mkString(", ")} — rename or drop them first")
-    val ts = split(col(textCol), " ")
-    val sh2 = graft.functions.Shingles.shingles(ts, 2)
-    docs.select(docs.columns.map(col).toSeq ++ Seq(
-      round(size(array_distinct(ts)).cast("double") / size(ts), 6)
-        .as("quality"),
-      size(sh2).cast("long").as("n_ngrams"),
-      // guarded: a 1-token doc has zero bigrams, and under ANSI mode
-      // the unguarded divide is a runtime DIVIDE_BY_ZERO (non-ANSI it
-      // was already null) — the gate never reads the ratio at
-      // n_ngrams = 0, so null is the one value both modes agree on
-      when(size(sh2) > 0, round(lit(1.0) -
-        size(array_distinct(sh2)).cast("double") / size(sh2), 6))
-        .as("dup_ngram_ratio"),
-      md5(TextAnalysis.normalize(col(textCol))).as("norm_fp")): _*)
+    // token + bigram arrays MATERIALIZED as columns before the signal
+    // projection reads them: the Shingles kernel is CodegenFallback
+    // (no cross-column CSE), so the inline form re-ran split 3× and
+    // the kernel 3× per row (the Gopher lesson); dropped after use so
+    // the pass-through column contract is unchanged
+    val ts = col("__gs_ts")
+    val sh2 = col("__gs_sh2")
+    docs
+      .withColumn("__gs_ts", split(col(textCol), " "))
+      .withColumn("__gs_sh2", graft.functions.Shingles.shingles(ts, 2))
+      .select(docs.columns.map(col).toSeq ++ Seq(
+        round(size(array_distinct(ts)).cast("double") / size(ts), 6)
+          .as("quality"),
+        size(sh2).cast("long").as("n_ngrams"),
+        // guarded: a 1-token doc has zero bigrams, and under ANSI mode
+        // the unguarded divide is a runtime DIVIDE_BY_ZERO (non-ANSI it
+        // was already null) — the gate never reads the ratio at
+        // n_ngrams = 0, so null is the one value both modes agree on
+        when(size(sh2) > 0, round(lit(1.0) -
+          size(array_distinct(sh2)).cast("double") / size(sh2), 6))
+          .as("dup_ngram_ratio"),
+        md5(TextAnalysis.normalize(col(textCol))).as("norm_fp")): _*)
   }
 
   /** The gate predicate over [[gateSignals]] columns. */

@@ -286,7 +286,7 @@ object ExtQueries {
     */
   private def c4Page(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val ts = split(col("text"), " ")
+    val ts = col("ts")
     val nl = floor((size(ts) + lit(C4Width - 1)) / lit(C4Width)).cast("int")
     val lines = transform(sequence(lit(0), nl - lit(1)), i =>
       concat(array_join(slice(ts, i * C4Width + 1, lit(C4Width)), " "),
@@ -294,13 +294,27 @@ object ExtQueries {
         when(id % 17 === 0 && i === 0, lit(" {")).otherwise(lit("")),
         when(id % 19 === 0 && i === 0, lit(" lorem ipsum")).otherwise(lit("")),
         when((id + i) % 4 =!= 3, lit(".")).otherwise(lit(""))))
-    Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
+    docTokens(s, dir).select(id, array_join(lines, "\n").as("page"))
   }
+
+  /** documents projected to (doc_id, ts): the token array MATERIALIZED
+    * as a real column before any `transform` lambda references it. An
+    * interpreted lambda re-evaluates captured subtrees per ELEMENT (the
+    * Gopher/x69 lesson, which the line builders below had not yet
+    * applied to themselves): with `ts` inline, every generated line
+    * re-ran `split(text)` — O(lines × tokens) per document; as an
+    * attribute the lambda reads a row field. CollapseProject keeps the
+    * two projections separate because the non-cheap alias is referenced
+    * more than once (round-21 plan check).
+    */
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
 
   /** The x65 paged twin (injections documented at the constant block). */
   private def gopherPage(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val ts = split(col("text"), " ")
+    val ts = col("ts")
     val nl = floor((size(ts) + lit(C4Width - 1)) / lit(C4Width)).cast("int")
     val lines = transform(sequence(lit(0), nl - lit(1)), i =>
       concat(
@@ -310,7 +324,7 @@ object ExtQueries {
         when((id + i) % 6 === 0, lit(" # #")).otherwise(lit("")),
         when((id + i) % 9 === 0, lit(" 12345")).otherwise(lit("")),
         when((id + i) % 4 === 3, lit("...")).otherwise(lit("."))))
-    Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
+    docTokens(s, dir).select(id, array_join(lines, "\n").as("page"))
   }
 
   /** The x67 paged twin: width-[[C4Width]] lines where line i is a COPY
@@ -321,13 +335,13 @@ object ExtQueries {
     */
   private def repPage(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val ts = split(col("text"), " ")
+    val ts = col("ts")
     val nl = floor((size(ts) + lit(C4Width - 1)) / lit(C4Width)).cast("int")
     val chunk0 = array_join(slice(ts, lit(1), lit(C4Width)), " ")
     val lines = transform(sequence(lit(0), nl - lit(1)), i =>
       when((id + i) % 10 === 0 && i =!= 0, chunk0)
         .otherwise(array_join(slice(ts, i * C4Width + 1, lit(C4Width)), " ")))
-    Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
+    docTokens(s, dir).select(id, array_join(lines, "\n").as("page"))
   }
 
   /** The x69 paged twin: even docs cycle their first five width-
@@ -339,13 +353,13 @@ object ExtQueries {
     */
   private def cycPage(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val ts = split(col("text"), " ")
+    val ts = col("ts")
     val nl = floor((size(ts) + lit(C4Width - 1)) / lit(C4Width)).cast("int")
     val lines = transform(sequence(lit(0), nl - lit(1)), i => {
       val j = when(id % 2 === 0, pmod(i, lit(5))).otherwise(i)
       array_join(slice(ts, j * C4Width + 1, lit(C4Width)), " ")
     })
-    Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
+    docTokens(s, dir).select(id, array_join(lines, "\n").as("page"))
   }
 
   /** The x128 paged twin: natural width-[[C4Width]] lines plus
@@ -357,7 +371,7 @@ object ExtQueries {
     */
   private def boilerPage(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val ts = split(col("text"), " ")
+    val ts = col("ts")
     val nl = floor((size(ts) + lit(C4Width - 1)) / lit(C4Width)).cast("int")
     val natural = transform(sequence(lit(0), nl - lit(1)), i =>
       array_join(slice(ts, i * C4Width + 1, lit(C4Width)), " "))
@@ -367,7 +381,7 @@ object ExtQueries {
       maybe(id % 2 === 0, BoilerNewsletter),
       maybe(id % 3 === 0, BoilerRights),
       maybe(id % 97 === 0, BoilerRare)), "\n")
-    Tables.documents(s, dir).select(id, page.as("page"))
+    docTokens(s, dir).select(id, page.as("page"))
   }
 
   /** The x73 script twin: the ASCII word-soup corpus is all-Latin, so
@@ -400,7 +414,7 @@ object ExtQueries {
     */
   private def codePage(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val ts = split(col("text"), " ")
+    val ts = col("ts")
     val nl = floor((size(ts) + lit(C4Width - 1)) / lit(C4Width)).cast("int")
     val lines = transform(sequence(lit(0), nl - lit(1)), i =>
       concat(
@@ -410,7 +424,7 @@ object ExtQueries {
         array_join(slice(ts, i * C4Width + 1, lit(C4Width)), " "),
         when(id % 3 === 0 && i % 2 === 1, lit(" = 1;"))
           .otherwise(when(id % 3 === 0, lit(" {")).otherwise(lit("")))))
-    Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
+    docTokens(s, dir).select(id, array_join(lines, "\n").as("page"))
   }
 
   /** The x68 paged twin: ALL the family's rule triggers on one page —
@@ -422,7 +436,7 @@ object ExtQueries {
     */
   private def mtPage(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val ts = split(col("text"), " ")
+    val ts = col("ts")
     val nl = floor((size(ts) + lit(C4Width - 1)) / lit(C4Width)).cast("int")
     val chunk0 = array_join(slice(ts, lit(1), lit(C4Width)), " ")
     val lines = transform(sequence(lit(0), nl - lit(1)), i =>
@@ -440,7 +454,7 @@ object ExtQueries {
         when((id + i) % 4 === 3, lit(""))
           .when((id + i) % 5 === 4, lit("..."))
           .otherwise(lit("."))))
-    Tables.documents(s, dir).select(id, array_join(lines, "\n").as("page"))
+    docTokens(s, dir).select(id, array_join(lines, "\n").as("page"))
   }
 
   /** Trained (merges, final word table), cached per (session, dir): one
@@ -751,11 +765,27 @@ object ExtQueries {
   private val knCache = new graft.engine.SessionCache[DataFrame]
   private def knScored(s: SparkSession, dir: String): DataFrame =
     knCache.getOrCompute(s, dir) {
+      KneserNey.scoreWithModel(Tables.documents(s, dir), "doc_id", "text",
+        knModel(s, dir)).localCheckpoint(false)
+    }
+
+  /** The TRAINED KN model (the 9 join tables + constants), built and
+    * pinned once per (session, dir) and shared by x52/x56 (fixed-
+    * discount scoring) and x58 (estimated-discount scoring): training
+    * is the same 5 exploded aggregations + 4 distinct passes over the
+    * same reference slice in all three — the persisted model artifact
+    * the [[KneserNey]] scaladoc already names, now literally shared the
+    * way a production run shares it (train once per corpus version,
+    * score many times).
+    */
+  private val knModelCache = new graft.engine.SessionCache[KneserNey.Model]
+  private def knModel(s: SparkSession, dir: String): KneserNey.Model =
+    knModelCache.getOrCompute(s, dir) {
       val docs = Tables.documents(s, dir)
       val ref = Curate.splitAssign(docs, "doc_id",
         Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
         seed = SplitSeed).filter(col("split") === "train")
-      KneserNey.score(docs, ref, "doc_id", "text").localCheckpoint(false)
+      KneserNey.modelTables(ref, "text").pinned
     }
 
   /** The x51 refined top-k plan (wider-probe IVF-PQ candidates, exact
@@ -772,6 +802,53 @@ object ExtQueries {
         numSub = PqNumSub, codes = PqCodes,
         trained = Some(ivfPqTrained(s, dir)))
       Similarity.refineExact(emb, qs, "vec_id", "embedding", TopK, cands)
+    }
+
+  /** The ANN-audit RUN ARTIFACTS — the exact top-k ground truth plus
+    * every approximate tier's (qid, cid, rank) run list — built once
+    * per (session, dir) and shared by the three audit queries that
+    * grade the SAME seven retrieval runs (x43 recall, x112 Kendall
+    * tau, x113 nDCG) and by the x51 sweep's ground truth. This is how
+    * a real eval harness works (the trec_eval model: retrieval runs
+    * once, every metric reads the persisted run files), and the same
+    * artifact contract [[knScored]]/[[refineCache]]/[[lshPairsCache]]
+    * already established: the candidate pipelines are the cost center,
+    * the run lists are audit-sized (queries × k rows), so each metric
+    * query prices its metric fold, not a fourth rebuild of the seven
+    * pipelines. Round-21 measurement: x112+x113+x43 each re-ran all
+    * seven tiers + brute force (~10 s combined per bench leg at sf0.1);
+    * shared runs collapse the redundancy.
+    */
+  private val annRunsCache =
+    new graft.engine.SessionCache[(DataFrame, Seq[(String, DataFrame)])]
+  private def annRuns(s: SparkSession, dir: String): (DataFrame, Seq[(String, DataFrame)]) =
+    annRunsCache.getOrCompute(s, dir) {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < NumQueries)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+        TopK).select("qid", "cid", "rank").localCheckpoint(false)
+      val tiers = Seq(
+        "ann_ivf" -> Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+          TopK, nlist = IvfNlist, nprobe = IvfNprobe),
+        "ann_lsh" -> Similarity.lshTopK(emb, qs, "vec_id", "embedding",
+          TopK, bits = LshBits),
+        "ivf_pq" -> Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding",
+          TopK, nlist = IvfPqNlist, nprobe = IvfPqNprobe,
+          numSub = PqNumSub, codes = PqCodes,
+          trained = Some(ivfPqTrained(s, dir))),
+        "ivf_pq_refine" -> ivfPqRefined(s, dir),
+        "jl_refine" -> Similarity.jlTopK(emb, qs, "vec_id", "embedding",
+          TopK, JlDIn, JlDOut, JlCandR),
+        "lsh_multiprobe" -> Similarity.lshMultiProbeTopK(emb, qs, "vec_id",
+          "embedding", TopK, bits = LshBits, probeDist = LshProbeDist),
+        "pq_ann" -> Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+          TopK, numSub = PqNumSub, codes = PqCodes,
+          codebook = Some(pqCodebook(s, dir))))
+        .map { case (name, df) =>
+          name -> df.select(col("qid"), col("cid"), col("rank"))
+            .localCheckpoint(false)
+        }
+      (exact, tiers)
     }
 
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
@@ -1150,9 +1227,15 @@ object ExtQueries {
     "x22_curation_pipeline" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
-      val ts = split(col("text"), " ")
-      val sh = graft.functions.Shingles.shingles(ts, 2)
-      val sig = docs.select(col("doc_id"), col("lang"),
+      // arrays staged as columns before the signal projection (the
+      // gateSignals/Gopher lesson: CodegenFallback kernels re-run
+      // inline children per consumer)
+      val ts = col("__ts")
+      val sh = col("__sh")
+      val sig = docs
+        .withColumn("__ts", split(col("text"), " "))
+        .withColumn("__sh", graft.functions.Shingles.shingles(ts, 2))
+        .select(col("doc_id"), col("lang"),
         round(size(array_distinct(ts)).cast("double") / size(ts), 6)
           .as("quality"),
         size(sh).cast("long").as("n_ngrams"),
@@ -1707,11 +1790,11 @@ object ExtQueries {
     // statistics (D_k = n1/(n1+2n2) per order), DECIMAL(38,0) exact;
     // same train split, same join shape as x52
     "x58_kn_mkn" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val ref = Curate.splitAssign(docs, "doc_id",
-        Seq("train" -> SplitTrain, "valid" -> SplitValid), rest = "test",
-        seed = SplitSeed).filter(col("split") === "train")
-      KneserNey.scoreModified(docs, ref, "doc_id", "text").orderBy("doc_id")
+      // same train split, same join shape as x52 — and the SAME trained
+      // model artifact (knModel): only discount estimation + scoring
+      // differ between the two
+      KneserNey.scoreModifiedWithModel(Tables.documents(s, dir), "doc_id",
+        "text", knModel(s, dir)).orderBy("doc_id")
     }),
 
     // X57 token-budget sampling — greedy prefix in deterministic hash
@@ -1900,27 +1983,8 @@ object ExtQueries {
     // the exact top-k on the same corpus/queries; the exact list is
     // pinned once, intersections are semi joins of audit-sized lists
     "x43_ann_recall" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val qs = emb.filter(col("vec_id") < NumQueries)
-      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
-        TopK).select("qid", "cid").localCheckpoint(false)
-      Similarity.recallAudit(Seq(
-        "ann_ivf" -> Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
-          TopK, nlist = IvfNlist, nprobe = IvfNprobe),
-        "ann_lsh" -> Similarity.lshTopK(emb, qs, "vec_id", "embedding",
-          TopK, bits = LshBits),
-        "ivf_pq" -> Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding",
-          TopK, nlist = IvfPqNlist, nprobe = IvfPqNprobe,
-          numSub = PqNumSub, codes = PqCodes,
-          trained = Some(ivfPqTrained(s, dir))),
-        "ivf_pq_refine" -> ivfPqRefined(s, dir),
-        "jl_refine" -> Similarity.jlTopK(emb, qs, "vec_id", "embedding",
-          TopK, JlDIn, JlDOut, JlCandR),
-        "lsh_multiprobe" -> Similarity.lshMultiProbeTopK(emb, qs, "vec_id",
-          "embedding", TopK, bits = LshBits, probeDist = LshProbeDist),
-        "pq_ann" -> Similarity.pqTopK(emb, qs, "vec_id", "embedding",
-          TopK, numSub = PqNumSub, codes = PqCodes,
-          codebook = Some(pqCodebook(s, dir)))), exact)
+      val (exact, tiers) = annRuns(s, dir)
+      Similarity.recallAudit(tiers, exact.select("qid", "cid"))
         .orderBy("method")
     }),
 
@@ -1939,8 +2003,8 @@ object ExtQueries {
     "x51_jl_sweep" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < NumQueries)
-      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id",
-        "embedding", TopK).select("qid", "cid").localCheckpoint(false)
+      // ground truth shared with the x43/x112/x113 audits (annRuns)
+      val exact = annRuns(s, dir)._1.select("qid", "cid")
       Similarity.recallAudit(JlSweepArms.map { case (name, dOut, candR) =>
         name -> Similarity.jlTopK(emb, qs, "vec_id", "embedding", TopK,
           JlDIn, dOut, candR)
@@ -2779,28 +2843,8 @@ object ExtQueries {
     // it arrived in the right ORDER (ADC distortion reorders even when
     // recall holds). Exact C/D/P integer lanes, k²-bounded pair work.
     "x112_rank_tau" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val qs = emb.filter(col("vec_id") < NumQueries)
-      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
-        TopK).select("qid", "cid", "rank").localCheckpoint(false)
-      Eval.kendallTau(Seq(
-        "ann_ivf" -> Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
-          TopK, nlist = IvfNlist, nprobe = IvfNprobe),
-        "ann_lsh" -> Similarity.lshTopK(emb, qs, "vec_id", "embedding",
-          TopK, bits = LshBits),
-        "ivf_pq" -> Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding",
-          TopK, nlist = IvfPqNlist, nprobe = IvfPqNprobe,
-          numSub = PqNumSub, codes = PqCodes,
-          trained = Some(ivfPqTrained(s, dir))),
-        "ivf_pq_refine" -> ivfPqRefined(s, dir),
-        "jl_refine" -> Similarity.jlTopK(emb, qs, "vec_id", "embedding",
-          TopK, JlDIn, JlDOut, JlCandR),
-        "lsh_multiprobe" -> Similarity.lshMultiProbeTopK(emb, qs, "vec_id",
-          "embedding", TopK, bits = LshBits, probeDist = LshProbeDist),
-        "pq_ann" -> Similarity.pqTopK(emb, qs, "vec_id", "embedding",
-          TopK, numSub = PqNumSub, codes = PqCodes,
-          codebook = Some(pqCodebook(s, dir)))), exact)
-        .orderBy("method")
+      val (exact, tiers) = annRuns(s, dir)
+      Eval.kendallTau(tiers, exact).orderBy("method")
     }),
 
     // X113 nDCG@k of every ANN tier against exact-top-k relevance:
@@ -2808,28 +2852,8 @@ object ExtQueries {
     // than a rank-k miss). Weights are one integer micro-unit table
     // shared with the oracle, so every sum is exact.
     "x113_ndcg" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val qs = emb.filter(col("vec_id") < NumQueries)
-      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
-        TopK).select("qid", "cid", "rank").localCheckpoint(false)
-      Eval.ndcgAt(Seq(
-        "ann_ivf" -> Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
-          TopK, nlist = IvfNlist, nprobe = IvfNprobe),
-        "ann_lsh" -> Similarity.lshTopK(emb, qs, "vec_id", "embedding",
-          TopK, bits = LshBits),
-        "ivf_pq" -> Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding",
-          TopK, nlist = IvfPqNlist, nprobe = IvfPqNprobe,
-          numSub = PqNumSub, codes = PqCodes,
-          trained = Some(ivfPqTrained(s, dir))),
-        "ivf_pq_refine" -> ivfPqRefined(s, dir),
-        "jl_refine" -> Similarity.jlTopK(emb, qs, "vec_id", "embedding",
-          TopK, JlDIn, JlDOut, JlCandR),
-        "lsh_multiprobe" -> Similarity.lshMultiProbeTopK(emb, qs, "vec_id",
-          "embedding", TopK, bits = LshBits, probeDist = LshProbeDist),
-        "pq_ann" -> Similarity.pqTopK(emb, qs, "vec_id", "embedding",
-          TopK, numSub = PqNumSub, codes = PqCodes,
-          codebook = Some(pqCodebook(s, dir)))), exact, TopK)
-        .orderBy("method")
+      val (exact, tiers) = annRuns(s, dir)
+      Eval.ndcgAt(tiers, exact, TopK).orderBy("method")
     }),
 
     // X114 Broder containment — the directional near-dup resemblance

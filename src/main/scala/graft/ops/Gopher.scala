@@ -43,13 +43,29 @@ object Gopher {
   val MaxMeanLen = 10L
   val MinStopwords = 2
 
-  /** The seven gate booleans for one page Column, in the documented
-    * order — shared by [[qualityRules]] and [[qualityVerdict]].
+  /** The page's line array — materialize as a real column before
+    * handing it to the gate kernels (see [[qualityGates]]).
     */
-  private def qualityGates(page: Column): Seq[(String, Column)] = {
-    val lines = split(page, "\n")
-    val words = filter(split(translate(page, "\n", " "), " "),
-      w => length(w) > 0)
+  def linesOf(page: Column): Column = split(page, "\n")
+
+  /** The page's word array (newline-as-space split, empties dropped) —
+    * materialize as a real column before handing it to the gate
+    * kernels.
+    */
+  def wordsOf(page: Column): Column =
+    filter(split(translate(page, "\n", " "), " "), w => length(w) > 0)
+
+  /** The seven gate booleans, in the documented order — shared by
+    * [[qualityRules]] and [[qualityVerdict]]. `lines`/`words` should be
+    * ATTRIBUTE columns (pre-projected via [[linesOf]]/[[wordsOf]]):
+    * higher-order-function kernels are CodegenFallback, every fallback
+    * node re-evaluates its child tree interpreted with no CSE across
+    * sibling columns, so an inline split/filter here re-ran per GATE —
+    * and, composed over x68's computed `cleaned` text, re-ran the whole
+    * C4 line filter per gate (the round-21 x68 cost center).
+    */
+  private def qualityGates(page: Column, lines: Column,
+                           words: Column): Seq[(String, Column)] = {
     val nLines = size(lines).cast("long")
     val nWords = size(words).cast("long")
     val sumLen = aggregate(transform(words, w => length(w).cast("long")),
@@ -74,21 +90,20 @@ object Gopher {
       "g_stop" -> (nStop >= MinStopwords))
   }
 
-  /** The conjunction verdict as a Column (for same-projection pipeline
-    * composition — x68).
+  /** The conjunction verdict over pre-projected line/word attribute
+    * columns (pipeline composition — x68).
     */
-  def qualityVerdict(page: Column): Column =
-    qualityGates(page).map(_._2).reduce(_ && _)
+  def qualityVerdict(page: Column, lines: Column, words: Column): Column =
+    qualityGates(page, lines, words).map(_._2).reduce(_ && _)
 
   def qualityRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val page = col(textCol)
-    val lines = split(page, "\n")
-    val words = filter(split(translate(page, "\n", " "), " "),
-      w => length(w) > 0)
-    val gates = qualityGates(page)
-    docs.select(
-      Seq(col(idCol), size(lines).cast("long").as("n_lines"),
-        size(words).cast("long").as("n_words")) ++
+    // line/word arrays materialized ONCE as columns (qualityGates doc)
+    val pre = docs.select(col(idCol), col(textCol).as("__page"),
+      linesOf(col(textCol)).as("__lines"), wordsOf(col(textCol)).as("__words"))
+    val gates = qualityGates(col("__page"), col("__lines"), col("__words"))
+    pre.select(
+      Seq(col(idCol), size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__words")).cast("long").as("n_words")) ++
         gates.map { case (n, c) => c.as(n) }: _*)
       .withColumn("kept_doc", gates.map(g => col(g._1)).reduce(_ && _))
   }
@@ -146,26 +161,31 @@ object Gopher {
     */
   def repetitionSignals(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val page = col(textCol)
-    val (nLines, sigs) = repSignalCols(page)
-    docs.select(col(idCol) +: nLines.as("n_lines") +:
+    // line/word arrays materialized ONCE as columns (qualityGates doc):
+    // each of the 11 signal columns re-evaluated the inline
+    // split/filter before this pre-projection
+    val pre = docs.select(col(idCol),
+      linesOf(col(textCol)).as("__lines"), wordsOf(col(textCol)).as("__words"))
+    val (nLines, sigs) = repSignalCols(col("__lines"), col("__words"))
+    pre.select(col(idCol) +: nLines.as("n_lines") +:
         sigs.map { case (n, c, _) => c.as(n) }: _*)
       .withColumn("kept_doc",
         sigs.map { case (n, _, thr) => col(n) <= thr }.reduce(_ && _))
   }
 
-  /** The conjunction verdict as a Column (x68 composition). */
-  def repetitionVerdict(page: Column): Column =
-    repSignalCols(page)._2.map { case (_, c, thr) => c <= thr }
+  /** The conjunction verdict over pre-projected line/word attribute
+    * columns (x68 composition).
+    */
+  def repetitionVerdict(lines: Column, words: Column): Column =
+    repSignalCols(lines, words)._2.map { case (_, c, thr) => c <= thr }
       .reduce(_ && _)
 
-  /** (n_lines, (name, ppm Column, max ppm) per signal) for one page
-    * Column — shared by the DataFrame op and the verdict kernel.
+  /** (n_lines, (name, ppm Column, max ppm) per signal) over
+    * pre-projected line/word attribute columns — shared by the
+    * DataFrame op and the verdict kernel.
     */
-  private def repSignalCols(page: Column): (Column, Seq[(String, Column, Long)]) = {
-    val lines = split(page, "\n")
-    val words = filter(split(translate(page, "\n", " "), " "),
-      w => length(w) > 0)
+  private def repSignalCols(lines: Column,
+                            words: Column): (Column, Seq[(String, Column, Long)]) = {
     val totalWC = aggregate(transform(words, w => length(w).cast("long")),
       lit(0L), _ + _)
     val nLines = size(lines).cast("long")

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** X28 — PageRank centrality over an edge list, the graph-quality
   * signal web-scale curation pipelines attach to documents (rank the
@@ -28,20 +27,23 @@ import org.apache.spark.storage.StorageLevel
   * Shape at 100 TB: the classic iterative join — each round shuffles
   * the current rank vector (one BIGINT per node) into the
   * edge-partitioned join and re-aggregates per destination with
-  * map-side combine. The edge⨝outdeg side is joined ONCE, persisted,
-  * and reused every round, so per-round work is rank-vector-sized, not
-  * edge-list-rebuild-sized. Ranks are pinned via `persist` (NOT
-  * `localCheckpoint`): blocks are released as rounds supersede each
-  * other, lineage survives eviction (an evicted block recomputes
-  * instead of failing — the right durability trade for a long iterative
-  * job on preemptible executors), and only every 2nd round materializes
-  * (lineage between pins is two joins deep — flat enough). On exit
-  * every intermediate, the node set, and the edge topology are
-  * unpersisted; the ONLY retained blocks are the returned rank vector
-  * itself (one BIGINT per node — callers done with it may
-  * `.unpersist()`). Convergence work bounds: fixed iteration count
-  * (curation pipelines run PageRank for a fixed budget, not to
-  * convergence).
+  * map-side combine. The edge⨝outdeg side is joined ONCE, pinned, and
+  * reused every round, so per-round work is rank-vector-sized, not
+  * edge-list-rebuild-sized. Every pin is an EAGER `localCheckpoint` —
+  * the [[hits]] lesson applied back to the kernel it was learned from:
+  * checkpoint TRUNCATES the logical plan to an RDD leaf, so each
+  * round's query tree stays constant-size. The earlier persist-based
+  * pins kept full lineage: each round's tree embedded every prior
+  * round's InMemoryRelation child, and in a long shared session the
+  * driver spent multiples of the execution time canonicalizing the
+  * growing tree against the cache (round-21 measurement: 3.3 s solo vs
+  * 9–20 s per run inside the full 217-query bench session; after the
+  * checkpoint rewrite both collapse to the same level). The durability
+  * trade (no lineage-based recompute on block loss; the deterministic
+  * rebuild is one rerun from the pinned edges) is the one [[hits]]
+  * already documents and accepts. Convergence work bounds: fixed
+  * iteration count (curation pipelines run PageRank for a fixed
+  * budget, not to convergence).
   */
 object Graph {
 
@@ -87,40 +89,43 @@ object Graph {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val n = nodes.count()
     if (n == 0L) {
-      val empty = nodes.withColumn("hub", lit(0L))
+      return nodes.withColumn("hub", lit(0L))
         .withColumn("auth", lit(0L)).limit(0)
-      nodes.unpersist(false)
-      return empty
     }
-    // Edge topology and every per-half-round score vector pin via EAGER
-    // localCheckpoint, not persist: checkpoint TRUNCATES the logical
-    // plan to an RDD leaf, so each half-round's query tree stays
+    // Edge topology and every half-round's RAW score vector pin via
+    // EAGER localCheckpoint, not persist: checkpoint TRUNCATES the
+    // logical plan to an RDD leaf, so each half-round's query tree stays
     // constant-size. (The persist-based variant kept full lineage: by
     // round 3 the driver spent 10× longer canonicalizing/matching the
     // ever-growing tree against the cache than executing it — measured,
     // not theoretical. The vectors are node-sized and the edge pins are
     // read every round, so eager materialization costs nothing extra;
-    // the durability trade vs pageRank's persist is documented there.)
+    // the durability trade vs lineage is documented on [[pageRank]].)
     val bySrc = edges.repartition(col("src")).localCheckpoint()
     val byDst = edges.repartition(col("dst")).localCheckpoint()
 
-    // L1 total read off the pinned raw vector as a 1-row driver collect
-    // (the bounded-artifact seam — one BIGINT), then one scan-side exact
-    // division against it.
+    // L1 total joined back IN-PLAN as a broadcast 1-row aggregate over
+    // the pinned raw vector (not a separate driver collect: the collect
+    // was one extra job per half-round — round-21 measurement halved
+    // x75's per-round job count by folding it into the consumer's plan),
+    // then one scan-side exact division against it. The normalized form
+    // stays LAZY: its whole tree is two node-sized joins off the raw
+    // checkpoint leaf, so the next half-round's pin (or the final join)
+    // evaluates it without tree growth.
     def normalized(raw: DataFrame, outCol: String): DataFrame = {
       val pinned = raw.localCheckpoint()
-      val total = pinned.agg(coalesce(sum(col("raw")), lit(0L)))
-        .collect()(0).getLong(0)
+      val total = pinned.agg(
+        coalesce(sum(col("raw")), lit(0L)).as("l1"))
       nodes.join(pinned, Seq("node"), "left")
+        .crossJoin(broadcast(total))
         .select(col("node"),
-          (if (total > 0L)
-             expr(s"CAST(CAST(coalesce(raw, 0L) AS DECIMAL(38,0)) " +
-               s"* ${Scale}L div ${total}L AS BIGINT)")
-           else lit(0L)).as(outCol))
-        .localCheckpoint()
+          when(col("l1") > 0L,
+            expr(s"CAST(CAST(coalesce(raw, 0L) AS DECIMAL(38,0)) " +
+              s"* ${Scale}L div l1 AS BIGINT)"))
+            .otherwise(lit(0L)).as(outCol))
     }
 
     // iters = 0 returns the initial state (uniform hubs, zero auths) —
@@ -137,11 +142,9 @@ object Graph {
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
       hubs = normalized(hubRaw, "hub")
     }
-    // one node-sized join of the two final pinned vectors; superseded
+    // one node-sized join of the two final vectors; superseded
     // checkpoint blocks release with their RDDs via the context cleaner
-    val out = hubs.join(auths, Seq("node"))
-    nodes.unpersist(false)
-    out
+    hubs.join(auths, Seq("node"))
   }
 
   /** X84 — community detection by LABEL PROPAGATION (Raghavan, Albert &
@@ -196,34 +199,31 @@ object Graph {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val n = nodes.count()
     if (n == 0L) {
       // derive the empty frame from the input plan so the node column
       // keeps its actual type (int/string ids work, not just bigint)
-      val empty = nodes.withColumn("rank", lit(0L)).limit(0)
-      nodes.unpersist(false)
-      return empty
+      return nodes.withColumn("rank", lit(0L)).limit(0)
     }
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // edge topology joined to out-degrees once, reused every round;
-    // explicitly re-partitioned on src BEFORE the pin so the cached
-    // blocks advertise clean hashpartitioning(src) — AQE-coalesced join
-    // output would read back as unknown partitioning and every round's
-    // rank join would re-shuffle the (large) edge side as well as the
-    // (small) rank vector
+    // explicitly re-partitioned on src BEFORE the pin so the
+    // checkpointed blocks advertise clean hashpartitioning(src)
+    // (localCheckpoint preserves the child's output partitioning) —
+    // AQE-coalesced join output would read back as unknown partitioning
+    // and every round's rank join would re-shuffle the (large) edge
+    // side as well as the (small) rank vector
     val eo = edges.join(outdeg, "src")
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    eo.count()
+      .localCheckpoint()
     // nodes with no out-edges; their mass is redistributed uniformly
     val dangling = nodes
       .join(eo.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val nDangling = dangling.count()
     val base = (15L * Scale) / (100L * n)
     var ranks = nodes.withColumn("rank", lit(Scale / n))
-    var pinned: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contribs = eo
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -240,17 +240,10 @@ object Graph {
           .select(col("node"),
             (col("rank") + expr(s"dmass * 85L div ${100L * n}L")).as("rank"))
       }
-      if (i % 2 == 0 || i == iters) {
-        next = next.persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the superseded pin
-        pinned.foreach(_.unpersist(false))
-        pinned = Some(next)
-      }
-      ranks = next
+      // eager pin per round: constant-size tree, superseded checkpoint
+      // blocks release with their RDDs via the context cleaner
+      ranks = next.localCheckpoint()
     }
-    dangling.unpersist(false)
-    eo.unpersist(false)
-    nodes.unpersist(false)
     ranks
   }
 

@@ -77,7 +77,19 @@ object KneserNey {
                          cont4: DataFrame, hist4: DataFrame,
                          cont3: DataFrame, hist3: DataFrame,
                          cont2: DataFrame, hist2: DataFrame,
-                         cont1: DataFrame, consts: DataFrame)
+                         cont1: DataFrame, consts: DataFrame) {
+    /** Every table pinned via lazy localCheckpoint — the materialized
+      * persisted-artifact form a session shares across consumers (x52
+      * scoring, x56 bucketing, x58 discount estimation + scoring):
+      * training runs once, each table is vocabulary-sized.
+      */
+    def pinned: Model = Model(
+      c5.localCheckpoint(false), h5.localCheckpoint(false),
+      cont4.localCheckpoint(false), hist4.localCheckpoint(false),
+      cont3.localCheckpoint(false), hist3.localCheckpoint(false),
+      cont2.localCheckpoint(false), hist2.localCheckpoint(false),
+      cont1.localCheckpoint(false), consts.localCheckpoint(false))
+  }
 
   /** Train all model tables on `ref` (see object doc for the schema of
     * each).
@@ -213,8 +225,16 @@ object KneserNey {
     * values are identical by construction, spec- and oracle-pinned).
     */
   def scoreModified(docs: DataFrame, ref: DataFrame,
-                    idCol: String, textCol: String): DataFrame = {
-    val m = modelTables(ref, textCol)
+                    idCol: String, textCol: String): DataFrame =
+    scoreModifiedWithModel(docs, idCol, textCol, modelTables(ref, textCol))
+
+  /** The estimated-discount scoring half against an already-built
+    * [[Model]] — the seam that lets x52 and x58 share ONE training run
+    * (the model is the persisted artifact; the discount estimate is a
+    * count-of-count pass over its tables, not over the corpus).
+    */
+  def scoreModifiedWithModel(docs: DataFrame, idCol: String,
+                             textCol: String, m: Model): DataFrame = {
     val cc = Seq(
       (m.c5, "c5", 5), (m.cont4, "cn4", 4), (m.cont3, "cn3", 3),
       (m.cont2, "cn2", 2), (m.cont1, "cn1", 1))

@@ -213,7 +213,14 @@ object TextAnalysis {
     * over non-null input: an empty text keeps a zero row.
     */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val cs = array_sort(filter(split(col(textCol), ""), ch => length(ch) > 0))
+    // the sorted char array MATERIALIZED once as a column: the three
+    // consumers below are CodegenFallback HOFs with no cross-column
+    // CSE, so an inline split+filter+sort re-ran per consumer (the
+    // Gopher lesson applied here in round 21)
+    val pre = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), array_sort(
+        filter(split(col(textCol), ""), ch => length(ch) > 0)).as("__cs"))
+    val cs = col("__cs")
     def term(run: Column): Column =
       round(log(run.cast("double")) * run * lit(1e6)).cast("long")
     def flush(acc: Column): Column =
@@ -228,7 +235,7 @@ object TextAnalysis {
             .otherwise(acc.getField("s") + flush(acc)).as("s"))
       },
       acc => acc.getField("s") + flush(acc))
-    docs.filter(col(textCol).isNotNull)
+    pre
       .select(col(idCol),
         size(cs).cast("long").as("n_chars"),
         size(array_distinct(cs)).cast("long").as("n_distinct"),
@@ -276,9 +283,19 @@ object TextAnalysis {
     */
   def digramEntropy(docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
-    val cs = filter(split(col(textCol), ""), ch => length(ch) > 0)
-    val bigrams = graft.functions.Shingles.shingles(cs, 2)
-    val prefixes = slice(cs, lit(1), greatest(size(cs) - 1, lit(0)))
+    // char array, then bigram/prefix arrays, MATERIALIZED as columns
+    // before the folds read them (the charEntropy/Gopher lesson): the
+    // inline forms re-ran the split+filter per consumer and the
+    // Shingles kernel twice per row
+    val pre = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        filter(split(col(textCol), ""), ch => length(ch) > 0).as("__cs"))
+      .select(col(idCol),
+        graft.functions.Shingles.shingles(col("__cs"), 2).as("__bg"),
+        slice(col("__cs"), lit(1),
+          greatest(size(col("__cs")) - 1, lit(0))).as("__pre"))
+    val bigrams = col("__bg")
+    val prefixes = col("__pre")
     def runFold(arr: Column): Column = {
       val sorted = array_sort(arr)
       def term(run: Column): Column =
@@ -299,7 +316,7 @@ object TextAnalysis {
         },
         acc => acc.getField("s") + flush(acc))
     }
-    docs.filter(col(textCol).isNotNull)
+    pre
       .select(col(idCol),
         size(bigrams).cast("long").as("n_bigrams"),
         runFold(prefixes).as("s1_micro"),
