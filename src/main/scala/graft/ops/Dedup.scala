@@ -204,8 +204,12 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       numSigs: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.8,
-                      maxBucket: Option[Int] = None): DataFrame = {
-    val cands = lshCandidates(docSignatures(docs, idCol, textCol, numSigs),
+                      maxBucket: Option[Int] = None,
+                      prebuiltSigs: Option[DataFrame] = None): DataFrame = {
+    // callers holding the session's persisted signature index pass it
+    // in (the x1 pair-stage cache shares corpusSigs16)
+    val cands = lshCandidates(prebuiltSigs.getOrElse(
+        docSignatures(docs, idCol, textCol, numSigs)),
       idCol, numSigs, rowsPerBand, maxBucket)
     // LSH's whole point is that surviving candidates are FEW, so AQE's
     // runtime statistics pick a broadcast for the candidate (then
@@ -359,9 +363,12 @@ object Dedup {
     * agreement level.
     */
   def minhashFidelity(docs: DataFrame, idCol: String, textCol: String,
-                      numSigs: Int, rowsPerBand: Int): DataFrame = {
-    val sigs = docSignatures(docs, idCol, textCol, numSigs)
-      .localCheckpoint(false)
+                      numSigs: Int, rowsPerBand: Int,
+                      prebuiltSigs: Option[DataFrame] = None): DataFrame = {
+    // callers holding the session's persisted signature index pass it
+    // in (x162 shares corpusSigs16); standalone callers build and pin
+    val sigs = prebuiltSigs.getOrElse(
+      docSignatures(docs, idCol, textCol, numSigs).localCheckpoint(false))
     val cands = lshCandidates(sigs, idCol, numSigs, rowsPerBand)
     val truth = verifyCandidates(docs.select(col(idCol), col(textCol)),
       cands, idCol, textCol, threshold = 0.0)
@@ -1054,7 +1061,16 @@ object Dedup {
     require(simThresholdPpm >= 0 && simThresholdPpm <= 1000000,
       s"simThresholdPpm $simThresholdPpm must be in [0, 1000000]")
     val t = docs.select(col(idCol), col(textCol))
+    // The candidate list is BYTE-tiny (a corpus sliver) but each row
+    // pays an O(len²) DP — AQE's byte-based coalescing packed the whole
+    // verify stage into ONE partition and ran the Levenshtein kernel
+    // single-threaded (round-21 measurement: 1.3 s for ~1.2 k pairs on
+    // an idle 32-core host). Spread the pairs across the cluster's
+    // cores before the (broadcast) text joins: defaultParallelism is
+    // scale-adaptive (total executor cores), the shuffled rows are two
+    // BIGINTs each, and downstream cost is per-PAIR, not per-byte.
     cands.select(col("d1"), col("d2"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .join(t.select(col(idCol).as("d1"), col(textCol).as("t1")), Seq("d1"))
       .join(t.select(col(idCol).as("d2"), col(textCol).as("t2")), Seq("d2"))
       .select(col("d1"), col("d2"),

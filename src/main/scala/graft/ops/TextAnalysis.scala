@@ -221,20 +221,10 @@ object TextAnalysis {
       .select(col(idCol), array_sort(
         filter(split(col(textCol), ""), ch => length(ch) > 0)).as("__cs"))
     val cs = col("__cs")
-    def term(run: Column): Column =
-      round(log(run.cast("double")) * run * lit(1e6)).cast("long")
-    def flush(acc: Column): Column =
-      when(acc.getField("run") > 0, term(acc.getField("run"))).otherwise(lit(0L))
-    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("s"))
-    val sMicro = aggregate(cs, zero,
-      (acc, x) => {
-        val same = x === acc.getField("prev")
-        struct(x.as("prev"),
-          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
-          when(same, acc.getField("s"))
-            .otherwise(acc.getField("s") + flush(acc)).as("s"))
-      },
-      acc => acc.getField("s") + flush(acc))
+    // run-entropy sum via the native one-pass kernel (bit-identical to
+    // the interpreted aggregate fold it replaced — property-pinned in
+    // SortedRunEntropySpec; the fold allocated a struct per char)
+    val sMicro = graft.functions.SortedRunEntropy.sortedRunEntropy(cs)
     pre
       .select(col(idCol),
         size(cs).cast("long").as("n_chars"),
@@ -296,26 +286,10 @@ object TextAnalysis {
           greatest(size(col("__cs")) - 1, lit(0))).as("__pre"))
     val bigrams = col("__bg")
     val prefixes = col("__pre")
-    def runFold(arr: Column): Column = {
-      val sorted = array_sort(arr)
-      def term(run: Column): Column =
-        round(log(run.cast("double")) * run * lit(1e6)).cast("long")
-      def flush(acc: Column): Column =
-        when(acc.getField("run") > 0, term(acc.getField("run")))
-          .otherwise(lit(0L))
-      val zero = struct(lit("").as("prev"), lit(0L).as("run"),
-        lit(0L).as("s"))
-      aggregate(sorted, zero,
-        (acc, x) => {
-          val same = x === acc.getField("prev")
-          struct(x.as("prev"),
-            when(same, acc.getField("run") + 1L).otherwise(lit(1L))
-              .as("run"),
-            when(same, acc.getField("s"))
-              .otherwise(acc.getField("s") + flush(acc)).as("s"))
-        },
-        acc => acc.getField("s") + flush(acc))
-    }
+    // run-entropy sums via the native one-pass kernel (charEntropy's
+    // seam — property-pinned in SortedRunEntropySpec)
+    def runFold(arr: Column): Column =
+      graft.functions.SortedRunEntropy.sortedRunEntropy(array_sort(arr))
     pre
       .select(col(idCol),
         size(bigrams).cast("long").as("n_bigrams"),
