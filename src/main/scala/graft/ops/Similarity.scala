@@ -456,16 +456,21 @@ object Similarity {
     * md5 function — no trained state to inline, unlike IVF/PQ).
     * Recall priced by the x43 audit row alongside the other tiers.
     */
-  def jlTopK(emb: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int, dIn: Int, dOut: Int,
-             candR: Int): DataFrame = {
-    require(candR >= k, s"candR $candR < k $k — the coarse cut would " +
-      "truncate the exact re-rank")
+  /** The coarse tier of [[jlTopK]] alone: per query, the `candR`
+    * nearest corpus rows by exact projected L2, as (qid, cid, rank).
+    * Exposed so a sweep over several candR values at ONE projection
+    * width computes the projected-distance scan once and derives each
+    * arm by a rank-prefix filter (rank is cutoff-independent: the
+    * window runs before any filter).
+    */
+  def jlCandidates(emb: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, dIn: Int, dOut: Int,
+                   candR: Int): DataFrame = {
     // exactness bound for the coarse lane: |y| ≤ 2·10⁶·dIn, so the
     // summed squared diff ≤ dOut·(4·10⁶·dIn)² must stay inside BIGINT
     require(BigInt(16) * 1000000000000L * dIn * dIn * dOut <=
       BigInt(Long.MaxValue),
-      s"jlTopK: dIn=$dIn, dOut=$dOut overflows the exact projected " +
+      s"jlCandidates: dIn=$dIn, dOut=$dOut overflows the exact projected " +
         "distance lane (need 16e12·dIn²·dOut <= 2^63)")
     val ys = jlYExprs(dIn, dOut)
     def projected(df: DataFrame, outId: String): DataFrame =
@@ -480,8 +485,16 @@ object Similarity {
           "(a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)")
           .as("pdist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("pdist"), col("cid"))
-    val cands = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= candR).select(col("qid"), col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= candR).select(col("qid"), col("cid"), col("rank"))
+  }
+
+  def jlTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, dIn: Int, dOut: Int,
+             candR: Int): DataFrame = {
+    require(candR >= k, s"candR $candR < k $k — the coarse cut would " +
+      "truncate the exact re-rank")
+    val cands = jlCandidates(emb, queries, idCol, vecCol, dIn, dOut, candR)
     refineExact(emb, queries, idCol, vecCol, k, cands)
   }
 

@@ -26,7 +26,10 @@ object TextAnalysis {
       length(col(textCol)).as("n_chars"),
       size(ts).as("n_tokens"),
       size(array_distinct(ts)).as("n_distinct"),
-      round(aggregate(transform(ts, t => length(t).cast("long")), lit(0L), _ + _)
+      // Σ token lengths = chars minus the separators (split(" ") keeps
+      // empty tokens, which contribute 0): one codegen'd
+      // translate+length instead of an interpreted per-element fold
+      round(length(translate(col(textCol), " ", "")).cast("long")
         .cast("double") / size(ts), 6).as("avg_tok_len"),
       round(size(filter(ts, t => array_contains(stop, t))).cast("double") / size(ts), 6)
         .as("stopword_ratio"),

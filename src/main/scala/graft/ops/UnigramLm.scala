@@ -166,7 +166,7 @@ object UnigramLm {
         .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
       val prev = vocab
       vocab = reweight(counts).localCheckpoint()
-      prev.unpersist()
+      Pins.release(prev) // Dataset.unpersist is a no-op on checkpoint pins
     }
     vocab
   }

@@ -98,7 +98,15 @@ object ClickHouseHttpSink {
                 // EXPLICIT UTC zone — `toLocalDateTime` would use the
                 // executor JVM's default zone, silently shifting rows
                 // away from the UTC-session parquet system of record on
-                // any non-UTC host
+                // any non-UTC host. CAVEAT (r20 advice): this pins the
+                // CLIENT zone only — a bare 'YYYY-MM-DD HH:MM:SS'
+                // literal is parsed in the SERVER's timezone, so a
+                // non-UTC server still shifts rows unless its column is
+                // DateTime('UTC'); only the native sink's epoch-seconds
+                // encoding is zone-free end to end. Deployments against
+                // a non-UTC server should declare DateTime('UTC') in
+                // their DDL (the shipped DDL targets UTC servers — the
+                // reference deployment's convention).
                 o.put(f.name, r.getTimestamp(i).toInstant
                   .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
                   .format(DateTimeFmt))

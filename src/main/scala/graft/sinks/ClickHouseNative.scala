@@ -226,8 +226,10 @@ object ClickHouseWire {
       case other => writeBytes(out, String.valueOf(other)
         .getBytes(StandardCharsets.UTF_8))
     }
-    case "DateTime" => values.foreach(v =>
-      writeInt32LE(out, anyToLong(v).toInt))
+    // zoned variants — DateTime('UTC') etc. — share the epoch-seconds
+    // wire encoding; the zone only affects server-side rendering
+    case dt if dt == "DateTime" || dt.startsWith("DateTime(") =>
+      values.foreach(v => writeInt32LE(out, anyToLong(v).toInt))
     case "Date" => values.foreach(v => writeInt16LE(out, anyToLong(v).toInt))
     case "Int64" | "UInt64" => values.foreach(v => writeInt64LE(out, anyToLong(v)))
     case "Int32" | "UInt32" => values.foreach(v => writeInt32LE(out, anyToLong(v).toInt))
@@ -255,7 +257,8 @@ object ClickHouseWire {
     // losslessly (use [[asString]] where text is wanted)
     case "String" => (0 until nRows).map(_ =>
       readBytesExact(in, readVarint(in).toInt))
-    case "DateTime" => (0 until nRows).map(_ => readInt32LE(in).toLong & 0xffffffffL)
+    case dt if dt == "DateTime" || dt.startsWith("DateTime(") =>
+      (0 until nRows).map(_ => readInt32LE(in).toLong & 0xffffffffL)
     case "Date" => (0 until nRows).map(_ => readInt16LE(in))
     case "Int64" | "UInt64" => (0 until nRows).map(_ => readInt64LE(in))
     case "Int32" => (0 until nRows).map(_ => readInt32LE(in))
@@ -281,6 +284,34 @@ object ClickHouseWire {
     case null => null
     case b: Array[Byte] => new String(b, StandardCharsets.UTF_8)
     case other => String.valueOf(other)
+  }
+
+  /** Re-type an outgoing INSERT block to the server's sample-block
+    * column types (see [[ClickHouseNativeClient.insert]]): per column
+    * matched by name, adopt the server's type when it differs from the
+    * client's only by Nullable(...) wrapping. Stripping the wrapper
+    * substitutes the inner type's default for null slots; anything else
+    * is left for the server to accept or reject under its own rules.
+    */
+  def adaptToSample(block: Block, sample: Block): Block = {
+    if (sample.columns.isEmpty) return block
+    def strip(t: String): String = t match {
+      case NullableRe(inner) => inner
+      case other => other
+    }
+    val serverType = sample.columns.toMap
+    val adapted = block.columns.zip(block.data).map { case ((name, t), vals) =>
+      serverType.get(name) match {
+        case Some(st) if st != t && strip(st) == strip(t) =>
+          val values =
+            if (st == strip(st)) // server column is non-nullable
+              vals.map(v => if (v == null) defaultOf(st) else v)
+            else vals
+          ((name, st), values)
+        case _ => ((name, t), vals)
+      }
+    }
+    Block(adapted.map(_._1), adapted.map(_._2))
   }
 
   private def defaultOf(chType: String): Any = chType match {
@@ -442,23 +473,39 @@ final class ClickHouseNativeClient(host: String, port: Int,
 
   /** INSERT: send the query, receive the server's sample block (the
     * table structure — the protocol's signal to start uploading), send
-    * the data block plus the empty terminator, await EndOfStream.
+    * the data block re-typed to the SERVER's declared column types,
+    * plus the empty terminator, await EndOfStream.
+    *
+    * The re-typing is why the protocol sends the sample block at all:
+    * the client's Spark-derived types wrap nullable fields in
+    * Nullable(...), but the table's DDL may declare the column
+    * non-nullable — a real server rejects a Nullable column carrying
+    * NULLs into a non-Nullable slot ("cannot insert NULL"). Per column
+    * (matched by name) the sample's type is adopted when the two
+    * differ only by the Nullable(...) wrapper; stripping it substitutes
+    * the inner type's default for null slots (the standard client-side
+    * choice), adding it is value-preserving. A genuinely different base
+    * type keeps the client's encoding so the server rejects it LOUDLY
+    * instead of this client silently re-interpreting bytes.
     */
   def insert(sql: String, block: Block): Unit = {
     sendQuery(sql)
     out.flush()
     // await the sample block (Progress packets may precede it)
+    var sample: Block = EmptyBlock
     var sampled = false
     while (!sampled) {
       readVarint(in) match {
-        case ServerData => readString(in); readBlock(in); sampled = true
+        case ServerData =>
+          readString(in); sample = readBlock(in); sampled = true
         case ServerProgress => readVarint(in); readVarint(in); readVarint(in)
         case ServerException => readExceptionAndThrow(in)
         case other => throw new IOException(
           s"unexpected server packet $other before INSERT sample block")
       }
     }
-    writeDataPacket(out, block, clientSide = true)
+    writeDataPacket(out, ClickHouseWire.adaptToSample(block, sample),
+      clientSide = true)
     writeDataPacket(out, EmptyBlock, clientSide = true)
     out.flush()
     drainUntilEndOfStream()

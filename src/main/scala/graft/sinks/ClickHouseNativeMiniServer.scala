@@ -76,7 +76,10 @@ class ClickHouseNativeMiniServer(port0: Int = 0,
   }
 
   private def acceptLoop(): Unit =
-    while (!closed) {
+    // `server.isClosed` in the condition (r20 advice): a server socket
+    // that died for any reason other than close() would otherwise spin
+    // through accept → SocketException forever with `closed` still false
+    while (!closed && !server.isClosed) {
       try {
         val s = server.accept()
         val h = new Thread(() => handle(s), "ch-native-conn")
@@ -86,7 +89,12 @@ class ClickHouseNativeMiniServer(port0: Int = 0,
         // a transient accept failure must not silently kill the loop
         // while the server is live — tests would hang on connect
         case _: SocketException => // close() interrupts accept this way
-        case _: IOException if !closed => Thread.sleep(10)
+        case _: IOException if !closed =>
+          try Thread.sleep(10)
+          catch { // preserve the interrupt and stop — don't die mid-loop
+            case _: InterruptedException =>
+              Thread.currentThread().interrupt(); return
+          }
         case _: IOException => // closing
       }
     }

@@ -542,15 +542,20 @@ class PlanShapeSpec extends SparkSpec {
       s"bloom probe missing from:\n$optimized")
   }
 
-  test("x116 e2e pipeline: every stage reads a pinned upstream — the " +
-    "ledger plan holds ZERO parquet scans (the one corpus read lives " +
-    "in the docs pin), so no stage re-executes a shared stage") {
+  test("x116 e2e pipeline: the query reads the pinned session LEDGER — " +
+    "its plan holds ZERO parquet scans (the one corpus read lives " +
+    "inside the artifact build) and exactly the artifact leaf, so no " +
+    "invocation re-executes any pipeline stage") {
     val plan = physical(
       graft.SparkEntry.queries("x116_e2e_pipeline")(spark, sf))
     assert(countOccurrences(plan, "FileScan") === 0,
       s"a stage re-reads the corpus instead of its pin in:\n$plan")
-    assert(countOccurrences(plan, "Scan ExistingRDD") >= 5,
-      s"expected the stage pins as RDD scans in:\n$plan")
+    // round 22: the whole ledger is one per-(session, dir) checkpoint
+    // artifact (the copurchaseTri contract) — the query plan is a sort
+    // over that single RDD leaf; the old >= 5 stage pins live inside
+    // the artifact's one-time build, not in the per-invocation plan
+    assert(countOccurrences(plan, "Scan ExistingRDD") === 1,
+      s"expected exactly the pinned ledger leaf in:\n$plan")
   }
 
   test("x117 semantic decon: the eval block broadcasts into the corpus " +
